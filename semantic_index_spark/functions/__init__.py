@@ -1,0 +1,3 @@
+from semantic_index_spark.functions import text, vector
+
+__all__ = ["text", "vector"]

@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference only has exact, equality-on-key dedup via its 4 duplicate
+policies (`SemanticDatabase.cs:169-183`, `DuplicateHandling.cs:7-28`) —
+mapped in :mod:`semantic_index_spark.index`. Everything here is
+[absent in reference — north-star extension]: the near-dup family a
+training-data pipeline needs at 100 TB.
+
+Scale design notes (these matter more than the formulas):
+  * Exact dedup = hash-groupBy on a fingerprint — one shuffle, map-side
+    partial aggregation, AQE handles skew. Never a sort.
+  * MinHash+LSH turns the O(N²) near-dup join into `bands` equi-joins on
+    band keys: shuffle on (band_idx, band_hash), only same-bucket pairs are
+    compared. Candidate verification (true Jaccard) runs only on the
+    candidate set.
+  * All hashes are md5-derived (:func:`...functions.text.md5_bigint`) so the
+    DuckDB oracle can replay them bit-for-bit — and so results are stable
+    across Spark versions (builtin ``hash()`` is not guaranteed stable).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from semantic_index_spark.functions import text as T
+from semantic_index_spark.functions import vector as V
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint, keeping the lowest id
+    per group (deterministic winner). One shuffle on the 128-bit key;
+    partial min() runs map-side. Columns: (id, fingerprint)."""
+    return (
+        df.select(F.col(id_col), T.fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fingerprint")
+    )
+
+
+def minhash_signature_long(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-format MinHash signatures: (id, hash_idx, min_hash).
+
+    shingle → explode distinct → per (doc, hash_idx) min of a salted
+    md5-derived 60-bit hash. The explode fans out rows but each is tiny;
+    the single groupBy computes all `num_hashes` minima in one shuffle
+    (map-side partial min keeps the shuffle small).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle"))
+    )
+    aggs = [
+        F.min(T.md5_bigint(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    # unpivot to long form for band construction
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("hash_idx"), F.col(f"h{i}").alias("min_hash"))
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.hash_idx").alias("hash_idx"), F.col("p.min_hash").alias("min_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature split into `bands` bands of `num_hashes/bands` rows; a pair is
+    a candidate iff some band's values all agree. Implemented as an
+    equi-join on (band_idx, band_key): the all-pairs problem becomes
+    `bands` hash-partitioned joins — the only strategy that survives 100 TB
+    (a cosine cross-join does not). Returns distinct (id_a < id_b) pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_long(df, text_col, id_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band_idx", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band_idx")
+        .agg(F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash"))).alias("vals"))
+        .withColumn("band_key", F.md5(F.to_json(F.col("vals"))))
+        .select(id_col, "band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    explode distinct shingles → self-equi-join on shingle (hash-partitioned,
+    never a cross join) → |A∩B| per pair → Jaccard via inclusion-exclusion.
+    This is the *verifier* for LSH candidates and the exact small-scale
+    baseline. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash document signatures: (id, simhash).
+
+    Per token, take an md5-derived hash; per bit, sum +1/-1 across tokens;
+    the signature sets bits with positive sums. One explode + one groupBy
+    (map-side partial sums); the `bits` aggregations are columnar and stay
+    in codegen. Hamming-near signatures ≈ similar documents.
+    """
+    tok = df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")).withColumn(
+        "h", T.md5_bigint(F.col("tok"), salt="sh:")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    wide = tok.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(int(2**b)).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return wide.select(id_col, sig.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold.
+
+    With ``planes`` given, pairs are generated ONLY within equal
+    random-hyperplane LSH buckets (equi-join on the packed signature —
+    the 100 TB path: near-identical vectors land in the same bucket with
+    high probability, and the join is hash-partitioned). Without planes,
+    falls back to the exact all-pairs join (correct, quadratic — only for
+    verification scale). Returns (id_a, id_b, cos) with id_a < id_b.
+    """
+    base = df.select(F.col(id_col), F.col(emb_col))
+    if planes is not None:
+        base = base.withColumn("bucket", V.hyperplane_signature(emb_col, planes))
+        cond_extra = [F.col("a.bucket") == F.col("b.bucket")]
+    else:
+        cond_extra = []
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in cond_extra:
+        cond = cond & c
+    return (
+        a.join(b, cond)
+        .withColumn("cos", F.round(V.cosine(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("cos"),
+        )
+    )

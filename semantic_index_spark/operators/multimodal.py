@@ -1,0 +1,126 @@
+"""Multimodal column plumbing — images/audio/video as opaque binary columns.
+
+[absent in reference — north-star extension] Pattern: a multimodal row is
+``(id, media: binary, meta: struct)``. Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages so each executor
+processes columnar batches of blobs without ever collecting to the driver.
+
+The actual codec step is STUBBED (this container has no image/audio libs):
+``decode_image_batch`` raises ``NotImplementedError`` unless handed a
+``decoder=`` callable, and ``fake_decode`` provides a deterministic stand-in
+so the Spark-side plumbing — schema, batch shape, partitioning — is real
+and tested. At 100 TB the blobs dominate I/O: keep media in its own parquet
+column (columnar pruning skips it unless selected) and repartition by size
+before the decode stage so batches are even.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("checksum", StringType(), True),
+        StructField("feat_mean", StringType(), True),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic binary media column from text (UTF-8
+    bytes) with typed metadata — exercises BinaryType end-to-end without
+    codec libraries. Pure JVM expressions."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.length(text_col) % 640 + 1).cast("int").alias("width"),
+        (F.length(text_col) % 480 + 1).cast("int").alias("height"),
+    )
+
+
+def fake_decode(blob: bytes) -> dict:
+    """Deterministic stand-in for an image/audio decoder: derives a stable
+    'feature' from the bytes. Replace with a real codec via ``decoder=``."""
+    import hashlib
+
+    n = len(blob or b"")
+    return {
+        "checksum": hashlib.md5(blob or b"").hexdigest(),
+        "feat_mean": f"{(sum(blob[:256]) / max(min(n, 256), 1)):.4f}" if n else "0.0000",
+    }
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict] | None = None,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract stage over a media DataFrame via mapInPandas.
+
+    ``decoder`` maps raw bytes → dict(checksum, feat_mean). Without one,
+    the DEFAULT IS A STUB: pass ``decoder=fake_decode`` explicitly for the
+    deterministic fake, or a real codec wrapper in production. Batches
+    arrive as Arrow record batches; per-batch Python overhead is amortized
+    across ~10k rows."""
+    if decoder is None:
+        raise NotImplementedError(
+            "no media codec in this environment — pass decoder=fake_decode "
+            "(deterministic stub) or a real codec callable"
+        )
+    if batch_partitions:
+        df = df.repartition(batch_partitions)
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decoder(b if b is not None else b"") for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(b or b"") for b in pdf["media"]],
+                    "checksum": [f["checksum"] for f in feats],
+                    "feat_mean": [f["feat_mean"] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(_run, schema=FEATURE_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregate over a media table: byte sizes per mime type.
+    Selecting only metadata columns means the parquet reader never touches
+    the blob column (column pruning) — the reason media lives in a column,
+    not separate files."""
+    return df.groupBy("mime").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.octet_length("media")).alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )

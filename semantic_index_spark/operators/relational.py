@@ -1,0 +1,312 @@
+"""Relational operator surface — query builders over the TPC-H-ish tables.
+
+[absent in reference — north-star extension] The reference's analytical
+surface is scan / equality filter / projection / count / top-k only
+(SURVEY.md §2.A); everything here is the §2.B extension matrix expressed
+declaratively so Catalyst supplies pushdown, pruning, join selection,
+partial aggregation, and AQE for free.
+
+Every builder takes (spark, sf_dir) and returns a DataFrame whose column
+names are aliased to match the DuckDB oracle in ``__spark_entry__.py``.
+Floating-point aggregates are rounded so engine-order-of-summation noise
+can't break the driver's hash compare.
+
+Scale notes are per-builder; the recurring ones:
+  * dims (region, nation, supplier, part at any SF) are broadcast — no
+    shuffle of the fact table for star joins;
+  * aggregations rely on map-side partial agg (Catalyst automatic);
+  * top-k is always orderBy+limit → TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from semantic_index_spark.session import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: single-pass grouped aggregation over
+    lineitem with a pushed-down date filter. Map-side partial agg makes the
+    shuffle O(groups), not O(rows) — the canonical 100 TB-safe aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filter each side BEFORE the join (predicate pushdown
+    shrinks both shuffle inputs), join on keys, aggregate, top-10 by
+    revenue. customer is dim-sized → broadcast."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join. All dimension tables broadcast; the
+    only shuffles are fact-fact (lineitem ⋈ orders) and the final group-by.
+    The n_nationkey == s_nationkey AND == c_nationkey constraint is applied
+    as join conditions so Catalyst can reorder."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full predicate surface in one query: =, range, IN, LIKE, NOT NULL —
+    all pushed to the parquet scan (visible as PushedFilters in explain)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_size") >= 10)
+        & (F.col("p_size") < 40)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_type").like("%BRASS%")
+        & F.col("p_name").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface (the implicit core of the reference's
+    duplicate policies, `SemanticDatabase.cs:169-183`): customers WITH
+    orders (semi) tagged 1, WITHOUT (anti) tagged 0 — expressed as one
+    left join + indicator aggregate so both semantics hash-check at once."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    has = orders.select("o_custkey").distinct()
+    return (
+        cust.join(has, cust.c_custkey == has.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("o_custkey").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("has_orders"),
+        )
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: customers with > 12 orders and their spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+def rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the region→nation hierarchy with customer
+    counts; NULL group markers match ANSI semantics in both engines."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")
+    )
+
+
+def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over lineitem (returnflag × linestatus) — all 4 grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total: window sum with deterministic
+    (o_orderdate, o_orderkey) ordering. Shuffles once on the partition key;
+    rows-between frame avoids a full re-sort per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + lag/lead per market segment over customer balances."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.round(F.lag("c_acctbal", 1).over(w), 2).alias("prev_bal"),
+        F.round(F.lead("c_acctbal", 1).over(w), 2).alias("next_bal"),
+    ).filter(F.col("bal_rank") <= 5)
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT surface: nation keys that have customers
+    vs. suppliers, tagged by which set-op produced them."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    cust_only = cust.exceptAll(supp).withColumn("tag", F.lit("cust_only"))
+    supp_only = supp.exceptAll(cust).withColumn("tag", F.lit("supp_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over documents: case, substring, length,
+    split-count, regexp_replace normalization, concat."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length("text").alias("text_len"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        F.regexp_replace(F.col("text"), r"\s+", "_").substr(1, 20).alias("norm_head"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: monthly revenue rollup via year/month extraction
+    (ints, engine-portable) + day-of-week counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"), F.month("o_orderdate").alias("order_month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"),
+        )
+    )
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON surface over events.props (the reference items are opaque JSON —
+    `SemanticDatabase.cs:161`): extract a field, cast, aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def math_case_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/CASE surface: sqrt/pow/abs/floor/ceil + CASE buckets."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_bucket"),
+    )
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (exact — approx_count_distinct exists but
+    its HLL differs across engines, so the oracle-checked variant is exact;
+    the approx variant is exercised in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (reference top-k shape, `SemanticDatabase.cs:
+    281-299`) → TakeOrderedAndProject: per-partition heap + merge."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-hour windows (batch form of the streaming agg;
+    same F.window operator the streaming path uses). Window start exposed
+    as epoch seconds for engine-portable hashing."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def upsert_update_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's default UPDATE duplicate policy as a pure relational
+    program (anti-join + union — `SemanticDatabase.cs:171-174`): replace
+    the text of docs 0-9 with an updated payload, keep everything else."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") < 10).select(
+        "doc_id", F.concat(F.lit("updated: "), F.col("text")).alias("text")
+    )
+    old = d.select("doc_id", "text").join(new.select("doc_id"), "doc_id", "left_anti")
+    return old.unionByName(new)

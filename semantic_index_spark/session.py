@@ -1,0 +1,70 @@
+"""SparkSession bootstrap with scale-appropriate defaults.
+
+The reference binds an embedding client in its constructors
+(`SemanticDatabase.cs:42-62`); our equivalent bootstrap is a SparkSession
+with configuration tuned for the target deployment. Locally we run
+``local[N]``; the same settings (AQE, adaptive shuffle partitions, Arrow)
+are what you'd set on a 1000-executor cluster, where
+``spark.sql.shuffle.partitions`` becomes a floor that AQE coalesces from.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "semantic-index-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults chosen for 100 TB posture:
+      * AQE on: runtime partition coalescing + skew-join splitting means a
+        static ``shuffle.partitions`` misconfiguration self-heals.
+      * Arrow on: every pandas_udf / toPandas boundary is columnar.
+      * UTC session timezone: deterministic timestamp semantics across
+        engines (the DuckDB oracle stores naive timestamps).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    # Make this package importable on executor Python workers regardless of
+    # the caller's cwd: UDF closures reference classes from this package, and
+    # cloudpickle resolves those by module path on the worker side. On a real
+    # cluster the equivalent is shipping a wheel via spark.submit.pyFiles.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (TESTDATA.md): parquet scan with schema from
+    the footer. Filters/projections applied downstream reach this scan via
+    Catalyst pushdown — callers should NOT cache or materialize here."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,103 @@
+"""Structured Streaming surface.
+
+Maps the reference's async-stream ingest —
+``AddRangeAsync(IAsyncEnumerable<T>)`` consumes an unbounded item stream
+(`SemanticDatabase.cs:213-221`) — onto ``readStream`` → ``foreachBatch``
+upsert, and adds the event-time operators (watermarks, tumbling/sliding/
+session windows, stateful dedup) the reference lacks
+[absent in reference — north-star extension].
+
+All builders operate on any streaming DataFrame; tests drive them with the
+file source over `events`-shaped parquet using ``trigger(availableNow=True)``
+so results are finite and assertable. ``foreachBatch`` gives each micro-batch
+to the same broadcast-anti-join upsert the batch path uses — exactly-once
+per epoch with checkpointing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def stream_events(spark, path: str, schema) -> DataFrame:
+    """File-based streaming source over an events directory. In production
+    this would be Kafka/Kinesis; the transformation graph is identical."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts with a watermark bounding state:
+    late rows beyond the watermark are dropped, state for closed windows is
+    evicted — the only way windowed aggregation state stays O(open windows)
+    instead of O(stream length) at scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding window average event value."""
+    return (
+        events.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after `gap` of inactivity.
+    State is per-open-session; the watermark closes and evicts sessions."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state —
+    ``dropDuplicatesWithinWatermark`` keeps keys only within the watermark
+    horizon (the streaming form of the reference's SKIP policy,
+    `DuplicateHandling.cs:22`)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> DataStreamWriter:
+    """`AddRangeAsync(IAsyncEnumerable)` analogue
+    (`SemanticDatabase.cs:213-221`): each micro-batch of items is upserted
+    into a SemanticIndex with its configured duplicate policy via
+    foreachBatch. Checkpointing makes the upsert exactly-once per epoch."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+
+        items = [json.loads(r["item"]) for r in batch_df.select("item").collect()]
+        if items:
+            index.add_range(items)
+
+    return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
+
+
+def run_batch_like(stream_writer: DataStreamWriter):
+    """Drain all available input then stop (availableNow trigger) — the
+    test/bench harness for finite sources."""
+    q = stream_writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
