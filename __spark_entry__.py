@@ -1,38 +1,582 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship brute-force KNN over sf0.001 embeddings (the
+reference's one real query path, `SemanticDatabase.cs:268-308`).
+
+``queries()`` — one named builder per implemented operator from SURVEY.md §2
+(reference surface + north-star extensions); each takes (spark, sf_dir).
+
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query. All hash-sensitive
+float aggregates are rounded identically on both sides; all portable hashes
+are md5-derived (Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,15))::UBIGINT``); timestamps surface as
+epoch seconds / year-month ints so session-timezone differences can't skew
+the compare.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from semantic_index_spark.functions import text as T
+from semantic_index_spark.functions import vector as V
+from semantic_index_spark.operators import dedup as D
+from semantic_index_spark.operators import multimodal as M
+from semantic_index_spark.operators import relational as R
+from semantic_index_spark.operators import similarity as S
+from semantic_index_spark.session import load_table
+
+# ---------------------------------------------------------------- constants
+
+N_PLANES = 6  # 64 LSH buckets
+PLANES = S.make_planes(N_PLANES, 64, seed=42)
+KNN_K = 10
+MINHASH_N = 4  # hashes; 1 row per band → 4 bands
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.2
+NEARDUP_COS = 0.25
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB dot product of two list columns, double-accumulated in array
+    order — must mirror semantic_index_spark.functions.vector.dot."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _duck_plane_lit(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _duck_signature(col: str) -> str:
+    """DuckDB mirror of vector.hyperplane_signature over PLANES."""
+    terms = []
+    for i, p in enumerate(PLANES):
+        terms.append(
+            f"(CASE WHEN {_duck_dot(col, _duck_plane_lit(p))} > 0 "
+            f"THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# DuckDB mirrors of functions.text helpers (tokens use the same regex)
+_DUCK_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DUCK_MD5_BIGINT = "(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
+
+
+def _duck_md5_bigint(expr: str) -> str:
+    return _DUCK_MD5_BIGINT.format(expr=expr)
+
+
+def _duck_shingles(tok_expr: str, n: int = SHINGLE_N) -> str:
+    """DuckDB word n-gram list (mirrors functions.text.shingles)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({tok_expr}) - {n - 1}, 1)), "
+        f"i -> array_to_string({tok_expr}[i:i+{n - 1}], ' '))"
+    )
+
+
+# ------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: brute-force exact top-10 dot-product KNN over sf0.001
+    embeddings, query = stored vector 0 (scan → project → top-k; compiles
+    to TakeOrderedAndProject, SURVEY.md §3.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.topk(emb, q, k=KNN_K)
+
+
+# ----------------------------------------------------------------- queries
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.topk(emb, q, k=KNN_K)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    return (
+        emb.select(
+            "vec_id",
+            F.round(
+                V.dot_literal("embedding", q)
+                / (V.l2_norm("embedding") * V.l2_norm(F.lit([float(x) for x in q]).cast("array<double>"))),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+def q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return S.topk_multi(emb, queries, k=5)
+
+
+def q_lsh_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(V.hyperplane_signature("embedding", PLANES).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(V.l2_norm("embedding")), 6).alias("avg_norm"),
+        F.round(F.max(V.l2_norm("embedding")), 6).alias("max_norm"),
+    )
+
+
+def q_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GetAll projection + equality predicate (SemanticDatabase.cs:248-260,:236)
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("lang") == "en").select("doc_id", "text")
+
+
+def q_count_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count (SemanticDatabase.cs:110-125)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return emb.select(F.count("*").alias("n_embeddings")).crossJoin(
+        docs.select(F.count("*").alias("n_documents"))
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signature_long(
+        load_table(spark, sf_dir, "documents"), num_hashes=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    return sig.groupBy("doc_id").pivot("hash_idx", list(range(MINHASH_N))).agg(
+        F.first("min_hash")
+    ).select(
+        "doc_id", *[F.col(str(i)).alias(f"h{i}") for i in range(MINHASH_N)]
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_N,
+        bands=MINHASH_N,  # 1 row per band
+        shingle_n=SHINGLE_N,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(T.token_count("text")), 6).alias("avg_tokens"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.mean_token_len("text"), 6).alias("mean_token_len"),
+    )
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return M.media_stats(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference surface (SURVEY.md §2.A)
+        "knn_topk": q_knn_topk,
+        "knn_cosine": q_knn_cosine,
+        "filter_projection": q_filter_projection,
+        "count_records": q_count_records,
+        "topk_orders": R.topk_orders,
+        "upsert_update_demo": R.upsert_update_demo,
+        # relational extension surface (SURVEY.md §2.B)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "filter_predicates": R.filter_predicates,
+        "join_semi_anti": R.join_semi_anti,
+        "agg_having": R.agg_having,
+        "rollup_nation_region": R.rollup_nation_region,
+        "cube_flags": R.cube_flags,
+        "window_running_sum": R.window_running_sum,
+        "window_rank_lag": R.window_rank_lag,
+        "set_ops_nations": R.set_ops_nations,
+        "string_functions": R.string_functions,
+        "date_functions": R.date_functions,
+        "json_functions": R.json_functions,
+        "math_case_functions": R.math_case_functions,
+        "distinct_counts": R.distinct_counts,
+        "events_tumbling_windows": R.events_tumbling_windows,
+        # vector / LLM-pipeline extensions
+        "knn_multi": q_knn_multi,
+        "lsh_bucket_hist": q_lsh_bucket_hist,
+        "vector_stats": q_vector_stats,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "media_stats": q_media_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dot_q0 = _duck_dot(
+        "e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+    )
+    dot_q1 = _duck_dot(
+        "e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 1)"
+    )
+    norm = "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    qnorm = (
+        "sqrt(list_sum(list_transform((SELECT embedding FROM embeddings WHERE vec_id = 1), "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    sh = _duck_shingles("t", SHINGLE_N)
+    minhash_cols = ", ".join(
+        f"min({_duck_md5_bigint(f''''mh{i}:' || shingle''')}) AS h{i}" for i in range(MINHASH_N)
+    )
+    band_cond = " OR ".join(f"(a.h{i} = b.h{i})" for i in range(MINHASH_N))
+    simhash_bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    simhash_recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+
+    return {
+        "knn_topk": f"""
+            SELECT e.vec_id, round({dot_q0}, 6) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "knn_cosine": f"""
+            SELECT e.vec_id, round({dot_q1} / ({norm} * {qnorm}), 6) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "knn_multi": f"""
+            WITH scored AS (
+                SELECT q.vec_id AS q_id, e.vec_id,
+                       round({_duck_dot("e.embedding", "q.embedding")}, 6) AS score
+                FROM embeddings e, embeddings q WHERE q.vec_id < 3
+            ), ranked AS (
+                SELECT q_id, vec_id, score,
+                       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+        """,
+        "lsh_bucket_hist": f"""
+            SELECT {_duck_signature("embedding")} AS bucket, count(*) AS n_vectors
+            FROM embeddings GROUP BY 1
+        """,
+        "vector_stats": f"""
+            SELECT label, count(*) AS n_vecs,
+                   round(avg({norm}), 6) AS avg_norm,
+                   round(max({norm}), 6) AS max_norm
+            FROM embeddings e GROUP BY label
+        """,
+        "filter_projection": "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        "count_records": """
+            SELECT (SELECT count(*) FROM embeddings) AS n_embeddings,
+                   (SELECT count(*) FROM documents) AS n_documents
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "upsert_update_demo": """
+            WITH new AS (
+                SELECT doc_id, 'updated: ' || text AS text FROM documents WHERE doc_id < 10
+            )
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM new)
+            UNION ALL SELECT doc_id, text FROM new
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "filter_predicates": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+            WHERE p_size >= 10 AND p_size < 40
+              AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+              AND p_type LIKE 'S%' AND p_name IS NOT NULL
+        """,
+        "join_semi_anti": """
+            SELECT c_custkey,
+                   CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS has_orders
+            FROM customer c
+            LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "agg_having": """
+            SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey HAVING count(*) > 12
+        """,
+        "rollup_nation_region": """
+            SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "cube_flags": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+            FROM orders
+        """,
+        "window_rank_lag": """
+            WITH w AS (
+                SELECT c_mktsegment, c_custkey,
+                       rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+                       round(lag(c_acctbal, 1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), 2) AS prev_bal,
+                       round(lead(c_acctbal, 1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), 2) AS next_bal
+                FROM customer
+            )
+            SELECT * FROM w WHERE bal_rank <= 5
+        """,
+        "set_ops_nations": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+            SELECT nk, 'both' AS tag FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+            UNION ALL
+            SELECT nk, 'cust_only' AS tag FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+            UNION ALL
+            SELECT nk, 'supp_only' AS tag FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+        """,
+        "string_functions": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 10)) AS head_upper,
+                   length(text) AS text_len,
+                   len(string_split(text, ' ')) AS n_words,
+                   substr(regexp_replace(text, '\\s+', '_', 'g'), 1, 20) AS norm_head,
+                   lang || ':' || source AS lang_source
+            FROM documents
+        """,
+        "date_functions": """
+            SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS monthly_revenue
+            FROM orders GROUP BY 1, 2
+        """,
+        "json_functions": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(CAST(props->>'$.k' AS INT)), 6) AS avg_k,
+                   max(CAST(props->>'$.k' AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "math_case_functions": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sqrt(l_extendedprice), 6) AS sqrt_price,
+                   round(pow(l_discount + 1.0, 2), 6) AS disc_sq,
+                   abs(l_quantity - 25) AS qty_dev,
+                   floor(l_extendedprice) AS price_floor,
+                   ceil(l_extendedprice) AS price_ceil,
+                   CASE WHEN l_quantity < 10 THEN 'low'
+                        WHEN l_quantity < 30 THEN 'mid'
+                        ELSE 'high' END AS qty_bucket
+            FROM lineitem WHERE l_orderkey <= 100
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_tumbling_windows": """
+            SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
+                   event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents GROUP BY 2
+        """,
+        "minhash_signatures": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            )
+            SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+        """,
+        "simhash": f"""
+            WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+            hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
+            bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
+            SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shx GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(common::DOUBLE / (sa.n_shingles + sb.n_shingles - common), 6) >= {JACCARD_THRESHOLD}
+        """,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_duck_dot("a.embedding", "b.embedding")} /
+                         (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                          sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_duck_dot("a.embedding", "b.embedding")} /
+                  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= {NEARDUP_COS}
+        """,
+        "text_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(avg(len({_DUCK_TOKENS})), 6) AS avg_tokens,
+                   sum(len({_DUCK_TOKENS})) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "text_quality": f"""
+            WITH base AS (
+                SELECT doc_id, text, {_DUCK_TOKENS} AS toks,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                FROM documents
+            )
+            SELECT doc_id, fingerprint,
+                   round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS mean_token_len
+            FROM base
+        """,
+        "media_stats": """
+            SELECT 'application/octet-stream' AS mime,
+                   count(*) AS n_media,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   max((length(text) % 640 + 1)::INT) AS max_width,
+                   max((length(text) % 480 + 1)::INT) AS max_height
+            FROM documents
+        """,
+    }

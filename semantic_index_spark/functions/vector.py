@@ -36,8 +36,11 @@ def dot(a: Column | str, b: Column | str) -> Column:
     Mirrors `SemanticDatabase.cs:279` (`TensorPrimitives.Dot`).
     """
     a, b = _to_col(a), _to_col(b)
+    # cast each element to double BEFORE multiplying: float32*float32 would
+    # round to float32 first, silently losing ~8 digits vs the oracle's
+    # double-precision products.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -68,7 +71,12 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     a, b = _to_col(a), _to_col(b)
     return F.sqrt(
         F.aggregate(
-            F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double")),
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -99,7 +99,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") >= 10)
         & (F.col("p_size") < 40)
         & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-        & F.col("p_type").like("%BRASS%")
+        & F.col("p_type").like("S%")
         & F.col("p_name").isNotNull()
     ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
 

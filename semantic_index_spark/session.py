@@ -66,5 +66,17 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md): parquet scan with schema from
     the footer. Filters/projections applied downstream reach this scan via
-    Catalyst pushdown — callers should NOT cache or materialize here."""
+    Catalyst pushdown — callers should NOT cache or materialize here.
+
+    The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; we read nanos as long (runtime conf) and rebuild a proper
+    timestamp at microsecond precision (Spark's native resolution)."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
