@@ -201,8 +201,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed path (planes given): candidate pairs come from a hash
+    # equi-join on the hyperplane signature — never the quadratic all-pairs
+    # fallback (O(N^2) is non-viable at 100 TB).
     return D.embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS, planes=PLANES
     )
 
 
@@ -475,8 +478,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(l_extendedprice), 6) AS sqrt_price,
                    round(pow(l_discount + 1.0, 2), 6) AS disc_sq,
                    abs(l_quantity - 25) AS qty_dev,
-                   floor(l_extendedprice) AS price_floor,
-                   ceil(l_extendedprice) AS price_ceil,
+                   floor(l_extendedprice)::BIGINT AS price_floor,
+                   ceil(l_extendedprice)::BIGINT AS price_ceil,
                    CASE WHEN l_quantity < 10 THEN 'low'
                         WHEN l_quantity < 30 THEN 'mid'
                         ELSE 'high' END AS qty_bucket
@@ -540,20 +543,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(common::DOUBLE / (sa.n_shingles + sb.n_shingles - common), 6) >= {JACCARD_THRESHOLD}
         """,
         "embedding_neardup": f"""
+            WITH sig AS (
+                SELECT vec_id, embedding,
+                       {_duck_signature("embedding")} AS bucket,
+                       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round({_duck_dot("a.embedding", "b.embedding")} /
-                         (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                          sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round({_duck_dot("a.embedding", "b.embedding")} /
-                  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= {NEARDUP_COS}
+                   round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= {NEARDUP_COS}
         """,
         "text_stats": f"""
             SELECT lang, count(*) AS n_docs,
                    round(avg(n_chars), 6) AS avg_chars,
                    round(avg(len({_DUCK_TOKENS})), 6) AS avg_tokens,
-                   sum(len({_DUCK_TOKENS})) AS total_tokens
+                   sum(len({_DUCK_TOKENS}))::BIGINT AS total_tokens
             FROM documents GROUP BY lang
         """,
         "text_quality": f"""
@@ -574,9 +579,17 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": """
             SELECT 'application/octet-stream' AS mime,
                    count(*) AS n_media,
-                   sum(octet_length(encode(text))) AS total_bytes,
+                   sum(octet_length(encode(text)))::BIGINT AS total_bytes,
                    max((length(text) % 640 + 1)::INT) AS max_width,
                    max((length(text) % 480 + 1)::INT) AS max_height
             FROM documents
         """,
     }
+
+
+if __name__ == "__main__":
+    # Driver bench entry: `python __spark_entry__.py` == `python bench.py` —
+    # prints one JSON timing line to stdout (see bench.py).
+    import bench
+
+    raise SystemExit(bench.main())

@@ -190,23 +190,31 @@ def embedding_neardup_pairs(
     With ``planes`` given, pairs are generated ONLY within equal
     random-hyperplane LSH buckets (equi-join on the packed signature —
     the 100 TB path: near-identical vectors land in the same bucket with
-    high probability, and the join is hash-partitioned). Without planes,
-    falls back to the exact all-pairs join (correct, quadratic — only for
-    verification scale). Returns (id_a, id_b, cos) with id_a < id_b.
+    high probability, and the join is hash-partitioned on the bucket key —
+    no cross product, no broadcast-nested-loop). Without planes, falls back
+    to the exact all-pairs join (correct, quadratic — only for verification
+    scale). Per-row L2 norms are computed ONCE before the join (a pair-side
+    recompute would pay 2 extra vector folds per candidate pair).
+    Returns (id_a, id_b, cos) with id_a < id_b.
     """
-    base = df.select(F.col(id_col), F.col(emb_col))
+    base = df.select(F.col(id_col), F.col(emb_col)).withColumn("nrm", V.l2_norm(emb_col))
     if planes is not None:
         base = base.withColumn("bucket", V.hyperplane_signature(emb_col, planes))
-        cond_extra = [F.col("a.bucket") == F.col("b.bucket")]
-    else:
-        cond_extra = []
     a, b = base.alias("a"), base.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in cond_extra:
-        cond = cond & c
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if planes is not None:
+        # equi-condition FIRST so Catalyst plans a hash join on bucket
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & cond
     return (
         a.join(b, cond)
-        .withColumn("cos", F.round(V.cosine(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                V.dot(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

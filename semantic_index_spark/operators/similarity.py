@@ -60,19 +60,69 @@ def topk_multi(
     q_emb_col: str = "q_embedding",
     q_id_col: str = "q_id",
 ) -> DataFrame:
-    """Top-k neighbors for EACH query row: broadcast the (small) query set,
-    score in one pass over the big table, rank within each query with a
-    window. The broadcast-nested-loop join is deliberate — Q is small, so
-    work is Q·N scores with no shuffle of the big side; only the window's
-    partitionBy(q_id) shuffles the (already k-prunable) scored rows."""
-    scored = big.crossJoin(F.broadcast(queries)).select(
-        F.col(q_id_col),
-        F.col(id_col),
-        F.round(V.dot(F.col(emb_col), F.col(q_emb_col)), 6).alias("score"),
+    """Top-k neighbors for EACH query row, in two phases:
+
+    1. **Partial top-k per partition** (narrow, no shuffle): the query
+       matrix (Q is small by contract — it rides the serialized closure,
+       the moral equivalent of a broadcast) is scored against each Arrow
+       batch with one BLAS matmul inside ``mapInPandas``; each partition
+       emits at most Q·k rows.
+    2. **Merge**: a window over the ≤ partitions·Q·k survivors ranks per
+       query. Only this tiny set ever shuffles — never the N·Q scored rows
+       (a ``Window.partitionBy(q_id)`` over the full scored table would
+       funnel everything to Q reducer keys: massive skew at large N).
+
+    Both phases order by (round(score, 6) DESC, id ASC) so the pruning
+    total-order equals the final ranking total-order — local pruning can
+    never drop a row the global rank would have kept.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = queries.select(q_id_col, q_emb_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+
+    out_schema = StructType(
+        [
+            StructField(q_id_col, queries.schema[q_id_col].dataType),
+            StructField(id_col, big.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
     )
+
+    def _local_topk(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+            scores = np.round(emb @ q_mat.T, 6)  # (n, Q)
+            parts = [] if best is None else [best]
+            for qi, qid in enumerate(q_ids):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            q_id_col: qid,
+                            id_col: pdf[id_col].to_numpy(),
+                            "score": scores[:, qi],
+                        }
+                    )
+                )
+            best = (
+                pd.concat(parts, ignore_index=True)
+                .sort_values(["score", id_col], ascending=[False, True])
+                .groupby(q_id_col, sort=False)
+                .head(k)
+            )
+        if best is not None:
+            yield best
+
+    partial = big.select(id_col, emb_col).mapInPandas(_local_topk, schema=out_schema)
     w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "score", "rank")
     )

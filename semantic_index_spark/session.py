@@ -77,6 +77,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # exact integer division: `/` would promote to double, whose ulp
+            # at epoch-nanos magnitude (~1.7e18) is ~256ns — rows could land
+            # ±1µs off and shift across window boundaries.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -27,6 +27,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # Type-faithful, exactly as strict as the driver's hash compare: an
+    # int-valued float renders "43684.0", an int renders "43684" — so
+    # engine-type mismatches (BIGINT vs DOUBLE, HUGEINT vs BIGINT) FAIL here
+    # before they fail at the driver. No rounding at compare time: queries
+    # themselves must round float aggregates.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -34,9 +39,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
