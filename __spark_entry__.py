@@ -209,6 +209,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return S.similarity_join(emb, queries, threshold=0.2)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate top-k: probe ONLY the query's hyperplane bucket (pruned
+    # candidate set), exact dot-product rank inside the bucket.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.lsh_topk(emb, q, PLANES, k=KNN_K)
+
+
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.lang_guess("text").alias("lang_guess"),
+        T.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -244,6 +270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_records": q_count_records,
         "topk_orders": R.topk_orders,
         "upsert_update_demo": R.upsert_update_demo,
+        "delete_ops_demo": R.delete_ops_demo,
+        "skip_policy_demo": R.skip_policy_demo,
+        "allow_policy_demo": R.allow_policy_demo,
         # relational extension surface (SURVEY.md §2.B)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -272,6 +301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "similarity_join": q_similarity_join,
+        "lsh_topk": q_lsh_topk,
+        "text_signals": q_text_signals,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "media_stats": q_media_stats,
@@ -356,6 +388,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM new)
             UNION ALL SELECT doc_id, text FROM new
+        """,
+        "delete_ops_demo": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE doc_id = 0)
+              AND doc_id NOT IN (1, 2, 3, 4, 5)
+        """,
+        "skip_policy_demo": """
+            WITH batch AS (
+                SELECT CASE WHEN doc_id < 5 THEN doc_id ELSE doc_id + 1000 END AS doc_id,
+                       'incoming: ' || text AS text
+                FROM documents WHERE doc_id < 10
+            )
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT b.doc_id, b.text FROM batch b
+            WHERE b.doc_id NOT IN (SELECT doc_id FROM documents)
+        """,
+        "allow_policy_demo": """
+            WITH u AS (
+                SELECT doc_id FROM documents
+                UNION ALL
+                SELECT doc_id FROM documents WHERE doc_id < 10
+            )
+            SELECT doc_id, count(*) AS n_copies FROM u GROUP BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -553,6 +609,54 @@ def oracle_sql() -> dict[str, str]:
                    round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
             FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= {NEARDUP_COS}
+        """,
+        "similarity_join": f"""
+            WITH l AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nl
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS q_id, embedding AS q_embedding,
+                       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nr
+                FROM embeddings WHERE vec_id < 3
+            )
+            SELECT l.vec_id, q.q_id,
+                   round({_duck_dot("l.embedding", "q.q_embedding")} / (l.nl * q.nr), 6) AS cos
+            FROM l, q
+            WHERE round({_duck_dot("l.embedding", "q.q_embedding")} / (l.nl * q.nr), 6) >= 0.2
+        """,
+        "lsh_topk": f"""
+            WITH sig AS (
+                SELECT vec_id, embedding, {_duck_signature("embedding")} AS bucket
+                FROM embeddings
+            ), q AS (SELECT embedding AS qe, bucket AS qb FROM sig WHERE vec_id = 0)
+            SELECT s.vec_id, round({_duck_dot("s.embedding", "q.qe")}, 6) AS score
+            FROM sig s, q
+            WHERE s.bucket = q.qb
+            ORDER BY score DESC, s.vec_id LIMIT {KNN_K}
+        """,
+        "text_signals": f"""
+            WITH base AS (
+                SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                           / greatest(len(toks), 1) AS sw,
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1) AS pr,
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                           / greatest(len(toks), 1) AS mtl,
+                       (len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''))
+                        + len(list_filter(regexp_split_to_array(text, '[^0-9]+'), x -> x <> ''))
+                        + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))))::BIGINT AS bpe_tokens
+                FROM base
+            )
+            SELECT doc_id,
+                   round(least(sw * 4.0, 1.0) * 0.5 + (1.0 - least(pr * 5.0, 1.0)) * 0.3 +
+                         (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality,
+                   CASE WHEN sw > 0 THEN 'en' ELSE 'other' END AS lang_guess,
+                   bpe_tokens
+            FROM m
         """,
         "text_stats": f"""
             SELECT lang, count(*) AS n_docs,

@@ -123,8 +123,22 @@ class SemanticIndex:
         items = list(items)
         if not items:
             return
-        policy = duplicate_handling or self.duplicate_handling
-        new = self._new_records_df(items)
+        self._apply_policy(
+            self._new_records_df(items), duplicate_handling or self.duplicate_handling
+        )
+
+    def upsert_df(self, new_items: DataFrame, duplicate_handling: DuplicateHandling | None = None) -> None:
+        """Distributed AddRange: items arrive as a DataFrame with an ``item``
+        string column (canonical JSON — producers apply
+        :func:`canonical_json` upstream). Embeds via the vectorized
+        pandas_udf on executors and applies the duplicate policy as joins —
+        nothing is ever collected to the driver. This is the micro-batch
+        body of the streaming ingest path
+        (`SemanticDatabase.cs:213-221` analogue)."""
+        new = new_items.select("item").withColumn("embedding", self._embed_udf(F.col("item")))
+        self._apply_policy(new, duplicate_handling or self.duplicate_handling)
+
+    def _apply_policy(self, new: DataFrame, policy: DuplicateHandling) -> None:
         # within-batch duplicates: the reference processes items sequentially,
         # so a later duplicate in the same batch wins under UPDATE and is
         # dropped under SKIP; THROW raises if the batch collides with the
@@ -239,10 +253,21 @@ class SemanticIndex:
     def save(self, path: str, fmt: str = "parquet") -> None:
         """`SaveAsync` (`SemanticDatabase.cs:508-526`). Primary format is
         partitioned Parquet via write-then-swap (atomic snapshot semantics —
-        the Spark replacement for the reference's write lock). ``fmt="json"``
-        emits the reference-compatible single JSON file (README.md:2
-        'single-file'); ``coalesce(1)`` kills parallelism so it is an
-        explicit export, never the primary store (SURVEY.md §7)."""
+        the Spark replacement for the reference's write lock).
+
+        ``fmt="ref_json"`` emits the reference's EXACT single-file format —
+        a JSON array of ``{"Item": <T>, "Embedding": [...]}``
+        (`SemanticDatabase.cs:524-525`) — readable by the .NET reference
+        and re-loadable here (round-trip tested). ``fmt="json"`` is a
+        single-file JSONL SELF-round-trip export (lowercase item/embedding
+        fields — NOT the reference's array format). Both single-file paths
+        serialize the write; explicit exports, never the primary store
+        (SURVEY.md §7)."""
+        if fmt == "ref_json":
+            from semantic_index_spark.sources.io import write_reference_json_array
+
+            write_reference_json_array(self._df, path)
+            return
         if fmt == "json":
             tmp = path + ".tmp"
             self._df.coalesce(1).write.mode("overwrite").json(tmp)
@@ -265,8 +290,16 @@ class SemanticIndex:
         self._df = self.spark.read.parquet(path)
 
     def load(self, path: str, fmt: str = "parquet") -> None:
-        """`LoadAsync` (`SemanticDatabase.cs:484-501`) — distributed scan
-        replaces the store snapshot."""
+        """`LoadAsync` (`SemanticDatabase.cs:484-501`) — the store snapshot
+        is replaced. Parquet/JSONL load as distributed scans;
+        ``fmt="ref_json"`` parses a reference-produced JSON-array file
+        (inherently single-file/non-splittable, `SemanticDatabase.cs:
+        488-489`)."""
+        if fmt == "ref_json":
+            from semantic_index_spark.sources.io import load_reference_json_array
+
+            self._df = load_reference_json_array(self.spark, path)
+            return
         if fmt == "json":
             self._df = self.spark.read.schema(RECORD_SCHEMA).json(path)
         else:

@@ -300,6 +300,53 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delete_ops_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove + RemoveRange semantics as a pure relational program:
+    `Remove` deletes ALL records equal to the item (`SemanticDatabase.cs:
+    423-437`, remove-all at `:431`) — here an anti-join on the text key of
+    doc 0 (broadcast: single row); `RemoveRange` (`:443-460`) deletes a
+    victim set — a broadcast anti-join on doc_id. Both are shuffle-free
+    against a partitioned index at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    victim_text = d.filter(F.col("doc_id") == 0).select("text")
+    victims = spark.range(1, 6).select(F.col("id").alias("doc_id"))
+    return (
+        d.select("doc_id", "text")
+        .join(F.broadcast(victim_text), "text", "left_anti")
+        .join(F.broadcast(victims), "doc_id", "left_anti")
+    )
+
+
+def skip_policy_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKIP duplicate policy (`DuplicateHandling.cs:22`,
+    `SemanticDatabase.cs:175-178`): an incoming batch keeps only keys NOT
+    already in the store (anti-join), then unions. Batch = docs 0-9 with
+    ids 0-4 colliding (skipped) and 5-9 re-keyed +1000 (inserted)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 10).select(
+        F.when(F.col("doc_id") < 5, F.col("doc_id"))
+        .otherwise(F.col("doc_id") + 1000)
+        .alias("doc_id"),
+        F.concat(F.lit("incoming: "), F.col("text")).alias("text"),
+    )
+    fresh = batch.join(d.select("doc_id"), "doc_id", "left_anti")
+    return d.unionByName(fresh)
+
+
+def allow_policy_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALLOW duplicate policy (`DuplicateHandling.cs:12`,
+    `SemanticDatabase.cs:169` bypass): plain append keeps duplicates.
+    Re-adding docs 0-9 then counting copies per key shows exactly which
+    keys duplicated (n_copies=2) — the observable post-state."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    re_added = d.filter(F.col("doc_id") < 10)
+    return (
+        d.unionByName(re_added)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_copies"))
+    )
+
+
 def upsert_update_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's default UPDATE duplicate policy as a pure relational
     program (anti-join + union — `SemanticDatabase.cs:171-174`): replace

@@ -138,11 +138,18 @@ def similarity_join(
     r_id: str = "q_id",
 ) -> DataFrame:
     """All pairs (l, r) with cosine ≥ threshold. Broadcast the smaller right
-    side; the filter prunes pairs before any shuffle. For two HUGE sides,
-    use hyperplane bucketing (see lsh_topk / embedding_neardup_pairs)."""
+    side; the filter prunes pairs before any shuffle, and each side's L2
+    norm is computed once per ROW (not per pair — at |L|·|R| pairs the
+    recompute would dominate). For two HUGE sides, use hyperplane bucketing
+    (see lsh_topk / embedding_neardup_pairs)."""
+    lhs = left.select(F.col(l_id), F.col(l_emb)).withColumn("_ln", V.l2_norm(l_emb))
+    rhs = right.select(F.col(r_id), F.col(r_emb)).withColumn("_rn", V.l2_norm(r_emb))
     return (
-        left.crossJoin(F.broadcast(right))
-        .withColumn("cos", F.round(V.cosine(F.col(l_emb), F.col(r_emb)), 6))
+        lhs.crossJoin(F.broadcast(rhs))
+        .withColumn(
+            "cos",
+            F.round(V.dot(F.col(l_emb), F.col(r_emb)) / (F.col("_ln") * F.col("_rn")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select(F.col(l_id), F.col(r_id), F.col("cos"))
     )

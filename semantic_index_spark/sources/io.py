@@ -64,6 +64,66 @@ def read_reference_json_array(spark: SparkSession, path: str, schema: StructType
     return spark.read.schema(schema).option("multiLine", "true").json(path)
 
 
+def write_reference_json_array(df: DataFrame, path: str) -> None:
+    """Write the reference's EXACT persistence format: one file holding a
+    JSON array of ``{"Item": <T>, "Embedding": [...]}`` records
+    (`SemanticDatabase.cs:524-525` serializes ``List<SemanticRecord<T>>``;
+    `LoadAsync` reads it back at `:488-489`). ``df`` must have the index
+    schema (item = canonical JSON string, embedding = array<float>); Item
+    is re-inflated from the canonical JSON so a .NET reader sees the typed
+    object, not a quoted string.
+
+    The format is single-file and non-splittable BY DESIGN (`README.md:2`);
+    rows stream through the driver via ``toLocalIterator`` one partition at
+    a time — an explicit compat export for reference-sized stores, never
+    the primary sink (that is :func:`write_parquet_snapshot`)."""
+    import json
+
+    tmp = path + ".__tmpfile__"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("[")
+        first = True
+        for row in df.toLocalIterator():
+            rec = {
+                "Item": json.loads(row["item"]),
+                "Embedding": [float(x) for x in row["embedding"]],
+            }
+            f.write(("" if first else ",") + json.dumps(rec, ensure_ascii=False))
+            first = False
+        f.write("]")
+    os.replace(tmp, path)
+
+
+def load_reference_json_array(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a reference-produced JSON-array store file into the index
+    schema: item = canonical JSON of ``Item`` (the reference's equality +
+    embedding key, `SemanticDatabase.cs:161`), embedding = array<float>.
+
+    Driver-side parse: the file is one non-splittable JSON array (small by
+    the reference's own "experiments and small projects" charter,
+    `README.md:2`); for bulk corpora use parquet."""
+    import json
+
+    from pyspark.sql.types import ArrayType, FloatType, StringType, StructField
+
+    with open(path, encoding="utf-8") as f:
+        recs = json.load(f)
+    rows = [
+        (
+            json.dumps(r["Item"], separators=(",", ":"), sort_keys=True, ensure_ascii=False),
+            [float(x) for x in r["Embedding"]],
+        )
+        for r in recs
+    ]
+    schema = StructType(
+        [
+            StructField("item", StringType(), nullable=False),
+            StructField("embedding", ArrayType(FloatType(), containsNull=False), nullable=False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: StructType | None = None, header: bool = True
 ) -> DataFrame:

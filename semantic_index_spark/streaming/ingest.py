@@ -86,11 +86,11 @@ def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> Da
     foreachBatch. Checkpointing makes the upsert exactly-once per epoch."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        import json
-
-        items = [json.loads(r["item"]) for r in batch_df.select("item").collect()]
-        if items:
-            index.add_range(items)
+        # stays distributed: the micro-batch DataFrame is embedded via the
+        # vectorized pandas_udf and upserted with the same broadcast
+        # anti-join program the batch path uses — no collect() to the
+        # driver, so a 10M-row micro-batch never funnels through one node.
+        index.upsert_df(batch_df)
 
     return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
 

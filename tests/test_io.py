@@ -1,0 +1,135 @@
+"""Sources/sinks: every reader/writer in sources/io.py exercised, plus the
+reference-format JSON-array round-trip (`SemanticDatabase.cs:484-526`)."""
+
+import json
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from semantic_index_spark import SemanticIndex
+from semantic_index_spark.embedder import DeterministicEmbedder
+from semantic_index_spark.index import canonical_json
+from semantic_index_spark.sources import io as sio
+
+
+@pytest.fixture()
+def idx(spark):
+    ix = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=8))
+    ix.add_range(["cat", "dog", {"name": "fish", "legs": 0}])
+    return ix
+
+
+def _records(ix):
+    return sorted((r["item"], tuple(r["embedding"])) for r in ix.records.collect())
+
+
+def test_ref_json_array_round_trip(spark, idx, tmp_path):
+    """save(fmt='ref_json') writes the reference's exact on-disk shape; a
+    fresh index load()s it back bit-identically."""
+    path = str(tmp_path / "store.json")
+    before = _records(idx)
+    idx.save(path, fmt="ref_json")
+
+    # on-disk shape: ONE file, a JSON array of {Item, Embedding} — what the
+    # .NET reference serializes (SemanticDatabase.cs:524-525) and expects
+    # back (:488-489).
+    raw = json.load(open(path, encoding="utf-8"))
+    assert isinstance(raw, list) and len(raw) == 3
+    assert set(raw[0].keys()) == {"Item", "Embedding"}
+    items = {json.dumps(r["Item"], sort_keys=True) for r in raw}
+    assert json.dumps("cat") in items  # typed Item, not a quoted-string blob
+    assert any(isinstance(r["Item"], dict) for r in raw)
+
+    ix2 = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=8))
+    ix2.load(path, fmt="ref_json")
+    assert _records(ix2) == before
+
+
+def test_load_reference_authored_file(spark, tmp_path):
+    """A file written the way the C# reference writes it (PascalCase keys,
+    typed Items) loads into the index schema with canonical-JSON keys."""
+    path = str(tmp_path / "test-database.json")
+    payload = [
+        {"Item": "cat", "Embedding": [0.1, 0.2]},
+        {"Item": {"b": 2, "a": 1}, "Embedding": [0.3, 0.4]},
+    ]
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    ix = SemanticIndex.from_file(
+        spark, path, embedder=DeterministicEmbedder(dim=2), fmt="ref_json"
+    )
+    assert ix.count() == 2
+    assert ix.contains("cat")
+    assert ix.contains({"a": 1, "b": 2})  # key order canonicalized
+
+
+def test_jsonl_self_round_trip(spark, idx, tmp_path):
+    path = str(tmp_path / "store.jsonl")
+    before = _records(idx)
+    idx.save(path, fmt="json")
+    ix2 = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=8))
+    ix2.load(path, fmt="json")
+    assert _records(ix2) == before
+
+
+def test_parquet_snapshot_round_trip(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sio.write_parquet_snapshot(df, path)
+    got = sio.read_parquet(spark, path)
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+    # swap atomicity: second write replaces, no stale rows
+    sio.write_parquet_snapshot(df.filter("id = 1"), path)
+    assert sio.read_parquet(spark, path).count() == 1
+
+
+def test_read_csv_with_and_without_schema(spark, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("id,text\n1,hello\n2,world\n")
+    inferred = sio.read_csv(spark, str(p))
+    assert sorted(tuple(r) for r in inferred.collect()) == [(1, "hello"), (2, "world")]
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("text", StringType())]
+    )
+    pinned = sio.read_csv(spark, str(p), schema=schema)
+    assert dict(pinned.dtypes) == {"id": "int", "text": "string"}
+
+
+def test_read_json_lines(spark, tmp_path):
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"id": 1, "v": "x"}\n{"id": 2, "v": "y"}\n')
+    got = sio.read_json(spark, str(p))
+    assert got.count() == 2 and set(got.columns) == {"id", "v"}
+
+
+def test_read_reference_json_array_spark_reader(spark, tmp_path):
+    """The distributed multiLine reader for array files with a KNOWN item
+    type (string): complements the driver-side arbitrary-type parser."""
+    p = tmp_path / "arr.json"
+    p.write_text(json.dumps([
+        {"Item": "a", "Embedding": [1.0, 2.0]},
+        {"Item": "b", "Embedding": [3.0, 4.0]},
+    ]))
+    schema = StructType(
+        [
+            StructField("Item", StringType()),
+            StructField("Embedding", ArrayType(FloatType())),
+        ]
+    )
+    got = sio.read_reference_json_array(spark, str(p), schema)
+    assert sorted(r["Item"] for r in got.collect()) == ["a", "b"]
+
+
+def test_write_single_json_file(spark, tmp_path):
+    path = str(tmp_path / "one.jsonl")
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    sio.write_single_json_file(df, path)
+    lines = [json.loads(ln) for ln in open(path) if ln.strip()]
+    assert sorted(d["id"] for d in lines) == [1, 2]

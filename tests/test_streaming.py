@@ -1,0 +1,153 @@
+"""Structured Streaming surface: every builder in streaming/ingest.py driven
+with the file source + availableNow trigger, asserted against its batch-form
+equivalent (same operators, same data → identical results)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from semantic_index_spark import SemanticIndex
+from semantic_index_spark.duplicate_handling import DuplicateHandling
+from semantic_index_spark.embedder import DeterministicEmbedder
+from semantic_index_spark.index import canonical_json
+from semantic_index_spark.session import load_table
+from semantic_index_spark.streaming import ingest as I
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events with a proper TIMESTAMP ts, staged to a streaming-readable dir."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _run_to_memory(stream_df, name: str, mode: str, spark):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _stream(spark, events_dir, events_batch):
+    return I.stream_events(spark, events_dir, events_batch.schema)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_counts_matches_batch(spark, events_dir, events_batch):
+    out = _run_to_memory(
+        I.tumbling_counts(_stream(spark, events_dir, events_batch)),
+        "t_tumbling", "complete", spark,
+    )
+    expected = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    assert _rows(out) == _rows(expected)
+
+
+def test_sliding_avg_matches_batch(spark, events_dir, events_batch):
+    out = _run_to_memory(
+        I.sliding_avg(_stream(spark, events_dir, events_batch)),
+        "t_sliding", "complete", spark,
+    )
+    expected = (
+        events_batch.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.unix_timestamp("w.start").alias("window_start"), "avg_value")
+    )
+    assert _rows(out) == _rows(expected)
+
+
+def test_session_windows_close_after_gap(spark, events_dir, events_batch):
+    out = _run_to_memory(
+        I.session_windows(_stream(spark, events_dir, events_batch)),
+        "t_session", "complete", spark,
+    )
+    rows = out.collect()
+    assert rows, "session windows must be produced"
+    # every session spans >= one event and closes after the 30-minute gap
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+    # per-user session event counts add up to the user's event total
+    got = {r["user_id"]: 0 for r in rows}
+    for r in rows:
+        got[r["user_id"]] += r["n_events"]
+    expected = dict(
+        (r["user_id"], r["n"]) for r in events_batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert got == expected
+
+
+def test_dedup_within_watermark_matches_batch_dedup(spark, events_dir, events_batch):
+    keys = ["user_id", "event_type"]
+    out = _run_to_memory(
+        I.dedup_within_watermark(_stream(spark, events_dir, events_batch), keys),
+        "t_dedup", "append", spark,
+    )
+    # finite source drained in one availableNow pass == global exact dedup
+    assert out.count() == events_batch.dropDuplicates(keys).count()
+    assert out.select(*keys).distinct().count() == out.count()
+
+
+def test_stream_upsert_into_index_distributed(spark, tmp_path):
+    """AddRangeAsync(IAsyncEnumerable) analogue: micro-batches upsert into
+    the index via foreachBatch with NO driver-side collect; UPDATE policy
+    dedups across batches."""
+    src = str(tmp_path / "items_src")
+    ckpt = str(tmp_path / "ckpt")
+    items1 = [canonical_json(s) for s in ["cat", "dog", "fish"]]
+    items2 = [canonical_json(s) for s in ["dog", "apple"]]  # dog = dup key
+    spark.createDataFrame([(i,) for i in items1], "item string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame([(i,) for i in items2], "item string").write.mode(
+        "append"
+    ).parquet(src)
+
+    idx = SemanticIndex(
+        spark, embedder=DeterministicEmbedder(dim=16),
+        duplicate_handling=DuplicateHandling.UPDATE,
+    )
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    writer = I.stream_upsert_into_index(stream, idx, ckpt)
+    I.run_batch_like(writer)
+
+    assert idx.count() == 4  # cat dog fish apple — dog upserted once
+    assert idx.contains("dog") and idx.contains("apple")
+    got = {r["item"] for r in idx.records.collect()}
+    assert got == {canonical_json(s) for s in ["cat", "dog", "fish", "apple"]}
+    # embeddings real (computed executor-side by the pandas_udf)
+    emb = idx.records.filter(F.col("item") == F.lit(canonical_json("dog"))).collect()[0]["embedding"]
+    assert len(emb) == 16
+
+
+def test_no_collect_in_ingest_source():
+    """Guard: the streaming ingest path must never collect a micro-batch to
+    the driver (the scale anti-pattern the batch->driver->batch round-trip
+    creates)."""
+    src = open(os.path.join(os.path.dirname(I.__file__), "ingest.py")).read()
+    assert ".collect()" not in src
