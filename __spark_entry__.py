@@ -31,12 +31,17 @@ from semantic_index_spark.operators import dedup as D
 from semantic_index_spark.operators import multimodal as M
 from semantic_index_spark.operators import relational as R
 from semantic_index_spark.operators import similarity as S
+from semantic_index_spark.operators import text_analysis as TA
+from semantic_index_spark.operators import timeseries as TS
 from semantic_index_spark.session import load_table
 
 # ---------------------------------------------------------------- constants
 
 N_PLANES = 6  # 64 LSH buckets
 PLANES = S.make_planes(N_PLANES, 64, seed=42)
+IVF_K = 8  # centroids
+CENTROIDS = S.make_centroids(IVF_K, 64, seed=11)
+IVF_NPROBE = 2
 KNN_K = 10
 MINHASH_N = 4  # hashes; 1 row per band → 4 bands
 SHINGLE_N = 3
@@ -67,6 +72,13 @@ def _duck_signature(col: str) -> str:
             f"THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _duck_ivf_cell(col: str) -> str:
+    """DuckDB mirror of similarity.ivf_assign: 0-based index of the
+    max-dot centroid (first occurrence on ties, same as array_position)."""
+    lst = "[" + ", ".join(_duck_dot(col, _duck_plane_lit(c)) for c in CENTROIDS) + "]"
+    return f"(list_indexof({lst}, list_aggregate({lst}, 'max')) - 1)"
 
 
 # DuckDB mirrors of functions.text helpers (tokens use the same regex)
@@ -209,6 +221,57 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-flat approximate top-k: probe the 2 nearest of 8 centroids, exact
+    # rank inside the pruned candidate set (TakeOrderedAndProject).
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_topk(emb, q, CENTROIDS, k=KNN_K, nprobe=IVF_NPROBE)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join: each purchase gets the user's most recent view at or
+    # before it. Union + keyed window — one shuffle, no range cross-product.
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")  # dedup same-instant views deterministically
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = TS.asof_join(purchases, views, on="user_id", value_cols=["view_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("view_value_asof", 2).alias("view_value"),
+        F.unix_timestamp("ts_asof").alias("view_ts"),
+    )
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-interval join against a broadcast band table.
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("premium", 250000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        TS.banded_range_join(
+            orders.select("o_orderkey", "o_totalprice"), bands, "o_totalprice", "lo", "hi"
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return TA.tfidf_top_terms(d, top_n=3)
+
+
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -290,7 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_functions": R.json_functions,
         "math_case_functions": R.math_case_functions,
         "distinct_counts": R.distinct_counts,
+        "percentiles_by_flag": R.percentiles_by_flag,
         "events_tumbling_windows": R.events_tumbling_windows,
+        "asof_join": q_asof_join,
+        "range_join_bands": q_range_join_bands,
         # vector / LLM-pipeline extensions
         "knn_multi": q_knn_multi,
         "lsh_bucket_hist": q_lsh_bucket_hist,
@@ -303,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "similarity_join": q_similarity_join,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_signals": q_text_signals,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -609,6 +677,71 @@ def oracle_sql() -> dict[str, str]:
                    round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
             FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= {NEARDUP_COS}
+        """,
+        "percentiles_by_flag": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_join": """
+            WITH v AS (
+                SELECT user_id, ts, max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ), p AS (
+                SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id,
+                   round(p.value, 2) AS purchase_value,
+                   round(v.view_value, 2) AS view_value,
+                   floor(epoch(v.ts))::BIGINT AS view_ts
+            FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "range_join_bands": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('budget', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+                       ('premium', 250000.0, 1e12)
+            )
+            SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+            FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "tfidf_top_terms": f"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+            tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM d),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df_ AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            scored AS (
+                SELECT tf.doc_id, tf.tok,
+                       round(tf.tf * ln(n.n_docs::DOUBLE / df_.df::DOUBLE), 6) AS tfidf
+                FROM tf JOIN df_ USING (tok), n
+            ),
+            ranked AS (
+                SELECT doc_id, tok, tfidf,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+                FROM scored
+            )
+            SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
+        """,
+        "ivf_topk": f"""
+            WITH qd AS (
+                SELECT unnest(range(0, {IVF_K})) AS cell,
+                       unnest([{", ".join(_duck_dot("(SELECT embedding FROM embeddings WHERE vec_id = 0)", _duck_plane_lit(c)) for c in CENTROIDS)}]) AS d
+            ),
+            probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT {IVF_NPROBE}),
+            cells AS (
+                SELECT vec_id, embedding, {_duck_ivf_cell("embedding")} AS cell
+                FROM embeddings
+            )
+            SELECT c.vec_id,
+                   round({_duck_dot("c.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 0)")}, 6) AS score
+            FROM cells c
+            WHERE c.cell IN (SELECT cell FROM probe)
+            ORDER BY score DESC, c.vec_id LIMIT {KNN_K}
         """,
         "similarity_join": f"""
             WITH l AS (

@@ -88,6 +88,47 @@ class DeterministicEmbedder:
         return np.vstack([self.embed_one(t) for t in texts])
 
 
+class OpenAIStyleEmbedder:
+    """Shell for a production HTTP embedder with the reference's config
+    surface: mutable ``api_key`` (`SemanticDatabase.cs:67-71` passthrough
+    property) and ``model`` (default ``text-embedding-3-large``,
+    `SemanticDatabase.cs:29-32,76-80`).
+
+    The actual network call is NOT implemented here (no network in this
+    environment, and tests/oracles must never depend on one —
+    SURVEY.md §5.2): ``embed_batch`` raises unless a ``transport`` callable
+    (texts, model, api_key) -> (n, dim) float32 is injected. Everything
+    else — batching via the Arrow pandas_udf, unit-norm contract, the
+    per-batch (not per-item) call pattern — is real.
+    """
+
+    DEFAULT_MODEL = "text-embedding-3-large"  # SemanticDatabase.cs:31
+
+    def __init__(
+        self,
+        api_key: str | None = None,
+        model: str = DEFAULT_MODEL,
+        dim: int = 3072,
+        transport=None,
+    ):
+        self.api_key = api_key
+        self.model = model
+        self.dim = dim
+        self._transport = transport
+
+    def embed_batch(self, texts: list[str]) -> "np.ndarray":
+        if self._transport is None:
+            raise NotImplementedError(
+                "no embedding network transport in this environment — inject "
+                "transport=(texts, model, api_key) -> ndarray, or use "
+                "DeterministicEmbedder for tests"
+            )
+        out = np.asarray(self._transport(texts, self.model, self.api_key), dtype=np.float32)
+        if out.shape != (len(texts), self.dim):
+            raise ValueError(f"transport returned {out.shape}, expected {(len(texts), self.dim)}")
+        return out
+
+
 def embed_udf(embedder: Embedder):
     """Wrap an embedder as an Arrow-batched pandas_udf returning
     array<float>. This is the ONLY Python-UDF hot path in the core engine

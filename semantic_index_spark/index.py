@@ -68,6 +68,33 @@ class SemanticIndex:
         self._df = df if df is not None else spark.createDataFrame([], RECORD_SCHEMA)
         self._embed_udf = embed_udf(self.embedder)
 
+    # ------------------------------------------------------------------ config
+
+    @property
+    def api_key(self) -> str | None:
+        """Passthrough to the embedder's credential, mirroring the
+        reference's `ApiKey` property (`SemanticDatabase.cs:67-71`)."""
+        return getattr(self.embedder, "api_key", None)
+
+    @api_key.setter
+    def api_key(self, value: str | None) -> None:
+        if not hasattr(self.embedder, "api_key"):
+            raise AttributeError("configured embedder takes no api_key")
+        self.embedder.api_key = value
+
+    @property
+    def embedding_model(self) -> str | None:
+        """Embedding model selector (`SemanticDatabase.cs:76-80`; default
+        `text-embedding-3-large` at `:31`). Deterministic test embedders
+        expose no model — the getter then returns None."""
+        return getattr(self.embedder, "model", None)
+
+    @embedding_model.setter
+    def embedding_model(self, value: str) -> None:
+        if not hasattr(self.embedder, "model"):
+            raise AttributeError("configured embedder takes no model")
+        self.embedder.model = value
+
     # ------------------------------------------------------------------ views
 
     @property

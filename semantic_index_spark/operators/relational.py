@@ -272,6 +272,23 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    ANSI percentile_cont == DuckDB quantile_cont). At 100 TB the sketch
+    variant ``approx_percentile`` (KLL, bounded memory, mergeable partials)
+    is the right tool — but sketches differ across engines, so the
+    oracle-checked row is exact and the approx path is pytest-asserted
+    against it within its error bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ],
+        F.count("*").alias("n_rows"),
+    )
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT top-k (reference top-k shape, `SemanticDatabase.cs:
     281-299`) → TakeOrderedAndProject: per-partition heap + merge."""

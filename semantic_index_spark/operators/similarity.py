@@ -184,6 +184,61 @@ def lsh_topk(
     )
 
 
+def make_centroids(k: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic unit-norm centroids shared by Spark, the DuckDB
+    oracle, and driver-side probe selection. Production would train these
+    with k-means over a sample; the probe/assign machinery is identical."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((k, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def ivf_assign(
+    df: DataFrame, centroids: Sequence[Sequence[float]], emb_col: str = "embedding"
+) -> DataFrame:
+    """IVF cell assignment: each row gets the index of its max-dot centroid
+    (``_cell``). Pure JVM expressions (one dot fold per centroid inside
+    whole-stage codegen) — at ingest time this is the partition/cluster key
+    the index is written with, so queries prune to probed cells at the
+    parquet-partition level."""
+    dots = F.array(*[V.dot_literal(F.col(emb_col), c) for c in centroids])
+    return df.withColumn(
+        "_cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: rank ONLY rows assigned to the query's
+    ``nprobe`` nearest centroids. Probe selection is a driver-side O(K·d)
+    computation; the candidate scan prunes to ~nprobe/K of the table and
+    the exact dot-product rank inside candidates compiles to
+    TakeOrderedAndProject. Recall tunes with nprobe — the standard
+    IVF-flat trade, expressed as DataFrame ops."""
+    import numpy as np
+
+    qv = np.asarray(query, dtype=np.float64)
+    dots = [float(qv @ np.asarray(c, dtype=np.float64)) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]
+    return (
+        ivf_assign(df, centroids, emb_col)
+        .filter(F.col("_cell").isin([int(p) for p in probe]))
+        .select(F.col(id_col), F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def make_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes shared by Spark, the DuckDB oracle,
     and the driver-side query-signature computation."""

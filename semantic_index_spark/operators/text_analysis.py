@@ -1,0 +1,54 @@
+"""Corpus-level text analysis operators (TF-IDF).
+
+[absent in reference — north-star extension] Complements the per-document
+scalar functions in :mod:`semantic_index_spark.functions.text` with the
+corpus-statistics operator a retrieval / training-data pipeline needs.
+
+Scale shape: explode → two groupBys (both map-side partially aggregated) →
+one equi-join on the token key → per-doc window over (doc, token) rows.
+Every shuffle is hash-partitioned on a high-cardinality key (token or
+doc_id); nothing is ever broadcast except the single-row corpus count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from semantic_index_spark.functions import text as T
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document:
+    ``tfidf = tf(doc, term) * ln(N / df(term))``, deterministic
+    (tfidf DESC, term ASC) ranking. Returns (id, tok, tfidf, rnk).
+
+    The document-frequency side is NOT forced broadcast: vocabulary grows
+    with the corpus, so the token join stays a hash shuffle (AQE upgrades
+    it to broadcast when the vocab happens to be small)."""
+    tok = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(id_col, "tok", "tfidf", "rnk")
+    )

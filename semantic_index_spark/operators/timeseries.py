@@ -1,0 +1,131 @@
+"""Time-series operators Spark lacks as built-ins: as-of join and banded
+range join.
+
+[absent in reference — north-star extension] The reference has no temporal
+operators at all (its only data is (item, embedding) —
+`SemanticRecord.cs:29-34`); these cover the time-series surface a
+training-data/event pipeline needs, built so the plans survive 100 TB:
+
+  * ``asof_join`` — the classic "latest right row at or before each left
+    row per key" join. NOT implemented as a range theta-join (which Spark
+    would plan as a broadcast-nested-loop and explode at scale) but as
+    union → single shuffle on the key → window ``last(ignorenulls)``:
+    cost is one sort-shuffle of |L|+|R| rows, the same shape as a
+    sort-merge join, with zero risk of pair blow-up.
+  * ``banded_range_join`` — point-in-interval join against a SMALL interval
+    table: broadcast the intervals and let the non-equi predicate filter
+    inside the broadcast join. For interval tables too big to broadcast,
+    the idiomatic rewrite is bucketing both sides to a common grid and
+    equi-joining on the bucket — provided here as ``bucketed_range_join``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (NULLs where no right
+    row precedes). Returns all left columns plus ``<value_col><suffix>``
+    and ``<right_ts><suffix>``.
+
+    Plan: tag sides, union, one window over (key) ordered by
+    (ts, side) — right rows sort before left rows at equal timestamps so a
+    same-instant right row IS visible, matching ASOF semantics — then keep
+    left rows. One shuffle total; no range cross-product ever exists.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lhs = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    keep = [on] + [c for c in left.columns if c != on]
+    return filled.filter(F.col("_side") == 1).select(
+        *keep, *[f"{c}{suffix}" for c in value_cols], f"{right_ts}{suffix}"
+    )
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Point-in-[lo, hi) join against a SMALL interval table: broadcast the
+    intervals; the non-equi predicate is evaluated inside the broadcast
+    join (no shuffle of the big side). Inclusive lo, exclusive hi."""
+    return points.join(
+        F.broadcast(intervals),
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)),
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join for interval tables too big to broadcast: overlay a fixed
+    grid, explode each interval to the buckets it overlaps, equi-join on
+    the bucket, then re-check the exact predicate. Shuffle is
+    hash-partitioned on the bucket key — the scale path when both sides are
+    huge. ``bucket_width`` should be ≥ the typical interval width so the
+    explode factor stays ~1-2."""
+    pb = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bucket")
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bucket")
+    )
