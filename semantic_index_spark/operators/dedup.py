@@ -27,6 +27,20 @@ from semantic_index_spark.functions import text as T
 from semantic_index_spark.functions import vector as V
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input is under-partitioned (e.g. one small
+    parquet file → 1 partition, serializing every downstream stage on a
+    32-core machine). The explode-heavy dedup operators fan rows out
+    ~50-100×, so a coarse input partitioning multiplies into a single-task
+    bottleneck; one cheap shuffle of the *pre-explode* rows unlocks full
+    parallelism. At real corpus scale the input already has thousands of
+    partitions and this is a no-op (and AQE coalesces the rest)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized-text fingerprint, keeping the lowest id
     per group (deterministic winner). One shuffle on the 128-bit key;
@@ -53,8 +67,8 @@ def minhash_signature_long(
     the single groupBy computes all `num_hashes` minima in one shuffle
     (map-side partial min keeps the shuffle small).
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle")
     )
     aggs = [
         F.min(T.md5_bigint(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
@@ -118,17 +132,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    """n-gram Jaccard similarity pairs ≥ threshold.
 
     explode distinct shingles → self-equi-join on shingle (hash-partitioned,
     never a cross join) → |A∩B| per pair → Jaccard via inclusion-exclusion.
     This is the *verifier* for LSH candidates and the exact small-scale
     baseline. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_df`` is the 100 TB lever: the join's pair count is
+    Σ df(shingle)², so a handful of stopword-ish shingles appearing in
+    df≈corpus documents quadratically dominate. With ``max_df`` set,
+    shingles appearing in more than that many documents are dropped from
+    BOTH the sizes and the intersection — a consistent Jaccard over the
+    informative-shingle space (hot shingles carry no near-dup signal
+    anyway). None = exact semantics.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -159,9 +190,9 @@ def simhash(
     (map-side partial sums); the `bits` aggregations are columnar and stay
     in codegen. Hamming-near signatures ≈ similar documents.
     """
-    tok = df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")).withColumn(
-        "h", T.md5_bigint(F.col("tok"), salt="sh:")
-    )
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    ).withColumn("h", T.md5_bigint(F.col("tok"), salt="sh:"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

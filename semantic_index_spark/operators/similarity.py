@@ -119,7 +119,11 @@ def topk_multi(
         if best is not None:
             yield best
 
-    partial = big.select(id_col, emb_col).mapInPandas(_local_topk, schema=out_schema)
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    partial = ensure_parallelism(big.select(id_col, emb_col)).mapInPandas(
+        _local_topk, schema=out_schema
+    )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         partial.withColumn("rank", F.row_number().over(w))

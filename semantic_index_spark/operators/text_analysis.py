@@ -31,7 +31,11 @@ def tfidf_top_terms(
     The document-frequency side is NOT forced broadcast: vocabulary grows
     with the corpus, so the token join stays a hash shuffle (AQE upgrades
     it to broadcast when the vocab happens to be small)."""
-    tok = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    )
     tf = tok.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))

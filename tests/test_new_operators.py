@@ -101,6 +101,31 @@ def test_approx_percentile_within_bound_of_exact(spark, sf_dir):
     assert math.isclose(row["approx"], row["exact"], rel_tol=0.05)
 
 
+def test_ngram_jaccard_max_df_keeps_near_dups(spark):
+    """The hot-shingle cutoff must drop join work, not near-dup recall:
+    docs sharing rare shingles stay paired; pairs held together only by a
+    corpus-wide boilerplate shingle disappear."""
+    from semantic_index_spark.operators import dedup as D
+
+    boiler = "copyright acme corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma delta {boiler}"),
+            (1, f"alpha beta gamma epsilon {boiler}"),  # near-dup of 0
+            (2, f"zeta eta theta iota {boiler}"),       # only boilerplate shared
+            (3, f"kappa lambda mu nu {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = D.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.05)
+    capped = D.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.05, max_df=3)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 1) in capped_pairs  # real near-dup survives the cutoff
+    assert (2, 3) in exact_pairs  # boilerplate-only pair exists in exact...
+    assert (2, 3) not in capped_pairs  # ...and is pruned by the df cutoff
+
+
 def test_embedder_config_surface(spark):
     """ApiKey/EmbeddingModel properties (SemanticDatabase.cs:67-80)."""
     emb = OpenAIStyleEmbedder(api_key="k1")
