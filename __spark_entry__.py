@@ -31,6 +31,7 @@ from semantic_index_spark.operators import dedup as D
 from semantic_index_spark.operators import multimodal as M
 from semantic_index_spark.operators import relational as R
 from semantic_index_spark.operators import similarity as S
+from semantic_index_spark.operators import skew as SK
 from semantic_index_spark.operators import text_analysis as TA
 from semantic_index_spark.operators import timeseries as TS
 from semantic_index_spark.session import load_table
@@ -272,6 +273,54 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_top_terms(d, top_n=3)
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 40, 10
+TEST_FRACTION = 0.1
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-safe two-stage aggregation over a 3-distinct-value key; result is
+    # identical to the direct groupBy (the oracle IS the plain GROUP BY).
+    li = load_table(spark, sf_dir, "lineitem")
+    out = SK.salted_agg(
+        li,
+        ["l_returnflag"],
+        sum_cols={"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        count_alias="n_rows",
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        "n_rows",
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reproducible md5-bucket train/test split — deterministic across runs,
+    # engines, and corpus growth (what random() sampling can't give).
+    d = load_table(spark, sf_dir, "documents")
+    return SK.hash_split(d, "doc_id", test_fraction=TEST_FRACTION).select("doc_id", "split")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return TA.chunk_documents(d, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+
+
+def q_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k over int8-quantized embeddings: integer-fold dot + one rescale.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qz = emb.select("vec_id", V.quantize_int8("embedding").alias("qz"))
+    return (
+        qz.select(
+            "vec_id", F.round(V.quantized_dot_literal("qz", q), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -357,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_windows": R.events_tumbling_windows,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
+        "salted_agg": q_salted_agg,
+        "hash_split": q_hash_split,
         # vector / LLM-pipeline extensions
         "knn_multi": q_knn_multi,
         "lsh_bucket_hist": q_lsh_bucket_hist,
@@ -370,7 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "quantized_knn": q_quantized_knn,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "chunk_documents": q_chunk_documents,
         "text_signals": q_text_signals,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -742,6 +795,60 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c
             WHERE c.cell IN (SELECT cell FROM probe)
             ORDER BY score DESC, c.vec_id LIMIT {KNN_K}
+        """,
+        "salted_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN (('0x' || substr(md5('smp:' || doc_id), 1, 15))::UBIGINT)::BIGINT
+                             % 10000 < {int(round(TEST_FRACTION * 10000))}
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "chunk_documents": f"""
+            WITH d AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 100
+            ),
+            nc AS (
+                SELECT doc_id, t,
+                       greatest(ceil((len(t) - {CHUNK_OVERLAP})::DOUBLE
+                                     / {CHUNK_TOKENS - CHUNK_OVERLAP}), 1)::INT AS n
+                FROM d
+            ),
+            ex AS (SELECT doc_id, t, unnest(range(0, n))::INT AS chunk_idx FROM nc)
+            SELECT doc_id, chunk_idx,
+                   array_to_string(t[chunk_idx*{CHUNK_TOKENS - CHUNK_OVERLAP}+1
+                                     : chunk_idx*{CHUNK_TOKENS - CHUNK_OVERLAP}+{CHUNK_TOKENS}], ' ') AS chunk_text,
+                   len(t[chunk_idx*{CHUNK_TOKENS - CHUNK_OVERLAP}+1
+                         : chunk_idx*{CHUNK_TOKENS - CHUNK_OVERLAP}+{CHUNK_TOKENS}])::INT AS n_tokens
+            FROM ex
+        """,
+        "quantized_knn": f"""
+            WITH qz AS (
+                SELECT vec_id,
+                       CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 = 0
+                            THEN 1.0
+                            ELSE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                       END AS scale,
+                       embedding
+                FROM embeddings
+            ),
+            qq AS (
+                SELECT vec_id, scale,
+                       list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale)::TINYINT) AS q
+                FROM qz
+            )
+            SELECT vec_id,
+                   round(scale * list_sum(list_transform(
+                       list_zip(q, (SELECT embedding FROM embeddings WHERE vec_id = 0)),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS score
+            FROM qq
+            ORDER BY score DESC, vec_id LIMIT {KNN_K}
         """,
         "similarity_join": f"""
             WITH l AS (

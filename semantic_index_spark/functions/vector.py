@@ -105,6 +105,44 @@ def hyperplane_signature(a: Column | str, planes: Sequence[Sequence[float]]) -> 
     return sig
 
 
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``scale = max|x| / 127`` (1.0 for all-zero vectors),
+    ``q_i = round(x_i / scale) ∈ [-127, 127]`` stored as tinyint.
+    Returns ``struct(scale: double, q: array<tinyint>)``.
+
+    The storage lever at 100 TB: embeddings are usually the widest column;
+    int8 cuts them 4× with ~0.5% dot-product error on unit-norm vectors —
+    and the quantized dot stays a pure JVM fold (integer multiplies +
+    one float rescale). Formula is engine-portable (mirrored in the
+    DuckDB oracle)."""
+    a = _to_col(a)
+    raw = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    s = F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
+    q = F.transform(a, lambda x: F.round(x.cast("double") / s).cast("tinyint"))
+    return F.struct(s.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qz: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8` → array<double>."""
+    qz = _to_col(qz)
+    return F.transform(qz["q"], lambda x: x.cast("double") * qz["scale"])
+
+
+def quantized_dot_literal(qz: Column | str, query: Sequence[float]) -> Column:
+    """Dot of a quantized vector against a float query:
+    ``scale · Σ q_i · query_i`` — the integer accumulation plus ONE rescale,
+    the cheap scoring path over int8-stored embeddings."""
+    qz = _to_col(qz)
+    qlit = F.lit([float(x) for x in query]).cast("array<double>")
+    acc = F.aggregate(
+        F.zip_with(qz["q"], qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return qz["scale"] * acc
+
+
 def scores_matrix_udf(dim: int):
     """Arrow-batched pandas_udf: dot product of an embedding column against a
     broadcast numpy query vector, computed as one BLAS matvec per Arrow batch.

@@ -1,0 +1,73 @@
+"""Skew handling and deterministic sampling.
+
+[absent in reference — north-star extension] The two levers the brief calls
+out for 100 TB: salting for skewed shuffle keys, and reproducible sampling
+for training-data splits.
+
+  * ``salted_agg`` — two-stage aggregation for LOW-cardinality / heavy-key
+    group-bys: stage 1 aggregates on (keys, salt) spreading each hot key
+    over ``salt_n`` reducers, stage 2 merges the partials per key. The
+    result is bit-identical to the direct groupBy (sum/count/min/max are
+    associative; avg is derived sum/count), which is exactly what the
+    DuckDB oracle checks. AQE's skew handling covers *join* skew; aggregate
+    skew on a 3-distinct-value key still funnels to 3 reducers without
+    salting.
+  * ``hash_sample`` / ``hash_split`` — md5-bucket sampling: membership is a
+    pure function of the key, so samples are reproducible across runs,
+    engines (mirrored in SQL), and growing corpora — the property random()
+    sampling lacks and training pipelines need for stable train/test
+    splits. No shuffle: a pushed-down-able filter / projection.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from semantic_index_spark.functions.text import md5_bigint
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str | None = None,
+    salt_n: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-safe groupBy: ``sum_cols`` maps input column -> output alias;
+    ``count_alias`` adds a row count. Any salt assignment yields the same
+    final result (stage 2 re-merges), so the salt is just ``rand(seed)``
+    spread for even reducer load."""
+    sum_cols = sum_cols or {}
+    salted = df.withColumn("_salt", F.floor(F.rand(seed) * salt_n).cast("int"))
+    stage1 = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(f"_s_{a}") for c, a in sum_cols.items()],
+        F.count("*").alias("_n"),
+    )
+    aggs = [F.sum(f"_s_{a}").alias(a) for a in sum_cols.values()]
+    if count_alias:
+        aggs.append(F.sum("_n").alias(count_alias))
+    return stage1.groupBy(*keys).agg(*aggs)
+
+
+def _bucket(key: Column | str, buckets: int = 10000) -> Column:
+    return F.pmod(md5_bigint(F.col(key) if isinstance(key, str) else key, salt="smp:"), F.lit(buckets))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, buckets: int = 10000) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose md5 bucket falls
+    below fraction·buckets. Same key → same verdict, forever."""
+    return df.filter(_bucket(key_col, buckets) < int(round(fraction * buckets)))
+
+
+def hash_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, buckets: int = 10000
+) -> DataFrame:
+    """Reproducible train/test split label per row (`split` column)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _bucket(key_col, buckets) < int(round(test_fraction * buckets)), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

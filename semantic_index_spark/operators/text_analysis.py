@@ -18,6 +18,46 @@ from pyspark.sql import DataFrame, Window
 from semantic_index_spark.functions import text as T
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding step for long documents. Pure JVM expressions
+    (sequence → explode → slice on the token array), no Python in the path;
+    the explode fans out ~len/step×, so inputs are re-parallelized first.
+    Returns (id, chunk_idx, chunk_text, n_tokens); chunk i covers tokens
+    [i·step, i·step + chunk_tokens) with step = chunk_tokens - overlap;
+    documents shorter than a chunk yield exactly one chunk."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    step = chunk_tokens - overlap
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), T.tokens(text_col).alias("_toks")
+    ).withColumn(
+        "_nc",
+        F.greatest(
+            F.ceil((F.size("_toks") - F.lit(overlap)).cast("double") / F.lit(step)),
+            F.lit(1),
+        ).cast("int"),
+    )
+    sliced = F.slice("_toks", F.col("chunk_idx") * step + 1, chunk_tokens)
+    return (
+        base.select(
+            F.col(id_col), F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"), "_toks"
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.concat_ws(" ", sliced).alias("chunk_text"),
+            F.size(sliced).alias("n_tokens"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

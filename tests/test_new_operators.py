@@ -126,6 +126,99 @@ def test_ngram_jaccard_max_df_keeps_near_dups(spark):
     assert (2, 3) not in capped_pairs  # ...and is pruned by the df cutoff
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from semantic_index_spark.operators.text_analysis import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(95))
+    docs = spark.createDataFrame([(0, text), (1, "short doc")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=40, overlap=10).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d0 = [r for r in rows if r["doc_id"] == 0]
+    # 95 tokens, step 30 -> ceil((95-10)/30) = 3 chunks
+    assert [r["chunk_idx"] for r in d0] == [0, 1, 2]
+    assert d0[0]["n_tokens"] == 40 and d0[0]["chunk_text"].startswith("w0 w1 ")
+    assert d0[1]["chunk_text"].startswith("w30 ")  # overlap of 10 tokens
+    assert d0[2]["n_tokens"] == 95 - 60  # tail chunk truncates
+    # every token index is covered by some chunk
+    covered = set()
+    for r in d0:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(95)}
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(d1) == 1 and d1[0]["chunk_text"] == "short doc"
+
+
+def test_int8_quantization_error_and_recall(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.functions import vector as V
+    from semantic_index_spark.operators.similarity import topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # reconstruction error bounded by scale/2 per element
+    err = emb.select(
+        F.array_max(
+            F.zip_with(
+                V.dequantize_int8(V.quantize_int8("embedding")),
+                F.col("embedding"),
+                lambda a, b: F.abs(a - b.cast("double")),
+            )
+        ).alias("max_err"),
+        (F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))) / 127.0).alias("half_ulp"),
+    ).collect()
+    for r in err:
+        assert r["max_err"] <= r["half_ulp"] / 2 + 1e-12
+    # quantized top-10 overlaps exact top-10 heavily (unit-norm vectors)
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    exact = {r["vec_id"] for r in topk(emb, q, k=10).collect()}
+    qz = emb.select("vec_id", V.quantize_int8("embedding").alias("qz"))
+    approx = {
+        r["vec_id"]
+        for r in qz.select("vec_id", V.quantized_dot_literal("qz", q).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id")).limit(10).collect()
+    }
+    assert len(exact & approx) >= 8
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = {
+        r["l_returnflag"]: (round(r["sq"], 2), r["n"])
+        for r in salted_agg(
+            li, ["l_returnflag"], sum_cols={"l_quantity": "sq"}, count_alias="n", salt_n=8
+        ).collect()
+    }
+    direct = {
+        r["l_returnflag"]: (round(r["sq"], 2), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sq"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert salted == direct
+
+
+def test_hash_sample_deterministic_and_consistent(spark, sf_dir):
+    from semantic_index_spark.operators.skew import hash_sample, hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.2).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.2).select("doc_id").collect()}
+    assert s1 == s2  # reproducible
+    n = d.count()
+    assert 0.05 * n < len(s1) < 0.45 * n  # roughly the asked fraction
+    # split is exhaustive + disjoint, and test ⊇ smaller sample of same keys
+    split = hash_split(d, "doc_id", test_fraction=0.2)
+    test_ids = {r["doc_id"] for r in split.filter("split = 'test'").collect()}
+    assert test_ids == s1  # same bucketing → same membership
+    assert split.count() == n
+
+
 def test_embedder_config_surface(spark):
     """ApiKey/EmbeddingModel properties (SemanticDatabase.cs:67-80)."""
     emb = OpenAIStyleEmbedder(api_key="k1")
