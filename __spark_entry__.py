@@ -146,6 +146,12 @@ def q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_multi(emb, queries, k=5)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouped-map UDAF surface: per-label embedding centroid via
+    # applyInPandas (one BLAS column-mean per group).
+    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_lsh_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
@@ -403,6 +409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_case_functions": R.math_case_functions,
         "distinct_counts": R.distinct_counts,
         "percentiles_by_flag": R.percentiles_by_flag,
+        "window_distribution": R.window_distribution,
+        "grouping_sets_revenue": R.grouping_sets_revenue,
+        "exists_subqueries": R.exists_subqueries,
+        "pivot_status": R.pivot_status,
         "events_tumbling_windows": R.events_tumbling_windows,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
@@ -412,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_multi": q_knn_multi,
         "lsh_bucket_hist": q_lsh_bucket_hist,
         "vector_stats": q_vector_stats,
+        "label_centroids": q_label_centroids,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -492,6 +503,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg({norm}), 6) AS avg_norm,
                    round(max({norm}), 6) AS max_norm
             FROM embeddings e GROUP BY label
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS m
+                FROM ex GROUP BY label, dim
+            ),
+            cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+            SELECT d.label, list(m ORDER BY dim) AS centroid, max(c.n) AS n
+            FROM dims d JOIN cnt c ON d.label = c.label
+            GROUP BY d.label
         """,
         "filter_projection": "SELECT doc_id, text FROM documents WHERE lang = 'en'",
         "count_records": """
@@ -795,6 +821,39 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c
             WHERE c.cell IN (SELECT cell FROM probe)
             ORDER BY score DESC, c.vec_id LIMIT {KNN_K}
+        """,
+        "window_distribution": """
+            WITH w AS (
+                SELECT c_mktsegment, c_custkey,
+                       ntile(4) OVER win AS quartile,
+                       round(percent_rank() OVER win, 6) AS pct_rank,
+                       round(cume_dist() OVER win, 6) AS cume
+                FROM customer
+                WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+            )
+            SELECT * FROM w WHERE c_custkey < 200
+        """,
+        "grouping_sets_revenue": """
+            SELECT year(o_orderdate) AS order_year, o_orderpriority,
+                   (GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority))::INT AS gid,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                                    (year(o_orderdate)), ())
+        """,
+        "exists_subqueries": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
         """,
         "salted_agg": """
             SELECT l_returnflag,

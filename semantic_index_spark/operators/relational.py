@@ -272,6 +272,74 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist over
+    customer balances per segment (deterministic (acctbal, custkey) order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).filter(F.col("c_custkey") < 200)
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): revenue by
+    (year, priority), (year), and () — plus grouping_id so the oracle can
+    distinguish set membership from genuine NULLs."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS order_year, o_orderpriority,
+               cast(grouping(year(o_orderdate)) AS INT) * 2
+                 + cast(grouping(o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                                (year(o_orderdate)), ())
+        """
+    )
+
+
+def exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (Catalyst rewrites them to
+    semi/anti joins — the declarative form of the reference's Contains,
+    `SemanticDatabase.cs:228-242`)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_eq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_eq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM cust_eq c
+        WHERE EXISTS (SELECT 1 FROM orders_eq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_eq o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot lineitem quantity by linestatus (fixed pivot values so the
+    output schema is static — the distributed-safe form; dynamic pivot
+    would need a driver-side distinct pass). Oracle = portable CASE
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
 def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ==
     ANSI percentile_cont == DuckDB quantile_cont). At 100 TB the sketch

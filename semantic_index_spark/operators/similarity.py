@@ -188,6 +188,39 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame, label_col: str = "label", emb_col: str = "embedding"
+) -> DataFrame:
+    """Per-group embedding centroid via ``applyInPandas`` (the grouped-map
+    UDAF surface): one BLAS column-mean per group, Arrow-batched. Groups
+    hash-partition across executors; per-group memory is one (n_group, d)
+    matrix — repartition upstream if a single label dominates. Returns
+    (label, centroid: array<double> rounded 6, n)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(label_col, df.schema[label_col].dataType),
+            StructField("centroid", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                label_col: [pdf[label_col].iloc[0]],
+                "centroid": [[float(x) for x in np.round(mat.mean(axis=0), 6)]],
+                "n": [len(pdf)],
+            }
+        )
+
+    return df.select(label_col, emb_col).groupBy(label_col).applyInPandas(_mean, out_schema)
+
+
 def make_centroids(k: int, dim: int, seed: int = 11) -> list[list[float]]:
     """Deterministic unit-norm centroids shared by Spark, the DuckDB
     oracle, and driver-side probe selection. Production would train these

@@ -136,6 +136,26 @@ def read_csv(
     return reader.csv(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table write: rows are hash-partitioned
+    into ``num_buckets`` files by ``bucket_cols`` at WRITE time, so every
+    later equi-join or aggregation on those columns between same-bucketed
+    tables needs NO shuffle — Catalyst sees the clustering and drops the
+    Exchange. This is the 100 TB lever for repeated fact-fact joins
+    (pay the shuffle once at ingest, never again); tests assert the
+    Exchange-free join plan."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)
+
+
 def write_single_json_file(df: DataFrame, path: str) -> None:
     """Reference-compatible single-file JSONL export (`README.md:2`
     "single-file"). ``coalesce(1)`` serializes the write — an explicit

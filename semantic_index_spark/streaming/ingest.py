@@ -95,6 +95,38 @@ def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> Da
     return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState`` —
+    the escape hatch when built-in windowed aggregation can't express the
+    logic (arbitrary per-key state machines). Here: per-user cumulative
+    event count + value total maintained in explicit GroupState across
+    micro-batches, emitting the running totals each batch (update mode).
+
+    State is per-key and O(1) per user; at scale the keys hash-partition
+    across executors and each micro-batch touches only the keys present in
+    that batch. [absent in reference — north-star extension]"""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_batch_like(stream_writer: DataStreamWriter):
     """Drain all available input then stop (availableNow trigger) — the
     test/bench harness for finite sources."""

@@ -11,8 +11,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="semantic-index-tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    s = get_spark(
+        app_name="semantic-index-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # bucketed-table tests saveAsTable into a throwaway warehouse
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -3,6 +3,7 @@ reference-format JSON-array round-trip (`SemanticDatabase.cs:484-526`)."""
 
 import json
 
+import pyspark.sql.functions as F
 import pytest
 from pyspark.sql.types import (
     ArrayType,
@@ -125,6 +126,42 @@ def test_read_reference_json_array_spark_reader(spark, tmp_path):
     )
     got = sio.read_reference_json_array(spark, str(p), schema)
     assert sorted(r["Item"] for r in got.collect()) == ["a", "b"]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """The bucketing scale lever: two tables bucketed on the join key join
+    with ZERO Exchange in the plan — the shuffle was paid once at write
+    time. (Broadcast disabled so the assert is meaningful.)"""
+    from semantic_index_spark.plans import explain as E
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sio.write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"), "b_orders",
+        ["o_orderkey"], 4, sort_cols=["o_orderkey"],
+    )
+    sio.write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem",
+        ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = E.formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        # and the join is still correct
+        n = joined.count()
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_write_single_json_file(spark, tmp_path):

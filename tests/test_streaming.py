@@ -145,6 +145,30 @@ def test_stream_upsert_into_index_distributed(spark, tmp_path):
     assert len(emb) == 16
 
 
+def test_stateful_user_totals_matches_batch(spark, events_dir, events_batch):
+    """applyInPandasWithState: explicit per-key state across micro-batches.
+    The LAST update emitted per user must equal the batch groupBy totals."""
+    out = _run_to_memory(
+        I.stateful_user_totals(_stream(spark, events_dir, events_batch)),
+        "t_stateful", "update", spark,
+    )
+    # update mode re-emits a row per key per batch — keep the final state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()  # later rows have >= counts
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, tv) in expected.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - tv) < 1e-6
+
+
 def test_no_collect_in_ingest_source():
     """Guard: the streaming ingest path must never collect a micro-batch to
     the driver (the scale anti-pattern the batch->driver->batch round-trip
