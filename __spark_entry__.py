@@ -353,6 +353,23 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs → duplicate clusters: iterative min-label propagation;
+    # every doc labeled with its cluster's canonical (minimum) id. The
+    # oracle replays the same closure with a recursive CTE.
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    return D.connected_components(d.select("doc_id"), pairs)
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative Lloyd's k-means (data-dependent loop → rows-only check;
+    # monotone-inertia and determinism invariants are pytest-asserted).
+    return S.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=4, iters=3)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -410,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": R.distinct_counts,
         "percentiles_by_flag": R.percentiles_by_flag,
         "window_distribution": R.window_distribution,
+        "rolling_event_stats": R.rolling_event_stats,
+        "unpivot_quantities": R.unpivot_quantities,
         "grouping_sets_revenue": R.grouping_sets_revenue,
         "exists_subqueries": R.exists_subqueries,
         "pivot_status": R.pivot_status,
@@ -429,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_components": q_dedup_components,
+        "kmeans_centroids": q_kmeans_centroids,
         "similarity_join": q_similarity_join,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -721,6 +742,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
         """,
+        "dedup_components": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
         "simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
@@ -832,6 +875,25 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             )
             SELECT * FROM w WHERE c_custkey < 200
+        """,
+        "rolling_event_stats": """
+            SELECT event_id, event_type,
+                   count(*) OVER w AS n_last_hour,
+                   round(sum(value) OVER w, 2) AS sum_last_hour
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts))::BIGINT
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "unpivot_quantities": """
+            WITH wide AS (
+                SELECT l_returnflag,
+                       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS qty FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'qty_o' AS status_col, qty_o AS qty FROM wide
         """,
         "grouping_sets_revenue": """
             SELECT year(o_orderdate) AS order_year, o_orderpriority,

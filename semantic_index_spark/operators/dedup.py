@@ -209,6 +209,63 @@ def simhash(
     return wide.select(id_col, sig.alias("simhash"))
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup clustering: collapse near-dup PAIRS into components, labeling
+    every vertex with the minimum id reachable from it (the canonical
+    document of its duplicate cluster). Iterative min-label propagation:
+    each round joins current labels across edges and keeps the minimum —
+    converges in O(diameter) rounds, each one hash join + groupBy (both
+    map-side combinable). The loop is driver-controlled with a cheap
+    convergence check; at corpus scale components are tiny (near-dup
+    clusters), so diameter is small and rounds are few.
+
+    ``vertices``: one row per id. ``pairs``: (id_a, id_b) undirected.
+    Returns (id, component).
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # materialize the edge list ONCE — without this every iteration would
+    # re-derive the (possibly expensive) pair-generation lineage.
+    edges = fwd.unionByName(rev).cache()
+    edges.count()
+    # localCheckpoint truncates the logical plan each round: the iterative
+    # lineage would otherwise grow linearly and re-analyze quadratically.
+    # (On a cluster with fault-tolerance needs, use checkpoint() to durable
+    # storage instead.)
+    labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among (self, neighbors' labels)
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        merged = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()
+        labels = merged.select("id", "comp")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     emb_col: str = "embedding",

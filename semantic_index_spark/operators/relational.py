@@ -432,6 +432,37 @@ def allow_policy_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: for each event, the count and
+    value-sum of same-type events in the preceding hour (inclusive).
+    RANGE frames bound state by event-time distance, not row count — the
+    batch twin of a sliding streaming window. One shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+def unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the per-flag quantity pivot turned back into long
+    form via the built-in unpivot — wide→long without a UDF."""
+    wide = pivot_status(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_f", "qty_o"],
+        variableColumnName="status_col",
+        valueColumnName="qty",
+    )
+
+
 def upsert_update_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's default UPDATE duplicate policy as a pure relational
     program (anti-join + union — `SemanticDatabase.cs:171-174`): replace

@@ -276,6 +276,65 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the iterative
+    algorithm shape: per round, (1) assign each row to its nearest centroid
+    (pure JVM argmin over L2 distances to the k broadcast-literal
+    centroids) and (2) recompute centroids as per-cell means (one
+    applyInPandas column-mean per cell). Centroids live on the driver
+    between rounds (k·d floats — trivially broadcastable); the data is
+    never collected. Deterministic: init = the k lowest-id vectors.
+
+    Returns (cell, centroid: array<double>, n) for the final round.
+    Iterative and data-dependent → declared as a rows-only driver check
+    (no closed-form SQL oracle); invariants (monotone inertia,
+    determinism) are pytest-asserted.
+    """
+    import numpy as np
+
+    init = (
+        df.select(id_col, emb_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [[float(x) for x in r[emb_col]] for r in init]
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(
+            *[V.l2_distance(F.col(emb_col), F.lit(c).cast("array<double>")) for c in centroids]
+        )
+        return frame.withColumn(
+            "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+
+    base = df.select(id_col, emb_col)
+    for _ in range(iters):
+        assigned = _assign(base)
+        rows = label_centroids(assigned, label_col="cell", emb_col=emb_col).collect()
+        new = dict((r["cell"], r["centroid"]) for r in rows)
+        centroids = [
+            [float(x) for x in new.get(i, centroids[i])] for i in range(k)
+        ]
+
+    final = _assign(base)
+    out = label_centroids(final, label_col="cell", emb_col=emb_col)
+    return out.orderBy("cell")
+
+
+def kmeans_inertia(df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding") -> float:
+    """Σ min-distance² — the k-means objective, for convergence tests."""
+    dists = F.array(
+        *[V.l2_distance(F.col(emb_col), F.lit(c).cast("array<double>")) for c in centroids]
+    )
+    return df.select(
+        F.sum(F.pow(F.array_min(dists), 2)).alias("inertia")
+    ).collect()[0]["inertia"]
+
+
 def make_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes shared by Spark, the DuckDB oracle,
     and the driver-side query-signature computation."""

@@ -92,6 +92,21 @@ def test_ivf_topk_recall_and_pruned_plan(spark, sf_dir):
     assert n_cand < emb.count()  # genuinely pruned
 
 
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    """HLL sketch (mergeable, bounded-memory — the 100 TB form of COUNT
+    DISTINCT) stays within its rsd bound of exact. Sketches differ across
+    engines, so this is pytest-only; the oracle row (distinct_counts) is
+    exact."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+
+
 def test_approx_percentile_within_bound_of_exact(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     row = li.agg(
@@ -217,6 +232,46 @@ def test_hash_sample_deterministic_and_consistent(spark, sf_dir):
     test_ids = {r["doc_id"] for r in split.filter("split = 'test'").collect()}
     assert test_ids == s1  # same bucketing → same membership
     assert split.count() == n
+
+
+def test_connected_components_toy_graph(spark):
+    from semantic_index_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # components: {0,1,2,3} via chain, {4,5}, {6} singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (0, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(verts, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_kmeans_inertia_decreases_and_deterministic(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.operators.similarity import kmeans_fit, kmeans_inertia
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    init = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    i0 = kmeans_inertia(emb, init)
+    one = kmeans_fit(emb, k=4, iters=1)
+    c1 = [r["centroid"] for r in one.collect()]
+    i1 = kmeans_inertia(emb, c1)
+    three = kmeans_fit(emb, k=4, iters=3)
+    c3 = [r["centroid"] for r in three.collect()]
+    i3 = kmeans_inertia(emb, c3)
+    assert i1 <= i0 + 1e-6 and i3 <= i1 + 1e-6  # Lloyd's monotonicity
+    # deterministic: same input -> same centroids
+    again = [r["centroid"] for r in kmeans_fit(emb, k=4, iters=3).collect()]
+    assert again == c3
+    # every cell non-empty and counts sum to N
+    assert three.agg(F.sum("n")).collect()[0][0] == emb.count()
 
 
 def test_embedder_config_surface(spark):
