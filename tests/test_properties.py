@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis): operator semantics checked against
+independent reference implementations on randomized small inputs, plus
+empty-input edges. Example counts are kept low — every example pays a
+Spark job — but shrinkage still pinpoints minimal failing cases."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from semantic_index_spark.operators import timeseries as TS
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.integers(min_value=0, max_value=9),   # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=events, right=events)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas merge_asof(direction='backward') after
+    deterministic per-(key, ts) right-side dedup (keep max value)."""
+    lrows = [(k, t, i, float(v)) for i, (k, t, v) in enumerate(left)]
+    rbase = pd.DataFrame(right, columns=["k", "ts", "v"])
+    rbase = (
+        rbase.groupby(["k", "ts"], as_index=False)["v"].max()
+        if len(rbase)
+        else pd.DataFrame(columns=["k", "ts", "v"])
+    )
+    ldf = spark.createDataFrame(
+        lrows or [("zz", -1, -1, 0.0)], "k string, ts int, lid int, lv double"
+    )
+    rdf = spark.createDataFrame(
+        [(r.k, int(r.ts), float(r.v)) for r in rbase.itertuples()] or [("zz", -1, 0.0)],
+        "k string, ts int, v double",
+    )
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in TS.asof_join(ldf, rdf, on="k", value_cols=["v"]).collect()
+    }
+    # reference: pandas merge_asof per key
+    lpd = pd.DataFrame(lrows, columns=["k", "ts", "lid", "lv"]).sort_values("ts")
+    if lrows:
+        rpd = rbase.astype({"ts": "int64"}).sort_values("ts")
+        exp = pd.merge_asof(
+            lpd, rpd.rename(columns={"v": "v_ref"}), on="ts", by="k", direction="backward"
+        )
+        for row in exp.itertuples():
+            ref = None if pd.isna(row.v_ref) else float(row.v_ref)
+            assert got.get(row.lid) == ref, (row.lid, got.get(row.lid), ref)
+
+
+@given(
+    items=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+    batch=st.lists(st.sampled_from(["a", "b", "e", "f"]), min_size=0, max_size=6),
+)
+@settings(**SETTINGS)
+def test_duplicate_policy_invariants(spark, items, batch):
+    """UPDATE: store keys = old ∪ batch, each once. SKIP: store keys
+    unchanged ∪ genuinely-new, old embeddings kept. ALLOW: count grows by
+    exactly len(batch)."""
+    from semantic_index_spark import SemanticIndex
+    from semantic_index_spark.duplicate_handling import DuplicateHandling
+    from semantic_index_spark.embedder import DeterministicEmbedder
+
+    def fresh():
+        ix = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=4))
+        if items:
+            ix.add_range(items, DuplicateHandling.ALLOW)
+        return ix
+
+    upd = fresh()
+    if batch:
+        upd.add_range(batch, DuplicateHandling.UPDATE)
+    upd_keys = sorted(r["item"] for r in upd.records.select("item").distinct().collect())
+    assert upd_keys == sorted({f'"{x}"' for x in set(items) | set(batch)})
+
+    allow = fresh()
+    n0 = allow.count()
+    if batch:
+        allow.add_range(batch, DuplicateHandling.ALLOW)
+    assert allow.count() == n0 + len(batch)
+
+    skip = fresh()
+    if batch:
+        skip.add_range(batch, DuplicateHandling.SKIP)
+    skip_keys = {r["item"] for r in skip.records.select("item").distinct().collect()}
+    assert skip_keys == {f'"{x}"' for x in set(items) | set(batch)}
+
+
+def test_empty_inputs_through_operators(spark):
+    """Operators must be total on empty inputs — no exceptions, zero rows."""
+    from semantic_index_spark.operators import dedup as D
+    from semantic_index_spark.operators import similarity as S
+    from semantic_index_spark.operators.text_analysis import chunk_documents, tfidf_top_terms
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert D.exact_dedup(docs).count() == 0
+    assert D.minhash_lsh_pairs(docs, num_hashes=4, bands=4).count() == 0
+    assert D.ngram_jaccard_pairs(docs, threshold=0.1).count() == 0
+    assert D.simhash(docs, bits=8).count() == 0
+    assert S.topk(emb, [0.0, 1.0], k=5).count() == 0
+    assert chunk_documents(docs).count() == 0
+    assert tfidf_top_terms(docs).count() == 0
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(docs.select("doc_id"), pairs).count() == 0
