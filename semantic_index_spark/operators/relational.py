@@ -348,12 +348,19 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked row is exact and the approx path is pytest-asserted
     against it within its error bound."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(f"p{int(p * 100)}")
-            for p in (0.25, 0.5, 0.75, 0.95)
-        ],
+    # ONE percentile buffer per group for all 4 quantiles (the array form),
+    # not 4 independent value buffers — 4× less agg memory and sort work.
+    grouped = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").alias("_ps"),
         F.count("*").alias("n_rows"),
+    )
+    return grouped.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("_ps")[i], 6).alias(f"p{int(p * 100)}")
+            for i, p in enumerate((0.25, 0.5, 0.75, 0.95))
+        ],
+        "n_rows",
     )
 
 

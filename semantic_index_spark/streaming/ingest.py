@@ -95,6 +95,32 @@ def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> Da
     return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: left events matched to right events for
+    the same key where the right event happened within ``within`` BEFORE
+    the left one. Both sides carry watermarks and the join condition
+    bounds the time skew — REQUIRED so each side's buffered state is
+    evicted once the watermark passes (unbounded state otherwise).
+    The classic purchase←view attribution join."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{on} = r.{on} AND r.{right_ts} <= l.{left_ts} "
+            f"AND r.{right_ts} >= l.{left_ts} - INTERVAL {within}"
+        ),
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState`` —
     the escape hatch when built-in windowed aggregation can't express the

@@ -145,6 +145,33 @@ def test_stream_upsert_into_index_distributed(spark, tmp_path):
     assert len(emb) == 16
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir, events_batch):
+    """Stream-stream time-bounded join == the same join in batch."""
+    purchases = _stream(spark, events_dir, events_batch).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", F.col("event_id").alias("p_id"))
+    views = _stream(spark, events_dir, events_batch).filter(
+        F.col("event_type") == "view"
+    ).select("user_id", "ts", F.col("event_id").alias("v_id"))
+    out = _run_to_memory(
+        I.stream_stream_join(purchases, views).select("l.p_id", "r.v_id"),
+        "t_ssjoin", "append", spark,
+    )
+    bp = events_batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    ).alias("l")
+    bv = events_batch.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("v_id")
+    ).alias("r")
+    expected = bp.join(
+        bv,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 hour"
+        ),
+    ).select("l.p_id", "r.v_id")
+    assert _rows(out) == _rows(expected)
+
+
 def test_stateful_user_totals_matches_batch(spark, events_dir, events_batch):
     """applyInPandasWithState: explicit per-key state across micro-batches.
     The LAST update emitted per user must equal the batch groupBy totals."""
