@@ -396,6 +396,16 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_stats(media)
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame sampling over binary media: pure-JVM 64-byte slicing, keep every
+    # 2nd frame. Oracle mirrors on the text (media bytes are its UTF-8).
+    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(media, frame_bytes=64, every_n=2)
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame").alias("frame_md5"), "n_bytes"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference surface (SURVEY.md §2.A)
@@ -460,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "media_stats": q_media_stats,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1048,6 +1059,21 @@ def oracle_sql() -> dict[str, str]:
                    max((length(text) % 640 + 1)::INT) AS max_width,
                    max((length(text) % 480 + 1)::INT) AS max_height
             FROM documents
+        """,
+        "media_frames": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       ceil(length(text)::DOUBLE / 64)::INT AS nf
+                FROM documents
+            ),
+            ex AS (
+                SELECT media_id, text, unnest(range(0, greatest(nf, 1)))::INT AS frame_idx
+                FROM m
+            )
+            SELECT media_id, frame_idx,
+                   md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+                   length(substring(text, frame_idx * 64 + 1, 64))::INT AS n_bytes
+            FROM ex WHERE frame_idx % 2 = 0
         """,
     }
 

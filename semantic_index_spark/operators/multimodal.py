@@ -113,6 +113,83 @@ def extract_features(
     return df.mapInPandas(_run, schema=FEATURE_SCHEMA)
 
 
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Frame sampling over binary media: treat the blob as consecutive
+    ``frame_bytes``-byte frames and keep every ``every_n``-th. The frame
+    SPLIT is real, pure-JVM binary slicing (sequence → explode →
+    substring on BinaryType) — what a video pipeline does after a real
+    demuxer replaces this fixed-stride stub. Returns
+    (id, frame_idx, frame: binary, n_bytes). Fan-out is ~blob/frame_bytes —
+    the explode-heavy shape, so inputs are re-parallelized first."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    n_frames = F.ceil(F.octet_length(media_col) / F.lit(frame_bytes)).cast("int")
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.col(media_col), n_frames.alias("_nf")
+    )
+    frame = F.expr(f"substring({media_col}, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    return (
+        base.select(
+            id_col,
+            media_col,
+            F.explode(F.sequence(F.lit(0), F.greatest(F.col("_nf") - 1, F.lit(0)))).alias(
+                "frame_idx"
+            ),
+        )
+        .filter(F.col("frame_idx") % every_n == 0)
+        .select(
+            F.col(id_col),
+            F.col("frame_idx"),
+            frame.alias("frame"),
+            F.octet_length(frame).alias("n_bytes"),
+        )
+    )
+
+
+def fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize codec: stride-samples the
+    byte stream to width·height bytes (pads with zeros). Replace with a
+    real codec wrapper (PIL/opencv) via ``resizer=`` in production."""
+    target = max(width * height, 1)
+    if not blob:
+        return bytes(target)
+    if len(blob) >= target:
+        stride = len(blob) / target
+        return bytes(blob[int(i * stride)] for i in range(target))
+    return bytes(blob) + bytes(target - len(blob))
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage over a media DataFrame via Arrow-batched mapInPandas —
+    same plumbing contract as :func:`extract_features`: schema preserved,
+    blobs replaced, width/height metadata updated. ``resizer`` defaults to
+    the STUB (`fake_resize`); inject a real codec in production."""
+    fn = resizer or fake_resize
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["media"] = [fn(b if b is not None else b"", width, height) for b in pdf["media"]]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(_run, schema=df.schema)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate over a media table: byte sizes per mime type.
     Selecting only metadata columns means the parquet reader never touches

@@ -21,10 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
-def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Parquet scan. Schema from footers unless pinned; filters/projections
-    applied by callers reach the scan via Catalyst (PushedFilters)."""
+    applied by callers reach the scan via Catalyst (PushedFilters).
+    ``merge_schema=True`` reconciles files written under an EVOLVED schema
+    (added columns read as NULL for old files) — corpora accrete columns
+    over years at 100 TB; note it reads every file's footer, so pin a
+    schema instead once the union schema is known."""
     reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)

@@ -54,6 +54,33 @@ def test_extract_features_repartitions_for_even_batches(media):
     assert out.count() == media.count()
 
 
+def test_sample_frames_slices_and_strides(spark):
+    media = spark.createDataFrame(
+        [(0, bytes(range(200))), (1, b"")], "media_id long, media binary"
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in M.sample_frames(media, frame_bytes=64, every_n=2).collect()
+    }
+    # 200 bytes -> frames 0..3, keep 0 and 2
+    assert set(k for k in rows if k[0] == 0) == {(0, 0), (0, 2)}
+    assert bytes(rows[(0, 0)]["frame"]) == bytes(range(64))
+    assert bytes(rows[(0, 2)]["frame"]) == bytes(range(128, 192))
+    assert rows[(0, 0)]["n_bytes"] == 64
+    # empty blob -> a single empty frame (total function)
+    assert rows[(1, 0)]["n_bytes"] == 0
+
+
+def test_resize_media_updates_blob_and_metadata(media):
+    out = M.resize_media(media, width=8, height=4).collect()
+    for r in out:
+        assert len(r["media"]) == 32  # 8*4 bytes from the fake codec
+        assert r["width"] == 8 and r["height"] == 4
+    # deterministic: same input -> same bytes
+    again = M.resize_media(media, width=8, height=4).collect()
+    assert sorted(bytes(r["media"]) for r in out) == sorted(bytes(r["media"]) for r in again)
+
+
 def test_metadata_agg_prunes_blob_column(spark, sf_dir, tmp_path):
     """Scale property: a metadata-only aggregate over a media PARQUET table
     must never read the blob column (columnar pruning is the reason media
