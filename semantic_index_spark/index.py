@@ -212,6 +212,16 @@ class SemanticIndex:
         """Drop all records (`SemanticDatabase.cs:465-477`)."""
         self._df = self.spark.createDataFrame([], RECORD_SCHEMA)
 
+    def compact(self) -> None:
+        """Bound the logical plan after long mutation chains: every
+        add/remove layers another join/union onto the lineage, and
+        analysis time grows with it. ``compact`` materializes the current
+        snapshot (localCheckpoint) and restarts the lineage from it — the
+        in-memory analogue of ``save()``'s plan truncation. Call it every
+        few hundred mutations in driver-resident workflows; persisted
+        workflows get the same effect from ``save()``."""
+        self._df = self._df.localCheckpoint(eager=True)
+
     def refresh_embeddings(self) -> None:
         """Re-embed every item (`SemanticDatabase.cs:385-417`) as one
         full-column transform — and unlike the reference's in-place mutation

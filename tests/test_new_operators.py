@@ -234,6 +234,24 @@ def test_hash_sample_deterministic_and_consistent(spark, sf_dir):
     assert split.count() == n
 
 
+def test_index_compact_bounds_lineage(spark):
+    """compact() must preserve contents while truncating the mutation
+    lineage (plan no longer references joins/unions)."""
+    from semantic_index_spark import SemanticIndex
+    from semantic_index_spark.embedder import DeterministicEmbedder
+    from semantic_index_spark.plans import explain as E
+
+    ix = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=4))
+    for batch in (["a", "b"], ["b", "c"], ["d"]):
+        ix.add_range(batch)
+    ix.remove("a")
+    before = sorted(r["item"] for r in ix.records.collect())
+    assert "Join" in E.formatted_plan(ix.records)  # mutation lineage present
+    ix.compact()
+    assert "Join" not in E.formatted_plan(ix.records)  # truncated
+    assert sorted(r["item"] for r in ix.records.collect()) == before
+
+
 def test_connected_components_toy_graph(spark):
     from semantic_index_spark.operators.dedup import connected_components
 
