@@ -343,6 +343,36 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, q, PLANES, k=KNN_K)
 
 
+def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF via LATERAL: text → (pos, tok) rows, executor-side fan-out.
+    TA.register_tokenize_udtf(spark)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.tok FROM docs_udtf d, LATERAL tokenize_pos(d.text) t"
+    )
+
+
+QUALITY_MIN = 0.65
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engine's user story end-to-end: quality filter → exact-dedup
+    # (keep the min-id winner per fingerprint) → overlapping chunking →
+    # per-doc chunk stats. Every stage is the already-oracled operator;
+    # this checks their COMPOSITION.
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.filter(T.quality_score("text") >= QUALITY_MIN)
+    winners = D.exact_dedup(quality)
+    clean = quality.join(winners.select("doc_id"), "doc_id")
+    chunks = TA.chunk_documents(clean, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -466,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_knn": q_quantized_knn,
         "tfidf_top_terms": q_tfidf_top_terms,
         "chunk_documents": q_chunk_documents,
+        "udtf_token_positions": q_udtf_token_positions,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "text_signals": q_text_signals,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1006,6 +1038,49 @@ def oracle_sql() -> dict[str, str]:
             FROM sig s, q
             WHERE s.bucket = q.qb
             ORDER BY score DESC, s.vec_id LIMIT {KNN_K}
+        """,
+        "udtf_token_positions": f"""
+            WITH d AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 20
+            )
+            SELECT doc_id, (generate_subscripts(t, 1) - 1)::INT AS pos, unnest(t) AS tok
+            FROM d
+        """,
+        "corpus_prep_pipeline": f"""
+            WITH base AS (
+                SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents
+            ), m AS (
+                SELECT doc_id, text,
+                       len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                           / greatest(len(toks), 1) AS sw,
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1) AS pr,
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                           / greatest(len(toks), 1) AS mtl
+                FROM base
+            ), q AS (
+                SELECT doc_id, text FROM m
+                WHERE round(least(sw * 4.0, 1.0) * 0.5 + (1.0 - least(pr * 5.0, 1.0)) * 0.3 +
+                            (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+                      >= {QUALITY_MIN}
+            ), win AS (
+                SELECT min(doc_id) AS doc_id FROM (
+                    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                    FROM q
+                ) GROUP BY fp
+            ), clean AS (
+                SELECT q.doc_id, {_DUCK_TOKENS.replace("text", "q.text")} AS t
+                FROM q JOIN win USING (doc_id)
+            ), nc AS (
+                SELECT doc_id, t,
+                       greatest(ceil((len(t) - {CHUNK_OVERLAP})::DOUBLE
+                                     / {CHUNK_TOKENS - CHUNK_OVERLAP}), 1)::INT AS n
+                FROM clean
+            ), ex AS (SELECT doc_id, t, unnest(range(0, n))::INT AS i FROM nc)
+            SELECT doc_id, count(*) AS n_chunks,
+                   sum(len(t[i*{CHUNK_TOKENS - CHUNK_OVERLAP}+1
+                             : i*{CHUNK_TOKENS - CHUNK_OVERLAP}+{CHUNK_TOKENS}]))::BIGINT AS total_tokens
+            FROM ex GROUP BY doc_id
         """,
         "text_signals": f"""
             WITH base AS (

@@ -249,13 +249,20 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("n_comp"))
         )
+        stepped = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+            F.col("comp").alias("_old"),
+        )
+        # pointer jumping (path compression): comp ← comp(comp). Every comp
+        # value is itself a node id with comp(x) ≤ x, so one extra self-join
+        # doubles the propagation distance per round — convergence drops
+        # from O(diameter) to O(log diameter) rounds, the difference
+        # between 20+ and ~6 rounds on chain-heavy duplicate clusters.
+        lut = stepped.select(F.col("id").alias("_cid"), F.col("comp").alias("_ccomp"))
         merged = (
-            labels.join(prop, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
-                F.col("comp").alias("_old"),
-            )
+            stepped.join(lut, stepped.comp == lut._cid)
+            .select("id", F.col("_ccomp").alias("comp"), "_old")
             .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()

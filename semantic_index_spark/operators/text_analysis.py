@@ -18,6 +18,24 @@ from pyspark.sql import DataFrame, Window
 from semantic_index_spark.functions import text as T
 
 
+def register_tokenize_udtf(spark, name: str = "tokenize_pos"):
+    """Python UDTF (user-defined TABLE function, Spark 3.5+): one input
+    text row → many (pos, tok) output rows, usable in SQL as a LATERAL
+    table function. Completes the UDF triad alongside the scalar
+    pandas_udf embedder and the applyInPandas grouped-map centroid.
+    Arrow-batched like all Python UDxs; rows fan out executor-side."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class TokenizeWithPositions:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").lower().split()):
+                yield (i, t)
+
+    spark.udtf.register(name, TokenizeWithPositions)
+    return TokenizeWithPositions
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",
