@@ -467,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": R.distinct_counts,
         "percentiles_by_flag": R.percentiles_by_flag,
         "window_distribution": R.window_distribution,
+        "batch_sessionization": R.batch_sessionization,
+        "full_outer_revenue": R.full_outer_revenue,
         "rolling_event_stats": R.rolling_event_stats,
         "unpivot_quantities": R.unpivot_quantities,
         "grouping_sets_revenue": R.grouping_sets_revenue,
@@ -522,8 +524,11 @@ def oracle_sql() -> dict[str, str]:
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     sh = _duck_shingles("t", SHINGLE_N)
+    # mirror of dedup.minhash_signature_long: 4 × 32-bit hashes per md5
     minhash_cols = ", ".join(
-        f"min({_duck_md5_bigint(f''''mh{i}:' || shingle''')}) AS h{i}" for i in range(MINHASH_N)
+        f"min((('0x' || substr(md5('mh{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8))"
+        f"::UBIGINT)::BIGINT) AS h{i}"
+        for i in range(MINHASH_N)
     )
     band_cond = " OR ".join(f"(a.h{i} = b.h{i})" for i in range(MINHASH_N))
     simhash_bit_sums = ", ".join(
@@ -918,6 +923,32 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             )
             SELECT * FROM w WHERE c_custkey < 200
+        """,
+        "batch_sessionization": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse FROM events
+            ), marked AS (
+                SELECT user_id, event_id, tse,
+                       CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w >= 1800
+                            THEN 1 ELSE 0 END AS is_start
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+            ), sess AS (
+                SELECT user_id, tse,
+                       sum(is_start) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                FROM marked
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(tse) AS session_start, max(tse) AS session_end
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "full_outer_revenue": """
+            WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+                 s AS (SELECT s_nationkey AS nk2, count(*) AS n_supp FROM supplier GROUP BY 1)
+            SELECT coalesce(nk, nk2) AS nationkey,
+                   coalesce(n_cust, 0) AS n_cust,
+                   coalesce(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON nk = nk2
         """,
         "rolling_event_stats": """
             SELECT event_id, event_type,

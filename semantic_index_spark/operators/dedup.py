@@ -70,10 +70,16 @@ def minhash_signature_long(
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle")
     )
-    aggs = [
-        F.min(T.md5_bigint(F.col("shingle"), salt=f"mh{i}:")).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    # ONE md5 yields FOUR 32-bit hash values (8 hex chars each) — 4× fewer
+    # digest computations per exploded shingle row than salting per hash;
+    # only every 5th+ hash pays another salted digest.
+    aggs = []
+    for i in range(num_hashes):
+        j, c = divmod(i, 4)
+        digest = F.md5(F.concat(F.lit(f"mh{j}:"), F.col("shingle")))
+        aggs.append(
+            F.min(F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10).cast("bigint")).alias(f"h{i}")
+        )
     wide = sh.groupBy(id_col).agg(*aggs)
     # unpivot to long form for band construction
     pairs = F.array(

@@ -439,6 +439,58 @@ def allow_policy_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def batch_sessionization(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Gaps-and-islands sessionization in batch: a new session starts when
+    the gap to the previous event (per user) is ≥ gap_s seconds; session id
+    is the running count of session starts. Two windows over ONE shuffle on
+    user_id (same partitioning reused). The batch twin of the streaming
+    `session_window` builder — this form is engine-portable (lag + running
+    sum), which is what the oracle replays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts"), 1).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap >= gap_s), 1).otherwise(0).alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_timestamp("ts"), "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("session_start"),
+        F.max(F.unix_timestamp("ts")).alias("session_end"),
+    )
+
+
+def full_outer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: every nation key appearing on either the customer
+    or the supplier side, with NULL-safe coalesced counts — completes the
+    join-type surface (inner/left/semi/anti/cross are covered elsewhere)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk == supp.nk2, "full_outer").select(
+        F.coalesce(cust.nk, supp.nk2).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
 def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window over event time: for each event, the count and
     value-sum of same-type events in the preceding hour (inclusive).

@@ -81,6 +81,8 @@ def topk_multi(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     q_rows = queries.select(q_id_col, q_emb_col).collect()
+    if not q_rows:
+        raise ValueError("topk_multi: queries DataFrame is empty")
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
 
