@@ -383,6 +383,14 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.winnowing_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup pairs → duplicate clusters: iterative min-label propagation;
     # every doc labeled with its cluster's canonical (minimum) id. The
@@ -490,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_components": q_dedup_components,
         "kmeans_centroids": q_kmeans_centroids,
         "similarity_join": q_similarity_join,
@@ -789,6 +798,28 @@ def oracle_sql() -> dict[str, str]:
             sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+        """,
+        "winnowing_fingerprints": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+                FROM documents WHERE doc_id < 100
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
+                           i -> (('0x' || substr(md5(substring(t, i, {WINNOW_K})), 1, 8))::UBIGINT)::BIGINT
+                       ) AS hs
+                FROM d
+            ), m AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+                           j -> list_min(hs[j : j + {WINNOW_W - 1}])
+                       )) AS fps
+                FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM m
         """,
         "dedup_components": f"""
             WITH RECURSIVE toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),

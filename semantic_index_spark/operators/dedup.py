@@ -215,6 +215,42 @@ def simhash(
     return wide.select(id_col, sig.alias("simhash"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing (the rolling-hash fingerprint family): hash
+    every k-char gram of the normalized text, slide a w-gram window, keep
+    each window's minimum hash; the DISTINCT minima are the document's
+    fingerprints. Guarantees any match of length ≥ k+w-1 shares a
+    fingerprint, while storing ~1/w of the gram hashes — the classic
+    local-edit-robust dedup/plagiarism signature. Pure JVM expressions
+    (sequence → transform → slice/min), one explode; fingerprints are
+    md5-derived 32-bit values so the oracle replays them exactly.
+    Returns (id, fingerprint) distinct."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = ensure_parallelism(df).select(F.col(id_col), norm.alias("_t"))
+    n_grams = F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(F.col("_t"), i, F.lit(k))), 1, 8), 16, 10
+        ).cast("bigint"),
+    )
+    with_h = base.select(id_col, hashes.alias("_h"))
+    n_windows = F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(F.col("_h"), j, w))
+    )
+    return (
+        with_h.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     pairs: DataFrame,

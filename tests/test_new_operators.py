@@ -252,6 +252,29 @@ def test_index_compact_bounds_lineage(spark):
     assert sorted(r["item"] for r in ix.records.collect()) == before
 
 
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: documents sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint documents with
+    no common k-gram share none."""
+    from semantic_index_spark.operators.dedup import winnowing_fingerprints
+
+    common = "the quick brown fox jumps"  # 25 chars >= 8 + 4 - 1
+    docs = spark.createDataFrame(
+        [
+            (0, f"aaaa {common} bbbb"),
+            (1, f"cccc {common} dddd"),
+            (2, "zzzzzzzz yyyyyyyy xxxxxxxx wwwwwwww"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1]  # shared substring → shared fingerprint
+    assert not (by_doc[0] & by_doc[2])  # no common 8-gram → disjoint
+
+
 def test_connected_components_toy_graph(spark):
     from semantic_index_spark.operators.dedup import connected_components
 
