@@ -436,8 +436,13 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame sampling over binary media: pure-JVM 64-byte slicing, keep every
-    # 2nd frame. Oracle mirrors on the text (media bytes are its UTF-8).
-    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    # 2nd frame. Oracle mirrors on the text — valid ONLY for 1-byte-per-char
+    # docs, so both sides filter to ASCII-clean rows (frame boundaries in
+    # BYTES shift vs CHARS the moment a multi-byte char appears).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
+    )
+    media = M.attach_fake_media(docs)
     frames = M.sample_frames(media, frame_bytes=64, every_n=2)
     return frames.select(
         "media_id", "frame_idx", F.md5("frame").alias("frame_md5"), "n_bytes"
@@ -1202,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id AS media_id, text,
                        ceil(length(text)::DOUBLE / 64)::INT AS nf
                 FROM documents
+                WHERE octet_length(encode(text)) = length(text)
             ),
             ex AS (
                 SELECT media_id, text, unnest(range(0, greatest(nf, 1)))::INT AS frame_idx

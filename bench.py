@@ -46,6 +46,7 @@ def main() -> int:
     entrymod.entry(spark).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
@@ -53,22 +54,28 @@ def main() -> int:
             rows = fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             print(f"{name:28s} {dt:7.2f}s rows={len(rows)}", file=sys.stderr)
-        except Exception as e:  # a broken query must not hide the others
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # a broken query must not hide the others —
+            # but it must also be VISIBLE in the parsed output, not just
+            # stderr: a near-zero elapsed time for a crashed query would
+            # read as a speedup.
             dt = time.perf_counter() - t0
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"{name:28s} ERROR after {dt:.2f}s: {e}", file=sys.stderr)
-        timings[name] = round(dt, 3)
-        total += dt
 
     out = {
         "metric": "suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
+        "n_errors": len(errors),
         "sf": _sf_from_dir(sf_dir),
     }
     print(json.dumps(out))
     spark.stop()
-    return 0
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

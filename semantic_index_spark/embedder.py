@@ -123,10 +123,15 @@ class OpenAIStyleEmbedder:
                 "transport=(texts, model, api_key) -> ndarray, or use "
                 "DeterministicEmbedder for tests"
             )
-        out = np.asarray(self._transport(texts, self.model, self.api_key), dtype=np.float32)
+        out = np.asarray(self._transport(texts, self.model, self.api_key), dtype=np.float64)
         if out.shape != (len(texts), self.dim):
             raise ValueError(f"transport returned {out.shape}, expected {(len(texts), self.dim)}")
-        return out
+        # enforce the engine-wide unit-norm contract (dot == cosine,
+        # SURVEY.md §2.C.1) rather than trusting the transport: a provider
+        # returning unnormalized vectors would silently skew every ranking.
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return (out / norms).astype(np.float32)
 
 
 def embed_udf(embedder: Embedder):

@@ -154,15 +154,35 @@ class SemanticIndex:
             self._new_records_df(items), duplicate_handling or self.duplicate_handling
         )
 
-    def upsert_df(self, new_items: DataFrame, duplicate_handling: DuplicateHandling | None = None) -> None:
+    def upsert_df(
+        self,
+        new_items: DataFrame,
+        duplicate_handling: DuplicateHandling | None = None,
+        canonicalize: bool = True,
+    ) -> None:
         """Distributed AddRange: items arrive as a DataFrame with an ``item``
-        string column (canonical JSON — producers apply
-        :func:`canonical_json` upstream). Embeds via the vectorized
-        pandas_udf on executors and applies the duplicate policy as joins —
-        nothing is ever collected to the driver. This is the micro-batch
-        body of the streaming ingest path
-        (`SemanticDatabase.cs:213-221` analogue)."""
-        new = new_items.select("item").withColumn("embedding", self._embed_udf(F.col("item")))
+        JSON string column. By default each item is re-serialized to
+        CANONICAL JSON executor-side (sorted keys, tight separators) so the
+        equality key matches :func:`canonical_json`-keyed store records —
+        a stream delivering ``{"b":1,"a":2}`` must dedup against a stored
+        ``{"a":2,"b":1}``. Pass ``canonicalize=False`` only when the
+        producer already canonicalizes (saves one Arrow pass; embedding
+        already pays one). Embeds via the vectorized pandas_udf on
+        executors and applies the duplicate policy as joins — nothing is
+        ever collected to the driver. This is the micro-batch body of the
+        streaming ingest path (`SemanticDatabase.cs:213-221` analogue)."""
+        new = new_items.select("item")
+        if canonicalize:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def _canon(items):  # pd.Series -> pd.Series
+                return items.map(
+                    lambda s: canonical_json(json.loads(s)) if s is not None else None
+                )
+
+            new = new.select(_canon(F.col("item")).alias("item"))
+        new = new.withColumn("embedding", self._embed_udf(F.col("item")))
         self._apply_policy(new, duplicate_handling or self.duplicate_handling)
 
     def _apply_policy(self, new: DataFrame, policy: DuplicateHandling) -> None:

@@ -138,11 +138,15 @@ def sample_frames(
         base.select(
             id_col,
             media_col,
-            F.explode(F.sequence(F.lit(0), F.greatest(F.col("_nf") - 1, F.lit(0)))).alias(
-                "frame_idx"
-            ),
+            # stepped sequence generates ONLY the kept indices — exploding
+            # every index then filtering by stride would materialize
+            # every_n× the rows this explode-heavy stage needs.
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("_nf") - 1, F.lit(0)), F.lit(every_n)
+                )
+            ).alias("frame_idx"),
         )
-        .filter(F.col("frame_idx") % every_n == 0)
         .select(
             F.col(id_col),
             F.col("frame_idx"),

@@ -81,10 +81,6 @@ def topk_multi(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     q_rows = queries.select(q_id_col, q_emb_col).collect()
-    if not q_rows:
-        raise ValueError("topk_multi: queries DataFrame is empty")
-    q_ids = [r[0] for r in q_rows]
-    q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
 
     out_schema = StructType(
         [
@@ -93,6 +89,19 @@ def topk_multi(
             StructField("score", DoubleType()),
         ]
     )
+    if not q_rows:  # empty query set → empty result, same schema as usual
+        spark = big.sparkSession
+        return spark.createDataFrame([], out_schema).withColumn(
+            "rank", F.lit(1).cast("int")
+        ).limit(0)
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+
+    def _round_half_up6(a: "np.ndarray") -> "np.ndarray":
+        # match Spark F.round / DuckDB round (HALF_UP, away from zero) —
+        # np.round is half-to-even and would diverge from the oracle on
+        # exact .xxxxxx5 boundaries.
+        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
     def _local_topk(batches):
         best: pd.DataFrame | None = None
@@ -100,7 +109,7 @@ def topk_multi(
             if len(pdf) == 0:
                 continue
             emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
-            scores = np.round(emb @ q_mat.T, 6)  # (n, Q)
+            scores = _round_half_up6(emb @ q_mat.T)  # (n, Q)
             parts = [] if best is None else [best]
             for qi, qid in enumerate(q_ids):
                 parts.append(
@@ -304,6 +313,9 @@ def kmeans_fit(
         df.select(id_col, emb_col).orderBy(id_col).limit(k).collect()
     )
     centroids = [[float(x) for x in r[emb_col]] for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit: input DataFrame is empty")
+    k = min(k, len(centroids))  # fewer rows than k → that many clusters
 
     def _assign(frame: DataFrame) -> DataFrame:
         dists = F.array(

@@ -43,6 +43,11 @@ def asof_join(
     (ts, side) — right rows sort before left rows at equal timestamps so a
     same-instant right row IS visible, matching ASOF semantics — then keep
     left rows. One shuffle total; no range cross-product ever exists.
+
+    Determinism: right-side duplicates at the same (key, ts) resolve to
+    the row with the GREATEST (value_cols..., ts) tuple — the window order
+    tiebreaks on the right payload so `last()` cannot depend on partition
+    layout. Pre-dedup the right side if a different resolution is wanted.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
@@ -65,7 +70,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lhs.unionByName(rhs).select(

@@ -57,6 +57,10 @@ def test_search_first_and_object(index):
     assert index.search_first_text("banana") == "banana"
     # object query serializes to canonical JSON first: SemanticDatabase.cs:359-365
     assert index.search_first_object("banana") == "banana"
+    # raw-vector SearchFirst (SemanticDatabase.cs:315-321): self-embedding
+    # of a stored item must retrieve that item
+    vec = index.embedder.embed_batch(['"banana"'])[0]
+    assert index.search_first([float(x) for x in vec]) == "banana"
 
 
 def test_json_single_file_roundtrip(index, tmp_path):

@@ -196,6 +196,36 @@ def test_stateful_user_totals_matches_batch(spark, events_dir, events_batch):
         assert abs(final[uid][1] - tv) < 1e-6
 
 
+def test_upsert_df_canonicalizes_noncanonical_json(spark):
+    """A micro-batch delivering {"b":...,"a":...} (non-canonical key order)
+    must dedup against a store record keyed with canonical JSON — the
+    equality contract of the reference (SemanticDatabase.cs:161,169)."""
+    from semantic_index_spark import SemanticIndex
+    from semantic_index_spark.embedder import DeterministicEmbedder
+
+    idx = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=4))
+    idx.add({"a": 1, "b": 2})
+    assert idx.count() == 1
+    batch = spark.createDataFrame([('{"b": 2, "a": 1}',)], "item string")
+    idx.upsert_df(batch)  # UPDATE policy: must REPLACE, not duplicate
+    assert idx.count() == 1
+    assert idx.contains({"b": 2, "a": 1})
+
+
+def test_topk_multi_empty_queries_returns_empty(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.operators.similarity import topk_multi
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    out = topk_multi(emb, queries, k=3)
+    assert out.columns == ["q_id", "vec_id", "score", "rank"]
+    assert out.count() == 0
+
+
 def test_no_collect_in_ingest_source():
     """Guard: the streaming ingest path must never collect a micro-batch to
     the driver (the scale anti-pattern the batch->driver->batch round-trip

@@ -71,6 +71,16 @@ def test_topk_scan_prunes_columns(emb):
     assert "label" not in cols  # only (vec_id, embedding) read
 
 
+def test_star_join_broadcasts_and_filter_pushes_down(spark, sf_dir):
+    """Plan-helper coverage on the headline shapes: the q3 star join must
+    broadcast the dim side; the predicate query must push IsNotNull/range
+    filters into the parquet scan."""
+    from semantic_index_spark.operators import relational as R
+
+    E.assert_broadcast_join(R.q3_shipping_priority(spark, sf_dir))
+    E.assert_pushed_filter(R.filter_predicates(spark, sf_dir), "IsNotNull(p_size)")
+
+
 def test_topk_multi_ranks_per_query(emb):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
