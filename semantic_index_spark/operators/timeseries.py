@@ -96,8 +96,12 @@ def banded_range_join(
 ) -> DataFrame:
     """Point-in-[lo, hi) join against a SMALL interval table: broadcast the
     intervals; the non-equi predicate is evaluated inside the broadcast
-    join (no shuffle of the big side). Inclusive lo, exclusive hi."""
-    return points.join(
+    join (no shuffle of the big side — but the nested-loop probe IS
+    per-partition serial, so an under-partitioned input is re-parallelized
+    first). Inclusive lo, exclusive hi."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(points).join(
         F.broadcast(intervals),
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)),
     )
