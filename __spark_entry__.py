@@ -970,8 +970,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
             ), sess AS (
                 SELECT user_id, tse,
-                       sum(is_start) OVER (PARTITION BY user_id ORDER BY tse, event_id
-                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                       (sum(is_start) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
                 FROM marked
             )
             SELECT user_id, session_seq, count(*) AS n_events,

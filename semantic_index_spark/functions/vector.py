@@ -119,8 +119,18 @@ def quantize_int8(a: Column | str) -> Column:
     a = _to_col(a)
     raw = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
     s = F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
-    q = F.transform(a, lambda x: F.round(x.cast("double") / s).cast("tinyint"))
-    return F.struct(s.alias("scale"), q.alias("q"))
+    # Bind the scale through a 1-element transform so the O(d) max fold is
+    # evaluated ONCE per vector — inlining `s` into the per-element lambda
+    # would re-run it for each of the d elements (O(d²) per vector).
+    return F.transform(
+        F.array(s),
+        lambda sc: F.struct(
+            sc.alias("scale"),
+            F.transform(a, lambda x: F.round(x.cast("double") / sc).cast("tinyint")).alias(
+                "q"
+            ),
+        ),
+    )[0]
 
 
 def dequantize_int8(qz: Column | str) -> Column:

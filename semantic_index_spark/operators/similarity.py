@@ -27,6 +27,15 @@ from pyspark.sql import DataFrame, Window
 from semantic_index_spark.functions import vector as V
 
 
+def _round_half_up6(a):
+    """Match Spark F.round / DuckDB round (HALF_UP, away from zero) in
+    numpy paths — np.round is half-to-even and diverges from the oracle on
+    exact .xxxxxx5 boundaries."""
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
+
 def topk(
     df: DataFrame,
     query: Sequence[float],
@@ -96,12 +105,6 @@ def topk_multi(
         ).limit(0)
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
-
-    def _round_half_up6(a: "np.ndarray") -> "np.ndarray":
-        # match Spark F.round / DuckDB round (HALF_UP, away from zero) —
-        # np.round is half-to-even and would diverge from the oracle on
-        # exact .xxxxxx5 boundaries.
-        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
 
     def _local_topk(batches):
         best: pd.DataFrame | None = None
@@ -224,7 +227,7 @@ def label_centroids(
         return pd.DataFrame(
             {
                 label_col: [pdf[label_col].iloc[0]],
-                "centroid": [[float(x) for x in np.round(mat.mean(axis=0), 6)]],
+                "centroid": [[float(x) for x in _round_half_up6(mat.mean(axis=0))]],
                 "n": [len(pdf)],
             }
         )

@@ -29,7 +29,15 @@ def register_tokenize_udtf(spark, name: str = "tokenize_pos"):
     @udtf(returnType="pos int, tok string")
     class TokenizeWithPositions:
         def eval(self, text: str):
-            for i, t in enumerate((text or "").lower().split()):
+            # Mirrors split(lower(trim(text)), '\s+') so results agree with
+            # T.tokens and the SQL oracle: NULL → no rows; empty/whitespace
+            # text → one empty token; re.ASCII makes \s match Java's, not
+            # Python's Unicode-wide class (str.split would eat NBSP).
+            import re
+
+            if text is None:
+                return
+            for i, t in enumerate(re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)):
                 yield (i, t)
 
     spark.udtf.register(name, TokenizeWithPositions)
@@ -52,6 +60,11 @@ def chunk_documents(
     documents shorter than a chunk yield exactly one chunk."""
     from semantic_index_spark.operators.dedup import ensure_parallelism
 
+    if chunk_tokens <= 0 or overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_tokens, "
+            f"got chunk_tokens={chunk_tokens} overlap={overlap}"
+        )
     step = chunk_tokens - overlap
     base = ensure_parallelism(docs).select(
         F.col(id_col), T.tokens(text_col).alias("_toks")

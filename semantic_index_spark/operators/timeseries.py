@@ -48,42 +48,50 @@ def asof_join(
     the row with the GREATEST (value_cols..., ts) tuple — the window order
     tiebreaks on the right payload so `last()` cannot depend on partition
     layout. Pre-dedup the right side if a different resolution is wanted.
+
+    The right payload travels as ONE struct so every ``<col>_asof`` value
+    comes from the SAME right row — per-column ``last(ignorenulls)`` would
+    stitch together phantom rows whenever a payload column is NULL.
     """
+    from pyspark.sql.types import StructField, StructType
+
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("__ts", right.schema[right_ts].dataType)]
+    )
     lhs = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in (on,)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     rhs = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_ts).alias("__ts"),
+        ).alias("__r"),
     )
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side", *[F.col(f"__r_{c}").asc_nulls_first() for c in value_cols])
+        .orderBy("_ts", "_side", F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lhs.unionByName(rhs).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__fill")
     )
     keep = [on] + [c for c in left.columns if c != on]
     return filled.filter(F.col("_side") == 1).select(
-        *keep, *[f"{c}{suffix}" for c in value_cols], f"{right_ts}{suffix}"
+        *keep,
+        *[F.col("__fill")[c].alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__fill")["__ts"].alias(f"{right_ts}{suffix}"),
     )
 
 
@@ -124,12 +132,17 @@ def bucketed_range_join(
     pb = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
-    ib = intervals.withColumn(
+    # Candidate buckets span floor(lo/w)..floor(hi/w) INCLUSIVE — the exact
+    # predicate below prunes the (at most one) surplus bucket when hi sits on
+    # a boundary. No epsilon: subtracting one would drop points lying within
+    # epsilon below hi. Empty intervals (hi <= lo) match nothing and are
+    # dropped up front so F.sequence never sees a descending range.
+    ib = intervals.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
-                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
             )
         ),
     )

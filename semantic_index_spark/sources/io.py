@@ -117,13 +117,14 @@ def load_reference_json_array(spark: SparkSession, path: str) -> DataFrame:
 
     from pyspark.sql.types import ArrayType, FloatType, StringType, StructField
 
+    # the index's equality key MUST come from the one canonicalizer —
+    # an inline json.dumps here would silently fork the key format.
+    from semantic_index_spark.index import canonical_json
+
     with open(path, encoding="utf-8") as f:
         recs = json.load(f)
     rows = [
-        (
-            json.dumps(r["Item"], separators=(",", ":"), sort_keys=True, ensure_ascii=False),
-            [float(x) for x in r["Embedding"]],
-        )
+        (canonical_json(r["Item"]), [float(x) for x in r["Embedding"]])
         for r in recs
     ]
     schema = StructType(

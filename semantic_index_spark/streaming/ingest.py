@@ -91,6 +91,12 @@ def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> Da
         # anti-join program the batch path uses — no collect() to the
         # driver, so a 10M-row micro-batch never funnels through one node.
         index.upsert_df(batch_df)
+        # foreachBatch contract: batch_df is only valid INSIDE this call.
+        # compact() eagerly materializes the post-upsert snapshot
+        # (localCheckpoint), so the micro-batch is evaluated within its
+        # epoch and the index's lineage never re-reads the streaming
+        # source (non-replayable with Kafka retention) or grows per batch.
+        index.compact()
 
     return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
 
