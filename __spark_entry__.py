@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from semantic_index_spark.functions import sketch as SKT
 from semantic_index_spark.functions import text as T
 from semantic_index_spark.functions import vector as V
 from semantic_index_spark.operators import dedup as D
@@ -383,6 +384,68 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 12  # 4096 registers; C_HLL = alpha_m * m^2 computed ONCE here and
+# inlined as the same 64-bit double literal on both engine sides.
+C_HLL = 0.7213 / (1.0 + 1.079 / (1 << HLL_P)) * (1 << HLL_P) ** 2
+STRATA_N = 5
+HEAVY_MIN = 50
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable HyperLogLog next to the exact answer it approximates: both
+    # engines run the identical md5-register formula, so even the APPROXIMATE
+    # value hash-matches. Realistic rho values keep every partial sum of
+    # 2^-rho exact in a double, so summation order cannot skew the compare.
+    ev = load_table(spark, sf_dir, "events")
+    approx = SKT.hll_count_distinct(ev, "user_id", p=HLL_P)
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return approx.crossJoin(exact)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-language sample: same rows every run / engine / sf.
+    d = load_table(spark, sf_dir, "documents")
+    return SK.stratified_sample(d, "lang", "doc_id", STRATA_N).select("doc_id", "lang")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TA.heavy_hitters(d, min_count=HEAVY_MIN)
+
+
+def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant deterministic PII on every 7th doc, then audit (counts per kind),
+    # scrub (md5 of the redacted text certifies the rewrite byte-for-byte),
+    # and score within-doc n-gram repetition.
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(" tel +1 555 000 "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = T.pii_counts(F.col("text"))
+    return salted.select(
+        "doc_id",
+        T.repetition_ratio("text").alias("rep_ratio"),
+        F.element_at(counts, "EMAIL").alias("n_email"),
+        F.element_at(counts, "IP").alias("n_ip"),
+        F.element_at(counts, "PHONE").alias("n_phone"),
+        F.md5(T.pii_scrub(F.col("text"))).alias("scrub_md5"),
+    )
+
+
 WINNOW_K, WINNOW_W = 8, 4
 
 
@@ -488,10 +551,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subqueries": R.exists_subqueries,
         "pivot_status": R.pivot_status,
         "events_tumbling_windows": R.events_tumbling_windows,
+        "events_sliding_windows": R.events_sliding_windows,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "salted_agg": q_salted_agg,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "hll_users": q_hll_users,
         # vector / LLM-pipeline extensions
         "knn_multi": q_knn_multi,
         "lsh_bucket_hist": q_lsh_bucket_hist,
@@ -511,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "quantized_knn": q_quantized_knn,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "heavy_hitters": q_heavy_hitters,
+        "repetition_pii": q_repetition_pii,
         "chunk_documents": q_chunk_documents,
         "udtf_token_positions": q_udtf_token_positions,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -523,6 +591,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------------ oracles
+
+
+def _repetition_pii_oracle() -> str:
+    em = dict(T.PII_PATTERNS)["EMAIL"]
+    ip = dict(T.PII_PATTERNS)["IP"]
+    ph = dict(T.PII_PATTERNS)["PHONE"]
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || doc_id::VARCHAR
+                             || '@example.com from 10.0.0.' || (doc_id % 256)::VARCHAR
+                             || ' tel +1 555 000 ' || doc_id::VARCHAR
+                        ELSE text END AS text
+            FROM documents
+        ),
+        tokq AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM s),
+        sh AS (SELECT doc_id, text, {_duck_shingles("t")} AS shs FROM tokq)
+        SELECT doc_id,
+               round(1.0 - len(list_distinct(shs))::DOUBLE / greatest(len(shs), 1), 6)
+                   AS rep_ratio,
+               len(regexp_extract_all(text, '{em}'))::INT AS n_email,
+               len(regexp_extract_all(text, '{ip}'))::INT AS n_ip,
+               len(regexp_extract_all(text, '{ph}'))::INT AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   text, '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g'))
+                   AS scrub_md5
+        FROM sh
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -783,6 +880,56 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "events_sliding_windows": """
+            WITH t AS (SELECT floor(epoch(ts))::BIGINT AS tse, value FROM events),
+            e AS (
+                SELECT value,
+                       unnest([(tse // 3600) * 3600 - 3600, (tse // 3600) * 3600]) AS window_start
+                FROM t
+            )
+            SELECT window_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
+            FROM e GROUP BY window_start
+        """,
+        "hll_users": f"""
+            WITH h AS (
+                SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
+                FROM events
+            ),
+            r AS (SELECT hv >> 48 AS idx, hv & ((1::BIGINT << 48) - 1) AS rem FROM h),
+            regs AS (
+                SELECT idx, max(CASE WHEN rem = 0 THEN 49 ELSE 49 - length(bin(rem)) END) AS rho
+                FROM r GROUP BY idx
+            ),
+            f AS (SELECT sum(power(2.0, -rho)) AS ps, count(*) AS np FROM regs),
+            est AS (
+                SELECT CASE
+                    WHEN {C_HLL!r} / (ps + (4096 - np)) <= 10240.0 AND np < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - np))
+                    ELSE {C_HLL!r} / (ps + (4096 - np))
+                END AS e FROM f
+            )
+            SELECT round(e, 3) AS approx_distinct,
+                   (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+            FROM est
+        """,
+        "stratified_sample": f"""
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (('0x' || substr(md5('strat:' || doc_id), 1, 15))::UBIGINT)::BIGINT,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= {STRATA_N}
+        """,
+        "heavy_hitters": f"""
+            WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+            SELECT tok, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+            FROM tok GROUP BY tok HAVING count(*) >= {HEAVY_MIN}
+        """,
+        "repetition_pii": _repetition_pii_oracle(),
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint

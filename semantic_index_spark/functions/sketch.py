@@ -1,0 +1,85 @@
+"""Portable approximate-distinct sketch (HyperLogLog) built from engine-
+agnostic primitives.
+
+[absent in reference — north-star extension] Spark's own
+``approx_count_distinct`` is a black-box HLL++ whose estimate no other
+engine reproduces, which makes it untestable against an oracle. This module
+implements classic HyperLogLog (Flajolet et al. 2007) from the portable
+md5-based 60-bit hash (:func:`semantic_index_spark.functions.text.md5_bigint`),
+so Spark and DuckDB compute the IDENTICAL estimate — deterministic,
+hash-comparable, and still one map-side-combined groupBy over ``2^p``
+registers at any scale.
+
+Scale shape: hash + register index are pure JVM expressions; the only
+shuffle is a groupBy over at most ``2^p`` keys (4096 for p=12) with
+map-side partial ``max`` — the sketch state is O(2^p) regardless of input
+size, and registers from different partitions/days/sources merge with
+``max`` (the HLL union property), which is what makes it viable for 100 TB
+incremental pipelines where exact ``count(distinct)`` would shuffle every
+key.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from semantic_index_spark.functions.text import md5_bigint
+
+HASH_BITS = 60  # md5_bigint yields 15 hex chars = 60 bits
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Aggregate ``df[col]`` into HLL registers: ``(idx, rho)`` where
+    ``idx`` = top ``p`` hash bits and ``rho`` = max over values of
+    (1 + leading zeros of the remaining ``60-p`` bits). Only registers that
+    saw at least one value appear (absent ⇒ rho 0). Bit-length via
+    ``length(bin(x))`` — integer-exact in both engines, no float log2."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_registers: need 4 <= p <= 18, got {p}")
+    rem_bits = HASH_BITS - p
+    h = md5_bigint(F.col(col).cast("string"))
+    idx = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Fold registers into the HLL cardinality estimate (one row,
+    ``approx_distinct: double`` rounded to 3 decimals). Applies the
+    standard small-range linear-counting correction when E <= 2.5m and
+    empty registers exist — same closed formula the DuckDB oracle runs."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    folded = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_present_sum"),
+        F.count("*").alias("_n_present"),
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    raw = F.lit(alpha * m * m) / (F.col("_present_sum") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return folded.select(F.round(est, 3).alias("approx_distinct"))
+
+
+def hll_count_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """``hll_registers`` → ``hll_estimate`` in one call: a one-row
+    DataFrame with the portable approximate distinct count of ``col``."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_standard_error(p: int = 12) -> float:
+    """Theoretical relative standard error of HLL at precision ``p``:
+    ``1.04 / sqrt(2^p)`` (~1.6% at p=12) — for test tolerances."""
+    return 1.04 / math.sqrt(1 << p)

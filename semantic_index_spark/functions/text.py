@@ -106,6 +106,53 @@ def md5_bigint(c: Column | str, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
 
 
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: fraction of word n-gram shingles that are
+    duplicates of an earlier shingle in the SAME document —
+    ``1 - distinct/total``. The standard boilerplate/spam signal (Gopher's
+    duplicate-n-gram filters): templated or looping text scores high, prose
+    scores near 0. Pure JVM array ops; no shuffle, no Python."""
+    sh = shingles(text, n)
+    return F.round(
+        1.0
+        - F.size(F.array_distinct(sh)).cast("double")
+        / F.greatest(F.size(sh), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+# (label, RE2-safe pattern) — deliberately conservative ASCII patterns that
+# parse identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences, explicit character classes.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("PHONE", r"\+[0-9][0-9 ()-]{7,}[0-9]"),
+]
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Replace emails / IPv4s / international-format phone numbers with
+    ``<LABEL>`` placeholders — the redaction pass every training-data
+    pipeline runs before a corpus ships. Order matters (emails first, so an
+    IP-lookalike inside an email is not half-scrubbed); one
+    ``regexp_replace`` per pattern, all inside whole-stage codegen."""
+    c = _to_col(text)
+    for label, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{label}>")
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Per-document match counts as a map<string,int> keyed by PII label —
+    the audit twin of :func:`pii_scrub` (what WOULD be redacted)."""
+    c = _to_col(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(label) for label, _ in PII_PATTERNS]),
+        F.array(*[F.regexp_count(c, F.lit(pat)).cast("int") for _, pat in PII_PATTERNS]),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles → array<string> (distinct not applied here).
     Built with sequence+transform so it stays JVM-side; documents shorter

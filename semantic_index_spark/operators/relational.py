@@ -392,6 +392,28 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING windows (2h window, 1h slide) in batch form —
+    the same ``F.window(ts, window, slide)`` operator the streaming
+    ``sliding_avg`` builder uses, so the batch oracle certifies the
+    streaming semantics. Each event lands in window/slide = 2 windows;
+    Spark expands that assignment JVM-side (the oracle replays it as an
+    explicit 2-element unnest of epoch-aligned starts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def delete_ops_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remove + RemoveRange semantics as a pure relational program:
     `Remove` deletes ALL records equal to the item (`SemanticDatabase.cs:

@@ -71,3 +71,30 @@ def hash_split(
             _bucket(key_col, buckets) < int(round(test_fraction * buckets)), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically: rank rows inside each stratum by
+    (md5(key), key) and keep the first n — the same rows on every run, every
+    engine, and after corpus growth appends rows that hash later.
+
+    Scale shape: one hash-shuffle on the stratum key; ranking is a
+    per-stratum sort. For HUGE strata, pre-filter on the SAME hash —
+    ``df.filter(md5_bigint(key, salt="strat:") < t)`` — before calling this:
+    that keep-set is a prefix of this ranking order, so the result is
+    unchanged whenever ≥ n rows per stratum survive the pre-filter, and the
+    sort sees a few·n candidates instead of the whole stratum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        md5_bigint(F.col(key_col).cast("string"), salt="strat:"), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

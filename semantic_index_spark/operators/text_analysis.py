@@ -89,6 +89,34 @@ def chunk_documents(
     )
 
 
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 100,
+) -> DataFrame:
+    """Corpus-wide frequent terms: every token appearing ≥ ``min_count``
+    times, with its total count and document frequency — the vocabulary /
+    stopword-mining primitive. Exact, not sketched: explode → ONE groupBy
+    on the token (map-side partial counts collapse each partition's
+    duplicates before the shuffle, so the shuffle carries ≤ |vocab| rows per
+    partition regardless of corpus size — the word-count shape that scales
+    linearly). ``HAVING`` prunes before the final projection."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").alias("total_count"),
+            F.count_distinct(id_col).alias("doc_freq"),
+        )
+        .filter(F.col("total_count") >= min_count)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,172 @@
+"""Tests for the sketch (HLL), sampling, PII/repetition, heavy-hitter,
+and sliding-window operators, plus ANN recall quality bounds."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from semantic_index_spark.functions import sketch as SKT
+from semantic_index_spark.functions import text as T
+from semantic_index_spark.operators import similarity as S
+from semantic_index_spark.operators import skew as SK
+from semantic_index_spark.operators import text_analysis as TA
+from semantic_index_spark.operators.relational import events_sliding_windows
+from semantic_index_spark.session import load_table
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def test_hll_within_theoretical_error(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    est = SKT.hll_count_distinct(df, "k", p=12).collect()[0]["approx_distinct"]
+    rel_err = abs(est - n) / n
+    # 1.04/sqrt(4096) ≈ 1.6% standard error; 4 sigma is a safe determinism
+    # bound (the hash is fixed, so this can never flake).
+    assert rel_err < 4 * SKT.hll_standard_error(12), (est, rel_err)
+
+
+def test_hll_duplicates_dont_inflate(spark):
+    base = spark.range(1000).select(F.col("id").alias("k"))
+    dup = base.union(base).union(base)
+    e1 = SKT.hll_count_distinct(base, "k").collect()[0][0]
+    e3 = SKT.hll_count_distinct(dup, "k").collect()[0][0]
+    assert e1 == e3  # same distinct set → identical registers → same estimate
+
+
+def test_hll_registers_merge_with_max(spark):
+    """HLL union property: max-merging the halves' registers equals the
+    registers of the union — what makes incremental/partitioned sketching
+    work at scale."""
+    a = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b = spark.range(2500, 7500).select(F.col("id").alias("k"))
+    whole = SKT.hll_registers(a.union(b), "k")
+    merged = (
+        SKT.hll_registers(a, "k")
+        .unionByName(SKT.hll_registers(b, "k"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_hll_rejects_bad_precision(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        SKT.hll_registers(df, "id", p=2)
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s1 = SK.stratified_sample(d, "lang", "doc_id", 5)
+    per = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, sizes[lang])
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in SK.stratified_sample(d, "lang", "doc_id", 5).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+# ------------------------------------------------------- PII / repetition
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-ample.co.uk ip 192.168.0.1 tel +44 20 7946 0958 end",)],
+        "text string",
+    )
+    row = df.select(
+        T.pii_scrub("text").alias("scrubbed"), T.pii_counts("text").alias("c")
+    ).collect()[0]
+    assert row["scrubbed"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert row["c"] == {"EMAIL": 1, "IP": 1, "PHONE": 1}
+
+
+def test_pii_scrub_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame([("nothing personal here 1.5 + 2",)], "text string")
+    assert df.select(T.pii_scrub("text")).collect()[0][0] == "nothing personal here 1.5 + 2"
+
+
+def test_repetition_ratio_orders_templated_above_prose(spark):
+    df = spark.createDataFrame(
+        [("rep", "buy now " * 20), ("prose", "the quick brown fox jumps over the lazy dog")],
+        "k string, text string",
+    )
+    got = {r["k"]: r["rr"] for r in df.select("k", T.repetition_ratio("text").alias("rr")).collect()}
+    assert got["rep"] > 0.8
+    assert got["prose"] == 0.0
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b c"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["tok"]: r for r in TA.heavy_hitters(docs, min_count=2).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["total_count"] == 5 and rows["a"]["doc_freq"] == 3
+    assert rows["b"]["total_count"] == 2 and rows["b"]["doc_freq"] == 2
+
+
+def test_chunk_documents_rejects_degenerate_overlap(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        TA.chunk_documents(docs, chunk_tokens=40, overlap=40)
+    with pytest.raises(ValueError):
+        TA.chunk_documents(docs, chunk_tokens=40, overlap=50)
+
+
+# ------------------------------------------------------ sliding windows
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    """window=2h slide=1h ⇒ every event lands in exactly 2 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events_sliding_windows(spark, sf_dir)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 2 * ev.count()
+
+
+# ----------------------------------------------------------- ANN recall
+
+
+def _recall(approx_rows, exact_rows):
+    a = {r["vec_id"] for r in approx_rows}
+    e = {r["vec_id"] for r in exact_rows}
+    return len(a & e) / len(e)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from __spark_entry__ import CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [r["embedding"] for r in emb.filter(F.col("vec_id") < 3).collect()]
+    rec = [
+        _recall(
+            S.ivf_topk(emb, q, CENTROIDS, k=10, nprobe=2).collect(),
+            S.topk(emb, q, k=10).collect(),
+        )
+        for q in qs
+    ]
+    # nprobe=2 of 8 cells scans ~25% of rows; self-match plus cell locality
+    # must beat random (which would give ~0.25 recall).
+    assert sum(rec) / len(rec) >= 0.4, rec
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from __spark_entry__ import PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 3).collect()]
+    for vid, q in qs:
+        got = {r["vec_id"] for r in S.lsh_topk(emb, q, PLANES, k=10).collect()}
+        assert vid in got  # the query's own stored vector is always in its bucket
