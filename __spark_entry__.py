@@ -402,6 +402,17 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.crossJoin(exact)
 
 
+HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 100
+HISTO_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable fixed-bin histogram → quantiles at bin granularity: the
+    # scale path when exact `percentile` (per-group sort) is too expensive.
+    ev = load_table(spark, sf_dir, "events")
+    return SKT.histogram_quantiles(ev, "value", HISTO_LO, HISTO_HI, HISTO_QS, bins=HISTO_BINS)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-language sample: same rows every run / engine / sf.
     d = load_table(spark, sf_dir, "documents")
@@ -558,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "hll_users": q_hll_users,
+        "histogram_quantiles": q_histogram_quantiles,
         # vector / LLM-pipeline extensions
         "knn_multi": q_knn_multi,
         "lsh_bucket_hist": q_lsh_bucket_hist,
@@ -911,6 +923,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(e, 3) AS approx_distinct,
                    (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
             FROM est
+        """,
+        "histogram_quantiles": f"""
+            WITH b AS (
+                SELECT least(greatest(floor((value - {HISTO_LO!r}) / {(HISTO_HI - HISTO_LO) / HISTO_BINS!r}), 0), {HISTO_BINS - 1})::INT AS bin
+                FROM events
+            ),
+            h AS (
+                SELECT bin, count(*) AS n,
+                       round({HISTO_LO!r} + bin * {(HISTO_HI - HISTO_LO) / HISTO_BINS!r}, 6) AS bin_lo
+                FROM b GROUP BY bin
+            ),
+            c AS (
+                SELECT bin_lo,
+                       sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(n) OVER () AS total
+                FROM h
+            )
+            SELECT q, min(CASE WHEN cum >= q * total THEN bin_lo END) AS approx_value
+            FROM c, (SELECT unnest({HISTO_QS!r}::DOUBLE[]) AS q)
+            GROUP BY q
         """,
         "stratified_sample": f"""
             WITH r AS (

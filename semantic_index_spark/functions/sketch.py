@@ -83,3 +83,64 @@ def hll_standard_error(p: int = 12) -> float:
     """Theoretical relative standard error of HLL at precision ``p``:
     ``1.04 / sqrt(2^p)`` (~1.6% at p=12) — for test tolerances."""
     return 1.04 / math.sqrt(1 << p)
+
+
+def histogram_bins(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 64
+) -> DataFrame:
+    """Fixed-width histogram over ``[lo, hi)``: rows map to
+    ``floor((x-lo)/w)`` (clamped to the edge bins, so out-of-range values
+    land in bin 0 / bins-1 rather than vanishing). ONE map-side-combined
+    groupBy over ≤ ``bins`` keys; bin counts from different partitions /
+    days / sources merge by ``+`` — the mergeable-histogram property that
+    makes this the scale path when ``percentile`` (full sort per group) is
+    too expensive. Returns (bin, n, bin_lo) sorted by bin."""
+    if not bins > 0 or not hi > lo:
+        raise ValueError(f"histogram_bins: need bins > 0 and hi > lo, got {bins}, [{lo}, {hi})")
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select("bin", "n", F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str, lo: float, hi: float, qs: list[float], bins: int = 64
+) -> DataFrame:
+    """Approximate quantiles read off the fixed-bin histogram: for each q,
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ``q · total`` — error bounded by one bin width, deterministic, and
+    engine-portable (the DuckDB oracle replays the same cumulative scan).
+    The histogram is ≤ ``bins`` rows, so the cumulative window costs
+    nothing regardless of input size. Returns (q, approx_value)."""
+    from pyspark.sql import Window
+
+    histo = histogram_bins(df, col, lo, hi, bins)
+    cum = histo.select(
+        "bin",
+        "bin_lo",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    picks = [
+        F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin_lo"))).alias(
+            f"_q{i}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    wide = cum.agg(*picks)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(float(q)).alias("q"), F.col(f"_q{i}").alias("approx_value"))
+            for i, q in enumerate(qs)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select("r.q", "r.approx_value")

@@ -170,3 +170,42 @@ def test_lsh_topk_recall(spark, sf_dir):
     for vid, q in qs:
         got = {r["vec_id"] for r in S.lsh_topk(emb, q, PLANES, k=10).collect()}
         assert vid in got  # the query's own stored vector is always in its bucket
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    from semantic_index_spark.session import load_table as lt
+
+    ev = lt(spark, sf_dir, "events")
+    got = {
+        r["q"]: r["approx_value"]
+        for r in SKT.histogram_quantiles(ev, "value", 0.0, 500.0, [0.5, 0.9], bins=100).collect()
+    }
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    ).collect()[0]
+    assert abs(got[0.5] - exact["p50"]) <= 5.0  # one bin width
+    assert abs(got[0.9] - exact["p90"]) <= 5.0
+
+
+def test_histogram_bins_merge_by_sum(spark):
+    a = spark.range(0, 1000).select((F.col("id") % 97).cast("double").alias("v"))
+    b = spark.range(0, 500).select((F.col("id") % 31).cast("double").alias("v"))
+    whole = SKT.histogram_bins(a.union(b), "v", 0.0, 100.0, bins=10)
+    merged = (
+        SKT.histogram_bins(a, "v", 0.0, 100.0, bins=10)
+        .unionByName(SKT.histogram_bins(b, "v", 0.0, 100.0, bins=10))
+        .groupBy("bin", "bin_lo")
+        .agg(F.sum("n").alias("n"))
+        .select("bin", "n", "bin_lo")
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], "v double")
+    rows = {r["bin"]: r["n"] for r in SKT.histogram_bins(df, "v", 0.0, 100.0, bins=10).collect()}
+    assert rows == {0: 1, 5: 1, 9: 1}

@@ -232,3 +232,19 @@ def test_no_collect_in_ingest_source():
     creates)."""
     src = open(os.path.join(os.path.dirname(I.__file__), "ingest.py")).read()
     assert ".collect()" not in src
+
+
+def test_streaming_hll_registers_match_batch(spark, events_dir, events_batch):
+    """hll_registers is streaming-compatible as-is (groupBy idx + max rho is
+    a legal streaming aggregate with O(2^p) state), and the streamed
+    registers — and therefore the estimate — equal the batch sketch."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    out = _run_to_memory(
+        SKT.hll_registers(_stream(spark, events_dir, events_batch), "user_id"),
+        "t_hll", "complete", spark,
+    )
+    assert _rows(out) == _rows(SKT.hll_registers(events_batch, "user_id"))
+    est_stream = SKT.hll_estimate(out).collect()[0][0]
+    est_batch = SKT.hll_count_distinct(events_batch, "user_id").collect()[0][0]
+    assert est_stream == est_batch
