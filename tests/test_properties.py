@@ -119,3 +119,66 @@ def test_empty_inputs_through_operators(spark):
     assert tfidf_top_terms(docs).count() == 0
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(docs.select("doc_id"), pairs).count() == 0
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab @.+-019\t\né"), min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ts=texts)
+@settings(**SETTINGS)
+def test_text_signal_bounds_and_scrub_safety(spark, ts):
+    """repetition_ratio ∈ [0,1]; pii_scrub output never contains a raw
+    email match; scrubbing is idempotent (placeholders don't re-match)."""
+    import re
+
+    from semantic_index_spark.functions import text as T
+
+    df = spark.createDataFrame([(t,) for t in ts], "text string")
+    rows = df.select(
+        T.repetition_ratio("text").alias("rr"),
+        T.pii_scrub("text").alias("s1"),
+        T.pii_scrub(T.pii_scrub("text")).alias("s2"),
+    ).collect()
+    email = re.compile(dict(T.PII_PATTERNS)["EMAIL"])
+    for r in rows:
+        assert 0.0 <= r["rr"] <= 1.0
+        assert not email.search(r["s1"])
+        assert r["s2"] == r["s1"]
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=150, allow_nan=False), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_histogram_bins_partition_all_rows(spark, vals):
+    """Bin counts always sum to the row count (clamping loses nothing),
+    and every bin index is within [0, bins)."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = SKT.histogram_bins(df, "v", 0.0, 100.0, bins=8).collect()
+    assert sum(r["n"] for r in rows) == len(vals)
+    assert all(0 <= r["bin"] < 8 for r in rows)
+
+
+@given(n=st.integers(min_value=1, max_value=400))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_register_invariants(spark, n):
+    """rho ∈ [1, 49]; register count ≤ min(n, 4096); estimate > 0."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.range(n).select(F.col("id").alias("k"))
+    regs = SKT.hll_registers(df, "k").collect()
+    assert len(regs) <= min(n, 4096)
+    assert all(1 <= r["rho"] <= 49 for r in regs)
+    est = SKT.hll_count_distinct(df, "k").collect()[0][0]
+    assert est > 0
