@@ -427,8 +427,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant deterministic PII on every 7th doc, then audit (counts per kind),
     # scrub (md5 of the redacted text certifies the rewrite byte-for-byte),
-    # and score within-doc n-gram repetition.
-    d = load_table(spark, sf_dir, "documents")
+    # and score within-doc n-gram repetition. The per-row regex+shingle work
+    # is heavy, so the single-file scan is re-parallelized first.
+    d = D.ensure_parallelism(load_table(spark, sf_dir, "documents"))
     salted = d.select(
         "doc_id",
         F.when(
@@ -561,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": R.grouping_sets_revenue,
         "exists_subqueries": R.exists_subqueries,
         "pivot_status": R.pivot_status,
+        "null_semantics": R.null_semantics,
+        "agg_modern": R.agg_modern,
+        "array_hof": R.array_hof,
         "events_tumbling_windows": R.events_tumbling_windows,
         "events_sliding_windows": R.events_sliding_windows,
         "asof_join": q_asof_join,
@@ -891,6 +895,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "null_semantics": """
+            WITH t AS (
+                SELECT event_type,
+                       CASE WHEN value < 50 THEN NULL ELSE value END AS v1,
+                       CASE WHEN value >= 450 THEN NULL ELSE value END AS v2
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   count(v1) AS n_v1,
+                   round(sum(coalesce(v1, v2, 0.0::DOUBLE)), 2) AS sum_coalesced,
+                   sum(CASE WHEN v1 IS NOT DISTINCT FROM v2 THEN 1 ELSE 0 END)::BIGINT AS n_nullsafe_eq,
+                   sum(CASE WHEN v1 IS NULL AND v2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_both_null
+            FROM t GROUP BY event_type
+        """,
+        "agg_modern": """
+            SELECT event_type,
+                   round(median(value), 6) AS median_value,
+                   count_if(value > 250.0)::BIGINT AS n_big,
+                   bool_and(value >= 0.0) AS all_nonneg,
+                   bool_or(value > 480.0) AS any_huge
+            FROM events GROUP BY event_type
+        """,
+        "array_hof": """
+            SELECT vec_id,
+                   len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+                   round(list_sum(list_transform(embedding,
+                       x -> CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END)), 6) AS sum_pos,
+                   round(list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max'), 6) AS max_abs,
+                   len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0 AS has_big
+            FROM embeddings WHERE vec_id < 200
         """,
         "events_sliding_windows": """
             WITH t AS (SELECT floor(epoch(ts))::BIGINT AS tse, value FROM events),

@@ -392,6 +392,62 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: NULL-producing conditionals, coalesce
+    chains, null-safe equality (``<=>`` / IS NOT DISTINCT FROM), and
+    NULL-aware conditional counting. NULLs are derived deterministically
+    from the data so both engines see identical inputs. Pure projection +
+    one map-side-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v1 = F.when(F.col("value") < 50, None).otherwise(F.col("value"))
+    v2 = F.when(F.col("value") >= 450, None).otherwise(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(v1).alias("n_v1"),  # count(col) skips NULLs
+        F.round(F.sum(F.coalesce(v1, v2, F.lit(0.0))), 2).alias("sum_coalesced"),
+        F.sum(F.when(v1.eqNullSafe(v2), 1).otherwise(0)).cast("bigint").alias("n_nullsafe_eq"),
+        F.sum(F.when(v1.isNull() & v2.isNull(), 1).otherwise(0)).cast("bigint").alias("n_both_null"),
+    )
+
+
+def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newer aggregate surface: interpolated ``median`` (== DuckDB's),
+    ``count_if``, ``bool_and``/``bool_or`` — all with map-side partials,
+    shuffle O(groups)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("median_value"),
+        F.count_if(F.col("value") > 250.0).alias("n_big"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 480.0).alias("any_huge"),
+    )
+
+
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — transform /
+    filter / exists / aggregate, all JVM lambda expressions inside
+    whole-stage codegen (zero Python, zero explode: the array never fans
+    out to rows)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                arr,
+                F.lit(0.0),
+                lambda acc, x: acc + F.when(x > 0, x.cast("double")).otherwise(0.0),
+            ),
+            6,
+        ).alias("sum_pos"),
+        F.round(
+            F.array_max(F.transform(arr, lambda x: F.abs(x.cast("double")))), 6
+        ).alias("max_abs"),
+        F.exists(arr, lambda x: x.cast("double") > 0.3).alias("has_big"),
+    )
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time SLIDING windows (2h window, 1h slide) in batch form —
     the same ``F.window(ts, window, slide)`` operator the streaming
