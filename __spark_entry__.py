@@ -461,6 +461,21 @@ def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K, WINNOW_W = 8, 4
 
 
+INCR_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-time near-dup screening: which docs of the incoming batch
+    # collide (share a full MinHash band) with the existing corpus, and
+    # with whom. Batch and corpus never form pairs — only band-key joins.
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < INCR_SPLIT)
+    new = d.filter(F.col("doc_id") >= INCR_SPLIT)
+    return D.incremental_lsh_dedup(
+        corpus, new, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return D.winnowing_fingerprints(d, k=WINNOW_K, w=WINNOW_W)
@@ -582,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -658,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         for i in range(MINHASH_N)
     )
     band_cond = " OR ".join(f"(a.h{i} = b.h{i})" for i in range(MINHASH_N))
+    inc_band_cond = " OR ".join(f"(n.h{i} = c.h{i})" for i in range(MINHASH_N))
     simhash_bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -1019,6 +1036,17 @@ def oracle_sql() -> dict[str, str]:
             sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+        """,
+        "incremental_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id)
+            SELECT n.doc_id AS new_id, min(c.doc_id) AS dup_of
+            FROM sig n JOIN sig c
+              ON n.doc_id >= {INCR_SPLIT} AND c.doc_id < {INCR_SPLIT} AND ({inc_band_cond})
+            GROUP BY n.doc_id
         """,
         "winnowing_fingerprints": f"""
             WITH d AS (

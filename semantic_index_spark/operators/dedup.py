@@ -93,6 +93,61 @@ def minhash_signature_long(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) — each document's MinHash signature split
+    into ``bands`` bands, each band collapsed to one md5 key. The shared
+    LSH currency of :func:`minhash_lsh_pairs` (within-corpus) and
+    :func:`incremental_lsh_dedup` (batch-vs-corpus); at scale this is the
+    table you persist once per corpus and equi-join every ingest against."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_long(df, text_col, id_col, num_hashes, shingle_n)
+    return (
+        sig.withColumn("band_idx", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band_idx")
+        .agg(F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash"))).alias("vals"))
+        .withColumn("band_key", F.md5(F.to_json(F.col("vals"))))
+        .select(id_col, "band_idx", "band_key")
+    )
+
+
+def incremental_lsh_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen an INCOMING batch against an EXISTING corpus: for each new
+    doc sharing a full MinHash band with some corpus doc, return
+    (new_id, dup_of = minimum colliding corpus id); new docs absent from
+    the result are admitted. The production ingest-time shape of
+    :func:`minhash_lsh_pairs`: the probe is an equi-join on
+    (band_idx, band_key) hash-partitioned by key — batch × corpus never
+    materializes as pairs, and the corpus side's banded signatures are a
+    precomputable artifact, so each ingest pays signature cost only for
+    the batch."""
+    cb = banded_signatures(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+    nb = banded_signatures(new, text_col, id_col, num_hashes, bands, shingle_n)
+    return (
+        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(
+            cb.select(F.col(id_col).alias("dup_of"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .groupBy("new_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -109,15 +164,7 @@ def minhash_lsh_pairs(
     `bands` hash-partitioned joins — the only strategy that survives 100 TB
     (a cosine cross-join does not). Returns distinct (id_a < id_b) pairs.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_long(df, text_col, id_col, num_hashes, shingle_n)
-    banded = (
-        sig.withColumn("band_idx", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band_idx")
-        .agg(F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash"))).alias("vals"))
-        .withColumn("band_key", F.md5(F.to_json(F.col("vals"))))
-        .select(id_col, "band_idx", "band_key")
-    )
+    banded = banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -334,3 +334,29 @@ def test_embedder_config_surface(spark):
     assert det.embedding_model is None
     with pytest.raises(AttributeError):
         det.api_key = "nope"
+
+
+def test_incremental_dedup_consistent_with_full_pairs(spark, sf_dir):
+    """Batch-vs-corpus screening must agree with the within-corpus pair
+    enumeration restricted to cross-split pairs (same bands → same
+    collisions), with dup_of = the minimum colliding corpus id."""
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.operators import dedup as D
+    from semantic_index_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    split = 400
+    pairs = D.minhash_lsh_pairs(d, num_hashes=4, bands=4)
+    expected = (
+        pairs.filter((F.col("id_a") < split) & (F.col("id_b") >= split))
+        .groupBy(F.col("id_b").alias("new_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    got = D.incremental_lsh_dedup(
+        d.filter(F.col("doc_id") < split),
+        d.filter(F.col("doc_id") >= split),
+        num_hashes=4,
+        bands=4,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
