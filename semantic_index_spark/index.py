@@ -267,6 +267,13 @@ class SemanticIndex:
         for deterministic, stable output.
         """
         q = [float(x) for x in embedding]
+        dim = getattr(self.embedder, "dim", None)
+        if dim is not None and len(q) != dim:
+            # zip_with pads the shorter array with NULLs, which would turn
+            # every score NULL and return arbitrary rows — fail loudly.
+            raise ValueError(
+                f"query embedding has dim {len(q)}, index embedder expects {dim}"
+            )
         return (
             self._df.withColumn("score", V.dot_literal(F.col("embedding"), q))
             .orderBy(F.desc("score"), F.asc("item"))

@@ -155,3 +155,12 @@ def test_object_items(spark):
     assert idx.contains({"legs": 4, "name": "cat"})  # key order canonicalized
     got = idx.search_first_object({"name": "cat", "legs": 4})
     assert got == {"name": "cat", "legs": 4}
+
+
+def test_search_rejects_wrong_dimension(spark):
+    from semantic_index_spark import DeterministicEmbedder, SemanticIndex
+
+    idx = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=8))
+    idx.add_range(["a", "b"])
+    with pytest.raises(ValueError, match="dim 3"):
+        idx.search([1.0, 2.0, 3.0])

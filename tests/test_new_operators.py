@@ -360,3 +360,47 @@ def test_incremental_dedup_consistent_with_full_pairs(spark, sf_dir):
         bands=4,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The AQE skew-join lever the 100 TB posture relies on, demonstrated:
+    a join keyed 80% onto one hot key re-plans at runtime with the hot
+    partition split (skew=true in the final adaptive plan) — no salting
+    needed on the JOIN path (salted_agg covers the aggregate path)."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled down so a local-sized input exhibits "skew"
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(500_000).select(
+            F.when(F.col("id") < 400_000, F.lit(0).cast("long"))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("label"))
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 500_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
