@@ -461,6 +461,19 @@ def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K, WINNOW_W = 8, 4
 
 
+EDIT_MAX_RATIO = 0.5
+
+
+def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH candidates → exact edit-distance verification: the O(len²) cost
+    # is paid ONLY on band-colliding pairs, inside JVM codegen.
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    return D.edit_distance_verify(d, pairs, max_ratio=EDIT_MAX_RATIO)
+
+
 INCR_SPLIT = 400  # doc_id < split = existing corpus; >= split = new batch
 
 
@@ -598,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_dedup": q_incremental_dedup,
+        "edit_distance_verify": q_edit_distance_verify,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1036,6 +1050,25 @@ def oracle_sql() -> dict[str, str]:
             sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+        """,
+        "edit_distance_verify": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            )
+            SELECT id_a, id_b,
+                   round(levenshtein(da.text, db.text)::DOUBLE
+                         / greatest(length(da.text), length(db.text), 1), 6) AS edit_ratio
+            FROM pairs
+            JOIN documents da ON da.doc_id = id_a
+            JOIN documents db ON db.doc_id = id_b
+            WHERE round(levenshtein(da.text, db.text)::DOUBLE
+                        / greatest(length(da.text), length(db.text), 1), 6) <= {EDIT_MAX_RATIO!r}
         """,
         "incremental_dedup": f"""
             WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),

@@ -179,6 +179,39 @@ def minhash_lsh_pairs(
     )
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Verify CANDIDATE pairs (from any LSH stage) by normalized
+    Levenshtein distance: ``lev(a,b) / max(len(a), len(b))``; keep pairs at
+    or under ``max_ratio``. O(len²) per pair is why this only ever runs on
+    the LSH-pruned candidate set, never all pairs — the candidate join is
+    two hash equi-joins on the id, and the quadratic work is per-row CPU
+    inside codegen (`levenshtein` is a JVM built-in), embarrassingly
+    parallel. Columns: (id_a, id_b, edit_ratio)."""
+    t = df.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.levenshtein("_ta", "_tb").cast("double")
+                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).cast("double"),
+                6,
+            ).alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= max_ratio)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
