@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": R.grouping_sets_revenue,
         "exists_subqueries": R.exists_subqueries,
         "pivot_status": R.pivot_status,
+        "scalar_subquery": R.scalar_subquery,
         "null_semantics": R.null_semantics,
         "agg_modern": R.agg_modern,
         "array_hof": R.array_hof,
@@ -926,6 +927,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "scalar_subquery": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+            FROM orders o
+            WHERE o_totalprice > (
+                SELECT min(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey
+            )
         """,
         "null_semantics": """
             WITH t AS (

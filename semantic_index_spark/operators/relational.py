@@ -392,6 +392,26 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery through the SQL front door: orders
+    strictly above their own customer's minimum order value. Catalyst
+    de-correlates this into an aggregate + join — same plan family as the
+    EXISTS rewrites, no per-row re-execution (the naive nested-loop a
+    correlated subquery implies would be quadratic). ``min`` keeps the
+    threshold order-independent and exact across engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders_ss o
+        WHERE o_totalprice > (
+            SELECT min(o2.o_totalprice) FROM orders_ss o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-valued-logic surface: NULL-producing conditionals, coalesce
     chains, null-safe equality (``<=>`` / IS NOT DISTINCT FROM), and
