@@ -982,7 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": f"""
             WITH h AS (
                 SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
-                FROM events
+                FROM events WHERE user_id IS NOT NULL
             ),
             r AS (SELECT hv >> 48 AS idx, hv & ((1::BIGINT << 48) - 1) AS rem FROM h),
             regs AS (

@@ -47,7 +47,11 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
         F.lit(rem_bits + 1) - F.length(F.bin(rem))
     )
     return (
-        df.select(idx.alias("idx"), rho.alias("rho"))
+        # count(distinct) ignores NULLs; without this filter a NULL value
+        # would hash to a phantom (idx=NULL, rho=NULL) register that skews
+        # the zero-register count in hll_estimate.
+        df.where(F.col(col).isNotNull())
+        .select(idx.alias("idx"), rho.alias("rho"))
         .groupBy("idx")
         .agg(F.max("rho").alias("rho"))
     )
@@ -61,7 +65,11 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     folded = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_present_sum"),
+        # coalesce: sum over zero registers is NULL; 0.0 routes the empty
+        # sketch into the linear-counting branch, which yields exactly 0.
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(
+            "_present_sum"
+        ),
         F.count("*").alias("_n_present"),
     )
     zeros = F.lit(m) - F.col("_n_present")
@@ -136,7 +144,10 @@ def histogram_quantiles(
         )
         for i, q in enumerate(qs)
     ]
-    wide = cum.agg(*picks)
+    # _nbins guards the empty-input case: a global agg over zero histogram
+    # rows still emits one all-NULL row, which would explode into len(qs)
+    # (q, NULL) rows while the SQL-oracle cross join yields zero rows.
+    wide = cum.agg(*picks, F.count("*").alias("_nbins")).where(F.col("_nbins") > 0)
     pairs = F.array(
         *[
             F.struct(F.lit(float(q)).alias("q"), F.col(f"_q{i}").alias("approx_value"))

@@ -63,6 +63,11 @@ class SemanticIndex:
         # ctor family: SemanticDatabase.cs:42,49-52,59-62 (bind client);
         # DuplicateHandling default Update: SemanticDatabase.cs:85.
         self.spark = spark
+        # When no embedder is supplied (e.g. from_file on a saved store),
+        # the default's dim is a placeholder that may disagree with loaded
+        # embeddings — search_df must then rely on its plan-side guard
+        # instead of the driver-side dim fast-fail.
+        self._embedder_supplied = embedder is not None
         self.embedder = embedder or DeterministicEmbedder()
         self.duplicate_handling = duplicate_handling
         self._df = df if df is not None else spark.createDataFrame([], RECORD_SCHEMA)
@@ -267,15 +272,30 @@ class SemanticIndex:
         for deterministic, stable output.
         """
         q = [float(x) for x in embedding]
-        dim = getattr(self.embedder, "dim", None)
+        dim = getattr(self.embedder, "dim", None) if self._embedder_supplied else None
         if dim is not None and len(q) != dim:
             # zip_with pads the shorter array with NULLs, which would turn
             # every score NULL and return arbitrary rows — fail loudly.
             raise ValueError(
                 f"query embedding has dim {len(q)}, index embedder expects {dim}"
             )
+        # Embedder-less indexes (e.g. from_file) have no driver-side dim to
+        # check against, so the plan itself guards every row: a mismatched
+        # stored embedding raises instead of silently scoring NULL. The
+        # size() compare is O(1) JVM work next to the O(d) dot product.
+        score = F.when(
+            F.size("embedding") == F.lit(len(q)),
+            V.dot_literal(F.col("embedding"), q),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"query embedding has dim {len(q)}, stored embedding has dim "),
+                    F.size("embedding").cast("string"),
+                )
+            )
+        )
         return (
-            self._df.withColumn("score", V.dot_literal(F.col("embedding"), q))
+            self._df.withColumn("score", score)
             .orderBy(F.desc("score"), F.asc("item"))
             .limit(count)
         )

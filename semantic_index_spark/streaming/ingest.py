@@ -20,6 +20,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
+# stream_upsert_into_index: how many micro-batches between full index
+# compactions (each compact is O(index); between them lineage grows one
+# join/union layer per batch, which analysis handles fine at this depth).
+COMPACT_EVERY_N_BATCHES = 8
+
 
 def stream_events(spark, path: str, schema) -> DataFrame:
     """File-based streaming source over an events directory. In production
@@ -86,17 +91,21 @@ def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> Da
     foreachBatch. Checkpointing makes the upsert exactly-once per epoch."""
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch contract: batch_df is only valid INSIDE this call,
+        # so pin THIS batch with an eager localCheckpoint — O(batch) work —
+        # and the index's lineage never re-reads the streaming source
+        # (non-replayable with Kafka retention).
+        pinned = batch_df.localCheckpoint(eager=True)
         # stays distributed: the micro-batch DataFrame is embedded via the
         # vectorized pandas_udf and upserted with the same broadcast
         # anti-join program the batch path uses — no collect() to the
         # driver, so a 10M-row micro-batch never funnels through one node.
-        index.upsert_df(batch_df)
-        # foreachBatch contract: batch_df is only valid INSIDE this call.
-        # compact() eagerly materializes the post-upsert snapshot
-        # (localCheckpoint), so the micro-batch is evaluated within its
-        # epoch and the index's lineage never re-reads the streaming
-        # source (non-replayable with Kafka retention) or grows per batch.
-        index.compact()
+        index.upsert_df(pinned)
+        # Full compact() re-materializes the ENTIRE index — O(index), not
+        # O(batch) — so run it on a cadence only to bound the join/union
+        # lineage depth, not every epoch.
+        if epoch_id % COMPACT_EVERY_N_BATCHES == COMPACT_EVERY_N_BATCHES - 1:
+            index.compact()
 
     return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
 

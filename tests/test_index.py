@@ -164,3 +164,23 @@ def test_search_rejects_wrong_dimension(spark):
     idx.add_range(["a", "b"])
     with pytest.raises(ValueError, match="dim 3"):
         idx.search([1.0, 2.0, 3.0])
+
+
+def test_search_rejects_wrong_dimension_without_embedder(spark, tmp_path):
+    from semantic_index_spark import DeterministicEmbedder, SemanticIndex
+
+    idx = SemanticIndex(spark, embedder=DeterministicEmbedder(dim=8))
+    idx.add_range(["a", "b"])
+    path = str(tmp_path / "noembed")
+    idx.save(path)
+    # from_file with no embedder: the driver-side dim check can't run, so
+    # the plan-side raise_error guard must catch the mismatch instead of
+    # silently returning NULL-scored arbitrary rows.
+    loaded = SemanticIndex.from_file(spark, path)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        loaded.search([1.0, 2.0, 3.0])
+    # matching dim still works
+    assert len(loaded.search([0.0] * 8, count=1)) == 1

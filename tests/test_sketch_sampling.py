@@ -209,3 +209,24 @@ def test_histogram_clamps_out_of_range(spark):
     df = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], "v double")
     rows = {r["bin"]: r["n"] for r in SKT.histogram_bins(df, "v", 0.0, 100.0, bins=10).collect()}
     assert rows == {0: 1, 5: 1, 9: 1}
+
+
+def test_hll_ignores_nulls(spark):
+    with_nulls = spark.createDataFrame(
+        [(str(i),) for i in range(200)] + [(None,)] * 50, "k string"
+    )
+    without = spark.createDataFrame([(str(i),) for i in range(200)], "k string")
+    a = SKT.hll_count_distinct(with_nulls, "k").collect()[0]["approx_distinct"]
+    b = SKT.hll_count_distinct(without, "k").collect()[0]["approx_distinct"]
+    assert a == b
+
+
+def test_hll_empty_input_is_zero(spark):
+    empty = spark.createDataFrame([], "k string")
+    est = SKT.hll_count_distinct(empty, "k").collect()[0]["approx_distinct"]
+    assert est == 0.0
+
+
+def test_histogram_quantiles_empty_input_zero_rows(spark):
+    empty = spark.createDataFrame([], "v double")
+    assert SKT.histogram_quantiles(empty, "v", 0.0, 100.0, [0.5, 0.9]).count() == 0
