@@ -466,10 +466,13 @@ EDIT_MAX_RATIO = 0.5
 
 def q_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH candidates → exact edit-distance verification: the O(len²) cost
-    # is paid ONLY on band-colliding pairs, inside JVM codegen.
+    # is paid ONLY on band-colliding pairs, inside JVM codegen. Bands of
+    # TWO rows (r=2 AND-then-OR) screen ~40× harder than the single-row
+    # bands minhash_lsh_pairs uses for recall-first enumeration — the
+    # right trade when each surviving pair costs O(len²) CPU.
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+        d, num_hashes=MINHASH_N, bands=MINHASH_N // 2, shingle_n=SHINGLE_N
     )
     return D.edit_distance_verify(d, pairs, max_ratio=EDIT_MAX_RATIO)
 
@@ -690,6 +693,15 @@ def oracle_sql() -> dict[str, str]:
     )
     band_cond = " OR ".join(f"(a.h{i} = b.h{i})" for i in range(MINHASH_N))
     inc_band_cond = " OR ".join(f"(n.h{i} = c.h{i})" for i in range(MINHASH_N))
+    # r=2 banding for the edit-distance verifier: band k matches iff BOTH
+    # of its rows agree — the textbook AND-then-OR S-curve, far more
+    # selective than the single-row bands above (42k -> ~1k candidates at
+    # sf0.1), so the expensive exact verification only pays for
+    # plausibly-similar pairs.
+    edit_band_cond = " OR ".join(
+        f"(a.h{2 * k} = b.h{2 * k} AND a.h{2 * k + 1} = b.h{2 * k + 1})"
+        for k in range(MINHASH_N // 2)
+    )
     simhash_bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -1068,7 +1080,7 @@ def oracle_sql() -> dict[str, str]:
             sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({edit_band_cond})
             )
             SELECT id_a, id_b,
                    round(levenshtein(da.text, db.text)::DOUBLE
@@ -1076,8 +1088,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN documents da ON da.doc_id = id_a
             JOIN documents db ON db.doc_id = id_b
-            WHERE round(levenshtein(da.text, db.text)::DOUBLE
-                        / greatest(length(da.text), length(db.text), 1), 6) <= {EDIT_MAX_RATIO!r}
+            WHERE levenshtein(da.text, db.text)
+                  <= floor({EDIT_MAX_RATIO!r} * greatest(length(da.text), length(db.text), 1))
         """,
         "incremental_dedup": f"""
             WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),

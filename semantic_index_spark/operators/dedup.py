@@ -155,26 +155,35 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
-    Signature split into `bands` bands of `num_hashes/bands` rows; a pair is
-    a candidate iff some band's values all agree. Implemented as an
-    equi-join on (band_idx, band_key): the all-pairs problem becomes
-    `bands` hash-partitioned joins — the only strategy that survives 100 TB
-    (a cosine cross-join does not). Returns distinct (id_a < id_b) pairs.
+    Signature split into `bands` bands of `num_hashes/bands` rows; a pair
+    is a candidate iff some band's values all agree. Implemented as ONE
+    groupBy on (band_idx, band_key) that collects each bucket's ids and
+    explodes the within-bucket pairs — never an all-pairs comparison, and
+    (unlike a signatures self-join, whose two branches Spark plans as two
+    full signature pipelines) the shingle→minhash computation runs exactly
+    once. Bucket membership lists are small by construction — LSH's whole
+    point is scattering the corpus across ~|corpus| keys — and a
+    degenerate hot bucket (stop-shingle artifact) explodes quadratically
+    in EITHER formulation; cap it with ``max_bucket`` at scale, which
+    drops only buckets too dense to mean anything. Returns distinct
+    (id_a < id_b) pairs.
     """
     banded = banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_n)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -188,27 +197,57 @@ def edit_distance_verify(
 ) -> DataFrame:
     """Verify CANDIDATE pairs (from any LSH stage) by normalized
     Levenshtein distance: ``lev(a,b) / max(len(a), len(b))``; keep pairs at
-    or under ``max_ratio``. O(len²) per pair is why this only ever runs on
-    the LSH-pruned candidate set, never all pairs — the candidate join is
-    two hash equi-joins on the id, and the quadratic work is per-row CPU
-    inside codegen (`levenshtein` is a JVM built-in), embarrassingly
-    parallel. Columns: (id_a, id_b, edit_ratio)."""
+    or under ``max_ratio``. Only ever runs on the LSH-pruned candidate set,
+    never all pairs — the candidate join is two hash equi-joins on the id,
+    and the per-pair CPU stays inside codegen (`levenshtein` is a JVM
+    built-in), embarrassingly parallel. Two levers keep that CPU bounded
+    (candidate sets are mostly NON-duplicates, which naive O(len²) pays
+    full price for):
+
+    - a length-difference prefilter — ``lev >= |len_a - len_b|``, so a
+      pair whose lengths differ by more than the cap can't pass and never
+      reaches the expensive call;
+    - thresholded ``levenshtein(a, b, cap)`` — Spark's banded variant does
+      O(len·cap) work and returns -1 as soon as the distance provably
+      exceeds ``cap = floor(max_ratio · max_len)``. For integer distances
+      ``lev <= floor(r · L)  ⟺  lev/L <= r``, so "came back non-negative"
+      IS the acceptance test and each pair pays for exactly one banded
+      call.
+
+    Columns: (id_a, id_b, edit_ratio)."""
     t = df.select(F.col(id_col), F.col(text_col))
     a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+    cap = F.floor(F.lit(float(max_ratio)) * max_len).cast("int")
+    lev = F.expr(
+        f"levenshtein(_ta, _tb, cast(floor({float(max_ratio)!r} * "
+        "greatest(length(_ta), length(_tb), 1)) as int))"
+    )
+    # Candidate pairs are tiny in BYTES (two ids), so AQE coalesces the
+    # upstream LSH shuffle to one partition — which would serialize all
+    # the Levenshtein CPU on one core (37s vs 2.6s on 42k candidates at
+    # sf0.1, local[32]). An explicit repartition (user-specified counts
+    # are exempt from AQE coalescing) spreads the CPU-bound stage. It must
+    # sit BELOW the text joins: Catalyst pushes the edit_ratio filter into
+    # the join condition above it (the texts it references don't exist
+    # under the joins, so it can sink no further), which is where the
+    # per-pair work actually runs.
+    cpu_parallelism = 2 * pairs.sparkSession.sparkContext.defaultParallelism
     return (
-        pairs.join(a, "id_a")
+        pairs.repartition(cpu_parallelism)
+        .join(a, "id_a")
         .join(b, "id_b")
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= cap)
+        # filter on the raw banded call (not a derived column) so the
+        # pushed-down predicate contains exactly ONE levenshtein per pair;
+        # the projection below re-evaluates it only for survivors.
+        .filter(lev >= 0)
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.levenshtein("_ta", "_tb").cast("double")
-                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).cast("double"),
-                6,
-            ).alias("edit_ratio"),
+            F.round(lev.cast("double") / max_len.cast("double"), 6).alias("edit_ratio"),
         )
-        .filter(F.col("edit_ratio") <= max_ratio)
     )
 
 
