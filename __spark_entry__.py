@@ -514,6 +514,81 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=4, iters=3)
 
 
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type-2 SCD history of each user's event_type transitions: one keyed
+    # sort-shuffle stitches validity intervals — no self-join, no range join.
+    ev = load_table(spark, sf_dir, "events")
+    h = TS.scd2_history(ev, key="user_id", ts="ts", attr="event_type", tiebreak="event_id")
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+
+
+EMBED_CACHE_MOD = 3  # doc_id % MOD == 0 rows are "previously embedded"
+
+
+def q_embed_cache_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental embedding: content-fingerprint cache join; only misses
+    # pay the embedder UDF. The oracle checks the content-addressed
+    # hit/miss split and that every hit reuses the CACHED vector
+    # (cached_emb_sum); the miss-side compute path is pytest-verified
+    # (DeterministicEmbedder is not SQL-expressible).
+    from semantic_index_spark.embedder import DeterministicEmbedder
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cache = (
+        d.filter(F.col("doc_id") % EMBED_CACHE_MOD == 0)
+        .join(emb, d["doc_id"] == emb["vec_id"])
+        .select(T.fingerprint("text").alias("fingerprint"), "vec_id", "embedding")
+        .groupBy("fingerprint")
+        # duplicate texts exist in the corpus: deterministic winner per key
+        .agg(F.min_by("embedding", "vec_id").alias("embedding"))
+    )
+    out = P.embed_incremental(d, cache, DeterministicEmbedder(dim=64))
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        "was_cached",
+        F.when(
+            F.col("was_cached"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+                ),
+                4,
+            ),
+        ).alias("cached_emb_sum"),
+        # reads the MISS-side computed vectors too (the oracle knows the
+        # embedder emits dim=64), so Catalyst cannot prune the UDF out of
+        # the declared query.
+        F.size("embedding").alias("emb_dim"),
+    )
+
+
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style one-pass data-quality gate: N rules = one scan + one
+    # tiny shuffle; output is rows a pipeline can branch on.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents")
+    return P.validate_expectations(
+        d,
+        [
+            P.expect_not_null("text"),
+            P.expect_unique("doc_id"),
+            P.expect_in_range("n_chars", 1, 2000),
+            P.expect_in_set("lang", ["en", "de", "fr", "es", "zh"]),
+            P.expect_matches("source", "^src[0-9]+$"),
+        ],
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -637,6 +712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "media_stats": q_media_stats,
         "media_frames": q_media_frames,
+        # corpus-pipeline extensions
+        "scd2_user_status": q_scd2_user_status,
+        "embed_cache_hits": q_embed_cache_hits,
+        "data_expectations": q_data_expectations,
     }
 
 
@@ -1515,6 +1594,66 @@ def oracle_sql() -> dict[str, str]:
                    md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5,
                    length(substring(text, frame_idx * 64 + 1, 64))::INT AS n_bytes
             FROM ex WHERE frame_idx % 2 = 0
+        """,
+        "scd2_user_status": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tr AS (
+                SELECT user_id, event_type, ts, event_id FROM o
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type,
+                   floor(epoch(ts))::BIGINT AS valid_from,
+                   floor(epoch(lead(ts) OVER w2))::BIGINT AS valid_to,
+                   (lead(ts) OVER w2) IS NULL AS is_current
+            FROM tr
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "embed_cache_hits": f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                FROM documents
+            ),
+            cache AS (
+                SELECT f.fingerprint, arg_min(e.embedding, e.vec_id) AS embedding
+                FROM fp f JOIN embeddings e ON f.doc_id = e.vec_id
+                WHERE f.doc_id % {EMBED_CACHE_MOD} = 0
+                GROUP BY f.fingerprint
+            )
+            SELECT f.doc_id, f.fingerprint,
+                   c.fingerprint IS NOT NULL AS was_cached,
+                   CASE WHEN c.fingerprint IS NOT NULL THEN
+                       round(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4)
+                   END AS cached_emb_sum,
+                   CASE WHEN c.fingerprint IS NOT NULL THEN len(c.embedding)
+                        ELSE 64 END::INT AS emb_dim
+            FROM fp f LEFT JOIN cache c ON f.fingerprint = c.fingerprint
+        """,
+        "data_expectations": """
+            WITH v AS (
+                SELECT
+                    count(*) FILTER (WHERE text IS NULL) AS v0,
+                    count(doc_id) - count(DISTINCT doc_id) AS v1,
+                    count(*) FILTER (WHERE n_chars IS NOT NULL
+                                     AND n_chars NOT BETWEEN 1 AND 2000) AS v2,
+                    count(*) FILTER (WHERE lang IS NOT NULL
+                                     AND lang NOT IN ('en','de','fr','es','zh')) AS v3,
+                    count(*) FILTER (WHERE source IS NOT NULL
+                                     AND NOT regexp_matches(source, '^src[0-9]+$')) AS v4,
+                    count(*) AS n
+                FROM documents
+            )
+            SELECT 'not_null_text' AS rule, v0 AS violations, n AS n_rows, v0 = 0 AS passed FROM v
+            UNION ALL SELECT 'unique_doc_id', v1, n, v1 = 0 FROM v
+            UNION ALL SELECT 'in_range_n_chars', v2, n, v2 = 0 FROM v
+            UNION ALL SELECT 'in_set_lang', v3, n, v3 = 0 FROM v
+            UNION ALL SELECT 'matches_source', v4, n, v4 = 0 FROM v
         """,
     }
 

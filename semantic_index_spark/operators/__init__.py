@@ -1,3 +1,9 @@
-from semantic_index_spark.operators import dedup, multimodal, relational, similarity
+from semantic_index_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+)
 
-__all__ = ["dedup", "multimodal", "relational", "similarity"]
+__all__ = ["dedup", "multimodal", "pipeline", "relational", "similarity"]

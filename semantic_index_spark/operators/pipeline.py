@@ -1,0 +1,135 @@
+"""Training-corpus pipeline operators: incremental embedding against a
+fingerprint-keyed cache, and one-pass data-quality expectation checks.
+
+[absent in reference — north-star extension] The reference re-embeds every
+item unconditionally (`SemanticDatabase.cs:162,404` — one API call per item,
+even for unchanged text). At corpus scale, embedding is the single most
+expensive stage of the pipeline, and most snapshots are ~99% unchanged from
+the previous run, so the production shape is *incremental*: key previously
+computed vectors by a content fingerprint and pay the embedder only for rows
+whose text actually changed.
+
+Scale shape:
+  * ``embed_incremental`` — one hash equi-join on the 128-bit fingerprint
+    (broadcast when the cache is small, sort-merge when it is another
+    corpus-sized table; Catalyst/AQE picks) + an anti-join for the misses.
+    The Arrow-batched embedder UDF — the only Python in the path — runs
+    ONLY on the miss partitions. No collect, no driver round-trip.
+  * ``validate_expectations`` — every rule folds into ONE aggregate pass
+    over the table (count_if / count_distinct are map-side partial), so N
+    expectations cost a single scan + one tiny shuffle regardless of N.
+    The result is rows, not exceptions: gate a pipeline stage by joining
+    on ``passed = false``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from semantic_index_spark.embedder import Embedder, embed_udf
+from semantic_index_spark.functions import text as T
+
+
+def embed_incremental(
+    docs: DataFrame,
+    cache: DataFrame,
+    embedder: Embedder,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embed ``docs`` reusing a cache of previously computed vectors.
+
+    ``cache`` must be unique per ``fingerprint`` with columns
+    (fingerprint, embedding) — the artifact a previous run persisted.
+    Rows whose whitespace-normalized text fingerprint
+    (:func:`semantic_index_spark.functions.text.fingerprint`) hits the
+    cache reuse the stored vector; only misses pay the embedder UDF.
+    Returns (id, fingerprint, embedding, was_cached).
+    """
+    fp = docs.select(
+        F.col(id_col), F.col(text_col), T.fingerprint(text_col).alias("fingerprint")
+    )
+    cached = cache.select("fingerprint", "embedding")
+    hits = fp.join(cached, "fingerprint").select(
+        id_col, "fingerprint", "embedding", F.lit(True).alias("was_cached")
+    )
+    misses = fp.join(cached.select("fingerprint"), "fingerprint", "left_anti")
+    computed = misses.withColumn("embedding", embed_udf(embedder)(F.col(text_col))).select(
+        id_col, "fingerprint", "embedding", F.lit(False).alias("was_cached")
+    )
+    return hits.unionByName(computed)
+
+
+class Expectation(NamedTuple):
+    """A named data-quality rule: ``violations`` is an AGGREGATE column
+    counting the rows that break the rule (0 = rule holds)."""
+
+    rule: str
+    violations: Column
+
+
+def expect_not_null(col: str) -> Expectation:
+    return Expectation(f"not_null_{col}", F.count_if(F.col(col).isNull()))
+
+
+def expect_unique(col: str) -> Expectation:
+    """Violations = surplus non-null occurrences beyond one per value
+    (NULLs are not compared to each other, mirroring SQL UNIQUE)."""
+    return Expectation(
+        f"unique_{col}", F.count(F.col(col)) - F.count_distinct(F.col(col))
+    )
+
+
+def expect_in_range(col: str, lo, hi) -> Expectation:
+    """NULLs don't violate a range rule — pair with expect_not_null."""
+    return Expectation(
+        f"in_range_{col}",
+        F.count_if(F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))),
+    )
+
+
+def expect_in_set(col: str, values: list) -> Expectation:
+    return Expectation(
+        f"in_set_{col}",
+        F.count_if(F.col(col).isNotNull() & ~F.col(col).isin(values)),
+    )
+
+
+def expect_matches(col: str, pattern: str, label: str | None = None) -> Expectation:
+    """Keep ``pattern`` within the RE2 ∩ Java-regex common subset if the
+    result must be reproducible across engines."""
+    return Expectation(
+        label or f"matches_{col}",
+        F.count_if(F.col(col).isNotNull() & ~F.col(col).rlike(pattern)),
+    )
+
+
+def validate_expectations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate every expectation in ONE aggregate pass over ``df``.
+    Returns (rule, violations, n_rows, passed) — one row per rule, in the
+    order given."""
+    if not expectations:
+        raise ValueError("validate_expectations: need at least one expectation")
+    aggs = [
+        e.violations.cast("bigint").alias(f"_v{i}") for i, e in enumerate(expectations)
+    ]
+    wide = df.agg(*aggs, F.count("*").alias("_n"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(e.rule).alias("rule"),
+                F.col(f"_v{i}").alias("violations"),
+                F.col("_n").alias("n_rows"),
+            )
+            for i, e in enumerate(expectations)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.rule",
+        "r.violations",
+        "r.n_rows",
+        (F.col("r.violations") == 0).alias("passed"),
+    )

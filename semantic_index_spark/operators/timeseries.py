@@ -151,3 +151,42 @@ def bucketed_range_join(
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    Collapses consecutive rows whose ``attr`` did not change (per ``key``,
+    in ``ts`` order, ``tiebreak`` disambiguating same-instant changes),
+    then stitches validity intervals: each surviving change is valid from
+    its own timestamp until the NEXT change's timestamp (NULL valid_to =
+    the current version). The warehouse-standard CDC shape — MERGE-based
+    SCD2 engines produce exactly these rows.
+
+    Scale: both windows partition by the same ``key``, so Spark plans ONE
+    hash shuffle whose sort order the lag-filter and the lead reuse; cost
+    is a single sort-shuffle of the change log, no self-join and no
+    range join. Returns (key, attr, valid_from, valid_to, is_current).
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # row_number (not a prev-IS-NULL test) marks the first version so a
+    # legitimate NULL first attr is kept; eqNullSafe collapses NULL→NULL
+    # repeats the same way it collapses value repeats.
+    tr = (
+        changes.withColumn("_prev", F.lag(attr).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) | ~F.col(attr).eqNullSafe(F.col("_prev")))
+    )
+    return tr.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(Window.partitionBy(key).orderBy(*order)).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -404,3 +404,105 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_collapses_and_stitches(spark):
+    rows = [
+        # user 1: A A B A  -> versions A[1,3) B[3,4) A[4,-)
+        (1, 1, "A", 10), (1, 2, "A", 11), (1, 3, "B", 12), (1, 4, "A", 13),
+        # user 2: single row -> one current version
+        (2, 1, "X", 14),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, status string, event_id int")
+    h = TS.scd2_history(df, key="user_id", ts="ts", attr="status", tiebreak="event_id")
+    got = sorted(map(tuple, h.collect()))
+    assert got == [
+        (1, "A", 1, 3, False),
+        (1, "A", 4, None, True),
+        (1, "B", 3, 4, False),
+        (2, "X", 1, None, True),
+    ]
+
+
+def test_scd2_null_attr_first_version_kept(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (1, 3, "A")], "user_id int, ts int, status string"
+    )
+    h = TS.scd2_history(df, key="user_id", ts="ts", attr="status")
+    got = sorted(h.collect(), key=lambda r: r["valid_from"])
+    assert [r["status"] for r in got] == [None, "A"]
+    assert got[0]["valid_from"] == 1 and got[0]["valid_to"] == 3
+
+
+def test_scd2_same_instant_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "A", 1), (1, 5, "B", 2)], "user_id int, ts int, status string, event_id int"
+    )
+    h = TS.scd2_history(df, key="user_id", ts="ts", attr="status", tiebreak="event_id")
+    got = sorted(map(tuple, h.collect()))
+    assert got == [(1, "A", 5, 5, False), (1, "B", 5, None, True)]
+
+
+# ------------------------------------------------------- pipeline operators
+
+
+def test_embed_incremental_hits_and_misses(spark):
+    from semantic_index_spark.functions import text as T
+    from semantic_index_spark.operators import pipeline as P
+
+    emb = DeterministicEmbedder(dim=8)
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "fish"), (3, "cat dog")], "doc_id int, text string"
+    )
+    # cache holds a SENTINEL vector for "cat dog" so reuse is observable
+    cache = (
+        spark.createDataFrame([("cat dog",)], "text string")
+        .select(T.fingerprint("text").alias("fingerprint"))
+        .withColumn("embedding", F.array(*[F.lit(9.0)] * 8))
+    )
+    out = P.embed_incremental(docs, cache, emb).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 3
+    assert by_id[1]["was_cached"] and by_id[3]["was_cached"]
+    assert by_id[1]["embedding"] == [9.0] * 8  # cached vector reused verbatim
+    assert not by_id[2]["was_cached"]
+    import numpy as np
+
+    expect = emb.embed_batch(["fish"])[0]
+    assert np.allclose(by_id[2]["embedding"], expect, atol=1e-6)
+
+
+def test_validate_expectations_rules(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 50), (2, "c", -1), (3, "d", 7)],
+        "id int, s string, x int",
+    )
+    out = P.validate_expectations(
+        df,
+        [
+            P.expect_not_null("s"),
+            P.expect_unique("id"),
+            P.expect_in_range("x", 0, 10),
+            P.expect_in_set("s", ["a", "c", "d"]),
+        ],
+    ).collect()
+    got = {r["rule"]: (r["violations"], r["n_rows"], r["passed"]) for r in out}
+    assert got["not_null_s"] == (1, 4, False)
+    assert got["unique_id"] == (1, 4, False)   # id=2 twice -> one surplus
+    assert got["in_range_x"] == (2, 4, False)  # 50 and -1
+    assert got["in_set_s"] == (0, 4, True)     # NULL doesn't violate in_set
+
+
+def test_validate_expectations_empty_df_and_no_rules(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    empty = spark.createDataFrame([], "id int")
+    out = P.validate_expectations(empty, [P.expect_not_null("id")]).collect()
+    assert [(r["violations"], r["n_rows"], r["passed"]) for r in out] == [(0, 0, True)]
+    with pytest.raises(ValueError):
+        P.validate_expectations(empty, [])

@@ -49,6 +49,16 @@ AUDITS = {
     # the crossJoin of the TWO single-row aggregates — approx next to
     # exact — so it is 1×1 by construction, not a scale risk.)
     "hll_users": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # LSH candidates → banded Levenshtein: both text joins must stay hash
+    # equi-joins; pair enumeration must never degrade to a nested loop.
+    "edit_distance_verify": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # SCD2: one keyed sort-shuffle stitches the history — no self-join.
+    "scd2_user_status": {"expect": ["Window"], "forbid": ["CartesianProduct", "Join"]},
+    # incremental embedding: the Arrow-batched UDF runs only on the miss
+    # branch of a hash join, never a nested loop over the cache.
+    "embed_cache_hits": {"expect": ["ArrowEvalPython"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # N data-quality rules fold into one aggregate pass — no join, no sort.
+    "data_expectations": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct", "Sort"]},
     # heavy hitters: word-count shape — partial HashAggregate before the
     # exchange so the shuffle carries vocab-bounded rows, never raw tokens.
     "heavy_hitters": {"expect": ["HashAggregate", "Generate"], "forbid": ["Join", "Sort"]},
