@@ -589,6 +589,39 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic corpus mixing: per-source expected multiplicity
+    # (2.5 epochs of src0, drop src3, drop unlisted sources) — map-side
+    # filter + bounded explode, zero shuffle, reproducible across engines.
+    d = load_table(spark, sf_dir, "documents")
+    return SK.weighted_mix(d, MIX_WEIGHTS, group_col="source", key_col="doc_id").select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+def q_media_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-level features mean-pooled to a media-level embedding: the
+    # video/audio aggregation shape (decode → per-frame encode → pool),
+    # with a portable md5-signature standing in for the frame encoder.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
+    )
+    media = M.attach_fake_media(docs)
+    frames = M.sample_frames(media, frame_bytes=64, every_n=2)
+    feats = frames.select(
+        "media_id", M.frame_signature_vec("frame", dim=4).alias("feature")
+    )
+    pooled = M.pool_frame_features(feats, id_col="media_id", vec_col="feature")
+    return pooled.select(
+        "media_id",
+        "n_frames",
+        *[F.round(F.element_at("pooled", j + 1), 6).alias(f"p{j}") for j in range(4)],
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -716,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_status": q_scd2_user_status,
         "embed_cache_hits": q_embed_cache_hits,
         "data_expectations": q_data_expectations,
+        "weighted_mix": q_weighted_mix,
+        "media_pooled": q_media_pooled,
     }
 
 
@@ -1654,6 +1689,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'in_range_n_chars', v2, n, v2 = 0 FROM v
             UNION ALL SELECT 'in_set_lang', v3, n, v3 = 0 FROM v
             UNION ALL SELECT 'matches_source', v4, n, v4 = 0 FROM v
+        """,
+        "weighted_mix": f"""
+            WITH w(source, wt) AS (VALUES {", ".join(f"({s!r}, {wt!r})" for s, wt in MIX_WEIGHTS.items())}),
+            d AS (
+                SELECT doc_id, documents.source,
+                       coalesce(wt, 0.0) AS wt,
+                       ((('0x' || substr(md5('smp:' || doc_id), 1, 15))::UBIGINT)::BIGINT
+                        % 10000)::DOUBLE / 10000 AS u
+                FROM documents LEFT JOIN w ON documents.source = w.source
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::INT AS copies
+                FROM d
+            )
+            SELECT doc_id, source, unnest(range(1, copies + 1))::INT AS copy_idx
+            FROM c WHERE copies > 0
+        """,
+        "media_pooled": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       ceil(length(text)::DOUBLE / 64)::INT AS nf
+                FROM documents
+                WHERE octet_length(encode(text)) = length(text)
+            ),
+            fr AS (
+                SELECT media_id,
+                       md5(substring(text, f * 64 + 1, 64)) AS h
+                FROM m, unnest(range(0, greatest(nf, 1), 2)) AS t(f)
+            )
+            SELECT media_id, count(*) AS n_frames,
+                   round(avg((('0x' || substr(h, 1, 8))::UBIGINT)::DOUBLE / 4294967296), 6) AS p0,
+                   round(avg((('0x' || substr(h, 9, 8))::UBIGINT)::DOUBLE / 4294967296), 6) AS p1,
+                   round(avg((('0x' || substr(h, 17, 8))::UBIGINT)::DOUBLE / 4294967296), 6) AS p2,
+                   round(avg((('0x' || substr(h, 25, 8))::UBIGINT)::DOUBLE / 4294967296), 6) AS p3
+            FROM fr GROUP BY media_id
         """,
     }
 

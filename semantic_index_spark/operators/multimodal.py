@@ -205,3 +205,50 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )
+
+
+def frame_signature_vec(frame_col: str = "frame", dim: int = 4) -> Column:
+    """Deterministic per-frame feature vector from the frame's md5: each
+    component is 8 hex chars → uint32 / 2^32 ∈ [0, 1). A portable stand-in
+    for a real frame encoder (CLIP/VGGish) with the same schema
+    (array<double>), so the downstream pooling plumbing is exercised and
+    engine-checkable. md5 = 32 hex chars, so dim <= 4."""
+    if not 1 <= dim <= 4:
+        raise ValueError(f"frame_signature_vec: need 1 <= dim <= 4, got {dim}")
+    h = F.md5(F.col(frame_col))
+    return F.array(
+        *[
+            (F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("double") / F.lit(float(1 << 32)))
+            for j in range(dim)
+        ]
+    )
+
+
+def pool_frame_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    vec_col: str = "feature",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Mean-pool per-frame feature vectors into one media-level embedding —
+    the standard video/audio aggregation after frame-level encoding.
+
+    ONE shuffle: collect_list gathers each media's frame vectors (bounded
+    by frames-per-media, which media duration bounds — NOT corpus size),
+    then the element-wise sum folds JVM-side via aggregate/zip_with and
+    divides by the frame count. No Python, no per-dimension re-shuffle (a
+    posexplode → groupBy(id, dim) → re-assemble shape would shuffle
+    dim× the rows). Returns (id, n_frames, out_col: array<double>)."""
+    agg = df.groupBy(id_col).agg(
+        F.collect_list(vec_col).alias("_vs"), F.count("*").alias("n_frames")
+    )
+    summed = F.aggregate(
+        "_vs",
+        F.expr("cast(array_repeat(0.0D, size(_vs[0])) as array<double>)"),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q.cast("double")),
+    )
+    return agg.select(
+        id_col,
+        "n_frames",
+        F.transform(summed, lambda v: v / F.col("n_frames")).alias(out_col),
+    )

@@ -98,3 +98,47 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic corpus mixing: each group's rows appear with expected
+    multiplicity ``weights[group]`` — 0.1 = 10% downsample, 2.5 = "2.5
+    epochs" upsample (2 guaranteed copies + a 50% chance of a third),
+    absent/0 = drop. The production lever for re-weighting sources (wiki
+    up, crawl down) in a training mix.
+
+    copies = floor(w) + 1{u < frac(w)} with u = the same md5 bucket
+    ``hash_sample`` uses, so the fractional keep-set is reproducible
+    across runs/engines and nests: the rows kept at w=0.1 are a subset of
+    those kept at w=0.2. Shuffle-free — a map-side filter + bounded
+    sequence-explode; ``copy_idx`` (1..copies) keeps replicas addressable
+    downstream. Weight application is a broadcast-free literal MAP lookup,
+    never a join."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weighted_mix: weights must be >= 0, got {weights}")
+    pairs: list[Column] = []
+    for g, w in weights.items():
+        pairs += [F.lit(g), F.lit(float(w))]
+    w_col = (
+        F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(group_col)), F.lit(0.0)
+        )
+        if pairs
+        else F.lit(0.0)
+    )
+    frac_keep = (_bucket(key_col, buckets).cast("double") / buckets) < (
+        w_col - F.floor(w_col)
+    )
+    copies = (F.floor(w_col) + F.when(frac_keep, 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )

@@ -230,3 +230,58 @@ def test_hll_empty_input_is_zero(spark):
 def test_histogram_quantiles_empty_input_zero_rows(spark):
     empty = spark.createDataFrame([], "v double")
     assert SKT.histogram_quantiles(empty, "v", 0.0, 100.0, [0.5, 0.9]).count() == 0
+
+
+# ------------------------------------------------------------- weighted mix
+
+
+def test_weighted_mix_multiplicities(spark):
+    from semantic_index_spark.operators import skew as SK
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)] + [(100, "zz")],
+        "doc_id int, source string",
+    )
+    out = SK.weighted_mix(df, {"a": 3.0, "b": 0.0}, key_col="doc_id").collect()
+    # integer weight -> exactly 3 copies of every 'a' row; b and unlisted dropped
+    assert all(r["source"] == "a" for r in out)
+    assert len(out) == 50 * 3
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_doc.values())
+
+
+def test_weighted_mix_fractional_nests_and_rate(spark):
+    from semantic_index_spark.operators import skew as SK
+
+    df = spark.createDataFrame([(i, "s") for i in range(2000)], "doc_id int, source string")
+    k1 = {r["doc_id"] for r in SK.weighted_mix(df, {"s": 0.1}, key_col="doc_id").collect()}
+    k2 = {r["doc_id"] for r in SK.weighted_mix(df, {"s": 0.3}, key_col="doc_id").collect()}
+    assert k1 <= k2  # nesting: raising the weight only adds rows
+    assert 0.05 < len(k1) / 2000 < 0.15 and 0.25 < len(k2) / 2000 < 0.35
+    with pytest.raises(ValueError):
+        SK.weighted_mix(df, {"s": -1.0})
+
+
+def test_pool_frame_features_mean(spark):
+    from semantic_index_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [2.0, 2.0])],
+        "media_id int, feature array<double>",
+    )
+    got = {r["media_id"]: r for r in M.pool_frame_features(df).collect()}
+    assert got[1]["n_frames"] == 2 and got[1]["pooled"] == [2.0, 4.0]
+    assert got[2]["n_frames"] == 1 and got[2]["pooled"] == [2.0, 2.0]
+
+
+def test_frame_signature_vec_bounds(spark):
+    from semantic_index_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(b"abc",), (b"",)], "frame binary")
+    rows = df.select(M.frame_signature_vec("frame", dim=4).alias("v")).collect()
+    for r in rows:
+        assert len(r["v"]) == 4 and all(0.0 <= x < 1.0 for x in r["v"])
+    with pytest.raises(ValueError):
+        M.frame_signature_vec("frame", dim=5)

@@ -59,6 +59,11 @@ AUDITS = {
     "embed_cache_hits": {"expect": ["ArrowEvalPython"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # N data-quality rules fold into one aggregate pass — no join, no sort.
     "data_expectations": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct", "Sort"]},
+    # corpus mixing is a map-side literal-map lookup + bounded explode —
+    # no weight-table join, no shuffle.
+    "weighted_mix": {"expect": ["Generate"], "forbid": ["Join", "Exchange"]},
+    # frame pooling: ONE partial-agg shuffle; element-wise fold stays JVM.
+    "media_pooled": {"forbid": ["Join", "CartesianProduct", "ArrowEvalPython", "BatchEvalPython"]},
     # heavy hitters: word-count shape — partial HashAggregate before the
     # exchange so the shuffle carries vocab-bounded rows, never raw tokens.
     "heavy_hitters": {"expect": ["HashAggregate", "Generate"], "forbid": ["Join", "Sort"]},
