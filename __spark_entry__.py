@@ -589,6 +589,43 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered funnel signup -> view -> purchase: per-user step times via
+    # ONE shuffle + JVM array-HOF chain (no k-way self-join); rollup to
+    # per-step converted-user counts.
+    ev = load_table(spark, sf_dir, "events")
+    per_user = TS.funnel(ev, FUNNEL_STEPS)
+    counts = per_user.agg(
+        *[F.count(f"step{i}_ts").alias(f"_c{i}") for i in range(len(FUNNEL_STEPS))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.step_name", "r.n_users"
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly cohort retention triangle — first-activity week x active-week
+    # offset, distinct users per cell.
+    ev = load_table(spark, sf_dir, "events")
+    r = TS.retention_cohorts(ev, granularity="week")
+    return r.select(
+        F.unix_timestamp("cohort").alias("cohort_week"), "period_offset", "n_users"
+    )
+
+
 MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
 
 
@@ -751,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_expectations": q_data_expectations,
         "weighted_mix": q_weighted_mix,
         "media_pooled": q_media_pooled,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -1725,6 +1764,36 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((('0x' || substr(h, 17, 8))::UBIGINT)::DOUBLE / 4294967296), 6) AS p2,
                    round(avg((('0x' || substr(h, 25, 8))::UBIGINT)::DOUBLE / 4294967296), 6) AS p3
             FROM fr GROUP BY media_id
+        """,
+        "funnel_conversion": """
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s1 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+                WHERE e.event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT 0 AS step, 'signup' AS step_name, (SELECT count(*) FROM s0) AS n_users
+            UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+            UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        """,
+        "retention_cohorts": """
+            WITH p AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+            ),
+            f AS (SELECT user_id, min(w) AS cw FROM p GROUP BY 1)
+            SELECT floor(epoch(cw))::BIGINT AS cohort_week,
+                   (date_diff('day', cw, w) // 7)::INT AS period_offset,
+                   count(DISTINCT p.user_id) AS n_users
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
     }
 

@@ -190,3 +190,80 @@ def scd2_history(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(Window.partitionBy(key).orderBy(*order)).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel step times per user: step k's time is the EARLIEST
+    event of type ``steps[k]`` at-or-after step k-1's time (the standard
+    greedy funnel semantics — same-instant events count for the next
+    step).
+
+    Scale shape: irrelevant event types are filtered BEFORE the shuffle,
+    then ONE groupBy collects each user's per-step timestamp lists
+    (bounded by that user's activity, not corpus size) and the k-step
+    chain evaluates JVM-side with array HOFs — no k-way self-join, no
+    re-shuffle per step. Returns (user, step0_ts..step{k-1}_ts); a NULL
+    step means the user never converted that far."""
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+                ).alias(f"_s{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    t_prev = None
+    for i in range(len(steps)):
+        arr = F.col(f"_s{i}")
+        if t_prev is None:
+            t = F.array_min(arr)
+        else:
+            # NULL t_prev (user never reached step i-1) makes the lambda
+            # predicate NULL -> filter drops all -> array_min NULL: the
+            # not-converted state cascades without special-casing.
+            prev = t_prev
+            t = F.array_min(F.filter(arr, lambda x: x >= prev))
+        per_user = per_user.withColumn(f"step{i}_ts", t)
+        t_prev = F.col(f"step{i}_ts")
+    return per_user.select(user_col, *[f"step{i}_ts" for i in range(len(steps))])
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity period
+    (their cohort), counted per (cohort, period_offset) they were active
+    in. TWO aggregations, both hash-partitioned on the user — the
+    user-period dedup partial-aggregates map-side, and the cohort join is
+    co-partitioned with it (no extra exchange). Returns
+    (cohort, period_offset, n_users)."""
+    periods = events.select(
+        user_col, F.date_trunc(granularity, F.col(ts_col)).alias("_p")
+    ).distinct()
+    firsts = periods.groupBy(user_col).agg(F.min("_p").alias("_cohort"))
+    days_per = {"week": 7, "day": 1}[granularity]
+    return (
+        periods.join(firsts, user_col)
+        .groupBy(
+            F.col("_cohort").alias("cohort"),
+            F.expr(f"datediff(_p, _cohort) div {days_per}").cast("int").alias(
+                "period_offset"
+            ),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -506,3 +506,42 @@ def test_validate_expectations_empty_df_and_no_rules(spark):
     assert [(r["violations"], r["n_rows"], r["passed"]) for r in out] == [(0, 0, True)]
     with pytest.raises(ValueError):
         P.validate_expectations(empty, [])
+
+
+# ------------------------------------------------------------ funnel/cohort
+
+
+def test_funnel_greedy_chain(spark):
+    rows = [
+        (1, 10, "signup"), (1, 20, "view"), (1, 30, "purchase"),   # full convert
+        (2, 10, "view"), (2, 20, "signup"),                        # view BEFORE signup: stops at signup
+        (3, 10, "signup"), (3, 10, "view"),                        # same-instant counts for next step
+        (4, 5, "purchase"),                                        # never signed up
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    got = {r["user_id"]: r for r in TS.funnel(df, ["signup", "view", "purchase"]).collect()}
+    assert (got[1]["step0_ts"], got[1]["step1_ts"], got[1]["step2_ts"]) == (10, 20, 30)
+    assert (got[2]["step0_ts"], got[2]["step1_ts"]) == (20, None)
+    assert (got[3]["step0_ts"], got[3]["step1_ts"], got[3]["step2_ts"]) == (10, 10, None)
+    assert 4 not in got or got[4]["step0_ts"] is None
+    with pytest.raises(ValueError):
+        TS.funnel(df, [])
+
+
+def test_retention_cohorts_counts(spark):
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(2024, 1, day)  # 2024-01-01 is a Monday
+
+    rows = [
+        (1, t(1)), (1, t(9)),   # cohort wk0, active wk0 and wk1
+        (2, t(2)), (2, t(3)),   # cohort wk0, active wk0 only (same week twice)
+        (3, t(8)),              # cohort wk1
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r["cohort"].day, r["period_offset"]): r["n_users"]
+        for r in TS.retention_cohorts(df).collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (8, 0): 1}

@@ -64,6 +64,11 @@ AUDITS = {
     "weighted_mix": {"expect": ["Generate"], "forbid": ["Join", "Exchange"]},
     # frame pooling: ONE partial-agg shuffle; element-wise fold stays JVM.
     "media_pooled": {"forbid": ["Join", "CartesianProduct", "ArrowEvalPython", "BatchEvalPython"]},
+    # funnel: one user shuffle + JVM HOF chain — never a k-way self-join.
+    "funnel_conversion": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # retention: the cohort join is co-partitioned with the period dedup —
+    # a hash join is fine, a nested loop is not.
+    "retention_cohorts": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # heavy hitters: word-count shape — partial HashAggregate before the
     # exchange so the shuffle carries vocab-bounded rows, never raw tokens.
     "heavy_hitters": {"expect": ["HashAggregate", "Generate"], "forbid": ["Join", "Sort"]},
