@@ -1,0 +1,82 @@
+"""End-to-end training-corpus preparation over the synthetic test tables:
+quality gate → source re-weighting → exact + near-dup removal → chunking →
+incremental embedding against a cache. Run: python examples/corpus_pipeline.py
+
+Every stage is the scale-shaped operator the engine ships (one pass / one
+bounded shuffle each) — the same composition a 100 TB pipeline would run,
+exercised here at sf0.001.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from semantic_index_spark import DeterministicEmbedder, get_spark
+from semantic_index_spark.functions import text as T
+from semantic_index_spark.operators import dedup as D
+from semantic_index_spark.operators import pipeline as P
+from semantic_index_spark.operators import skew as SK
+from semantic_index_spark.operators.text_analysis import chunk_documents
+from semantic_index_spark.session import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark(app_name="corpus-pipeline", master="local[4]", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = load_table(spark, SF_DIR, "documents")
+
+# 1. Data-quality gate: refuse to proceed if the snapshot is malformed.
+report = P.validate_expectations(
+    docs,
+    [
+        P.expect_not_null("text"),
+        P.expect_unique("doc_id"),
+        P.expect_in_range("n_chars", 1, 10_000),
+    ],
+)
+report.show()
+assert report.filter(~F.col("passed")).count() == 0, "input snapshot failed QA"
+
+# 2. Re-weight sources for the training mix (2 epochs of src0, thin the rest).
+weights = {f"src{i}": (2.0 if i == 0 else 0.5) for i in range(20)}
+mixed = SK.weighted_mix(docs, weights, group_col="source", key_col="doc_id")
+print("mix:", docs.count(), "docs ->", mixed.count(), "weighted rows")
+
+# 3. Exact dedup (md5 fingerprint, keep lowest doc_id), then LSH near-dup
+#    screening with exact edit-distance verification of the candidates.
+winners = D.exact_dedup(docs)
+pairs = D.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=3)
+near = D.edit_distance_verify(docs, pairs, max_ratio=0.5)
+drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+kept = (
+    docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    .join(drop, "doc_id", "left_anti")
+)
+print("dedup: kept", kept.count(), "of", docs.count(), f"({near.count()} near-dup pairs)")
+
+# 4. Chunk long documents into overlapping token windows.
+chunks = chunk_documents(kept, chunk_tokens=64, overlap=16)
+print("chunks:", chunks.count())
+
+# 5. Incremental embedding: reuse vectors cached by a previous run (here:
+#    an empty first run, then a warm second run hits 100%).
+chunk_docs = chunks.select(
+    F.concat_ws("#", "doc_id", "chunk_idx").alias("doc_id"),
+    F.col("chunk_text").alias("text"),
+)
+embedder = DeterministicEmbedder(dim=32)
+cold = P.embed_incremental(
+    chunk_docs,
+    spark.createDataFrame([], "fingerprint string, embedding array<float>"),
+    embedder,
+)
+cache = cold.select("fingerprint", "embedding").distinct()
+warm = P.embed_incremental(chunk_docs, cache, embedder)
+warm.groupBy("was_cached").count().show()
+
+spark.stop()
+print("corpus pipeline complete.")
