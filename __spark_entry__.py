@@ -1768,7 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": """
             WITH s0 AS (
                 SELECT user_id, min(ts) AS t FROM events
-                WHERE event_type = 'signup' GROUP BY 1
+                WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
             ),
             s1 AS (
                 SELECT e.user_id, min(e.ts) AS t

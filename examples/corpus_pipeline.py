@@ -41,12 +41,7 @@ report = P.validate_expectations(
 report.show()
 assert report.filter(~F.col("passed")).count() == 0, "input snapshot failed QA"
 
-# 2. Re-weight sources for the training mix (2 epochs of src0, thin the rest).
-weights = {f"src{i}": (2.0 if i == 0 else 0.5) for i in range(20)}
-mixed = SK.weighted_mix(docs, weights, group_col="source", key_col="doc_id")
-print("mix:", docs.count(), "docs ->", mixed.count(), "weighted rows")
-
-# 3. Exact dedup (md5 fingerprint, keep lowest doc_id), then LSH near-dup
+# 2. Exact dedup (md5 fingerprint, keep lowest doc_id), then LSH near-dup
 #    screening with exact edit-distance verification of the candidates.
 winners = D.exact_dedup(docs)
 pairs = D.minhash_lsh_pairs(docs, num_hashes=4, bands=2, shingle_n=3)
@@ -58,12 +53,23 @@ kept = (
 )
 print("dedup: kept", kept.count(), "of", docs.count(), f"({near.count()} near-dup pairs)")
 
-# 4. Chunk long documents into overlapping token windows.
-chunks = chunk_documents(kept, chunk_tokens=64, overlap=16)
+# 3. Re-weight sources for the training mix (2 epochs of src0, thin the
+#    rest) — AFTER dedup, so upsampling can't resurrect duplicates.
+weights = {f"src{i}": (2.0 if i == 0 else 0.5) for i in range(20)}
+mixed = SK.weighted_mix(kept, weights, group_col="source", key_col="doc_id")
+print("mix:", kept.count(), "deduped docs ->", mixed.count(), "weighted rows")
+
+# 4. Chunk the weighted mix into overlapping token windows; the composite
+#    id keeps each epoch-copy addressable.
+mixed_docs = mixed.select(
+    F.concat_ws("#", "doc_id", "copy_idx").alias("doc_id"), "text"
+)
+chunks = chunk_documents(mixed_docs, chunk_tokens=64, overlap=16)
 print("chunks:", chunks.count())
 
-# 5. Incremental embedding: reuse vectors cached by a previous run (here:
-#    an empty first run, then a warm second run hits 100%).
+# 5. Incremental embedding: a cold run computes everything; re-running
+#    against the cache it produced reuses every vector — including across
+#    epoch copies, which share text fingerprints.
 chunk_docs = chunks.select(
     F.concat_ws("#", "doc_id", "chunk_idx").alias("doc_id"),
     F.col("chunk_text").alias("text"),

@@ -63,11 +63,14 @@ class SemanticIndex:
         # ctor family: SemanticDatabase.cs:42,49-52,59-62 (bind client);
         # DuplicateHandling default Update: SemanticDatabase.cs:85.
         self.spark = spark
-        # When no embedder is supplied (e.g. from_file on a saved store),
-        # the default's dim is a placeholder that may disagree with loaded
-        # embeddings — search_df must then rely on its plan-side guard
-        # instead of the driver-side dim fast-fail.
+        # The embedder's dim governs search's driver-side fast-fail. It is
+        # trustworthy as long as this index's embeddings came from the
+        # embedder itself (add_*/refresh paths — including the default
+        # embedder); load() without a user-supplied embedder clears
+        # _dim_trusted because the stored vectors may have any dimension,
+        # and search then relies on its plan-side guard instead.
         self._embedder_supplied = embedder is not None
+        self._dim_trusted = True
         self.embedder = embedder or DeterministicEmbedder()
         self.duplicate_handling = duplicate_handling
         self._df = df if df is not None else spark.createDataFrame([], RECORD_SCHEMA)
@@ -272,7 +275,7 @@ class SemanticIndex:
         for deterministic, stable output.
         """
         q = [float(x) for x in embedding]
-        dim = getattr(self.embedder, "dim", None) if self._embedder_supplied else None
+        dim = getattr(self.embedder, "dim", None) if self._dim_trusted else None
         if dim is not None and len(q) != dim:
             # zip_with pads the shorter array with NULLs, which would turn
             # every score NULL and return arbitrary rows — fail loudly.
@@ -379,6 +382,11 @@ class SemanticIndex:
         ``fmt="ref_json"`` parses a reference-produced JSON-array file
         (inherently single-file/non-splittable, `SemanticDatabase.cs:
         488-489`)."""
+        # Loaded embeddings may have any dimension; without a user-supplied
+        # embedder the default's dim is now just a placeholder, so search's
+        # driver-side fast-fail must defer to the plan-side guard.
+        if not self._embedder_supplied:
+            self._dim_trusted = False
         if fmt == "ref_json":
             from semantic_index_spark.sources.io import load_reference_json_array
 

@@ -239,16 +239,28 @@ def pool_frame_features(
     divides by the frame count. No Python, no per-dimension re-shuffle (a
     posexplode → groupBy(id, dim) → re-assemble shape would shuffle
     dim× the rows). Returns (id, n_frames, out_col: array<double>)."""
+    # count(vec_col), not count(*): collect_list drops NULL vectors, so the
+    # divisor must count exactly the frames that made it into the fold (a
+    # NULL-feature frame would otherwise deflate the mean).
     agg = df.groupBy(id_col).agg(
-        F.collect_list(vec_col).alias("_vs"), F.count("*").alias("n_frames")
+        F.collect_list(vec_col).alias("_vs"), F.count(F.col(vec_col)).alias("n_frames")
     )
     summed = F.aggregate(
         "_vs",
-        F.expr("cast(array_repeat(0.0D, size(_vs[0])) as array<double>)"),
+        # try_element_at/array_size: a group whose every vector was NULL
+        # has an EMPTY _vs — plain _vs[0] would throw, and the fold's init
+        # must still evaluate. Such groups pool to NULL below.
+        F.expr(
+            "cast(array_repeat(0.0D, coalesce(array_size(try_element_at(_vs, 1)), 0))"
+            " as array<double>)"
+        ),
         lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q.cast("double")),
     )
     return agg.select(
         id_col,
         "n_frames",
-        F.transform(summed, lambda v: v / F.col("n_frames")).alias(out_col),
+        F.when(
+            F.col("n_frames") > 0,
+            F.transform(summed, lambda v: v / F.col("n_frames")),
+        ).alias(out_col),
     )

@@ -213,7 +213,9 @@ def funnel(
     if not steps:
         raise ValueError("funnel: need at least one step")
     per_user = (
-        events.filter(F.col(type_col).isin(list(steps)))
+        # a NULL user is not a user: without this filter every anonymous
+        # event would pool into one NULL pseudo-user that "converts".
+        events.filter(F.col(user_col).isNotNull() & F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
         .agg(
             *[
@@ -252,11 +254,19 @@ def retention_cohorts(
     user-period dedup partial-aggregates map-side, and the cohort join is
     co-partitioned with it (no extra exchange). Returns
     (cohort, period_offset, n_users)."""
+    fixed_days = {"week": 7, "day": 1}
+    if granularity not in fixed_days:
+        # months/quarters have no fixed day count, so the offset arithmetic
+        # below cannot represent them — reject rather than mis-bucket.
+        raise ValueError(
+            f"retention_cohorts: granularity must be one of {sorted(fixed_days)}, "
+            f"got {granularity!r}"
+        )
     periods = events.select(
         user_col, F.date_trunc(granularity, F.col(ts_col)).alias("_p")
     ).distinct()
     firsts = periods.groupBy(user_col).agg(F.min("_p").alias("_cohort"))
-    days_per = {"week": 7, "day": 1}[granularity]
+    days_per = fixed_days[granularity]
     return (
         periods.join(firsts, user_col)
         .groupBy(

@@ -184,3 +184,15 @@ def test_search_rejects_wrong_dimension_without_embedder(spark, tmp_path):
         loaded.search([1.0, 2.0, 3.0])
     # matching dim still works
     assert len(loaded.search([0.0] * 8, count=1)) == 1
+
+
+def test_search_dim_fast_fail_with_default_embedder(spark):
+    # in-session index built via the DEFAULT embedder: the driver-side
+    # dim check must still raise eagerly (only load() without a supplied
+    # embedder defers to the plan-side guard).
+    from semantic_index_spark import SemanticIndex
+
+    idx = SemanticIndex(spark)
+    idx.add_range(["a", "b"])
+    with pytest.raises(ValueError, match="dim 3"):
+        idx.search([1.0, 2.0, 3.0])

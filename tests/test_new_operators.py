@@ -545,3 +545,20 @@ def test_retention_cohorts_counts(spark):
         for r in TS.retention_cohorts(df).collect()
     }
     assert got == {(1, 0): 2, (1, 1): 1, (8, 0): 1}
+
+
+def test_funnel_ignores_null_users(spark):
+    df = spark.createDataFrame(
+        [(None, 1, "signup"), (None, 2, "view"), (7, 3, "signup")],
+        "user_id int, ts int, event_type string",
+    )
+    got = TS.funnel(df, ["signup", "view"]).collect()
+    assert [r["user_id"] for r in got] == [7]
+
+
+def test_retention_rejects_unsupported_granularity(spark):
+    df = spark.createDataFrame([(1,)], "user_id int").withColumn(
+        "ts", F.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="granularity"):
+        TS.retention_cohorts(df, granularity="month")

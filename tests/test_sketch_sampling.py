@@ -285,3 +285,16 @@ def test_frame_signature_vec_bounds(spark):
         assert len(r["v"]) == 4 and all(0.0 <= x < 1.0 for x in r["v"])
     with pytest.raises(ValueError):
         M.frame_signature_vec("frame", dim=5)
+
+
+def test_pool_frame_features_skips_null_vectors(spark):
+    from semantic_index_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 2.0]), (1, None), (2, None)],
+        "media_id int, feature array<double>",
+    )
+    got = {r["media_id"]: r for r in M.pool_frame_features(df).collect()}
+    # the NULL frame neither deflates the mean nor counts as a frame
+    assert got[1]["n_frames"] == 1 and got[1]["pooled"] == [2.0, 2.0]
+    assert got[2]["n_frames"] == 0
