@@ -626,6 +626,26 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot-to-snapshot CDC derivation: old = the corpus; new = corpus
+    # with every 11th doc removed, every 7th doc's text revised, and 20
+    # re-keyed additions. One full-outer join on the key comparing
+    # 16-byte fingerprints — texts never shuffle.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    revised = d.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    additions = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return P.snapshot_diff(d, revised.unionByName(additions))
+
+
 MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
 
 
@@ -790,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pooled": q_media_pooled,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -1794,6 +1815,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT p.user_id) AS n_users
             FROM p JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        "snapshot_diff": """
+            WITH fpo AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fo
+                FROM documents
+            ),
+            n0 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+            ),
+            fpn AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fn
+                FROM n0
+            ),
+            j AS (
+                SELECT coalesce(fpo.doc_id, fpn.doc_id) AS doc_id,
+                       CASE WHEN fpo.doc_id IS NULL THEN 'added'
+                            WHEN fpn.doc_id IS NULL THEN 'removed'
+                            WHEN fo <> fn THEN 'changed' END AS change
+                FROM fpo FULL OUTER JOIN fpn ON fpo.doc_id = fpn.doc_id
+            )
+            SELECT doc_id, change FROM j WHERE change IS NOT NULL
         """,
     }
 

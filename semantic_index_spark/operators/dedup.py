@@ -59,16 +59,22 @@ def minhash_signature_long(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Long-format MinHash signatures: (id, hash_idx, min_hash).
+    """Long-format MinHash signatures: (id, hash_idx, min_hash[, carry]).
 
     shingle → explode distinct → per (doc, hash_idx) min of a salted
     md5-derived 60-bit hash. The explode fans out rows but each is tiny;
     the single groupBy computes all `num_hashes` minima in one shuffle
-    (map-side partial min keeps the shuffle small).
+    (map-side partial min keeps the shuffle small). ``carry_cols``
+    (constant per id, e.g. a batch/corpus tag) ride the same aggregation
+    as ``first()`` — no re-join to recover them.
     """
+    carry_cols = carry_cols or []
     sh = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle"),
     )
     # ONE md5 yields FOUR 32-bit hash values (8 hex chars each) — 4× fewer
     # digest computations per exploded shingle row than salting per hash;
@@ -80,6 +86,7 @@ def minhash_signature_long(
         aggs.append(
             F.min(F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10).cast("bigint")).alias(f"h{i}")
         )
+    aggs += [F.first(c).alias(c) for c in carry_cols]
     wide = sh.groupBy(id_col).agg(*aggs)
     # unpivot to long form for band construction
     pairs = F.array(
@@ -88,8 +95,11 @@ def minhash_signature_long(
             for i in range(num_hashes)
         ]
     )
-    return wide.select(id_col, F.explode(pairs).alias("p")).select(
-        id_col, F.col("p.hash_idx").alias("hash_idx"), F.col("p.min_hash").alias("min_hash")
+    return wide.select(id_col, *carry_cols, F.explode(pairs).alias("p")).select(
+        id_col,
+        *carry_cols,
+        F.col("p.hash_idx").alias("hash_idx"),
+        F.col("p.min_hash").alias("min_hash"),
     )
 
 
@@ -100,20 +110,26 @@ def banded_signatures(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, band_idx, band_key) — each document's MinHash signature split
-    into ``bands`` bands, each band collapsed to one md5 key. The shared
-    LSH currency of :func:`minhash_lsh_pairs` (within-corpus) and
-    :func:`incremental_lsh_dedup` (batch-vs-corpus); at scale this is the
-    table you persist once per corpus and equi-join every ingest against."""
+    """(id, band_idx, band_key[, carry]) — each document's MinHash
+    signature split into ``bands`` bands, each band collapsed to one md5
+    key. The shared LSH currency of :func:`minhash_lsh_pairs`
+    (within-corpus) and :func:`incremental_lsh_dedup` (batch-vs-corpus);
+    at scale this is the table you persist once per corpus and equi-join
+    every ingest against."""
+    carry_cols = carry_cols or []
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_long(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signature_long(df, text_col, id_col, num_hashes, shingle_n, carry_cols)
     return (
         sig.withColumn("band_idx", (F.col("hash_idx") / rows_per_band).cast("int"))
         .groupBy(id_col, "band_idx")
-        .agg(F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash"))).alias("vals"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("hash_idx", "min_hash"))).alias("vals"),
+            *[F.first(c).alias(c) for c in carry_cols],
+        )
         .withColumn("band_key", F.md5(F.to_json(F.col("vals"))))
-        .select(id_col, "band_idx", "band_key")
+        .select(id_col, "band_idx", "band_key", *carry_cols)
     )
 
 
@@ -130,21 +146,38 @@ def incremental_lsh_dedup(
     doc sharing a full MinHash band with some corpus doc, return
     (new_id, dup_of = minimum colliding corpus id); new docs absent from
     the result are admitted. The production ingest-time shape of
-    :func:`minhash_lsh_pairs`: the probe is an equi-join on
-    (band_idx, band_key) hash-partitioned by key — batch × corpus never
-    materializes as pairs, and the corpus side's banded signatures are a
-    precomputable artifact, so each ingest pays signature cost only for
-    the batch."""
-    cb = banded_signatures(corpus, text_col, id_col, num_hashes, bands, shingle_n)
-    nb = banded_signatures(new, text_col, id_col, num_hashes, bands, shingle_n)
-    return (
-        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
-        .join(
-            cb.select(F.col(id_col).alias("dup_of"), "band_idx", "band_key"),
-            ["band_idx", "band_key"],
+    :func:`minhash_lsh_pairs`.
+
+    Both sides ride ONE tagged signature pipeline (a per-side pipeline
+    would pay the shingle→minhash cost twice), then one groupBy on
+    (band_idx, band_key) reduces each bucket to its corpus MINIMUM while
+    collecting its new ids — batch × corpus pairs never materialize, not
+    even bucket-locally. At scale, persist the corpus side's banded
+    signatures once (``banded_signatures``) and union each batch's
+    signatures against the artifact instead of re-deriving them.
+
+    Precondition: ``corpus`` and ``new`` id sets must be disjoint (an
+    ingest batch is by definition not yet in the corpus) — the tagged
+    union aggregates by id, so a shared id would collapse both sides
+    into one arbitrary-tagged row."""
+    tagged = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_is_new")
+    ).unionByName(new.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_is_new")))
+    banded = banded_signatures(
+        tagged, text_col, id_col, num_hashes, bands, shingle_n, carry_cols=["_is_new"]
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(
+            F.min(F.when(~F.col("_is_new"), F.col(id_col))).alias("_corpus_min"),
+            F.collect_list(F.when(F.col("_is_new"), F.col(id_col))).alias("_new_ids"),
         )
+        .filter(F.col("_corpus_min").isNotNull() & (F.size("_new_ids") > 0))
+    )
+    return (
+        buckets.select(F.explode("_new_ids").alias("new_id"), "_corpus_min")
         .groupBy("new_id")
-        .agg(F.min("dup_of").alias("dup_of"))
+        .agg(F.min("_corpus_min").alias("dup_of"))
     )
 
 

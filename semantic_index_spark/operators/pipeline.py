@@ -133,3 +133,37 @@ def validate_expectations(df: DataFrame, expectations: list[Expectation]) -> Dat
         "r.n_rows",
         (F.col("r.violations") == 0).alias("passed"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots: (key, change) with change ∈ 'added'
+    (key only in new), 'removed' (only in old), 'changed' (same key,
+    different content fingerprint); unchanged rows are omitted. The CDC
+    *producer* complementing :func:`...timeseries.scd2_history` (which
+    consumes a change log) — run between pipeline epochs to embed/index
+    only what moved.
+
+    ONE full-outer hash equi-join on the key; fingerprints are map-side
+    md5 so the join carries 2×16 bytes per row, never the texts. Keys
+    must be unique within each snapshot."""
+    o = old.select(
+        F.col(key_col).alias("_k"), T.fingerprint(text_col).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"), T.fingerprint(text_col).alias("_fp_new")
+    )
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+    )
+    return (
+        o.join(n, "_k", "full_outer")
+        .select(F.col("_k").alias(key_col), change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

@@ -562,3 +562,16 @@ def test_retention_rejects_unsupported_granularity(spark):
     )
     with pytest.raises(ValueError, match="granularity"):
         TS.retention_cohorts(df, granularity="month")
+
+
+def test_snapshot_diff_classifies(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["change"] for r in P.snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # doc 1 omitted

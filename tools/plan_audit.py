@@ -69,6 +69,12 @@ AUDITS = {
     # retention: the cohort join is co-partitioned with the period dedup —
     # a hash join is fine, a nested loop is not.
     "retention_cohorts": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # snapshot diff: ONE full-outer hash equi-join on the key; the texts
+    # collapse to fingerprints BEFORE the shuffle.
+    "snapshot_diff": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # batch-vs-corpus screening: one tagged signature pipeline + bucket
+    # groupBy — pairs never materialize, no self-join of the pipeline.
+    "incremental_dedup": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "Join"]},
     # heavy hitters: word-count shape — partial HashAggregate before the
     # exchange so the shuffle carries vocab-bounded rows, never raw tokens.
     "heavy_hitters": {"expect": ["HashAggregate", "Generate"], "forbid": ["Join", "Sort"]},
