@@ -284,6 +284,19 @@ CHUNK_TOKENS, CHUNK_OVERLAP = 40, 10
 TEST_FRACTION = 0.1
 
 
+def q_global_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total ordering without Exchange SinglePartition: range-partition +
+    # sortWithinPartitions, monotonically_increasing_id encodes (pid, local
+    # row), broadcast prefix-sum offsets (operators/skew.py:global_ranks).
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ranked = SK.global_ranks(o, ["o_orderdate", "o_orderkey"], rank_alias="global_rank")
+    return ranked.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "global_rank"
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-safe two-stage aggregation over a 3-distinct-value key; result is
     # identical to the direct groupBy (the oracle IS the plain GROUP BY).
@@ -767,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "salted_agg": q_salted_agg,
+        "global_ranking": q_global_ranking,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "hll_users": q_hll_users,
@@ -1505,6 +1519,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_price,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "global_ranking": """
+            SELECT o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS global_rank
+            FROM orders
         """,
         "hash_split": f"""
             SELECT doc_id,

@@ -1,8 +1,9 @@
-"""Skew handling and deterministic sampling.
+"""Skew handling, deterministic sampling, and scale-safe total ordering.
 
-[absent in reference — north-star extension] The two levers the brief calls
-out for 100 TB: salting for skewed shuffle keys, and reproducible sampling
-for training-data splits.
+[absent in reference — north-star extension] The levers the brief calls
+out for 100 TB: salting for skewed shuffle keys, reproducible sampling
+for training-data splits, and global ranking that never funnels the
+corpus through one reducer.
 
   * ``salted_agg`` — two-stage aggregation for LOW-cardinality / heavy-key
     group-bys: stage 1 aggregates on (keys, salt) spreading each hot key
@@ -97,6 +98,63 @@ def stratified_sample(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
+    )
+
+
+def global_ranks(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_alias: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
+    single-reducer window. A bare unpartitioned window plans as
+    ``Exchange SinglePartition`` — every row through one task, the classic
+    100 TB killer. Instead, the zipWithIndex shape in pure DataFrame ops:
+
+      1. ``repartitionByRange(order_cols).sortWithinPartitions`` —
+         partition *p* holds a contiguous key range, ranges ascend with
+         partition id, rows sorted inside. ONE corpus-sized shuffle —
+         the floor for any total ordering.
+      2. ``monotonically_increasing_id()`` on the sorted rows encodes
+         ``partition_id << 33 | row_offset`` — per-partition id and local
+         rank in one JVM expression, no window, no second exchange.
+      3. per-partition counts (one row per partition) → exclusive
+         prefix-sum offsets, broadcast back; global rank = offset + local.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker):
+    ties straddling a range boundary would otherwise rank
+    nondeterministically. Any boundary placement yields the same ranks —
+    only the (offset, local) split differs — but the sizes branch and the
+    rank branch must see the SAME placement, and range boundaries come
+    from RDD-id-seeded sampling, so the sorted/numbered rows are pinned
+    with a ``localCheckpoint`` before fanning out (a global total order is
+    a materialization-scale op regardless; the checkpoint makes the second
+    pass read it instead of re-shuffling). The offsets prefix-sum does use
+    a 1-partition window, on |partitions| rows — O(thousands) at any data
+    scale, never O(corpus)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(partitions, *cols) if partitions else df.repartitionByRange(*cols)
+    local = (
+        part.sortWithinPartitions(*cols)
+        # one nondeterministic expression instance; pid/lrn derived from it
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+        .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1))
+        .drop("_mid")
+        .localCheckpoint(eager=True)
+    )
+    sizes = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_alias, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
     )
 
 

@@ -57,6 +57,34 @@ def test_hll_rejects_bad_precision(spark):
         SKT.hll_registers(df, "id", p=2)
 
 
+# -------------------------------------------------------- global ranking
+
+
+def test_global_ranks_match_sequential_order(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ranked = SK.global_ranks(o, ["o_orderdate", "o_orderkey"], rank_alias="rank")
+    got = {r["o_orderkey"]: r["rank"] for r in ranked.collect()}
+    expected_keys = [
+        r["o_orderkey"]
+        for r in o.orderBy("o_orderdate", "o_orderkey").collect()
+    ]
+    assert len(got) == len(expected_keys)
+    assert got[expected_keys[0]] == 1
+    assert all(got[k] == i + 1 for i, k in enumerate(expected_keys))
+
+
+def test_global_ranks_plan_has_no_corpus_single_partition_window(spark, sf_dir):
+    """The corpus side must never hit Exchange SinglePartition: the final
+    plan is a broadcast join of the checkpointed scan with |partitions|
+    offset rows; the only window runs on that tiny sizes branch."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ranked = SK.global_ranks(o, ["o_orderdate", "o_orderkey"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # ------------------------------------------------------------- sampling
 
 

@@ -43,6 +43,11 @@ AUDITS = {
     # never a per-row nested-loop re-execution.
     "scalar_subquery": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     "hash_split": {"forbid": ["Exchange", "Join"]},
+    # global ranking: the corpus side is a checkpointed range-sort scan +
+    # broadcast of |partitions| offset rows — the 1-partition window exists
+    # only on that tiny branch; the corpus never meets a sort-merge join or
+    # an unpartitioned window.
+    "global_ranking": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]},
     "chunk_documents": {"expect": ["Generate"], "forbid": ["Join"]},
     # HLL: hash+register JVM-side, ONE partial-agg shuffle over <=2^p keys,
     # a single-row fold after. (The BroadcastNestedLoopJoin in this plan is
