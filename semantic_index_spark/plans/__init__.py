@@ -1,3 +1,3 @@
-from semantic_index_spark.plans import explain
+from semantic_index_spark.plans import explain, tuning
 
-__all__ = ["explain"]
+__all__ = ["explain", "tuning"]

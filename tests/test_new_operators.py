@@ -575,3 +575,35 @@ def test_snapshot_diff_classifies(spark):
     )
     got = {r["doc_id"]: r["change"] for r in P.snapshot_diff(old, new).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}  # doc 1 omitted
+
+
+# ---------------------------------------------------- runtime bloom filter
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """fact ⋈ selective-dim as a shuffle join: Catalyst must inject a
+    bloom_filter_agg over the dim keys and a might_contain filter on the
+    fact side BELOW its exchange — fact rows that can't match are dropped
+    before they shuffle (the 100 TB lever; size-gated off at local scale,
+    forced on here)."""
+    from semantic_index_spark.plans import tuning
+    from semantic_index_spark.session import load_table
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    baseline = {r["o_orderpriority"]: r["n"] for r in build().collect()}
+    with tuning.session_confs(spark, tuning.runtime_filter_confs(force=True)):
+        j = build()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert {r["o_orderpriority"]: r["n"] for r in j.collect()} == baseline
+    # confs restored: broadcast threshold back to default, no leakage
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
