@@ -136,6 +136,20 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch of events joins a STATIC
+    dimension (user/account/document attributes). Stateless — nothing is
+    buffered across batches, no watermark needed — and the dim side is
+    explicitly broadcast, so at cluster scale every executor holds the dim
+    hash table once and the stream never shuffles. For dims too big to
+    broadcast, pre-bucket both sides on the key instead (sources/io.py:
+    ``write_bucketed_table``). [absent in reference — north-star extension]
+    """
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState`` —
     the escape hatch when built-in windowed aggregation can't express the

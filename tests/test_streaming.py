@@ -172,6 +172,29 @@ def test_stream_stream_join_matches_batch(spark, events_dir, events_batch):
     assert _rows(out) == _rows(expected)
 
 
+def test_stream_static_enrich_matches_batch(spark, events_dir, events_batch):
+    """Stream-static broadcast enrichment: each micro-batch left-joins a
+    static dim; result set == the same join in batch, dim attrs attached and
+    unmatched stream rows preserved (left join)."""
+    dim = (
+        events_batch.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("cohort", F.when(F.col("user_id") % 4 == 0, "a").otherwise("b"))
+    )
+    out = _run_to_memory(
+        I.stream_static_enrich(
+            _stream(spark, events_dir, events_batch), dim
+        ).select("event_id", "user_id", "cohort"),
+        "t_enrich", "append", spark,
+    )
+    expected = events_batch.join(dim, on="user_id", how="left").select(
+        "event_id", "user_id", "cohort"
+    )
+    assert _rows(out) == _rows(expected)
+    # odd user_ids are absent from the dim → left join keeps them, cohort NULL
+    assert out.filter(F.col("cohort").isNull()).count() > 0
+
+
 def test_stateful_user_totals_matches_batch(spark, events_dir, events_batch):
     """applyInPandasWithState: explicit per-key state across micro-batches.
     The LAST update emitted per user must equal the batch groupBy totals."""
