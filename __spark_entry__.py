@@ -437,6 +437,41 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.heavy_hitters(d, min_count=HEAVY_MIN)
 
 
+BM25_TERMS = ["vector", "join", "hash"]
+BM25_K1, BM25_B = 1.2, 0.75
+PACK_BUDGET = 512
+BPE_TOP = 30
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TA.bm25_topk(d, BM25_TERMS, k=KNN_K, k1=BM25_K1, b=BM25_B)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TA.bpe_pair_counts(d, top_n=BPE_TOP)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark-leakage audit: every 10th doc plays the eval set, the rest
+    # the training corpus; score = fraction of eval 3-gram shingles found
+    # anywhere in train.
+    d = load_table(spark, sf_dir, "documents")
+    return TA.contamination_check(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=SHINGLE_N,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents")
+    return P.pack_sequences(d, budget=PACK_BUDGET)
+
+
 def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant deterministic PII on every 7th doc, then audit (counts per kind),
     # scrub (md5 of the redacted text certifies the rewrite byte-for-byte),
@@ -807,6 +842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_knn": q_quantized_knn,
         "tfidf_top_terms": q_tfidf_top_terms,
         "heavy_hitters": q_heavy_hitters,
+        "bm25_topk": q_bm25_topk,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "contamination_check": q_contamination_check,
+        "pack_sequences": q_pack_sequences,
         "repetition_pii": q_repetition_pii,
         "chunk_documents": q_chunk_documents,
         "udtf_token_positions": q_udtf_token_positions,
@@ -1237,6 +1276,82 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
             SELECT tok, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
             FROM tok GROUP BY tok HAVING count(*) >= {HEAVY_MIN}
+        """,
+        "bm25_topk": f"""
+            WITH base AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+            ),
+            lens AS (SELECT doc_id, len(toks) AS doclen, toks FROM base),
+            stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM lens),
+            tok AS (SELECT doc_id, doclen, unnest(toks) AS tok FROM lens),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf, first(doclen) AS doclen
+                FROM tok WHERE tok IN ({", ".join(repr(t) for t in BM25_TERMS)})
+                GROUP BY doc_id, tok
+            ),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+                SELECT tf.doc_id,
+                       ln(1.0::DOUBLE + (stats.n_docs - dfq.df + 0.5::DOUBLE)
+                                        / (dfq.df + 0.5::DOUBLE))
+                       * tf.tf * {BM25_K1 + 1.0}::DOUBLE
+                       / (tf.tf + {BM25_K1}::DOUBLE
+                          * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                             + {BM25_B}::DOUBLE * tf.doclen / stats.avgdl)) AS s
+                FROM tf JOIN dfq USING (tok), stats
+            )
+            SELECT doc_id, round(sum(s), 6) AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT {KNN_K}
+        """,
+        "bpe_pair_counts": f"""
+            WITH t AS (SELECT {_DUCK_TOKENS} AS toks FROM documents),
+            p AS (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(toks) - 1, 0)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+                FROM t
+            )
+            SELECT pair, count(*)::BIGINT AS n_pairs
+            FROM p GROUP BY pair
+            ORDER BY n_pairs DESC, pair LIMIT {BPE_TOP}
+        """,
+        "contamination_check": f"""
+            WITH ev AS (
+                SELECT DISTINCT doc_id, {_duck_md5_bigint("sh")} AS h
+                FROM (SELECT doc_id, unnest({_duck_shingles(_DUCK_TOKENS)}) AS sh
+                      FROM documents WHERE doc_id % 10 = 0)
+            ),
+            tr AS (
+                SELECT DISTINCT {_duck_md5_bigint("sh")} AS h
+                FROM (SELECT unnest({_duck_shingles(_DUCK_TOKENS)}) AS sh
+                      FROM documents WHERE doc_id % 10 <> 0)
+            )
+            SELECT ev.doc_id, count(*)::BIGINT AS n_shingles,
+                   count(tr.h)::BIGINT AS n_matched,
+                   round(count(tr.h)::DOUBLE / count(*), 6) AS contamination
+            FROM ev LEFT JOIN tr ON ev.h = tr.h
+            GROUP BY ev.doc_id
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, len({_DUCK_TOKENS})::INT AS n_tokens FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS s
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   s // {PACK_BUDGET} AS seq_id,
+                   s % {PACK_BUDGET} AS offset_in_seq,
+                   (n_tokens > 0 AND
+                    (s + n_tokens - 1) // {PACK_BUDGET} <> s // {PACK_BUDGET})
+                       AS spans_boundary
+            FROM c
         """,
         "repetition_pii": _repetition_pii_oracle(),
         "exact_dedup": """

@@ -135,6 +135,81 @@ def validate_expectations(df: DataFrame, expectations: list[Expectation]) -> Dat
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training: lay documents end-to-end in ``id_col``
+    order into a contiguous token stream and cut it into fixed
+    ``budget``-token training sequences (the "packed tokens" layout — no
+    padding waste). Returns one row per document:
+    (id, n_tokens, seq_id, offset_in_seq, spans_boundary) where ``seq_id``
+    is the sequence its FIRST token lands in, ``offset_in_seq`` its start
+    position there, and ``spans_boundary`` marks documents a loader must
+    split across two sequences.
+
+    The core is a global exclusive prefix-sum of token counts — the same
+    single-reducer trap as global ranking, solved the same way
+    (:func:`...skew.global_ranks`): ``repartitionByRange`` on the id (ONE
+    corpus shuffle), per-partition running sums via a window keyed on the
+    partition id (never unpartitioned), per-partition totals → exclusive
+    offsets on |partitions| rows, broadcast back. The sorted/numbered rows
+    are pinned with ``localCheckpoint`` so the totals branch and the join
+    branch see the same range placement."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+    base = docs.select(
+        F.col(id_col), F.size(T.tokens(text_col)).alias("n_tokens")
+    )
+    part = (
+        base.repartitionByRange(partitions, id_col)
+        if partitions
+        else base.repartitionByRange(id_col)
+    )
+    local = (
+        part.sortWithinPartitions(id_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+        .drop("_mid")
+        .localCheckpoint(eager=True)
+    )
+    totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (F.col("_off") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))).cast(
+        "bigint"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_start", start)
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"_start div {budget}").alias("seq_id"),
+            (F.col("_start") % budget).alias("offset_in_seq"),
+            (
+                (F.col("n_tokens") > 0)
+                & (
+                    F.expr(f"(_start + n_tokens - 1) div {budget}")
+                    != F.expr(f"_start div {budget}")
+                )
+            ).alias("spans_boundary"),
+        )
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

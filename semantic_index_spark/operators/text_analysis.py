@@ -117,6 +117,144 @@ def heavy_hitters(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents for a bag of query terms
+    (Robertson/Spärck Jones; the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). Returns
+    (id, bm25) ordered by (bm25 DESC, id) — rounded score in the sort so
+    the cutoff is engine-portable.
+
+    Scale shape: one explode, with the query-term membership filter applied
+    DIRECTLY on the exploded tokens — corpus rows containing no query term
+    die before any shuffle, so the per-(doc, term) aggregation is over the
+    matching slice only, not the corpus. Document length rides along with
+    the explode (``first(doclen)``) — no corpus self-join to recover it.
+    df(term) is ≤ |query| rows → broadcast; (N, avgdl) is one row →
+    broadcast. Final top-k is TakeOrderedAndProject, never a global sort.
+    """
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), T.tokens(text_col).alias("_toks")
+    ).select(id_col, F.size("_toks").alias("doclen"), "_toks")
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, "doclen", F.explode("_toks").alias("tok"))
+        .filter(F.col("tok").isin(query_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"), F.first("doclen").alias("doclen"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doclen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 30,
+) -> DataFrame:
+    """One BPE-style merge iteration at corpus scale: count every ADJACENT
+    token pair and return the ``top_n`` most frequent — the inner statistic
+    of byte-pair-encoding vocabulary training (the argmax pair is the next
+    merge). Pairs are built JVM-side with an index lambda over the token
+    array (no posexplode + self-join); then the word-count shape: explode →
+    ONE map-side-combined groupBy. Deterministic (count DESC, pair ASC)
+    cutoff → TakeOrderedAndProject. Returns (pair, n_pairs)."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    pairs = F.expr(
+        f"transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        f"(x, i) -> concat(x, ' ', _toks[i + 1]))"
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(T.tokens(text_col).alias("_toks"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination audit: for each eval document, the fraction
+    of its distinct word ``n``-gram shingles that appear ANYWHERE in the
+    training corpus — the standard benchmark-leakage check run before a
+    training set ships. Returns (id, n_shingles, n_matched, contamination).
+
+    Scale shape: both sides shingle → hash (portable md5-derived BIGINT) →
+    distinct, so the join is a hash equi-join on a 64-bit key between two
+    deduplicated sets — the train side is distinct'd to one row per shingle
+    (no hot-key fanout), the eval side to one row per (doc, shingle). The
+    shuffle is keyed on the shingle hash (high cardinality, near-uniform).
+    Never an array-overlap theta-join."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    ev = (
+        ensure_parallelism(eval_docs)
+        .select(F.col(id_col), F.explode(T.shingles(text_col, n)).alias("_sh"))
+        .select(id_col, T.md5_bigint("_sh").alias("_h"))
+        .distinct()
+    )
+    tr = (
+        ensure_parallelism(train)
+        .select(F.explode(T.shingles(text_col, n)).alias("_sh"))
+        .select(T.md5_bigint("_sh").alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_matched"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_matched") / F.col("n_shingles").cast("double"), 6),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

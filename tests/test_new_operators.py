@@ -607,3 +607,120 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         assert {r["o_orderpriority"]: r["n"] for r in j.collect()} == baseline
     # confs restored: broadcast threshold back to default, no leakage
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_bm25_semantics_toy(spark):
+    """BM25 ranks a doc with more query-term mass higher; docs with no
+    query term never appear; scores match a hand-rolled computation."""
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),          # tf(cat)=2
+            (2, "cat bird bird bird"),   # tf(cat)=1, longer
+            (3, "fish fish fish"),       # no query term
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in TA.bm25_topk(docs, ["cat"], k=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] > out[2]
+    # hand computation: N=3, df(cat)=2, avgdl=10/3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (10 / 3))), 6)
+
+    assert out[1] == pytest.approx(score(2, 3), abs=1e-6)
+    assert out[2] == pytest.approx(score(1, 4), abs=1e-6)
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        TA.bm25_topk(docs, [])
+
+
+def test_bpe_pair_counts_toy_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["pair"]: r["n_pairs"] for r in TA.bpe_pair_counts(docs).collect()}
+    # doc1: "a b","b a","a b"; doc2: "a b"; doc3/doc4: no pairs
+    assert out == {"a b": 3, "b a": 1}
+
+
+def test_contamination_check_fractions(spark):
+    train = spark.createDataFrame(
+        [(10, "one two three four")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "one two three four"),     # both shingles in train
+            (2, "one two three nine"),     # 1 of 2 shingles in train
+            (3, "x y z w"),                # nothing in train
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_matched"], r["contamination"])
+        for r in TA.contamination_check(train, ev).collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+
+
+def test_pack_sequences_layout(spark):
+    """Documents lay end-to-end: starts are the exclusive prefix sum, the
+    boundary-straddling flag fires exactly when a doc crosses a multiple
+    of the budget, and every token is accounted for exactly once."""
+    from semantic_index_spark.operators import pipeline as P
+
+    # token counts: 3, 4, 2, 5 → starts 0, 3, 7, 9 with budget 4:
+    # doc1 seq0 off0; doc2 seq0 off3 (spans into seq1); doc3 seq1 off3
+    # (spans); doc4 seq2 off1 (5 tokens: crosses seq2→seq3 boundary at 12)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b"), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"], r["spans_boundary"])
+        for r in P.pack_sequences(docs, budget=4).collect()
+    }
+    assert out[1] == (0, 0, False)
+    assert out[2] == (0, 3, True)
+    assert out[3] == (1, 3, True)
+    assert out[4] == (2, 1, True)
+
+
+def test_pack_sequences_matches_single_window_at_any_partitioning(spark):
+    """The two-phase distributed prefix-sum must equal the naive global
+    window regardless of how many range partitions the input lands in."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.operators import pipeline as P
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+    )
+    for parts in (1, 5, 32):
+        got = P.pack_sequences(docs, budget=10, partitions=parts)
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        naive = (
+            docs.select("doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+            .withColumn("s", F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .select("doc_id", F.expr("s div 10").alias("seq_id"), (F.col("s") % 10).alias("off"))
+        )
+        exp = {r["doc_id"]: (r["seq_id"], r["off"]) for r in naive.collect()}
+        for r in got.collect():
+            assert (r["seq_id"], r["offset_in_seq"]) == exp[r["doc_id"]], (parts, r)
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    from semantic_index_spark.operators import pipeline as P
+
+    with pytest.raises(ValueError, match="budget"):
+        P.pack_sequences(docs, budget=0)

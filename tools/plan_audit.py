@@ -94,6 +94,21 @@ AUDITS = {
     "histogram_quantiles": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # sliding windows expand via Expand (multi-projection), not Generate.
     "events_sliding_windows": {"expect": ["Expand", "HashAggregate"], "forbid": ["Join"]},
+    # BM25: query-term filter lands on the exploded tokens (corpus rows
+    # with no query term die pre-shuffle); df + corpus stats are broadcast
+    # (the 1×1-row stats crossJoin plans as a BNLJ by construction — not a
+    # scale risk); final cutoff is bounded top-k, never a global sort.
+    "bm25_topk": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # BPE merge statistic: word-count shape (explode → partial-agg shuffle
+    # on the pair key) + bounded top-k; never a positional self-join.
+    "bpe_pair_counts": {"expect": ["TakeOrderedAndProject", "Generate", "HashAggregate"], "forbid": ["Join"]},
+    # contamination: both sides collapse to distinct 64-bit shingle hashes
+    # BEFORE one hash equi-join on the hash — never an array-overlap loop.
+    "contamination_check": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # sequence packing: distributed prefix-sum — range shuffle + partition-
+    # keyed windows + broadcast of |partitions| offset rows; the corpus
+    # never meets an unpartitioned window or a sort-merge join.
+    "pack_sequences": {"expect": ["BroadcastHashJoin", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]},
 }
 
 
