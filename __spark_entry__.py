@@ -437,6 +437,59 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.heavy_hitters(d, min_count=HEAVY_MIN)
 
 
+ZORDER_COLS = [("c_acctbal", -1000.0, 10000.0), ("c_custkey", 0.0, 1048576.0)]
+ZORDER_BITS = 8
+
+
+def _duck_zorder(cols, bits: int) -> str:
+    """DuckDB mirror of sources.io.zorder_key: same clamp-quantize + bit
+    interleave, same double step literals."""
+    k = len(cols)
+    terms = []
+    for i, (name, lo, hi) in enumerate(cols):
+        step = (float(hi) - float(lo)) / (1 << bits)
+        cell = (
+            f"least({(1 << bits) - 1}, greatest(0, "
+            f"floor(({name}::DOUBLE - ({float(lo)!r})) / ({step!r}))::BIGINT))"
+        )
+        for j in range(bits):
+            terms.append(f"((({cell} >> {j}) & 1) << {j * k + i})")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_index_spark.operators import skew as SKW
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("prio_class", F.substring("o_orderpriority", 1, 1))
+    )
+    j = SKW.salted_join(orders, dim, on="o_orderpriority", row_key="o_orderkey", salt_n=8)
+    return j.groupBy("prio_class").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from semantic_index_spark.sources.io import zorder_key
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", zorder_key(ZORDER_COLS, bits=ZORDER_BITS).alias("zkey")
+    )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    exact = S.topk(emb, q, k=KNN_K).select("vec_id")
+    approx = S.lsh_topk(emb, q, PLANES, k=KNN_K).select("vec_id")
+    return S.ann_recall(exact, approx)
+
+
 BM25_TERMS = ["vector", "join", "hash"]
 BM25_K1, BM25_B = 1.2, 0.75
 PACK_BUDGET = 512
@@ -842,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_knn": q_quantized_knn,
         "tfidf_top_terms": q_tfidf_top_terms,
         "heavy_hitters": q_heavy_hitters,
+        "salted_join_agg": q_salted_join_agg,
+        "zorder_key": q_zorder_key,
+        "lsh_recall": q_lsh_recall,
         "bm25_topk": q_bm25_topk,
         "bpe_pair_counts": q_bpe_pair_counts,
         "contamination_check": q_contamination_check,
@@ -1276,6 +1332,43 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
             SELECT tok, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
             FROM tok GROUP BY tok HAVING count(*) >= {HEAVY_MIN}
+        """,
+        "salted_join_agg": """
+            WITH dim AS (
+                SELECT DISTINCT o_orderpriority,
+                       substr(o_orderpriority, 1, 1) AS prio_class
+                FROM orders
+            )
+            SELECT prio_class, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN dim USING (o_orderpriority)
+            GROUP BY prio_class
+        """,
+        "zorder_key": f"""
+            SELECT c_custkey, {_duck_zorder(ZORDER_COLS, ZORDER_BITS)} AS zkey
+            FROM customer
+        """,
+        "lsh_recall": f"""
+            WITH exact AS (
+                SELECT e.vec_id, round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 0)")}, 6) AS score
+                FROM embeddings e
+                ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+            ),
+            sig AS (
+                SELECT vec_id, embedding, {_duck_signature("embedding")} AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT embedding AS qe, bucket AS qb FROM sig WHERE vec_id = 0),
+            approx AS (
+                SELECT s.vec_id, round({_duck_dot("s.embedding", "q.qe")}, 6) AS score
+                FROM sig s, q
+                WHERE s.bucket = q.qb
+                ORDER BY score DESC, s.vec_id LIMIT {KNN_K}
+            )
+            SELECT count(a.vec_id)::BIGINT AS n_hit,
+                   count(*)::BIGINT AS n_exact,
+                   round(count(a.vec_id)::DOUBLE / count(*), 6) AS recall
+            FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
         """,
         "bm25_topk": f"""
             WITH base AS (

@@ -202,6 +202,38 @@ def lsh_topk(
     )
 
 
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Recall@k of an approximate retrieval result against the exact one:
+    |approx ∩ exact| / |exact|, per query when ``by`` names a query-id
+    column both inputs carry, else one global row. The evaluation harness
+    for the ANN family (lsh_topk / ivf_topk vs brute-force topk) — run it
+    on a sampled query set after any re-tune of planes/centroids/nprobe.
+
+    Shape: a left semi equi-join on (query, id) — both inputs are k·|Q|
+    rows, so this is metric-sized work, never corpus-sized."""
+    keys = [by, id_col] if by else [id_col]
+    hits = exact.join(approx.select(*keys), keys, "left_semi")
+    group = [by] if by else []
+    n_exact = exact.groupBy(*group).agg(F.count("*").alias("n_exact"))
+    n_hit = hits.groupBy(*group).agg(F.count("*").alias("n_hit"))
+    joined = (
+        n_exact.join(n_hit, group, "left") if group else n_exact.crossJoin(n_hit)
+    )
+    return joined.select(
+        *group,
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", emb_col: str = "embedding"
 ) -> DataFrame:

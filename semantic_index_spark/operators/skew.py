@@ -74,6 +74,39 @@ def hash_split(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    row_key: str,
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for a HOT join key when the small side is still
+    too big (or too row-multiplying) to broadcast: salt the big side with a
+    deterministic per-row bucket (md5 of ``row_key``, so replays shuffle
+    identically) and replicate each small-side row across all ``salt_n``
+    salts with a bounded explode. The join key becomes (key, salt): one hot
+    key now spreads over ``salt_n`` reducers instead of one. Result is
+    row-identical to the plain join (every big row still meets every
+    matching small row exactly once — via its own salt copy).
+
+    This is the manual fallback for the cases AQE skew-join can't fix:
+    skew that materializes AFTER an upstream stage (AQE only splits
+    map-output partitions it can measure) or sinks that require a fixed
+    partitioning. ``salt_n`` multiplies the small side — keep it ≤ low
+    hundreds. ``how`` supports inner/left (the big side keeps its rows)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how must be inner or left, got {how!r}")
+    b = big.withColumn(
+        "_salt", F.pmod(md5_bigint(F.col(row_key).cast("string"), salt="sj:"), F.lit(salt_n))
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<bigint>"))
+    )
+    return b.join(s, [on, "_salt"], how).drop("_salt")
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
 ) -> DataFrame:

@@ -181,3 +181,48 @@ def write_single_json_file(df: DataFrame, path: str) -> None:
         os.remove(path)
     shutil.move(os.path.join(tmp, part), path)
     shutil.rmtree(tmp)
+
+
+def zorder_key(
+    cols: list[tuple[str, float, float]], bits: int = 8
+) -> "Column":
+    """Z-order (Morton) clustering key over ``cols`` = [(name, lo, hi), …]:
+    each column is quantized to a ``bits``-bit cell over its [lo, hi) domain
+    and the cell bits are interleaved into one BIGINT. Sorting a corpus by
+    this key before writing (``df.sortWithinPartitions(zorder_key(...))``)
+    co-locates rows that are close in EVERY dimension, so parquet row-group
+    min/max stats skip data for multi-column box predicates — the layout
+    lever behind Delta/Iceberg ``OPTIMIZE ZORDER BY``, in plain Spark.
+
+    Pure JVM bit arithmetic (shiftright/&/cast — whole-stage codegen), no
+    UDF; mirrors exactly in the DuckDB oracle. Out-of-domain values clamp
+    to the edge cells. k·bits must fit a BIGINT (k·bits ≤ 62)."""
+    import pyspark.sql.functions as F
+
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if k * bits > 62:
+        raise ValueError(f"zorder_key: {k} cols × {bits} bits exceeds 62")
+    terms = []
+    for i, (name, lo, hi) in enumerate(cols):
+        if not hi > lo:
+            raise ValueError(f"zorder_key: need hi > lo for {name}")
+        cell = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(name).cast("double") - F.lit(float(lo)))
+                    / F.lit((float(hi) - float(lo)) / (1 << bits))
+                ),
+            ),
+        ).cast("bigint")
+        for j in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(cell, j).bitwiseAND(F.lit(1)), j * k + i)
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")

@@ -110,6 +110,29 @@ def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> Da
     return stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
 
 
+def idempotent_parquet_sink(path: str):
+    """Exactly-once parquet append via ``foreachBatch``: each micro-batch
+    lands under ``batch_id=<epoch>`` with DYNAMIC partition overwrite, so a
+    replayed epoch (post-crash restart re-delivers the last uncommitted
+    batch) OVERWRITES its own partition instead of appending duplicates —
+    foreachBatch alone is at-least-once; (deterministic batch content,
+    idempotent write) upgrades it to exactly-once. The standard recipe for
+    non-transactional sinks; on a table format (Delta/Iceberg) the txn
+    commit replaces the partition trick. Returns the callback for
+    ``writeStream.foreachBatch(...)``."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return _apply
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

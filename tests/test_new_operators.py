@@ -724,3 +724,82 @@ def test_pack_sequences_rejects_bad_budget(spark):
 
     with pytest.raises(ValueError, match="budget"):
         P.pack_sequences(docs, budget=0)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted equi-join must be row-identical to the plain join, for both
+    inner and left, including big-side rows with no match (left)."""
+    from semantic_index_spark.operators import skew as SK
+    from semantic_index_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .filter(F.col("o_orderpriority") > "2")  # leave some unmatched
+        .withColumn("prio_class", F.substring("o_orderpriority", 1, 1))
+    )
+    for how in ("inner", "left"):
+        got = SK.salted_join(
+            orders, dim, on="o_orderpriority", row_key="o_orderkey", salt_n=8, how=how
+        )
+        exp = orders.join(dim, "o_orderpriority", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect())), how
+    with pytest.raises(ValueError, match="inner or left"):
+        SK.salted_join(orders, dim, on="o_orderpriority", row_key="o_orderkey", how="full")
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    from semantic_index_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (255.0, 255.0), (1.0, 0.0), (0.0, 1.0), (-5.0, 999.0)],
+        "x double, y double",
+    )
+    # bits=8 over [0,256): cell == floor(value); x is dim 0 (even bit
+    # positions), y dim 1 (odd). Out-of-domain clamps to edge cells.
+    z = [
+        r[0]
+        for r in df.select(
+            zorder_key([("x", 0, 256), ("y", 0, 256)], bits=8)
+        ).collect()
+    ]
+    def interleave(a, b):
+        out = 0
+        for j in range(8):
+            out |= ((a >> j) & 1) << (2 * j)
+            out |= ((b >> j) & 1) << (2 * j + 1)
+        return out
+
+    assert z[0] == 0
+    assert z[1] == interleave(255, 255) == (1 << 16) - 1
+    assert z[2] == 1          # x bit 0 → position 0
+    assert z[3] == 2          # y bit 0 → position 1
+    assert z[4] == interleave(0, 255)  # clamped both dims
+    with pytest.raises(ValueError, match="exceeds 62"):
+        zorder_key([("x", 0, 1)] * 9, bits=8)
+    with pytest.raises(ValueError, match="hi > lo"):
+        zorder_key([("x", 5, 5)])
+
+
+def test_ann_recall_global_and_per_query(spark):
+    from semantic_index_spark.operators import similarity as S2
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "q long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "q long, vec_id long"
+    )
+    per_q = {
+        r["q"]: (r["n_hit"], r["n_exact"], r["recall"])
+        for r in S2.ann_recall(exact, approx, by="q").collect()
+    }
+    assert per_q[1] == (1, 2, 0.5)
+    assert per_q[2] == (2, 2, 1.0)
+    g = S2.ann_recall(exact, approx).collect()[0]
+    assert (g["n_hit"], g["n_exact"], g["recall"]) == (3, 4, 0.75)
+    # approx missing a query entirely → recall 0, not a dropped row
+    none = S2.ann_recall(exact, approx.filter("q = 2"), by="q").collect()
+    assert {r["q"]: r["recall"] for r in none}[1] == 0.0

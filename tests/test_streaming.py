@@ -271,3 +271,29 @@ def test_streaming_hll_registers_match_batch(spark, events_dir, events_batch):
     est_stream = SKT.hll_estimate(out).collect()[0][0]
     est_batch = SKT.hll_count_distinct(events_batch, "user_id").collect()[0][0]
     assert est_stream == est_batch
+
+
+def test_idempotent_sink_replayed_epoch_no_duplicates(spark, events_dir, events_batch, tmp_path):
+    """A replayed micro-batch (same epoch id) must overwrite its own
+    batch_id partition, not append — the exactly-once contract."""
+    out = str(tmp_path / "sink")
+    sink = I.idempotent_parquet_sink(out)
+    q = (
+        _stream(spark, events_dir, events_batch)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_events = events_batch.count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_events
+    batch_ids = [r[0] for r in first.select("batch_id").distinct().collect()]
+    # simulate the crash-replay: re-deliver an already-committed epoch
+    sink(events_batch.limit(50), batch_ids[0])
+    replayed = spark.read.parquet(out)
+    assert replayed.filter(F.col("batch_id") == batch_ids[0]).count() == 50
+    assert replayed.filter(F.col("batch_id") != batch_ids[0]).count() == (
+        first.filter(F.col("batch_id") != batch_ids[0]).count()
+    )

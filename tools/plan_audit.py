@@ -109,6 +109,16 @@ AUDITS = {
     # keyed windows + broadcast of |partitions| offset rows; the corpus
     # never meets an unpartitioned window or a sort-merge join.
     "pack_sequences": {"expect": ["BroadcastHashJoin", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]},
+    # salted join: the hot key spreads over salt_n reducers via the salt
+    # column; the small side replicates through a bounded explode
+    # (Generate) — row-identical to the plain join, never a nested loop.
+    "salted_join_agg": {"expect": ["Generate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # z-order key: pure JVM bit arithmetic in one projection over the scan —
+    # no shuffle, no join, no Python.
+    "zorder_key": {"forbid": ["Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"]},
+    # recall metric: two bounded top-k branches + metric-sized joins (the
+    # 1×1-row agg crossJoin is BNLJ by construction, not a scale risk).
+    "lsh_recall": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct"]},
 }
 
 
