@@ -494,6 +494,18 @@ BM25_TERMS = ["vector", "join", "hash"]
 BM25_K1, BM25_B = 1.2, 0.75
 PACK_BUDGET = 512
 BPE_TOP = 30
+GOPHER_MIN_WORDS = 20
+LM_K = 1.0
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TA.gopher_rules(d, min_words=GOPHER_MIN_WORDS)
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TA.ngram_lm_score(d, k=LM_K)
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": q_salted_join_agg,
         "zorder_key": q_zorder_key,
         "lsh_recall": q_lsh_recall,
+        "gopher_rules": q_gopher_rules,
+        "ngram_lm_score": q_ngram_lm_score,
         "bm25_topk": q_bm25_topk,
         "bpe_pair_counts": q_bpe_pair_counts,
         "contamination_check": q_contamination_check,
@@ -1369,6 +1383,66 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_exact,
                    round(count(a.vec_id)::DOUBLE / count(*), 6) AS recall
             FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
+        """,
+        "gopher_rules": f"""
+            WITH base AS (
+                SELECT doc_id, text, {_DUCK_TOKENS} AS t,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                    len(t)::BIGINT AS n_words,
+                    round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 6) AS mean_word_len,
+                    round(((length(text) - length(replace(text, '#', '')))
+                           + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(t), 6) AS symbol_ratio,
+                    round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(t), 6) AS alpha_frac,
+                    (list_contains(t, 'the')::INT + list_contains(t, 'be')::INT
+                     + list_contains(t, 'to')::INT + list_contains(t, 'of')::INT
+                     + list_contains(t, 'and')::INT + list_contains(t, 'that')::INT
+                     + list_contains(t, 'have')::INT + list_contains(t, 'with')::INT)::BIGINT AS stop_hits,
+                    round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE / len(lines), 6) AS bullet_frac,
+                    round(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))::DOUBLE / len(lines), 6) AS ellipsis_frac
+                FROM base
+            )
+            SELECT *,
+                   (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000) AS ok_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+                   (symbol_ratio <= 0.1) AS ok_symbol,
+                   (alpha_frac >= 0.8) AS ok_alpha,
+                   (stop_hits >= 2) AS ok_stops,
+                   (bullet_frac <= 0.9) AS ok_bullets,
+                   (ellipsis_frac <= 0.3) AS ok_ellipsis,
+                   (n_words >= {GOPHER_MIN_WORDS} AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3) AS pass_gopher
+            FROM m
+        """,
+        "ngram_lm_score": f"""
+            WITH base AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+            ),
+            pairs AS (
+                SELECT doc_id, z[1] AS w1, z[2] AS w2
+                FROM (
+                    SELECT doc_id, unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z
+                    FROM base WHERE len(t) >= 2
+                )
+            ),
+            uni AS (SELECT unnest(t) AS w1 FROM base),
+            c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM uni GROUP BY w1),
+            v AS (SELECT count(DISTINCT w1)::BIGINT AS v FROM uni),
+            scored AS (
+                SELECT p.doc_id,
+                       floor(ln((c2.c2 + {float(LM_K)!r}) / (c1.c1 + {float(LM_K)!r} * v.v)) * 1e6 + 0.5)::BIGINT AS lp
+                FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round((-sum(lp))::DOUBLE / 1e6 / count(*), 6) AS avg_nll
+            FROM scored GROUP BY doc_id
         """,
         "bm25_topk": f"""
             WITH base AS (

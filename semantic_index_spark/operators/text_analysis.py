@@ -293,3 +293,161 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_n)
         .select(id_col, "tok", "tfidf", "rnk")
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality audit (Rae et al. 2021, appendix A1):
+    one boolean column per rule plus the conjunction, alongside the raw
+    measurements, so a pipeline can both filter and explain WHY a document
+    was dropped. Rules: word-count band, mean-word-length band,
+    symbol-to-word ratio (# and ellipsis), alphabetic-word fraction,
+    required-stopword hits, bullet-line and ellipsis-line fractions.
+
+    Everything is per-row JVM expression work (split + higher-order array
+    functions) — no shuffle, no Python; at 100 TB this is a map-only stage
+    pipelined into the scan. [absent in reference — north-star extension]"""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    text = F.col(text_col)
+    toks = T.tokens(text_col)
+    lines = F.split(text, "\n")
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.round(sum_len.cast("double") / n_words, 6)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_words, 6
+    )
+    stop_hits = sum(
+        F.when(F.array_contains(toks, w), 1).otherwise(0) for w in GOPHER_STOPWORDS
+    ).cast("bigint")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))).cast("double")
+        / n_lines,
+        6,
+    )
+    out = ensure_parallelism(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+    )
+    rules = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "ok_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_len)
+            & (F.col("mean_word_len") <= max_mean_len)
+        ).alias("ok_mean_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("ok_symbol"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("ok_alpha"),
+        (F.col("stop_hits") >= min_stop_hits).alias("ok_stops"),
+        (F.col("bullet_frac") <= max_bullet_frac).alias("ok_bullets"),
+        (F.col("ellipsis_frac") <= max_ellipsis_frac).alias("ok_ellipsis"),
+    )
+    return rules.withColumn(
+        "pass_gopher",
+        F.col("ok_word_count")
+        & F.col("ok_mean_len")
+        & F.col("ok_symbol")
+        & F.col("ok_alpha")
+        & F.col("ok_stops")
+        & F.col("ok_bullets")
+        & F.col("ok_ellipsis"),
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style corpus-LM fluency score: train an add-k-smoothed bigram
+    model ON the corpus itself, then score every document by its average
+    negative log-likelihood under that model (low = typical text, high =
+    outlier / noise). The standard cheap perplexity proxy for corpus
+    filtering when a real LM is too expensive to run over 100 TB.
+
+    Scale shape: one explode into bigrams → two word-count aggregations
+    (map-side partial, shuffle carries ≤|vocab| rows per partition) → two
+    hash equi-joins of the corpus bigrams against those counts (never
+    broadcast: vocabulary grows with the corpus) → one groupBy(doc). Per-
+    bigram log-probs are fixed-pointed to 1e-6 BIGINTs before summing so
+    the aggregate is EXACT integer arithmetic — summation order cannot
+    break cross-engine parity. [absent in reference — north-star extension]"""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), T.tokens(text_col).alias("__t")
+    )
+    pairs = base.filter(F.size("__t") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 1, size(__t) - 1),"
+                " (w, i) -> struct(w AS w1, __t[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = base.select(F.explode("__t").alias("w1"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = uni.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = uni.select(F.count_distinct("w1").alias("v"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.floor(
+                F.log((F.col("c2") + F.lit(float(k))) / (F.col("c1") + F.lit(float(k)) * F.col("v")))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            (-F.sum("lp")).cast("double") / F.lit(1e6) / F.count("*"), 6
+        ).alias("avg_nll"),
+    )

@@ -803,3 +803,56 @@ def test_ann_recall_global_and_per_query(spark):
     # approx missing a query entirely → recall 0, not a dropped row
     none = S2.ann_recall(exact, approx.filter("q = 2"), by="q").collect()
     assert {r["q"]: r["recall"] for r in none}[1] == 0.0
+
+
+def test_gopher_rules_flags_each_rule(spark):
+    from semantic_index_spark.operators import text_analysis as TA
+
+    good = "the cat and the dog have been to the house of mice with joy " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),                          # passes everything
+            (2, "tiny doc"),                    # too few words, no stopwords
+            (3, "### " + good + " ###"),        # symbol ratio blown
+            (4, "- one\n- two\n- three"),       # all bullet lines
+            (5, good + "\nwait...\nmore..."),   # ellipsis line fraction
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        row["doc_id"]: row.asDict()
+        for row in TA.gopher_rules(docs, min_words=10).collect()
+    }
+    assert r[1]["pass_gopher"]
+    assert not r[2]["ok_word_count"] and not r[2]["ok_stops"]
+    assert not r[3]["ok_symbol"] and r[3]["ok_stops"]
+    assert not r[4]["ok_bullets"] and not r[4]["ok_word_count"]
+    assert not r[5]["ok_ellipsis"]
+    assert not any(r[d]["pass_gopher"] for d in (2, 3, 4, 5))
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    import math
+
+    from semantic_index_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        row["doc_id"]: (row["n_bigrams"], row["avg_nll"])
+        for row in TA.ngram_lm_score(docs, k=1.0).collect()
+    }
+    # unigrams: a:3 b:3 c:1 solo:1, V=4; bigrams: (a,b):3 (b,a):1 (b,c):1
+    def lp(c2, c1):
+        return math.floor(math.log((c2 + 1.0) / (c1 + 1.0 * 4)) * 1e6 + 0.5)
+
+    def round6(x):  # HALF_UP like Spark/DuckDB round(), not Python's
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    d1 = -(2 * lp(3, 3) + lp(1, 3)) / 1e6 / 3
+    d2 = -(lp(3, 3) + lp(1, 3)) / 1e6 / 2
+    assert got[1] == (3, round6(d1))
+    assert got[2] == (2, round6(d2))
+    assert 3 not in got  # single-token doc has no bigrams

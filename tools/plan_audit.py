@@ -119,6 +119,13 @@ AUDITS = {
     # recall metric: two bounded top-k branches + metric-sized joins (the
     # 1×1-row agg crossJoin is BNLJ by construction, not a scale risk).
     "lsh_recall": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct"]},
+    # gopher rules: per-row JVM expression work only — no join, no Python,
+    # no explode; the sole Exchange is ensure_parallelism's repartition.
+    "gopher_rules": {"forbid": ["Join", "Generate", "ArrowEvalPython", "BatchEvalPython"]},
+    # bigram LM: explode → word-count aggs → hash equi-joins on the token
+    # keys (vocab-sized sides are NEVER broadcast — they grow with the
+    # corpus); the single-row vocab count is the only BNLJ crossJoin.
+    "ngram_lm_score": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
