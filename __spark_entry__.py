@@ -834,70 +834,18 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is a verification contract: the driver hash-checks the
+    FIRST 50 entries each round. Slots 1-36 carry the queries that had never
+    received a driver CORRECTNESS row through round 3 (the LLM-pipeline /
+    dedup / text-analysis family plus this round's new session_window_agg);
+    slots 37-50 keep previously-green sentinels spanning every family so a
+    regression in already-verified code still trips the gate. Everything
+    after slot 50 passed the driver check in rounds 1-3."""
     return {
-        # reference surface (SURVEY.md §2.A)
-        "knn_topk": q_knn_topk,
-        "knn_cosine": q_knn_cosine,
-        "filter_projection": q_filter_projection,
-        "count_records": q_count_records,
-        "topk_orders": R.topk_orders,
-        "upsert_update_demo": R.upsert_update_demo,
-        "delete_ops_demo": R.delete_ops_demo,
-        "skip_policy_demo": R.skip_policy_demo,
-        "allow_policy_demo": R.allow_policy_demo,
-        # relational extension surface (SURVEY.md §2.B)
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q5_local_supplier_volume": R.q5_local_supplier_volume,
-        "filter_predicates": R.filter_predicates,
-        "join_semi_anti": R.join_semi_anti,
-        "agg_having": R.agg_having,
-        "rollup_nation_region": R.rollup_nation_region,
-        "cube_flags": R.cube_flags,
-        "window_running_sum": R.window_running_sum,
-        "window_rank_lag": R.window_rank_lag,
-        "set_ops_nations": R.set_ops_nations,
-        "string_functions": R.string_functions,
-        "date_functions": R.date_functions,
-        "json_functions": R.json_functions,
-        "math_case_functions": R.math_case_functions,
-        "distinct_counts": R.distinct_counts,
-        "percentiles_by_flag": R.percentiles_by_flag,
-        "window_distribution": R.window_distribution,
-        "batch_sessionization": R.batch_sessionization,
-        "full_outer_revenue": R.full_outer_revenue,
-        "rolling_event_stats": R.rolling_event_stats,
-        "unpivot_quantities": R.unpivot_quantities,
-        "grouping_sets_revenue": R.grouping_sets_revenue,
-        "exists_subqueries": R.exists_subqueries,
-        "pivot_status": R.pivot_status,
-        "scalar_subquery": R.scalar_subquery,
-        "null_semantics": R.null_semantics,
-        "agg_modern": R.agg_modern,
-        "array_hof": R.array_hof,
-        "events_tumbling_windows": R.events_tumbling_windows,
-        "events_sliding_windows": R.events_sliding_windows,
-        "asof_join": q_asof_join,
-        "range_join_bands": q_range_join_bands,
-        "salted_agg": q_salted_agg,
-        "global_ranking": q_global_ranking,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "hll_users": q_hll_users,
-        "histogram_quantiles": q_histogram_quantiles,
-        # vector / LLM-pipeline extensions
-        "knn_multi": q_knn_multi,
-        "lsh_bucket_hist": q_lsh_bucket_hist,
-        "vector_stats": q_vector_stats,
+        # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_components": q_dedup_components,
         "kmeans_centroids": q_kmeans_centroids,
@@ -921,11 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_token_positions": q_udtf_token_positions,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "text_signals": q_text_signals,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "media_stats": q_media_stats,
         "media_frames": q_media_frames,
-        # corpus-pipeline extensions
         "scd2_user_status": q_scd2_user_status,
         "embed_cache_hits": q_embed_cache_hits,
         "data_expectations": q_data_expectations,
@@ -934,6 +878,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
         "snapshot_diff": q_snapshot_diff,
+        # new in round 4
+        "session_window_agg": R.session_window_agg,
+        # --- previously-green sentinels (one per family) ---
+        "knn_topk": q_knn_topk,
+        "knn_cosine": q_knn_cosine,
+        "count_records": q_count_records,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "filter_predicates": R.filter_predicates,
+        "agg_having": R.agg_having,
+        "window_running_sum": R.window_running_sum,
+        "batch_sessionization": R.batch_sessionization,
+        "asof_join": q_asof_join,
+        "salted_agg": q_salted_agg,
+        "hll_users": q_hll_users,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # --- driver-verified in rounds 1-3 (beyond the 50-slot window) ---
+        "filter_projection": q_filter_projection,
+        "topk_orders": R.topk_orders,
+        "upsert_update_demo": R.upsert_update_demo,
+        "delete_ops_demo": R.delete_ops_demo,
+        "skip_policy_demo": R.skip_policy_demo,
+        "allow_policy_demo": R.allow_policy_demo,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "join_semi_anti": R.join_semi_anti,
+        "rollup_nation_region": R.rollup_nation_region,
+        "cube_flags": R.cube_flags,
+        "window_rank_lag": R.window_rank_lag,
+        "set_ops_nations": R.set_ops_nations,
+        "string_functions": R.string_functions,
+        "date_functions": R.date_functions,
+        "json_functions": R.json_functions,
+        "math_case_functions": R.math_case_functions,
+        "distinct_counts": R.distinct_counts,
+        "percentiles_by_flag": R.percentiles_by_flag,
+        "window_distribution": R.window_distribution,
+        "full_outer_revenue": R.full_outer_revenue,
+        "rolling_event_stats": R.rolling_event_stats,
+        "unpivot_quantities": R.unpivot_quantities,
+        "grouping_sets_revenue": R.grouping_sets_revenue,
+        "exists_subqueries": R.exists_subqueries,
+        "pivot_status": R.pivot_status,
+        "scalar_subquery": R.scalar_subquery,
+        "null_semantics": R.null_semantics,
+        "agg_modern": R.agg_modern,
+        "array_hof": R.array_hof,
+        "events_tumbling_windows": R.events_tumbling_windows,
+        "events_sliding_windows": R.events_sliding_windows,
+        "range_join_bands": q_range_join_bands,
+        "global_ranking": q_global_ranking,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "histogram_quantiles": q_histogram_quantiles,
+        "knn_multi": q_knn_multi,
+        "lsh_bucket_hist": q_lsh_bucket_hist,
+        "vector_stats": q_vector_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "media_stats": q_media_stats,
     }
 
 
@@ -1745,6 +1753,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(tse) AS session_start, max(tse) AS session_end
             FROM sess GROUP BY user_id, session_seq
+        """,
+        # Native F.session_window semantics replayed as gaps-and-islands:
+        # Spark merges an event into the open session iff its ts is STRICTLY
+        # before session_end (= last ts + gap), so a new island starts when
+        # the inter-event gap >= 1800s; session_end = max(ts) + 1800.
+        "session_window_agg": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse, value
+                FROM events
+            ), marked AS (
+                SELECT user_id, event_id, tse, value,
+                       CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w >= 1800
+                            THEN 1 ELSE 0 END AS is_start
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+            ), sess AS (
+                SELECT user_id, tse, value,
+                       sum(is_start) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(tse) AS session_start,
+                   max(tse) + 1800 AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "full_outer_revenue": """
             WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),

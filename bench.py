@@ -2,25 +2,35 @@
 
 Runs ``entry()`` plus every declared query from ``__spark_entry__.queries()``
 at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE machine-parseable JSON
-line to stdout::
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "suite_seconds", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+Each query is executed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and the
+MEDIAN is reported — rounds 2→3 showed ±2-3× per-query jitter on identical
+code at sf0.1, so single-shot timings cannot support round-over-round
+comparisons. Each rep is timed end-to-end (plan + execute + collect), the
+same work a user pays for.
 
-All human-facing progress goes to stderr so the driver's stdout parse stays
-clean. Each query is timed end-to-end (plan + execute + collect) — the same
-work a user pays for.
+Output contract (the driver's capture window for stdout is small — the
+round-3 artifact kept only ~520 tail bytes, so a 3 KB JSON line gets
+front-truncated into unparseable garbage):
+
+- ``BENCH_SUMMARY.json`` (repo root): the FULL result — per-query medians,
+  min/max across reps, errors, totals.
+- stdout, final line: ONE compact JSON summary (< 500 bytes) with the
+  headline metric and a pointer at the summary file.
+- stderr: human-readable per-query progress.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -39,41 +49,85 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark(app_name="semantic-index-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM JIT, parquet footer reads, first-job scheduling overhead.
     entrymod.entry(spark).collect()
 
-    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    total = 0.0
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        try:
-            rows = fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            print(f"{name:28s} {dt:7.2f}s rows={len(rows)}", file=sys.stderr)
-            timings[name] = round(dt, 3)
-            total += dt
-        except Exception as e:  # a broken query must not hide the others —
-            # but it must also be VISIBLE in the parsed output, not just
-            # stderr: a near-zero elapsed time for a crashed query would
-            # read as a speedup.
-            dt = time.perf_counter() - t0
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"{name:28s} ERROR after {dt:.2f}s: {e}", file=sys.stderr)
+        times: list[float] = []
+        rows = -1
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                rows = len(fn(spark, sf_dir).collect())
+                times.append(time.perf_counter() - t0)
+            except Exception as e:  # a broken query must not hide the others —
+                # but it must be VISIBLE in the parsed output, not just stderr:
+                # a near-zero elapsed time for a crashed query would read as a
+                # speedup.
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(
+                    f"{name:28s} ERROR after {time.perf_counter() - t0:.2f}s: {e}",
+                    file=sys.stderr,
+                )
+                break
+        if times:
+            med = statistics.median(times)
+            detail[name] = {
+                "median": round(med, 3),
+                "min": round(min(times), 3),
+                "max": round(max(times), 3),
+                "reps": len(times),
+                "rows": rows,
+            }
+            print(
+                f"{name:28s} med={med:7.2f}s  "
+                f"[{min(times):.2f}..{max(times):.2f}] rows={rows}",
+                file=sys.stderr,
+            )
 
-    out = {
+    medians = {k: v["median"] for k, v in detail.items()}
+    total = round(sum(medians.values()), 3)
+    sf = _sf_from_dir(sf_dir)
+    full = {
         "metric": "suite_seconds",
-        "value": round(total, 3),
+        "value": total,
         "unit": "sec",
-        "queries": timings,
-        "errors": errors,
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(detail) + len(errors),
         "n_errors": len(errors),
-        "sf": _sf_from_dir(sf_dir),
+        "errors": errors,
+        "queries": medians,
+        "detail": detail,
     }
-    print(json.dumps(out))
+    with open(os.path.join(REPO_ROOT, "BENCH_SUMMARY.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    slowest = sorted(medians, key=medians.get, reverse=True)[:3]
+    compact = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(detail) + len(errors),
+        "n_errors": len(errors),
+        # keep the contract's "queries" key but only the 3 slowest medians —
+        # the full ~96-entry map is ~3 KB and the driver's stdout capture
+        # window is ~520 bytes; the complete map lives in BENCH_SUMMARY.json
+        "queries": {k: medians[k] for k in slowest},
+        "queries_truncated": True,
+        "queries_file": "BENCH_SUMMARY.json",
+    }
+    # exactly one compact machine-parseable line on stdout, nothing after it
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
     return 1 if errors else 0
 

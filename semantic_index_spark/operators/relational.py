@@ -568,6 +568,30 @@ def batch_sessionization(spark: SparkSession, sf_dir: str, gap_s: int = 1800) ->
     )
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    """Native ``F.session_window`` in BATCH — the same operator the streaming
+    builder uses (streaming/ingest.py:session_windows), so the session-window
+    category keeps an oracle-checked batch row even when streaming infra
+    flakes. Spark merges two events into one session when the later event
+    starts strictly before the earlier session's end (ts + gap); the oracle
+    replays that as gaps-and-islands (new session when the inter-event gap
+    >= gap_s). Session end is last event ts + gap, per Spark's definition.
+    One shuffle on user_id; state per open session — scales with concurrent
+    sessions, not stream length, in the streaming twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def full_outer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: every nation key appearing on either the customer
     or the supplier side, with NULL-safe coalesced counts — completes the

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import TimestampNTZType
 
 # stream_upsert_into_index: how many micro-batches between full index
 # compactions (each compact is O(index); between them lineage grows one
@@ -26,10 +27,33 @@ from pyspark.sql.streaming import DataStreamWriter
 COMPACT_EVERY_N_BATCHES = 8
 
 
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local timezone).
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet sources legitimately
+    round-trip as NTZ depending on writer metadata and
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` — so every event-time
+    builder must survive an NTZ source, not assume the fixture wrote TZ.
+    The cast interprets the naive time in the session timezone, the same
+    interpretation ``unix_timestamp`` uses on NTZ, so batch/stream parity
+    is preserved."""
+    if col in df.columns and isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def stream_events(spark, path: str, schema) -> DataFrame:
     """File-based streaming source over an events directory. In production
-    this would be Kafka/Kinesis; the transformation graph is identical."""
-    return spark.readStream.schema(schema).parquet(path)
+    this would be Kafka/Kinesis; the transformation graph is identical.
+    Any TIMESTAMP_NTZ columns are normalized to TIMESTAMP so downstream
+    watermarks (which reject NTZ) work regardless of how the parquet files
+    encoded their timestamps."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -38,7 +62,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     evicted — the only way windowed aggregation state stays O(open windows)
     instead of O(stream length) at scale."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
@@ -53,7 +77,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 def sliding_avg(events: DataFrame, window: str = "2 hours", slide: str = "1 hour") -> DataFrame:
     """Sliding window average event value."""
     return (
-        events.withWatermark("ts", "4 hours")
+        ensure_event_time(events).withWatermark("ts", "4 hours")
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(F.round(F.avg("value"), 6).alias("avg_value"))
         .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "avg_value")
@@ -64,7 +88,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user: a session closes after `gap` of inactivity.
     State is per-open-session; the watermark closes and evicts sessions."""
     return (
-        events.withWatermark("ts", "2 hours")
+        ensure_event_time(events).withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -81,7 +105,11 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     ``dropDuplicatesWithinWatermark`` keeps keys only within the watermark
     horizon (the streaming form of the reference's SKIP policy,
     `DuplicateHandling.cs:22`)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def stream_upsert_into_index(stream_df: DataFrame, index, checkpoint: str) -> DataStreamWriter:
@@ -148,8 +176,8 @@ def stream_stream_join(
     bounds the time skew — REQUIRED so each side's buffered state is
     evicted once the watermark passes (unbounded state otherwise).
     The classic purchase←view attribution join."""
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    l = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     return l.join(
         r,
         F.expr(

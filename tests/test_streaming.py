@@ -249,6 +249,28 @@ def test_topk_multi_empty_queries_returns_empty(spark, sf_dir):
     assert out.count() == 0
 
 
+def test_ntz_event_time_normalized(spark, events_dir, events_batch):
+    """Regression: parquet sources round-trip ts as TIMESTAMP_NTZ, which
+    withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Both
+    stream_events and the individual builders must normalize NTZ to
+    TIMESTAMP so any NTZ source survives."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    # the fixture really does produce an NTZ source (the bug's trigger)
+    assert isinstance(events_batch.schema["ts"].dataType, TimestampNTZType)
+    # stream_events normalizes every NTZ column
+    s = _stream(spark, events_dir, events_batch)
+    assert isinstance(s.schema["ts"].dataType, TimestampType)
+    # builders normalize on their own even when handed a raw NTZ stream
+    raw = spark.readStream.schema(events_batch.schema).parquet(events_dir)
+    assert isinstance(raw.schema["ts"].dataType, TimestampNTZType)
+    I.tumbling_counts(raw)  # would raise AnalysisException before the fix
+    # batch frames pass through ensure_event_time unchanged in meaning
+    assert isinstance(
+        I.ensure_event_time(events_batch).schema["ts"].dataType, TimestampType
+    )
+
+
 def test_no_collect_in_ingest_source():
     """Guard: the streaming ingest path must never collect a micro-batch to
     the driver (the scale anti-pattern the batch->driver->batch round-trip
