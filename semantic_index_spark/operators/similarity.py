@@ -180,12 +180,22 @@ def lsh_topk(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only rows whose random-hyperplane signature
-    equals the query's (candidate bucket), then exact dot-product rank inside
-    the bucket. Recall is tunable via bits/multi-probe; the scan prunes to a
-    ~2^-bits fraction — the IVF-style scale path when brute force over
-    100 TB per query is too slow. Deterministic given `planes`."""
+    falls in the query's candidate buckets, then exact dot-product rank
+    inside the candidates.
+
+    ``probe_hamming`` enables MULTI-PROBE LSH (Lv et al., VLDB'07): besides
+    the query's own bucket, probe every bucket whose signature is within
+    Hamming distance t — a near neighbor that lands on the wrong side of a
+    few hyperplanes is recovered without extra hash tables. Probe-set size
+    is sum_{i<=t} C(bits, i), computed driver-side (O(bits^t) ints); the
+    scan prunes to ~probes/2^bits of the corpus. t trades recall against
+    scan fraction exactly like IVF's nprobe — the scale path when brute
+    force over 100 TB per query is too slow. Deterministic given `planes`."""
+    import itertools
+
     import numpy as np
 
     qv = np.asarray(query, dtype=np.float64)
@@ -193,10 +203,21 @@ def lsh_topk(
     for i, p in enumerate(planes):
         if float(np.dot(qv, np.asarray(p, dtype=np.float64))) > 0:
             qsig += 1 << i
+    probes = {int(qsig)}
+    for t in range(1, probe_hamming + 1):
+        for flips in itertools.combinations(range(len(planes)), t):
+            s = qsig
+            for b in flips:
+                s ^= 1 << b
+            probes.add(int(s))
+    sig = df.withColumn("bucket", V.hyperplane_signature(emb_col, planes))
+    cand = (
+        sig.filter(F.col("bucket") == F.lit(int(qsig)).cast("bigint"))
+        if len(probes) == 1
+        else sig.filter(F.col("bucket").isin(sorted(probes)))
+    )
     return (
-        df.withColumn("bucket", V.hyperplane_signature(emb_col, planes))
-        .filter(F.col("bucket") == F.lit(int(qsig)).cast("bigint"))
-        .select(F.col(id_col), F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"))
+        cand.select(F.col(id_col), F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

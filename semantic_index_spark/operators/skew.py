@@ -98,8 +98,15 @@ def salted_join(
     hundreds. ``how`` supports inner/left (the big side keeps its rows)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join: how must be inner or left, got {how!r}")
+    # coalesce BEFORE hashing: md5(NULL) is NULL, so an un-coalesced NULL
+    # row_key would yield a NULL salt that matches nothing — silently
+    # dropping (inner) or null-extending (left) rows the plain join matches
     b = big.withColumn(
-        "_salt", F.pmod(md5_bigint(F.col(row_key).cast("string"), salt="sj:"), F.lit(salt_n))
+        "_salt",
+        F.pmod(
+            md5_bigint(F.coalesce(F.col(row_key).cast("string"), F.lit("")), salt="sj:"),
+            F.lit(salt_n),
+        ),
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<bigint>"))

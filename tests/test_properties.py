@@ -182,3 +182,83 @@ def test_hll_register_invariants(spark, n):
     assert all(1 <= r["rho"] <= 49 for r in regs)
     est = SKT.hll_count_distinct(df, "k").collect()[0][0]
     assert est > 0
+
+
+# ------------------------------------------------- salted join row identity
+
+
+salted_big = st.lists(
+    st.tuples(
+        st.sampled_from([None, "a", "b", "c"]),   # join key (nullable)
+        st.sampled_from([None, 0, 1, 2, 3, 4]),   # row_key (nullable!)
+        st.integers(min_value=0, max_value=99),   # payload
+    ),
+    min_size=0,
+    max_size=12,
+)
+salted_small = st.lists(
+    st.tuples(
+        st.sampled_from([None, "a", "b", "d"]),   # join key (nullable)
+        st.integers(min_value=0, max_value=9),    # dim attr
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(big=salted_big, small=salted_small, how=st.sampled_from(["inner", "left"]))
+@settings(**SETTINGS)
+def test_salted_join_row_identical_to_plain_join(spark, big, small, how):
+    """salted_join must be ROW-IDENTICAL to the plain equi-join for both
+    inner and left, including NULL join keys (never match, SQL semantics)
+    and NULL row_keys (salt must still be computed — md5(NULL) is NULL and
+    an unfixed salt would silently drop those rows' matches)."""
+    from semantic_index_spark.operators import skew as SK
+
+    def norm(rows):  # rows contain NULLs — sort None-safely
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    b = spark.createDataFrame(big, "k string, rk int, payload int")
+    s = spark.createDataFrame(small, "k string, attr int")
+    got = norm(
+        SK.salted_join(b, s, on="k", row_key="rk", salt_n=4, how=how)
+        .select("k", "rk", "payload", "attr").collect()
+    )
+    want = norm(b.join(s, ["k"], how).select("k", "rk", "payload", "attr").collect())
+    assert got == want
+
+
+# ------------------------------------- global ranks partition-count invariance
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    parts=st.sampled_from([1, 2, 5, 8]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_ranks_deterministic_across_partition_counts(spark, n, parts):
+    """global_ranks must assign the SAME rank to the same row regardless of
+    the partition count (range-boundary placement), and match the
+    single-reducer row_number() window it replaces."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.operators import skew as SK
+
+    df = spark.range(n).select(
+        (F.col("id") * 37 % 41).alias("v"), F.col("id").alias("uid")
+    )
+    got = {
+        (r["v"], r["uid"]): r["rank"]
+        for r in SK.global_ranks(df, ["v", "uid"], partitions=parts).collect()
+    }
+    want = {
+        (r["v"], r["uid"]): r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "uid"))
+        ).collect()
+    }
+    assert got == want

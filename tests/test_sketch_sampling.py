@@ -200,6 +200,54 @@ def test_lsh_topk_recall(spark, sf_dir):
         assert vid in got  # the query's own stored vector is always in its bucket
 
 
+def _tagged_union(emb, qs, retrieve):
+    """Union per-query retrieval results tagged with a q column — one
+    DataFrame for ann_recall(by='q') instead of 2 jobs per query."""
+    out = None
+    for qid, q in qs:
+        part = retrieve(q).withColumn("q", F.lit(qid))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """Regression gate on the IVF index quality: recall@10 vs brute force,
+    measured by the ann_recall harness itself. Deterministic (fixed
+    embeddings, seeded centroids): nprobe=6 of 8 measures mean 0.90 /
+    min 0.80 — a centroid or assignment regression trips this loudly."""
+    from __spark_entry__ import CENTROIDS
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()]
+    exact = _tagged_union(emb, qs, lambda q: S.topk(emb, q, k=10))
+    approx = _tagged_union(emb, qs, lambda q: S.ivf_topk(emb, q, CENTROIDS, k=10, nprobe=6))
+    recalls = [r["recall"] for r in S.ann_recall(exact, approx, by="q").collect()]
+    assert len(recalls) == len(qs)
+    assert min(recalls) >= 0.75, recalls
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+def test_lsh_multiprobe_recall_floor(spark, sf_dir):
+    """Regression gate on multi-probe LSH: probing Hamming<=3 of 6 bits
+    (~66% scan) measures mean 0.81 / min 0.70 recall@10 on the fixture —
+    and must strictly beat single-probe (~1.6% scan, mean 0.16), i.e. the
+    probe expansion actually recovers neighbors that flipped a few planes."""
+    from __spark_entry__ import PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()]
+    exact = _tagged_union(emb, qs, lambda q: S.topk(emb, q, k=10))
+    multi = _tagged_union(
+        emb, qs, lambda q: S.lsh_topk(emb, q, PLANES, k=10, probe_hamming=3)
+    )
+    single = _tagged_union(emb, qs, lambda q: S.lsh_topk(emb, q, PLANES, k=10))
+    r_multi = [r["recall"] for r in S.ann_recall(exact, multi, by="q").collect()]
+    r_single = [r["recall"] for r in S.ann_recall(exact, single, by="q").collect()]
+    assert min(r_multi) >= 0.6, r_multi
+    assert sum(r_multi) / len(r_multi) >= 0.75, r_multi
+    assert sum(r_multi) > sum(r_single), (r_multi, r_single)
+
+
 # ------------------------------------------------------------ histogram
 
 
