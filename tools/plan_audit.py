@@ -126,6 +126,13 @@ AUDITS = {
     # keys (vocab-sized sides are NEVER broadcast — they grow with the
     # corpus); the single-row vocab count is the only BNLJ crossJoin.
     "ngram_lm_score": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct"]},
+    # batch session windows: partial agg BEFORE the single user_id shuffle,
+    # then Spark's dedicated MergingSessions operator — never a self-join
+    # or gaps-and-islands double window.
+    "session_window_agg": {"expect": ["MergingSessions", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # multi-probe LSH: bucket IN (probe set) stays a pruned scan + bounded
+    # top-k — the probe expansion must not introduce a join.
+    "lsh_multiprobe": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join"]},
 }
 
 
