@@ -329,14 +329,71 @@ def ivf_topk(
     the exact dot-product rank inside candidates compiles to
     TakeOrderedAndProject. Recall tunes with nprobe — the standard
     IVF-flat trade, expressed as DataFrame ops."""
+    probe = _probe_cells(query, centroids, nprobe)
+    return (
+        ivf_assign(df, centroids, emb_col)
+        .filter(F.col("_cell").isin(probe))
+        .select(F.col(id_col), F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _probe_cells(
+    query: Sequence[float], centroids: Sequence[Sequence[float]], nprobe: int
+) -> list[int]:
+    """Driver-side O(K·d) probe selection: indices of the nprobe max-dot
+    centroids, deterministically tie-broken by index."""
     import numpy as np
 
     qv = np.asarray(query, dtype=np.float64)
     dots = [float(qv @ np.asarray(c, dtype=np.float64)) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]
-    return (
+    return [int(i) for i in sorted(range(len(centroids)), key=lambda i: (-dots[i], i))[:nprobe]]
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    emb_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Materialize an IVF index as a cell-partitioned parquet layout:
+    ``path/_cell=<i>/...``. This turns every probe query into a
+    PLANNING-time directory prune (``PartitionFilters: [_cell IN (...)]``)
+    — at 100 TB the non-probed ~(K-nprobe)/K of the corpus is never
+    listed, opened, or scanned, which is the difference between an ANN
+    query costing O(corpus/K·nprobe) IO and O(corpus). The in-partition
+    ``repartition(files_per_cell, _cell)`` bounds small-file count; raise
+    it when cells outgrow one task's write throughput."""
+    (
         ivf_assign(df, centroids, emb_col)
-        .filter(F.col("_cell").isin([int(p) for p in probe]))
+        .repartition(files_per_cell * max(1, len(centroids)), F.col("_cell"))
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ivf_topk over a ``write_ivf_index`` layout: the cell filter lands on
+    the PARTITION column, so pruning happens at planning time (directory
+    listing), not row filtering — no signature recompute, no full scan.
+    Same results as ``ivf_topk`` on the raw table with the same centroids
+    (asserted in tests); this is the serving path, ivf_topk the ad-hoc one."""
+    probe = _probe_cells(query, centroids, nprobe)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_cell").isin(probe))
         .select(F.col(id_col), F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -2,6 +2,7 @@
 the embedder config surface."""
 
 import math
+import os
 
 import pyspark.sql.functions as F
 import pytest
@@ -90,6 +91,26 @@ def test_ivf_topk_recall_and_pruned_plan(spark, sf_dir):
         )
     ).count()
     assert n_cand < emb.count()  # genuinely pruned
+
+
+def test_ivf_indexed_serving_path(spark, sf_dir, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the serving path must return the
+    SAME rows as ad-hoc ivf_topk, and its cell filter must land on the
+    PARTITION column — PartitionFilters in the scan, i.e. the non-probed
+    cells are pruned at planning time (never listed/opened at 100 TB)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = S.make_centroids(8, 64, seed=11)
+    q = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    path = str(tmp_path / "ivf_index")
+    S.write_ivf_index(emb, centroids, path)
+    # one directory per non-empty cell
+    cells = {d for d in os.listdir(path) if d.startswith("_cell=")}
+    assert 1 < len(cells) <= 8
+    served = S.ivf_topk_indexed(spark, path, q, centroids, k=5, nprobe=2)
+    adhoc = S.ivf_topk(emb, q, centroids, k=5, nprobe=2)
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in adhoc.collect()]
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200]
 
 
 def test_approx_count_distinct_within_bound(spark, sf_dir):
