@@ -72,10 +72,10 @@ def topk_multi(
     """Top-k neighbors for EACH query row, in two phases:
 
     1. **Partial top-k per partition** (narrow, no shuffle): the query
-       matrix (Q is small by contract — it rides the serialized closure,
-       the moral equivalent of a broadcast) is scored against each Arrow
-       batch with one BLAS matmul inside ``mapInPandas``; each partition
-       emits at most Q·k rows.
+       matrix (Q small by contract) ships via ``SparkContext.broadcast``
+       — serialized ONCE per executor, not once per task closure — and is
+       scored against each Arrow batch with one BLAS matmul inside
+       ``mapInPandas``; each partition emits at most Q·k rows.
     2. **Merge**: a window over the ≤ partitions·Q·k survivors ranks per
        query. Only this tiny set ever shuffles — never the N·Q scored rows
        (a ``Window.partitionBy(q_id)`` over the full scored table would
@@ -105,16 +105,18 @@ def topk_multi(
         ).limit(0)
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    bc = big.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     def _local_topk(batches):
+        b_ids, b_mat = bc.value
         best: pd.DataFrame | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             emb = np.vstack(pdf[emb_col].to_numpy()).astype(np.float64)
-            scores = _round_half_up6(emb @ q_mat.T)  # (n, Q)
+            scores = _round_half_up6(emb @ b_mat.T)  # (n, Q)
             parts = [] if best is None else [best]
-            for qi, qid in enumerate(q_ids):
+            for qi, qid in enumerate(b_ids):
                 parts.append(
                     pd.DataFrame(
                         {
