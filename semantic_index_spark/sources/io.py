@@ -57,6 +57,59 @@ def write_parquet_snapshot(
     os.rename(tmp, path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (write-then-swap, same
+    atomicity as ``write_parquet_snapshot``). Returns the new file count.
+
+    Streaming sinks, micro-batch appends, and over-parallel writers leave
+    thousands of KB-sized files; at 100 TB the resulting footer reads +
+    task-per-file scheduling dominate scan time long before IO does — the
+    standard cure is periodic compaction toward ~128 MB files (one HDFS
+    block / S3 ranged GET sweet spot). Uses on-disk size, not row count,
+    so wide and narrow tables both land near the target. ``coalesce``
+    (not ``repartition``) merges files WITHOUT a shuffle when shrinking.
+
+    Hive-partitioned layouts (``key=value/`` directories) are preserved:
+    the rewrite re-partitions by the same keys, compacting WITHIN each
+    partition. Size discovery walks the local filesystem — on HDFS/S3 swap
+    it for the FileSystem/listObjects API; the Spark plan is identical."""
+    import math
+
+    total = 0
+    part_keys: list[str] = []
+    probe = path
+    while True:  # descend one key=value level per loop to learn the layout
+        subdirs = [
+            d for d in (os.listdir(probe) if os.path.isdir(probe) else [])
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subdirs:
+            break
+        part_keys.append(subdirs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subdirs[0])
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path + ".__compact__"
+    if part_keys:
+        # shuffle-free per-partition file merge: coalesce bounds total
+        # output tasks; partitionBy keeps the pruning layout intact
+        df.coalesce(n_files).write.mode("overwrite").partitionBy(*part_keys).parquet(tmp)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """JSON / JSONL scan (reference-compat ingest: its store file is a JSON
     array — Spark reads it with multiLine when needed)."""

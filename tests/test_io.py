@@ -201,3 +201,51 @@ def test_write_single_json_file(spark, tmp_path):
     sio.write_single_json_file(df, path)
     lines = [json.loads(ln) for ln in open(path) if ln.strip()]
     assert sorted(d["id"] for d in lines) == [1, 2]
+
+
+def _data_files(path):
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """A fragmented write (many tiny files) compacts to few files with
+    identical rows — the periodic hygiene pass every streaming/append
+    corpus needs."""
+    import os
+
+    path = str(tmp_path / "frag")
+    spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    ).repartition(40).write.parquet(path)
+    assert len(_data_files(path)) == 40
+    n = sio.compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    files = _data_files(path)
+    assert len(files) <= n <= 4
+    got = spark.read.parquet(path)
+    assert got.count() == 2000
+    assert got.agg(F.sum("id")).collect()[0][0] == 2000 * 1999 // 2
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """Compaction of a Hive-partitioned layout must keep the key=value
+    directories (downstream partition pruning depends on them), merging
+    files only WITHIN partitions."""
+    import os
+
+    path = str(tmp_path / "part_frag")
+    spark.range(900).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    ).repartition(30).write.partitionBy("bucket").parquet(path)
+    before = len(_data_files(path))
+    sio.compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after_dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    assert after_dirs == {"bucket=0", "bucket=1", "bucket=2"}
+    assert len(_data_files(path)) < before
+    got = spark.read.parquet(path)
+    assert got.count() == 900
+    assert got.select("bucket").distinct().count() == 3

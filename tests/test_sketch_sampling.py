@@ -217,11 +217,17 @@ def test_ivf_recall_floor(spark, sf_dir):
     min 0.80 — a centroid or assignment regression trips this loudly."""
     from __spark_entry__ import CENTROIDS
 
+    # cache for the repeated scans, but ALWAYS unpersist: a cached plan
+    # fragment would otherwise substitute into every later identical scan
+    # in the shared session, masking parquet column pruning in other tests
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()]
-    exact = _tagged_union(emb, qs, lambda q: S.topk(emb, q, k=10))
-    approx = _tagged_union(emb, qs, lambda q: S.ivf_topk(emb, q, CENTROIDS, k=10, nprobe=6))
-    recalls = [r["recall"] for r in S.ann_recall(exact, approx, by="q").collect()]
+    try:
+        qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()]
+        exact = _tagged_union(emb, qs, lambda q: S.topk(emb, q, k=10))
+        approx = _tagged_union(emb, qs, lambda q: S.ivf_topk(emb, q, CENTROIDS, k=10, nprobe=6))
+        recalls = [r["recall"] for r in S.ann_recall(exact, approx, by="q").collect()]
+    finally:
+        emb.unpersist()
     assert len(recalls) == len(qs)
     assert min(recalls) >= 0.75, recalls
     assert sum(recalls) / len(recalls) >= 0.85, recalls
@@ -235,14 +241,17 @@ def test_lsh_multiprobe_recall_floor(spark, sf_dir):
     from __spark_entry__ import PLANES
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
-    qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()]
-    exact = _tagged_union(emb, qs, lambda q: S.topk(emb, q, k=10))
-    multi = _tagged_union(
-        emb, qs, lambda q: S.lsh_topk(emb, q, PLANES, k=10, probe_hamming=3)
-    )
-    single = _tagged_union(emb, qs, lambda q: S.lsh_topk(emb, q, PLANES, k=10))
-    r_multi = [r["recall"] for r in S.ann_recall(exact, multi, by="q").collect()]
-    r_single = [r["recall"] for r in S.ann_recall(exact, single, by="q").collect()]
+    try:
+        qs = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 8).collect()]
+        exact = _tagged_union(emb, qs, lambda q: S.topk(emb, q, k=10))
+        multi = _tagged_union(
+            emb, qs, lambda q: S.lsh_topk(emb, q, PLANES, k=10, probe_hamming=3)
+        )
+        single = _tagged_union(emb, qs, lambda q: S.lsh_topk(emb, q, PLANES, k=10))
+        r_multi = [r["recall"] for r in S.ann_recall(exact, multi, by="q").collect()]
+        r_single = [r["recall"] for r in S.ann_recall(exact, single, by="q").collect()]
+    finally:
+        emb.unpersist()
     assert min(r_multi) >= 0.6, r_multi
     assert sum(r_multi) / len(r_multi) >= 0.75, r_multi
     assert sum(r_multi) > sum(r_single), (r_multi, r_single)

@@ -98,6 +98,27 @@ def test_session_windows_close_after_gap(spark, events_dir, events_batch):
     assert got == expected
 
 
+def test_session_windows_stream_matches_batch_operator(spark, events_dir, events_batch, sf_dir):
+    """The STREAMING session_windows builder and the BATCH session_window_agg
+    operator use the same F.session_window with the same 30-minute gap —
+    drained with availableNow they must produce identical sessions."""
+    from semantic_index_spark.operators.relational import session_window_agg
+
+    out = _run_to_memory(
+        I.session_windows(_stream(spark, events_dir, events_batch)),
+        "t_session_parity", "complete", spark,
+    )
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_window_agg(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
 def test_dedup_within_watermark_matches_batch_dedup(spark, events_dir, events_batch):
     keys = ["user_id", "event_type"]
     out = _run_to_memory(
