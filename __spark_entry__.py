@@ -847,12 +847,13 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
-    FIRST 50 entries each round. Slots 1-36 carry the queries that had never
-    received a driver CORRECTNESS row through round 3 (the LLM-pipeline /
-    dedup / text-analysis family plus this round's new session_window_agg);
-    slots 37-50 keep previously-green sentinels spanning every family so a
-    regression in already-verified code still trips the gate. Everything
-    after slot 50 passed the driver check in rounds 1-3."""
+    FIRST 50 entries each round. Slots 1-37 carry the queries with no driver
+    CORRECTNESS row through round 3 — the 35 never-checked LLM-pipeline /
+    dedup / text-analysis entries plus round 4's two new queries
+    (session_window_agg, lsh_multiprobe); slots 38-50 keep previously-green
+    sentinels spanning every family so a regression in already-verified code
+    still trips the gate. Everything after slot 50 passed the driver check
+    in rounds 1-3."""
     return {
         # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,

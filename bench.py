@@ -76,6 +76,11 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 break
+        if name in errors:
+            # a query that errored on ANY rep is an error, full stop — its
+            # surviving partial-rep timings must not leak into the medians
+            # or the suite total (a half-timed query would skew comparisons)
+            continue
         if times:
             med = statistics.median(times)
             detail[name] = {

@@ -1,0 +1,58 @@
+"""ANN index build + serve over the synthetic embeddings table:
+assign IVF cells → materialize the cell-partitioned index → compact →
+probe with planning-time partition pruning, with recall measured against
+brute force. Run: python examples/ann_serving.py
+
+The build/serve split is the 100 TB shape: the index is a parquet LAYOUT
+(one directory per cell), so a probe query reads ~nprobe/K of the files —
+pruned during planning, not row-filtered — and periodic compaction keeps
+the per-cell file count sane as ingest appends.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from semantic_index_spark.operators import similarity as S
+from semantic_index_spark.session import get_spark, load_table
+from semantic_index_spark.sources.io import compact_parquet
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark(app_name="ann-serving", master="local[4]", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+
+emb = load_table(spark, SF_DIR, "embeddings")
+centroids = S.make_centroids(8, 64, seed=11)
+
+with tempfile.TemporaryDirectory() as tmp:
+    index_path = os.path.join(tmp, "ivf_index")
+
+    # 1. build: one pass assigns cells and lays the corpus out by cell
+    S.write_ivf_index(emb, centroids, index_path)
+    cells = sorted(d for d in os.listdir(index_path) if d.startswith("_cell="))
+    print(f"index built: {len(cells)} cells -> {cells}")
+
+    # 2. hygiene: bound the file count (no-op here, essential post-append)
+    n_files = compact_parquet(spark, index_path)
+    print(f"compacted to <= {n_files} files")
+
+    # 3. serve: probes prune at planning time (PartitionFilters on _cell)
+    queries = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 5).collect()]
+    exact_all = approx_all = None
+    for qid, q in queries:
+        e = S.topk(emb, q, k=10).withColumn("q", F.lit(qid))
+        a = S.ivf_topk_indexed(spark, index_path, q, centroids, k=10, nprobe=2).withColumn(
+            "q", F.lit(qid)
+        )
+        exact_all = e if exact_all is None else exact_all.unionByName(e)
+        approx_all = a if approx_all is None else approx_all.unionByName(a)
+
+    print("\nrecall@10 per query (nprobe=2 of 8 cells, ~25% of files read):")
+    S.ann_recall(exact_all, approx_all, by="q").orderBy("q").show()
+
+spark.stop()

@@ -105,6 +105,11 @@ def topk_multi(
         ).limit(0)
     q_ids = [r[0] for r in q_rows]
     q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    # broadcast lifetime rides the returned plan: the closure below holds the
+    # only reference, so once the caller releases the DataFrame, Python GC
+    # drops the Broadcast and ContextCleaner evicts the executor blocks —
+    # long-lived serving processes should reuse one topk_multi result per
+    # query set rather than re-calling per request.
     bc = big.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     def _local_topk(batches):
@@ -366,11 +371,17 @@ def write_ivf_index(
     — at 100 TB the non-probed ~(K-nprobe)/K of the corpus is never
     listed, opened, or scanned, which is the difference between an ANN
     query costing O(corpus/K·nprobe) IO and O(corpus). The in-partition
-    ``repartition(files_per_cell, _cell)`` bounds small-file count; raise
-    it when cells outgrow one task's write throughput."""
+    ``repartition`` keys on (_cell, salt): the salt — hash(embedding) mod
+    files_per_cell — genuinely SPLITS a cell across files_per_cell tasks
+    (keying on _cell alone could never split a cell, since every row of a
+    cell hashes to one partition); raise it when hot cells outgrow one
+    task's write throughput."""
+    assigned = ivf_assign(df, centroids, emb_col)
+    salt = F.pmod(F.abs(F.hash(F.col(emb_col))), F.lit(max(1, files_per_cell)))
     (
-        ivf_assign(df, centroids, emb_col)
-        .repartition(files_per_cell * max(1, len(centroids)), F.col("_cell"))
+        assigned.repartition(
+            max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+        )
         .write.mode("overwrite")
         .partitionBy("_cell")
         .parquet(path)

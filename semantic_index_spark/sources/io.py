@@ -74,13 +74,16 @@ def compact_parquet(
     so wide and narrow tables both land near the target. ``coalesce``
     (not ``repartition``) merges files WITHOUT a shuffle when shrinking.
 
-    Hive-partitioned layouts (``key=value/`` directories) are preserved:
-    the rewrite re-partitions by the same keys, compacting WITHIN each
-    partition. Size discovery walks the local filesystem — on HDFS/S3 swap
-    it for the FileSystem/listObjects API; the Spark plan is identical."""
+    Hive-partitioned layouts (``key=value/`` directories) are preserved
+    byte-identically: partition-column TYPE INFERENCE is disabled for the
+    rewrite read, so a string key whose values look numeric (``source=01``)
+    is NOT re-encoded as ``source=1`` — directory names round-trip exactly,
+    and downstream readers re-infer types as before. The rewrite
+    re-partitions by the same keys, compacting WITHIN each partition.
+    Size discovery walks the local filesystem — on HDFS/S3 swap it for the
+    FileSystem/listObjects API; the Spark plan is identical."""
     import math
 
-    total = 0
     part_keys: list[str] = []
     probe = path
     while True:  # descend one key=value level per loop to learn the layout
@@ -92,22 +95,34 @@ def compact_parquet(
             break
         part_keys.append(subdirs[0].split("=", 1)[0])
         probe = os.path.join(probe, subdirs[0])
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    n_files = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
+
+    def _data_files() -> list[str]:
+        return [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        ]
+
+    total = sum(os.path.getsize(f) for f in _data_files())
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
     tmp = path + ".__compact__"
-    if part_keys:
-        # shuffle-free per-partition file merge: coalesce bounds total
-        # output tasks; partitionBy keeps the pruning layout intact
-        df.coalesce(n_files).write.mode("overwrite").partitionBy(*part_keys).parquet(tmp)
-    else:
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    try:
+        if part_keys:
+            spark.conf.set(infer_key, "false")  # keep key=value names exact
+        df = spark.read.parquet(path)
+        writer = df.coalesce(n_target).write.mode("overwrite")
+        if part_keys:
+            # coalesce bounds total tasks; partitionBy keeps pruning layout
+            writer = writer.partitionBy(*part_keys)
+        writer.parquet(tmp)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     shutil.rmtree(path)
     os.rename(tmp, path)
-    return n_files
+    return len(_data_files())
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:

@@ -111,6 +111,15 @@ def test_ivf_indexed_serving_path(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in served.collect()] == [tuple(r) for r in adhoc.collect()]
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # files_per_cell must genuinely SPLIT hot cells across writer tasks —
+    # repartition keyed on _cell alone could never do that
+    path2 = str(tmp_path / "ivf_index_split")
+    S.write_ivf_index(emb, centroids, path2, files_per_cell=2)
+    per_cell = [
+        len([f for f in os.listdir(os.path.join(path2, d)) if f.endswith(".parquet")])
+        for d in os.listdir(path2) if d.startswith("_cell=")
+    ]
+    assert max(per_cell) >= 2, per_cell
 
 
 def test_approx_count_distinct_within_bound(spark, sf_dir):
