@@ -516,8 +516,12 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-compare only the EXACT fixed-point columns: the convenience
+    # avg_nll double can tie at the rounding boundary (3.4140895 at sf0.1)
+    # and engines break such ties differently — the micro-nat sum is the
+    # summation-order-proof, engine-proof contract.
     d = load_table(spark, sf_dir, "documents")
-    return TA.ngram_lm_score(d, k=LM_K)
+    return TA.ngram_lm_score(d, k=LM_K).select("doc_id", "n_bigrams", "sum_nll_micro")
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,7 +1482,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
             )
             SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                   round((-sum(lp))::DOUBLE / 1e6 / count(*), 6) AS avg_nll
+                   (-sum(lp))::BIGINT AS sum_nll_micro
             FROM scored GROUP BY doc_id
         """,
         "bm25_topk": f"""
@@ -1784,16 +1788,18 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_seq
         """,
         # Native F.session_window semantics replayed as gaps-and-islands:
-        # Spark merges an event into the open session iff its ts is STRICTLY
-        # before session_end (= last ts + gap), so a new island starts when
-        # the inter-event gap >= 1800s; session_end = max(ts) + 1800.
+        # Spark merges an event into the open session iff its ts is <=
+        # session_end (= last ts + gap) INCLUSIVE — verified at sf0.1 where
+        # a gap of exactly 1800s merges — so a new island starts only when
+        # the inter-event gap STRICTLY EXCEEDS 1800s; session_end =
+        # max(ts) + 1800.
         "session_window_agg": """
             WITH t AS (
                 SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse, value
                 FROM events
             ), marked AS (
                 SELECT user_id, event_id, tse, value,
-                       CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w >= 1800
+                       CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800
                             THEN 1 ELSE 0 END AS is_start
                 FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
             ), sess AS (

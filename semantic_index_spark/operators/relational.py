@@ -573,12 +573,22 @@ def session_window_agg(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> D
     builder uses (streaming/ingest.py:session_windows), so the session-window
     category keeps an oracle-checked batch row even when streaming infra
     flakes. Spark merges two events into one session when the later event
-    starts strictly before the earlier session's end (ts + gap); the oracle
-    replays that as gaps-and-islands (new session when the inter-event gap
-    >= gap_s). Session end is last event ts + gap, per Spark's definition.
-    One shuffle on user_id; state per open session — scales with concurrent
-    sessions, not stream length, in the streaming twin."""
-    ev = load_table(spark, sf_dir, "events")
+    starts at or before the earlier session's end (ts + gap, INCLUSIVE — a
+    gap of exactly gap_s merges, verified against sf0.1 data); the oracle
+    replays that as gaps-and-islands (new session only when the inter-event
+    gap strictly exceeds gap_s). Session end is last event ts + gap, per
+    Spark's definition.
+    Event time is quantized to WHOLE SECONDS before sessionization: the
+    source carries microsecond timestamps, and a sub-second gap straddling
+    the threshold only after flooring would otherwise split differently
+    here than in any second-granular replay (observed at sf0.1) — and the
+    output already reports second-granular unix_timestamps, so quantizing
+    the input makes boundaries self-consistent. One shuffle on user_id;
+    state per open session — scales with concurrent sessions, not stream
+    length, in the streaming twin."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
     return (
         ev.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))

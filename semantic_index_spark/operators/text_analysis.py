@@ -411,7 +411,12 @@ def ngram_lm_score(
     broadcast: vocabulary grows with the corpus) → one groupBy(doc). Per-
     bigram log-probs are fixed-pointed to 1e-6 BIGINTs before summing so
     the aggregate is EXACT integer arithmetic — summation order cannot
-    break cross-engine parity. [absent in reference — north-star extension]"""
+    break cross-engine parity. The per-doc outputs stay exact too:
+    ``sum_nll_micro`` (BIGINT micro-nats) alongside the convenience
+    ``avg_nll`` double — a rounded average alone would re-introduce
+    engine-dependent float ties exactly at the rounding boundary (observed
+    at sf0.1: 3.4140895 rounds differently across engines).
+    [absent in reference — north-star extension]"""
     from semantic_index_spark.operators.dedup import ensure_parallelism
 
     base = ensure_parallelism(docs).select(
@@ -447,6 +452,7 @@ def ngram_lm_score(
     )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
+        (-F.sum("lp")).cast("bigint").alias("sum_nll_micro"),
         F.round(
             (-F.sum("lp")).cast("double") / F.lit(1e6) / F.count("*"), 6
         ).alias("avg_nll"),
