@@ -1,0 +1,12 @@
+#!/bin/sh
+# Full verification sweep: unit/integration tests, oracle parity at TWO
+# scale factors, and physical-plan audits. The sf0.1 oracle pass exists
+# because parity bugs can be scale-dependent: round 4 caught an inclusive
+# session-merge boundary and a float rounding tie that sf0.01 never hits.
+set -e
+cd "$(dirname "$0")/.."
+python -m pytest tests/ -q
+python tools/check_oracles.py
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/check_oracles.py
+python tools/plan_audit.py
+echo "ALL VERIFICATION PASSES GREEN"
