@@ -346,6 +346,29 @@ def ivf_topk(
     )
 
 
+def rerank_exact(
+    df: DataFrame,
+    candidates: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Second stage of two-stage retrieval: EXACT float re-scoring of a
+    cheap first-stage candidate set (quantized / LSH / IVF top-k'). The
+    semi-join prunes the corpus to the candidate ids BEFORE the full-
+    precision dot product runs, so the expensive scorer touches k' rows,
+    never N — the standard retrieve-then-rerank serving shape. The
+    candidate side is tiny (k' rows) and broadcasts; ranking compiles to
+    TakeOrderedAndProject. Deterministic: (score DESC, id ASC)."""
+    cand = df.join(F.broadcast(candidates.select(id_col)), id_col, "left_semi")
+    return (
+        cand.select(F.col(id_col), F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _probe_cells(
     query: Sequence[float], centroids: Sequence[Sequence[float]], nprobe: int
 ) -> list[int]:

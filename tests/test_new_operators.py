@@ -122,6 +122,26 @@ def test_ivf_indexed_serving_path(spark, sf_dir, tmp_path):
     assert max(per_cell) >= 2, per_cell
 
 
+def test_rerank_exact_recovers_true_topk(spark, sf_dir):
+    """Two-stage retrieval: exact rerank of a 50-candidate first stage must
+    reproduce the TRUE exact top-10 whenever the candidates contain it —
+    and with int8 quantization error bounded by scale/2 per dim, a 5x
+    candidate margin comfortably does here (asserted, not assumed)."""
+    from semantic_index_spark.functions import vector as V
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    qz = emb.select("vec_id", V.quantize_int8("embedding").alias("qz"))
+    cand = (
+        qz.select("vec_id", F.round(V.quantized_dot_literal("qz", q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    reranked = [tuple(r) for r in S.rerank_exact(emb, cand, q, k=10).collect()]
+    exact = [tuple(r) for r in S.topk(emb, q, k=10).collect()]
+    assert reranked == exact
+
+
 def test_approx_count_distinct_within_bound(spark, sf_dir):
     """HLL sketch (mergeable, bounded-memory — the 100 TB form of COUNT
     DISTINCT) stays within its rsd bound of exact. Sketches differ across

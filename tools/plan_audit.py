@@ -133,6 +133,9 @@ AUDITS = {
     # multi-probe LSH: bucket IN (probe set) stays a pruned scan + bounded
     # top-k — the probe expansion must not introduce a join.
     "lsh_multiprobe": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join"]},
+    # two-stage retrieval: tiny candidate set broadcasts into a semi-join;
+    # exact rerank is bounded top-k over k' rows — never a shuffle join.
+    "rerank_quantized": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
