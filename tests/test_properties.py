@@ -262,3 +262,52 @@ def test_global_ranks_deterministic_across_partition_counts(spark, n, parts):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------- native session window semantics
+
+
+sess_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user
+        st.integers(min_value=0, max_value=40),     # ts offset (units of 600s)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(evs=sess_events)
+@settings(**SETTINGS)
+def test_session_window_merge_is_inclusive(spark, evs):
+    """Locks F.session_window's merge rule against a Python reference:
+    an event merges into the open session iff its ts <= session_end
+    INCLUSIVE (gap == gap_s merges; only gap > gap_s splits) — the
+    boundary the sf0.1 oracle mismatch exposed in round 4."""
+    gap = 1800
+    rows = [(u, t * 600) for u, t in evs]  # multiples of 600 hit the
+    df = spark.createDataFrame(            # gap boundary exactly
+        [(u, s) for u, s in rows], "user_id int, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    got = sorted(
+        (r["user_id"], r["w"]["start"].timestamp(), r["w"]["end"].timestamp(), r["n"])
+        for r in df.groupBy(F.session_window("ts", f"{gap} seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # Python reference: sort per user, split only when gap STRICTLY exceeds
+    want = []
+    by_user = {}
+    for u, s in rows:
+        by_user.setdefault(u, []).append(s)
+    for u, ts in by_user.items():
+        ts.sort()
+        start, last, n = ts[0], ts[0], 0
+        for s in ts:
+            if s - last > gap:
+                want.append((u, float(start), float(last + gap), n))
+                start, n = s, 0
+            last = s
+            n += 1
+        want.append((u, float(start), float(last + gap), n))
+    assert got == sorted(want)
