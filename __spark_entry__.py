@@ -436,6 +436,21 @@ STRATA_N = 5
 HEAVY_MIN = 50
 
 
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch-per-key: per-event_type HLL distinct users next to the exact
+    # answer; registers from different groups merge by max(rho), so these
+    # per-group sketches roll up to the global hll_users sketch without
+    # touching raw data again (merge equality is pytest-asserted).
+    ev = load_table(spark, sf_dir, "events")
+    est = SKT.hll_estimate_by(
+        SKT.hll_registers_by(ev, "user_id", "event_type", p=HLL_P), "event_type", p=HLL_P
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable HyperLogLog next to the exact answer it approximates: both
     # engines run the identical md5-register formula, so even the APPROXIMATE
@@ -871,13 +886,13 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
-    FIRST 50 entries each round. Slots 1-38 carry the queries with no driver
+    FIRST 50 entries each round. Slots 1-39 carry the queries with no driver
     CORRECTNESS row through round 3 — the 35 never-checked LLM-pipeline /
-    dedup / text-analysis entries plus round 4's three new queries
-    (session_window_agg, lsh_multiprobe, rerank_quantized); slots 39-50 keep
-    previously-green sentinels spanning every family so a regression in
-    already-verified code still trips the gate. Everything after slot 50
-    passed the driver check in rounds 1-3."""
+    dedup / text-analysis entries plus round 4's four new queries
+    (session_window_agg, lsh_multiprobe, rerank_quantized, hll_by_group);
+    slots 40-50 keep previously-green sentinels spanning every family so a
+    regression in already-verified code still trips the gate. Everything
+    after slot 50 passed the driver check in rounds 1-3."""
     return {
         # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": R.session_window_agg,
         "lsh_multiprobe": q_lsh_multiprobe,
         "rerank_quantized": q_rerank_quantized,
+        "hll_by_group": q_hll_by_group,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -931,8 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_sessionization": R.batch_sessionization,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
-        "hll_users": q_hll_users,
         # --- driver-verified in rounds 1-3 (beyond the 50-slot window) ---
+        "hll_users": q_hll_users,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "filter_projection": q_filter_projection,
@@ -1349,6 +1365,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start, count(*) AS n_events, round(avg(value), 6) AS avg_value
             FROM e GROUP BY window_start
+        """,
+        # per-group HLL: the same md5-register formula as hll_users, keyed
+        # by event_type — both engines compute identical registers so the
+        # approximate values hash-match exactly
+        "hll_by_group": f"""
+            WITH h AS (
+                SELECT event_type,
+                       (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, hv >> 48 AS idx,
+                       hv & ((1::BIGINT << 48) - 1) AS rem
+                FROM h
+            ),
+            regs AS (
+                SELECT event_type, idx,
+                       max(CASE WHEN rem = 0 THEN 49 ELSE 49 - length(bin(rem)) END) AS rho
+                FROM r GROUP BY event_type, idx
+            ),
+            f AS (
+                SELECT event_type, sum(power(2.0, -rho)) AS ps, count(*) AS np
+                FROM regs GROUP BY event_type
+            ),
+            est AS (
+                SELECT event_type, CASE
+                    WHEN {C_HLL!r} / (ps + (4096 - np)) <= 10240.0 AND np < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - np))
+                    ELSE {C_HLL!r} / (ps + (4096 - np))
+                END AS e FROM f
+            ),
+            ex AS (
+                SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY event_type
+            )
+            SELECT est.event_type, round(est.e, 3) AS approx_distinct, ex.exact_distinct
+            FROM est JOIN ex USING (event_type)
         """,
         "hll_users": f"""
             WITH h AS (

@@ -57,6 +57,52 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     )
 
 
+def hll_registers_by(df: DataFrame, col: str, by: str, p: int = 12) -> DataFrame:
+    """Per-group HLL registers ``(by, idx, rho)`` — the sketch-per-key form
+    (distinct users per event_type / per day / per source). ONE map-side-
+    combined groupBy over ≤ |groups|·2^p keys; register rows from different
+    partitions, days, or groups merge by ``max(rho)``, so rolling a
+    per-group sketch up to a global one (or merging daily sketches into
+    monthly) never touches raw data again — the property that makes HLL
+    the 100 TB distinct-count path."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_registers_by: need 4 <= p <= 18, got {p}")
+    rem_bits = HASH_BITS - p
+    h = md5_bigint(F.col(col).cast("string"))
+    idx = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(by), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(by, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(registers: DataFrame, by: str, p: int = 12) -> DataFrame:
+    """Per-group fold of ``hll_registers_by`` output into estimates:
+    ``(by, approx_distinct)`` with the same closed formula + small-range
+    linear-counting correction as the global ``hll_estimate``."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    folded = registers.groupBy(by).agg(
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(
+            "_present_sum"
+        ),
+        F.count("*").alias("_n_present"),
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    raw = F.lit(alpha * m * m) / (F.col("_present_sum") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return folded.select(F.col(by), F.round(est, 3).alias("approx_distinct"))
+
+
 def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     """Fold registers into the HLL cardinality estimate (one row,
     ``approx_distinct: double`` rounded to 3 decimals). Applies the

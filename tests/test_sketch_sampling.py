@@ -383,3 +383,18 @@ def test_pool_frame_features_skips_null_vectors(spark):
     # the NULL frame neither deflates the mean nor counts as a frame
     assert got[1]["n_frames"] == 1 and got[1]["pooled"] == [2.0, 2.0]
     assert got[2]["n_frames"] == 0
+
+
+def test_hll_by_group_registers_merge_to_global(spark, sf_dir):
+    """The mergeability contract: per-group registers rolled up by
+    max(rho) must EQUAL the registers of a global sketch over the same
+    column — so per-day/per-source sketches combine into totals without
+    re-reading raw data — and the merged estimate equals the global one."""
+    ev = load_table(spark, sf_dir, "events")
+    by_group = SKT.hll_registers_by(ev, "user_id", "event_type")
+    merged = by_group.groupBy("idx").agg(F.max("rho").alias("rho"))
+    global_regs = SKT.hll_registers(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, global_regs.collect()))
+    est_merged = SKT.hll_estimate(merged).collect()[0][0]
+    est_global = SKT.hll_estimate(global_regs).collect()[0][0]
+    assert est_merged == est_global
