@@ -462,6 +462,31 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.crossJoin(exact)
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 2048
+# probe set spans frequent corpus terms + one absent term (est stays 0
+# unless a counter collision occurs — deterministic either way, so the
+# approximate value itself hash-matches the DuckDB replay like the HLL).
+CMS_PROBES = ["join", "hash", "spark", "window", "vector", "data", "merge", "zzz_absent"]
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-min sketch point queries next to the exact counts they
+    # approximate: the sketch is depth·width counter rows built in ONE
+    # map-side-combined groupBy; lookups never touch the corpus again.
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.tokens("text")).alias("tok"))
+    sk = SKT.cms_sketch(tok, "tok", depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = SKT.cms_lookup(sk, CMS_PROBES, depth=CMS_DEPTH, width=CMS_WIDTH)
+    exact = (
+        tok.where(F.col("tok").isin(CMS_PROBES))
+        .groupBy(F.col("tok").alias("value"))
+        .agg(F.count("*").alias("exact_n"))
+    )
+    return est.join(exact, "value", "left").select(
+        "value", "est", F.coalesce("exact_n", F.lit(0)).cast("bigint").alias("exact_n")
+    )
+
+
 HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 100
 HISTO_QS = [0.25, 0.5, 0.9, 0.99]
 
@@ -935,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_multiprobe": q_lsh_multiprobe,
         "rerank_quantized": q_rerank_quantized,
         "hll_by_group": q_hll_by_group,
+        "cms_freq": q_cms_freq,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1424,6 +1450,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(e, 3) AS approx_distinct,
                    (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
             FROM est
+        """,
+        "cms_freq": f"""
+            WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents),
+            rs AS (SELECT unnest([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r),
+            h AS (
+                SELECT r,
+                       (('0x' || substr(md5('cms' || r::VARCHAR || ':' || tok), 1, 15))::UBIGINT
+                        % {CMS_WIDTH})::BIGINT AS b
+                FROM tok CROSS JOIN rs
+            ),
+            sk AS (SELECT r, b, count(*) AS n FROM h GROUP BY r, b),
+            probes(value) AS (VALUES {", ".join("('" + p + "')" for p in CMS_PROBES)}),
+            ph AS (
+                SELECT value, r,
+                       (('0x' || substr(md5('cms' || r::VARCHAR || ':' || value), 1, 15))::UBIGINT
+                        % {CMS_WIDTH})::BIGINT AS b
+                FROM probes CROSS JOIN rs
+            ),
+            est AS (
+                SELECT value, min(coalesce(n, 0))::BIGINT AS est
+                FROM ph LEFT JOIN sk USING (r, b) GROUP BY value
+            ),
+            exact AS (
+                SELECT tok AS value, count(*) AS exact_n FROM tok
+                WHERE tok IN ({", ".join("'" + p + "'" for p in CMS_PROBES)})
+                GROUP BY tok
+            )
+            SELECT value, est, coalesce(exact_n, 0)::BIGINT AS exact_n
+            FROM est LEFT JOIN exact USING (value)
         """,
         "histogram_quantiles": f"""
             WITH b AS (

@@ -139,6 +139,72 @@ def hll_standard_error(p: int = 12) -> float:
     return 1.04 / math.sqrt(1 << p)
 
 
+def cms_sketch(df: DataFrame, col: str, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over ``df[col]``:
+    ``depth`` independent md5 hash rows × ``width`` counters, returned as
+    ``(r, b, n)`` counter rows. Like the HLL above it is built from the
+    portable md5 hash so a DuckDB oracle reproduces the IDENTICAL counters
+    and therefore the identical estimates — integer-exact, no float drift.
+
+    Scale shape: the per-row explode to ``depth`` (r, b) pairs collapses
+    map-side (partial count agg), so the shuffle is bounded by
+    ``depth·width`` keys per map task regardless of input size — sketch
+    state is O(depth·width) at any scale. Counters from different
+    partitions / days / sources merge by ``+`` (``cms_merge``), which is
+    what makes this the 100 TB path for "how often does each of these
+    terms occur" when the full vocabulary groupBy is too wide to keep."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_sketch: need depth >= 1, width >= 2, got {depth}, {width}")
+    v = F.col(col).cast("string")
+    buckets = F.array(
+        *[F.pmod(md5_bigint(v, salt=f"cms{r}:"), F.lit(width)) for r in range(depth)]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union counter rows from independently-built sketches (same depth /
+    width) into one sketch by summing per (r, b) — the CMS merge property:
+    ``cms_merge(sketch(A), sketch(B)) == sketch(A ∪ B)`` exactly."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "b").agg(F.sum("n").alias("n"))
+
+
+def cms_lookup(
+    sketch: DataFrame, values: list[str], depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point-query the sketch for each probe value: estimate = min over the
+    ``depth`` rows of the counter at ``(r, h_r(value))``, with absent
+    counters read as 0. Returns ``(value, est)``; the estimate NEVER
+    under-counts (CMS guarantee) and over-counts by at most the collision
+    mass ``≈ e/width · N`` with probability ``1 - e^-depth``.
+
+    The probe set is a literal VALUES relation (queries are contract-small)
+    joined broadcast against the ``depth·width``-row sketch — no corpus
+    access at lookup time at all."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(x,) for x in values], "value string")
+    v = F.col("value").cast("string")
+    buckets = F.array(
+        *[F.pmod(md5_bigint(v, salt=f"cms{r}:"), F.lit(width)) for r in range(depth)]
+    )
+    hashed = probes.select("value", F.posexplode(buckets).alias("r", "b"))
+    return (
+        hashed.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("est"))
+    )
+
+
 def histogram_bins(
     df: DataFrame, col: str, lo: float, hi: float, bins: int = 64
 ) -> DataFrame:

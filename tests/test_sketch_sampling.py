@@ -57,6 +57,46 @@ def test_hll_rejects_bad_precision(spark):
         SKT.hll_registers(df, "id", p=2)
 
 
+# ------------------------------------------------------------------ CMS
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    """CMS guarantee: est >= exact always; with width >> distinct keys the
+    collision mass is tiny so most probes are exact."""
+    df = spark.range(10_000).select((F.col("id") % 100).cast("string").alias("k"))
+    sk = SKT.cms_sketch(df, "k", depth=4, width=4096)
+    probes = [str(i) for i in range(0, 100, 7)] + ["absent"]
+    est = {r["value"]: r["est"] for r in SKT.cms_lookup(sk, probes, 4, 4096).collect()}
+    for p in probes:
+        exact = 100 if p != "absent" else 0
+        assert est[p] >= exact, (p, est[p])
+    # 100 keys into 4096 counters per row, 4 rows: expect zero collisions
+    # on the probe set (deterministic — the hash is fixed).
+    assert sum(1 for p in probes if est[p] == (100 if p != "absent" else 0)) == len(probes)
+
+
+def test_cms_merge_equals_whole(spark):
+    """CMS merge property: summing per-(r,b) counters of two halves equals
+    the sketch of the union — the incremental/partitioned build path."""
+    a = spark.range(0, 3000).select((F.col("id") % 37).cast("string").alias("k"))
+    b = spark.range(0, 5000).select((F.col("id") % 53).cast("string").alias("k"))
+    whole = SKT.cms_sketch(a.union(b), "k", depth=3, width=512)
+    merged = SKT.cms_merge(
+        SKT.cms_sketch(a, "k", depth=3, width=512),
+        SKT.cms_sketch(b, "k", depth=3, width=512),
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+
+def test_cms_rejects_bad_shape(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        SKT.cms_sketch(df, "id", depth=0)
+    with pytest.raises(ValueError):
+        SKT.cms_merge()
+
+
 # -------------------------------------------------------- global ranking
 
 
