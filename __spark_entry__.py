@@ -462,6 +462,30 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.crossJoin(exact)
 
 
+SOURCE_CAP_N = 10
+SKEW_TOP_N = 10
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-domain corpus cap (keep the N longest docs per source) via the
+    # skew-safe two-stage top-n — row-identical to the direct window the
+    # oracle runs, but a hot domain spreads over salt_n reducers.
+    d = load_table(spark, sf_dir, "documents")
+    capped = SK.capped_top_n(
+        d, ["source"], [F.length("text").desc(), F.col("doc_id")], n=SOURCE_CAP_N
+    )
+    return capped.select(
+        "source", "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the pre-flight diagnostic for any shuffle on user_id×event_type-like
+    # keys: heaviest keys, their share, and the salt_n-sizing skew ratio.
+    ev = load_table(spark, sf_dir, "events")
+    return SK.skew_profile(ev, ["event_type"], top_n=SKEW_TOP_N)
+
+
 CMS_DEPTH, CMS_WIDTH = 4, 2048
 # probe set spans frequent corpus terms + one absent term (est stays 0
 # unless a counter collision occurs — deterministic either way, so the
@@ -961,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_quantized": q_rerank_quantized,
         "hll_by_group": q_hll_by_group,
         "cms_freq": q_cms_freq,
+        "source_cap": q_source_cap,
+        "skew_profile": q_skew_profile,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1479,6 +1505,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT value, est, coalesce(exact_n, 0)::BIGINT AS exact_n
             FROM est LEFT JOIN exact USING (value)
+        """,
+        "source_cap": f"""
+            SELECT source, doc_id, length(text)::BIGINT AS text_len
+            FROM (
+                SELECT source, doc_id, text,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY length(text) DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= {SOURCE_CAP_N}
+        """,
+        "skew_profile": f"""
+            WITH c AS (
+                SELECT event_type, count(*) AS key_rows FROM events GROUP BY event_type
+            ),
+            t AS (SELECT sum(key_rows) AS total, count(*) AS nkeys FROM c)
+            SELECT event_type, key_rows,
+                   round(key_rows / total, 6) AS share,
+                   round(key_rows * nkeys / total, 3) AS skew_ratio
+            FROM c CROSS JOIN t
+            ORDER BY key_rows DESC, event_type LIMIT {SKEW_TOP_N}
         """,
         "histogram_quantiles": f"""
             WITH b AS (

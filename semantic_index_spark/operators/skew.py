@@ -240,3 +240,75 @@ def weighted_mix(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
         .drop("_copies")
     )
+
+
+def capped_top_n(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    n: int,
+    salt_n: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-safe "keep at most ``n`` rows per group" (per-domain corpus
+    caps, per-query candidate caps). The direct
+    ``row_number() OVER (PARTITION BY group ORDER BY ...) <= n`` funnels a
+    hot group's ENTIRE row set through one reducer — the per-key analogue
+    of the SinglePartition window. Two stages fix that:
+
+      1. rank within ``(group, salt)`` (salt = ``rand(seed)`` spread; any
+         assignment works) and keep ≤ ``n`` per salt cell — a hot group's
+         rows spread over ``salt_n`` reducers, and each cell's survivors
+         are bounded;
+      2. rank the ≤ ``salt_n·n`` survivors per group and keep ≤ ``n``.
+
+    Row-identical to the direct window: every true top-``n`` row is top-n
+    within its salt cell (a subset can only rank it higher), so stage 1
+    never drops a winner. ``order_by`` must be a TOTAL order (include a
+    unique tiebreaker) or both forms are nondeterministic under ties."""
+    from pyspark.sql import Window
+
+    if n < 1 or salt_n < 1:
+        raise ValueError(f"capped_top_n: need n >= 1 and salt_n >= 1, got {n}, {salt_n}")
+    salted = df.withColumn("_salt", F.floor(F.rand(seed) * salt_n).cast("int"))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_by)
+    stage1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        stage1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def skew_profile(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: the ``top_n`` heaviest keys with their
+    row count, share of all rows, and ratio to the mean key load — the
+    numbers that decide whether a join/agg on these keys needs salting
+    (ratio ≫ 1 ⇒ one reducer owns the key) and what ``salt_n`` to pick
+    (≈ ratio). Cost: the same ONE map-side-combined groupBy the real
+    aggregation would run, plus a ≤ |keys|-row summary agg; the top-n pick
+    is a TakeOrderedAndProject, never a global sort."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("key_rows") * F.col("_nkeys") / F.col("_total"), 3
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("key_rows").desc(), *key_cols)
+        .limit(top_n)
+    )

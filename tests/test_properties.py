@@ -311,3 +311,44 @@ def test_session_window_merge_is_inclusive(spark, evs):
             n += 1
         want.append((u, float(start), float(last + gap), n))
     assert got == sorted(want)
+
+
+# ------------------------------------------- capped top-n per group identity
+
+capped_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["hot", "hot", "hot", "warm", "cold"]),  # skewed group
+        st.integers(min_value=0, max_value=1000),                # score
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=capped_rows, n=st.integers(min_value=1, max_value=5),
+       salt_n=st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_capped_top_n_identical_to_direct_window(spark, rows, n, salt_n):
+    """capped_top_n must be ROW-IDENTICAL to the direct
+    row_number() OVER (PARTITION BY g ORDER BY ...) <= n window it
+    replaces, for any salt count, including hot groups far above the cap.
+    uid makes the order total so both forms are deterministic."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.operators import skew as SK
+
+    data = [(g, s, i) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, score int, uid int")
+    order = [F.col("score").desc(), F.col("uid")]
+    got = sorted(
+        tuple(r)
+        for r in SK.capped_top_n(df, ["g"], order, n=n, salt_n=salt_n)
+        .select("g", "score", "uid").collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n).select("g", "score", "uid").collect()
+    )
+    assert got == want

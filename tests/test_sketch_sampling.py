@@ -438,3 +438,24 @@ def test_hll_by_group_registers_merge_to_global(spark, sf_dir):
     est_merged = SKT.hll_estimate(merged).collect()[0][0]
     est_global = SKT.hll_estimate(global_regs).collect()[0][0]
     assert est_merged == est_global
+
+
+# ------------------------------------------------------ skew diagnostics
+
+
+def test_skew_profile_shares_and_ratio(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5, "k string"
+    )
+    rows = {r["k"]: r for r in SK.skew_profile(df, ["k"], top_n=10).collect()}
+    assert rows["hot"]["key_rows"] == 80
+    assert rows["hot"]["share"] == 0.8
+    # mean key load = 100/3; hot ratio = 80/(100/3) = 2.4
+    assert rows["hot"]["skew_ratio"] == 2.4
+    assert rows["cold"]["share"] == 0.05
+
+
+def test_capped_top_n_rejects_bad_args(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError):
+        SK.capped_top_n(df, ["id"], [F.col("id")], n=0)
