@@ -464,6 +464,14 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_CAP_N = 10
 SKEW_TOP_N = 10
+SEMDEDUP_COS = 0.3
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: cluster-confined semantic dedup — quadratic pair checks
+    # never leave a centroid cell, so centroid count bounds the join.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_cluster_dedup(emb, CENTROIDS, threshold=SEMDEDUP_COS)
 
 
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "source_cap": q_source_cap,
         "skew_profile": q_skew_profile,
+        "semdedup": q_semdedup,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1516,6 +1525,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= {SOURCE_CAP_N}
+        """,
+        "semdedup": f"""
+            WITH cells AS (
+                SELECT vec_id, embedding, {_duck_ivf_cell("embedding")} AS cell,
+                       sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            ),
+            dropped AS (
+                SELECT DISTINCT b.vec_id AS vec_id
+                FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE round({_duck_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)
+                      >= {SEMDEDUP_COS}
+            )
+            SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+            FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
         """,
         "skew_profile": f"""
             WITH c AS (

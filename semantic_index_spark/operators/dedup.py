@@ -511,3 +511,52 @@ def embedding_neardup_pairs(
             F.col("cos"),
         )
     )
+
+
+def semantic_cluster_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its max-dot centroid cell,
+    then WITHIN each cell drop any item whose cosine to a lower-id cell-mate
+    reaches ``threshold`` — one deterministic representative (the minimum
+    id) survives per semantic near-dup set, without ever comparing across
+    cells. Returns ``(id, cell, kept)`` for every input row.
+
+    Scale shape: the quadratic pair generation is confined to single cells
+    by an equi-join on the cell id (hash-partitioned — no cross product, no
+    broadcast-nested-loop), so the pair count is Σ|cell|² instead of N² and
+    the number of centroids is the lever that bounds it (SemDeDup's own
+    scaling argument; they run k ≈ 50k clusters on LAION-scale data).
+    Norms are computed once per row before the join; cell assignment is a
+    pure JVM dot fold per centroid inside whole-stage codegen."""
+    from semantic_index_spark.operators.similarity import ivf_assign
+
+    base = ivf_assign(df.select(id_col, emb_col), centroids, emb_col).withColumn(
+        "nrm", V.l2_norm(emb_col)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a._cell") == F.col("b._cell")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    cos = F.round(
+        V.dot(F.col(f"a.{emb_col}"), F.col(f"b.{emb_col}"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    dropped = (
+        a.join(b, cond)
+        .filter(cos >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return base.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("_cell").alias("cell"),
+        F.col("_dropped").isNull().alias("kept"),
+    )

@@ -906,3 +906,58 @@ def test_ngram_lm_score_hand_computed(spark):
     assert got[1] == (3, round6(d1))
     assert got[2] == (2, round6(d2))
     assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_semantic_cluster_dedup_matches_bruteforce(spark):
+    """semantic_cluster_dedup must drop exactly the rows a per-cell
+    brute-force (keep the min id of every >= threshold pair) would drop,
+    and never compare across cells."""
+    import math
+
+    from semantic_index_spark.operators.dedup import semantic_cluster_dedup
+    from semantic_index_spark.operators.similarity import make_centroids
+
+    cents = make_centroids(4, 8, seed=3)
+    rows = [
+        (i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(40)
+    ] + [(100 + i, [math.sin(i * 0.7 + j) + 1e-4 for j in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_cluster_dedup(df, cents, threshold=0.95).collect()
+    }
+    # python reference
+    import numpy as np
+
+    data = {i: np.array(v, dtype=np.float32) for i, v in rows}
+    cmat = np.array(cents)
+    cell = {i: int(np.argmax(cmat @ v)) for i, v in data.items()}
+    dropped = set()
+    ids = sorted(data)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i, j = ids[x], ids[y]
+            if cell[i] != cell[j]:
+                continue
+            a, b = data[i], data[j]
+            cos = round(float(np.dot(a.astype(np.float64), b.astype(np.float64)))
+                        / (np.linalg.norm(a.astype(np.float64)) * np.linalg.norm(b.astype(np.float64))), 6)
+            if cos >= 0.95:
+                dropped.add(j)
+    for i in ids:
+        assert got[i][0] == cell[i], (i, got[i], cell[i])
+        assert got[i][1] == (i not in dropped), (i, got[i], i in dropped)
+    assert dropped, "test fixture should produce at least one drop"
+
+
+def test_semantic_cluster_dedup_plan_is_cell_hash_join(spark):
+    """The pair generation must plan as a hash/sort-merge equi-join on the
+    cell id — never a cartesian product or broadcast nested loop."""
+    from semantic_index_spark.operators.dedup import semantic_cluster_dedup
+    from semantic_index_spark.operators.similarity import make_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_cluster_dedup(emb, make_centroids(8, 64, seed=11), threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
