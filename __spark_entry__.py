@@ -467,6 +467,27 @@ SKEW_TOP_N = 10
 SEMDEDUP_COS = 0.3
 
 
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental-aggregation maintenance: per-month partials merge into
+    # per-key totals via each aggregate's merge fn only — the oracle runs
+    # the DIRECT aggregate over raw rows, proving merge == recompute.
+    from semantic_index_spark.operators import pipeline as P
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = P.epoch_rollup(
+        ev, ["event_type"], F.date_format("ts", "yyyyMM").cast("int"), "value"
+    )
+    merged = P.merge_rollups(partials, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: cluster-confined semantic dedup — quadratic pair checks
     # never leave a centroid cell, so centroid count bounds the join.
@@ -996,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "skew_profile": q_skew_profile,
         "semdedup": q_semdedup,
+        "rollup_merge": q_rollup_merge,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1525,6 +1547,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= {SOURCE_CAP_N}
+        """,
+        "rollup_merge": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_v,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   round(sum(value) / count(*), 6) AS avg_v
+            FROM events GROUP BY event_type
         """,
         "semdedup": f"""
             WITH cells AS (

@@ -242,3 +242,41 @@ def snapshot_diff(
         .select(F.col("_k").alias(key_col), change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def epoch_rollup(
+    df: DataFrame, keys: list[str], epoch_col: Column | str, value_col: str
+) -> DataFrame:
+    """Per-(epoch, keys) MERGEABLE partial aggregates — count / sum / min /
+    max of ``value_col`` — the materialized-rollup building block for
+    incremental pipelines: each new epoch (day, ingest batch) appends its
+    partial rows; totals come from :func:`merge_rollups` over the partials
+    alone, so history is NEVER re-scanned. One map-side-combined groupBy
+    over |epochs|·|keys| result rows."""
+    ep = F.col(epoch_col) if isinstance(epoch_col, str) else epoch_col
+    return df.groupBy(ep.alias("epoch"), *keys).agg(
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_rollups(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold epoch partials into per-key totals using only the merge
+    functions of each aggregate (count/sum merge by ``+``, min/max by
+    min/max; avg derives from merged sum/count — never averaged averages).
+    Input size is |epochs|·|keys| rows regardless of raw data volume, which
+    is what makes the maintain-don't-recompute loop viable at 100 TB:
+    ``merge_rollups(partials(old) ∪ partials(new))`` equals the direct
+    aggregate over all raw rows (pytest + oracle assert exactly that)."""
+    return (
+        partials.groupBy(*keys)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    )

@@ -961,3 +961,57 @@ def test_semantic_cluster_dedup_plan_is_cell_hash_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_epoch_rollup_merge_equals_direct_and_is_incremental(spark, sf_dir):
+    """merge_rollups over per-epoch partials must equal the direct
+    aggregate over raw rows, and appending a NEW epoch's partials to the
+    OLD partials (no raw re-scan) must equal the direct aggregate over the
+    union — the maintain-don't-recompute loop."""
+    from semantic_index_spark.operators.pipeline import epoch_rollup, merge_rollups
+    from semantic_index_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ep = F.date_format("ts", "yyyyMM").cast("int")
+
+    def direct(df):
+        return {
+            r["event_type"]: (r["n"], round(r["s"], 6), r["mn"], r["mx"])
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+
+    merged = {
+        r["event_type"]: (r["n"], round(r["sum_v"], 6), r["min_v"], r["max_v"])
+        for r in merge_rollups(epoch_rollup(ev, ["event_type"], ep, "value"), ["event_type"]).collect()
+    }
+    want = direct(ev)
+    assert set(merged) == set(want)
+    for k in want:
+        assert merged[k][0] == want[k][0]
+        assert merged[k][2] == want[k][2] and merged[k][3] == want[k][3]
+        assert abs(merged[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1]))
+
+    # incremental path: old epochs' partials are REUSED, only the new
+    # epoch is aggregated from raw
+    cut = ev.select(F.max(ep).alias("m")).collect()[0]["m"]
+    old, new = ev.where(ep < cut), ev.where(ep == cut)
+    inc = merge_rollups(
+        epoch_rollup(old, ["event_type"], ep, "value").unionByName(
+            epoch_rollup(new, ["event_type"], ep, "value")
+        ),
+        ["event_type"],
+    )
+    inc_d = {
+        r["event_type"]: (r["n"], round(r["sum_v"], 6))
+        for r in inc.collect()
+    }
+    for k in want:
+        assert inc_d[k][0] == want[k][0]
+        assert abs(inc_d[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1]))
