@@ -465,6 +465,14 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_CAP_N = 10
 SKEW_TOP_N = 10
 SEMDEDUP_COS = 0.3
+DUP_SPAN_N, DUP_SPAN_MIN_DOCS = 8, 2
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # substring-level exact-dup screening: rolling 8-token window hashes →
+    # word-count groupBy → one hash equi-join back; per-doc dup fraction.
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_spans(d, n=DUP_SPAN_N, min_docs=DUP_SPAN_MIN_DOCS)
 
 
 def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +546,24 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "value", "left").select(
         "value", "est", F.coalesce("exact_n", F.lit(0)).cast("bigint").alias("exact_n")
     )
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planner-style join cardinality estimation from two depth·width-row
+    # sketches — next to the exact join count it predicts (the estimate
+    # itself hash-matches the DuckDB replay; it may only over-count).
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sa = SKT.cms_sketch(
+        orders.select(F.col("o_custkey").alias("k")), "k", CMS_DEPTH, CMS_WIDTH
+    )
+    sb = SKT.cms_sketch(
+        cust.select(F.col("c_custkey").alias("k")), "k", CMS_DEPTH, CMS_WIDTH
+    )
+    exact = orders.join(cust, orders.o_custkey == cust.c_custkey).agg(
+        F.count("*").cast("bigint").alias("exact_join_size")
+    )
+    return SKT.cms_join_size(sa, sb).crossJoin(exact)
 
 
 HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 100
@@ -964,13 +990,15 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
-    FIRST 50 entries each round. Slots 1-39 carry the queries with no driver
+    FIRST 50 entries each round. Slots 1-46 carry the queries with no driver
     CORRECTNESS row through round 3 — the 35 never-checked LLM-pipeline /
-    dedup / text-analysis entries plus round 4's four new queries
-    (session_window_agg, lsh_multiprobe, rerank_quantized, hll_by_group);
-    slots 40-50 keep previously-green sentinels spanning every family so a
-    regression in already-verified code still trips the gate. Everything
-    after slot 50 passed the driver check in rounds 1-3."""
+    dedup / text-analysis entries plus round 4's new queries
+    (session_window_agg, lsh_multiprobe, rerank_quantized, hll_by_group,
+    cms_freq, source_cap, skew_profile, semdedup, rollup_merge,
+    duplicate_spans, cms_join_size); the
+    remaining slots keep previously-green sentinels spanning several
+    families so a regression in already-verified code still trips the gate.
+    Everything after slot 50 passed the driver check in rounds 1-3."""
     return {
         # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,
@@ -1018,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "semdedup": q_semdedup,
         "rollup_merge": q_rollup_merge,
+        "duplicate_spans": q_duplicate_spans,
+        "cms_join_size": q_cms_join_size,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1537,6 +1567,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, est, coalesce(exact_n, 0)::BIGINT AS exact_n
             FROM est LEFT JOIN exact USING (value)
         """,
+        "cms_join_size": f"""
+            WITH rs AS (SELECT unnest([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r),
+            sa AS (
+                SELECT r,
+                       (('0x' || substr(md5('cms' || r::VARCHAR || ':' || o_custkey::VARCHAR), 1, 15))::UBIGINT
+                        % {CMS_WIDTH})::BIGINT AS b,
+                       count(*) AS n
+                FROM orders CROSS JOIN rs GROUP BY 1, 2
+            ),
+            sb AS (
+                SELECT r,
+                       (('0x' || substr(md5('cms' || r::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::UBIGINT
+                        % {CMS_WIDTH})::BIGINT AS b,
+                       count(*) AS n
+                FROM customer CROSS JOIN rs GROUP BY 1, 2
+            ),
+            ip AS (
+                SELECT sa.r, sum(sa.n * sb.n) AS ip
+                FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b GROUP BY sa.r
+            ),
+            anchored AS (
+                SELECT rs.r, coalesce(ip, 0) AS ip FROM rs LEFT JOIN ip ON rs.r = ip.r
+            )
+            SELECT coalesce(min(ip), 0)::BIGINT AS est_join_size,
+                   (SELECT count(*) FROM orders o JOIN customer c
+                    ON o.o_custkey = c.c_custkey) AS exact_join_size
+            FROM anchored
+        """,
         "source_cap": f"""
             SELECT source, doc_id, length(text)::BIGINT AS text_len
             FROM (
@@ -1547,6 +1605,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= {SOURCE_CAP_N}
+        """,
+        "duplicate_spans": f"""
+            WITH tokq AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            spans AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - {DUP_SPAN_N} + 2, 1)),
+                           i -> md5(array_to_string(t[i:i+{DUP_SPAN_N - 1}], ' ')))) AS h
+                FROM tokq
+            ),
+            duph AS (
+                SELECT h, 1 AS dup FROM spans
+                GROUP BY h HAVING count(DISTINCT doc_id) >= {DUP_SPAN_MIN_DOCS}
+            )
+            SELECT doc_id, count(*) AS n_spans, count(dup)::BIGINT AS n_dup,
+                   round(count(dup)::DOUBLE / count(*), 6) AS dup_fraction
+            FROM spans LEFT JOIN duph USING (h)
+            GROUP BY doc_id
         """,
         "rollup_merge": """
             SELECT event_type,

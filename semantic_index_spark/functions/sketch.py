@@ -205,6 +205,33 @@ def cms_lookup(
     )
 
 
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches over the
+    join keys (the CMS inner-product estimator, Cormode & Muthukrishnan
+    2005 §4.2): ``|A ⋈ B| = Σ_k f_A(k)·f_B(k)``, estimated as the min over
+    hash rows of ``Σ_b n_A(r,b)·n_B(r,b)``. Never under-estimates; the
+    planner-style use is sizing a shuffle / choosing broadcast vs
+    sort-merge from two ``depth·width``-row summaries WITHOUT running the
+    join or re-scanning either input. Sketches must share depth/width/key
+    normalization. Returns one row ``(est_join_size bigint)``."""
+    joined = sketch_a.alias("a").join(
+        sketch_b.alias("b"), ["r", "b"], "inner"
+    )
+    per_row = joined.groupBy("r").agg(
+        F.sum(F.col("a.n") * F.col("b.n")).alias("_ip")
+    )
+    # a hash row with NO overlapping buckets is absent from per_row but its
+    # inner product is 0 — re-anchor on sketch_a's row set so the min sees
+    # it (lazily; no driver action, the row set is ≤ depth rows).
+    rows = sketch_a.select("r").distinct()
+    anchored = rows.join(per_row, "r", "left").select(
+        F.coalesce(F.col("_ip"), F.lit(0)).alias("_ip")
+    )
+    return anchored.agg(
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("bigint").alias("est_join_size")
+    )
+
+
 def histogram_bins(
     df: DataFrame, col: str, lo: float, hi: float, bins: int = 64
 ) -> DataFrame:

@@ -560,3 +560,60 @@ def semantic_cluster_dedup(
         F.col("_cell").alias("cell"),
         F.col("_dropped").isNull().alias("kept"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact-duplication signal (the ExactSubstr idea of
+    Lee et al. 2022, arXiv:2107.06499, re-expressed relationally): hash
+    every rolling ``n``-token window, call a window "duplicated" when its
+    hash occurs in ≥ ``min_docs`` DISTINCT documents, and report per doc
+    how much of it is duplicated text — ``(id, n_spans, n_dup,
+    dup_fraction)``. This catches boilerplate / licence blocks / templated
+    paragraphs that whole-document fingerprints miss. Docs shorter than
+    ``n`` tokens have no windows and are absent from the output.
+
+    Scale shape: the rolling windows are a JVM ``transform`` over the
+    token array (no Python); the explode collapses into a word-count-shaped
+    groupBy on the 128-bit hash (map-side partial agg bounds the shuffle by
+    distinct-span count per partition); the duplicated-hash set joins back
+    by ONE hash equi-join — never a document self-join, never positions ×
+    positions. A true suffix-array ExactSubstr finds arbitrary-length
+    matches; fixed-n rolling windows find every match ≥ n tokens (any such
+    match contains a full n-window), which is the screening guarantee that
+    matters at corpus scale."""
+    if n < 1 or min_docs < 2:
+        raise ValueError(f"duplicate_spans: need n >= 1, min_docs >= 2, got {n}, {min_docs}")
+    toks = T.tokens(text_col)
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = ensure_parallelism(docs).select(
+        F.col(id_col), F.explode(windows).alias("h")
+    )
+    duph = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    return (
+        spans.join(duph, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_dup").cast("bigint").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup") / F.col("n_spans"), 6)
+        )
+    )

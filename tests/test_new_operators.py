@@ -1015,3 +1015,30 @@ def test_epoch_rollup_merge_equals_direct_and_is_incremental(spark, sf_dir):
     for k in want:
         assert inc_d[k][0] == want[k][0]
         assert abs(inc_d[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1]))
+
+
+def test_duplicate_spans_flags_shared_block_only(spark):
+    """A >= n-token block shared by two docs must mark windows in BOTH docs
+    (screening guarantee: any match >= n tokens contains a full n-window);
+    a doc with unique text must report zero duplicated windows, and a doc
+    shorter than n tokens must be absent."""
+    from semantic_index_spark.operators.dedup import duplicate_spans
+
+    block = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {block} gamma delta"),
+            (2, f"start {block} finish line here"),
+            (3, "completely unrelated words nothing shared at all today"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, n=8, min_docs=2).collect()}
+    assert 4 not in got  # 2 tokens < n → no windows
+    assert got[3]["n_dup"] == 0 and got[3]["dup_fraction"] == 0.0
+    # the shared block yields exactly one common 8-window hash in each doc
+    assert got[1]["n_dup"] >= 1 and got[2]["n_dup"] >= 1
+    assert got[1]["n_spans"] == 5  # 12 tokens → 5 windows
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, n=0)

@@ -459,3 +459,23 @@ def test_capped_top_n_rejects_bad_args(spark):
     df = spark.range(10)
     with pytest.raises(ValueError):
         SK.capped_top_n(df, ["id"], [F.col("id")], n=0)
+
+
+def test_cms_join_size_never_undercounts_and_is_tight_when_sparse(spark):
+    """CMS inner-product estimator: est >= true join size always; with
+    width >> distinct keys it is exact. Disjoint key sets estimate 0."""
+    a = spark.range(1000).select((F.col("id") % 50).cast("string").alias("k"))
+    b = spark.range(200).select((F.col("id") % 20).cast("string").alias("k"))
+    sa = SKT.cms_sketch(a, "k", depth=4, width=4096)
+    sb = SKT.cms_sketch(b, "k", depth=4, width=4096)
+    est = SKT.cms_join_size(sa, sb).collect()[0]["est_join_size"]
+    true = a.join(b, "k").count()  # 20 shared keys × 20 × 10 = 4000
+    assert true == 4000
+    assert est >= true
+    assert est == true  # zero collisions at this width (hash is fixed)
+    # disjoint keys → no shared buckets on some row w.h.p.; estimate must
+    # anchor absent rows at 0, never NULL
+    c = spark.range(100).select((F.col("id") + 10_000).cast("string").alias("k"))
+    sc_ = SKT.cms_sketch(c, "k", depth=4, width=4096)
+    est0 = SKT.cms_join_size(sa, sc_).collect()[0]["est_join_size"]
+    assert est0 >= 0 and est0 < 100  # tiny collision mass at most

@@ -136,6 +136,28 @@ AUDITS = {
     # two-stage retrieval: tiny candidate set broadcasts into a semi-join;
     # exact rerank is bounded top-k over k' rows — never a shuffle join.
     "rerank_quantized": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # CMS: sketch = posexplode → partial-agg shuffle over <= depth·width
+    # keys; probe lookup joins the broadcast sketch — never a shuffle join.
+    "cms_freq": {"expect": ["Generate", "HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # two-stage per-group cap: both stages are keyed windows — a hot group
+    # spreads over salt cells in stage 1; never a join.
+    "source_cap": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct"]},
+    # skew profiler: ONE map-side-combined groupBy + a 1-row totals
+    # crossJoin (BNLJ by construction, 1×|keys|) + bounded top-n.
+    "skew_profile": {"expect": ["HashAggregate", "TakeOrderedAndProject"], "forbid": ["SortMergeJoin"]},
+    # SemDeDup: pair generation is an equi-join on the centroid cell —
+    # hash-partitioned, never a cross product or nested loop.
+    "semdedup": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # rollup maintenance: two stacked partial-agg groupBys (epoch partials
+    # → per-key merge) — no join, no sort, nothing Python.
+    "rollup_merge": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort", "ArrowEvalPython", "BatchEvalPython"]},
+    # duplicated spans: rolling-window hashes explode into a word-count
+    # groupBy, then ONE hash equi-join back — never a doc self-join or a
+    # nested loop over positions.
+    "duplicate_spans": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # join-size estimation: two depth·width-row sketches hash-join on
+    # (r, b); the only BNLJ is the 1×1 est-next-to-exact crossJoin.
+    "cms_join_size": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
