@@ -1,6 +1,7 @@
 """End-to-end training-corpus preparation over the synthetic test tables:
-quality gate → source re-weighting → exact + near-dup removal → chunking →
-incremental embedding against a cache. Run: python examples/corpus_pipeline.py
+quality gate → exact + near-dup + duplicated-span removal → per-source cap →
+source re-weighting → chunking → incremental embedding against a cache.
+Run: python examples/corpus_pipeline.py
 
 Every stage is the scale-shaped operator the engine ships (one pass / one
 bounded shuffle each) — the same composition a 100 TB pipeline would run,
@@ -52,6 +53,21 @@ kept = (
     .join(drop, "doc_id", "left_anti")
 )
 print("dedup: kept", kept.count(), "of", docs.count(), f"({near.count()} near-dup pairs)")
+
+# 2b. Substring-level screening: drop docs that are mostly duplicated
+#     text (boilerplate / templated blocks whole-doc fingerprints miss).
+span_frac = D.duplicate_spans(docs, n=8, min_docs=2)
+spammy = span_frac.filter(F.col("dup_fraction") > 0.6).select("doc_id")
+kept = kept.join(spammy, "doc_id", "left_anti")
+print("span screen: kept", kept.count(), f"(dropped {spammy.count()} boilerplate-heavy docs)")
+
+# 2c. Per-domain cap: no source may contribute more than 15 docs (keep
+#     the longest) — the skew-safe two-stage top-n, so one hot crawl
+#     domain can't own a reducer OR the mix.
+kept = SK.capped_top_n(
+    kept, ["source"], [F.length("text").desc(), F.col("doc_id")], n=15
+)
+print("per-source cap: kept", kept.count())
 
 # 3. Re-weight sources for the training mix (2 epochs of src0, thin the
 #    rest) — AFTER dedup, so upsampling can't resurrect duplicates.
