@@ -16,6 +16,8 @@ per epoch with checkpointing.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
@@ -239,3 +241,60 @@ def run_batch_like(stream_writer: DataStreamWriter):
     q = stream_writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def incremental_sketch_sink(path: str, partials_fn, merge_fn):
+    """``foreachBatch`` maintainer for any MERGEABLE sketch (HLL registers,
+    CMS counters, histogram bins): each micro-batch computes its own
+    partial sketch rows (``partials_fn(batch_df)``), unions them with the
+    sketch table at ``path``, re-merges (``merge_fn``) and swaps the table
+    atomically. The sketch table is O(sketch state) — 2^p registers /
+    depth·width counters — so the per-epoch cost is independent of history
+    size: this is how a 100 TB pipeline keeps "distinct users ever" or
+    "term frequencies ever" current without ever re-reading raw data
+    (the merge-property pytest asserts stream == one-shot batch sketch).
+    Local-FS dir swap here; on object stores / table formats the swap is a
+    versioned-prefix or transactional commit (see sources/io.py)."""
+    import shutil
+    import uuid
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = partials_fn(batch_df)
+        if os.path.isdir(path):
+            prev = spark.read.parquet(path)
+            merged = merge_fn(part.unionByName(prev))
+        else:
+            merged = merge_fn(part)
+        tmp = f"{path}._tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    return _apply
+
+
+def incremental_hll_sink(path: str, col: str, p: int = 12):
+    """HLL register maintenance across micro-batches: registers max-merge
+    (the HLL union property), so the table at ``path`` always equals the
+    one-shot sketch of everything ever streamed."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    return incremental_sketch_sink(
+        path,
+        lambda b: SKT.hll_registers(b, col, p),
+        lambda u: u.groupBy("idx").agg(F.max("rho").alias("rho")),
+    )
+
+
+def incremental_cms_sink(path: str, col: str, depth: int = 4, width: int = 2048):
+    """CMS counter maintenance across micro-batches: counters ``+``-merge,
+    so point queries against the table reflect everything ever streamed."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    return incremental_sketch_sink(
+        path,
+        lambda b: SKT.cms_sketch(b, col, depth, width),
+        lambda u: u.groupBy("r", "b").agg(F.sum("n").alias("n")),
+    )

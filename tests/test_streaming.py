@@ -340,3 +340,68 @@ def test_idempotent_sink_replayed_epoch_no_duplicates(spark, events_dir, events_
     assert replayed.filter(F.col("batch_id") != batch_ids[0]).count() == (
         first.filter(F.col("batch_id") != batch_ids[0]).count()
     )
+
+
+def test_incremental_hll_sink_equals_oneshot_batch_sketch(spark, events_dir, events_batch, tmp_path):
+    """Streaming HLL maintenance: after draining the stream in forced
+    multi-file micro-batches, the register table must EQUAL the one-shot
+    batch sketch of all data (the merge property, end to end), and so must
+    the estimate."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    sketch_path = str(tmp_path / "hll_table")
+    ckpt = str(tmp_path / "ckpt_hll")
+    # stage as 4 files so maxFilesPerTrigger=1 FORCES 4 micro-batches —
+    # the union-with-previous merge branch must actually run
+    multi = str(tmp_path / "events_multi")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.incremental_hll_sink(sketch_path, "user_id", p=10)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = spark.read.parquet(sketch_path)
+    want = SKT.hll_registers(events_batch, "user_id", p=10)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    est_stream = SKT.hll_estimate(got, p=10).collect()[0][0]
+    est_batch = SKT.hll_estimate(want, p=10).collect()[0][0]
+    assert est_stream == est_batch
+
+
+def test_incremental_cms_sink_counts_match_batch(spark, events_dir, events_batch, tmp_path):
+    """Streaming CMS maintenance: counter table after the drain equals the
+    one-shot batch sketch, so point estimates match exactly."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    sketch_path = str(tmp_path / "cms_table")
+    ckpt = str(tmp_path / "ckpt_cms")
+    multi = str(tmp_path / "events_multi")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.incremental_cms_sink(sketch_path, "event_type", depth=3, width=256)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = spark.read.parquet(sketch_path)
+    want = SKT.cms_sketch(events_batch, "event_type", depth=3, width=256)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    probes = [r["event_type"] for r in events_batch.select("event_type").distinct().collect()]
+    est = {r["value"]: r["est"] for r in SKT.cms_lookup(got, probes, 3, 256).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events_batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n  # CMS never under-counts
