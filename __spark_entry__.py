@@ -577,6 +577,15 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKT.histogram_quantiles(ev, "value", HISTO_LO, HISTO_HI, HISTO_QS, bins=HISTO_BINS)
 
 
+def q_histogram_quantiles_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch-per-key quantiles: per-event_type p25/p50/p90/p99 off the
+    # per-group mergeable histogram — the "p95 per source" scale path.
+    ev = load_table(spark, sf_dir, "events")
+    return SKT.histogram_quantiles_by(
+        ev, "value", "event_type", HISTO_LO, HISTO_HI, HISTO_QS, bins=HISTO_BINS
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-language sample: same rows every run / engine / sf.
     d = load_table(spark, sf_dir, "documents")
@@ -1048,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": q_rollup_merge,
         "duplicate_spans": q_duplicate_spans,
         "cms_join_size": q_cms_join_size,
+        "histogram_quantiles_by": q_histogram_quantiles_by,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1594,6 +1604,28 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders o JOIN customer c
                     ON o.o_custkey = c.c_custkey) AS exact_join_size
             FROM anchored
+        """,
+        "histogram_quantiles_by": f"""
+            WITH b AS (
+                SELECT event_type,
+                       least(greatest(floor((value - {HISTO_LO!r}) / {(HISTO_HI - HISTO_LO) / HISTO_BINS!r}), 0), {HISTO_BINS - 1})::INT AS bin
+                FROM events
+            ),
+            h AS (
+                SELECT event_type, bin, count(*) AS n,
+                       round({HISTO_LO!r} + bin * {(HISTO_HI - HISTO_LO) / HISTO_BINS!r}, 6) AS bin_lo
+                FROM b GROUP BY event_type, bin
+            ),
+            c AS (
+                SELECT event_type, bin_lo,
+                       sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(n) OVER (PARTITION BY event_type) AS total
+                FROM h
+            )
+            SELECT event_type, q, min(CASE WHEN cum >= q * total THEN bin_lo END) AS approx_value
+            FROM c, (SELECT unnest({HISTO_QS!r}::DOUBLE[]) AS q)
+            GROUP BY event_type, q
         """,
         "source_cap": f"""
             SELECT source, doc_id, length(text)::BIGINT AS text_len

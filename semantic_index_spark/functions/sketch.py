@@ -257,6 +257,65 @@ def histogram_bins(
     )
 
 
+def histogram_bins_by(
+    df: DataFrame, col: str, by: str, lo: float, hi: float, bins: int = 64
+) -> DataFrame:
+    """Per-group fixed-width histogram — the sketch-per-key form of
+    :func:`histogram_bins` (value distribution per source / event type /
+    day). ONE map-side-combined groupBy over ≤ |groups|·bins keys; bin
+    counts still ``+``-merge across partitions/epochs within each group.
+    Returns (by, bin, n, bin_lo)."""
+    if not bins > 0 or not hi > lo:
+        raise ValueError(f"histogram_bins_by: need bins > 0 and hi > lo, got {bins}, [{lo}, {hi})")
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.select(F.col(by), b.alias("bin"))
+        .groupBy(by, "bin")
+        .agg(F.count("*").alias("n"))
+        .select(by, "bin", "n", F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"))
+    )
+
+
+def histogram_quantiles_by(
+    df: DataFrame, col: str, by: str, lo: float, hi: float, qs: list[float], bins: int = 64
+) -> DataFrame:
+    """Per-group approximate quantiles off the per-group histogram: for
+    each group and q, the lower edge of the first bin whose per-group
+    cumulative count reaches ``q · group_total`` — error ≤ one bin width,
+    deterministic, engine-portable. The cumulative window partitions by
+    the group over ≤ |groups|·bins histogram rows, so it never sees raw
+    data; this is the scale path for "p95 length per source" where exact
+    ``percentile`` would sort every group. Returns (by, q, approx_value)."""
+    from pyspark.sql import Window
+
+    histo = histogram_bins_by(df, col, by, lo, hi, bins)
+    wspec = Window.partitionBy(by).orderBy("bin")
+    cum = histo.select(
+        by,
+        "bin_lo",
+        F.sum("n").over(wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("n").over(Window.partitionBy(by)).alias("total"),
+    )
+    picks = [
+        F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin_lo"))).alias(
+            f"_q{i}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    wide = cum.groupBy(by).agg(*picks)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(float(q)).alias("q"), F.col(f"_q{i}").alias("approx_value"))
+            for i, q in enumerate(qs)
+        ]
+    )
+    return wide.select(by, F.explode(pairs).alias("r")).select(by, "r.q", "r.approx_value")
+
+
 def histogram_quantiles(
     df: DataFrame, col: str, lo: float, hi: float, qs: list[float], bins: int = 64
 ) -> DataFrame:

@@ -479,3 +479,36 @@ def test_cms_join_size_never_undercounts_and_is_tight_when_sparse(spark):
     sc_ = SKT.cms_sketch(c, "k", depth=4, width=4096)
     est0 = SKT.cms_join_size(sa, sc_).collect()[0]["est_join_size"]
     assert est0 >= 0 and est0 < 100  # tiny collision mass at most
+
+
+def test_histogram_quantiles_by_within_bin_width_of_exact(spark, sf_dir):
+    """Per-group histogram quantiles must sit within one bin width of the
+    exact per-group percentile, and per-group bins must +-merge to the
+    global histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi, bins = 0.0, 500.0, 100
+    width = (hi - lo) / bins
+    got = {
+        (r["event_type"], r["q"]): r["approx_value"]
+        for r in SKT.histogram_quantiles_by(
+            ev, "value", "event_type", lo, hi, [0.5, 0.9], bins=bins
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for et, (p50, p90) in exact.items():
+        assert abs(got[(et, 0.5)] - p50) <= width + 1e-9, (et, got[(et, 0.5)], p50)
+        assert abs(got[(et, 0.9)] - p90) <= width + 1e-9, (et, got[(et, 0.9)], p90)
+    # merge property: summing per-group bins reproduces the global histogram
+    per_group = SKT.histogram_bins_by(ev, "value", "event_type", lo, hi, bins)
+    rolled = per_group.groupBy("bin", "bin_lo").agg(F.sum("n").alias("n")).select("bin", "n", "bin_lo")
+    global_h = SKT.histogram_bins(ev, "value", lo, hi, bins)
+    assert rolled.exceptAll(global_h).count() == 0
+    assert global_h.exceptAll(rolled).count() == 0

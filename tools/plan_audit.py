@@ -158,6 +158,9 @@ AUDITS = {
     # join-size estimation: two depth·width-row sketches hash-join on
     # (r, b); the only BNLJ is the 1×1 est-next-to-exact crossJoin.
     "cms_join_size": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # per-group histogram quantiles: ONE partial-agg shuffle over
+    # ≤ groups·bins keys; the windows run on the histogram rows only.
+    "histogram_quantiles_by": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
