@@ -566,6 +566,44 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKT.cms_join_size(sa, sb).crossJoin(exact)
 
 
+BLOOM_M, BLOOM_K = 1 << 16, 4
+
+
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental-ingest screening: a Bloom filter over the "historical"
+    # corpus fingerprints (doc_id % 3 != 0) probed by the full batch — the
+    # 100 TB path where joining the batch against the corpus every day is
+    # replaced by one broadcast probe. Returns the screen's confusion
+    # summary; the no-false-negative guarantee shows up as
+    # definitely_new <= exact_new (difference = FPs among new docs).
+    from semantic_index_spark.functions import bloom as B
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    bloom = B.bloom_bits(corpus, "fp", m=BLOOM_M, k=BLOOM_K)
+    probed = B.bloom_contains(bloom, d, "fp", m=BLOOM_M, k=BLOOM_K)
+    exact_seen = d.join(
+        corpus.select("fp").distinct(), "fp", "left_semi"
+    ).agg(F.count("*").alias("_n")).select(F.col("_n").alias("exact_seen"))
+    summary = probed.agg(
+        F.count("*").cast("bigint").alias("n_batch"),
+        F.sum(F.when(~F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("definitely_new"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("maybe_seen"),
+    )
+    return summary.crossJoin(exact_seen).select(
+        "n_batch",
+        "definitely_new",
+        "maybe_seen",
+        (F.col("n_batch") - F.col("exact_seen")).cast("bigint").alias("exact_new"),
+    )
+
+
 HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 100
 HISTO_QS = [0.25, 0.5, 0.9, 0.99]
 
@@ -1058,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "cms_join_size": q_cms_join_size,
         "histogram_quantiles_by": q_histogram_quantiles_by,
+        "bloom_screen": q_bloom_screen,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1604,6 +1643,42 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM orders o JOIN customer c
                     ON o.o_custkey = c.c_custkey) AS exact_join_size
             FROM anchored
+        """,
+        "bloom_screen": f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ),
+            corpus AS (SELECT * FROM fp WHERE doc_id % 3 != 0),
+            rs AS (SELECT unnest([{", ".join(str(r) for r in range(BLOOM_K))}]) AS r),
+            bits AS (
+                SELECT DISTINCT
+                       (('0x' || substr(md5('bloom' || r::VARCHAR || ':' || fp), 1, 15))::UBIGINT
+                        % {BLOOM_M})::BIGINT AS bit
+                FROM corpus CROSS JOIN rs
+            ),
+            probe AS (
+                SELECT f.doc_id,
+                       (('0x' || substr(md5('bloom' || r::VARCHAR || ':' || f.fp), 1, 15))::UBIGINT
+                        % {BLOOM_M})::BIGINT AS bit
+                FROM fp f CROSS JOIN rs
+            ),
+            memb AS (
+                SELECT p.doc_id,
+                       min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1 AS maybe_member
+                FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+                GROUP BY p.doc_id
+            ),
+            seen AS (
+                SELECT count(*) AS exact_seen FROM fp
+                WHERE fp IN (SELECT fp FROM corpus)
+            )
+            SELECT count(*)::BIGINT AS n_batch,
+                   sum(CASE WHEN NOT maybe_member THEN 1 ELSE 0 END)::BIGINT AS definitely_new,
+                   sum(CASE WHEN maybe_member THEN 1 ELSE 0 END)::BIGINT AS maybe_seen,
+                   (count(*) - any_value(exact_seen))::BIGINT AS exact_new
+            FROM memb CROSS JOIN seen
         """,
         "histogram_quantiles_by": f"""
             WITH b AS (

@@ -512,3 +512,75 @@ def test_histogram_quantiles_by_within_bin_width_of_exact(spark, sf_dir):
     global_h = SKT.histogram_bins(ev, "value", lo, hi, bins)
     assert rolled.exceptAll(global_h).count() == 0
     assert global_h.exceptAll(rolled).count() == 0
+
+
+# ------------------------------------------------------------------ Bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    from semantic_index_spark.functions import bloom as B
+
+    df = spark.range(2000).select(F.concat(F.lit("v"), F.col("id")).alias("k"))
+    bloom = B.bloom_bits(df, "k", m=1 << 16, k=4)
+    probed = B.bloom_contains(bloom, df, "k", m=1 << 16, k=4)
+    # every inserted value MUST report maybe_member — the Bloom guarantee.
+    assert probed.where(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_fp_rate_near_analytic(spark):
+    from semantic_index_spark.functions import bloom as B
+
+    n, m, k = 2000, 1 << 15, 4
+    inserted = spark.range(n).select(F.concat(F.lit("in"), F.col("id")).alias("k"))
+    absent = spark.range(4000).select(F.concat(F.lit("out"), F.col("id")).alias("k"))
+    bloom = B.bloom_bits(inserted, "k", m=m, k=k)
+    fp = (
+        B.bloom_contains(bloom, absent, "k", m=m, k=k)
+        .where(F.col("maybe_member"))
+        .count()
+    )
+    expected = B.bloom_fp_rate(n, m, k)
+    # deterministic hash → this is a fixed number, but assert the analytic
+    # band so a hashing regression (e.g. salt drift) fails loudly.
+    assert fp / 4000 < max(5 * expected, 0.02), (fp, expected)
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from semantic_index_spark.functions import bloom as B
+
+    a = spark.range(500).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(500).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    merged = B.bloom_merge(
+        B.bloom_bits(a, "k", m=4096, k=3), B.bloom_bits(b, "k", m=4096, k=3)
+    )
+    direct = B.bloom_bits(a.union(b), "k", m=4096, k=3)
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in direct.collect()
+    )
+
+
+def test_bloom_definitely_new_screen(spark):
+    from semantic_index_spark.functions import bloom as B
+
+    corpus = spark.range(1000).select(F.concat(F.lit("c"), F.col("id")).alias("k"))
+    batch = spark.range(500, 1500).select(F.concat(F.lit("c"), F.col("id")).alias("k"))
+    bloom = B.bloom_bits(corpus, "k", m=1 << 16, k=4)
+    new = B.bloom_definitely_new(bloom, batch, "k", m=1 << 16, k=4)
+    got = {r["k"] for r in new.collect()}
+    # no overlap row (c500..c999) may survive the screen; FPs only shrink it
+    assert got <= {f"c{i}" for i in range(1000, 1500)}
+    assert len(got) > 400  # FP rate at m=65536, n=1000 is tiny
+
+
+def test_bloom_null_and_validation(spark):
+    from semantic_index_spark.functions import bloom as B
+
+    df = spark.createDataFrame([("x",), (None,)], "k string")
+    bloom = B.bloom_bits(df, "k", m=1024, k=2)
+    probed = B.bloom_contains(bloom, df, "k", m=1024, k=2)
+    rows = {r["k"]: r["maybe_member"] for r in probed.collect()}
+    assert rows["x"] is True and rows[None] is None
+    with pytest.raises(ValueError):
+        B.bloom_bits(df, "k", m=1, k=2)
+    with pytest.raises(ValueError):
+        B.bloom_merge()

@@ -161,6 +161,11 @@ AUDITS = {
     # per-group histogram quantiles: ONE partial-agg shuffle over
     # ≤ groups·bins keys; the windows run on the histogram rows only.
     "histogram_quantiles_by": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # Bloom screen: the filter is a ≤m-row distinct bit set that BROADCASTS
+    # into the probe join — the batch side must never shuffle-join the
+    # corpus (that is the whole point); the only SMJ-free corpus access is
+    # the exact_seen verification semi-join on the fingerprint key.
+    "bloom_screen": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
