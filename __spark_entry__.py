@@ -604,6 +604,60 @@ def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUAL_Q, QUAL_BINS = 0.5, 64
+QUAL_W = 1.0 / QUAL_BINS  # 0.015625 — exactly representable, binning is FP-exact
+CONTAIN_N, CONTAIN_T = 3, 0.5
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FineWeb-style per-domain quality gate: the per-source median
+    # threshold comes from the mergeable histogram (ONE partial-agg pass,
+    # never a per-domain sort) and broadcasts back onto the corpus.
+    # Returns per-source (threshold, n_total, n_kept) so the
+    # no-global-threshold property is visible per domain.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", T.quality_score("text").alias("quality")
+    )
+    kept = P.quantile_threshold_filter(d, "quality", "source", QUAL_Q, 0.0, 1.0, QUAL_BINS)
+    thr = SKT.histogram_quantiles_by(d, "quality", "source", 0.0, 1.0, [QUAL_Q], QUAL_BINS).select(
+        "source", F.col("approx_value").alias("threshold")
+    )
+    totals = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_total"))
+    kcount = kept.groupBy("source").agg(F.count("*").cast("bigint").alias("n_kept"))
+    return (
+        totals.join(F.broadcast(kcount), "source", "left")
+        .join(F.broadcast(thr), "source", "left")
+        .select(
+            "source",
+            "threshold",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # directed containment screening (quote / wrapper / subset dups that
+    # Jaccard's union term hides) — same one-equi-join shape as the
+    # Jaccard verifier, divided by |S(a)| instead of the union.
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        d, "text", "doc_id", shingle_n=CONTAIN_N, threshold=CONTAIN_T
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution-drift monitor between two ingest epochs (split by
+    # event_id parity here): both 100 TB sides collapse to <=bins histogram
+    # rows before anything is compared.
+    e = load_table(spark, sf_dir, "events")
+    ref = e.where(F.col("event_id") % 2 == 0).select("value")
+    cur = e.where(F.col("event_id") % 2 == 1).select("value")
+    return SKT.psi_drift(ref, cur, "value", HISTO_LO, HISTO_HI, bins=HISTO_BINS)
+
+
 HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 100
 HISTO_QS = [0.25, 0.5, 0.9, 0.99]
 
@@ -1097,6 +1151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "histogram_quantiles_by": q_histogram_quantiles_by,
         "bloom_screen": q_bloom_screen,
+        "quality_filter": q_quality_filter,
+        "containment_pairs": q_containment_pairs,
+        "psi_drift": q_psi_drift,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1679,6 +1736,104 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN maybe_member THEN 1 ELSE 0 END)::BIGINT AS maybe_seen,
                    (count(*) - any_value(exact_seen))::BIGINT AS exact_new
             FROM memb CROSS JOIN seen
+        """,
+        "quality_filter": f"""
+            WITH base AS (
+                SELECT source, {_DUCK_TOKENS} AS toks, text FROM documents
+            ),
+            feat AS (
+                SELECT source,
+                       len(list_filter(toks, x -> list_contains([{", ".join("'" + w + "'" for w in T.STOPWORDS_EN)}], x)))::DOUBLE
+                           / greatest(len(toks), 1) AS sw,
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1) AS pr,
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                           / greatest(len(toks), 1) AS mtl
+                FROM base
+            ),
+            q AS (
+                SELECT source,
+                       round(least(sw * 4.0, 1.0) * 0.5
+                             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+                             + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                             6) AS quality
+                FROM feat
+            ),
+            b AS (
+                SELECT source,
+                       least(greatest(floor((quality - 0.0) / {QUAL_W!r}), 0), {QUAL_BINS - 1})::INT AS bin,
+                       quality
+                FROM q
+            ),
+            h AS (
+                SELECT source, bin, count(*) AS n,
+                       round((0.0 + bin * {QUAL_W!r})::DOUBLE, 6) AS bin_lo
+                FROM b GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, bin_lo,
+                       sum(n) OVER (PARTITION BY source ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(n) OVER (PARTITION BY source) AS total
+                FROM h
+            ),
+            thr AS (
+                SELECT source, min(CASE WHEN cum >= {QUAL_Q!r} * total THEN bin_lo END) AS threshold
+                FROM c GROUP BY source
+            ),
+            tot AS (SELECT source, count(*)::BIGINT AS n_total FROM q GROUP BY source),
+            kept AS (
+                SELECT q.source, count(*)::BIGINT AS n_kept
+                FROM q JOIN thr ON q.source = thr.source
+                WHERE q.quality >= thr.threshold
+                GROUP BY q.source
+            )
+            SELECT source, threshold, n_total, coalesce(n_kept, 0)::BIGINT AS n_kept
+            FROM tot LEFT JOIN kept USING (source) LEFT JOIN thr USING (source)
+        """,
+        "containment_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shx GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / sa.n_shingles, 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            WHERE round(common::DOUBLE / sa.n_shingles, 6) >= {CONTAIN_T}
+        """,
+        "psi_drift": f"""
+            WITH r AS (
+                SELECT least(greatest(floor((value - {HISTO_LO!r}) / {(HISTO_HI - HISTO_LO) / HISTO_BINS!r}), 0), {HISTO_BINS - 1})::INT AS bin
+                FROM events WHERE event_id % 2 = 0
+            ),
+            cc AS (
+                SELECT least(greatest(floor((value - {HISTO_LO!r}) / {(HISTO_HI - HISTO_LO) / HISTO_BINS!r}), 0), {HISTO_BINS - 1})::INT AS bin
+                FROM events WHERE event_id % 2 = 1
+            ),
+            hr AS (SELECT bin, count(*) AS n_ref FROM r GROUP BY bin),
+            hc AS (SELECT bin, count(*) AS n_cur FROM cc GROUP BY bin),
+            j AS (
+                SELECT coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+                FROM hr FULL OUTER JOIN hc USING (bin)
+            ),
+            t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j),
+            terms AS (
+                SELECT greatest(n_ref / t_ref, 1e-06) AS p,
+                       greatest(n_cur / t_cur, 1e-06) AS q,
+                       n_ref, n_cur
+                FROM j CROSS JOIN t
+            )
+            SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+                   sum(n_ref)::BIGINT AS n_ref,
+                   sum(n_cur)::BIGINT AS n_cur
+            FROM terms
         """,
         "histogram_quantiles_by": f"""
             WITH b AS (

@@ -353,3 +353,53 @@ def histogram_quantiles(
         ]
     )
     return wide.select(F.explode(pairs).alias("r")).select("r.q", "r.approx_value")
+
+
+def psi_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``col``: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref),
+    the standard drift monitor for training-data pipelines (rule of thumb:
+    < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted — gate retrains or
+    quarantine an ingest day on it).
+
+    Both sides reduce to the same MERGEABLE fixed-bin histogram
+    (:func:`histogram_bins`) before anything is compared, so each 100 TB
+    input costs exactly one map-side-combined groupBy over ≤ bins keys and
+    the PSI fold itself runs on ≤ bins joined rows. Empty bins clamp to
+    ``eps`` (the standard continuity correction — PSI is undefined at 0).
+    Returns one row ``(psi double, n_ref bigint, n_cur bigint)``, PSI
+    rounded to 6dp so the DuckDB oracle replay hash-matches despite the
+    float ln.
+    """
+    href = histogram_bins(df_ref, col, lo, hi, bins).select(
+        "bin", F.col("n").alias("n_ref")
+    )
+    hcur = histogram_bins(df_cur, col, lo, hi, bins).select(
+        "bin", F.col("n").alias("n_cur")
+    )
+    joined = href.join(hcur, "bin", "full_outer").select(
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps)).alias("p"),
+        F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps)).alias("q"),
+        "n_ref",
+        "n_cur",
+    )
+    return terms.agg(
+        F.round(F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))), 6).alias("psi"),
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+    )

@@ -617,3 +617,61 @@ def duplicate_spans(
             "dup_fraction", F.round(F.col("n_dup") / F.col("n_spans"), 6)
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: c(a → b) = |S(a) ∩ S(b)| / |S(a)|
+    ≥ threshold. The asymmetric complement to
+    :func:`ngram_jaccard_pairs` — Jaccard misses the "boilerplate wrapper"
+    and "long doc quotes short doc" dupes because the union term dilutes
+    them (a 100-shingle doc fully embedded in a 10,000-shingle doc has
+    Jaccard ≈ 0.01 but containment 1.0). Broder's (1997) resemblance vs
+    containment distinction; the screen used for quote/subset detection in
+    training-corpus curation.
+
+    Same scale shape as the Jaccard verifier: explode distinct shingles →
+    ONE hash self-equi-join on the shingle (never a cross join) → per-pair
+    intersection counts → divide by the broadcast |S(a)| sizes. ``max_df``
+    is the identical Σ df² lever. Returns (id_a, id_b, containment) with
+    id_a ≠ id_b — directed, so a ⊂ b and b ⊂ a are distinct rows.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("common").cast("double") / F.col("na"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

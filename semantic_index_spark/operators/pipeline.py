@@ -280,3 +280,38 @@ def merge_rollups(partials: DataFrame, keys: list[str]) -> DataFrame:
         )
         .withColumn("avg_v", F.col("sum_v") / F.col("n"))
     )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    col: str,
+    by: str,
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """FineWeb-style per-group quality filtering: keep rows whose ``col``
+    is at or above the group's q-th quantile (e.g. drop the
+    below-median-quality half of every source/domain independently, so one
+    hoard of low-quality pages can't survive just because a global
+    threshold was calibrated on cleaner domains).
+
+    The per-group threshold comes from the MERGEABLE fixed-bin histogram
+    (:func:`semantic_index_spark.functions.sketch.histogram_quantiles_by`),
+    not a per-group sort: the only corpus-sized shuffle is the
+    ≤ |groups|·bins histogram groupBy, and the resulting |groups|-row
+    threshold table broadcasts back onto the corpus. At 100 TB this is the
+    difference between one partial-agg pass and fully sorting every
+    domain; threshold error is bounded by one bin width.
+    """
+    from semantic_index_spark.functions.sketch import histogram_quantiles_by
+
+    thr = histogram_quantiles_by(df, col, by, lo, hi, [q], bins).select(
+        F.col(by), F.col("approx_value").alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), by)
+        .where(F.col(col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -1042,3 +1042,80 @@ def test_duplicate_spans_flags_shared_block_only(spark):
     assert got[1]["n_spans"] == 5  # 12 tokens → 5 windows
     with pytest.raises(ValueError):
         duplicate_spans(docs, n=0)
+
+
+# ------------------------------------------- per-group quantile filtering
+
+
+def test_quantile_threshold_filter_one_bin_error_bound(spark):
+    """The contract: every row an exact per-group median filter keeps is
+    kept (threshold never overshoots the true quantile), and the surplus is
+    bounded by ONE bin's worth of rows per group — the histogram threshold
+    is the lower edge of the bin where the cumulative count crosses q."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.operators import pipeline as P
+
+    rows = [(g, i / 64.0) for g in ("a", "b") for i in range(64)]
+    rows += [("c", (i % 32) / 64.0) for i in range(64)]  # 2 rows per bin
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = sorted(map(tuple, P.quantile_threshold_filter(
+        df, "v", "g", 0.5, 0.0, 1.0, bins=64
+    ).collect()))
+    w = Window.partitionBy("g").orderBy("v")
+    exact = sorted(map(tuple, (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") >= 0.5)
+        .drop("_pr")
+    ).collect()))
+    assert set(exact) <= set(kept)  # no exact-keeper is ever dropped
+    # surplus ≤ one bin per group: groups a,b have 1 row/bin, c has 2
+    from collections import Counter
+
+    surplus = Counter(g for g, _ in kept) - Counter(g for g, _ in exact)
+    assert surplus["a"] <= 1 and surplus["b"] <= 1 and surplus["c"] <= 2, surplus
+
+
+def test_quantile_threshold_filter_is_per_group(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    rows = [("low", i / 100) for i in range(50)] + [("high", (50 + i) / 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = P.quantile_threshold_filter(df, "v", "g", 0.5, 0.0, 1.0, bins=100)
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # a global median would wipe out group "low" entirely; per-group keeps ~half of each
+    assert counts["low"] >= 20 and counts["high"] >= 20
+
+
+# ------------------------------------------------- directed containment
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    from semantic_index_spark.operators import dedup as D
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " " + " ".join(f"filler{i}" for i in range(60))
+    other = " ".join(f"unrelated{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # the quote is fully contained in the host
+    assert (2, 1) not in pairs  # host is NOT contained in the quote
+    assert not any(3 in p for p in pairs)
+
+
+def test_containment_vs_jaccard_blind_spot(spark):
+    """The motivating case: full containment that Jaccard scores near zero."""
+    from semantic_index_spark.operators import dedup as D
+
+    small = " ".join(f"w{i}" for i in range(10))
+    big = small + " " + " ".join(f"x{i}" for i in range(500))
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    cont = D.containment_pairs(df, threshold=0.9).collect()
+    jac = D.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert len(cont) == 1 and cont[0]["id_a"] == 1  # containment finds it
+    assert len(jac) == 0  # Jaccard misses it

@@ -584,3 +584,28 @@ def test_bloom_null_and_validation(spark):
         B.bloom_bits(df, "k", m=1, k=2)
     with pytest.raises(ValueError):
         B.bloom_merge()
+
+
+# ------------------------------------------------------- PSI drift monitor
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    df = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+    r = SKT.psi_drift(df, df, "v", 0.0, 100.0, bins=50).collect()[0]
+    assert r["psi"] == 0.0 and r["n_ref"] == r["n_cur"] == 5000
+
+
+def test_psi_detects_shift(spark):
+    ref = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+    cur = spark.range(5000).select((F.col("id") % 100 + 40).cast("double").alias("v"))
+    r = SKT.psi_drift(ref, cur, "v", 0.0, 140.0, bins=70).collect()[0]
+    assert r["psi"] > 0.25  # "shifted" band of the standard rule of thumb
+
+
+def test_psi_mild_vs_strong_shift_ordering(spark):
+    ref = spark.range(4000).select((F.col("id") % 100).cast("double").alias("v"))
+    mild = spark.range(4000).select((F.col("id") % 100 + 5).cast("double").alias("v"))
+    strong = spark.range(4000).select((F.col("id") % 100 + 60).cast("double").alias("v"))
+    p_mild = SKT.psi_drift(ref, mild, "v", 0.0, 160.0, bins=80).collect()[0]["psi"]
+    p_strong = SKT.psi_drift(ref, strong, "v", 0.0, 160.0, bins=80).collect()[0]["psi"]
+    assert 0 < p_mild < p_strong

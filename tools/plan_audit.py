@@ -166,6 +166,17 @@ AUDITS = {
     # corpus (that is the whole point); the only SMJ-free corpus access is
     # the exact_seen verification semi-join on the fingerprint key.
     "bloom_screen": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # per-domain quantile gate: thresholds come from the ≤|groups|·bins
+    # histogram (one partial-agg shuffle) and BROADCAST back — the corpus
+    # is never sorted per group and never meets a shuffle join.
+    "quality_filter": {"expect": ["BroadcastHashJoin", "HashAggregate", "Window"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # directed containment: same one-shingle-equi-join shape as the
+    # Jaccard verifier; |S(a)| sizes broadcast — never a cross product.
+    "containment_pairs": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # PSI: each input collapses to ≤bins histogram rows before comparison;
+    # the join/fold run on sketch-sized relations only (the 1×bins
+    # totals crossJoin is BNLJ by construction, not a scale risk).
+    "psi_drift": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
