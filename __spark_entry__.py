@@ -658,6 +658,22 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKT.psi_drift(ref, cur, "value", HISTO_LO, HISTO_HI, bins=HISTO_BINS)
 
 
+MAD_K = 3.5
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust per-metric anomaly monitor: median/MAD baselines broadcast
+    # back onto the stream; outlier counts per event_type out.
+    e = load_table(spark, sf_dir, "events")
+    flagged = TS.mad_outliers(e, "value", "event_type", k=MAD_K)
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("group_median"), 6).alias("group_median"),
+        F.round(F.first("group_mad"), 6).alias("group_mad"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
+    )
+
+
 HISTO_LO, HISTO_HI, HISTO_BINS = 0.0, 500.0, 100
 HISTO_QS = [0.25, 0.5, 0.9, 0.99]
 
@@ -1154,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "containment_pairs": q_containment_pairs,
         "psi_drift": q_psi_drift,
+        "mad_outliers": q_mad_outliers,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
@@ -1834,6 +1851,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_ref)::BIGINT AS n_ref,
                    sum(n_cur)::BIGINT AS n_cur
             FROM terms
+        """,
+        "mad_outliers": f"""
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS group_median
+                FROM events GROUP BY event_type
+            ),
+            dev AS (
+                SELECT e.event_type, e.value, m.group_median,
+                       abs(e.value - m.group_median) AS absdev
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_cont(absdev, 0.5) AS group_mad
+                FROM dev GROUP BY event_type
+            ),
+            z AS (
+                SELECT d.event_type, d.group_median, md.group_mad,
+                       0.6745 * (d.value - d.group_median) / nullif(md.group_mad, 0.0) AS rz
+                FROM dev d JOIN mad md USING (event_type)
+            )
+            SELECT event_type,
+                   round(any_value(group_median), 6) AS group_median,
+                   round(any_value(group_mad), 6) AS group_mad,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN abs(rz) > {MAD_K!r} THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM z GROUP BY event_type
         """,
         "histogram_quantiles_by": f"""
             WITH b AS (

@@ -1119,3 +1119,44 @@ def test_containment_vs_jaccard_blind_spot(spark):
     jac = D.ngram_jaccard_pairs(df, threshold=0.2).collect()
     assert len(cont) == 1 and cont[0]["id_a"] == 1  # containment finds it
     assert len(jac) == 0  # Jaccard misses it
+
+
+# --------------------------------------------------- robust MAD outliers
+
+
+def test_mad_outliers_flags_extreme_not_baseline(spark):
+    from semantic_index_spark.operators import timeseries as TS
+
+    rows = [("m", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = TS.mad_outliers(df, "v", "g", k=3.5)
+    flagged = [r["v"] for r in out.where("is_outlier").collect()]
+    assert flagged == [1000.0]
+    # the robust baseline ignores the outlier: median stays in the cluster
+    med = out.select("group_median").first()["group_median"]
+    assert 10 <= med <= 12
+
+
+def test_mad_outliers_constant_group_flags_nothing(spark):
+    from semantic_index_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame([("c", 5.0)] * 10, "g string, v double")
+    out = TS.mad_outliers(df, "v", "g")
+    assert out.where("is_outlier").count() == 0  # MAD=0 → z NULL, not inf
+    assert out.count() == 10  # no rows lost
+
+
+def test_mad_outliers_per_group_baselines(spark):
+    """Each group gets its own baseline: a value normal for one group is
+    anomalous for another."""
+    from semantic_index_spark.operators import timeseries as TS
+
+    rows = [("small", float(v)) for v in range(1, 12)]
+    rows += [("big", 1000.0 + v) for v in range(1, 12)]
+    rows += [("small", 1005.0)]  # huge for "small", normal-sized for "big"
+    df = spark.createDataFrame(rows, "g string, v double")
+    flagged = {
+        (r["g"], r["v"])
+        for r in TS.mad_outliers(df, "v", "g").where("is_outlier").collect()
+    }
+    assert flagged == {("small", 1005.0)}

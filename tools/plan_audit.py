@@ -177,6 +177,10 @@ AUDITS = {
     # the join/fold run on sketch-sized relations only (the 1×bins
     # totals crossJoin is BNLJ by construction, not a scale risk).
     "psi_drift": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # MAD outliers: two keyed percentile aggs whose |groups|-row baselines
+    # BROADCAST back — the stream shuffles by group key only, never a
+    # global sort, never a shuffle join against its own aggregates.
+    "mad_outliers": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
