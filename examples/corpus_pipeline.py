@@ -42,6 +42,17 @@ report = P.validate_expectations(
 report.show()
 assert report.filter(~F.col("passed")).count() == 0, "input snapshot failed QA"
 
+# 1b. Per-domain quality gate: drop each source's bottom quartile by
+#     composite quality score. The thresholds come from the mergeable
+#     per-group histogram and BROADCAST back — no per-domain sort, and a
+#     low-quality domain can't ride in under a globally-calibrated cutoff.
+scored = docs.withColumn("quality", T.quality_score("text"))
+docs_q = P.quantile_threshold_filter(
+    scored, "quality", "source", q=0.25, lo=0.0, hi=1.0, bins=64
+).drop("quality")
+print("quality gate: kept", docs_q.count(), "of", docs.count())
+docs = docs_q
+
 # 2. Exact dedup (md5 fingerprint, keep lowest doc_id), then LSH near-dup
 #    screening with exact edit-distance verification of the candidates.
 winners = D.exact_dedup(docs)
@@ -99,6 +110,36 @@ cold = P.embed_incremental(
 cache = cold.select("fingerprint", "embedding").distinct()
 warm = P.embed_incremental(chunk_docs, cache, embedder)
 warm.groupBy("was_cached").count().show()
+
+# 6. Day-2 incremental ingest: screen the next batch against a Bloom
+#    filter of everything already ingested — the batch probes a broadcast
+#    ≤m-row bit set instead of shuffle-joining the historical corpus.
+#    No false negatives: nothing already ingested is re-admitted; the few
+#    "maybe seen" rows would go to an exact verification join.
+from semantic_index_spark.functions import bloom as B
+
+raw = load_table(spark, SF_DIR, "documents")
+hist = raw.where(F.col("doc_id") % 4 != 3).select(T.fingerprint("text").alias("fp"))
+batch = raw.where(F.col("doc_id") % 4 == 3).select(
+    "doc_id", "source", "text", T.fingerprint("text").alias("fp")
+)
+bloom = B.bloom_bits(hist, "fp", m=1 << 16, k=4)
+fresh = B.bloom_definitely_new(bloom, batch, "fp", m=1 << 16, k=4)
+print("day-2 screen:", fresh.count(), "definitely-new of", batch.count(), "batch docs")
+
+# 7. Drift monitor: PSI between the historical and day-2 quality
+#    distributions — both sides collapse to <=bins histogram rows before
+#    comparison. A production pipeline gates the ingest on the standard
+#    bands (<0.1 stable, 0.1-0.25 drifting, >0.25 quarantine); at this
+#    example's 125-doc batch the empty-bin eps terms dominate, so we
+#    report the band rather than hard-fail the demo.
+from semantic_index_spark.functions import sketch as SKT
+
+hist_q = raw.where(F.col("doc_id") % 4 != 3).select(T.quality_score("text").alias("q"))
+batch_q = batch.select(T.quality_score("text").alias("q"))
+psi = SKT.psi_drift(hist_q, batch_q, "q", 0.0, 1.0, bins=16).collect()[0]
+band = "stable" if psi["psi"] < 0.1 else ("drifting" if psi["psi"] < 0.25 else "shifted")
+print(f"quality drift PSI: {psi['psi']} -> {band}")
 
 spark.stop()
 print("corpus pipeline complete.")
