@@ -658,6 +658,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKT.psi_drift(ref, cur, "value", HISTO_LO, HISTO_HI, bins=HISTO_BINS)
 
 
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-pass per-column profile (dtype/null/distinct/min/max) — ONE scan
+    # for all columns, fan-out on the single aggregated row.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents")
+    return P.profile_table(d, PROFILE_COLS)
+
+
 MAD_K = 3.5
 
 
@@ -1131,7 +1143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "salted_join_agg": q_salted_join_agg,
         "zorder_key": q_zorder_key,
-        "lsh_recall": q_lsh_recall,
         "gopher_rules": q_gopher_rules,
         "ngram_lm_score": q_ngram_lm_score,
         "bm25_topk": q_bm25_topk,
@@ -1169,9 +1180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "psi_drift": q_psi_drift,
         "mad_outliers": q_mad_outliers,
-        # demoted from the window: kmeans is rows-only for the driver
-        # (iterative, no SQL oracle) and corpus_prep is a composition
+        "profile_docs": q_profile_docs,
+        # demoted from the window to keep every round-4 query inside it:
+        # lsh_recall is a metric over two retrievals that are each
+        # hash-checked above; kmeans is rows-only for the driver
+        # (iterative, no SQL oracle); corpus_prep is a composition
         # whose constituent operators are each hash-checked above
+        "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
@@ -1854,6 +1869,29 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_ref)::BIGINT AS n_ref,
                    sum(n_cur)::BIGINT AS n_cur
             FROM terms
+        """,
+        "profile_docs": """
+            SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                   count(*)::BIGINT AS n_rows,
+                   (count(*) - count(doc_id))::BIGINT AS n_null,
+                   count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                   min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', count(*)::BIGINT,
+                   (count(*) - count(lang))::BIGINT, count(DISTINCT lang)::BIGINT,
+                   min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', 'string', count(*)::BIGINT,
+                   (count(*) - count(source))::BIGINT, count(DISTINCT source)::BIGINT,
+                   min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'bigint', count(*)::BIGINT,
+                   (count(*) - count(n_chars))::BIGINT, count(DISTINCT n_chars)::BIGINT,
+                   min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+            FROM documents
         """,
         "mad_outliers": f"""
             WITH med AS (

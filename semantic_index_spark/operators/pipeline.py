@@ -315,3 +315,51 @@ def quantile_threshold_filter(
         .where(F.col(col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass per-column data profile — the Deequ/Glue-profiler shape:
+    for each column, (dtype, n_rows, n_null, n_distinct, min, max) as one
+    row, computed in a SINGLE aggregate over the data (never one job per
+    column — at 100 TB, k separate profiling passes is the difference
+    between one scan and k scans).
+
+    ``count(distinct)`` per column is exact here because the cross-engine
+    oracle must reproduce it; at real scale swap in
+    ``approx_count_distinct`` (HLL++, mergeable, bounded memory), which
+    also removes the multi-distinct ``Expand``. The aggregate plans as a
+    partial map-side ``SortAggregate`` (string min/max buffers are
+    var-width, outside the hash fast path) — the exchange still carries
+    one row per partition. min/max surface as strings so heterogeneous
+    column types share one result schema. The per-column fan-out happens
+    AFTER aggregation, on the single wide result row (explode of a literal
+    struct array — zero extra jobs)."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    aggs = [F.count("*").alias("_total")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("_total").cast("bigint").alias("n_rows"),
+                (F.col("_total") - F.col(f"_n_{c}")).cast("bigint").alias("n_null"),
+                F.col(f"_d_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select("r.*")

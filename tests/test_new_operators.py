@@ -1160,3 +1160,33 @@ def test_mad_outliers_per_group_baselines(spark):
         for r in TS.mad_outliers(df, "v", "g").where("is_outlier").collect()
     }
     assert flagged == {("small", 1005.0)}
+
+
+# ---------------------------------------------------- one-pass profiler
+
+
+def test_profile_table_stats(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (3, "a", 10.0)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in P.profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["min_value"] == "10.0" and prof["v"]["max_value"] == "30.0"
+    assert prof["v"]["dtype"] == "double"
+
+
+def test_profile_table_single_job_and_validation(spark):
+    from semantic_index_spark.operators import pipeline as P
+    from semantic_index_spark.plans import explain as E
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS b", "cast(id as string) AS s")
+    plan = E.formatted_plan(P.profile_table(df))
+    # one aggregate pass: no joins, no unions of per-column subqueries
+    assert "Join" not in plan and "Union" not in plan
+    with pytest.raises(ValueError):
+        P.profile_table(df, ["nope"])

@@ -181,6 +181,15 @@ AUDITS = {
     # BROADCAST back — the stream shuffles by group key only, never a
     # global sort, never a shuffle join against its own aggregates.
     "mad_outliers": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # profiler: ALL columns' stats in ONE aggregate pass — never
+    # per-column jobs, no joins/unions of per-column subqueries; the
+    # per-column fan-out explodes the single aggregated row. The agg
+    # plans as SortAggregate (string min/max buffers are var-width, so
+    # the hash fast path is out) but stays partial/map-side — the
+    # exchange carries one row per partition, and the multi-distinct
+    # Expand disappears entirely when 100 TB swaps exact distinct for
+    # approx_count_distinct.
+    "profile_docs": {"expect": ["Expand", "Generate"], "forbid": ["Join", "Union", "CartesianProduct"]},
 }
 
 
