@@ -120,3 +120,90 @@ def test_scores_matrix_udf_matches_fold(emb):
     ).collect()
     for r in both:
         assert math.isclose(r["fast"], r["ref"], abs_tol=2e-6)
+
+
+# --------------------------------------------------- covariance / PCA
+
+
+def _toy_embeddings(spark, n=400, d=8, seed=7):
+    """Deterministic anisotropic cloud: dominant variance along e0+e1."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = rng.randn(n, 1)
+    noise = 0.05 * rng.randn(n, d)
+    base = np.zeros((1, d)); base[0, 0] = 1.0; base[0, 1] = 1.0
+    x = t @ base + noise + 0.5
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_covariance_entries_merge_property(spark):
+    """Partials are +-mergeable: entries(half A) ∪ entries(half B) summed
+    per (i,j) == entries(full) — the incremental-maintenance contract."""
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.operators import linalg as L
+
+    df = _toy_embeddings(spark, n=200, d=4)
+    a = L.covariance_entries(df.where("vec_id % 2 = 0"), "embedding", 4)
+    b = L.covariance_entries(df.where("vec_id % 2 = 1"), "embedding", 4)
+    merged = {
+        (r["i"], r["j"]): r["v"]
+        for r in a.unionByName(b).groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    }
+    direct = {(r["i"], r["j"]): r["v"] for r in L.covariance_entries(df, "embedding", 4).collect()}
+    assert merged.keys() == direct.keys()
+    for k in direct:
+        assert abs(merged[k] - direct[k]) < 1e-6, k
+
+
+def test_pca_finds_dominant_direction(spark):
+    import numpy as np
+
+    from semantic_index_spark.operators import linalg as L
+
+    df = _toy_embeddings(spark, n=400, d=8)
+    comps, ratios, mean = L.pca_components(df, "embedding", dim=8, k=3)
+    # dominant direction ≈ (e0+e1)/√2
+    truth = np.zeros(8); truth[0] = truth[1] = 1.0; truth /= np.sqrt(2)
+    assert abs(float(np.dot(comps[0], truth))) > 0.99
+    assert ratios[0] > 0.9 and ratios == sorted(ratios, reverse=True)
+    # orthonormal components
+    for a in range(3):
+        for b in range(3):
+            got = float(np.dot(comps[a], comps[b]))
+            assert abs(got - (1.0 if a == b else 0.0)) < 1e-6
+    # sign convention: largest-|coord| positive → deterministic across runs
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_project_is_centered_and_variance_ordered(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.operators import linalg as L
+    from semantic_index_spark.plans import explain as E
+
+    df = _toy_embeddings(spark, n=300, d=8)
+    comps, _, mean = L.pca_components(df, "embedding", dim=8, k=2)
+    proj = L.pca_project(df, "embedding", comps, mean=mean)
+    rows = np.array([r["pc"] for r in proj.select("pc").collect()])
+    assert abs(rows[:, 0].mean()) < 1e-6 and abs(rows[:, 1].mean()) < 1e-6
+    assert rows[:, 0].var() > rows[:, 1].var()
+    # projection is JVM-only: no Python eval in the plan
+    plan = E.formatted_plan(proj)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_covariance_dim_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from semantic_index_spark.operators import linalg as L
+
+    df = _toy_embeddings(spark, n=50, d=4)
+    with _pytest.raises(Exception, match="dim"):
+        L.covariance_entries(df, "embedding", 16).collect()

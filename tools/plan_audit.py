@@ -190,6 +190,11 @@ AUDITS = {
     # Expand disappears entirely when 100 TB swaps exact distinct for
     # approx_count_distinct.
     "profile_docs": {"expect": ["Expand", "Generate"], "forbid": ["Join", "Union", "CartesianProduct"]},
+    # one-pass covariance: per-partition BLAS Gram partials (MapInPandas)
+    # → groupBy over ≤ d²+d+1 keys; assembly joins run on the sketch-sized
+    # entries only (broadcast), the corpus is scanned once and never
+    # meets a shuffle join.
+    "embedding_covariance": {"expect": ["MapInPandas", "HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
