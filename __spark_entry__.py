@@ -706,6 +706,43 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_HALF_W = 2.0  # interval = [value, value + 2)
+OVERLAP_BUCKET_W = 5.0
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval×interval overlap join where BOTH sides are corpus-sized:
+    # grid-bucket equi-join with designated-bucket dedup (each pair
+    # emitted exactly once — no DISTINCT over the result). Summary row so
+    # the check is output-size-independent at any SF.
+    e = load_table(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id_a"),
+        F.col("value").alias("lo_a"),
+        (F.col("value") + OVERLAP_HALF_W).alias("hi_a"),
+    )
+    b = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("lo_b"),
+        (F.col("value") + OVERLAP_HALF_W).alias("hi_b"),
+    )
+    pairs = TS.interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=OVERLAP_BUCKET_W
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(
+                F.least(F.col("hi_a"), F.col("hi_b"))
+                - F.greatest(F.col("lo_a"), F.col("lo_b"))
+            ),
+            4,
+        ).alias("sum_overlap"),
+        F.countDistinct("id_a").cast("bigint").alias("n_a_matched"),
+        F.countDistinct("id_b").cast("bigint").alias("n_b_matched"),
+    )
+
+
 MAD_K = 3.5
 
 
@@ -1169,7 +1206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
         "dedup_components": q_dedup_components,
         "similarity_join": q_similarity_join,
         "lsh_topk": q_lsh_topk,
@@ -1217,13 +1253,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "profile_docs": q_profile_docs,
         "embedding_covariance": q_embedding_covariance,
+        "interval_overlap": q_interval_overlap,
         # demoted from the window to keep every round-4 query inside it:
-        # zorder_key is a pure deterministic projection (exact hash parity
+        # winnowing_fingerprints and zorder_key are pure deterministic
+        # projections (exact hash parity
         # at both SFs via tools/check_oracles.py) — rotate into round 5;
         # lsh_recall is a metric over two retrievals that are each
         # hash-checked above; kmeans is rows-only for the driver
         # (iterative, no SQL oracle); corpus_prep is a composition
         # whose constituent operators are each hash-checked above
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "zorder_key": q_zorder_key,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
@@ -1916,6 +1955,24 @@ def oracle_sql() -> dict[str, str]:
             for i in range(COV_DIMS)
             for j in range(i, COV_DIMS)
         ),
+        "interval_overlap": f"""
+            WITH a AS (
+                SELECT event_id AS id_a, value AS lo_a, value + {OVERLAP_HALF_W!r} AS hi_a
+                FROM events WHERE event_type = 'purchase'
+            ),
+            b AS (
+                SELECT event_id AS id_b, value AS lo_b, value + {OVERLAP_HALF_W!r} AS hi_b
+                FROM events WHERE event_type = 'view'
+            ),
+            p AS (
+                SELECT * FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+            )
+            SELECT count(*)::BIGINT AS n_pairs,
+                   round(sum(least(hi_a, hi_b) - greatest(lo_a, lo_b)), 4) AS sum_overlap,
+                   count(DISTINCT id_a)::BIGINT AS n_a_matched,
+                   count(DISTINCT id_b)::BIGINT AS n_b_matched
+            FROM p
+        """,
         "profile_docs": """
             SELECT 'doc_id' AS "column", 'bigint' AS dtype,
                    count(*)::BIGINT AS n_rows,

@@ -319,3 +319,56 @@ def mad_outliers(
         )
         .drop("_absdev")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Overlap join between TWO interval tables that are both too big to
+    broadcast — half-open semantics: [lo_a, hi_a) ∩ [lo_b, hi_b) ≠ ∅, i.e.
+    ``lo_a < hi_b AND lo_b < hi_a``. The naive theta-join is a cartesian
+    product; this overlays the same fixed grid as
+    :func:`bucketed_range_join` on BOTH sides, explodes each interval to
+    its covering buckets, and hash-equi-joins on the bucket.
+
+    The usual duplicate problem (a pair sharing k buckets appears k times,
+    forcing an expensive DISTINCT over the full result) is eliminated
+    structurally: a pair is emitted ONLY in the bucket containing the
+    overlap's start, ``floor(max(lo_a, lo_b) / w)`` — exactly one bucket
+    per qualifying pair, so the result needs no dedup shuffle at all.
+    Pick ``bucket_width`` ≥ the typical interval width (explode factor
+    ~1-2); column names must be disjoint across the two inputs."""
+    clash = set(a.columns) & set(b.columns)
+    if clash:
+        raise ValueError(f"interval_overlap_join: overlapping column names {sorted(clash)}")
+    w = float(bucket_width)
+
+    def _buckets(df, lo, hi):
+        return df.filter(F.col(hi) > F.col(lo)).withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+
+    ab = _buckets(a, lo_a, hi_a)
+    bb = _buckets(b, lo_b, hi_b)
+    start_bucket = F.floor(F.greatest(F.col(lo_a), F.col(lo_b)) / F.lit(w)).cast("long")
+    return (
+        ab.join(bb, "_bucket")
+        .filter(
+            (F.col(lo_a) < F.col(hi_b))
+            & (F.col(lo_b) < F.col(hi_a))
+            & (F.col("_bucket") == start_bucket)
+        )
+        .drop("_bucket")
+    )

@@ -1190,3 +1190,54 @@ def test_profile_table_single_job_and_validation(spark):
     assert "Join" not in plan and "Union" not in plan
     with pytest.raises(ValueError):
         P.profile_table(df, ["nope"])
+
+
+# ------------------------------------------- interval-interval overlap
+
+
+def test_interval_overlap_matches_theta_join(spark):
+    """Grid-bucketed overlap join must be ROW-IDENTICAL to the naive
+    theta join — including pairs whose overlap spans many buckets (the
+    designated-bucket dedup must emit each exactly once)."""
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 4.0, 5.0), (3, 20.0, 21.0), (4, 7.0, 7.0)],
+        "id_a long, lo_a double, hi_a double",
+    )
+    b = spark.createDataFrame(
+        [(10, 9.5, 30.0), (11, 0.0, 0.5), (12, 4.5, 4.6), (13, 10.0, 11.0)],
+        "id_b long, lo_b double, hi_b double",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in TS.interval_overlap_join(
+            a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=2.0
+        ).collect()
+    )
+    expect = sorted(
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b, (F.col("lo_a") < F.col("hi_b")) & (F.col("lo_b") < F.col("hi_a"))
+        ).collect()
+    )
+    assert got == expect
+    # half-open: [0,10) does NOT meet [10,11); empty interval id_a=4 matches nothing
+    assert (1, 13) not in got and not any(p[0] == 4 for p in got)
+
+
+def test_interval_overlap_no_cartesian_no_distinct(spark):
+    from semantic_index_spark.plans import explain as E
+
+    a = spark.range(100).selectExpr("id AS id_a", "id * 1.0 AS lo_a", "id * 1.0 + 3 AS hi_a")
+    b = spark.range(100).selectExpr("id AS id_b", "id * 1.1 AS lo_b", "id * 1.1 + 3 AS hi_b")
+    df = TS.interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=4.0)
+    plan = E.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # structural dedup: no aggregate/distinct over the joined result
+    assert plan.count("HashAggregate") == 0
+
+    with pytest.raises(ValueError, match="column names"):
+        TS.interval_overlap_join(
+            a.withColumnRenamed("id_a", "x"),
+            b.withColumnRenamed("id_b", "x"),
+            "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=4.0,
+        )

@@ -195,6 +195,10 @@ AUDITS = {
     # entries only (broadcast), the corpus is scanned once and never
     # meets a shuffle join.
     "embedding_covariance": {"expect": ["MapInPandas", "HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # interval×interval overlap: both sides explode onto the grid and
+    # hash-equi-join on the bucket; designated-bucket filter dedups
+    # structurally — never a cartesian product, never a result DISTINCT.
+    "interval_overlap": {"expect": ["Generate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
