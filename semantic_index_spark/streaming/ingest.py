@@ -298,3 +298,38 @@ def incremental_cms_sink(path: str, col: str, depth: int = 4, width: int = 2048)
         lambda b: SKT.cms_sketch(b, col, depth, width),
         lambda u: u.groupBy("r", "b").agg(F.sum("n").alias("n")),
     )
+
+
+def incremental_histogram_sink(path: str, col: str, lo: float, hi: float, bins: int = 64):
+    """Fixed-bin histogram maintenance across micro-batches: bin counts
+    ``+``-merge, so the ≤bins-row table at ``path`` always equals the
+    one-shot histogram of everything ever streamed. Feeding it and a
+    fresh batch's histogram to :func:`semantic_index_spark.functions.
+    sketch.psi_drift`'s bin math turns this into STREAMING drift
+    monitoring — "has today's value distribution shifted against all of
+    history" — without re-reading a byte of history."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    return incremental_sketch_sink(
+        path,
+        lambda b: SKT.histogram_bins(b, col, lo, hi, bins),
+        # re-select into histogram_bins' canonical column order so the
+        # maintained table is schema-identical to the one-shot sketch
+        lambda u: u.groupBy("bin", "bin_lo")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select("bin", "n", "bin_lo"),
+    )
+
+
+def bloom_sink(path: str, col: str, m: int = 1 << 16, k: int = 4):
+    """Bloom bit-set maintenance across micro-batches: sparse bit rows
+    OR-merge by ``union distinct``, so the filter at ``path`` always
+    covers everything ever streamed — the live corpus-membership screen
+    for the day-2 ingest path (operators get it with one broadcast read)."""
+    from semantic_index_spark.functions import bloom as B
+
+    return incremental_sketch_sink(
+        path,
+        lambda b: B.bloom_bits(b, col, m, k),
+        lambda u: u.select("bit").distinct(),
+    )

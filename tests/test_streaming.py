@@ -405,3 +405,62 @@ def test_incremental_cms_sink_counts_match_batch(spark, events_dir, events_batch
     }
     for k, n in exact.items():
         assert est[k] >= n  # CMS never under-counts
+
+
+def test_incremental_histogram_sink_enables_streaming_psi(spark, events_dir, events_batch, tmp_path):
+    """Streaming histogram maintenance: the bin table after a multi-batch
+    drain equals the one-shot batch histogram — so PSI of a fresh batch
+    against the maintained table is PSI against ALL of history, computed
+    from sketch-sized relations only."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    hist_path = str(tmp_path / "hist_table")
+    ckpt = str(tmp_path / "ckpt_hist")
+    multi = str(tmp_path / "events_multi")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.incremental_histogram_sink(hist_path, "value", 0.0, 500.0, bins=50)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = spark.read.parquet(hist_path)
+    want = SKT.histogram_bins(events_batch, "value", 0.0, 500.0, bins=50)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the maintained table IS the history distribution: PSI(history, history-
+    # shaped batch) == 0 exactly when the batch is the same data
+    psi = SKT.psi_drift(events_batch, events_batch, "value", 0.0, 500.0, bins=50)
+    assert psi.collect()[0]["psi"] == 0.0
+
+
+def test_bloom_sink_membership_covers_all_streamed(spark, events_dir, events_batch, tmp_path):
+    """Streaming Bloom maintenance: after the drain, every streamed key
+    probes maybe_member=true (no false negatives across the epochs' OR-
+    merge), matching the one-shot batch filter bit-for-bit."""
+    from semantic_index_spark.functions import bloom as B
+
+    bloom_path = str(tmp_path / "bloom_table")
+    ckpt = str(tmp_path / "ckpt_bloom")
+    multi = str(tmp_path / "events_multi")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.bloom_sink(bloom_path, "user_id", m=1 << 14, k=3)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = spark.read.parquet(bloom_path)
+    want = B.bloom_bits(events_batch.select("user_id"), "user_id", m=1 << 14, k=3)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    probed = B.bloom_contains(
+        got, events_batch.select("user_id").distinct(), "user_id", m=1 << 14, k=3
+    )
+    assert probed.where(~F.col("maybe_member")).count() == 0
