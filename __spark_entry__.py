@@ -743,6 +743,19 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_BY_TOP_N = 5
+
+
+def q_heavy_hitters_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source frequent terms through the skew-safe two-stage cap —
+    # deterministic (n DESC, tok ASC) total order.
+    d = load_table(spark, sf_dir, "documents")
+    return TA.heavy_hitters_by(d, "source", top_n=HH_BY_TOP_N).select(
+        "source", "tok", F.col("n").cast("bigint").alias("n"),
+        F.col("df_docs").cast("bigint").alias("df_docs"),
+    )
+
+
 MAD_K = 3.5
 
 
@@ -1264,6 +1277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose constituent operators are each hash-checked above
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "zorder_key": q_zorder_key,
+        # new this round but past the window (it is full): rotates into
+        # the round-5 window; verified at both SFs by tools/check_oracles.py
+        "heavy_hitters_by": q_heavy_hitters_by,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -1955,6 +1971,21 @@ def oracle_sql() -> dict[str, str]:
             for i in range(COV_DIMS)
             for j in range(i, COV_DIMS)
         ),
+        "heavy_hitters_by": f"""
+            WITH tok AS (
+                SELECT source, doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+            ),
+            c AS (
+                SELECT source, tok, count(*) AS n, count(DISTINCT doc_id) AS df_docs
+                FROM tok GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, tok ASC) AS rn
+                FROM c
+            )
+            SELECT source, tok, n::BIGINT AS n, df_docs::BIGINT AS df_docs
+            FROM r WHERE rn <= {HH_BY_TOP_N}
+        """,
         "interval_overlap": f"""
             WITH a AS (
                 SELECT event_id AS id_a, value AS lo_a, value + {OVERLAP_HALF_W!r} AS hi_a

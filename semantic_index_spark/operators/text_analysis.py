@@ -457,3 +457,36 @@ def ngram_lm_score(
             (-F.sum("lp")).cast("double") / F.lit(1e6) / F.count("*"), 6
         ).alias("avg_nll"),
     )
+
+
+def heavy_hitters_by(
+    docs: DataFrame,
+    by: str,
+    text_col: str = "text",
+    top_n: int = 10,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Per-GROUP frequent terms: the ``top_n`` most frequent tokens within
+    each ``by`` group (per-domain vocabularies, per-source boilerplate
+    mining) with deterministic (count DESC, token ASC) tie-break.
+
+    Two word-count-shaped stages: explode → ONE map-side-combined groupBy
+    on (group, token) — the shuffle carries ≤ |group|·|vocab| partial rows
+    — then the skew-safe two-stage cap
+    (:func:`semantic_index_spark.operators.skew.capped_top_n`) picks each
+    group's top n WITHOUT funneling a hot group's whole vocabulary through
+    one reducer. Returns (by, tok, n, df_docs) — term count and document
+    frequency per group."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+    from semantic_index_spark.operators.skew import capped_top_n
+
+    tok = ensure_parallelism(docs).select(
+        F.col(by), F.col("doc_id"), F.explode(T.tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy(by, "tok").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    return capped_top_n(
+        counts, [by], [F.col("n").desc(), F.col("tok").asc()], n=top_n, salt_n=salt_n
+    )

@@ -1241,3 +1241,53 @@ def test_interval_overlap_no_cartesian_no_distinct(spark):
             b.withColumnRenamed("id_b", "x"),
             "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=4.0,
         )
+
+
+# --------------------------------------------- per-group heavy hitters
+
+
+def test_heavy_hitters_by_per_group_topn(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x x y z"),
+            (2, "a", "x y y q"),
+            (3, "b", "m m n"),
+            (4, "b", "n n n m"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["source"], r["tok"]): (r["n"], r["df_docs"])
+        for r in TA.heavy_hitters_by(docs, "source", top_n=2).collect()
+    }
+    # group a: x appears 4x in 2 docs, y 3x in 2 docs; group b: n 4x/2, m 3x/2
+    assert got == {
+        ("a", "x"): (4, 2),
+        ("a", "y"): (3, 2),
+        ("b", "n"): (4, 2),
+        ("b", "m"): (3, 2),
+    }
+
+
+def test_heavy_hitters_by_matches_direct_window(spark, sf_dir):
+    """The skew-safe two-stage cap must be row-identical to the direct
+    per-group row_number window on real corpus data."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["source"], r["tok"], r["n"])
+        for r in TA.heavy_hitters_by(docs, "source", top_n=3).collect()
+    )
+    tok = docs.select("source", "doc_id", F.explode(T.tokens("text")).alias("tok"))
+    c = tok.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    want = sorted(
+        (r["source"], r["tok"], r["n"])
+        for r in c.withColumn("_rn", F.row_number().over(w))
+        .where("_rn <= 3")
+        .collect()
+    )
+    assert got == want

@@ -199,6 +199,9 @@ AUDITS = {
     # hash-equi-join on the bucket; designated-bucket filter dedups
     # structurally — never a cartesian product, never a result DISTINCT.
     "interval_overlap": {"expect": ["Generate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # per-group heavy hitters: word-count partial agg on (group, token),
+    # then the two-stage skew-safe cap (keyed windows) — no join anywhere.
+    "heavy_hitters_by": {"expect": ["HashAggregate", "Window", "Generate"], "forbid": ["Join", "CartesianProduct"]},
 }
 
 
