@@ -774,6 +774,26 @@ def q_heavy_hitters_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 20_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy best-first corpus subsetting under a global token budget —
+    # the distributed ordered prefix-sum (range partition + partition-keyed
+    # windows + broadcast offsets), never a SinglePartition window.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", T.quality_score("text").alias("q")
+    )
+    return P.budget_select(d, TOKEN_BUDGET, "q").select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "cum_tokens",
+    )
+
+
 MAD_K = 3.5
 
 
@@ -1298,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round but past the window (it is full): rotates into
         # the round-5 window; verified at both SFs by tools/check_oracles.py
         "heavy_hitters_by": q_heavy_hitters_by,
+        "budget_select": q_budget_select,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -1989,6 +2010,36 @@ def oracle_sql() -> dict[str, str]:
             for i in range(COV_DIMS)
             for j in range(i, COV_DIMS)
         ),
+        "budget_select": f"""
+            WITH base AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS toks, text FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       len(list_filter(toks, x -> list_contains([{", ".join("'" + w + "'" for w in T.STOPWORDS_EN)}], x)))::DOUBLE
+                           / greatest(len(toks), 1) AS sw,
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1) AS pr,
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                           / greatest(len(toks), 1) AS mtl
+                FROM base
+            ),
+            q AS (
+                SELECT doc_id, n_tokens,
+                       round(least(sw * 4.0, 1.0) * 0.5
+                             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+                             + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                             6) AS quality
+                FROM feat
+            ),
+            c AS (
+                SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                FROM q
+            )
+            SELECT doc_id, quality, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
+            FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+        """,
         "heavy_hitters_by": f"""
             WITH tok AS (
                 SELECT source, doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents

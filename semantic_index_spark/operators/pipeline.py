@@ -363,3 +363,65 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return wide.select(F.explode(pairs).alias("r")).select("r.*")
+
+
+def budget_select(
+    docs: DataFrame,
+    budget: int,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus selection: greedily take the best documents —
+    ordered (quality DESC, id ASC), a total order — until the cumulative
+    token count would exceed ``budget``. The "build me the best 10B-token
+    subset" step of training-data curation; strict prefix semantics, so a
+    smaller later document never back-fills past a document that crossed
+    the budget line (deterministic and engine-replayable).
+
+    The global ordered prefix-sum uses the same no-single-reducer shape as
+    :func:`pack_sequences` / ``skew.global_ranks``: ``repartitionByRange``
+    on the sort key (ONE corpus shuffle), per-partition running sums via a
+    partition-keyed window, per-partition totals → exclusive offsets on
+    |partitions| rows, broadcast back. Returns the selected rows as
+    (id, quality, n_tokens, cum_tokens), ``cum_tokens`` inclusive."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget_select: budget must be positive, got {budget}")
+    base = docs.select(
+        F.col(id_col),
+        F.col(quality_col).alias("quality"),
+        F.size(T.tokens(text_col)).alias("n_tokens"),
+    )
+    order = [F.col("quality").desc(), F.col(id_col).asc()]
+    part = (
+        base.repartitionByRange(partitions, *order)
+        if partitions
+        else base.repartitionByRange(*order)
+    )
+    local = (
+        part.sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+        .drop("_mid")
+        .localCheckpoint(eager=True)
+    )
+    totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("_off") + F.sum("n_tokens").over(w_local)).cast("bigint")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, "quality", "n_tokens", "cum_tokens")
+    )

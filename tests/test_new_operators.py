@@ -1291,3 +1291,61 @@ def test_heavy_hitters_by_matches_direct_window(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+# --------------------------------------------- token-budget selection
+
+
+def test_budget_select_greedy_prefix(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.9, "a b c d"),          # 4 tokens, best
+            (2, 0.8, "a b c d e f"),      # 6 tokens
+            (3, 0.7, "a b"),              # would fit later, but prefix stops
+            (4, 0.7, "a"),                # tie with 3 → doc_id order
+        ],
+        "doc_id long, q double, text string",
+    )
+    got = {r["doc_id"]: r["cum_tokens"] for r in P.budget_select(docs, 12, "q").collect()}
+    # order: 1 (cum 4), 2 (cum 10), 3 (cum 12), 4 (cum 13 > 12 → out)
+    assert got == {1: 4, 2: 10, 3: 12}
+    # a tighter budget cuts strictly by prefix, not best-fit: 2 exceeds at 10 > 9
+    got9 = {r["doc_id"] for r in P.budget_select(docs, 9, "q").collect()}
+    assert got9 == {1}
+
+
+def test_budget_select_distributed_matches_single_window(spark, sf_dir):
+    """The range-partitioned prefix-sum must equal the naive global-window
+    cumulative regardless of partition count."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.functions import text as T
+    from semantic_index_spark.operators import pipeline as P
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", T.quality_score("text").alias("q"))
+    )
+    for parts in (3, 8):
+        got = sorted(
+            map(tuple, P.budget_select(docs, 5000, "q", partitions=parts).collect())
+        )
+        w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = sorted(
+            map(
+                tuple,
+                docs.select(
+                    "doc_id",
+                    F.col("q").alias("quality"),
+                    F.size(T.tokens("text")).alias("n_tokens"),
+                )
+                .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+                .where("cum_tokens <= 5000")
+                .collect(),
+            )
+        )
+        assert got == want, parts

@@ -202,6 +202,10 @@ AUDITS = {
     # per-group heavy hitters: word-count partial agg on (group, token),
     # then the two-stage skew-safe cap (keyed windows) — no join anywhere.
     "heavy_hitters_by": {"expect": ["HashAggregate", "Window", "Generate"], "forbid": ["Join", "CartesianProduct"]},
+    # token-budget selection: range-partitioned prefix sum — partition-
+    # keyed windows + broadcast of |partitions| offsets; the corpus never
+    # meets an unpartitioned window or a sort-merge join.
+    "budget_select": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
