@@ -794,6 +794,25 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set-operation cardinalities from two sketches alone (|A|, |B|, |A∪B|
+    # by register max-merge, |A∩B| by inclusion-exclusion) next to the
+    # exact intersection they approximate — no raw-data join for the
+    # estimates, only for the exactness anchor.
+    e = load_table(spark, sf_dir, "events")
+    va = e.where(F.col("event_type") == "view").select("user_id")
+    vb = e.where(F.col("event_type") == "purchase").select("user_id")
+    ra = SKT.hll_registers(va, "user_id", p=HLL_P)
+    rb = SKT.hll_registers(vb, "user_id", p=HLL_P)
+    est = SKT.hll_set_estimates(ra, rb, p=HLL_P)
+    exact = (
+        va.distinct()
+        .join(vb.distinct(), "user_id", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    return est.crossJoin(exact)
+
+
 MAD_K = 3.5
 
 
@@ -1319,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-5 window; verified at both SFs by tools/check_oracles.py
         "heavy_hitters_by": q_heavy_hitters_by,
         "budget_select": q_budget_select,
+        "hll_set_ops": q_hll_set_ops,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2010,6 +2030,63 @@ def oracle_sql() -> dict[str, str]:
             for i in range(COV_DIMS)
             for j in range(i, COV_DIMS)
         ),
+        "hll_set_ops": f"""
+            WITH ha AS (
+                SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+            ),
+            hb AS (
+                SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+            ),
+            ra AS (
+                SELECT hv >> 48 AS idx,
+                       max(CASE WHEN (hv & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                           ELSE 49 - length(bin(hv & ((1::BIGINT << 48) - 1))) END) AS rho
+                FROM ha GROUP BY 1
+            ),
+            rb AS (
+                SELECT hv >> 48 AS idx,
+                       max(CASE WHEN (hv & ((1::BIGINT << 48) - 1)) = 0 THEN 49
+                           ELSE 49 - length(bin(hv & ((1::BIGINT << 48) - 1))) END) AS rho
+                FROM hb GROUP BY 1
+            ),
+            ru AS (
+                SELECT idx, max(rho) AS rho
+                FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY idx
+            ),
+            fold AS (
+                SELECT 'a' AS side, sum(power(2.0, -rho)) AS ps, count(*) AS np FROM ra
+                UNION ALL
+                SELECT 'b', sum(power(2.0, -rho)), count(*) FROM rb
+                UNION ALL
+                SELECT 'u', sum(power(2.0, -rho)), count(*) FROM ru
+            ),
+            est AS (
+                SELECT side, round(CASE
+                    WHEN {C_HLL!r} / (ps + (4096 - np)) <= 10240.0 AND np < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - np))
+                    ELSE {C_HLL!r} / (ps + (4096 - np))
+                END, 3) AS e FROM fold
+            ),
+            wide AS (
+                SELECT max(CASE WHEN side = 'a' THEN e END) AS est_a,
+                       max(CASE WHEN side = 'b' THEN e END) AS est_b,
+                       max(CASE WHEN side = 'u' THEN e END) AS est_union
+                FROM est
+            ),
+            exact AS (
+                SELECT count(*) AS exact_intersection FROM (
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                    INTERSECT
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+                )
+            )
+            SELECT est_a, est_b, est_union,
+                   round(greatest(est_a + est_b - est_union, 0.0), 3) AS est_intersection,
+                   exact_intersection::BIGINT AS exact_intersection
+            FROM wide CROSS JOIN exact
+        """,
         "budget_select": f"""
             WITH base AS (
                 SELECT doc_id, {_DUCK_TOKENS} AS toks, text FROM documents

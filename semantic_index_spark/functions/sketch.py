@@ -133,6 +133,48 @@ def hll_count_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     return hll_estimate(hll_registers(df, col, p), p)
 
 
+def hll_union(*register_sets: DataFrame) -> DataFrame:
+    """Union sketches by max-merging registers — ``hll_union(regs(A),
+    regs(B))`` equals ``hll_registers(A ∪ B)`` EXACTLY (the HLL union
+    property): per-day / per-source sketches fold into corpus sketches
+    without touching raw data."""
+    if not register_sets:
+        raise ValueError("hll_union: need at least one register set")
+    out = register_sets[0]
+    for r in register_sets[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_set_estimates(regs_a: DataFrame, regs_b: DataFrame, p: int = 12) -> DataFrame:
+    """Set-operation cardinality estimates from two HLL sketches alone:
+    |A|, |B|, |A ∪ B| (exact-union sketch via register max-merge) and
+    |A ∩ B| by inclusion-exclusion (clamped at 0 — the standard HLL
+    intersection estimator; error grows as the true intersection shrinks
+    relative to the union, so treat small intersections as "≈ 0").
+    Answers "how many users/domains/fingerprints do these two 100 TB
+    corpora share" from two 2^p-row summaries, no join of the raw data.
+    Returns one row (est_a, est_b, est_union, est_intersection)."""
+    ea = hll_estimate(regs_a, p).select(F.col("approx_distinct").alias("est_a"))
+    eb = hll_estimate(regs_b, p).select(F.col("approx_distinct").alias("est_b"))
+    eu = hll_estimate(hll_union(regs_a, regs_b), p).select(
+        F.col("approx_distinct").alias("est_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn(
+            "est_intersection",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+                ),
+                3,
+            ),
+        )
+    )
+
+
 def hll_standard_error(p: int = 12) -> float:
     """Theoretical relative standard error of HLL at precision ``p``:
     ``1.04 / sqrt(2^p)`` (~1.6% at p=12) — for test tolerances."""

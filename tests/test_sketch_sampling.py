@@ -609,3 +609,42 @@ def test_psi_mild_vs_strong_shift_ordering(spark):
     p_mild = SKT.psi_drift(ref, mild, "v", 0.0, 160.0, bins=80).collect()[0]["psi"]
     p_strong = SKT.psi_drift(ref, strong, "v", 0.0, 160.0, bins=80).collect()[0]["psi"]
     assert 0 < p_mild < p_strong
+
+
+# --------------------------------------------------- HLL set operations
+
+
+def test_hll_union_equals_direct_sketch(spark):
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))
+    ra = SKT.hll_registers(a, "k")
+    rb = SKT.hll_registers(b, "k")
+    merged = sorted(map(tuple, SKT.hll_union(ra, rb).collect()))
+    direct = sorted(map(tuple, SKT.hll_registers(a.union(b), "k").collect()))
+    assert merged == direct
+
+
+def test_hll_set_estimates_within_error(spark):
+    n_a, n_b, overlap = 4000, 3000, 1000
+    a = spark.range(0, n_a).select(F.col("id").alias("k"))
+    b = spark.range(n_a - overlap, n_a - overlap + n_b).select(F.col("id").alias("k"))
+    est = SKT.hll_set_estimates(
+        SKT.hll_registers(a, "k"), SKT.hll_registers(b, "k")
+    ).collect()[0]
+    se = SKT.hll_standard_error(12)
+    assert abs(est["est_a"] - n_a) / n_a < 4 * se
+    assert abs(est["est_b"] - n_b) / n_b < 4 * se
+    union = n_a + n_b - overlap
+    assert abs(est["est_union"] - union) / union < 4 * se
+    # inclusion-exclusion compounds three estimates' errors: loose bound
+    assert abs(est["est_intersection"] - overlap) / overlap < 12 * se * union / overlap
+
+
+def test_hll_set_estimates_disjoint_clamps_at_zero(spark):
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(50_000, 52_000).select(F.col("id").alias("k"))
+    est = SKT.hll_set_estimates(
+        SKT.hll_registers(a, "k"), SKT.hll_registers(b, "k")
+    ).collect()[0]
+    assert est["est_intersection"] >= 0.0  # never negative
+    assert est["est_intersection"] < 0.15 * 2000  # small vs either set

@@ -206,6 +206,10 @@ AUDITS = {
     # keyed windows + broadcast of |partitions| offsets; the corpus never
     # meets an unpartitioned window or a sort-merge join.
     "budget_select": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # HLL set ops: two register groupBys + a register-level max-merge —
+    # all sketch-sized; the only joins are 1-row estimate crossJoins (BNLJ
+    # by construction) and the exactness-anchor semi-join on user_id.
+    "hll_set_ops": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
