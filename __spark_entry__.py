@@ -800,8 +800,13 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact intersection they approximate — no raw-data join for the
     # estimates, only for the exactness anchor.
     e = load_table(spark, sf_dir, "events")
-    va = e.where(F.col("event_type") == "view").select("user_id")
-    vb = e.where(F.col("event_type") == "purchase").select("user_id")
+    # NULL user_ids excluded on BOTH the sketch and the exact side: the
+    # registers skip NULL anyway, but the exact anchor's left_semi would
+    # drop NULL while the oracle's INTERSECT treats NULL = NULL — filter
+    # up front so both engines count the same set.
+    nn = e.where(F.col("user_id").isNotNull())
+    va = nn.where(F.col("event_type") == "view").select("user_id")
+    vb = nn.where(F.col("event_type") == "purchase").select("user_id")
     ra = SKT.hll_registers(va, "user_id", p=HLL_P)
     rb = SKT.hll_registers(vb, "user_id", p=HLL_P)
     est = SKT.hll_set_estimates(ra, rb, p=HLL_P)
@@ -1264,13 +1269,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. The window carries every query with no
     driver CORRECTNESS row through round 3 — the 35 never-checked
-    LLM-pipeline / dedup / text-analysis entries plus all of round 4's new
-    queries (session windows, multi-probe LSH, rerank, HLL/CMS/Bloom
+    LLM-pipeline / dedup / text-analysis entries plus most of round 4's
+    new queries (session windows, multi-probe LSH, rerank, HLL/CMS/Bloom
     sketches, skew tools, SemDeDup, duplicated spans, quality gate,
-    containment, PSI drift, MAD outliers). kmeans (rows-only by design)
-    and corpus_prep (a composition of individually-checked operators) sit
-    just past the window to make room. Everything after passed the driver
-    check in rounds 1-3."""
+    containment, PSI drift, MAD outliers, profiler, covariance, interval
+    overlap). The window is FULL: four round-4 queries sit just past it
+    (heavy_hitters_by, budget_select, hll_set_ops, plus demoted
+    winnowing/zorder) and rotate into round 5's window; kmeans (rows-only
+    by design), corpus_prep and lsh_recall (compositions/metrics over
+    individually-checked operators) were demoted to make room. Everything
+    after passed the driver check in rounds 1-3."""
     return {
         # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,
@@ -2077,9 +2085,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             exact AS (
                 SELECT count(*) AS exact_intersection FROM (
-                    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'view' AND user_id IS NOT NULL
                     INTERSECT
-                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase' AND user_id IS NOT NULL
                 )
             )
             SELECT est_a, est_b, est_union,

@@ -279,7 +279,9 @@ def histogram_bins(
 ) -> DataFrame:
     """Fixed-width histogram over ``[lo, hi)``: rows map to
     ``floor((x-lo)/w)`` (clamped to the edge bins, so out-of-range values
-    land in bin 0 / bins-1 rather than vanishing). ONE map-side-combined
+    land in bin 0 / bins-1 rather than vanishing). NULLs are skipped, like
+    every other sketch here — greatest(NULL, 0) would otherwise silently
+    pile null rows into bin 0 and skew quantiles/PSI. ONE map-side-combined
     groupBy over ≤ ``bins`` keys; bin counts from different partitions /
     days / sources merge by ``+`` — the mergeable-histogram property that
     makes this the scale path when ``percentile`` (full sort per group) is
@@ -292,7 +294,8 @@ def histogram_bins(
         F.lit(bins - 1),
     ).cast("int")
     return (
-        df.select(b.alias("bin"))
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
         .select("bin", "n", F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"))
@@ -315,7 +318,8 @@ def histogram_bins_by(
         F.lit(bins - 1),
     ).cast("int")
     return (
-        df.select(F.col(by), b.alias("bin"))
+        df.where(F.col(col).isNotNull())
+        .select(F.col(by), b.alias("bin"))
         .groupBy(by, "bin")
         .agg(F.count("*").alias("n"))
         .select(by, "bin", "n", F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"))
@@ -416,10 +420,12 @@ def psi_drift(
     (:func:`histogram_bins`) before anything is compared, so each 100 TB
     input costs exactly one map-side-combined groupBy over ≤ bins keys and
     the PSI fold itself runs on ≤ bins joined rows. Empty bins clamp to
-    ``eps`` (the standard continuity correction — PSI is undefined at 0).
-    Returns one row ``(psi double, n_ref bigint, n_cur bigint)``, PSI
-    rounded to 6dp so the DuckDB oracle replay hash-matches despite the
-    float ln.
+    ``eps`` (the standard continuity correction — PSI is undefined at 0);
+    NULL values are excluded on both sides (a null-rate change is a
+    data-quality signal for ``profile_table``/expectations, not value
+    drift). Returns one row ``(psi double, n_ref bigint, n_cur bigint)``
+    counting non-null rows, PSI rounded to 6dp so the DuckDB oracle replay
+    hash-matches despite the float ln.
     """
     href = histogram_bins(df_ref, col, lo, hi, bins).select(
         "bin", F.col("n").alias("n_ref")
@@ -431,12 +437,21 @@ def psi_drift(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    tot = joined.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    terms = joined.crossJoin(F.broadcast(tot)).select(
-        F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps)).alias("p"),
-        F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps)).alias("q"),
+    # totals as a window over the ≤bins joined rows, NOT a separate agg +
+    # crossJoin: that formulation re-derived `joined` twice (4 input scans,
+    # no ReusedExchange), breaking the one-pass-per-input cost this
+    # function exists to provide. The SinglePartition window is fine here —
+    # it only ever sees ≤ bins rows.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    terms = joined.select(
+        F.greatest(
+            F.col("n_ref") / F.sum("n_ref").over(w_all), F.lit(eps)
+        ).alias("p"),
+        F.greatest(
+            F.col("n_cur") / F.sum("n_cur").over(w_all), F.lit(eps)
+        ).alias("q"),
         "n_ref",
         "n_cur",
     )

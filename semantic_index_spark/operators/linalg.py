@@ -36,7 +36,9 @@ def covariance_entries(df: DataFrame, col: str, dim: int) -> DataFrame:
     rows ``(i, j, v)`` where (i≥0, j≥0) carries Σ e_i·e_j (upper triangle,
     i ≤ j), (i, -1) carries Σ e_i, and (-1, -1) carries n. Mergeable by
     summing ``v`` per (i, j) — union entries from several epochs and
-    groupBy-sum to get the union's statistics exactly."""
+    groupBy-sum to get the union's statistics exactly. NULL vectors are
+    skipped (JVM-side, like every sketch builder); a WRONG-LENGTH vector
+    raises a clear ValueError rather than a numpy shape error."""
     if dim < 1:
         raise ValueError(f"covariance_entries: need dim >= 1, got {dim}")
 
@@ -50,13 +52,13 @@ def covariance_entries(df: DataFrame, col: str, dim: int) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[col]], dtype=np.float64
-            )
-            if x.shape[1] != dim:
+            vecs = list(pdf[col])
+            bad = {len(v) for v in vecs if len(v) != dim}
+            if bad:
                 raise ValueError(
-                    f"covariance_entries: expected dim {dim}, got {x.shape[1]}"
+                    f"covariance_entries: expected dim {dim}, got {sorted(bad)}"
                 )
+            x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
             n += x.shape[0]
             s += x.sum(axis=0)
             gram += x.T @ x
@@ -74,7 +76,11 @@ def covariance_entries(df: DataFrame, col: str, dim: int) -> DataFrame:
         )
         yield out
 
-    entries = df.select(col).mapInPandas(_partials, _ENTRY_SCHEMA)
+    entries = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .mapInPandas(_partials, _ENTRY_SCHEMA)
+    )
     return entries.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 

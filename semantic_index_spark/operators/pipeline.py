@@ -307,6 +307,9 @@ def quantile_threshold_filter(
     """
     from semantic_index_spark.functions.sketch import histogram_quantiles_by
 
+    # histogram_bins_by skips NULLs, so thresholds come from real values
+    # only (a NULL-heavy source can't drag its threshold to the floor);
+    # the >= comparison below is NULL-false, so NULL rows are dropped too.
     thr = histogram_quantiles_by(df, col, by, lo, hi, [q], bins).select(
         F.col(by), F.col("approx_value").alias("_thr")
     )

@@ -463,6 +463,7 @@ def heavy_hitters_by(
     docs: DataFrame,
     by: str,
     text_col: str = "text",
+    id_col: str = "doc_id",
     top_n: int = 10,
     salt_n: int = 16,
 ) -> DataFrame:
@@ -481,11 +482,11 @@ def heavy_hitters_by(
     from semantic_index_spark.operators.skew import capped_top_n
 
     tok = ensure_parallelism(docs).select(
-        F.col(by), F.col("doc_id"), F.explode(T.tokens(text_col)).alias("tok")
+        F.col(by), F.col(id_col), F.explode(T.tokens(text_col)).alias("tok")
     )
     counts = tok.groupBy(by, "tok").agg(
         F.count("*").alias("n"),
-        F.countDistinct("doc_id").alias("df_docs"),
+        F.countDistinct(id_col).alias("df_docs"),
     )
     return capped_top_n(
         counts, [by], [F.col("n").desc(), F.col("tok").asc()], n=top_n, salt_n=salt_n

@@ -290,7 +290,9 @@ def mad_outliers(
 
     Two grouped percentile passes (median, then median absolute deviation)
     whose |groups|-row results BROADCAST back onto the stream — the data
-    shuffles only by the group key, twice, and never sorts globally. At
+    shuffles only by the group key, twice, and never sorts globally; the
+    deviation frame is pinned with ``localCheckpoint`` so the MAD pass and
+    the final flagging read it once instead of re-deriving the lineage. At
     100 TB swap the exact ``percentile`` for ``approx_percentile`` (KLL
     sketch, mergeable partials) — same plan shape, bounded memory; the
     exact form here is what the cross-engine oracle can verify. A group
@@ -302,8 +304,13 @@ def mad_outliers(
     med = df.groupBy(by).agg(
         F.expr(f"percentile({value_col}, 0.5D)").alias("group_median")
     )
-    dev = df.join(F.broadcast(med), by).withColumn(
-        "_absdev", F.abs(F.col(value_col) - F.col("group_median"))
+    # pin the deviations once: without this, `mad` and the final join each
+    # re-derive `dev` (and `med` inside it) from the source — 4 input scans
+    # instead of the two documented percentile passes.
+    dev = (
+        df.join(F.broadcast(med), by)
+        .withColumn("_absdev", F.abs(F.col(value_col) - F.col("group_median")))
+        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy(by).agg(
         F.expr("percentile(_absdev, 0.5D)").alias("group_mad")

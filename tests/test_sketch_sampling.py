@@ -648,3 +648,33 @@ def test_hll_set_estimates_disjoint_clamps_at_zero(spark):
     ).collect()[0]
     assert est["est_intersection"] >= 0.0  # never negative
     assert est["est_intersection"] < 0.15 * 2000  # small vs either set
+
+
+def test_histogram_and_psi_skip_nulls(spark):
+    """NULL values must be excluded from histograms (no phantom bin-0 mass)
+    and therefore from PSI: a null-rate change alone is NOT value drift."""
+    vals = spark.createDataFrame([(float(v % 10),) for v in range(100)], "v double")
+    with_nulls = vals.unionByName(
+        spark.createDataFrame([(None,)] * 25, "v double")
+    )
+    h_clean = {r["bin"]: r["n"] for r in SKT.histogram_bins(vals, "v", 0.0, 10.0, 10).collect()}
+    h_nulls = {r["bin"]: r["n"] for r in SKT.histogram_bins(with_nulls, "v", 0.0, 10.0, 10).collect()}
+    assert h_clean == h_nulls  # identical — nulls contributed nothing
+    r = SKT.psi_drift(vals, with_nulls, "v", 0.0, 10.0, bins=10).collect()[0]
+    assert r["psi"] == 0.0 and r["n_cur"] == 100  # non-null count
+
+
+def test_quantile_filter_null_heavy_group_not_inflated(spark):
+    """A group where most quality values are NULL must still threshold on
+    its REAL values (review finding: NULLs used to pile into bin 0 and
+    drag the threshold to the floor, passing the whole group)."""
+    from semantic_index_spark.operators import pipeline as P
+
+    rows = [("g", i / 10.0) for i in range(10)] + [("g", None)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = P.quantile_threshold_filter(df, "v", "g", 0.5, 0.0, 1.0, bins=10)
+    vals = sorted(r["v"] for r in kept.collect())
+    # median of the REAL values (lower-edge bin semantics: cum>=5 at 0.4);
+    # before the fix the 10 NULLs pulled the threshold to 0.0 and ALL ten
+    # real values survived
+    assert vals == [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]

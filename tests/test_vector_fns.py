@@ -207,3 +207,22 @@ def test_covariance_dim_mismatch_raises(spark):
     df = _toy_embeddings(spark, n=50, d=4)
     with _pytest.raises(Exception, match="dim"):
         L.covariance_entries(df, "embedding", 16).collect()
+
+
+def test_covariance_skips_nulls_and_rejects_ragged(spark):
+    import pytest as _pytest
+
+    from semantic_index_spark.operators import linalg as L
+
+    clean = _toy_embeddings(spark, n=100, d=4)
+    with_null = clean.unionByName(
+        spark.createDataFrame([(999, None)], "vec_id long, embedding array<float>")
+    )
+    a = sorted(map(tuple, L.covariance_entries(clean, "embedding", 4).collect()))
+    b = sorted(map(tuple, L.covariance_entries(with_null, "embedding", 4).collect()))
+    assert a == b  # NULL row contributed nothing, no crash
+    ragged = clean.unionByName(
+        spark.createDataFrame([(998, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    )
+    with _pytest.raises(Exception, match="expected dim 4"):
+        L.covariance_entries(ragged, "embedding", 4).collect()
