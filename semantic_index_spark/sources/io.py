@@ -294,3 +294,37 @@ def zorder_key(
     for t in terms[1:]:
         out = out + t
     return out.cast("bigint")
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Robust JSONL ingest for raw web/corpus dumps: parse with an EXPLICIT
+    schema in PERMISSIVE mode and split the result into (good, quarantined)
+    — good rows typed to ``schema``, quarantined rows carrying the raw
+    un-parseable line for a repair/audit pass. At 100 TB a single corrupt
+    line must never fail the job (FAILFAST) nor vanish silently
+    (DROPMALFORMED); quarantine is the production posture.
+
+    The corrupt-record column must be part of the read schema, and Spark
+    refuses a query that selects ONLY that column from an uncached scan —
+    the parsed frame is cached here (documented Spark requirement), which
+    also makes the two returned branches share one parse of the input.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    full = StructType(list(schema.fields) + [StructField(corrupt, StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .cache()
+    )
+    good = parsed.where(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.where(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad

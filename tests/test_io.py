@@ -249,3 +249,28 @@ def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 900
     assert got.select("bucket").distinct().count() == 3
+
+
+def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from semantic_index_spark.sources import io as sio
+
+    p = str(tmp_path / "raw.jsonl")
+    lines = [
+        '{"doc_id": 1, "text": "hello"}',
+        'this is not json at all',
+        '{"doc_id": 2, "text": "world"}',
+        '{"doc_id": "NaN-ish", "text": 3}',  # schema-violating types
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = sio.read_jsonl_quarantine(spark, p, schema)
+    assert {(r["doc_id"], r["text"]) for r in good.collect()} == {(1, "hello"), (2, "world")}
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 2 and "not json" in raws[0]
+    # nothing silently dropped: good + quarantined == input lines
+    assert good.count() + bad.count() == len(lines)
