@@ -818,6 +818,31 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+BLOOM_JOIN_PRICE = 400_000.0
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DIY Bloom runtime filter: lineitem rows are screened against a Bloom
+    # of the selective orders subset BEFORE the join shuffle — result is
+    # row-identical to the plain join (no false negatives), which is
+    # exactly what the oracle replays as a plain join.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > BLOOM_JOIN_PRICE)
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    )
+    j = SK.bloom_filtered_join(li, sel, "okey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 MAD_K = 3.5
 
 
@@ -1347,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_by": q_heavy_hitters_by,
         "budget_select": q_budget_select,
         "hll_set_ops": q_hll_set_ops,
+        "bloom_join": q_bloom_join,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2038,6 +2064,16 @@ def oracle_sql() -> dict[str, str]:
             for i in range(COV_DIMS)
             for j in range(i, COV_DIMS)
         ),
+        "bloom_join": f"""
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+                  WHERE o_totalprice > {BLOOM_JOIN_PRICE!r}) o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "hll_set_ops": f"""
             WITH ha AS (
                 SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv

@@ -1349,3 +1349,36 @@ def test_budget_select_distributed_matches_single_window(spark, sf_dir):
             )
         )
         assert got == want, parts
+
+
+# ------------------------------------------------ bloom-filtered join
+
+
+def test_bloom_filtered_join_row_identical_to_plain(spark, sf_dir):
+    from semantic_index_spark.operators import skew as SKW
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    sel = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_totalprice > 300000")
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    )
+    got = sorted(map(tuple, SKW.bloom_filtered_join(li, sel, "okey").collect()))
+    want = sorted(map(tuple, li.join(sel, "okey").collect()))
+    assert got == want  # no false negatives → identical result
+
+
+def test_bloom_filtered_join_screens_before_shuffle_and_validates(spark):
+    from semantic_index_spark.operators import skew as SKW
+    from semantic_index_spark.plans import explain as E
+
+    big = spark.range(10_000).select(F.col("id").alias("k"), F.rand(1).alias("v"))
+    small = spark.range(50).select(F.col("id").alias("k"))
+    plan = E.formatted_plan(SKW.bloom_filtered_join(big, small, "k"))
+    # the bloom bit-set broadcast appears (probe-side screen), and the
+    # screen is a broadcast join — the big side never shuffles to be probed
+    assert plan.count("BroadcastHashJoin") >= 1
+    with pytest.raises(ValueError, match="inner/semi"):
+        SKW.bloom_filtered_join(big, small, "k", how="left")

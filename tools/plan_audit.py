@@ -210,6 +210,10 @@ AUDITS = {
     # all sketch-sized; the only joins are 1-row estimate crossJoins (BNLJ
     # by construction) and the exactness-anchor semi-join on user_id.
     "hll_set_ops": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # DIY bloom runtime filter: the fact side meets a BROADCAST bit-set
+    # probe before any join shuffle; the dim join itself may then
+    # broadcast too — never a cartesian product.
+    "bloom_join": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
