@@ -675,3 +675,159 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07) — same answer as the brute-force
+    all-pairs comparison, provably, but the join only materializes
+    candidate pairs that share a *prefix* token.
+
+    The pruning theorem: order every document's distinct tokens by one
+    GLOBAL total order (ascending document frequency, token string as the
+    tiebreak — rarest first). If J(a,b) ≥ t, then a and b must share at
+    least one token among each one's first ``|set| − ceil(t·|set|) + 1``
+    tokens. So the inverted-index join runs only on those prefixes —
+    Σ df_prefix(tok)² pairs instead of Σ df(tok)² — and because rare
+    tokens come first, the prefix index is built from exactly the
+    low-df end of the vocabulary. A length filter
+    (``|b| ≥ ceil(t·|a|)``) prunes further before verification.
+
+    Verification then computes the TRUE Jaccard from the full sorted token
+    arrays (one broadcast-or-shuffle join per side against the |docs|-row
+    array table, ``array_intersect`` JVM-side). Unlike minhash-LSH this
+    path has NO false negatives — the oracle is the literal O(N²)
+    definition and must match row-for-row.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    (compared after round(6), matching :func:`ngram_jaccard_pairs`).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("jaccard_prefix_join: threshold must be in (0, 1]")
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(T.tokens(text_col))).alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
+    # per-doc token array in global (df, tok) order + set size; this table
+    # is both the prefix source and the verification payload
+    arr = (
+        tok.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "tok"))), lambda s: s["tok"]
+            ).alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        .withColumn(
+            "prefix",
+            # the 1e-9 guards the ceil against float error in t·sz landing
+            # a hair ABOVE an integer boundary — error can then only
+            # LENGTHEN the prefix (extra candidates), never shorten it
+            # (lost pairs), so the pruning stays provably lossless
+            F.slice(
+                F.col("toks"),
+                1,
+                F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+                + 1,
+            ),
+        )
+    )
+    pre = arr.select("id", "sz", F.explode("prefix").alias("tok"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t forces t*max(sz) <= min(sz); same
+            # epsilon so float error only weakens the filter, never
+            # over-prunes a boundary-legit pair
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz") - F.lit(1e-9)))
+            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz") - F.lit(1e-9))),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = arr.select(F.col("id").alias("id_a"), F.col("toks").alias("_ta"), F.col("sz").alias("_sa"))
+    vb = arr.select(F.col("id").alias("id_b"), F.col("toks").alias("_tb"), F.col("sz").alias("_sb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cosine_allpairs_tfidf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse all-pairs cosine similarity over TF-IDF vectors via an
+    inverted-index join — the *weighted* sibling of the Jaccard joins: two
+    documents are near-dups when their unit TF-IDF vectors' dot product
+    (= cosine) clears ``threshold``.
+
+    Plan: tokens → per-(doc, term) tf → idf = ln(N/df) → L2-normalize each
+    doc's weight vector (one window over the doc partition, no second
+    scan) → self-equi-join ON THE TERM (hash-partitioned — same-term
+    postings only, never a cross join) → partial dot products sum per pair
+    map-side into one (id_a, id_b) shuffle.
+
+    The join cost is Σ df(term)² — identical structure to
+    :func:`ngram_jaccard_pairs`, with the same ``max_df`` lever: terms in
+    more than ``max_df`` documents are dropped from the vector space
+    BEFORE normalization (a consistent cosine over the informative-term
+    subspace; stopword-ish terms carry ~zero idf weight anyway, so the cap
+    changes little while removing the quadratic hot-posting cost).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold
+    (compared after round(6)). idf uses ln; df counts documents.
+    """
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(text_col)).alias("tok")
+    )
+    tf = tok.groupBy("id", "tok").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    n_docs = docs.select(F.count("*").alias("_n"))
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_w",
+            F.col("_tf").cast("double")
+            * F.log(F.col("_n").cast("double") / F.col("_df").cast("double")),
+        )
+    )
+    norm = Window.partitionBy("id")
+    unit = w.withColumn("_u", F.col("_w") / F.sqrt(F.sum(F.col("_w") * F.col("_w")).over(norm)))
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.round(F.sum(F.col("a._u") * F.col("b._u")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

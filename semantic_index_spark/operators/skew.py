@@ -353,3 +353,46 @@ def bloom_filtered_join(
     probed = B.bloom_contains(bits, big, on, m=m, k=k)
     kept = probed.where(F.col("maybe_member")).drop("maybe_member")
     return kept.join(small, on, how)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-Res scheme — each row draws a uniform
+    u ∈ (0, 1] from a reproducible md5 hash of its key and competes with
+    sort key ``u^(1/w)``; the top ``n`` keys are EXACTLY a weight-
+    proportional sample without replacement (Efraimidis & Spirakis 2006).
+
+    Why this and not ``rand()``: the hash-derived uniform makes the sample
+    a pure function of the data — stable across runs, engines (the DuckDB
+    oracle replays the same md5 arithmetic), retries, and executor
+    failures, which is what a reproducible training-data pipeline needs
+    from its sampling step.
+
+    Scale: the competition is a global top-n on a computed column —
+    planned as TakeOrderedAndProject (per-partition heaps of n, then an
+    n·partitions merge on the driver-side single reducer), NO global sort
+    and no full shuffle. Rows with NULL, zero, or negative weight can
+    never win and are filtered up front. Returns the sampled rows +
+    ``sample_key`` (rounded; ordering ties at 6 decimals are broken by
+    the id hash inside the unrounded double, which engines agree on
+    bit-for-bit).
+    """
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit md5 prefix — +1 keeps
+    # ln/pow away from u=0
+    u = (md5_bigint(F.col(key_col).cast("string"), salt="ws:") + 1) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "sample_key", F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+        )
+        .orderBy(F.desc("sample_key"), F.col(key_col))
+        .limit(n)
+        .withColumn("sample_key", F.round("sample_key", 6))
+    )

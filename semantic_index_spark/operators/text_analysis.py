@@ -295,6 +295,66 @@ def tfidf_top_terms(
     )
 
 
+def term_label_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information between terms and document labels —
+    the classic feature-selection / corpus-characterization statistic
+    ("which words are distinctive of this language / source / topic"):
+
+      pmi(t, l) = ln( P(t, l) / (P(t)·P(l)) )
+                = ln( n_tl · N / (n_t · n_l) )
+
+    over document-level presence counts (a term counts once per document,
+    so a single spammy doc can't dominate a term's association).
+
+    Scale: one explode of distinct per-doc terms → ONE shuffle on
+    (term, label) for the joint counts; the term marginal is a window sum
+    over the term partition of that (vocab×labels)-sized result — no second
+    pass over the corpus; the |labels|-row marginal and the 1-row total
+    broadcast. ``min_count`` floors n_tl so the tail of hapax terms never
+    reaches the output (and the PMI estimate isn't noise). Returns
+    (label, tok, n_tl, pmi)."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    pairs = ensure_parallelism(docs).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col),
+        F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"),
+    )
+    joint = pairs.groupBy("tok", "label").agg(F.count("*").alias("n_tl"))
+    # term marginal from the joint table itself: every doc has exactly one
+    # label, so Σ_l n_tl = n_t — a window over the tok partition, not a
+    # second corpus scan
+    joint = joint.withColumn("n_t", F.sum("n_tl").over(Window.partitionBy("tok")))
+    lbl = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_l")
+    )
+    total = docs.select(F.count("*").alias("n_docs"))
+    return (
+        joint.filter(F.col("n_tl") >= min_count)
+        .join(F.broadcast(lbl), "label")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "tok",
+            F.col("n_tl").cast("bigint").alias("n_tl"),
+            F.round(
+                F.log(
+                    F.col("n_tl").cast("double")
+                    * F.col("n_docs").cast("double")
+                    / (F.col("n_t").cast("double") * F.col("n_l").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

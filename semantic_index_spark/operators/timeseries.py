@@ -328,6 +328,92 @@ def mad_outliers(
     )
 
 
+def time_decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: str,
+    half_life_days: float,
+) -> DataFrame:
+    """Exponentially time-decayed sum per group — the "recency-weighted
+    engagement score" every feed-ranking / source-prioritization pipeline
+    maintains: score(g) = Σ value·0.5^(age_days / half_life), with age
+    measured back from the dataset's max timestamp (so the metric is a
+    pure function of the data — reproducible across engines and runs).
+
+    Scale: the anchor is a 1-row ``max(ts)`` aggregate broadcast onto the
+    stream (BroadcastNestedLoopJoin of a single row — constant cost), the
+    decay factor is a codegen'd ``pow``, and the scored rows partial-
+    aggregate map-side into one shuffle on the group key. Equivalent
+    streaming form: fold ``value·0.5^((now-ts)/hl)`` into a running sum and
+    rescale by ``0.5^(Δnow/hl)`` on read — the decayed sum is mergeable,
+    which is exactly why this formula (and not a sliding window) is the
+    scale idiom. Returns (by, decayed_sum, n_events).
+    """
+    # TIMESTAMP_NTZ (what parquet readers often surface) cannot cast to
+    # double; normalize to TIMESTAMP first — session tz is UTC, so the
+    # naive instant is preserved and matches the oracle's epoch arithmetic
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+    anchor = df.select(ts_sec.alias("_t")).agg(F.max("_t").alias("_now"))
+    age_days = (F.col("_now") - ts_sec) / F.lit(86400.0)
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "_w",
+            F.col(value_col) * F.pow(F.lit(0.5), age_days / F.lit(half_life_days)),
+        )
+        .groupBy(by)
+        .agg(
+            F.round(F.sum("_w"), 6).alias("decayed_sum"),
+            F.count(value_col).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    by: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection on event VOLUME: bucket events
+    into (group, date, hour-of-day) counts, take each (group, hour-of-day)
+    slot's mean/stddev across days as the seasonal baseline, and flag
+    buckets whose count z-scores beyond ``k``. This is the standard
+    "traffic looks weird for 3am" monitor — the hour-of-day season absorbs
+    the diurnal cycle that a global mean would smear into false positives.
+
+    Only OBSERVED buckets participate: an hour with zero events yields no
+    row (detecting silence needs a dense calendar spine — generate one
+    with ``sequence()`` and left-join if that matters for the deployment).
+
+    Scale: two hash aggregations — (group, date, hour) bucketing with
+    map-side combine, then the per-(group, hour) moments over the ~N_days×24
+    baseline rows — and a broadcast join back. stddev is the SAMPLE stddev
+    (portable across engines); single-day slots have NULL stddev and flag
+    nothing. Returns the bucket rows + (baseline_mean, baseline_std, zscore,
+    is_anomaly)."""
+    buckets = df.groupBy(
+        F.col(by),
+        F.to_date(ts_col).alias("bucket_date"),
+        F.hour(ts_col).alias("hour_of_day"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    baseline = buckets.groupBy(by, "hour_of_day").agg(
+        F.round(F.avg("n"), 6).alias("baseline_mean"),
+        F.round(F.stddev_samp("n"), 6).alias("baseline_std"),
+    )
+    z = (F.col("n") - F.col("baseline_mean")) / F.nullif(
+        F.col("baseline_std"), F.lit(0.0)
+    )
+    return (
+        buckets.join(F.broadcast(baseline), [by, "hour_of_day"])
+        .withColumn("zscore", F.round(z, 6))
+        .withColumn(
+            "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > F.lit(k), F.lit(False))
+        )
+    )
+
+
 def interval_overlap_join(
     a: DataFrame,
     b: DataFrame,

@@ -1,0 +1,305 @@
+"""Tests for the round-4b operators: PageRank, decayed sums, seasonal
+anomaly, term-label PMI, prefix-filter Jaccard join, all-pairs cosine,
+weighted sampling."""
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from semantic_index_spark.operators import dedup as D
+from semantic_index_spark.operators import graph as G
+from semantic_index_spark.operators import skew as SK
+from semantic_index_spark.operators import text_analysis as TA
+from semantic_index_spark.operators import timeseries as TS
+from semantic_index_spark.plans.explain import formatted_plan
+from semantic_index_spark.session import load_table
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_is_probability_distribution(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(edges, iterations=5).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_symmetric_ring(spark):
+    # a symmetric ring is a doubly-stochastic walk: uniform is stationary,
+    # so every iterate stays exactly uniform
+    n = 5
+    ring = [(str(i), str((i + 1) % n)) for i in range(n)]
+    ring += [(d, s) for s, d in ring]
+    ranks = G.pagerank(
+        spark.createDataFrame(ring, ["src", "dst"]), iterations=3
+    ).collect()
+    for r in ranks:
+        assert abs(r["rank"] - 1.0 / n) < 1e-12
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # symmetric star: the hub accumulates every leaf's mass but spreads
+    # its own over 6 leaves, so it strictly outranks each of them
+    edges = [(f"leaf{i}", "hub") for i in range(6)] + [
+        ("hub", f"leaf{i}") for i in range(6)
+    ]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=4
+        ).collect()
+    }
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub")
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # "b" has no out-edges: without the dangling fix its mass would leak
+    # and the ranks would no longer sum to 1
+    edges = spark.createDataFrame([("a", "b"), ("c", "a")], ["src", "dst"])
+    ranks = G.pagerank(edges, iterations=4).collect()
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "d")]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    out = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, (1 - d) / n)
+        dang = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        nxt += d * dang / n
+        for s, t in edges:
+            nxt[idx[t]] += d * r[idx[s]] / out[s]
+        r = nxt
+    got = {
+        row["node"]: row["rank"]
+        for row in G.pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=3
+        ).collect()
+    }
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+# ---------------------------------------------------- time-decayed sums
+
+
+def test_time_decayed_sum_hand_computed(spark):
+    rows = [
+        # group g: anchor is the max ts (t=86400*2 s); ages 0, 1, 2 days
+        ("g", "2024-01-03 00:00:00", 10.0),
+        ("g", "2024-01-02 00:00:00", 10.0),
+        ("g", "2024-01-01 00:00:00", 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = TS.time_decayed_sum(df, "ts", "value", "k", half_life_days=1.0).collect()
+    expect = 10.0 * (1 + 0.5 + 0.25)
+    assert len(out) == 1
+    assert abs(out[0]["decayed_sum"] - expect) < 1e-6
+    assert out[0]["n_events"] == 3
+
+
+def test_time_decayed_sum_recent_beats_large_old(spark):
+    rows = [
+        ("new", "2024-06-30 00:00:00", 100.0),
+        ("old", "2024-01-01 00:00:00", 1000.0),
+        # anchor row so both groups share the same "now"
+        ("new", "2024-07-01 00:00:00", 0.0),
+        ("old", "2024-07-01 00:00:00", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["k"]: r["decayed_sum"]
+        for r in TS.time_decayed_sum(df, "ts", "value", "k", 7.0).collect()
+    }
+    assert got["new"] > got["old"]
+
+
+# -------------------------------------------------- seasonal anomaly
+
+
+def test_seasonal_anomaly_flags_injected_spike(spark):
+    rows = []
+    # 10 days × hour 3: one event each — except day 9 gets 50 (the spike)
+    for day in range(1, 11):
+        n = 50 if day == 9 else 1
+        for i in range(n):
+            rows.append(("t", f"2024-01-{day:02d} 03:00:{i % 60:02d}"))
+    df = spark.createDataFrame(rows, ["event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = TS.seasonal_anomaly(df, "ts", "event_type", k=2.0).collect()
+    flagged = {(r["bucket_date"].day, r["is_anomaly"]) for r in out}
+    assert (9, True) in flagged
+    assert all(day == 9 or not fl for day, fl in flagged)
+
+
+def test_seasonal_anomaly_constant_slot_flags_nothing(spark):
+    rows = [("t", f"2024-01-{d:02d} 05:00:00") for d in range(1, 8)]
+    df = spark.createDataFrame(rows, ["event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = TS.seasonal_anomaly(df, "ts", "event_type", k=2.0).collect()
+    assert out and all(not r["is_anomaly"] for r in out)
+    assert all(r["zscore"] is None for r in out)  # stddev = 0 → NULL z
+
+
+# -------------------------------------------------- term-label PMI
+
+
+def test_term_label_pmi_exclusive_term_positive(spark):
+    # "bonjour" appears only in fr docs (2 of 4 docs are fr):
+    # pmi = ln(n_tl·N / (n_t·n_l)) = ln(2·4/(2·2)) = ln 2
+    docs = spark.createDataFrame(
+        [
+            (1, "bonjour le monde", "fr"),
+            (2, "bonjour encore le", "fr"),
+            (3, "hello the world", "en"),
+            (4, "hello the again", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        (r["label"], r["tok"]): r["pmi"]
+        for r in TA.term_label_pmi(docs, min_count=1).collect()
+    }
+    assert abs(out[("fr", "bonjour")] - math.log(2)) < 1e-6
+    # "le" also fr-only with the same counts
+    assert abs(out[("fr", "le")] - math.log(2)) < 1e-6
+
+
+def test_term_label_pmi_presence_not_frequency(spark):
+    # a term repeated 100× in one doc still counts once (doc presence)
+    docs = spark.createDataFrame(
+        [(1, "spam " * 100, "en"), (2, "ham and eggs", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["tok"]: r["n_tl"] for r in TA.term_label_pmi(docs, min_count=1).collect()}
+    assert out["spam"] == 1
+
+
+# ------------------------------------- prefix-filtered Jaccard join
+
+
+def _brute_jaccard_pairs(spark, docs, threshold):
+    """Literal O(N²) definition via crossJoin — ground truth."""
+    t = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("toks"),
+    )
+    a = t.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    return {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "j",
+            F.round(
+                F.col("i") / (F.size("ta") + F.size("tb") - F.col("i")), 6
+            ),
+        )
+        .filter(F.col("j") >= threshold)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_jaccard_prefix_join_lossless_vs_brute_force(spark, sf_dir, threshold):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_join(docs, threshold=threshold).collect()
+    }
+    want = _brute_jaccard_pairs(spark, docs, threshold)
+    assert got == want  # prefix filtering must lose NOTHING
+
+
+def test_jaccard_prefix_join_no_nested_loop(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(D.jaccard_prefix_join(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------- all-pairs TF-IDF cosine
+
+
+def test_cosine_allpairs_identical_docs_score_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.cosine_allpairs_tfidf(docs, threshold=0.1).collect()
+    }
+    assert out == {(1, 2): 1.0}  # identical unit vectors; 3 shares nothing
+
+
+def test_cosine_allpairs_max_df_drops_hot_terms(spark):
+    # "the" in every doc → df=3 > max_df=2 → excluded from the space, so
+    # docs sharing ONLY "the" produce no pair
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the cat")],
+        ["doc_id", "text"],
+    )
+    out = D.cosine_allpairs_tfidf(docs, threshold=0.01, max_df=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 3)}
+
+
+# --------------------------------------------------- weighted sample
+
+
+def _py_md5_bigint(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "n_chars").collect()
+    keys = {
+        r["doc_id"]: (( _py_md5_bigint(f"ws:{r['doc_id']}") + 1) / float(1 << 60))
+        ** (1.0 / r["n_chars"])
+        for r in rows
+        if r["n_chars"] and r["n_chars"] > 0
+    }
+    want = {k for k, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    got = {r["doc_id"] for r in SK.weighted_sample(docs, "doc_id", "n_chars", 10).collect()}
+    assert got == want
+
+
+def test_weighted_sample_deterministic_and_filters_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, 2.0), (5, None)],
+        ["id", "w"],
+    )
+    a = {r["id"] for r in SK.weighted_sample(df, "id", "w", 3).collect()}
+    b = {r["id"] for r in SK.weighted_sample(df, "id", "w", 3).collect()}
+    assert a == b == {1, 4}  # only positive-weight rows can win
+
+
+def test_weighted_sample_plan_is_topk_no_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(SK.weighted_sample(docs, "doc_id", "n_chars", 10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -214,6 +214,34 @@ AUDITS = {
     # probe before any join shuffle; the dim join itself may then
     # broadcast too — never a cartesian product.
     "bloom_join": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct"]},
+    # PageRank: per-iteration keyed joins of the |N|-row rank vector into
+    # the edge list + partial-agg contribution sums. The rank-vector join
+    # is allowed to be SortMergeJoin — BOTH sides scale with the graph, so
+    # a keyed shuffle join IS the 100 TB plan (broadcast would cap |N|);
+    # the dangling-mass term is a 1-row broadcast (BNLJ by construction).
+    "pagerank": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # decayed engagement: 1-row max(ts) anchor broadcast onto the stream
+    # (BNLJ of a single row by construction), then map-side partial agg.
+    "decayed_engagement": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # seasonal baseline: two hash aggs + a broadcast of the ~days×24-row
+    # baseline back onto the bucket rows — never a sort or nested loop.
+    "seasonal_anomaly": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # PMI: one (term,label) partial-agg shuffle; the term marginal is a
+    # window over that result (re-keyed by term), label marginal + total
+    # broadcast — the corpus is never scanned twice.
+    "term_label_pmi": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # prefix-filter Jaccard: every join is a hash equi-join (prefix-token
+    # inverted index; verification payload joins) — no nested loop, ever.
+    "jaccard_prefix": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # all-pairs cosine: postings self-equi-join on the term, pair dots
+    # partial-agg map-side — structurally Σdf² with max_df capping it.
+    # (The BNLJ in this plan is the crossJoin of the 1-row corpus count —
+    # 1×N by construction, not a pair blow-up; the pair join itself must
+    # stay a hash equi-join, which CartesianProduct-forbid enforces.)
+    "cosine_pairs": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # weighted sample: global top-n on a computed key — per-partition
+    # heaps, no total sort, no shuffle, no join.
+    "weighted_sample": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join", "Exchange"]},
 }
 
 
