@@ -1351,6 +1351,45 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cosine_allpairs_tfidf(d, threshold=COS_T, max_df=COS_MAX_DF)
 
 
+LIFT_MIN_SUPPORT = 2
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part–part "bought together" edges: distinct part pairs sharing an
+    # order (canonical a<b orientation)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # triangle census of the co-purchase graph via degree-ordered wedge
+    # counting (operators/graph.py) — the oracle is the literal ordered
+    # 3-way self-join definition.
+    from semantic_index_spark.operators import graph as G
+
+    return G.triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-basket pair mining: co-occurrence counts + lift over orders
+    # as baskets (operators/mining.py).
+    from semantic_index_spark.operators import mining as MN
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return MN.association_lift(
+        li, "l_orderkey", "l_partkey", min_support=LIFT_MIN_SUPPORT
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic weight-proportional sample without replacement
     # (Efraimidis–Spirakis keys off a reproducible md5 uniform; skew.py).
@@ -1448,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "cosine_pairs": q_cosine_pairs,
         "weighted_sample": q_weighted_sample,
+        "triangle_count": q_triangle_count,
+        "association_lift": q_association_lift,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -3461,6 +3502,38 @@ def oracle_sql() -> dict[str, str]:
             FROM u a JOIN u b ON a.tok = b.tok AND a.id < b.id
             GROUP BY 1, 2
             HAVING round(sum(a.u * b.u), 6) >= {COS_T!r}
+        """,
+        "triangle_count": """
+            -- literal definition: ordered 3-way self-join a<b<c; the
+            -- Spark side counts via degree-ordered wedges and must agree
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "association_lift": f"""
+            WITH it AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ),
+            nb AS (SELECT count(DISTINCT b) AS n FROM it),
+            m AS (SELECT i, count(*) AS ni FROM it GROUP BY 1),
+            p AS (
+                SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_ab
+                FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(*) >= {LIFT_MIN_SUPPORT}
+            )
+            SELECT item_a, item_b, n_ab,
+                   round(n_ab::DOUBLE * nb.n::DOUBLE
+                         / (ma.ni::DOUBLE * mb.ni::DOUBLE), 6) AS lift
+            FROM p
+            JOIN m ma ON p.item_a = ma.i
+            JOIN m mb ON p.item_b = mb.i
+            CROSS JOIN nb
         """,
         "weighted_sample": f"""
             WITH keyed AS (

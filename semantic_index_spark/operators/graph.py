@@ -109,3 +109,67 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of an UNDIRECTED graph given as an edge list
+    (either orientation, duplicates/self-loops tolerated — canonicalized
+    away first). Returns one row: (n_triangles).
+
+    Scale shape — the degree-ordered orientation trick (Schank & Wagner
+    2005; the same plan Spark GraphX and most MPP triangle counters use):
+    orient every edge from its lower-(degree, node) endpoint to the
+    higher one. Every triangle then has exactly ONE wedge whose center is
+    the triangle's minimum-order vertex, so counting = (1) self-join the
+    oriented edges on the source to enumerate wedges, (2) semi-join the
+    wedge's outer pair against the oriented edge set. The payoff: wedge
+    count is Σ outdeg(v)² where every outdeg is O(√m) under this
+    orientation — O(m^1.5) total work instead of the Σ deg(v)² blow-up a
+    hub vertex causes in the naive plan. Both joins are hash equi-joins;
+    no nested loop at any size.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    e.cache()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orientation key: (degree, node) — a total order, so every edge gets
+    # exactly one direction and every triangle exactly one minimum vertex
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    w1 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("y"))
+    # wedge (x, y) around center u, emitted once (x < y in node order);
+    # the closing edge may be oriented either way, so canonicalize the
+    # pair back to (min, max) and probe the canonical edge set
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y")).select("x", "y")
+    # count closed wedges; each triangle contributes exactly one (its
+    # min-order-center wedge appears once and the (x, y) probe is keyed
+    # on the canonical a<b form)
+    return wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_semi"
+    ).agg(F.count("*").cast("bigint").alias("n_triangles"))

@@ -303,3 +303,77 @@ def test_weighted_sample_plan_is_topk_no_shuffle(spark, sf_dir):
     plan = formatted_plan(SK.weighted_sample(docs, "doc_id", "n_chars", 10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------- triangle count
+
+
+def test_triangle_count_k4_and_ring(spark):
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    got = G.triangle_count(spark.createDataFrame(k4, ["src", "dst"])).collect()
+    assert got[0]["n_triangles"] == 4  # K4 has C(4,3) triangles
+    ring = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = G.triangle_count(spark.createDataFrame(ring, ["src", "dst"])).collect()
+    assert got[0]["n_triangles"] == 0
+
+
+def test_triangle_count_canonicalizes_dupes_loops_reversals(spark):
+    # one triangle given as a mess: duplicates, both orientations, a loop
+    edges = [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+        ("a", "c"), ("a", "c"), ("a", "a"),
+    ]
+    got = G.triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    assert got[0]["n_triangles"] == 1
+
+
+def test_triangle_count_hub_graph_matches_formula(spark):
+    # hub connected to 6 leaves that form a path: triangles = path edges
+    edges = [("h", f"v{i}") for i in range(6)]
+    edges += [(f"v{i}", f"v{i+1}") for i in range(5)]
+    got = G.triangle_count(spark.createDataFrame(edges, ["src", "dst"])).collect()
+    assert got[0]["n_triangles"] == 5
+
+
+# --------------------------------------------------- association lift
+
+
+def test_association_lift_hand_example(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["lift"])
+        for r in MN.association_lift(df, "basket", "item", min_support=1).collect()
+    }
+    # x,y together 2× of 4 baskets; x in 3, y in 2 → lift = 2*4/(3*2)
+    assert out[("x", "y")] == (2, round(2 * 4 / (3 * 2), 6))
+    # x,z together 1×; x in 3, z in 2 → lift = 1*4/(3*2) < 1 (anti-affine)
+    assert out[("x", "z")] == (1, round(4 / 6, 6))
+
+
+def test_association_lift_presence_not_multiplicity(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = MN.association_lift(df, "basket", "item", min_support=1).collect()
+    assert {(r["item_a"], r["item_b"], r["n_ab"]) for r in out} == {("x", "y", 2)}
+
+
+def test_association_lift_max_basket_caps_megabaskets(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    rows = [(1, "x"), (1, "y")] + [(9, f"i{k}") for k in range(50)]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = MN.association_lift(df, "basket", "item", min_support=1, max_basket=10).collect()
+    # the 50-item basket is dropped entirely; only the small basket's pair
+    # remains, and N counts surviving baskets (1)
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("x", "y")}
+    assert out[0]["lift"] == 1.0

@@ -242,6 +242,14 @@ AUDITS = {
     # weighted sample: global top-n on a computed key — per-partition
     # heaps, no total sort, no shuffle, no join.
     "weighted_sample": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join", "Exchange"]},
+    # triangle census: degree-ordered wedge enumeration — every join is a
+    # hash equi-join (basket self-join, degree joins, wedge join, closing
+    # semi-join); a nested loop anywhere means the orientation broke.
+    "triangle_count": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # basket pair mining: self-equi-join ON the basket key + partial-agg
+    # pair counts; marginals are vocab-sized hash joins; the only BNLJ-
+    # shaped thing is the 1-row basket-count broadcast.
+    "association_lift": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
