@@ -333,3 +333,90 @@ def bloom_sink(path: str, col: str, m: int = 1 << 16, k: int = 4):
         lambda b: B.bloom_bits(b, col, m, k),
         lambda u: u.select("bit").distinct(),
     )
+
+
+DECAY_T0 = "2024-01-01 00:00:00"
+
+
+def _halvings_since_t0(ts_col: str, half_life_days: float, t0: str) -> "F.Column":
+    # halvings of age relative to the FIXED origin t0 — the rebasing trick
+    # that makes an exponentially decayed sum mergeable: partials store
+    # v·2^((ts−t0)/hl) and ANY read time T rescales by 2^(−(T−t0)/hl).
+    secs = F.col(ts_col).cast("timestamp").cast("double") - F.lit(t0).cast(
+        "timestamp"
+    ).cast("double")
+    return secs / F.lit(86400.0 * half_life_days)
+
+
+def decayed_sum_sink(
+    path: str,
+    ts_col: str,
+    value_col: str,
+    by: str,
+    half_life_days: float,
+    t0: str = DECAY_T0,
+):
+    """``foreachBatch`` maintainer for per-group exponentially time-decayed
+    sums — the streaming twin of
+    :func:`semantic_index_spark.operators.timeseries.time_decayed_sum`.
+
+    Each micro-batch folds into (group, wsum, n_events) where
+    ``wsum = Σ value·2^((ts−t0)/half_life)`` against a FIXED origin ``t0``;
+    partials are plain ``+``-mergeable (exactly like the CMS counters), so
+    the table at ``path`` is |groups| rows however much history streamed
+    by. Read with :func:`read_decayed_sums` at any anchor time.
+
+    ``t0`` bounds the exponent: doubles overflow past ~1000 half-lives of
+    span, so pick an origin near the data epoch (and rebase the table —
+    multiply wsum by 2^(−Δ/hl) — if a deployment outlives that)."""
+
+    def partials(b: DataFrame) -> DataFrame:
+        return (
+            b.withColumn(
+                "_w",
+                F.col(value_col)
+                * F.pow(F.lit(2.0), _halvings_since_t0(ts_col, half_life_days, t0)),
+            )
+            .groupBy(F.col(by))
+            .agg(
+                F.sum("_w").alias("wsum"),
+                F.count(value_col).cast("bigint").alias("n_events"),
+            )
+        )
+
+    return incremental_sketch_sink(
+        path,
+        partials,
+        lambda u: u.groupBy(by).agg(
+            F.sum("wsum").alias("wsum"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        ),
+    )
+
+
+def read_decayed_sums(
+    spark,
+    path: str,
+    at_ts: str,
+    half_life_days: float,
+    t0: str = DECAY_T0,
+) -> DataFrame:
+    """Score the maintained table at anchor ``at_ts``: every group's
+    ``decayed_sum = wsum · 2^(−(at_ts−t0)/half_life)`` — one |groups|-row
+    projection, no history read."""
+    tbl = spark.read.parquet(path)
+    scale = F.pow(
+        F.lit(2.0),
+        -(
+            (
+                F.lit(at_ts).cast("timestamp").cast("double")
+                - F.lit(t0).cast("timestamp").cast("double")
+            )
+            / F.lit(86400.0 * half_life_days)
+        ),
+    )
+    return tbl.select(
+        F.col(tbl.columns[0]),
+        (F.col("wsum") * scale).alias("decayed_sum"),
+        "n_events",
+    )

@@ -464,3 +464,63 @@ def test_bloom_sink_membership_covers_all_streamed(spark, events_dir, events_bat
         got, events_batch.select("user_id").distinct(), "user_id", m=1 << 14, k=3
     )
     assert probed.where(~F.col("maybe_member")).count() == 0
+
+
+def test_decayed_sum_sink_matches_batch_operator(spark, events_dir, events_batch, tmp_path):
+    """Streaming decayed-sum maintenance: after a forced multi-micro-batch
+    drain, scoring the |groups|-row table at the batch anchor must match
+    the one-shot batch operator — the rebasing/merge property end to end."""
+    from semantic_index_spark.operators import timeseries as TS
+
+    table = str(tmp_path / "decayed_table")
+    ckpt = str(tmp_path / "ckpt_decay")
+    multi = str(tmp_path / "events_multi_decay")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.decayed_sum_sink(table, "ts", "value", "event_type", half_life_days=7.0)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    anchor = str(events_batch.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0])
+    got = {
+        r["event_type"]: (r["decayed_sum"], r["n_events"])
+        for r in I.read_decayed_sums(spark, table, anchor, 7.0).collect()
+    }
+    want = {
+        r["event_type"]: (r["decayed_sum"], r["n_events"])
+        for r in TS.time_decayed_sum(
+            events_batch, "ts", "value", "event_type", 7.0
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]  # exact event counts
+        assert abs(got[k][0] - want[k][0]) <= 1e-4 * max(1.0, abs(want[k][0]))
+
+
+def test_decayed_sum_rescales_with_anchor(spark, events_dir, events_batch, tmp_path):
+    """Moving the read anchor one half-life later exactly halves every
+    group's score — the whole point of the rebased representation."""
+    table = str(tmp_path / "decayed_table2")
+    ckpt = str(tmp_path / "ckpt_decay2")
+    stream = spark.readStream.schema(events_batch.schema).parquet(events_dir)
+    writer = stream.writeStream.foreachBatch(
+        I.decayed_sum_sink(table, "ts", "value", "event_type", half_life_days=7.0)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    a = {
+        r["event_type"]: r["decayed_sum"]
+        for r in I.read_decayed_sums(spark, table, "2024-03-01 00:00:00", 7.0).collect()
+    }
+    b = {
+        r["event_type"]: r["decayed_sum"]
+        for r in I.read_decayed_sums(spark, table, "2024-03-08 00:00:00", 7.0).collect()
+    }
+    for k in a:
+        assert abs(b[k] - a[k] / 2.0) < 1e-9 * max(1.0, abs(a[k]))
