@@ -1356,16 +1356,27 @@ LIFT_MIN_SUPPORT = 2
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part–part "bought together" edges: distinct part pairs sharing an
-    # order (canonical a<b orientation)
+    # order, canonical src<dst. ONE groupBy shuffle collects each order's
+    # part set, the ordered pairs explode in-JVM (baskets are small — the
+    # same Σ|basket|² shape as association_lift, with mining.py's
+    # max_basket as the cap lever if baskets ever grow), then one distinct
+    # — vs a lineitem self-join this halves the shuffles
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ps"), i + 2, F.size(F.col("_ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("_e"))
+        .select("_e.src", "_e.dst")
         .distinct()
     )
 
@@ -1376,7 +1387,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-way self-join definition.
     from semantic_index_spark.operators import graph as G
 
-    return G.triangle_count(_copurchase_edges(spark, sf_dir))
+    return G.triangle_count(_copurchase_edges(spark, sf_dir), assume_canonical=True)
 
 
 def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
