@@ -274,3 +274,36 @@ def test_read_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(raws) == 2 and "not json" in raws[0]
     # nothing silently dropped: good + quarantined == input lines
     assert good.count() + bad.count() == len(lines)
+
+
+def test_synthetic_docs_source_partition_parallel_and_deterministic(spark):
+    """The Python DataSource generates rows executor-side: row count and
+    content are pure functions of (seed, rows); partitioning honors the
+    option; two reads are bit-identical; a different seed diverges."""
+    from semantic_index_spark.sources.synthetic import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500).option("partitions", 7).option("seed", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 500
+    a = sorted(r["text"] for r in df.collect())
+    b = sorted(
+        r["text"]
+        for r in spark.read.format("synthetic_docs")
+        .option("rows", 500).option("partitions", 3).option("seed", 7)
+        .load()
+        .collect()
+    )
+    assert a == b  # content independent of partitioning
+    c = sorted(
+        r["text"]
+        for r in spark.read.format("synthetic_docs")
+        .option("rows", 500).option("seed", 8).load().collect()
+    )
+    assert a != c
+    # schema mirrors the documents table so every operator runs on it
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
