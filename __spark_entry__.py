@@ -1401,6 +1401,24 @@ def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINK_MAX_DIST = 2
+
+
+def q_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity resolution with explicit blocking: candidate pairs only
+    # within a (nation, segment) block, banded-Levenshtein verify
+    # (dedup.py) — the two-column block is the realistic contract (a true
+    # match shares both) and bounds Σ|block|².
+    c = load_table(spark, sf_dir, "customer")
+    return D.blocked_linkage(
+        c,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        max_dist=LINK_MAX_DIST,
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic weight-proportional sample without replacement
     # (Efraimidis–Spirakis keys off a reproducible md5 uniform; skew.py).
@@ -1500,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "triangle_count": q_triangle_count,
         "association_lift": q_association_lift,
+        "blocked_linkage": q_blocked_linkage,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -3545,6 +3564,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ma ON p.item_a = ma.i
             JOIN m mb ON p.item_b = mb.i
             CROSS JOIN nb
+        """,
+        "blocked_linkage": f"""
+            SELECT a.c_nationkey, a.c_mktsegment,
+                   a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name)::INT AS dist
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+            WHERE abs(length(a.c_name) - length(b.c_name)) <= {LINK_MAX_DIST}
+              AND levenshtein(a.c_name, b.c_name) <= {LINK_MAX_DIST}
         """,
         "weighted_sample": f"""
             WITH keyed AS (

@@ -831,3 +831,53 @@ def cosine_allpairs_tfidf(
         .agg(F.round(F.sum(F.col("a._u") * F.col("b._u")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def blocked_linkage(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity-resolution record linkage with explicit BLOCKING: candidate
+    pairs are generated only WITHIN a block (equi-join on ``block_cols``),
+    then verified by banded Levenshtein ≤ ``max_dist`` on ``name_col``.
+    Returns (id_a, id_b, dist) with id_a < id_b, plus the block columns.
+
+    Blocking is the classic linkage scale move (Fellegi–Sunter pipelines,
+    dedupe.io, Splink all do it): the O(N²) comparison space collapses to
+    Σ|block|² — choose block keys every true match must share (region,
+    zip, phonetic code). Pairs split across blocks are NOT compared; the
+    block key is part of the operator's contract, which is what makes it
+    oracle-checkable rather than heuristic.
+
+    Two CPU guards before the edit distance runs (same discipline as
+    :func:`edit_distance_verify`): a length-band prefilter
+    (``|len_a − len_b| ≤ max_dist`` is necessary), and Spark's thresholded
+    ``levenshtein(a, b, cap)`` — O(len·cap) banded, early-exit −1.
+    A skewed mega-block is the failure mode at scale: profile block sizes
+    first (``operators/skew.skew_profile``) and refine the key (add a
+    second column, a name prefix, a soundex) until blocks are bounded.
+    """
+    cols = [F.col(c) for c in block_cols]
+    a = df.select(
+        *cols, F.col(id_col).alias("id_a"), F.col(name_col).alias("_na")
+    )
+    b = df.select(
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("_nb"),
+    )
+    cond = (F.col("id_a") < F.col("id_b"))
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+    return (
+        a.join(b, cond)
+        .filter(
+            F.abs(F.length("_na") - F.length("_nb")) <= F.lit(max_dist)
+        )
+        .withColumn("dist", F.levenshtein("_na", "_nb", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select(*block_cols, "id_a", "id_b", "dist")
+    )

@@ -420,3 +420,51 @@ def read_decayed_sums(
         (F.col("wsum") * scale).alias("decayed_sum"),
         "n_events",
     )
+
+
+def moments_sink(path: str, value_col: str, by: str):
+    """``foreachBatch`` maintainer for per-group moment partials
+    (n, Σv, Σv²) — streaming mean/variance over everything ever streamed,
+    O(|groups|) state, plain ``+``-merge like the CMS counters. Read with
+    :func:`read_moments`.
+
+    Σv² is exactly mergeable but loses precision when |mean| ≫ stddev
+    (catastrophic cancellation); at that point shift values by a
+    per-group constant before sinking (moments are shift-equivariant) or
+    keep (n, mean, M2) with Chan's pairwise combine. For bounded metric
+    ranges — scores, latencies, ratios — the plain form is exact enough
+    and keeps the merge a one-line groupBy sum."""
+
+    def partials(b: DataFrame) -> DataFrame:
+        return b.groupBy(F.col(by)).agg(
+            F.count(value_col).cast("bigint").alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("s"),
+            F.sum(F.col(value_col).cast("double") * F.col(value_col).cast("double")).alias("ss"),
+        )
+
+    return incremental_sketch_sink(
+        path,
+        partials,
+        lambda u: u.groupBy(by).agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("ss").alias("ss"),
+        ),
+    )
+
+
+def read_moments(spark, path: str) -> DataFrame:
+    """Finalize the maintained moment table: (group, n, mean, stddev) —
+    sample stddev, NULL for single-observation groups (matching
+    ``stddev_samp``)."""
+    t = spark.read.parquet(path)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.nullif(
+        F.col("n") - 1, F.lit(0)
+    )
+    return t.select(
+        F.col(t.columns[0]),
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
+    )

@@ -377,3 +377,29 @@ def test_association_lift_max_basket_caps_megabaskets(spark):
     # remains, and N counts surviving baskets (1)
     assert {(r["item_a"], r["item_b"]) for r in out} == {("x", "y")}
     assert out[0]["lift"] == 1.0
+
+
+# --------------------------------------------------- blocked linkage
+
+
+def test_blocked_linkage_finds_near_names_within_block_only(spark):
+    rows = [
+        (1, "Customer#001", "US"),
+        (2, "Customer#002", "US"),   # dist 1 from #001, same block
+        (3, "Customer#001", "DE"),   # identical name, DIFFERENT block
+        (4, "Acme Corporation", "US"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "region"])
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in D.blocked_linkage(df, "id", "name", ["region"], max_dist=2).collect()
+    }
+    assert out == {(1, 2): 1}  # cross-block identical pair never compared
+
+
+def test_blocked_linkage_length_band_prunes(spark):
+    # names whose lengths differ by > max_dist can't pass — and must not
+    # even reach the levenshtein (asserted indirectly: result is empty)
+    rows = [(1, "ab", "X"), (2, "abcdefgh", "X")]
+    df = spark.createDataFrame(rows, ["id", "name", "region"])
+    assert D.blocked_linkage(df, "id", "name", ["region"], max_dist=2).count() == 0

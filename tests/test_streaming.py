@@ -524,3 +524,41 @@ def test_decayed_sum_rescales_with_anchor(spark, events_dir, events_batch, tmp_p
     }
     for k in a:
         assert abs(b[k] - a[k] / 2.0) < 1e-9 * max(1.0, abs(a[k]))
+
+
+def test_moments_sink_matches_batch_stats(spark, events_dir, events_batch, tmp_path):
+    """Streaming moment maintenance across forced micro-batches equals the
+    one-shot batch mean/stddev per group."""
+    table = str(tmp_path / "moments_table")
+    ckpt = str(tmp_path / "ckpt_moments")
+    multi = str(tmp_path / "events_multi_moments")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.moments_sink(table, "value", "event_type")
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = {
+        r["event_type"]: (r["n"], r["mean"], r["stddev"])
+        for r in I.read_moments(spark, table).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["mean"], r["stddev"])
+        for r in events_batch.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("stddev"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+        assert abs(got[k][2] - want[k][2]) < 1e-6

@@ -250,6 +250,10 @@ AUDITS = {
     # pair counts; marginals are vocab-sized hash joins; the only BNLJ-
     # shaped thing is the 1-row basket-count broadcast.
     "association_lift": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # blocked linkage: the candidate join is a hash equi-join on the
+    # block columns (the id inequality + length band ride as post-filters)
+    # — never a nested loop over the table.
+    "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
