@@ -1434,12 +1434,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new queries (session windows, multi-probe LSH, rerank, HLL/CMS/Bloom
     sketches, skew tools, SemDeDup, duplicated spans, quality gate,
     containment, PSI drift, MAD outliers, profiler, covariance, interval
-    overlap). The window is FULL: four round-4 queries sit just past it
-    (heavy_hitters_by, budget_select, hll_set_ops, plus demoted
-    winnowing/zorder) and rotate into round 5's window; kmeans (rows-only
-    by design), corpus_prep and lsh_recall (compositions/metrics over
-    individually-checked operators) were demoted to make room. Everything
-    after passed the driver check in rounds 1-3."""
+    overlap). The window is FULL: the round-4 queries just past it
+    (heavy_hitters_by, budget_select, hll_set_ops, bloom_join, pagerank,
+    decayed_engagement, seasonal_anomaly, term_label_pmi, jaccard_prefix,
+    cosine_pairs, weighted_sample, triangle_count, association_lift,
+    blocked_linkage, plus demoted winnowing/zorder) rotate into round 5's
+    window — ALL are verified at BOTH sf0.01 and sf0.1 by
+    tools/check_oracles.py; kmeans (rows-only by design), corpus_prep and
+    lsh_recall (compositions/metrics over individually-checked operators)
+    were demoted to make room. Everything after passed the driver check
+    in rounds 1-3."""
     return {
         # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,
@@ -1519,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "association_lift": q_association_lift,
         "blocked_linkage": q_blocked_linkage,
+        "variant_json": R.variant_json,
+        "lateral_topn": R.lateral_topn,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -3564,6 +3570,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ma ON p.item_a = ma.i
             JOIN m mb ON p.item_b = mb.i
             CROSS JOIN nb
+        """,
+        "variant_json": """
+            SELECT event_type,
+                   count(CAST(props->>'$.k' AS INT))::BIGINT AS n_with_k,
+                   sum(CAST(props->>'$.k' AS INT))::BIGINT AS sum_k,
+                   sum(CASE WHEN CAST(props->>'$.k' AS INT) > 50 THEN 1 ELSE 0 END)::BIGINT AS n_high
+            FROM events GROUP BY event_type
+        """,
+        "lateral_topn": """
+            SELECT r.r_name AS region_name, t.nation_name, t.n_customers
+            FROM region r,
+            LATERAL (
+                SELECT n.n_name AS nation_name, count(c.c_custkey) AS n_customers
+                FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_regionkey = r.r_regionkey
+                GROUP BY n.n_name
+                ORDER BY n_customers DESC, nation_name
+                LIMIT 2
+            ) t
         """,
         "blocked_linkage": f"""
             SELECT a.c_nationkey, a.c_mktsegment,

@@ -141,5 +141,23 @@ psi = SKT.psi_drift(hist_q, batch_q, "q", 0.0, 1.0, bins=16).collect()[0]
 band = "stable" if psi["psi"] < 0.1 else ("drifting" if psi["psi"] < 0.25 else "shifted")
 print(f"quality drift PSI: {psi['psi']} -> {band}")
 
+# 8. Vocabulary audit: which terms are distinctive of each language —
+#    doc-presence PMI over the kept corpus. A training pipeline uses the
+#    same statistic to sanity-check that a "German" shard actually
+#    carries German-distinctive vocabulary (here the synthetic text is
+#    language-agnostic, so weak associations are the EXPECTED finding).
+from semantic_index_spark.operators import text_analysis as TA
+
+pmi = TA.term_label_pmi(kept, label_col="lang", min_count=10)
+strongest = pmi.orderBy(F.desc("pmi"), "tok").limit(3).collect()
+print("strongest term-language associations:",
+      [(r["label"], r["tok"], r["pmi"]) for r in strongest])
+
+# 9. Budget the final corpus reproducibly: weight-proportional sample
+#    without replacement (longer docs more likely, md5-deterministic —
+#    the same docs win on every engine and every rerun).
+sample = SK.weighted_sample(kept, "doc_id", "n_chars", 25)
+print("weighted sample:", sample.count(), "docs; stable across reruns")
+
 spark.stop()
 print("corpus pipeline complete.")

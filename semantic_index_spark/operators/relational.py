@@ -664,3 +664,51 @@ def upsert_update_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = d.select("doc_id", "text").join(new.select("doc_id"), "doc_id", "left_anti")
     return old.unionByName(new)
+
+
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured data: ``parse_json``
+    ONCE into the binary variant encoding, then typed ``variant_get``
+    extractions — at scale this beats per-field ``get_json_object``
+    (which re-parses the string for every field) and is the open-format
+    answer to a JSON column you query repeatedly. The aggregate mirrors
+    the relational shape so the oracle replays it over DuckDB's JSON
+    operators."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("_v")
+    ).select(
+        "event_type",
+        F.try_variant_get("_v", "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_high"),
+    )
+
+
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join through the SQL front door: each region's
+    top-2 nations by customer count, pulled by a per-row dependent
+    subquery with ORDER BY + LIMIT. Catalyst plans the de-correlated
+    form (window/join family), not a per-region re-execution — the same
+    discipline as the scalar/EXISTS subquery rows. Deterministic tiebreak
+    on the name."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_lt")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lt")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name, t.nation_name, t.n_customers
+        FROM region_lt r,
+        LATERAL (
+            SELECT n.n_name AS nation_name, count(c.c_custkey) AS n_customers
+            FROM nation_lt n JOIN customer_lt c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, nation_name
+            LIMIT 2
+        ) t
+        """
+    )

@@ -254,6 +254,11 @@ AUDITS = {
     # block columns (the id inequality + length band ride as post-filters)
     # — never a nested loop over the table.
     "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # correlated LATERAL (ORDER BY + LIMIT): must de-correlate to the
+    # WindowGroupLimit top-n family, never a per-outer-row re-execution.
+    "lateral_topn": {"expect": ["WindowGroupLimit"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # variant path: parse once, typed extraction, one partial-agg shuffle.
+    "variant_json": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
 }
 
 
