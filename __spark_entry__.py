@@ -1525,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_linkage": q_blocked_linkage,
         "variant_json": R.variant_json,
         "lateral_topn": R.lateral_topn,
+        "calendar_spine": R.calendar_spine,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -3589,6 +3590,26 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY n_customers DESC, nation_name
                 LIMIT 2
             ) t
+        """,
+        "calendar_spine": """
+            WITH RECURSIVE bounds AS (
+                SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+                FROM events
+            ),
+            days AS (
+                SELECT lo AS d, hi FROM bounds
+                UNION ALL
+                SELECT d + 1, hi FROM days WHERE d < hi
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            counts AS (
+                SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+                FROM events WHERE value > 480 GROUP BY 1, 2
+            )
+            SELECT days.d AS bucket_date, types.event_type,
+                   coalesce(counts.n, 0)::BIGINT AS n
+            FROM days CROSS JOIN types
+            LEFT JOIN counts ON counts.d = days.d AND counts.event_type = types.event_type
         """,
         "blocked_linkage": f"""
             SELECT a.c_nationkey, a.c_mktsegment,

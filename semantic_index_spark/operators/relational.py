@@ -712,3 +712,36 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+def calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine via a RECURSIVE CTE (Spark 4 SQL): generate
+    every day between the data's min and max date, cross with the event
+    types, and zero-fill the (day, type) buckets that have no qualifying
+    events — the gap-filling step every "detect silent days" monitor
+    needs (observed-bucket aggregations silently skip them; see
+    ``timeseries.seasonal_anomaly``'s caveat). The rare-event filter makes
+    real zeros at test scale. The recursion is driver-cheap (one row per
+    day); the counts side is an ordinary pruned partial aggregation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_cs")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT min(to_date(ts)) AS lo, max(to_date(ts)) AS hi FROM events_cs
+        ),
+        days AS (
+            SELECT lo AS d, hi FROM bounds
+            UNION ALL
+            SELECT date_add(d, 1), hi FROM days WHERE d < hi
+        ),
+        types AS (SELECT DISTINCT event_type FROM events_cs),
+        counts AS (
+            SELECT to_date(ts) AS d, event_type, count(*) AS n
+            FROM events_cs WHERE value > 480 GROUP BY 1, 2
+        )
+        SELECT days.d AS bucket_date, types.event_type,
+               CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+        FROM days CROSS JOIN types
+        LEFT JOIN counts ON counts.d = days.d AND counts.event_type = types.event_type
+        """
+    )

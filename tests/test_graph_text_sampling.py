@@ -403,3 +403,20 @@ def test_blocked_linkage_length_band_prunes(spark):
     rows = [(1, "ab", "X"), (2, "abcdefgh", "X")]
     df = spark.createDataFrame(rows, ["id", "name", "region"])
     assert D.blocked_linkage(df, "id", "name", ["region"], max_dist=2).count() == 0
+
+
+# ------------------------------------------------ recursive calendar
+
+
+def test_calendar_spine_dense_grid_with_zeros(spark, sf_dir):
+    from semantic_index_spark.operators import relational as R
+
+    rows = R.calendar_spine(spark, sf_dir).collect()
+    days = {r["bucket_date"] for r in rows}
+    types = {r["event_type"] for r in rows}
+    # dense: every (day, type) cell present exactly once
+    assert len(rows) == len(days) * len(types)
+    # the spine is contiguous (no missing days between min and max)
+    assert (max(days) - min(days)).days + 1 == len(days)
+    # rare-event filter manufactures real zero cells at test scale
+    assert any(r["n"] == 0 for r in rows)
