@@ -468,3 +468,81 @@ def read_moments(spark, path: str) -> DataFrame:
         mean.alias("mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
     )
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run here: its
+    state-server protocol imports google.protobuf descriptors at query
+    start (see stateful_processor_api_client), so a missing/broken
+    protobuf crashes the streaming Python runner — detect it up front."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — Spark
+    4's processor-based stateful API (the successor to
+    ``applyInPandasWithState``): typed state handles created in ``init``,
+    per-key Arrow-batched ``handleInputRows``, explicit ``close``. Same
+    semantics as :func:`stateful_user_totals` (cumulative count + value
+    total per user, update-mode emission) so the two APIs are directly
+    comparable — and the parity test pins them to each other.
+
+    Scale posture is identical: O(1) ValueState per key, keys hash-
+    partitioned across executors, each micro-batch touches only its own
+    keys. Prefer this API for new work: timers, TTL state, list/map state
+    and state schema evolution only exist here.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBState
+    StoreProvider``) and the ``protobuf`` package — the processor talks
+    to the JVM state server over a protobuf protocol.
+    :func:`tws_available` reports whether this environment can run it;
+    the parity test skips (with the reason) when it can't."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -562,3 +562,32 @@ def test_moments_sink_matches_batch_stats(spark, events_dir, events_batch, tmp_p
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
         assert abs(got[k][2] - want[k][2]) < 1e-6
+
+
+@pytest.mark.skipif(
+    not I.tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf (state-server "
+    "protocol), absent in this environment — operator is capability-gated",
+)
+def test_stateful_tws_matches_batch_and_legacy_api(spark, events_dir, events_batch):
+    """transformWithStateInPandas (Spark 4 processor API): final per-user
+    state equals the batch groupBy totals — and therefore equals the
+    applyInPandasWithState implementation it succeeds."""
+    out = _run_to_memory(
+        I.stateful_user_stats_tws(_stream(spark, events_dir, events_batch)),
+        "t_tws", "update", spark,
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, tv) in expected.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - tv) < 1e-6
