@@ -352,3 +352,69 @@ def test_capped_top_n_identical_to_direct_window(spark, rows, n, salt_n):
         .filter(F.col("_rn") <= n).select("g", "score", "uid").collect()
     )
     assert got == want
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(texts=docs_strategy, threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]))
+@settings(**SETTINGS)
+def test_jaccard_prefix_join_lossless_on_random_docs(spark, texts, threshold):
+    """Prefix filtering must equal the brute-force O(N²) Jaccard
+    definition on arbitrary token multisets — including empty strings,
+    repeated tokens, and exact-threshold boundary pairs."""
+    from semantic_index_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        rows = [(0, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_join(df, threshold=threshold).collect()
+    }
+    # independent reference: pure-Python set Jaccard over the same
+    # tokenization (lower/strip, whitespace split — split('') == [''])
+    import re
+
+    def toks(t):
+        return set(re.split(r"\s+", t.strip().lower()))
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                ta, tb = toks(a), toks(b)
+                inter = len(ta & tb)
+                jac = round(inter / (len(ta) + len(tb) - inter), 6)
+                if jac >= threshold:
+                    want[(i, j)] = jac
+    assert got == want
+
+
+@given(
+    weights=st.lists(st.integers(min_value=-2, max_value=40), min_size=1, max_size=10),
+    n=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_matches_python_reference(spark, weights, n):
+    """Top-n by u^(1/w) with md5-derived u: exact agreement with an
+    independent Python implementation; non-positive weights never win."""
+    import hashlib
+
+    from semantic_index_spark.operators import skew as SK
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in SK.weighted_sample(df, "id", "w", n).collect()]
+    keys = {}
+    for i, w in rows:
+        if w > 0:
+            h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+            keys[i] = ((h + 1) / float(1 << 60)) ** (1.0 / w)
+    want = [k for k, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:n]]
+    assert sorted(got) == sorted(want)
