@@ -1402,6 +1402,15 @@ def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LINK_MAX_DIST = 2
+KCENTER_K = 8
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diversity-maximizing exemplar selection: greedy k-center
+    # (farthest-point) over the embeddings — iterative like kmeans, so
+    # rows-only for the driver; numpy-reference parity is pytest-asserted.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.greedy_kcenter(emb, k=KCENTER_K)
 
 
 def q_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1528,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_spine": R.calendar_spine,
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
+        "kcenter_coreset": q_kcenter_coreset,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,

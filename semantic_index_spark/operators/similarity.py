@@ -505,3 +505,64 @@ def make_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
     rng = np.random.RandomState(seed)
     return [[float(x) for x in rng.standard_normal(dim)] for _ in range(num_planes)]
+
+
+def greedy_kcenter(
+    df: DataFrame,
+    k: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    diversity-maximizing subset: start from the lowest-id vector, then k−1
+    times add the point FARTHEST from its nearest already-chosen center
+    (2-approximation of the optimal k-center cover, Gonzalez 1985). The
+    training-data use: pick a small, maximally-spread exemplar set from an
+    embedding shard — dedup's complement (dedup removes redundancy,
+    k-center SELECTS for coverage).
+
+    Same execution shape as :func:`kmeans_fit`: k driver rounds, each a
+    distributed JVM argmax of the running min-distance column against ONE
+    new broadcast-literal center (the min-distance folds incrementally —
+    round r costs one d-dim distance per row, not r of them). Only k·d
+    floats ever reach the driver; ties break on the id so the selection
+    is deterministic. Iterative → rows-only driver check; the numpy
+    reference parity is pytest-asserted.
+
+    Returns (pick_order, id, coverage_radius) — coverage_radius of pick r
+    = the max distance that triggered it (how uncovered the space still
+    was; radius 0 means the data is already covered by fewer centers).
+    """
+    first = df.select(id_col, emb_col).orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("greedy_kcenter: input DataFrame is empty")
+    picks = [(0, first[0][id_col], 0.0)]
+    center = [float(x) for x in first[0][emb_col]]
+    # running min-distance to the chosen set, folded one center per round
+    cur = df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        V.l2_distance(F.col(emb_col), F.lit(center).cast("array<double>")).alias("_d"),
+    ).localCheckpoint(eager=True)
+    for r in range(1, k):
+        far = (
+            cur.orderBy(F.desc("_d"), F.col(id_col)).limit(1).collect()
+        )
+        if not far or far[0]["_d"] <= 0.0:
+            break  # every remaining point coincides with a center
+        row = far[0]
+        picks.append((r, row[id_col], float(row["_d"])))
+        c = [float(x) for x in row[emb_col]]
+        cur = cur.select(
+            F.col(id_col),
+            F.col(emb_col),
+            F.least(
+                F.col("_d"),
+                V.l2_distance(F.col(emb_col), F.lit(c).cast("array<double>")),
+            ).alias("_d"),
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(o, i, round(d, 6)) for o, i, d in picks],
+        f"pick_order int, {id_col} bigint, coverage_radius double",
+    )

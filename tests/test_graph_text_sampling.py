@@ -420,3 +420,59 @@ def test_calendar_spine_dense_grid_with_zeros(spark, sf_dir):
     assert (max(days) - min(days)).days + 1 == len(days)
     # rare-event filter manufactures real zero cells at test scale
     assert any(r["n"] == 0 for r in rows)
+
+
+# ------------------------------------------------- greedy k-center
+
+
+def test_greedy_kcenter_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    from semantic_index_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r["pick_order"], r["vec_id"], r["coverage_radius"])
+        for r in S.greedy_kcenter(emb, k=6).orderBy("pick_order").collect()
+    ]
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    picks = [(0, int(ids[0]), 0.0)]
+    d = np.linalg.norm(X - X[0], axis=1)
+    for r in range(1, 6):
+        # argmax with min-id tiebreak (ids sorted ascending → first hit)
+        j = int(np.argmax(d))
+        best = d[j]
+        if best <= 0:
+            break
+        picks.append((r, int(ids[j]), round(float(best), 6)))
+        d = np.minimum(d, np.linalg.norm(X - X[j], axis=1))
+    assert [(o, i) for o, i, _ in got] == [(o, i) for o, i, _ in picks]
+    for (_, _, a), (_, _, b) in zip(got, picks):
+        assert abs(a - b) < 1e-5
+
+
+def test_greedy_kcenter_radius_monotone_and_diverse(spark, sf_dir):
+    from semantic_index_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.greedy_kcenter(emb, k=8).orderBy("pick_order").collect()
+    assert len({r["vec_id"] for r in rows}) == len(rows)  # no repeats
+    radii = [r["coverage_radius"] for r in rows[1:]]
+    # greedy invariant: each pick was the farthest point, so radii shrink
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_greedy_kcenter_stops_when_covered(spark):
+    from semantic_index_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = S.greedy_kcenter(df, k=3).collect()
+    # only 2 distinct locations: the third pick would have radius 0 and
+    # must not be emitted
+    assert len(rows) == 2
