@@ -1403,6 +1403,18 @@ def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINK_MAX_DIST = 2
 KCENTER_K = 8
+SH_MAX_HAMMING = 3
+SH_PAIR_BITS = 32  # 8-bit pigeonhole blocks — 16-bit signatures are too
+# dense for a meaningful hamming<=3 near-dup test (1% of RANDOM pairs hit)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lossless Hamming-≤t pair enumeration via the pigeonhole multi-index
+    # (Manku et al. WWW'07) — oracle is the brute-force O(N²) definition.
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        d, bits=SH_PAIR_BITS, max_hamming=SH_MAX_HAMMING
+    )
 
 
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "kcenter_coreset": q_kcenter_coreset,
+        "simhash_pairs": q_simhash_pairs,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
@@ -1688,6 +1701,14 @@ def oracle_sql() -> dict[str, str]:
     simhash_recombine = " + ".join(
         f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
         for b in range(SIMHASH_BITS)
+    )
+    sh_pair_bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SH_PAIR_BITS)
+    )
+    sh_pair_recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SH_PAIR_BITS)
     )
 
     return {
@@ -2806,6 +2827,18 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "simhash_pairs": f"""
+            -- brute-force ground truth: the Spark side prunes with the
+            -- pigeonhole block index, which is LOSSLESS for hamming<=t
+            WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+            hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
+            bits AS (SELECT doc_id, {sh_pair_bit_sums} FROM hashed GROUP BY doc_id),
+            sig AS (SELECT doc_id, {sh_pair_recombine} AS simhash FROM bits)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {SH_MAX_HAMMING}
         """,
         "ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),

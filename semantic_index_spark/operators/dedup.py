@@ -881,3 +881,74 @@ def blocked_linkage(
         .filter(F.col("dist") >= 0)
         .select(*block_cols, "id_a", "id_b", "dist")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ALL pairs within Hamming distance ``max_hamming`` of each other's
+    SimHash — found WITHOUT an all-pairs join, losslessly, by the
+    pigeonhole multi-index (the production simhash-dedup layout from
+    Manku et al., WWW'07 "Detecting near-duplicates for web crawling"):
+    split the ``bits``-bit signature into ``max_hamming + 1`` blocks; two
+    signatures within distance t must agree EXACTLY on at least one block
+    (t differing bits cannot touch all t+1 blocks), so an equi-join per
+    block enumerates a candidate superset and a JVM popcount verifies the
+    true distance. Like :func:`jaccard_prefix_join`, the pruning is
+    provable — the oracle is the literal O(N²) definition and must match
+    row-for-row.
+
+    Cost: Σ per-block bucket² — random signatures spread across 2^(bits/
+    (t+1)) buckets per block; near-constant text (one mega-bucket) is the
+    skew case, handled the usual way (drop or salt buckets past a cap —
+    such buckets are all-duplicates anyway). Returns
+    (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_blocks = max_hamming + 1
+    width = (bits + n_blocks - 1) // n_blocks
+    sig = simhash(df, text_col, id_col, bits)
+    mask = (1 << width) - 1
+    blocks = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.block_idx", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -476,3 +476,34 @@ def test_greedy_kcenter_stops_when_covered(spark):
     # only 2 distinct locations: the third pick would have radius 0 and
     # must not be emitted
     assert len(rows) == 2
+
+
+# ------------------------------------------- simhash pigeonhole pairs
+
+
+def test_simhash_hamming_pairs_lossless_vs_brute_force(spark, sf_dir):
+    """Pigeonhole block pruning must equal brute-force Hamming filtering —
+    zero false negatives by the pigeonhole principle."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_hamming_pairs(docs, bits=32, max_hamming=3).collect()
+    }
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=32).collect()}
+    ids = sorted(sig)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+
+
+def test_simhash_hamming_pairs_zero_distance_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x y z w q r s t")],
+        ["doc_id", "text"],
+    )
+    out = D.simhash_hamming_pairs(docs, bits=32, max_hamming=2).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} == {(1, 2, 0)}

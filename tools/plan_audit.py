@@ -254,6 +254,9 @@ AUDITS = {
     # block columns (the id inequality + length band ride as post-filters)
     # — never a nested loop over the table.
     "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # pigeonhole simhash pairs: block equi-join candidates + JVM popcount
+    # verify — never an all-pairs join.
+    "simhash_pairs": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # correlated LATERAL (ORDER BY + LIMIT): must de-correlate to the
     # WindowGroupLimit top-n family, never a per-outer-row re-execution.
     "lateral_topn": {"expect": ["WindowGroupLimit"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
