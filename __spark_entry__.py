@@ -1417,6 +1417,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Johnson–Lindenstrauss random projection onto the shared fixed
+    # planes: map-only codegen dim reduction (operators/linalg.py).
+    from semantic_index_spark.operators import linalg as LA
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return LA.random_projection(emb, PLANES).select(
+        "vec_id", *[f"rp{i}" for i in range(len(PLANES))]
+    )
+
+
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversity-maximizing exemplar selection: greedy k-center
     # (farthest-point) over the embeddings — iterative like kmeans, so
@@ -1551,6 +1562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "kcenter_coreset": q_kcenter_coreset,
         "simhash_pairs": q_simhash_pairs,
+        "rp_project": q_rp_project,
+        "group_regression": R.group_regression,
+        "token_entropy": R.token_entropy,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
@@ -2827,6 +2841,31 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "rp_project": f"""
+            SELECT vec_id,
+                   {", ".join(f"round({_duck_dot('embedding', _duck_plane_lit(p))}, 6) AS rp{i}" for i, p in enumerate(PLANES))}
+            FROM embeddings
+        """,
+        "group_regression": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   round(regr_slope(value, epoch_us(ts) / 1000000.0) * 86400.0, 6) AS slope_per_day,
+                   round(regr_intercept(value, epoch_us(ts) / 1000000.0), 2) AS intercept,
+                   round(corr(value, epoch_us(ts) / 1000000.0), 6) AS pearson_r
+            FROM events GROUP BY event_type
+        """,
+        "token_entropy": f"""
+            WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+            wt AS (
+                SELECT doc_id, c,
+                       c::DOUBLE / sum(c) OVER (PARTITION BY doc_id) AS p
+                FROM tf
+            )
+            SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   round(sum(-p * ln(p)), 6) AS entropy
+            FROM wt GROUP BY doc_id
         """,
         "simhash_pairs": f"""
             -- brute-force ground truth: the Spark side prunes with the

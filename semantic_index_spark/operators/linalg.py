@@ -154,3 +154,29 @@ def pca_project(
             p = p - F.lit(float(sum(m * ci for m, ci in zip(mean, c))))
         cols.append(p)
     return df.withColumn(out, F.array(*cols))
+
+
+def random_projection(
+    df: DataFrame,
+    planes: list[list[float]],
+    emb_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map each embedding onto k
+    fixed random directions — dimensionality reduction at SCAN speed, no
+    training pass, no shuffle, no state. The JL lemma bounds pairwise-
+    distance distortion at O(sqrt(ln N / k)), which is why this is the
+    standard cheap pre-step when PCA's covariance pass (see
+    :func:`covariance_entries`) is not worth a corpus scan: the planes
+    are literals baked into the projection expressions, so the whole
+    operator is a map-only codegen projection that composes with any
+    downstream ANN/clustering operator. Appends rp0..rp{k-1}."""
+    from semantic_index_spark.functions import vector as V
+
+    return df.select(
+        "*",
+        *[
+            F.round(V.dot_literal(F.col(emb_col), p), decimals).alias(f"rp{i}")
+            for i, p in enumerate(planes)
+        ],
+    )

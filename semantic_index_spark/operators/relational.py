@@ -745,3 +745,55 @@ def calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN counts ON counts.d = days.d AND counts.event_type = types.event_type
         """
     )
+
+
+def group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS via the built-in linear-regression
+    aggregates (`regr_slope`/`regr_intercept`/`corr` — one partial-agg
+    pass computing the Σx/Σy/Σxy/Σx² sufficient statistics map-side, the
+    same mergeable-moments shape as the streaming moments sink): trend of
+    event value over time per event type. The "is this metric drifting"
+    regression every monitoring pipeline fits — without collecting
+    anything."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("timestamp").cast("double")
+    return (
+        ev.select(
+            "event_type", x.alias("x"), F.col("value").alias("y")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("y").cast("bigint").alias("n"),
+            F.round(F.expr("regr_slope(y, x)") * 86400.0, 6).alias("slope_per_day"),
+            F.round(F.expr("regr_intercept(y, x)"), 2).alias("intercept"),
+            F.round(F.corr("y", "x"), 6).alias("pearson_r"),
+        )
+    )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the within-doc token distribution —
+    the information-density signal quality filters use (boilerplate and
+    keyword-stuffed spam score low; natural prose scores near the
+    vocabulary bound). Token frequencies explode → per-(doc, tok) counts
+    → one -Σ p·ln p fold per doc: two keyed aggregations, both partial-
+    aggregated map-side, no Python anywhere."""
+    from semantic_index_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.col("doc_id"), F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(tot).cast("double")
+    return (
+        tf.withColumn("_term", -p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(F.sum("_term"), 6).alias("entropy"),
+        )
+    )

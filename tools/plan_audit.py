@@ -254,6 +254,13 @@ AUDITS = {
     # block columns (the id inequality + length band ride as post-filters)
     # — never a nested loop over the table.
     "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # JL random projection: map-only codegen, no shuffle/join/sort.
+    "rp_project": {"forbid": ["Exchange", "Join", "Sort"]},
+    # per-group OLS: ONE partial-agg pass over mergeable sufficient stats.
+    "group_regression": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # entropy: two keyed aggs (tf, then the -sum p ln p fold) + a window
+    # re-keyed on the doc — never a join, never a corpus re-scan.
+    "token_entropy": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
     # pigeonhole simhash pairs: block equi-join candidates + JVM popcount
     # verify — never an all-pairs join.
     "simhash_pairs": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
