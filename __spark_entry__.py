@@ -1417,6 +1417,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KANON_K = 5
+DP_EPSILON = 0.5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # release audit: which (nation, segment, balance-band) quasi-
+    # identifier combos re-identify (< k rows) in the customer
+    # projection (privacy.py).
+    from semantic_index_spark.operators import privacy as PV
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return PV.k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=KANON_K
+    )
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Laplace count release with md5-deterministic noise (privacy.py —
+    # the determinism is the test-mode caveat, documented in the op).
+    from semantic_index_spark.operators import privacy as PV
+
+    ev = load_table(spark, sf_dir, "events")
+    return PV.dp_noisy_counts(ev, "event_type", epsilon=DP_EPSILON)
+
+
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Johnson–Lindenstrauss random projection onto the shared fixed
     # planes: map-only codegen dim reduction (operators/linalg.py).
@@ -1565,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project": q_rp_project,
         "group_regression": R.group_regression,
         "token_entropy": R.token_entropy,
+        "k_anonymity": q_k_anonymity,
+        "dp_noisy_counts": q_dp_noisy_counts,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
@@ -2841,6 +2870,31 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "k_anonymity": f"""
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 1000)::INT AS bal_band,
+                   count(*)::BIGINT AS group_size
+            FROM customer
+            GROUP BY 1, 2, 3
+            HAVING count(*) < {KANON_K}
+        """,
+        "dp_noisy_counts": f"""
+            WITH n AS (
+                SELECT event_type, count(*) AS c FROM events GROUP BY 1
+            ),
+            u AS (
+                SELECT event_type, c,
+                       ({_DUCK_MD5_BIGINT.format(expr="'dp:' || event_type")} + 1)
+                       / {float(1 << 60)!r} AS u
+                FROM n
+            )
+            SELECT event_type,
+                   greatest(round(c + (-(1.0 / {DP_EPSILON!r})
+                                       * sign(u - 0.5)
+                                       * ln(1.0 - 2.0 * abs(u - 0.5)))),
+                            0)::BIGINT AS noisy_count
+            FROM u
         """,
         "rp_project": f"""
             SELECT vec_id,

@@ -507,3 +507,40 @@ def test_simhash_hamming_pairs_zero_distance_duplicates(spark):
     )
     out = D.simhash_hamming_pairs(docs, bits=32, max_hamming=2).collect()
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in out} == {(1, 2, 0)}
+
+
+# ---------------------------------------------------------- privacy
+
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    from semantic_index_spark.operators import privacy as PV
+
+    rows = [(1, "A", "x")] * 5 + [(2, "B", "y")] * 2
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (_, a, b) in enumerate(rows)], ["id", "qa", "qb"]
+    )
+    out = PV.k_anonymity_audit(df, ["qa", "qb"], k=5).collect()
+    assert [(r["qa"], r["qb"], r["group_size"]) for r in out] == [("B", "y", 2)]
+
+
+def test_dp_noisy_counts_matches_python_reference_and_clamps(spark):
+    from semantic_index_spark.operators import privacy as PV
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 1, ["k"]
+    )
+    eps = 0.5
+    got = {r["k"]: r["noisy_count"] for r in PV.dp_noisy_counts(df, "k", eps).collect()}
+    for key, true_n in [("a", 100), ("b", 1)]:
+        want = max(0, round(true_n + PV._py_laplace_noise(key, eps)))
+        assert got[key] == want
+        assert got[key] >= 0
+
+
+def test_dp_expected_error_scales_inversely_with_epsilon(spark):
+    from semantic_index_spark.operators import privacy as PV
+
+    assert PV.expected_abs_error(1.0) == 1.0
+    assert PV.expected_abs_error(0.1) == 10.0
+    with pytest.raises(ValueError):
+        PV.laplace_scale(0.0)

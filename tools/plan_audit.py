@@ -254,6 +254,10 @@ AUDITS = {
     # block columns (the id inequality + length band ride as post-filters)
     # — never a nested loop over the table.
     "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # k-anonymity: one combo-bounded partial-agg groupBy + HAVING.
+    "k_anonymity": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # DP release: per-group count + map-side noise arithmetic — no joins.
+    "dp_noisy_counts": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
     # JL random projection: map-only codegen, no shuffle/join/sort.
     "rp_project": {"forbid": ["Exchange", "Join", "Sort"]},
     # per-group OLS: ONE partial-agg pass over mergeable sufficient stats.
