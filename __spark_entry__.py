@@ -1594,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": R.token_entropy,
         "k_anonymity": q_k_anonymity,
         "dp_noisy_counts": q_dp_noisy_counts,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "session_paths": R.session_paths,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
@@ -2870,6 +2872,36 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   extract(year FROM l_shipdate)::INT AS ship_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "session_paths": """
+            WITH firstk AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            paths AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM firstk WHERE rn <= 3 GROUP BY user_id
+            )
+            SELECT path, count(*)::BIGINT AS n_users FROM paths GROUP BY path
         """,
         "k_anonymity": f"""
             SELECT c_nationkey, c_mktsegment,

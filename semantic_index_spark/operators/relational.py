@@ -797,3 +797,66 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_term"), 6).alias("entropy"),
         )
     )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: revenue shipped between two
+    specific nations per (supplier nation, customer nation, year).
+    Exercises a DOUBLE dimension role (nation joined twice under two
+    aliases) plus the cross-pair disjunction — both nation sides
+    broadcast, the only shuffles are the fact-fact join and the final
+    rollup. The nation filter reaches both broadcast builds so the fact
+    side is pre-pruned by the runtime join filters."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rev_pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def session_paths(spark: SparkSession, sf_dir: str, depth: int = 3) -> DataFrame:
+    """User-journey path mining: each user's first ``depth`` event types
+    in time order, concatenated into a path string, counted across users
+    — "what do people do first" funnels without pre-declared steps. One
+    keyed window (rank within user) + one path groupBy, both partial-
+    aggregable; ties at identical timestamps break on event_id so the
+    path is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        ev.filter(F.col("user_id").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= depth)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(F.sort_array(F.collect_list(F.struct("_rn", "event_type"))), lambda s: s["event_type"])
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").cast("bigint").alias("n_users"))

@@ -254,6 +254,11 @@ AUDITS = {
     # block columns (the id inequality + length band ride as post-filters)
     # — never a nested loop over the table.
     "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # Q7: double-role dimension (nation aliased twice) — all dims
+    # broadcast; only the fact-fact join and final rollup shuffle.
+    "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # path mining: one keyed window + one path groupBy — no join.
+    "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # k-anonymity: one combo-bounded partial-agg groupBy + HAVING.
     "k_anonymity": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
     # DP release: per-group count + map-side noise arithmetic — no joins.
