@@ -418,3 +418,32 @@ def test_weighted_sample_matches_python_reference(spark, weights, n):
             keys[i] = ((h + 1) / float(1 << 60)) ** (1.0 / w)
     want = [k for k, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:n]]
     assert sorted(got) == sorted(want)
+
+
+def test_empty_inputs_through_round4_operators(spark):
+    """Round-4 operators are total on empty inputs too."""
+    from semantic_index_spark.operators import dedup as D
+    from semantic_index_spark.operators import graph as G
+    from semantic_index_spark.operators import mining as MN
+    from semantic_index_spark.operators import privacy as PV
+    from semantic_index_spark.operators import skew as SK
+    from semantic_index_spark.operators import text_analysis as TA
+    from semantic_index_spark.operators import timeseries as TS
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    ev = spark.createDataFrame([], "ts timestamp, value double, event_type string")
+    baskets = spark.createDataFrame([], "b long, i string")
+    assert G.pagerank(edges, iterations=2).count() == 0
+    assert G.triangle_count(edges).collect()[0]["n_triangles"] == 0
+    assert MN.association_lift(baskets, "b", "i").count() == 0
+    assert D.jaccard_prefix_join(docs, threshold=0.5).count() == 0
+    assert D.cosine_allpairs_tfidf(docs, threshold=0.5).count() == 0
+    assert D.simhash_hamming_pairs(docs, bits=16, max_hamming=2).count() == 0
+    assert D.blocked_linkage(docs, "doc_id", "text", ["lang"]).count() == 0
+    assert TA.term_label_pmi(docs, min_count=1).count() == 0
+    assert TS.time_decayed_sum(ev, "ts", "value", "event_type", 7.0).count() == 0
+    assert TS.seasonal_anomaly(ev, "ts", "event_type").count() == 0
+    assert SK.weighted_sample(docs, "doc_id", "doc_id", 5).count() == 0
+    assert PV.k_anonymity_audit(docs, ["lang"], k=3).count() == 0
+    assert PV.dp_noisy_counts(ev, "event_type").count() == 0
