@@ -1419,6 +1419,32 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KANON_K = 5
 DP_EPSILON = 0.5
+FH_DIM = 64
+NSW_POWER, NSW_TOP = 0.75, 100
+COOC_WINDOW, COOC_MIN_PAIRS = 2, 5
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashing-trick features: unbounded vocab → fixed 64-bucket sparse
+    # space, no vocabulary table (text_analysis.py).
+    d = load_table(spark, sf_dir, "documents")
+    return TA.feature_hashing(d, dim=FH_DIM)
+
+
+def q_neg_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word2vec negative-sampling head: unigram^0.75 distribution
+    # (text_analysis.py).
+    d = load_table(spark, sf_dir, "documents")
+    return TA.negative_sampling_weights(d, power=NSW_POWER, top_n=NSW_TOP)
+
+
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GloVe-style windowed co-occurrence PMI: forward-offset explode,
+    # never a corpus self-join on position (text_analysis.py).
+    d = load_table(spark, sf_dir, "documents")
+    return TA.word_cooccurrence_pmi(
+        d, window=COOC_WINDOW, min_pairs=COOC_MIN_PAIRS
+    )
 
 
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1596,6 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts": q_dp_noisy_counts,
         "q7_volume_shipping": R.q7_volume_shipping,
         "session_paths": R.session_paths,
+        "feature_hashing": q_feature_hashing,
+        "neg_sampling_weights": q_neg_sampling_weights,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
@@ -2872,6 +2901,53 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "feature_hashing": f"""
+            WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+            SELECT doc_id,
+                   ({_duck_md5_bigint("'fh:' || tok")} % {FH_DIM})::INT AS bucket,
+                   count(*)::BIGINT AS n
+            FROM tok GROUP BY 1, 2
+        """,
+        "neg_sampling_weights": f"""
+            WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents),
+            c AS (SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+            z AS (SELECT sum(pow(n::DOUBLE, {NSW_POWER!r})) AS z FROM c)
+            SELECT tok, n, round(pow(n::DOUBLE, {NSW_POWER!r}) / z.z, 6) AS prob
+            FROM c CROSS JOIN z
+            ORDER BY n DESC, tok LIMIT {NSW_TOP}
+        """,
+        "cooccurrence_pmi": f"""
+            WITH d AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            tok AS (
+                SELECT doc_id, (generate_subscripts(t, 1) - 1)::INT AS pos,
+                       unnest(t) AS tok
+                FROM d
+            ),
+            pairs AS (
+                SELECT least(a.tok, b.tok) AS tok_a,
+                       greatest(a.tok, b.tok) AS tok_b,
+                       count(*)::BIGINT AS n_ab
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + {COOC_WINDOW}
+                GROUP BY 1, 2
+            ),
+            marg AS (
+                SELECT tok, sum(n_ab)::BIGINT AS n_t FROM (
+                    SELECT tok_a AS tok, n_ab FROM pairs
+                    UNION ALL SELECT tok_b, n_ab FROM pairs
+                ) GROUP BY tok
+            ),
+            tot AS (SELECT sum(n_ab) AS t FROM pairs)
+            SELECT p.tok_a, p.tok_b, p.n_ab,
+                   round(ln(p.n_ab::DOUBLE * tot.t::DOUBLE
+                            / (ma.n_t::DOUBLE * mb.n_t::DOUBLE)), 6) AS pmi
+            FROM pairs p
+            JOIN marg ma ON p.tok_a = ma.tok
+            JOIN marg mb ON p.tok_b = mb.tok
+            CROSS JOIN tot
+            WHERE p.n_ab >= {COOC_MIN_PAIRS}
         """,
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -551,3 +551,144 @@ def heavy_hitters_by(
     return capped_top_n(
         counts, [by], [F.col("n").desc(), F.col("tok").asc()], n=top_n, salt_n=salt_n
     )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): map tokens into a fixed
+    ``dim``-bucket feature space with a portable hash — unbounded
+    vocabulary becomes a fixed-width sparse vector with NO vocabulary
+    table, no fit pass, and no train/serve skew (the hash IS the
+    vocabulary). Long-form output (id, bucket, n) — the sparse layout
+    downstream trainers consume; densify per partition if a model needs
+    arrays. One explode + one partial-agg groupBy."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+        .withColumn("bucket", F.pmod(T.md5_bigint("tok", salt="fh:"), F.lit(dim)).cast("int"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def negative_sampling_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    power: float = 0.75,
+    top_n: int = 100,
+) -> DataFrame:
+    """word2vec-style negative-sampling distribution: unigram counts
+    raised to ``power`` (0.75 flattens the head so frequent words don't
+    monopolize the negatives), normalized to probabilities. The word-count
+    shape — explode, partial-agg, one |vocab| shuffle — plus a bounded
+    top-n (count DESC, token ASC) so the emitted table is the sampling
+    head a trainer actually materializes. Returns (tok, n, prob)."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    counts = (
+        ensure_parallelism(docs)
+        .select(F.explode(T.tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(power))).alias("_z")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.round(
+                F.pow(F.col("n").cast("double"), F.lit(power)) / F.col("_z"), 6
+            ).alias("prob"),
+        )
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_n)
+    )
+
+
+def word_cooccurrence_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Distributional co-occurrence PMI (the GloVe/word2vec training
+    statistic): for token pairs within ±``window`` positions,
+    pmi = ln(n_ab·T / (n_a·n_b)) over co-occurrence totals. The pair
+    enumeration never self-joins the corpus: each token row explodes to
+    its ≤``window`` FORWARD offsets in-JVM (backward pairs are the same
+    pairs seen from the other side; pairs are canonicalized a ≤ b), so
+    the fan-out is exactly window× the token count. Marginals come from a
+    window-sum over the pair table — one corpus scan total. ``min_pairs``
+    floors the tail. Returns (tok_a, tok_b, n_ab, pmi)."""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col), F.posexplode(T.tokens(text_col)).alias("pos", "tok")
+    )
+    ahead = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos2"),
+        F.col("tok").alias("t1"),
+    )
+    other = toks.select(
+        F.col(id_col).alias("_id2"), F.col("pos").alias("pos2"), F.col("tok").alias("t2")
+    )
+    pairs = (
+        ahead.join(
+            other,
+            (F.col(id_col) == F.col("_id2")) & (ahead["pos2"] == other["pos2"]),
+        )
+        .select(
+            F.least("t1", "t2").alias("tok_a"),
+            F.greatest("t1", "t2").alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    # marginals: how often each token participates in ANY pair — derived
+    # from the pair table itself (window sums over each side), then the
+    # grand total; no second corpus pass
+    tot = pairs.agg(F.sum("n_ab").alias("_t"))
+    # a token's participation = pairs where it is side a (+ side b): two
+    # window sums re-keyed on each side
+    side_a = pairs.select(F.col("tok_a").alias("tok"), F.col("n_ab"))
+    side_b = pairs.select(F.col("tok_b").alias("tok"), F.col("n_ab"))
+    marg = (
+        side_a.unionByName(side_b)
+        .groupBy("tok")
+        .agg(F.sum("n_ab").cast("bigint").alias("n_t"))
+    )
+    ma = marg.select(F.col("tok").alias("tok_a"), F.col("n_t").alias("_na"))
+    mb = marg.select(F.col("tok").alias("tok_b"), F.col("n_t").alias("_nb"))
+    return (
+        pairs.filter(F.col("n_ab") >= min_pairs)
+        .join(ma, "tok_a")
+        .join(mb, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("_t").cast("double")
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -259,6 +259,14 @@ AUDITS = {
     "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # path mining: one keyed window + one path groupBy — no join.
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # hashing trick: explode + ONE partial-agg shuffle, no vocab join.
+    "feature_hashing": {"expect": ["HashAggregate", "Generate"], "forbid": ["Join", "Sort"]},
+    # negative-sampling head: word-count shape + bounded top-n.
+    "neg_sampling_weights": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": ["SortMergeJoin", "CartesianProduct"]},
+    # co-occurrence: forward-offset explode + positional equi-join —
+    # fan-out is window×tokens, never a corpus position self-join blow-up.
+    # (The BNLJ is the 1-row grand-total crossJoin — 1×N by construction.)
+    "cooccurrence_pmi": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     # k-anonymity: one combo-bounded partial-agg groupBy + HAVING.
     "k_anonymity": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
     # DP release: per-group count + map-side noise arithmetic — no joins.
