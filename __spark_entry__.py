@@ -1419,6 +1419,36 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KANON_K = 5
 DP_EPSILON = 0.5
+SURV_CENSOR_DAYS = 7.0
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan–Meier over user lifetimes with right-censoring near the
+    # dataset horizon (operators/stats.py).
+    from semantic_index_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    return ST.survival_curve(ev, censor_days=SURV_CENSOR_DAYS)
+
+
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A/A-shaped experiment readout: md5 hash-split arms, two-proportion
+    # z on purchase conversion (operators/stats.py).
+    from semantic_index_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    return ST.ab_test_zscore(ev)
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-governance concentration: HHI + Gini of the per-source doc
+    # distribution (operators/stats.py).
+    from semantic_index_spark.operators import stats as ST
+
+    d = load_table(spark, sf_dir, "documents")
+    return ST.concentration_index(d, "source")
+
+
 FH_DIM = 64
 NSW_POWER, NSW_TOP = 0.75, 100
 COOC_WINDOW, COOC_MIN_PAIRS = 2, 5
@@ -1625,6 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "neg_sampling_weights": q_neg_sampling_weights,
         "cooccurrence_pmi": q_cooccurrence_pmi,
+        "survival_curve": q_survival_curve,
+        "ab_test_zscore": q_ab_test_zscore,
+        "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # --- previously-green sentinels (one per family) ---
         "knn_topk": q_knn_topk,
@@ -2901,6 +2934,74 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "survival_curve": f"""
+            WITH pu AS (
+                SELECT user_id, min(ts) AS f, max(ts) AS l
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            h AS (SELECT max(l) AS e FROM pu),
+            lived AS (
+                SELECT date_diff('day', CAST(f AS DATE), CAST(l AS DATE))::INT AS t_days,
+                       (l < e - INTERVAL {int(SURV_CENSOR_DAYS)} DAY) AS died
+                FROM pu CROSS JOIN h
+            ),
+            day AS (
+                SELECT t_days,
+                       sum(CASE WHEN died THEN 1 ELSE 0 END)::BIGINT AS n_deaths,
+                       count(*)::BIGINT AS n_ending
+                FROM lived GROUP BY 1
+            ),
+            curve AS (
+                SELECT t_days, n_deaths,
+                       sum(n_ending) OVER (
+                           ORDER BY t_days
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       )::BIGINT AS n_at_risk
+                FROM day
+            )
+            SELECT t_days, n_at_risk, n_deaths,
+                   round(exp(sum(ln(1.0 - n_deaths::DOUBLE / n_at_risk))
+                             OVER (ORDER BY t_days
+                                   ROWS UNBOUNDED PRECEDING)), 6) AS survival
+            FROM curve
+        """,
+        "ab_test_zscore": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+                       CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'ab:' || CAST(user_id AS VARCHAR)")} % 2) = 0
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            ),
+            arms AS (
+                SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+                FROM pu GROUP BY 1
+            ),
+            a AS (SELECT n AS n_a, c AS c_a FROM arms WHERE arm = 'A'),
+            b AS (SELECT n AS n_b, c AS c_b FROM arms WHERE arm = 'B')
+            SELECT n_a, n_b,
+                   round(c_a / n_a, 6) AS conv_a,
+                   round(c_b / n_b, 6) AS conv_b,
+                   round(c_b / n_b - c_a / n_a, 6) AS lift,
+                   round((c_b / n_b - c_a / n_a)
+                         / nullif(sqrt(((c_a + c_b) / (n_a + n_b))
+                                       * (1 - (c_a + c_b) / (n_a + n_b))
+                                       * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS zscore
+            FROM a CROSS JOIN b
+        """,
+        "source_concentration": """
+            WITH s AS (
+                SELECT source, count(*)::DOUBLE AS x FROM documents GROUP BY 1
+            ),
+            r AS (
+                SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM s
+            )
+            SELECT count(*)::BIGINT AS n_groups,
+                   round(sum(x * x) / (sum(x) * sum(x)), 6) AS hhi,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r
         """,
         "feature_hashing": f"""
             WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)

@@ -1,0 +1,165 @@
+"""Statistical analytics: survival curves, experiment readouts,
+concentration indices.
+
+[absent in reference — north-star extension] The product/ops statistics a
+pipeline team runs on its own event exhaust: retention expressed as
+survival, experiment gating, and corpus-concentration governance. All
+single-pass / window shapes with exact cross-engine oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from semantic_index_spark.functions.text import md5_bigint
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: float = 7.0,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate over user lifetimes: lifetime = last
+    activity − first activity (whole days); a user whose last activity
+    falls within ``censor_days`` of the dataset's end is CENSORED (still
+    alive — we just stopped watching), which is the whole point of KM over
+    a naive histogram: censored users count in the at-risk denominator up
+    to their observation time but never as deaths.
+
+    Ŝ(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over distinct death times t_i —
+    computed as exp(Σ ln(1 − d/n)) so the running product is a WINDOW SUM
+    (one |lifetimes|-row ordered window over per-day aggregates, never an
+    iterative loop). Two keyed aggregations (per-user lifetime, per-day
+    deaths/censors) + the tiny curve window. Returns
+    (t_days, n_at_risk, n_deaths, survival).
+    """
+    per_user = events.filter(F.col(user_col).isNotNull()).groupBy(user_col).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    horizon = per_user.agg(F.max("_last").alias("_end"))
+    lived = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("_last"), F.col("_first")).cast("int").alias("t_days"),
+            (
+                F.col("_last")
+                < F.col("_end") - F.expr(f"INTERVAL {int(censor_days)} DAYS")
+            ).alias("died"),
+        )
+    )
+    day = lived.groupBy("t_days").agg(
+        F.sum(F.col("died").cast("int")).cast("bigint").alias("n_deaths"),
+        F.count("*").cast("bigint").alias("n_ending"),
+    )
+    w_after = Window.orderBy("t_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_upto = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # at risk at t = everyone whose observation ends at or after t
+    curve = day.withColumn("n_at_risk", F.sum("n_ending").over(w_after))
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_deaths").cast("double") / F.col("n_at_risk").cast("double")
+            )
+        ).over(w_upto)
+    )
+    return curve.select(
+        "t_days",
+        "n_at_risk",
+        "n_deaths",
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+def ab_test_zscore(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    salt: str = "ab:",
+) -> DataFrame:
+    """Experiment readout: users hash-split 50/50 into A/B (deterministic
+    md5 — the same assignment on every run and engine, the property an
+    experiment system must have), per-arm conversion = fraction of users
+    with a ``convert_type`` event, compared with the two-proportion
+    z-statistic under the pooled variance. On hash-split arms of the SAME
+    population z ≈ 0 by construction — the A/A-test shape used to
+    validate an experiment pipeline's plumbing and false-positive rate.
+
+    One per-user aggregation + a 2-row arm rollup; the z arithmetic runs
+    on the 2-row result. Returns one row:
+    (n_a, n_b, conv_a, conv_b, lift, zscore)."""
+    per_user = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.max((F.col(type_col) == convert_type).cast("int")).alias("_conv")
+        )
+        .withColumn(
+            "_arm",
+            F.when(
+                F.pmod(md5_bigint(F.col(user_col).cast("string"), salt=salt), F.lit(2))
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    arms = per_user.groupBy("_arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_conv").cast("bigint").alias("conv"),
+    )
+    a = arms.filter(F.col("_arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = arms.filter(F.col("_arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("c_a") / F.col("n_a")
+    pb = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("conv_a"),
+        F.round(pb, 6).alias("conv_b"),
+        F.round(pb - pa, 6).alias("lift"),
+        F.round((pb - pa) / F.nullif(se, F.lit(0.0)), 6).alias("zscore"),
+    )
+
+
+def concentration_index(
+    df: DataFrame, group_col: str, weight_col=None
+) -> DataFrame:
+    """Corpus-concentration governance metrics over a categorical column:
+    HHI (Herfindahl–Hirschman, Σ share²) and the Gini coefficient of the
+    group-size distribution — "is this corpus dominated by a handful of
+    sources". Gini via the sorted-rank identity
+    G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n over ascending sizes — one
+    |groups|-row window, so the corpus-sized input only ever pays one
+    groupBy. Returns one row (n_groups, hhi, gini)."""
+    w = F.count("*") if weight_col is None else F.sum(weight_col)
+    sizes = df.groupBy(group_col).agg(w.cast("double").alias("x"))
+    ranked = sizes.withColumn(
+        "i", F.row_number().over(Window.orderBy("x", group_col))
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.round(
+            F.sum(F.col("x") * F.col("x")) / (F.sum("x") * F.sum("x")), 6
+        ).alias("hhi"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -544,3 +544,64 @@ def test_dp_expected_error_scales_inversely_with_epsilon(spark):
     assert PV.expected_abs_error(0.1) == 10.0
     with pytest.raises(ValueError):
         PV.laplace_scale(0.0)
+
+
+# ------------------------------------------------------------- stats
+
+
+def test_survival_curve_km_hand_example(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    # 4 users: lifetimes 0, 1, 1, 30 days; the 30-day user's last event
+    # IS the horizon (censored); the others died long before horizon-7.
+    rows = []
+    for uid, (start, end) in enumerate(
+        [("2024-01-01", "2024-01-01"), ("2024-01-01", "2024-01-02"),
+         ("2024-01-02", "2024-01-03"), ("2024-01-01", "2024-01-31")]
+    ):
+        rows += [(uid, f"{start} 00:00:00"), (uid, f"{end} 00:00:00")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["t_days"]: (r["n_at_risk"], r["n_deaths"], r["survival"])
+        for r in ST.survival_curve(ev, censor_days=7.0).collect()
+    }
+    # KM: t=0: 4 at risk, 1 death -> S=0.75; t=1: 3 at risk, 2 deaths ->
+    # S=0.75*(1/3)=0.25; t=30: 1 at risk, 0 deaths (censored) -> S=0.25
+    assert got[0] == (4, 1, 0.75)
+    assert got[1] == (3, 2, 0.25)
+    assert got[30] == (1, 0, 0.25)
+
+
+def test_ab_test_aa_shape_near_zero_z(spark, sf_dir):
+    from semantic_index_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ST.ab_test_zscore(ev).collect()[0]
+    # hash-split arms of one population: an A/A test — z must be small.
+    # Degenerate pooled conversion (0 or 1 — tiny fixtures where every
+    # user converts) makes se=0 and z NULL by design.
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    if row["zscore"] is not None:
+        assert abs(row["zscore"]) < 3.0
+    else:
+        assert row["conv_a"] in (0.0, 1.0) and row["conv_b"] in (0.0, 1.0)
+    assert abs(row["lift"]) < 0.5
+
+
+def test_concentration_uniform_vs_skewed(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    uniform = spark.createDataFrame(
+        [(i % 4,) for i in range(400)], ["g"]
+    )
+    u = ST.concentration_index(uniform, "g").collect()[0]
+    assert abs(u["hhi"] - 0.25) < 1e-9  # 4 equal groups
+    assert abs(u["gini"]) < 1e-9
+    skewed = spark.createDataFrame(
+        [(0,)] * 97 + [(1,)] * 1 + [(2,)] * 1 + [(3,)] * 1, ["g"]
+    )
+    s = ST.concentration_index(skewed, "g").collect()[0]
+    assert s["hhi"] > 0.9
+    assert s["gini"] > 0.7

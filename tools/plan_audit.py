@@ -259,6 +259,13 @@ AUDITS = {
     "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # path mining: one keyed window + one path groupBy — no join.
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # KM survival: two keyed aggs; the single-partition window runs on
+    # the |distinct lifetimes|-row curve, never the corpus.
+    "survival_curve": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # A/B readout: one per-user agg + 2-row arm rollup; z on 1x1 rows.
+    "ab_test_zscore": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # concentration: one groupBy; the rank window is |groups|-sized.
+    "source_concentration": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
     # hashing trick: explode + ONE partial-agg shuffle, no vocab join.
     "feature_hashing": {"expect": ["HashAggregate", "Generate"], "forbid": ["Join", "Sort"]},
     # negative-sampling head: word-count shape + bounded top-n.
