@@ -1554,11 +1554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decayed_engagement, seasonal_anomaly, term_label_pmi, jaccard_prefix,
     cosine_pairs, weighted_sample, triangle_count, association_lift,
     blocked_linkage, plus demoted winnowing/zorder) rotate into round 5's
-    window — ALL are verified at BOTH sf0.01 and sf0.1 by
-    tools/check_oracles.py; kmeans (rows-only by design), corpus_prep and
+    window — ALL round-4 queries (through the graph/mining/linkage/
+    privacy/stats/NLP-prep families and the SQL-surface additions) are
+    verified at BOTH sf0.01 and sf0.1 by tools/check_oracles.py; kmeans
+    and kcenter (iterative, rows-only by design), corpus_prep and
     lsh_recall (compositions/metrics over individually-checked operators)
-    were demoted to make room. Everything after passed the driver check
-    in rounds 1-3."""
+    sit outside the window deliberately. Everything after the round-4
+    block passed the driver check in rounds 1-3."""
     return {
         # --- never driver-checked before round 4: verify these first ---
         "label_centroids": q_label_centroids,
