@@ -1420,6 +1420,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 KANON_K = 5
 DP_EPSILON = 0.5
 SURV_CENSOR_DAYS = 7.0
+LOGREG_STEPS = 2
+
+
+def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed logistic-regression GD: per step one mergeable gradient
+    # aggregation (d+1 floats to the driver), fixed steps so the oracle
+    # can unroll the recurrence (operators/stats.py).
+    from semantic_index_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    d2 = ev.select(
+        (F.col("value") / 500.0).alias("value_s"),
+        (F.hour("ts") / F.lit(24.0)).alias("hour_s"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    return ST.logistic_regression_gd(
+        d2, ["value_s", "hour_s"], "label", steps=LOGREG_STEPS, lr=1.0
+    )
 
 
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1658,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neg_sampling_weights": q_neg_sampling_weights,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "survival_curve": q_survival_curve,
+        "logreg_gd": q_logreg_gd,
         "ab_test_zscore": q_ab_test_zscore,
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2936,6 +2955,40 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "logreg_gd": """
+            -- 2 GD steps unrolled; step 1 has w=0 so sigma(z)=0.5 exactly
+            WITH base AS (
+                SELECT 1.0 AS x0, value / 500.0 AS x1,
+                       extract(hour FROM ts) / 24.0 AS x2,
+                       CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+            s1 AS (
+                SELECT sum(x0 * (0.5 - y)) AS g0, sum(x1 * (0.5 - y)) AS g1,
+                       sum(x2 * (0.5 - y)) AS g2
+                FROM base
+            ),
+            w1 AS (
+                SELECT 0.0 - g0 / nn.n AS w0, 0.0 - g1 / nn.n AS w1,
+                       0.0 - g2 / nn.n AS w2
+                FROM s1 CROSS JOIN nn
+            ),
+            s2 AS (
+                SELECT sum(x0 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))) - y)) AS g0,
+                       sum(x1 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))) - y)) AS g1,
+                       sum(x2 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2))) - y)) AS g2
+                FROM base CROSS JOIN w1
+            ),
+            w2 AS (
+                SELECT w1.w0 - s2.g0 / nn.n AS w0, w1.w1 - s2.g1 / nn.n AS w1,
+                       w1.w2 - s2.g2 / nn.n AS w2
+                FROM w1 CROSS JOIN s2 CROSS JOIN nn
+            )
+            SELECT '__intercept__' AS feature, round(w0, 6) AS weight FROM w2
+            UNION ALL SELECT 'value_s', round(w1, 6) FROM w2
+            UNION ALL SELECT 'hour_s', round(w2, 6) FROM w2
         """,
         "survival_curve": f"""
             WITH pu AS (

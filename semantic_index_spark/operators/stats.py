@@ -163,3 +163,50 @@ def concentration_index(
             6,
         ).alias("gini"),
     )
+
+
+def logistic_regression_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 2,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent —
+    the training-step primitive behind every data-parallel trainer: each
+    step is ONE aggregation computing the d+1 gradient sums
+    g_j = Σ x_ij·(σ(w·x_i) − y_i) (mergeable partials, map-side
+    combine — the exact shape parameter servers AllReduce), followed by a
+    driver-side weight update w ← w − lr·g/n. Only d+1 floats ever leave
+    the executors per step; the data never moves.
+
+    A FIXED step count and zero-initialized weights keep the run
+    deterministic and cross-engine checkable — the oracle unrolls the
+    same recurrence as CTEs. Features should be pre-scaled to O(1) (GD
+    without normalization diverges; that's a property of the algorithm,
+    not the implementation). Returns one row per coefficient:
+    (feature, weight) with an ``__intercept__`` row, rounded(6).
+    """
+    feats = [F.lit(1.0).alias("_x0")] + [
+        F.col(c).cast("double").alias(f"_x{j+1}") for j, c in enumerate(feature_cols)
+    ]
+    base = df.select(*feats, F.col(label_col).cast("double").alias("_y"))
+    base.cache()
+    n = base.count()
+    d = len(feature_cols) + 1
+    w = [0.0] * d
+    for _ in range(steps):
+        z = sum(F.col(f"_x{j}") * F.lit(w[j]) for j in range(d))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = base.select(
+            *[
+                F.sum(F.col(f"_x{j}") * (p - F.col("_y"))).alias(f"g{j}")
+                for j in range(d)
+            ]
+        ).collect()[0]
+        w = [w[j] - lr * grads[f"g{j}"] / n for j in range(d)]
+    names = ["__intercept__"] + list(feature_cols)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(names[j], round(w[j], 6)) for j in range(d)], "feature string, weight double"
+    )

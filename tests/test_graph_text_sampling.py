@@ -605,3 +605,29 @@ def test_concentration_uniform_vs_skewed(spark):
     s = ST.concentration_index(skewed, "g").collect()[0]
     assert s["hhi"] > 0.9
     assert s["gini"] > 0.7
+
+
+def test_logreg_gd_matches_numpy_and_learns_signal(spark):
+    import numpy as np
+    from semantic_index_spark.operators import stats as ST
+
+    # y depends on x1 strongly, x2 not at all
+    rng_rows = [
+        (float(i % 10) / 10.0, float((i * 7) % 10) / 10.0, 1.0 if i % 10 >= 5 else 0.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rng_rows, "x1 double, x2 double, y double")
+    got = {
+        r["feature"]: r["weight"]
+        for r in ST.logistic_regression_gd(df, ["x1", "x2"], "y", steps=3, lr=1.0).collect()
+    }
+    X = np.array([[1.0, a, b] for a, b, _ in rng_rows])
+    y = np.array([c for _, _, c in rng_rows])
+    w = np.zeros(3)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - (X.T @ (p - y)) / len(y)
+    assert abs(got["__intercept__"] - round(w[0], 6)) < 1e-5
+    assert abs(got["x1"] - round(w[1], 6)) < 1e-5
+    assert abs(got["x2"] - round(w[2], 6)) < 1e-5
+    assert got["x1"] > abs(got["x2"])  # the signal feature dominates

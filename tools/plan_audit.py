@@ -259,6 +259,9 @@ AUDITS = {
     "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # path mining: one keyed window + one path groupBy — no join.
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # logreg GD: per step ONE gradient aggregation (d+1 sums, map-side
+    # partial) — no joins, nothing but the cached feature scan per step.
+    "logreg_gd": {"forbid": ["Join", "CartesianProduct"]},
     # KM survival: two keyed aggs; the single-partition window runs on
     # the |distinct lifetimes|-row curve, never the corpus.
     "survival_curve": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
