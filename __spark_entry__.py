@@ -1677,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "survival_curve": q_survival_curve,
         "logreg_gd": q_logreg_gd,
+        "map_functions": R.map_functions,
         "ab_test_zscore": q_ab_test_zscore,
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2955,6 +2956,17 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "map_functions": f"""
+            -- row-form mirror of the map pipeline: per-doc token counts,
+            -- keep n >= 2, boosted = n * 10
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 50
+            ),
+            tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM d),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2)
+            SELECT doc_id, tok, n, (n * 10)::BIGINT AS boosted
+            FROM tf WHERE n >= 2
         """,
         "logreg_gd": """
             -- 2 GD steps unrolled; step 1 has w=0 so sigma(z)=0.5 exactly

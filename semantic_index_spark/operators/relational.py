@@ -860,3 +860,47 @@ def session_paths(spark: SparkSession, sf_dir: str, depth: int = 3) -> DataFrame
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed function surface: build a map from token arrays
+    (map_from_arrays + aggregate), transform_values, map_filter, and
+    map_zip_with — exploded back to (doc_id, tok, n, boosted) rows so the
+    cross-engine oracle can compare (DuckDB's map type round-trips
+    differently; rows are the portable interchange). All JVM higher-order
+    functions, map-side only."""
+    from semantic_index_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select(F.col("doc_id"), T.tokens("text").alias("_t"))
+    # token -> count map built JVM-side: distinct keys, counted via filter
+    m = toks.select(
+        "doc_id",
+        F.map_from_arrays(
+            F.array_distinct("_t"),
+            F.transform(
+                F.array_distinct("_t"),
+                lambda t: F.size(F.filter(F.col("_t"), lambda x: x == t)),
+            ),
+        ).alias("tf"),
+    )
+    # keep tokens appearing >= 2 times, boost counts 10x via map ops
+    kept = m.select(
+        "doc_id",
+        F.map_filter("tf", lambda k, v: v >= 2).alias("tf2"),
+    ).select(
+        "doc_id",
+        F.map_zip_with(
+            "tf2",
+            F.transform_values("tf2", lambda k, v: v * 10),
+            lambda k, v1, v2: F.struct(v1.alias("n"), v2.alias("boosted")),
+        ).alias("z"),
+    )
+    return kept.select(
+        "doc_id", F.explode("z").alias("tok", "s")
+    ).select(
+        "doc_id",
+        "tok",
+        F.col("s.n").cast("bigint").alias("n"),
+        F.col("s.boosted").cast("bigint").alias("boosted"),
+    )

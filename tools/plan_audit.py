@@ -259,6 +259,8 @@ AUDITS = {
     "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # path mining: one keyed window + one path groupBy — no join.
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # map functions: pure per-row HOF pipeline — map-side only.
+    "map_functions": {"expect": ["Generate"], "forbid": ["Join", "Exchange", "Sort"]},
     # logreg GD: per step ONE gradient aggregation (d+1 sums, map-side
     # partial) — no joins, nothing but the cached feature scan per step.
     "logreg_gd": {"forbid": ["Join", "CartesianProduct"]},
