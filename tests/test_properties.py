@@ -447,3 +447,46 @@ def test_empty_inputs_through_round4_operators(spark):
     assert SK.weighted_sample(docs, "doc_id", "doc_id", 5).count() == 0
     assert PV.k_anonymity_audit(docs, ["lang"], k=3).count() == 0
     assert PV.dp_noisy_counts(ev, "event_type").count() == 0
+
+
+baskets_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4), st.sampled_from("wxyz")),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=baskets_strategy, min_support=st.sampled_from([1, 2]))
+@settings(**SETTINGS)
+def test_association_lift_matches_python_reference(spark, rows, min_support):
+    """Pair counts and lift equal an independent Python computation over
+    basket-presence sets (multiplicity ignored, a<b canonical)."""
+    from collections import Counter
+
+    from semantic_index_spark.operators import mining as MN
+
+    df = spark.createDataFrame(rows or [(99, "q")], "b long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["lift"])
+        for r in MN.association_lift(df, "b", "i", min_support=min_support).collect()
+    }
+    data = rows or [(99, "q")]
+    baskets = {}
+    for b, i in data:
+        baskets.setdefault(b, set()).add(i)
+    n_baskets = len(baskets)
+    marg = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for i in items:
+            marg[i] += 1
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                pair[(s[x], s[y])] += 1
+    want = {
+        p: (n, round(n * n_baskets / (marg[p[0]] * marg[p[1]]), 6))
+        for p, n in pair.items()
+        if n >= min_support
+    }
+    assert got == want
