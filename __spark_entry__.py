@@ -1421,6 +1421,17 @@ KANON_K = 5
 DP_EPSILON = 0.5
 SURV_CENSOR_DAYS = 7.0
 LOGREG_STEPS = 2
+BOOT_REPLICAS = 32
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Poisson bootstrap: B replica means in ONE pass (per-row Pois(1)
+    # multiplicities from an md5 uniform), CI from the replica band
+    # (operators/stats.py).
+    from semantic_index_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    return ST.poisson_bootstrap_ci(ev, "value", "event_id", n_replicas=BOOT_REPLICAS)
 
 
 def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1678,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": q_survival_curve,
         "logreg_gd": q_logreg_gd,
         "map_functions": R.map_functions,
+        "bootstrap_ci": q_bootstrap_ci,
         "ab_test_zscore": q_ab_test_zscore,
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2956,6 +2968,35 @@ def oracle_sql() -> dict[str, str]:
             hashed AS (SELECT doc_id, {_duck_md5_bigint("'sh:' || tok")} AS h FROM toks),
             bits AS (SELECT doc_id, {simhash_bit_sums} FROM hashed GROUP BY doc_id)
             SELECT doc_id, {simhash_recombine} AS simhash FROM bits
+        """,
+        "bootstrap_ci": f"""
+            WITH reps AS (
+                SELECT unnest(generate_series(0, {BOOT_REPLICAS - 1})) AS b
+            ),
+            r AS (SELECT event_id AS k, value::DOUBLE AS v FROM events),
+            drawn AS (
+                SELECT reps.b, r.v,
+                       ({_DUCK_MD5_BIGINT.format(expr="'bs:' || CAST(r.k AS VARCHAR) || ':' || CAST(reps.b AS VARCHAR)")} + 1)
+                       / {float(1 << 60)!r} AS u
+                FROM r CROSS JOIN reps
+            ),
+            m AS (
+                SELECT b, v,
+                       CASE WHEN u <= {0.36787944117144233!r} THEN 0
+                            WHEN u <= {0.7357588823428847!r} THEN 1
+                            WHEN u <= {0.9196986029286058!r} THEN 2
+                            WHEN u <= {0.9810118431238462!r} THEN 3
+                            WHEN u <= {0.9963401531726563!r} THEN 4
+                            ELSE 5 END AS mult
+                FROM drawn
+            ),
+            pr AS (SELECT b, sum(mult * v) / sum(mult) AS mean FROM m GROUP BY b),
+            mu AS (SELECT avg(value::DOUBLE) AS mu FROM events)
+            SELECT round(mu.mu, 6) AS mean,
+                   round(quantile_cont(pr.mean, {0.05 / 2.0!r}), 6) AS ci_lo,
+                   round(quantile_cont(pr.mean, {1.0 - 0.05 / 2.0!r}), 6) AS ci_hi,
+                   count(*)::BIGINT AS n_replicas
+            FROM pr CROSS JOIN mu GROUP BY mu.mu
         """,
         "map_functions": f"""
             -- row-form mirror of the map pipeline: per-doc token counts,

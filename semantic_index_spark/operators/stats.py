@@ -210,3 +210,75 @@ def logistic_regression_gd(
     return spark.createDataFrame(
         [(names[j], round(w[j], 6)) for j in range(d)], "feature string, weight double"
     )
+
+
+# Inverse CDF thresholds for Poisson(1), cumulative: P(X<=k). Capped at 5
+# (P(X>5) ≈ 6e-4 — the truncation bias is far below bootstrap noise).
+_POIS1_CDF = [
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_replicas: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Bootstrap confidence interval for the MEAN of ``value_col`` via the
+    Poisson bootstrap (Chamandy et al., Google 2012) — the distributed
+    form: instead of materializing B resamples, every row draws an
+    independent Pois(1) multiplicity PER replica, so all B replica sums
+    accumulate in ONE pass with map-side partial aggregation (B·(sum,
+    count) cells — the replica axis explodes in-JVM, never through a
+    shuffle of resampled data). The percentile band over the B replica
+    means is the CI.
+
+    Multiplicities come from the Poisson inverse CDF applied to an
+    md5-derived uniform per (row, replica) — reproducible across runs and
+    engines (the oracle replays the exact CASE chain; a production run
+    wanting fresh randomness swaps the salt per execution). Returns one
+    row: (mean, ci_lo, ci_hi, n_replicas).
+    """
+    reps = F.array(*[F.lit(b) for b in range(n_replicas)])
+    u = (
+        md5_bigint(
+            F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("_b").cast("string")),
+            salt="bs:",
+        )
+        + 1
+    ) / F.lit(float(1 << 60))
+    mult = F.when(u <= _POIS1_CDF[0], 0)
+    for k in range(1, len(_POIS1_CDF)):
+        mult = mult.when(u <= _POIS1_CDF[k], k)
+    mult = mult.otherwise(len(_POIS1_CDF))
+    per_rep = (
+        df.select(F.col(key_col), F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_b", F.explode(reps))
+        .withColumn("_m", mult)
+        .groupBy("_b")
+        .agg(
+            (F.sum(F.col("_m") * F.col("_v")) / F.sum("_m")).alias("_mean")
+        )
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    base_mean = df.agg(F.avg(F.col(value_col).cast("double")).alias("_mu"))
+    return (
+        per_rep.agg(
+            F.expr(f"percentile(_mean, {lo!r})").alias("_lo"),
+            F.expr(f"percentile(_mean, {hi!r})").alias("_hi"),
+            F.count("*").cast("bigint").alias("n_replicas"),
+        )
+        .crossJoin(F.broadcast(base_mean))
+        .select(
+            F.round("_mu", 6).alias("mean"),
+            F.round("_lo", 6).alias("ci_lo"),
+            F.round("_hi", 6).alias("ci_hi"),
+            "n_replicas",
+        )
+    )

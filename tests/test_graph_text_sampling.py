@@ -631,3 +631,21 @@ def test_logreg_gd_matches_numpy_and_learns_signal(spark):
     assert abs(got["x1"] - round(w[1], 6)) < 1e-5
     assert abs(got["x2"] - round(w[2], 6)) < 1e-5
     assert got["x1"] > abs(got["x2"])  # the signal feature dominates
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    small = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(200)], "k long, v double"
+    )
+    big = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(5000)], "k long, v double"
+    )
+    s = ST.poisson_bootstrap_ci(small, "v", "k").collect()[0]
+    b = ST.poisson_bootstrap_ci(big, "v", "k").collect()[0]
+    for r in (s, b):
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        assert r["n_replicas"] == 32
+    # CI width scales ~1/sqrt(n): the 25x-bigger sample must be tighter
+    assert (b["ci_hi"] - b["ci_lo"]) < (s["ci_hi"] - s["ci_lo"])

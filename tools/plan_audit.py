@@ -261,6 +261,9 @@ AUDITS = {
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # map functions: pure per-row HOF pipeline — map-side only.
     "map_functions": {"expect": ["Generate"], "forbid": ["Join", "Exchange", "Sort"]},
+    # Poisson bootstrap: replica axis explodes in-JVM, B sums accumulate
+    # in one partial-agg pass; percentiles run on the B-row result.
+    "bootstrap_ci": {"expect": ["Generate", "HashAggregate"], "forbid": ["SortMergeJoin", "CartesianProduct"]},
     # logreg GD: per step ONE gradient aggregation (d+1 sums, map-side
     # partial) — no joins, nothing but the cached feature scan per step.
     "logreg_gd": {"forbid": ["Join", "CartesianProduct"]},
