@@ -307,3 +307,46 @@ def test_synthetic_docs_source_partition_parallel_and_deterministic(spark):
     assert a != c
     # schema mirrors the documents table so every operator runs on it
     assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_versioned_snapshots_time_travel_and_retention(spark, tmp_path):
+    """Commit three versions, read each, verify atomic-latest semantics
+    and retention (expire keeps the committed latest)."""
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "vt")
+    assert VER.current_version(table) is None
+    for n in [3, 5, 7]:
+        v = VER.commit_version(
+            spark.range(n).withColumnRenamed("id", "x"), table
+        )
+    assert VER.current_version(table) == 2
+    assert VER.list_versions(table) == [0, 1, 2]
+    assert VER.read_version(spark, table).count() == 7        # latest
+    assert VER.read_version(spark, table, 0).count() == 3     # time travel
+    assert VER.read_version(spark, table, 1).count() == 5
+    expired = VER.expire_versions(table, keep_last=2)
+    assert expired == [0]
+    assert VER.read_version(spark, table).count() == 7
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        VER.read_version(spark, table, 0)
+
+
+def test_versioned_snapshot_failed_commit_is_invisible(spark, tmp_path):
+    """An orphan v-directory without a pointer update never surfaces to
+    readers and is reclaimed by retention."""
+    import os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "vt2")
+    VER.commit_version(spark.range(4).withColumnRenamed("id", "x"), table)
+    # simulate a crash mid-commit: data written, pointer NOT advanced
+    spark.range(9).withColumnRenamed("id", "x").write.parquet(
+        os.path.join(table, "v=1")
+    )
+    assert VER.current_version(table) == 0
+    assert VER.read_version(spark, table).count() == 4
+    assert VER.expire_versions(table, keep_last=2) == [1]  # orphan reclaimed
