@@ -566,3 +566,75 @@ def greedy_kcenter(
         [(o, i, round(d, 6)) for o, i, d in picks],
         f"pick_order int, {id_col} bigint, coverage_radius double",
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the serving-side diversity pass: from the ``pool`` most relevant
+    candidates, greedily pick k maximizing
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` so near-duplicate hits
+    don't crowd the result page. :func:`greedy_kcenter` is the corpus-
+    side sibling (coverage with no query); this is query-conditioned.
+
+    Relevance and the diversity penalty use the SAME metric (cosine) —
+    mixing raw dot relevance with cosine diversity puts the two terms on
+    different scales and λ stops meaning anything.
+
+    Execution contract: candidate generation is the DISTRIBUTED part
+    (bounded top-``pool`` by cosine — TakeOrderedAndProject, swap in
+    the LSH/IVF probes for billion-row corpora); the greedy selection
+    then runs driver-side on the collected pool·d floats — the standard
+    serving shape, explicitly bounded by ``pool``, never corpus-sized.
+    Ties break on id. Returns (rank, id, relevance, mmr_score).
+    """
+    import numpy as np
+
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(emb_col),
+            V.cosine(
+                F.col(emb_col),
+                F.lit([float(x) for x in query_vec]).cast("array<double>"),
+            ).alias("_rel"),
+        )
+        .orderBy(F.desc("_rel"), F.col(id_col))
+        .limit(pool)
+        .collect()
+    )
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], f"rank int, {id_col} bigint, relevance double, mmr_score double"
+        )
+    ids = [r[id_col] for r in cand]
+    X = np.array([r[emb_col] for r in cand], dtype=np.float64)
+    rel = np.array([r["_rel"] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    chosen: list[int] = []
+    max_sim = np.full(len(ids), -np.inf)
+    out = []
+    for rank in range(min(k, len(ids))):
+        if chosen:
+            score = lam * rel - (1.0 - lam) * max_sim
+        else:
+            score = lam * rel
+        score[chosen] = -np.inf
+        # argmax with min-id tiebreak: ids ascend within equal relevance
+        # because the candidate sort already tiebroke on id
+        j = int(np.argmax(score))
+        out.append((rank, ids[j], round(float(rel[j]), 6), round(float(score[j]), 6)))
+        chosen.append(j)
+        max_sim = np.maximum(max_sim, Xn @ Xn[j])
+    return df.sparkSession.createDataFrame(
+        out, f"rank int, {id_col} bigint, relevance double, mmr_score double"
+    )

@@ -649,3 +649,30 @@ def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
         assert r["n_replicas"] == 32
     # CI width scales ~1/sqrt(n): the 25x-bigger sample must be tighter
     assert (b["ci_hi"] - b["ci_lo"]) < (s["ci_hi"] - s["ci_lo"])
+
+
+def test_mmr_rerank_diversifies_duplicate_hits(spark):
+    from semantic_index_spark.operators import similarity as S
+
+    # three near-identical top hits + one orthogonal direction: pure
+    # relevance would return the clones 1-2-3; with cosine-coherent MMR
+    # the orthogonal hit (diversity penalty ~0) displaces a clone
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.998, 0.002]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [r["vec_id"] for r in S.mmr_rerank(df, [0.9, 0.44], k=3, lam=0.5).collect()]
+    assert out[0] == 3          # the cosine argmax (clone tilted toward q)
+    assert 4 in out[:3]          # the diverse hit displaces a clone
+    assert set(out) != {1, 2, 3}
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark, sf_dir):
+    from semantic_index_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    mmr = [r["vec_id"] for r in S.mmr_rerank(emb, list(q), k=5, lam=1.0).collect()]
+    topk = [r["vec_id"] for r in S.topk(emb, list(q), k=5, metric="cosine").collect()]
+    assert mmr == topk
