@@ -1540,6 +1540,15 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # serving-side diversity rerank over the distributed candidate pool —
+    # greedy selection is iterative → rows-only driver check; λ=1 ≡ pure
+    # cosine top-k is pytest-asserted.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    return S.mmr_rerank(emb, list(q), k=KNN_K, pool=100, lam=0.7)
+
+
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diversity-maximizing exemplar selection: greedy k-center
     # (farthest-point) over the embeddings — iterative like kmeans, so
@@ -1675,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "kmeans_centroids": q_kmeans_centroids,
         "kcenter_coreset": q_kcenter_coreset,
+        "mmr_rerank": q_mmr_rerank,
         "simhash_pairs": q_simhash_pairs,
         "rp_project": q_rp_project,
         "group_regression": R.group_regression,
