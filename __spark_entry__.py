@@ -1692,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "dp_noisy_counts": q_dp_noisy_counts,
         "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q12_late_shipping": R.q12_late_shipping,
         "session_paths": R.session_paths,
         "feature_hashing": q_feature_hashing,
         "neg_sampling_weights": q_neg_sampling_weights,
@@ -3182,6 +3184,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(any_value(c.c_acctbal), 2) AS acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer c ON o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-07-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q12_late_shipping": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+            GROUP BY 1
         """,
         "session_paths": """
             WITH firstk AS (

@@ -904,3 +904,58 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n").cast("bigint").alias("n"),
         F.col("s.boosted").cast("bigint").alias("boosted"),
     )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top customers by revenue
+    lost to returned lineitems in a date window. Fact-fact join + two
+    broadcast dims + bounded top-k (TakeOrderedAndProject — revenue
+    rounded in the sort key so the cutoff is engine-portable, id
+    tiebreak)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def q12_late_shipping(spark: SparkSession, sf_dir: str, late_days: int = 90) -> DataFrame:
+    """TPC-H Q12-style service audit adapted to this schema (the synthetic
+    lineitem has no shipmode/commitdate): per return flag, how many LATE
+    lineitems (shipped more than ``late_days`` after the order date)
+    belong to high- vs low-priority orders. Conditional aggregation over
+    one fact-fact join — the CASE-inside-SUM shape."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > late_days)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).cast("bigint").alias("high_line_count"),
+            F.sum(1 - hi).cast("bigint").alias("low_line_count"),
+        )
+    )

@@ -254,6 +254,10 @@ AUDITS = {
     # block columns (the id inequality + length band ride as post-filters)
     # — never a nested loop over the table.
     "blocked_linkage": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # Q10: two broadcast dims + fact-fact join + bounded top-k.
+    "q10_returned_items": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": ["CartesianProduct"]},
+    # Q12 shape: one fact-fact join + CASE-inside-SUM conditional agg.
+    "q12_late_shipping": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # Q7: double-role dimension (nation aliased twice) — all dims
     # broadcast; only the fact-fact join and final rollup shuffle.
     "q7_volume_shipping": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
