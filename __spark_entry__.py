@@ -1529,6 +1529,28 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PV.dp_noisy_counts(ev, "event_type", epsilon=DP_EPSILON)
 
 
+def q_chi_square_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # does the event mix differ by user cohort: Pearson χ² independence
+    # over the (event_type, md5-free modulo cohort) contingency table.
+    from semantic_index_spark.operators import stats as ST
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("cohort", F.concat(F.lit("c"), F.pmod("user_id", F.lit(3))))
+    )
+    return ST.chi_square_independence(ev, "event_type", "cohort")
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-digit Benford screen over order totals (organic heavy-tailed
+    # quantity — the per-digit χ² contributions are the audit signal).
+    from semantic_index_spark.operators import stats as ST
+
+    o = load_table(spark, sf_dir, "orders")
+    return ST.benford_audit(o, "o_totalprice")
+
+
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Johnson–Lindenstrauss random projection onto the shared fixed
     # planes: map-only codegen dim reduction (operators/linalg.py).
@@ -1702,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_gd": q_logreg_gd,
         "map_functions": R.map_functions,
         "bootstrap_ci": q_bootstrap_ci,
+        "chi_square_mix": q_chi_square_mix,
+        "benford_audit": q_benford_audit,
         "ab_test_zscore": q_ab_test_zscore,
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -3248,6 +3272,49 @@ def oracle_sql() -> dict[str, str]:
                                        * ln(1.0 - 2.0 * abs(u - 0.5)))),
                             0)::BIGINT AS noisy_count
             FROM u
+        """,
+        "chi_square_mix": """
+            WITH c0 AS (
+                SELECT event_type AS a, 'c' || (user_id % 3) AS b,
+                       count(*)::DOUBLE AS o
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT g.a, g.b, coalesce(c0.o, 0.0) AS o
+                FROM (SELECT DISTINCT a FROM c0) ga
+                CROSS JOIN (SELECT DISTINCT b FROM c0) gb,
+                LATERAL (SELECT ga.a AS a, gb.b AS b) g
+                LEFT JOIN c0 ON c0.a = g.a AND c0.b = g.b
+            ),
+            t AS (
+                SELECT o,
+                       sum(o) OVER (PARTITION BY a) AS ra,
+                       sum(o) OVER (PARTITION BY b) AS cb,
+                       sum(o) OVER () AS n,
+                       a, b
+                FROM c
+            )
+            SELECT max(n)::BIGINT AS n,
+                   ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
+                   round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)), 6) AS chi2
+            FROM t
+        """,
+        "benford_audit": """
+            WITH d AS (
+                SELECT regexp_extract(CAST(abs(o_totalprice) AS VARCHAR), '([1-9])', 1) AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+            ),
+            g AS (
+                SELECT digit, count(*)::BIGINT AS n FROM d
+                WHERE digit BETWEEN '1' AND '9' GROUP BY 1
+            ),
+            t AS (SELECT digit, n, sum(n) OVER () AS tot, CASE digit WHEN '1' THEN 0.3010299956639812::DOUBLE WHEN '2' THEN 0.17609125905568124::DOUBLE WHEN '3' THEN 0.12493873660829992::DOUBLE WHEN '4' THEN 0.09691001300805642::DOUBLE WHEN '5' THEN 0.07918124604762482::DOUBLE WHEN '6' THEN 0.06694678963061322::DOUBLE WHEN '7' THEN 0.05799194697768673::DOUBLE WHEN '8' THEN 0.05115252244738129::DOUBLE WHEN '9' THEN 0.04575749056067514::DOUBLE END AS b FROM g)
+            SELECT digit, n,
+                   round(n / tot, 6) AS observed_share,
+                   round(b, 6) AS benford_share,
+                   round((n / tot - b) * (n / tot - b) / b * tot, 6) AS chi2_term
+            FROM t
         """,
         "rp_project": f"""
             SELECT vec_id,

@@ -282,3 +282,84 @@ def poisson_bootstrap_ci(
             "n_replicas",
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical columns —
+    "does event mix differ by cohort/source": contingency counts from ONE
+    groupBy, marginals via window sums over the contingency table (never
+    a second corpus scan), χ² = Σ (observed − expected)²/expected with
+    dof = (r−1)(c−1). Returns one row (n, dof, chi2) — compare against
+    the χ² critical value for the gate (the statistic, not a p-value, so
+    the result is exact and engine-portable)."""
+    counts = df.groupBy(col_a, col_b).agg(F.count("*").cast("double").alias("o"))
+    grid = (
+        counts.select(col_a).distinct()
+        .crossJoin(counts.select(col_b).distinct())
+    )
+    cont = grid.join(counts, [col_a, col_b], "left").withColumn(
+        "o", F.coalesce(F.col("o"), F.lit(0.0))
+    )
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    t = (
+        cont.withColumn("ra", F.sum("o").over(wa))
+        .withColumn("cb", F.sum("o").over(wb))
+        .withColumn("n", F.sum("o").over(wall))
+        .withColumn("e", F.col("ra") * F.col("cb") / F.col("n"))
+    )
+    return t.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.count_distinct(col_a) - 1) * (F.count_distinct(col_b) - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6
+        ).alias("chi2"),
+    )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-numbers /
+    broken-ETL screen: observed share of leading digits 1-9 of |value|
+    vs the Benford expectation log10(1 + 1/d), with the per-digit χ²
+    contribution. Organic heavy-tailed quantities follow the law;
+    uniform-ish synthetic or truncated data deviates LOUDLY — the point
+    of the audit is the magnitude of that deviation, either way. One
+    projection + one ≤9-key aggregate. Returns
+    (digit, n, observed_share, benford_share, chi2_term)."""
+    import math
+
+    d1 = F.substring(
+        F.regexp_replace(F.abs(F.col(value_col)).cast("string"), r"[^1-9]*([1-9]).*", "$1"),
+        1,
+        1,
+    )
+    digits = (
+        df.filter(F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0))
+        .select(d1.alias("digit"))
+        .filter(F.col("digit").rlike("^[1-9]$"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy()
+    bshare = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1.0 / d)) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    return digits.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("observed_share"),
+        F.round(bshare, 6).alias("benford_share"),
+        F.round(
+            (F.col("n") / F.sum("n").over(tot) - bshare)
+            * (F.col("n") / F.sum("n").over(tot) - bshare)
+            / bshare
+            * F.sum("n").over(tot),
+            6,
+        ).alias("chi2_term"),
+    )

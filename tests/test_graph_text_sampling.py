@@ -676,3 +676,48 @@ def test_mmr_rerank_lambda_one_is_pure_relevance(spark, sf_dir):
     mmr = [r["vec_id"] for r in S.mmr_rerank(emb, list(q), k=5, lam=1.0).collect()]
     topk = [r["vec_id"] for r in S.topk(emb, list(q), k=5, metric="cosine").collect()]
     assert mmr == topk
+
+
+def test_chi_square_independent_columns_small_statistic(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    # perfectly independent: b = f(i) cycles independently of a
+    rows = [(f"a{i % 2}", f"b{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = ST.chi_square_independence(df, "x", "y").collect()[0]
+    assert r["n"] == 600 and r["dof"] == 2
+    assert r["chi2"] < 1e-6  # exactly balanced table -> 0
+
+
+def test_chi_square_dependent_columns_large_statistic(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    rows = [("a", "p")] * 100 + [("b", "q")] * 100
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = ST.chi_square_independence(df, "x", "y").collect()[0]
+    assert r["chi2"] > 150  # perfect association ~ n
+
+def test_benford_organic_products_pass_uniform_fails(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    # products of uniforms are log-ish -> near Benford; pure uniforms miss
+    import random
+
+    rng = random.Random(7)
+    organic = [(rng.uniform(1, 10) * rng.uniform(1, 10) * rng.uniform(1, 10),)
+               for _ in range(4000)]
+    uniform = [(float(rng.uniform(1, 10)),) for _ in range(4000)]
+    chi_org = sum(
+        r["chi2_term"]
+        for r in ST.benford_audit(
+            spark.createDataFrame(organic, ["v"]), "v"
+        ).collect()
+    )
+    chi_uni = sum(
+        r["chi2_term"]
+        for r in ST.benford_audit(
+            spark.createDataFrame(uniform, ["v"]), "v"
+        ).collect()
+    )
+    assert chi_org < chi_uni  # the audit separates organic from uniform
+    assert chi_uni > 100

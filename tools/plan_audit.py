@@ -265,6 +265,11 @@ AUDITS = {
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # map functions: pure per-row HOF pipeline — map-side only.
     "map_functions": {"expect": ["Generate"], "forbid": ["Join", "Exchange", "Sort"]},
+    # chi-square: one corpus groupBy; grid densify + windows run on the
+    # r*c-row contingency table, never the corpus.
+    "chi_square_mix": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
+    # Benford: one projection + one <=9-key aggregate.
+    "benford_audit": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # Poisson bootstrap: replica axis explodes in-JVM, B sums accumulate
     # in one partial-agg pass; percentiles run on the B-row result.
     "bootstrap_ci": {"expect": ["Generate", "HashAggregate"], "forbid": ["SortMergeJoin", "CartesianProduct"]},
