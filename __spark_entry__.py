@@ -1529,6 +1529,16 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PV.dp_noisy_counts(ev, "event_type", epsilon=DP_EPSILON)
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust per-type aggregates: clip at the per-group P5/P95 band, then
+    # mean/std — extremes can't drag the baseline (timeseries.py).
+    ev = load_table(spark, sf_dir, "events")
+    return TS.winsorized_stats(ev, "value", "event_type", WINSOR_LO, WINSOR_HI)
+
+
 def q_chi_square_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does the event mix differ by user cohort: Pearson χ² independence
     # over the (event_type, md5-free modulo cohort) contingency table.
@@ -1726,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "chi_square_mix": q_chi_square_mix,
         "benford_audit": q_benford_audit,
+        "winsorized_stats": q_winsorized_stats,
         "ab_test_zscore": q_ab_test_zscore,
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -3272,6 +3283,26 @@ def oracle_sql() -> dict[str, str]:
                                        * ln(1.0 - 2.0 * abs(u - 0.5)))),
                             0)::BIGINT AS noisy_count
             FROM u
+        """,
+        "winsorized_stats": f"""
+            WITH cuts AS (
+                SELECT event_type,
+                       quantile_cont(value, {WINSOR_LO!r}) AS lo_cut,
+                       quantile_cont(value, {WINSOR_HI!r}) AS hi_cut
+                FROM events GROUP BY event_type
+            ),
+            clipped AS (
+                SELECT e.event_type,
+                       least(greatest(e.value::DOUBLE, c.lo_cut), c.hi_cut) AS w,
+                       c.lo_cut, c.hi_cut
+                FROM events e JOIN cuts c USING (event_type)
+            )
+            SELECT event_type, count(w)::BIGINT AS n,
+                   round(any_value(lo_cut), 6) AS lo_cut,
+                   round(any_value(hi_cut), 6) AS hi_cut,
+                   round(avg(w), 6) AS winsorized_mean,
+                   round(stddev_samp(w), 6) AS winsorized_std
+            FROM clipped GROUP BY event_type
         """,
         "chi_square_mix": """
             WITH c0 AS (

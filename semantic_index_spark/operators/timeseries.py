@@ -465,3 +465,40 @@ def interval_overlap_join(
         )
         .drop("_bucket")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorized per-group mean/stddev — robust aggregation by CLIPPING
+    (not dropping) values outside the [lo_q, hi_q] per-group quantile
+    band: a handful of corrupt extremes can't drag the mean, while the
+    row count stays intact (unlike trimming, which changes n and biases
+    small groups harder). The monitoring twin of :func:`mad_outliers` —
+    that one FLAGS anomalies, this one reports stable aggregates in their
+    presence.
+
+    One grouped percentile pass → |groups|-row thresholds broadcast back
+    → clip + mean/std partial-aggregate map-side. At 100 TB swap exact
+    ``percentile`` for ``approx_percentile`` (same plan shape) or feed
+    thresholds from the mergeable histogram sketch. Returns
+    (by, n, lo_cut, hi_cut, winsorized_mean, winsorized_std)."""
+    cuts = df.groupBy(by).agg(
+        F.expr(f"percentile({value_col}, {lo_q!r})").alias("lo_cut"),
+        F.expr(f"percentile({value_col}, {hi_q!r})").alias("hi_cut"),
+    )
+    clipped = df.join(F.broadcast(cuts), by).withColumn(
+        "_w",
+        F.least(F.greatest(F.col(value_col).cast("double"), F.col("lo_cut")), F.col("hi_cut")),
+    )
+    return clipped.groupBy(by).agg(
+        F.count("_w").cast("bigint").alias("n"),
+        F.round(F.first("lo_cut"), 6).alias("lo_cut"),
+        F.round(F.first("hi_cut"), 6).alias("hi_cut"),
+        F.round(F.avg("_w"), 6).alias("winsorized_mean"),
+        F.round(F.stddev_samp("_w"), 6).alias("winsorized_std"),
+    )

@@ -721,3 +721,14 @@ def test_benford_organic_products_pass_uniform_fails(spark):
     )
     assert chi_org < chi_uni  # the audit separates organic from uniform
     assert chi_uni > 100
+
+
+def test_winsorized_mean_resists_extremes(spark):
+    # one corrupt 1e9 reading: plain mean explodes, winsorized barely moves
+    rows = [("g", float(v)) for v in range(100)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = TS.winsorized_stats(df, "v", "k", 0.05, 0.95).collect()[0]
+    assert r["n"] == 101  # clipping keeps the row count (unlike trimming)
+    assert r["winsorized_mean"] < 100
+    plain = df.groupBy("k").agg(F.avg("v")).collect()[0][1]
+    assert plain > 1e6

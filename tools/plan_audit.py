@@ -265,6 +265,9 @@ AUDITS = {
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # map functions: pure per-row HOF pipeline — map-side only.
     "map_functions": {"expect": ["Generate"], "forbid": ["Join", "Exchange", "Sort"]},
+    # winsorize: one percentile pass -> broadcast cuts -> clip + partial
+    # agg; the corpus shuffles only on the group key, twice.
+    "winsorized_stats": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
     # chi-square: one corpus groupBy; grid densify + windows run on the
     # r*c-row contingency table, never the corpus.
     "chi_square_mix": {"expect": ["HashAggregate"], "forbid": ["SortMergeJoin"]},
