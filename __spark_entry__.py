@@ -149,8 +149,14 @@ def q_knn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped-map UDAF surface: per-label embedding centroid via
-    # applyInPandas (one BLAS column-mean per group).
-    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    # applyInPandas (one BLAS column-mean per group). Surfaced LONG-FORM
+    # (label, dim, value, n) — the driver's canonicalizer hashes scalar
+    # cells only (array cells raised TypeError: unhashable type 'list' in
+    # round 4), and long form is what the oracle's dims CTE computes anyway.
+    cent = S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label", F.posexplode("centroid").alias("dim0", "value"), "n"
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "value", "n")
 
 
 def q_lsh_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1087,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative Lloyd's k-means (data-dependent loop → rows-only check;
     # monotone-inertia and determinism invariants are pytest-asserted).
-    return S.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=4, iters=3)
+    # Long-form (cell, dim, value, n) so the driver's rows check — which
+    # runs the same scalar-cell canonicalization as the hash check — never
+    # hits an array cell.
+    out = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=4, iters=3)
+    return out.select(
+        "cell", F.posexplode("centroid").alias("dim0", "value"), "n"
+    ).select("cell", (F.col("dim0") + 1).alias("dim"), "value", "n")
 
 
 def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,6 +1864,111 @@ def _repetition_pii_oracle() -> str:
     """
 
 
+def _duck_l2dist(a: str, b: str) -> str:
+    """DuckDB Euclidean distance mirroring functions.vector.l2_distance's
+    fold: per-element (double-cast) squared diff, summed in array order."""
+    return (
+        f"sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+    )
+
+
+def _duck_list_norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center (similarity.greedy_kcenter): round r picks
+    argmax of the running min-distance to the chosen set (DESC, id ASC
+    tie-break), stops when the max distance hits 0. Same trick as the
+    logreg_gd oracle — a deterministic driver loop unrolls to k CTE rounds.
+    MATERIALIZED stops DuckDB inlining each d-round twice per reference
+    (the chain would otherwise blow up 2^k)."""
+    ctes = [
+        "c0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
+        + _duck_l2dist("e.embedding", "(SELECT embedding FROM c0)")
+        + " AS d FROM embeddings e)",
+    ]
+    selects = [
+        "SELECT 0 AS pick_order, (SELECT vec_id FROM c0) AS vec_id, "
+        "CAST(0.0 AS DOUBLE) AS coverage_radius"
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT vec_id, embedding, d FROM d{r} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        # monotone radii: once a round's max distance is <= 0 every later
+        # round's is too, so per-branch WHERE reproduces the Spark break
+        selects.append(
+            f"SELECT {r} AS pick_order, (SELECT vec_id FROM p{r}) AS vec_id, "
+            f"round((SELECT d FROM p{r}), 6) AS coverage_radius "
+            f"WHERE (SELECT d FROM p{r}) > 0"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"d{r + 1} AS MATERIALIZED (SELECT t.vec_id, t.embedding, "
+                f"least(t.d, "
+                + _duck_l2dist("t.embedding", f"(SELECT embedding FROM p{r})")
+                + f") AS d FROM d{r} t)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _mmr_oracle(k: int, pool: int, lam: float, q_vec_id: int) -> str:
+    """Unrolled MMR greedy selection (similarity.mmr_rerank): top-``pool``
+    cosine candidates, then k rounds of argmax(λ·rel − (1−λ)·max-sim-to-
+    chosen) with (score DESC, rel DESC, id ASC) tie-break — the order
+    np.argmax sees over candidates pre-sorted by (rel DESC, id). λ and
+    1−λ are emitted at full double precision ((1-0.7) is
+    0.30000000000000004, not 0.3 — the numpy side uses exactly that)."""
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    oml_s = f"CAST({(1.0 - lam)!r} AS DOUBLE)"
+    qsel = f"(SELECT embedding FROM embeddings WHERE vec_id = {q_vec_id})"
+
+    def cosd(a: str, b: str) -> str:
+        return f"({_duck_dot(a, b)} / ({_duck_list_norm(a)} * {_duck_list_norm(b)}))"
+
+    ctes = [
+        "cand AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
+        + cosd("e.embedding", qsel)
+        + f" AS rel FROM embeddings e ORDER BY rel DESC, e.vec_id LIMIT {pool})",
+        f"s0 AS MATERIALIZED (SELECT vec_id, embedding, rel, {lam_s} * rel AS score "
+        "FROM cand ORDER BY score DESC, rel DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(1, k):
+        prev_m = "cand c" if r == 1 else f"m{r - 1} c"
+        ms = (
+            cosd("c.embedding", f"(SELECT embedding FROM s{r - 1})")
+            if r == 1
+            else "greatest(c.ms, "
+            + cosd("c.embedding", f"(SELECT embedding FROM s{r - 1})")
+            + ")"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT c.vec_id, c.embedding, c.rel, {ms} AS ms "
+            f"FROM {prev_m} WHERE c.vec_id <> (SELECT vec_id FROM s{r - 1}))"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT vec_id, embedding, rel, ms, "
+            f"{lam_s} * rel - {oml_s} * ms AS score "
+            f"FROM m{r} ORDER BY score DESC, rel DESC, vec_id LIMIT 1)"
+        )
+    selects = [
+        f"SELECT {r} AS rank, (SELECT vec_id FROM s{r}) AS vec_id, "
+        f"round((SELECT rel FROM s{r}), 6) AS relevance, "
+        f"round((SELECT score FROM s{r}), 6) AS mmr_score"
+        for r in range(k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def oracle_sql() -> dict[str, str]:
     dot_q0 = _duck_dot(
         "e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
@@ -1943,10 +2060,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM ex GROUP BY label, dim
             ),
             cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
-            SELECT d.label, list(m ORDER BY dim) AS centroid, max(c.n) AS n
+            SELECT d.label, d.dim::INT AS dim, d.m AS value, c.n
             FROM dims d JOIN cnt c ON d.label = c.label
-            GROUP BY d.label
         """,
+        # greedy k-center / MMR are deterministic given the data, so the
+        # driver loops unroll to k CTE rounds (same pattern as logreg_gd) —
+        # k-means stays the repo's single rows-only query (data-dependent
+        # float convergence has no faithful SQL unroll).
+        "kcenter_coreset": _kcenter_oracle(KCENTER_K),
+        "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
         "filter_projection": "SELECT doc_id, text FROM documents WHERE lang = 'en'",
         "count_records": """
             SELECT (SELECT count(*) FROM embeddings) AS n_embeddings,

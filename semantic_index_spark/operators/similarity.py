@@ -536,6 +536,7 @@ def greedy_kcenter(
     first = df.select(id_col, emb_col).orderBy(id_col).limit(1).collect()
     if not first:
         raise ValueError("greedy_kcenter: input DataFrame is empty")
+    id_type = df.schema[id_col].dataType.simpleString()
     picks = [(0, first[0][id_col], 0.0)]
     center = [float(x) for x in first[0][emb_col]]
     # running min-distance to the chosen set, folded one center per round
@@ -562,9 +563,12 @@ def greedy_kcenter(
             ).alias("_d"),
         ).localCheckpoint(eager=True)
     spark = df.sparkSession
+    # HALF_UP rounding (not Python's banker's round) so the radius matches
+    # the DuckDB oracle's round() exactly; id type derived from the input
+    # schema, not hardcoded bigint.
     return spark.createDataFrame(
-        [(o, i, round(d, 6)) for o, i, d in picks],
-        f"pick_order int, {id_col} bigint, coverage_radius double",
+        [(o, i, float(_round_half_up6(d))) for o, i, d in picks],
+        f"pick_order int, {id_col} {id_type}, coverage_radius double",
     )
 
 
@@ -610,9 +614,10 @@ def mmr_rerank(
         .limit(pool)
         .collect()
     )
+    id_type = df.schema[id_col].dataType.simpleString()
     if not cand:
         return df.sparkSession.createDataFrame(
-            [], f"rank int, {id_col} bigint, relevance double, mmr_score double"
+            [], f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
         )
     ids = [r[id_col] for r in cand]
     X = np.array([r[emb_col] for r in cand], dtype=np.float64)
@@ -632,9 +637,18 @@ def mmr_rerank(
         # argmax with min-id tiebreak: ids ascend within equal relevance
         # because the candidate sort already tiebroke on id
         j = int(np.argmax(score))
-        out.append((rank, ids[j], round(float(rel[j]), 6), round(float(score[j]), 6)))
+        # HALF_UP, matching the DuckDB oracle's round() (Python round is
+        # half-to-even and would diverge on exact boundaries)
+        out.append(
+            (
+                rank,
+                ids[j],
+                float(_round_half_up6(float(rel[j]))),
+                float(_round_half_up6(float(score[j]))),
+            )
+        )
         chosen.append(j)
         max_sim = np.maximum(max_sim, Xn @ Xn[j])
     return df.sparkSession.createDataFrame(
-        out, f"rank int, {id_col} bigint, relevance double, mmr_score double"
+        out, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
     )
