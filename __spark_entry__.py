@@ -1415,6 +1415,9 @@ def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINK_MAX_DIST = 2
 KCENTER_K = 8
+SEGDEDUP_N = 3
+RRF_TOPK = 20
+RRF_K = 60
 SH_MAX_HAMMING = 3
 SH_PAIR_BITS = 32  # 8-bit pigeonhole blocks — 16-bit signatures are too
 # dense for a meaningful hamming<=3 near-dup test (1% of RANDOM pairs hit)
@@ -1616,6 +1619,162 @@ def q_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_one_file_parquet(df: DataFrame, scratch: str, dest: str) -> None:
+    """Materialize ``df`` as exactly ONE parquet file at ``dest`` — each
+    file is one micro-batch for a maxFilesPerTrigger=1 file stream."""
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
+    shutil.move(os.path.join(scratch, part), dest)
+    shutil.rmtree(scratch)
+
+
+def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streaming ingest contract end-to-end
+    (`SemanticDatabase.cs:213-221` AddRangeAsync(IAsyncEnumerable) →
+    readStream + foreachBatch upsert): replay 3 overlapping micro-batches
+    of document items through stream_upsert_into_index under the default
+    UPDATE policy, then surface the final index state. Batch b carries
+    doc_id residues {b, b+1} mod 4, so residues 1 and 2 arrive twice and
+    the upsert's remove-then-add dedup is what makes the final state one
+    row per distinct item (ALLOW would duplicate them — the oracle's
+    DISTINCT would catch it)."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.index import SemanticIndex
+    from semantic_index_spark.streaming import ingest as SI
+
+    docs = load_table(spark, sf_dir, "documents")
+    item = F.concat(
+        F.lit('{"id":'),
+        F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('"}'),
+    ).alias("item")
+    tmp = tempfile.mkdtemp(prefix="upsert_replay_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            batch = docs.filter(
+                (F.col("doc_id") % 4 == b) | (F.col("doc_id") % 4 == (b + 1) % 4)
+            ).select(item)
+            _write_one_file_parquet(
+                batch, os.path.join(tmp, f"b{b}"), os.path.join(src, f"batch{b}.parquet")
+            )
+        idx = SemanticIndex(spark)
+        stream = (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = SI.stream_upsert_into_index(
+            stream, idx, checkpoint=os.path.join(tmp, "ckpt")
+        )
+        SI.run_batch_like(writer)
+        # pin the final state before the source files vanish (every batch
+        # was localCheckpointed inside foreachBatch, but the extra pin makes
+        # the returned plan self-contained)
+        final = idx.records.select("item").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def q_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) in a
+    rows-checkable form: replay the events table as 3 micro-batches
+    through streaming.stateful_user_totals (per-user cumulative count +
+    value total in explicit GroupState, update-mode emission into a
+    memory sink), then keep each user's LAST emission — which must equal
+    the batch groupBy. Values are pre-scaled to integral cents so the
+    cross-batch float accumulation is exact and hash-comparable."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.col("value") * 100).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="stateful_replay_")
+    name = "stateful_totals_" + uuid.uuid4().hex[:12]
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            _write_one_file_parquet(
+                ev.filter(F.col("event_id") % 3 == b).select("user_id", "value"),
+                os.path.join(tmp, f"b{b}"),
+                os.path.join(src, f"batch{b}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = SI.stateful_user_totals(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # n_events is strictly monotone per user across its emissions, so
+        # max(struct) picks the final (count, total) pair atomically
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style corpus-level segment dedup: one surviving copy per
+    # duplicated 3-token segment, docs reassembled (dedup.segment_dedup).
+    return D.segment_dedup(
+        load_table(spark, sf_dir, "documents"), n=SEGDEDUP_N, min_count=2
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid-retrieval merge: RRF over a dot-product ranking and a cosine
+    # ranking of the same query — rank-based fusion, no score calibration.
+    from pyspark.sql import Window as _W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+
+    def _ranked(metric: str) -> DataFrame:
+        base = S.topk(emb, q, k=RRF_TOPK, metric=metric)
+        w = _W.orderBy(F.desc("score"), F.asc("vec_id"))
+        return base.withColumn("rank", F.row_number().over(w))
+
+    return S.rrf_fuse([_ranked("dot"), _ranked("cosine")], k_rrf=RRF_K)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf's-law slope + fit quality per language slice — the corpus-health
+    # screen for templated/synthetic text (text_analysis.zipf_fit).
+    return TA.zipf_fit(load_table(spark, sf_dir, "documents"), by="lang")
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic weight-proportional sample without replacement
     # (Efraimidis–Spirakis keys off a reproducible md5 uniform; skew.py).
@@ -1625,89 +1784,29 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
-    FIRST 50 entries each round. The window carries every query with no
-    driver CORRECTNESS row through round 3 — the 35 never-checked
-    LLM-pipeline / dedup / text-analysis entries plus most of round 4's
-    new queries (session windows, multi-probe LSH, rerank, HLL/CMS/Bloom
-    sketches, skew tools, SemDeDup, duplicated spans, quality gate,
-    containment, PSI drift, MAD outliers, profiler, covariance, interval
-    overlap). The window is FULL: the round-4 queries just past it
-    (heavy_hitters_by, budget_select, hll_set_ops, bloom_join, pagerank,
-    decayed_engagement, seasonal_anomaly, term_label_pmi, jaccard_prefix,
-    cosine_pairs, weighted_sample, triangle_count, association_lift,
-    blocked_linkage, plus demoted winnowing/zorder) rotate into round 5's
-    window — ALL round-4 queries (through the graph/mining/linkage/
-    privacy/stats/NLP-prep families and the SQL-surface additions) are
-    verified at BOTH sf0.01 and sf0.1 by tools/check_oracles.py; kmeans
-    and kcenter (iterative, rows-only by design), corpus_prep and
-    lsh_recall (compositions/metrics over individually-checked operators)
-    sit outside the window deliberately. Everything after the round-4
-    block passed the driver check in rounds 1-3."""
+    FIRST 50 entries each round. The round-5 window closes the loop on
+    every operator in SURVEY §2: slots 1-3 are the red/stale rows from
+    rounds 1-4 (label_centroids — round-4 ERR was the driver canonicalizer
+    hitting an array<double> cell, now long-form; text_stats/media_stats —
+    round-1 hash mismatches fixed in commit 6589141 but never re-windowed),
+    slots 4-49 are the 46 queries that have NEVER had a driver CORRECTNESS
+    row (union of the r1-r4 result files = 110 of 156 names), and slot 50
+    is the new streaming_upsert_replay (the reference's
+    AddRangeAsync(IAsyncEnumerable) contract end-to-end). kmeans_centroids
+    is the repo's single remaining rows-only entry (data-dependent float
+    convergence — no faithful SQL unroll); kcenter_coreset and mmr_rerank
+    graduated to unrolled-CTE hash oracles this round. Everything past the
+    window either has a green driver row from rounds 1-4 or (the new
+    stateful_totals_replay, #51) rotates into round 6; all are verified at
+    both sf0.01 and sf0.1 by tools/check_oracles.py."""
     return {
-        # --- never driver-checked before round 4: verify these first ---
+        # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
-        "incremental_dedup": q_incremental_dedup,
-        "edit_distance_verify": q_edit_distance_verify,
-        "dedup_components": q_dedup_components,
-        "similarity_join": q_similarity_join,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "quantized_knn": q_quantized_knn,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "heavy_hitters": q_heavy_hitters,
-        "salted_join_agg": q_salted_join_agg,
-        "gopher_rules": q_gopher_rules,
-        "ngram_lm_score": q_ngram_lm_score,
-        "bm25_topk": q_bm25_topk,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "contamination_check": q_contamination_check,
-        "pack_sequences": q_pack_sequences,
-        "repetition_pii": q_repetition_pii,
-        "chunk_documents": q_chunk_documents,
-        "udtf_token_positions": q_udtf_token_positions,
-        "text_signals": q_text_signals,
-        "media_frames": q_media_frames,
-        "scd2_user_status": q_scd2_user_status,
-        "embed_cache_hits": q_embed_cache_hits,
-        "data_expectations": q_data_expectations,
-        "weighted_mix": q_weighted_mix,
-        "media_pooled": q_media_pooled,
-        "funnel_conversion": q_funnel_conversion,
-        "retention_cohorts": q_retention_cohorts,
-        "snapshot_diff": q_snapshot_diff,
-        # new in round 4
-        "session_window_agg": R.session_window_agg,
-        "lsh_multiprobe": q_lsh_multiprobe,
-        "rerank_quantized": q_rerank_quantized,
-        "hll_by_group": q_hll_by_group,
-        "cms_freq": q_cms_freq,
-        "source_cap": q_source_cap,
-        "skew_profile": q_skew_profile,
-        "semdedup": q_semdedup,
-        "rollup_merge": q_rollup_merge,
-        "duplicate_spans": q_duplicate_spans,
-        "cms_join_size": q_cms_join_size,
-        "histogram_quantiles_by": q_histogram_quantiles_by,
-        "bloom_screen": q_bloom_screen,
-        "quality_filter": q_quality_filter,
-        "containment_pairs": q_containment_pairs,
-        "psi_drift": q_psi_drift,
-        "mad_outliers": q_mad_outliers,
-        "profile_docs": q_profile_docs,
-        "embedding_covariance": q_embedding_covariance,
-        "interval_overlap": q_interval_overlap,
-        # demoted from the window to keep every round-4 query inside it:
-        # winnowing_fingerprints and zorder_key are pure deterministic
-        # projections (exact hash parity
-        # at both SFs via tools/check_oracles.py) — rotate into round 5;
-        # lsh_recall is a metric over two retrievals that are each
-        # hash-checked above; kmeans is rows-only for the driver
-        # (iterative, no SQL oracle); corpus_prep is a composition
-        # whose constituent operators are each hash-checked above
+        "text_stats": q_text_stats,
+        "media_stats": q_media_stats,
+        # --- the 46 never-driver-checked queries ---
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "zorder_key": q_zorder_key,
-        # new this round but past the window (it is full): rotates into
-        # the round-5 window; verified at both SFs by tools/check_oracles.py
         "heavy_hitters_by": q_heavy_hitters_by,
         "budget_select": q_budget_select,
         "hll_set_ops": q_hll_set_ops,
@@ -1752,7 +1851,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_zscore": q_ab_test_zscore,
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
-        # --- previously-green sentinels (one per family) ---
+        # --- slot 50: new this round, the streaming-ingest contract ---
+        "streaming_upsert_replay": q_streaming_upsert_replay,
+        # --- past the window: new #51+ rotate into round 6 ---
+        "stateful_totals_replay": q_stateful_totals_replay,
+        "segment_dedup": q_segment_dedup,
+        "rrf_fusion": q_rrf_fusion,
+        "zipf_fit": q_zipf_fit,
+        # --- driver-verified green in rounds 1-4 ---
+        "incremental_dedup": q_incremental_dedup,
+        "edit_distance_verify": q_edit_distance_verify,
+        "dedup_components": q_dedup_components,
+        "similarity_join": q_similarity_join,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "quantized_knn": q_quantized_knn,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "heavy_hitters": q_heavy_hitters,
+        "salted_join_agg": q_salted_join_agg,
+        "gopher_rules": q_gopher_rules,
+        "ngram_lm_score": q_ngram_lm_score,
+        "bm25_topk": q_bm25_topk,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "contamination_check": q_contamination_check,
+        "pack_sequences": q_pack_sequences,
+        "repetition_pii": q_repetition_pii,
+        "chunk_documents": q_chunk_documents,
+        "udtf_token_positions": q_udtf_token_positions,
+        "text_signals": q_text_signals,
+        "media_frames": q_media_frames,
+        "scd2_user_status": q_scd2_user_status,
+        "embed_cache_hits": q_embed_cache_hits,
+        "data_expectations": q_data_expectations,
+        "weighted_mix": q_weighted_mix,
+        "media_pooled": q_media_pooled,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
+        "snapshot_diff": q_snapshot_diff,
+        "session_window_agg": R.session_window_agg,
+        "lsh_multiprobe": q_lsh_multiprobe,
+        "rerank_quantized": q_rerank_quantized,
+        "hll_by_group": q_hll_by_group,
+        "cms_freq": q_cms_freq,
+        "source_cap": q_source_cap,
+        "skew_profile": q_skew_profile,
+        "semdedup": q_semdedup,
+        "rollup_merge": q_rollup_merge,
+        "duplicate_spans": q_duplicate_spans,
+        "cms_join_size": q_cms_join_size,
+        "histogram_quantiles_by": q_histogram_quantiles_by,
+        "bloom_screen": q_bloom_screen,
+        "quality_filter": q_quality_filter,
+        "containment_pairs": q_containment_pairs,
+        "psi_drift": q_psi_drift,
+        "mad_outliers": q_mad_outliers,
+        "profile_docs": q_profile_docs,
+        "embedding_covariance": q_embedding_covariance,
+        "interval_overlap": q_interval_overlap,
         "knn_topk": q_knn_topk,
         "knn_cosine": q_knn_cosine,
         "count_records": q_count_records,
@@ -1764,7 +1919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_sessionization": R.batch_sessionization,
         "asof_join": q_asof_join,
         "salted_agg": q_salted_agg,
-        # --- driver-verified in rounds 1-3 (beyond the 50-slot window) ---
         "hll_users": q_hll_users,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1811,9 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
-        "text_stats": q_text_stats,
         "text_quality": q_text_quality,
-        "media_stats": q_media_stats,
     }
 
 
@@ -2069,6 +2221,127 @@ def oracle_sql() -> dict[str, str]:
         # float convergence has no faithful SQL unroll).
         "kcenter_coreset": _kcenter_oracle(KCENTER_K),
         "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
+        # final index state after 3 overlapping UPDATE-policy micro-batches
+        # = one record per distinct item; the batches jointly cover every
+        # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped
+        # bug would duplicate them and fail the rowcount)
+        "streaming_upsert_replay": """
+            SELECT DISTINCT '{"id":' || doc_id || ',"lang":"' || lang || '"}' AS item
+            FROM documents
+        """,
+        # each user's LAST update-mode emission must equal the batch
+        # groupBy; values are integral cents so cross-batch accumulation
+        # is float-exact
+        "stateful_totals_replay": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(round(value * 100)), 6) AS total_cents
+            FROM events GROUP BY user_id
+        """,
+        "segment_dedup": f"""
+            WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            segs0 AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(
+                               cast(ceil(len(t) / {float(SEGDEDUP_N)!r}) AS BIGINT), 1)),
+                           i -> array_to_string(
+                               t[((i-1)*{SEGDEDUP_N}+1):((i-1)*{SEGDEDUP_N}+{SEGDEDUP_N})], ' ')
+                       ) AS sl
+                FROM tok
+            ),
+            segs AS (
+                SELECT doc_id, unnest(sl) AS seg,
+                       generate_subscripts(sl, 1) - 1 AS seg_idx
+                FROM segs0
+            ),
+            pos AS (
+                SELECT doc_id, seg, seg_idx,
+                       doc_id * 1000000 + seg_idx AS p
+                FROM segs
+            ),
+            stats AS (
+                SELECT seg, count(*) AS cnt, min(p) AS first_p
+                FROM pos GROUP BY seg
+            ),
+            keep AS (
+                SELECT s.doc_id, s.seg, s.seg_idx
+                FROM pos s JOIN stats st USING (seg)
+                WHERE st.cnt < 2 OR s.p = st.first_p
+            ),
+            totals AS (
+                SELECT doc_id, count(*)::BIGINT AS n_segs FROM segs GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
+                FROM keep GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_segs,
+                   coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(k.kept_md5, md5('')) AS kept_md5
+            FROM totals t LEFT JOIN kept k USING (doc_id)
+        """,
+        "rrf_fusion": f"""
+            WITH dotr AS (
+                SELECT vec_id,
+                       round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 3)")}, 6) AS s
+                FROM embeddings e ORDER BY s DESC, vec_id LIMIT {RRF_TOPK}
+            ),
+            dr AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY s DESC, vec_id) AS r
+                FROM dotr
+            ),
+            cosr AS (
+                SELECT vec_id,
+                       round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 3)")}
+                             / ({_duck_list_norm("e.embedding")}
+                                * {_duck_list_norm("(SELECT embedding FROM embeddings WHERE vec_id = 3)")}), 6) AS s
+                FROM embeddings e ORDER BY s DESC, vec_id LIMIT {RRF_TOPK}
+            ),
+            cr AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY s DESC, vec_id) AS r
+                FROM cosr
+            ),
+            u AS (
+                SELECT vec_id,
+                       CAST(1.0 AS DOUBLE) / (CAST({float(RRF_K)!r} AS DOUBLE) + r) AS c
+                FROM dr
+                UNION ALL
+                SELECT vec_id,
+                       CAST(1.0 AS DOUBLE) / (CAST({float(RRF_K)!r} AS DOUBLE) + r) AS c
+                FROM cr
+            )
+            SELECT vec_id, round(sum(c), 6) AS rrf_score,
+                   count(*)::BIGINT AS n_lists
+            FROM u GROUP BY vec_id
+        """,
+        "zipf_fit": f"""
+            WITH tok AS (
+                SELECT lang, unnest({_DUCK_TOKENS}) AS tk FROM documents
+            ),
+            counts AS (
+                SELECT lang, tk, count(*) AS cnt FROM tok GROUP BY lang, tk
+            ),
+            ranked AS (
+                SELECT lang, cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, tk) AS r
+                FROM counts
+            ),
+            f AS (
+                SELECT lang, ln(cnt::DOUBLE) AS lf, ln(r::DOUBLE) AS lr
+                FROM ranked WHERE r <= 1000
+            )
+            SELECT lang, count(*)::BIGINT AS n_types,
+                   round(covar_pop(lf, lr) / nullif(var_pop(lr), 0.0), 6)
+                       AS zipf_slope,
+                   round(covar_samp(lf, lr)
+                         / nullif(stddev_samp(lf) * stddev_samp(lr), 0.0), 6)
+                       AS zipf_r
+            FROM f GROUP BY lang
+        """,
         "filter_projection": "SELECT doc_id, text FROM documents WHERE lang = 'en'",
         "count_records": """
             SELECT (SELECT count(*) FROM embeddings) AS n_embeddings,
@@ -3238,7 +3511,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM day
             )
             SELECT t_days, n_at_risk, n_deaths,
-                   round(exp(sum(ln(1.0 - n_deaths::DOUBLE / n_at_risk))
+                   round(exp(sum(CASE WHEN n_deaths < n_at_risk
+                                      THEN ln(1.0 - n_deaths::DOUBLE / n_at_risk)
+                                      ELSE CAST('-infinity' AS DOUBLE) END)
                              OVER (ORDER BY t_days
                                    ROWS UNBOUNDED PRECEDING)), 6) AS survival
             FROM curve
@@ -4127,22 +4402,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
                 GROUP BY e.dst
             ),
+            -- dangling-mass redistribution, mirroring graph.pagerank's
+            -- uniform spread (the symmetrized graph has no dangling
+            -- sources, so dm = 0 here — but the recurrence must carry the
+            -- term so a future edge-construction change cannot silently
+            -- diverge from the Spark operator)
+            dang1 AS (
+                SELECT coalesce(sum(r0.pr), 0.0) AS dm FROM r0
+                LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL
+            ),
             r1 AS (
                 SELECT nodes.node,
                        (1.0::DOUBLE - {PR_DAMP!r}::DOUBLE) / nn.n
-                       + {PR_DAMP!r}::DOUBLE * coalesce(c1.cin, 0.0) AS pr
-                FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+                       + {PR_DAMP!r}::DOUBLE
+                         * (coalesce(c1.cin, 0.0) + dang1.dm / nn.n) AS pr
+                FROM nodes CROSS JOIN nn CROSS JOIN dang1
+                LEFT JOIN c1 ON nodes.node = c1.node
             ),
             c2 AS (
                 SELECT e.dst AS node, sum(r1.pr / deg.deg) AS cin
                 FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
                 GROUP BY e.dst
             ),
+            dang2 AS (
+                SELECT coalesce(sum(r1.pr), 0.0) AS dm FROM r1
+                LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL
+            ),
             r2 AS (
                 SELECT nodes.node,
                        (1.0::DOUBLE - {PR_DAMP!r}::DOUBLE) / nn.n
-                       + {PR_DAMP!r}::DOUBLE * coalesce(c2.cin, 0.0) AS pr
-                FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+                       + {PR_DAMP!r}::DOUBLE
+                         * (coalesce(c2.cin, 0.0) + dang2.dm / nn.n) AS pr
+                FROM nodes CROSS JOIN nn CROSS JOIN dang2
+                LEFT JOIN c2 ON nodes.node = c2.node
             )
             SELECT node, round(pr, 6) AS pr_rank FROM r2
         """,

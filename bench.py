@@ -113,6 +113,22 @@ def main() -> int:
     }
     with open(os.path.join(REPO_ROOT, "BENCH_SUMMARY.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
+    # ALSO persist per-round (keyed off the driver's BENCH_r* artifacts:
+    # this run belongs to the round after the last recorded one) — round 3's
+    # per-query medians survived only in a truncated driver stdout tail, so
+    # round-over-round comparisons need a durable full copy per round.
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(REPO_ROOT)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", fn))
+    ]
+    cur_round = (max(rounds) + 1) if rounds else 1
+    with open(
+        os.path.join(REPO_ROOT, f"BENCH_SUMMARY_r{cur_round:02d}.json"), "w"
+    ) as f:
+        json.dump(full, f, indent=1, sort_keys=True)
 
     slowest = sorted(medians, key=medians.get, reverse=True)[:3]
     compact = {

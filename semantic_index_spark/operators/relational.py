@@ -873,16 +873,18 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = d.select(F.col("doc_id"), T.tokens("text").alias("_t"))
-    # token -> count map built JVM-side: distinct keys, counted via filter
-    m = toks.select(
-        "doc_id",
-        F.map_from_arrays(
-            F.array_distinct("_t"),
-            F.transform(
-                F.array_distinct("_t"),
-                lambda t: F.size(F.filter(F.col("_t"), lambda x: x == t)),
-            ),
-        ).alias("tf"),
+    # token -> count map via explode → partial-agg count → map_from_entries:
+    # linear in tokens. (The tempting pure-HOF form — size(filter(_t, = t))
+    # inside transform(array_distinct(_t)) — is O(tokens × distinct) PER ROW
+    # and melts on long documents; never copy that shape to corpus scale.)
+    m = (
+        toks.select("doc_id", F.explode("_t").alias("_tok"))
+        .groupBy("doc_id", "_tok")
+        .agg(F.count("*").cast("int").alias("_cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_tok", "_cnt"))).alias("tf")
+        )
     )
     # keep tokens appearing >= 2 times, boost counts 10x via map ops
     kept = m.select(

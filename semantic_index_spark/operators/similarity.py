@@ -161,12 +161,29 @@ def similarity_join(
     r_emb: str = "q_embedding",
     l_id: str = "vec_id",
     r_id: str = "q_id",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs (l, r) with cosine ≥ threshold. Broadcast the smaller right
     side; the filter prunes pairs before any shuffle, and each side's L2
     norm is computed once per ROW (not per pair — at |L|·|R| pairs the
-    recompute would dominate). For two HUGE sides, use hyperplane bucketing
-    (see lsh_topk / embedding_neardup_pairs)."""
+    recompute would dominate).
+
+    The right side MUST be broadcast-sized — this operator's contract is
+    corpus × query-panel, and it fails fast (one cheap ``limit(n+1)``
+    probe, which stops scanning at the cap) rather than let a caller
+    broadcast a 10 TB side by accident and OOM every executor. For two
+    HUGE sides, use the hyperplane-bucketed path instead
+    (``dedup.embedding_neardup_pairs(planes=...)`` / :func:`lsh_topk`),
+    which turns the cross product into a bucket equi-join."""
+    probe = right.limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        raise ValueError(
+            f"similarity_join: right side exceeds {max_broadcast_rows} rows — "
+            "too large to broadcast. Use dedup.embedding_neardup_pairs("
+            "planes=...) (hyperplane-bucketed equi-join) for two large sides, "
+            "or raise max_broadcast_rows explicitly if the side genuinely fits "
+            "in executor memory."
+        )
     lhs = left.select(F.col(l_id), F.col(l_emb)).withColumn("_ln", V.l2_norm(l_emb))
     rhs = right.select(F.col(r_id), F.col(r_emb)).withColumn("_rn", V.l2_norm(r_emb))
     return (
@@ -651,4 +668,47 @@ def mmr_rerank(
         max_sim = np.maximum(max_sim, Xn @ Xn[j])
     return df.sparkSession.createDataFrame(
         out, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    combine heterogeneous retrieval rankings — lexical BM25, dense ANN,
+    recency — by summing 1/(k + rank) per candidate, the standard hybrid-
+    search merge (k=60 from the paper damps the head). Rank-based, so no
+    cross-scorer score calibration is needed — the reason RRF beats raw
+    score interpolation in practice.
+
+    Each input carries (id, rank) with rank 1-based; inputs are top-k
+    lists (metric-sized, NOT corpus-sized — generate them with the
+    bounded retrievals: topk / lsh_topk / ivf_topk / bm25_topk), so the
+    union + groupBy here shuffles at most Σk rows. Deterministic output
+    order (score DESC, id). Returns (id, rrf_score rounded 6, n_lists).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_c"), 6).alias("rrf_score"),
+            F.count("*").cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
     )

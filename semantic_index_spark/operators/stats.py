@@ -61,14 +61,19 @@ def survival_curve(
     )
     # at risk at t = everyone whose observation ends at or after t
     curve = day.withColumn("n_at_risk", F.sum("n_ending").over(w_after))
-    surv = F.exp(
-        F.sum(
-            F.log(
-                F.lit(1.0)
-                - F.col("n_deaths").cast("double") / F.col("n_at_risk").cast("double")
-            )
-        ).over(w_upto)
-    )
+    # terminal event: when every at-risk user dies at t (d == n, only ever
+    # possible on the last row), 1 − d/n = 0 and log(0) is NULL in Spark —
+    # the window SUM would silently skip it and survival would hold its
+    # prior value instead of dropping to 0. Emit −inf explicitly so
+    # exp(sum) yields exactly 0.0 (the oracle mirrors the CASE).
+    log_term = F.when(
+        F.col("n_deaths") < F.col("n_at_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_deaths").cast("double") / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(float("-inf")))
+    surv = F.exp(F.sum(log_term).over(w_upto))
     return curve.select(
         "t_days",
         "n_at_risk",
@@ -192,19 +197,25 @@ def logistic_regression_gd(
     ]
     base = df.select(*feats, F.col(label_col).cast("double").alias("_y"))
     base.cache()
-    n = base.count()
     d = len(feature_cols) + 1
     w = [0.0] * d
-    for _ in range(steps):
-        z = sum(F.col(f"_x{j}") * F.lit(w[j]) for j in range(d))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        grads = base.select(
-            *[
-                F.sum(F.col(f"_x{j}") * (p - F.col("_y"))).alias(f"g{j}")
-                for j in range(d)
-            ]
-        ).collect()[0]
-        w = [w[j] - lr * grads[f"g{j}"] / n for j in range(d)]
+    try:
+        n = base.count()
+        # empty input: the mean gradient is undefined — stay total (like
+        # the other driver-loop operators) and return the zero init
+        # instead of dividing by n.
+        for _ in range(steps if n else 0):
+            z = sum(F.col(f"_x{j}") * F.lit(w[j]) for j in range(d))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            grads = base.select(
+                *[
+                    F.sum(F.col(f"_x{j}") * (p - F.col("_y"))).alias(f"g{j}")
+                    for j in range(d)
+                ]
+            ).collect()[0]
+            w = [w[j] - lr * grads[f"g{j}"] / n for j in range(d)]
+    finally:
+        base.unpersist()
     names = ["__intercept__"] + list(feature_cols)
     spark = df.sparkSession
     return spark.createDataFrame(

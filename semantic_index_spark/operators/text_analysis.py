@@ -692,3 +692,54 @@ def word_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+    max_rank: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice — the corpus-health statistic:
+    regress ln(freq) on ln(rank) over the top-``max_rank`` types and
+    report the slope (natural text ≈ −1; templated/boilerplate corpora
+    flatten toward 0, keyword-stuffed spam steepens) plus the Pearson r
+    of the fit (how Zipfian the distribution is at all). The
+    log-log-linear check is the classic screen for synthetic or
+    machine-generated text slipping into a training corpus.
+    [absent in reference — north-star extension]
+
+    Shape: ONE (slice, token) word-count groupBy (map-side partials);
+    ranking is a window over the |vocab_slice|-row count table (bounded
+    by vocabulary, not corpus — and capped at max_rank so a garbage
+    slice with unbounded vocab can't blow up the window); the fit itself
+    is `regr_slope`/`corr` built-ins over mergeable sufficient
+    statistics. Deterministic rank tie-break (count DESC, token ASC).
+    Returns (by, n_types, zipf_slope, zipf_r).
+    """
+    counts = (
+        docs.select(F.col(by), F.explode(T.tokens(text_col)).alias("_tok"))
+        .groupBy(by, "_tok")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("_cnt"), F.asc("_tok"))
+    ranked = counts.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= max_rank
+    )
+    lf = F.log(F.col("_cnt").cast("double"))
+    lr = F.log(F.col("_rank").cast("double"))
+    # explicit covariance forms, not regr_slope/corr: ANSI mode makes corr
+    # THROW on a zero-variance group (a perfectly flat distribution —
+    # exactly the degenerate corpus this op exists to flag); nullif makes
+    # both stats total (slope 0, r NULL) and the oracle mirrors the same
+    # formulas
+    slope = F.covar_pop(lf, lr) / F.nullif(F.var_pop(lr), F.lit(0.0))
+    r = F.covar_samp(lf, lr) / F.nullif(
+        F.stddev_samp(lf) * F.stddev_samp(lr), F.lit(0.0)
+    )
+    return ranked.groupBy(by).agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(r, 6).alias("zipf_r"),
+    )

@@ -84,18 +84,42 @@ def list_versions(table: str) -> list[int]:
     )
 
 
-def expire_versions(table: str, keep_last: int = 2) -> list[int]:
-    """Retention: drop all but the newest ``keep_last`` versions (never
-    the committed latest). Returns the expired version numbers. Also
-    reclaims orphan versions NEWER than the committed pointer (failed
-    commits)."""
+def expire_versions(
+    table: str, keep_last: int = 2, orphan_ttl_seconds: float = 24 * 3600.0
+) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed versions
+    (never the committed latest — ``keep_last`` must be >= 1; 0 would
+    otherwise slice as ``[-0:]`` and silently keep everything). Returns
+    the expired version numbers.
+
+    Orphan versions NEWER than the committed pointer are reclaimed only
+    once older than ``orphan_ttl_seconds`` (by directory mtime): a young
+    v-directory past the pointer is indistinguishable from a concurrent
+    writer's in-flight ``commit_version`` — deleting it eagerly would
+    destroy that commit between its parquet write and pointer rename,
+    not just clean up crash leftovers. Same contract as Iceberg/Delta
+    orphan-file removal, which is likewise age-gated."""
+    import time
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     cur = current_version(table)
     keep = set()
     committed = [v for v in list_versions(table) if cur is not None and v <= cur]
     keep.update(committed[-keep_last:])
+    now = time.time()
     expired = []
     for v in list_versions(table):
-        if v not in keep:
-            shutil.rmtree(os.path.join(table, f"v={v}"))
-            expired.append(v)
+        if v in keep:
+            continue
+        path = os.path.join(table, f"v={v}")
+        if cur is not None and v > cur:
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished underneath us — a concurrent committer
+            if age < orphan_ttl_seconds:
+                continue
+        shutil.rmtree(path)
+        expired.append(v)
     return expired

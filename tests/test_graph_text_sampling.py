@@ -574,6 +574,35 @@ def test_survival_curve_km_hand_example(spark):
     assert got[30] == (1, 0, 0.25)
 
 
+def test_survival_curve_terminal_event_drops_to_zero(spark):
+    """When every at-risk user dies at the final death time (d == n),
+    1 − d/n = 0: a plain log(0) is NULL in Spark and the window SUM would
+    skip it, silently holding survival at its prior value. The operator
+    must emit exactly 0.0 instead."""
+    from semantic_index_spark.operators import stats as ST
+
+    # 3 users: lifetimes 0, 1, 1; the longest-lived users DIE (their last
+    # activity is far before horizon-7). Horizon comes from a 4th user
+    # whose two events are the same day at the end (lifetime 0, censored).
+    rows = []
+    for uid, (start, end) in enumerate(
+        [("2024-01-01", "2024-01-01"), ("2024-01-01", "2024-01-02"),
+         ("2024-01-02", "2024-01-03"), ("2024-02-01", "2024-02-01")]
+    ):
+        rows += [(uid, f"{start} 00:00:00"), (uid, f"{end} 00:00:00")]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["t_days"]: (r["n_at_risk"], r["n_deaths"], r["survival"])
+        for r in ST.survival_curve(ev, censor_days=7.0).collect()
+    }
+    # t=0: 4 at risk, 1 death (uid0; uid3 censored) -> S=0.75
+    # t=1: 2 at risk, 2 deaths -> terminal: S must be exactly 0.0
+    assert got[0] == (4, 1, 0.75)
+    assert got[1] == (2, 2, 0.0)
+
+
 def test_ab_test_aa_shape_near_zero_z(spark, sf_dir):
     from semantic_index_spark.operators import stats as ST
 
@@ -732,3 +761,90 @@ def test_winsorized_mean_resists_extremes(spark):
     assert r["winsorized_mean"] < 100
     plain = df.groupBy("k").agg(F.avg("v")).collect()[0][1]
     assert plain > 1e6
+
+
+# ------------------------------------------------- round-5 additions
+
+
+def test_segment_dedup_keeps_first_occurrence_only(spark):
+    from semantic_index_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c x y z"),          # segments: "a b c", "x y z"
+            (1, "a b c q r s"),          # "a b c" duplicated -> dropped here
+            (2, "unique words only here now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"])
+        for r in D.segment_dedup(docs, n=3, min_count=2).collect()
+    }
+    assert out[0] == (2, 2)  # first occurrence of "a b c" survives
+    assert out[1] == (2, 1)  # its duplicate is dropped
+    assert out[2] == (2, 2)
+
+
+def test_segment_dedup_fully_duplicated_doc_empties(spark):
+    import hashlib
+
+    from semantic_index_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in D.segment_dedup(docs, n=3).collect()}
+    assert rows[0]["n_kept"] == 1
+    assert rows[1]["n_kept"] == 0
+    assert rows[1]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_rrf_fuse_hand_example(spark):
+    from semantic_index_spark.operators import similarity as S
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "vec_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "vec_id long, rank int"
+    )
+    got = {
+        r["vec_id"]: (r["rrf_score"], r["n_lists"])
+        for r in S.rrf_fuse([r1, r2], k_rrf=60).collect()
+    }
+    assert got[10] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert got[20] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert got[30] == (round(1 / 63, 6), 1)
+    assert got[40] == (round(1 / 63, 6), 1)
+    # consensus candidates outrank single-list ones
+    order = [
+        r["vec_id"]
+        for r in S.rrf_fuse([r1, r2], k_rrf=60).collect()
+    ]
+    assert set(order[:2]) == {10, 20}
+
+
+def test_zipf_fit_flat_distribution_has_zero_slope(spark):
+    from semantic_index_spark.operators import text_analysis as TA
+
+    # every token equally frequent -> ln(freq) constant -> slope exactly 0
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd", "x"), (1, "aa bb cc dd", "x")],
+        "doc_id long, text string, lang string",
+    )
+    row = TA.zipf_fit(docs).collect()[0]
+    assert row["n_types"] == 4
+    assert row["zipf_slope"] == 0.0
+    assert row["zipf_r"] is None  # zero variance in ln(freq): r undefined
+
+
+def test_zipf_fit_skewed_distribution_negative_slope(spark, sf_dir):
+    from semantic_index_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TA.zipf_fit(docs).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["zipf_slope"] < 0  # any natural-ish corpus decays
+        assert -1.0 <= r["zipf_r"] <= 0.0  # negative correlation

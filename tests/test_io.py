@@ -349,4 +349,23 @@ def test_versioned_snapshot_failed_commit_is_invisible(spark, tmp_path):
     )
     assert VER.current_version(table) == 0
     assert VER.read_version(spark, table).count() == 4
-    assert VER.expire_versions(table, keep_last=2) == [1]  # orphan reclaimed
+    # a YOUNG orphan is indistinguishable from a concurrent writer's
+    # in-flight commit — the default TTL must leave it alone
+    assert VER.expire_versions(table, keep_last=2) == []
+    assert VER.list_versions(table) == [0, 1]
+    # past the TTL it is a crash leftover and is reclaimed
+    assert VER.expire_versions(table, keep_last=2, orphan_ttl_seconds=0.0) == [1]
+    assert VER.list_versions(table) == [0]
+
+
+def test_versioned_expire_rejects_nonpositive_keep_last(spark, tmp_path):
+    """keep_last=0 would slice [-0:] (keep everything) — must raise, not
+    silently no-op."""
+    import pytest as _pt
+
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "vt3")
+    VER.commit_version(spark.range(2).withColumnRenamed("id", "x"), table)
+    with _pt.raises(ValueError):
+        VER.expire_versions(table, keep_last=0)

@@ -226,3 +226,25 @@ def test_covariance_skips_nulls_and_rejects_ragged(spark):
     )
     with _pytest.raises(Exception, match="expected dim 4"):
         L.covariance_entries(ragged, "embedding", 4).collect()
+
+
+def test_similarity_join_rejects_unbroadcastable_right_side(spark):
+    """The right side is broadcast unconditionally, so the operator must
+    fail fast on an oversized panel instead of OOMing every executor."""
+    import pytest as _pytest
+
+    from semantic_index_spark.operators import similarity as S
+
+    big = spark.range(50).select(
+        F.col("id").alias("q_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("q_embedding"),
+    )
+    small = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="too large to broadcast"):
+        S.similarity_join(small, big, threshold=0.5, max_broadcast_rows=10)
+    # within the cap the join still works end-to-end
+    out = S.similarity_join(small, big, threshold=0.5, max_broadcast_rows=100)
+    assert out.count() == 200  # identical unit vectors: all pairs pass

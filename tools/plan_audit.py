@@ -264,7 +264,10 @@ AUDITS = {
     # path mining: one keyed window + one path groupBy — no join.
     "session_paths": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # map functions: pure per-row HOF pipeline — map-side only.
-    "map_functions": {"expect": ["Generate"], "forbid": ["Join", "Exchange", "Sort"]},
+    # explode → partial-agg count → map_from_entries: the keyed shuffles ARE
+    # the linear-time shape (the old shuffle-free pure-HOF build was
+    # O(tokens × distinct) per row); joins/sorts still forbidden
+    "map_functions": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join", "Sort"]},
     # winsorize: one percentile pass -> broadcast cuts -> clip + partial
     # agg; the corpus shuffles only on the group key, twice.
     "winsorized_stats": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
@@ -313,6 +316,15 @@ AUDITS = {
     "lateral_topn": {"expect": ["WindowGroupLimit"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # variant path: parse once, typed extraction, one partial-agg shuffle.
     "variant_json": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # C4 segment dedup: segment fan-out (Generate) → word-count groupBy →
+    # keep-filter equi-join → keyed reassembly — hash joins only.
+    "segment_dedup": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # RRF: two bounded top-k lists (TakeOrderedAndProject) union into one
+    # metric-sized groupBy — the corpus never joins anything.
+    "rrf_fusion": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # Zipf fit: ONE word-count groupBy; rank window + covariance fold run
+    # on the vocab-bounded count table, never the corpus.
+    "zipf_fit": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
 }
 
 
