@@ -1085,11 +1085,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # iterative Lloyd's k-means (data-dependent loop → rows-only check;
-    # monotone-inertia and determinism invariants are pytest-asserted).
-    # Long-form (cell, dim, value, n) so the driver's rows check — which
-    # runs the same scalar-cell canonicalization as the hash check — never
-    # hits an array cell.
+    # iterative Lloyd's k-means, HASH-oracled via the unrolled
+    # assign/update CTE rounds (per-round 1e-6 centroid rounding on both
+    # engines makes every round re-enter with identical decimals).
+    # Long-form (cell, dim, value, n) so canonicalization never hits an
+    # array cell.
     out = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=4, iters=3)
     return out.select(
         "cell", F.posexplode("centroid").alias("dim0", "value"), "n"
@@ -1769,6 +1769,45 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rrf_fuse([_ranked("dot"), _ranked("cosine")], k_rrf=RRF_K)
 
 
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metadata-filtered vector search — the canonical vector-DB serving
+    # query: restrict the corpus by an attribute predicate (here: English
+    # documents, via the doc_id-aligned documents table), THEN exact
+    # top-k. The semi-join prunes before any scoring; at 100 TB the
+    # predicate belongs in the storage layout (partition column) so the
+    # prune happens at planning time like ivf_topk_indexed.
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = list(emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"])
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    cand = emb.join(allowed, "vec_id", "left_semi")
+    return S.topk(cand, q, k=KNN_K)
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid lexical + dense retrieval, the production search-stack shape:
+    # BM25 arm over documents and exact-dot arm over the doc_id-aligned
+    # embeddings, merged rank-based with RRF (no score calibration).
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = TA.bm25_topk(docs, BM25_TERMS, k=RRF_TOPK, k1=BM25_K1, b=BM25_B)
+    lexr = lex.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "rank")
+    q = list(emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"])
+    den = S.topk(emb, q, k=RRF_TOPK)
+    denr = den.withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("score"), F.asc("vec_id"))),
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return S.rrf_fuse([lexr, denr], id_col="doc_id", k_rrf=RRF_K)
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zipf's-law slope + fit quality per language slice — the corpus-health
     # screen for templated/synthetic text (text_analysis.zipf_fit).
@@ -1792,13 +1831,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slots 4-49 are the 46 queries that have NEVER had a driver CORRECTNESS
     row (union of the r1-r4 result files = 110 of 156 names), and slot 50
     is the new streaming_upsert_replay (the reference's
-    AddRangeAsync(IAsyncEnumerable) contract end-to-end). kmeans_centroids
-    is the repo's single remaining rows-only entry (data-dependent float
-    convergence — no faithful SQL unroll); kcenter_coreset and mmr_rerank
-    graduated to unrolled-CTE hash oracles this round. Everything past the
-    window either has a green driver row from rounds 1-4 or (the new
-    stateful_totals_replay, #51) rotates into round 6; all are verified at
-    both sf0.01 and sf0.1 by tools/check_oracles.py."""
+    AddRangeAsync(IAsyncEnumerable) contract end-to-end). EVERY query now
+    has a hash oracle — kcenter_coreset, mmr_rerank AND kmeans_centroids
+    graduated from rows-only to unrolled-CTE hash oracles this round
+    (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
+    k-means recurrence bitwise-identical across engines). Everything past
+    the window either has a green driver row from rounds 1-4 or is new
+    this round (stateful_totals_replay, segment_dedup, rrf_fusion,
+    zipf_fit — #51-54, rotating into round 6); all are verified at both
+    sf0.01 and sf0.1 by tools/check_oracles.py."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -1858,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
         "zipf_fit": q_zipf_fit,
+        "filtered_knn": q_filtered_knn,
+        "hybrid_search": q_hybrid_search,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2073,6 +2116,69 @@ def _kcenter_oracle(k: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means (similarity.kmeans_fit, k lowest-id init,
+    fixed ``iters``): per round, (1) assign = argmin L2 distance over the
+    k-row centroid table (first-index tie-break = ORDER BY dist, cell),
+    (2) update = per-(cell, dim) mean ROUNDED to 6 — the same rounding the
+    Spark side applies via label_centroids each round, which is what makes
+    the cross-engine unroll converge bitwise: both engines re-enter every
+    round with identical decimal centroids. Empty cells keep their
+    previous centroid (coalesce). Output = final-assignment means, long
+    form (cell, dim, value, n)."""
+    ctes = [
+        "init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cell, embedding FROM (SELECT vec_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT cell, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c FROM init)",
+    ]
+
+    def _assign(r: int, cent: str) -> list[str]:
+        return [
+            f"a{r} AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cell, "
+            "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            + _duck_l2dist("e.embedding", "c.c")
+            + f" ASC, c.cell ASC) AS rn FROM embeddings e CROSS JOIN {cent} c)",
+            f"asg{r} AS MATERIALIZED (SELECT vec_id, embedding, cell "
+            f"FROM a{r} WHERE rn = 1)",
+        ]
+
+    for r in range(1, iters + 1):
+        ctes += _assign(r, f"c{r - 1}")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT cell, dim, "
+            "round(avg(CAST(v AS DOUBLE)), 6) AS m FROM ("
+            f"SELECT cell, unnest(embedding) AS v, "
+            f"generate_subscripts(embedding, 1) AS dim FROM asg{r}"
+            ") GROUP BY cell, dim)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT p.cell, coalesce(mm.c, p.c) AS c "
+            f"FROM c{r - 1} p LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS c "
+            f"FROM m{r} GROUP BY cell) mm USING (cell))"
+        )
+    ctes += _assign(iters + 1, f"c{iters}")
+    fin = iters + 1
+    ctes.append(
+        f"cnt AS MATERIALIZED (SELECT cell, count(*)::BIGINT AS n "
+        f"FROM asg{fin} GROUP BY cell)"
+    )
+    ctes.append(
+        f"mf AS MATERIALIZED (SELECT cell, dim, "
+        "round(avg(CAST(v AS DOUBLE)), 6) AS m FROM ("
+        f"SELECT cell, unnest(embedding) AS v, "
+        f"generate_subscripts(embedding, 1) AS dim FROM asg{fin}"
+        ") GROUP BY cell, dim)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT mf.cell::INT AS cell, mf.dim::INT AS dim, mf.m AS value, cnt.n"
+        + "\nFROM mf JOIN cnt USING (cell)"
+    )
+
+
 def _mmr_oracle(k: int, pool: int, lam: float, q_vec_id: int) -> str:
     """Unrolled MMR greedy selection (similarity.mmr_rerank): top-``pool``
     cosine candidates, then k rounds of argmax(λ·rel − (1−λ)·max-sim-to-
@@ -2215,12 +2321,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.label, d.dim::INT AS dim, d.m AS value, c.n
             FROM dims d JOIN cnt c ON d.label = c.label
         """,
-        # greedy k-center / MMR are deterministic given the data, so the
-        # driver loops unroll to k CTE rounds (same pattern as logreg_gd) —
-        # k-means stays the repo's single rows-only query (data-dependent
-        # float convergence has no faithful SQL unroll).
+        # greedy k-center / MMR / k-means are deterministic given the data,
+        # so the driver loops unroll to fixed CTE rounds (same pattern as
+        # logreg_gd) — no rows-only queries remain.
         "kcenter_coreset": _kcenter_oracle(KCENTER_K),
         "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
+        "kmeans_centroids": _kmeans_oracle(k=4, iters=3),
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped
@@ -2316,6 +2422,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sum(c), 6) AS rrf_score,
                    count(*)::BIGINT AS n_lists
             FROM u GROUP BY vec_id
+        """,
+        "filtered_knn": f"""
+            SELECT e.vec_id,
+                   round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 11)")}, 6) AS score
+            FROM embeddings e
+            WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hybrid_search": f"""
+            WITH base AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+            ),
+            lens AS (SELECT doc_id, len(toks) AS doclen, toks FROM base),
+            stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM lens),
+            tok AS (SELECT doc_id, doclen, unnest(toks) AS tok FROM lens),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf, first(doclen) AS doclen
+                FROM tok WHERE tok IN ({", ".join(repr(t) for t in BM25_TERMS)})
+                GROUP BY doc_id, tok
+            ),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+                SELECT tf.doc_id,
+                       ln(1.0::DOUBLE + (stats.n_docs - dfq.df + 0.5::DOUBLE)
+                                        / (dfq.df + 0.5::DOUBLE))
+                       * tf.tf * {BM25_K1 + 1.0}::DOUBLE
+                       / (tf.tf + {BM25_K1}::DOUBLE
+                          * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                             + {BM25_B}::DOUBLE * tf.doclen / stats.avgdl)) AS s
+                FROM tf JOIN dfq USING (tok), stats
+            ),
+            lex AS (
+                SELECT doc_id, round(sum(s), 6) AS bm25
+                FROM scored GROUP BY doc_id
+                ORDER BY bm25 DESC, doc_id LIMIT {RRF_TOPK}
+            ),
+            lexr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+                FROM lex
+            ),
+            den AS (
+                SELECT vec_id AS doc_id,
+                       round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 5)")}, 6) AS score
+                FROM embeddings e
+                ORDER BY score DESC, vec_id LIMIT {RRF_TOPK}
+            ),
+            denr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                FROM den
+            ),
+            u AS (
+                SELECT doc_id,
+                       CAST(1.0 AS DOUBLE) / (CAST({float(RRF_K)!r} AS DOUBLE) + r) AS c
+                FROM lexr
+                UNION ALL
+                SELECT doc_id,
+                       CAST(1.0 AS DOUBLE) / (CAST({float(RRF_K)!r} AS DOUBLE) + r) AS c
+                FROM denr
+            )
+            SELECT doc_id, round(sum(c), 6) AS rrf_score,
+                   count(*)::BIGINT AS n_lists
+            FROM u GROUP BY doc_id
         """,
         "zipf_fit": f"""
             WITH tok AS (

@@ -469,9 +469,11 @@ def kmeans_fit(
     never collected. Deterministic: init = the k lowest-id vectors.
 
     Returns (cell, centroid: array<double>, n) for the final round.
-    Iterative and data-dependent → declared as a rows-only driver check
-    (no closed-form SQL oracle); invariants (monotone inertia,
-    determinism) are pytest-asserted.
+    HASH-oracled despite being iterative: the fixed iteration count
+    unrolls to assign/update CTE rounds, and because each round's
+    centroids are rounded to 1e-6 on BOTH engines, every round re-enters
+    with identical decimal centroids and the unroll converges bitwise.
+    Invariants (monotone inertia, determinism) are pytest-asserted.
     """
     import numpy as np
 

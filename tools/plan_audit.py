@@ -325,6 +325,12 @@ AUDITS = {
     # Zipf fit: ONE word-count groupBy; rank window + covariance fold run
     # on the vocab-bounded count table, never the corpus.
     "zipf_fit": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
+    # filtered ANN: attribute semi-join prunes BEFORE scoring; bounded
+    # top-k — never a cartesian, never a global sort.
+    "filtered_knn": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # hybrid search: two bounded arms (BM25 + dense top-k) fused by a
+    # metric-sized RRF groupBy.
+    "hybrid_search": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
