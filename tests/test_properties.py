@@ -490,3 +490,38 @@ def test_association_lift_matches_python_reference(spark, rows, min_support):
         if n >= min_support
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30).filter(str.strip),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_segment_dedup_invariants(spark, docs):
+    """Global invariants of the C4-style segment dedup on a tiny duplicate-
+    rich alphabet: (1) every duplicated segment keeps EXACTLY one copy
+    corpus-wide, uniques keep theirs — Σ n_kept == |distinct segments that
+    appear| when min_count=2 drops all repeats; (2) n_kept <= n_segs per
+    doc; (3) every input doc gets an output row."""
+    from semantic_index_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.segment_dedup(df, n=2, min_count=2).collect()
+    assert len(out) == len(rows)
+    assert all(r["n_kept"] <= r["n_segs"] for r in out)
+    # python reference: segment each doc the same way
+    import re
+
+    seg_occurrences = []
+    for i, t in rows:
+        toks = re.split(r"\s+", t.strip().lower())
+        n_seg = max((len(toks) + 1) // 2, 1)
+        for j in range(n_seg):
+            seg_occurrences.append(" ".join(toks[j * 2 : j * 2 + 2]))
+    distinct = set(seg_occurrences)
+    assert sum(r["n_kept"] for r in out) == len(distinct)
+    assert sum(r["n_segs"] for r in out) == len(seg_occurrences)
