@@ -1808,6 +1808,18 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.rrf_fuse([lexr, denr], id_col="doc_id", k_rrf=RRF_K)
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # in-flight data-quality counters via Spark's Observation API — the
+    # metrics ride a REAL action with zero extra scans (pipeline.py);
+    # NULLs derived deterministically so both engines see identical input.
+    from semantic_index_spark.operators import pipeline as P
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") < 50, None).otherwise(F.col("value"))
+    )
+    return P.observed_profile(ev, "v")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zipf's-law slope + fit quality per language slice — the corpus-health
     # screen for templated/synthetic text (text_analysis.zipf_fit).
@@ -1901,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "filtered_knn": q_filtered_knn,
         "hybrid_search": q_hybrid_search,
+        "observed_metrics": q_observed_metrics,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2422,6 +2435,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sum(c), 6) AS rrf_score,
                    count(*)::BIGINT AS n_lists
             FROM u GROUP BY vec_id
+        """,
+        "observed_metrics": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN value < 50 THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   round(sum(CASE WHEN value < 50 THEN NULL ELSE value END), 2)
+                       AS sum_value
+            FROM events
         """,
         "filtered_knn": f"""
             SELECT e.vec_id,

@@ -848,3 +848,15 @@ def test_zipf_fit_skewed_distribution_negative_slope(spark, sf_dir):
     for r in rows:
         assert r["zipf_slope"] < 0  # any natural-ish corpus decays
         assert -1.0 <= r["zipf_r"] <= 0.0  # negative correlation
+
+
+def test_observed_profile_matches_direct_aggregate(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 2.505), (4, None)], "id long, v double"
+    )
+    row = P.observed_profile(df, "v").collect()[0]
+    assert row["n_rows"] == 4
+    assert row["n_null"] == 2
+    assert row["sum_value"] == 12.51  # HALF_UP at 2 decimals
