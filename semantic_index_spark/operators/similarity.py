@@ -428,6 +428,36 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    emb_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Incremental maintenance of a :func:`write_ivf_index` layout: assign
+    the NEW batch to cells and append its files under the existing
+    ``_cell=<i>/`` directories — the index absorbs an ingest batch without
+    rewriting the corpus (append-mode parquet adds files, never touches
+    existing ones, so concurrent probes keep reading a consistent set).
+    Probe results over (base ∪ batch) equal a from-scratch rebuild because
+    cell assignment is a pure function of (embedding, centroids) —
+    pytest-asserted. Run :func:`semantic_index_spark.sources.io.
+    compact_parquet` per cell on a cadence when many small batches
+    accumulate; re-TRAINING centroids is the one operation that still
+    requires a rebuild (assignment function changes)."""
+    assigned = ivf_assign(df, centroids, emb_col)
+    salt = F.pmod(F.abs(F.hash(F.col(emb_col))), F.lit(max(1, files_per_cell)))
+    (
+        assigned.repartition(
+            max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+        )
+        .write.mode("append")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

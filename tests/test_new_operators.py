@@ -122,6 +122,25 @@ def test_ivf_indexed_serving_path(spark, sf_dir, tmp_path):
     assert max(per_cell) >= 2, per_cell
 
 
+def test_append_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: building from half the corpus then
+    appending the other half must serve IDENTICAL probe results to a
+    from-scratch build over everything — cell assignment is a pure
+    function of (embedding, centroids), and append-mode parquet adds
+    files without touching existing ones."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = S.make_centroids(8, 64, seed=11)
+    q = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    inc_path = str(tmp_path / "ivf_inc")
+    S.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), centroids, inc_path)
+    S.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), centroids, inc_path)
+    full_path = str(tmp_path / "ivf_full")
+    S.write_ivf_index(emb, centroids, full_path)
+    inc = S.ivf_topk_indexed(spark, inc_path, q, centroids, k=5, nprobe=2)
+    full = S.ivf_topk_indexed(spark, full_path, q, centroids, k=5, nprobe=2)
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+
+
 def test_rerank_exact_recovers_true_topk(spark, sf_dir):
     """Two-stage retrieval: exact rerank of a 50-candidate first stage must
     reproduce the TRUE exact top-10 whenever the candidates contain it —
