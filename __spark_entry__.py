@@ -1826,6 +1826,130 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.zipf_fit(load_table(spark, sf_dir, "documents"), by="lang")
 
 
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark end-to-end: replay the events table as
+    3 micro-batches PLUS a 4th batch that is a byte-identical copy of the
+    first (cross-batch duplicates — the at-least-once-delivery shape this
+    operator exists for), with a far-horizon watermark so no dedup state
+    expires. The memory sink must hold every event exactly once; a broken
+    dedup inflates the per-type counts and fails the hash."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.round(F.col("value") * 100).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    name = "stream_dedup_" + uuid.uuid4().hex[:12]
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            _write_one_file_parquet(
+                ev.filter(F.col("event_id") % 3 == b),
+                os.path.join(tmp, f"b{b}"),
+                os.path.join(src, f"batch{b}.parquet"),
+            )
+        # the duplicate delivery: batch 0 arrives again
+        _write_one_file_parquet(
+            ev.filter(F.col("event_id") % 3 == 0),
+            os.path.join(tmp, "b3"),
+            os.path.join(src, "batch3_redelivery.parquet"),
+        )
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        deduped = SI.dedup_within_watermark(
+            stream, ["event_id"], watermark="100000 hours"
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded inner join end-to-end (the purchase ←
+    view attribution join): purchases and views replay as separate file
+    streams, joined per user where the view happened within 1 hour before
+    the purchase; far-horizon watermark → no state eviction, so the
+    emitted set equals the batch join exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    name = "stream_join_" + uuid.uuid4().hex[:12]
+    try:
+        lsrc = os.path.join(tmp, "purchases")
+        rsrc = os.path.join(tmp, "views")
+        os.makedirs(lsrc)
+        os.makedirs(rsrc)
+        for b in range(2):
+            _write_one_file_parquet(
+                ev.filter(
+                    (F.col("event_type") == "purchase") & (F.col("event_id") % 2 == b)
+                ).select("event_id", "ts", "user_id"),
+                os.path.join(tmp, f"lb{b}"),
+                os.path.join(lsrc, f"batch{b}.parquet"),
+            )
+            _write_one_file_parquet(
+                ev.filter(
+                    (F.col("event_type") == "view") & (F.col("event_id") % 2 == b)
+                ).select("event_id", "ts", "user_id"),
+                os.path.join(tmp, f"rb{b}"),
+                os.path.join(rsrc, f"batch{b}.parquet"),
+            )
+        schema = "event_id bigint, ts timestamp, user_id bigint"
+        left = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+        right = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+        joined = SI.stream_stream_join(
+            left, right, on="user_id", within="1 hour", watermark="100000 hours"
+        ).select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("view_id"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic weight-proportional sample without replacement
     # (Efraimidis–Spirakis keys off a reproducible md5 uniform; skew.py).
@@ -1914,6 +2038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn": q_filtered_knn,
         "hybrid_search": q_hybrid_search,
         "observed_metrics": q_observed_metrics,
+        "stream_dedup_replay": q_stream_dedup_replay,
+        "stream_join_replay": q_stream_join_replay,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2435,6 +2561,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sum(c), 6) AS rrf_score,
                    count(*)::BIGINT AS n_lists
             FROM u GROUP BY vec_id
+        """,
+        # all events exactly once despite the redelivered batch — a broken
+        # dedup inflates counts and fails the hash
+        "stream_dedup_replay": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   round(sum(round(value * 100)), 6) AS total_cents
+            FROM events GROUP BY event_type
+        """,
+        # the streaming emitted set must equal the batch time-bounded join
+        "stream_join_replay": """
+            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         """,
         "observed_metrics": """
             SELECT count(*)::BIGINT AS n_rows,

@@ -32,16 +32,23 @@ centroids = S.make_centroids(8, 64, seed=11)
 with tempfile.TemporaryDirectory() as tmp:
     index_path = os.path.join(tmp, "ivf_index")
 
-    # 1. build: one pass assigns cells and lays the corpus out by cell
-    S.write_ivf_index(emb, centroids, index_path)
+    # 1. build from the initial corpus: one pass assigns cells and lays the
+    #    rows out by cell
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    S.write_ivf_index(base, centroids, index_path)
     cells = sorted(d for d in os.listdir(index_path) if d.startswith("_cell="))
     print(f"index built: {len(cells)} cells -> {cells}")
 
-    # 2. hygiene: bound the file count (no-op here, essential post-append)
+    # 2. ingest: a later batch appends under the SAME cell layout — no
+    #    corpus rewrite, probes stay consistent throughout
+    S.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), centroids, index_path)
+    print("appended the second half incrementally")
+
+    # 3. hygiene: bound the file count after appends accumulate
     n_files = compact_parquet(spark, index_path)
     print(f"compacted to <= {n_files} files")
 
-    # 3. serve: probes prune at planning time (PartitionFilters on _cell)
+    # 4. serve: probes prune at planning time (PartitionFilters on _cell)
     queries = [(r["vec_id"], r["embedding"]) for r in emb.filter(F.col("vec_id") < 5).collect()]
     exact_all = approx_all = None
     for qid, q in queries:
