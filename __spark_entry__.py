@@ -76,10 +76,11 @@ def _duck_signature(col: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _duck_ivf_cell(col: str) -> str:
+def _duck_ivf_cell(col: str, centroids: list[list[float]] | None = None) -> str:
     """DuckDB mirror of similarity.ivf_assign: 0-based index of the
     max-dot centroid (first occurrence on ties, same as array_position)."""
-    lst = "[" + ", ".join(_duck_dot(col, _duck_plane_lit(c)) for c in CENTROIDS) + "]"
+    cents = CENTROIDS if centroids is None else centroids
+    lst = "[" + ", ".join(_duck_dot(col, _duck_plane_lit(c)) for c in cents) + "]"
     return f"(list_indexof({lst}, list_aggregate({lst}, 'max')) - 1)"
 
 
@@ -471,6 +472,11 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_CAP_N = 10
 SKEW_TOP_N = 10
 SEMDEDUP_COS = 0.3
+# SemDeDup's own scaling lever is the CLUSTER COUNT (they run ~50k on
+# LAION): more cells → smaller Σ|cell|² pair space. 32 cells here (vs the
+# serving index's 8) cuts pair work ~4× at identical semantics.
+SEMDEDUP_K = 32
+SEMDEDUP_CENTROIDS = S.make_centroids(SEMDEDUP_K, 64, seed=13)
 DUP_SPAN_N, DUP_SPAN_MIN_DOCS = 8, 2
 
 
@@ -506,7 +512,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: cluster-confined semantic dedup — quadratic pair checks
     # never leave a centroid cell, so centroid count bounds the join.
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.semantic_cluster_dedup(emb, CENTROIDS, threshold=SEMDEDUP_COS)
+    return D.semantic_cluster_dedup(emb, SEMDEDUP_CENTROIDS, threshold=SEMDEDUP_COS)
 
 
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3405,7 +3411,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup": f"""
             WITH cells AS (
-                SELECT vec_id, embedding, {_duck_ivf_cell("embedding")} AS cell,
+                SELECT vec_id, embedding,
+                       {_duck_ivf_cell("embedding", SEMDEDUP_CENTROIDS)} AS cell,
                        sqrt(list_sum(list_transform(embedding,
                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
                 FROM embeddings

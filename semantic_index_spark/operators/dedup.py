@@ -536,8 +536,15 @@ def semantic_cluster_dedup(
     pure JVM dot fold per centroid inside whole-stage codegen."""
     from semantic_index_spark.operators.similarity import ivf_assign
 
-    base = ivf_assign(df.select(id_col, emb_col), centroids, emb_col).withColumn(
-        "nrm", V.l2_norm(emb_col)
+    # materialize the assignment ONCE: the k-dot argmin is a wide codegen
+    # expression, and without pinning it would re-evaluate on BOTH sides of
+    # the self-join plus the final keep-join (3× the dominant per-row
+    # cost); ensure_parallelism first so a single-file input doesn't
+    # serialize the fold on one core.
+    base = (
+        ivf_assign(ensure_parallelism(df.select(id_col, emb_col)), centroids, emb_col)
+        .withColumn("nrm", V.l2_norm(emb_col))
+        .localCheckpoint(eager=True)
     )
     a, b = base.alias("a"), base.alias("b")
     cond = (F.col("a._cell") == F.col("b._cell")) & (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # module-level so pandas_udf can resolve postponed hints
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -325,17 +326,50 @@ def make_centroids(k: int, dim: int, seed: int = 11) -> list[list[float]]:
 
 
 def ivf_assign(
-    df: DataFrame, centroids: Sequence[Sequence[float]], emb_col: str = "embedding"
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    emb_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF cell assignment: each row gets the index of its max-dot centroid
-    (``_cell``). Pure JVM expressions (one dot fold per centroid inside
-    whole-stage codegen) — at ingest time this is the partition/cluster key
-    the index is written with, so queries prune to probed cells at the
-    parquet-partition level."""
-    dots = F.array(*[V.dot_literal(F.col(emb_col), c) for c in centroids])
-    return df.withColumn(
-        "_cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    )
+    (``_cell``). At ingest time this is the partition/cluster key the
+    index is written with, so queries prune to probed cells at the
+    parquet-partition level.
+
+    Two physical strategies, picked by ``method``:
+
+    * ``"expr"`` — one JVM dot fold per centroid inside whole-stage
+      codegen (zero Python). Right for small k (the serving index's
+      nprobe-style k≈8-16): no Arrow boundary, composes with partition
+      pruning.
+    * ``"arrow"`` — one BLAS ``matmul + argmax`` per Arrow batch in a
+      pandas_udf. Right for large k: the expression tree grows (and its
+      codegen COMPILE time, ~2.5s at k=32, dominates small jobs), while a
+      (batch, d) @ (d, k) matmul is O(1) in planning cost and the only
+      strategy that reaches SemDeDup-scale k≈50k. ``np.argmax`` takes the
+      first max index — the same tie-break as ``array_position``.
+    * ``"auto"`` — expr for k ≤ 16, arrow beyond.
+    """
+    k = len(centroids)
+    if method == "auto":
+        method = "expr" if k <= 16 else "arrow"
+    if method == "expr":
+        dots = F.array(*[V.dot_literal(F.col(emb_col), c) for c in centroids])
+        return df.withColumn(
+            "_cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+        )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64).T
+
+    @pandas_udf("int")
+    def _cell(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(mat @ C, axis=1).astype(np.int32))
+
+    return df.withColumn("_cell", _cell(F.col(emb_col)))
 
 
 def ivf_topk(
