@@ -1625,6 +1625,26 @@ def q_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily lower shuffle partitions for a stateful streaming replay:
+    the state store pays a per-partition-per-epoch checkpoint cost (files +
+    fsync), so 32 state partitions for a few thousand rows is almost pure
+    overhead. Each replay starts a FRESH checkpoint, so the partition count
+    is free to differ per query; the session value is restored after. At
+    real scale you size this to state volume, exactly like a batch shuffle."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _write_one_file_parquet(df: DataFrame, scratch: str, dest: str) -> None:
     """Materialize ``df`` as exactly ONE parquet file at ``dest`` — each
     file is one micro-batch for a maxFilesPerTrigger=1 file stream."""
@@ -1680,7 +1700,8 @@ def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer = SI.stream_upsert_into_index(
             stream, idx, checkpoint=os.path.join(tmp, "ckpt")
         )
-        SI.run_batch_like(writer)
+        with _stream_shuffle_partitions(spark):
+            SI.run_batch_like(writer)
         # pin the final state before the source files vanish (every batch
         # was localCheckpointed inside foreachBatch, but the extra pin makes
         # the returned plan self-contained)
@@ -1724,15 +1745,16 @@ def q_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         out = SI.stateful_user_totals(stream)
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_shuffle_partitions(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # n_events is strictly monotone per user across its emissions, so
         # max(struct) picks the final (count, total) pair atomically
         final = (
@@ -1871,15 +1893,16 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = SI.dedup_within_watermark(
             stream, ["event_id"], watermark="100000 hours"
         )
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_shuffle_partitions(spark):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         final = (
             spark.table(name)
             .groupBy("event_type")
@@ -1906,8 +1929,13 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from semantic_index_spark.streaming import ingest as SI
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
+    # deterministic user slice: the join buffers BOTH sides in state until
+    # the (far-horizon) watermark would evict — verification value is
+    # identical on a slice, state cost is not
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 3 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
     )
     tmp = tempfile.mkdtemp(prefix="stream_join_")
     name = "stream_join_" + uuid.uuid4().hex[:12]
@@ -1941,15 +1969,16 @@ def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.event_id").alias("purchase_id"),
             F.col("r.event_id").alias("view_id"),
         )
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_shuffle_partitions(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         final = spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2582,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+              AND p.user_id % 3 = 0
         """,
         "observed_metrics": """
             SELECT count(*)::BIGINT AS n_rows,
