@@ -2008,9 +2008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (stateful_totals_replay, segment_dedup, rrf_fusion,
-    zipf_fit — #51-54, rotating into round 6); all are verified at both
-    sf0.01 and sf0.1 by tools/check_oracles.py."""
+    this round (#51-59, rotating into round 6: stateful_totals_replay,
+    segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
+    observed_metrics, stream_dedup_replay, stream_join_replay); all 166
+    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    166 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
