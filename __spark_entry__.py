@@ -1408,6 +1408,28 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(_copurchase_edges(spark, sf_dir), assume_canonical=True)
 
 
+def q_khop_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BFS layers over the symmetrized customer–part purchase graph: which
+    # parts (hop 1), then which other customers (hop 2), sit within 2 hops
+    # of the 3 seed customers (operators/graph.py; oracle unrolls the
+    # rounds as CTEs).
+    from semantic_index_spark.operators import graph as G
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        o.filter(F.col("o_custkey") < 3)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("node"))
+        .distinct()
+    )
+    return G.khop_frontier(edges, seeds, k=KHOP_K)
+
+
 def q_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # market-basket pair mining: co-occurrence counts + lift over orders
     # as baskets (operators/mining.py).
@@ -1424,6 +1446,7 @@ KCENTER_K = 8
 SEGDEDUP_N = 3
 RRF_TOPK = 20
 RRF_K = 60
+KHOP_K = 2
 SH_MAX_HAMMING = 3
 SH_PAIR_BITS = 32  # 8-bit pigeonhole blocks — 16-bit signatures are too
 # dense for a meaningful hamming<=3 near-dup test (1% of RANDOM pairs hit)
@@ -2077,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "observed_metrics": q_observed_metrics,
         "stream_dedup_replay": q_stream_dedup_replay,
         "stream_join_replay": q_stream_join_replay,
+        "khop_frontier": q_khop_frontier,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2614,6 +2638,36 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
               AND p.user_id % 3 = 0
+        """,
+        "khop_frontier": """
+            WITH raw AS (
+                SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM raw
+                    UNION ALL SELECT dst AS src, src AS dst FROM raw
+                )
+            ),
+            h0 AS (
+                SELECT DISTINCT 'c' || o_custkey AS node
+                FROM orders WHERE o_custkey < 3
+            ),
+            h1 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM e JOIN h0 ON e.src = h0.node
+                WHERE e.dst NOT IN (SELECT node FROM h0)
+            ),
+            h2 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM e JOIN h1 ON e.src = h1.node
+                WHERE e.dst NOT IN (SELECT node FROM h0)
+                  AND e.dst NOT IN (SELECT node FROM h1)
+            )
+            SELECT node, 0 AS hop FROM h0
+            UNION ALL SELECT node, 1 FROM h1
+            UNION ALL SELECT node, 2 FROM h2
         """,
         "observed_metrics": """
             SELECT count(*)::BIGINT AS n_rows,

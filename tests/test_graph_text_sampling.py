@@ -895,3 +895,27 @@ def test_bpe_encode_priority_order_not_scan_order(spark):
     docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     out = TA2.bpe_encode(docs, [("b", "c"), ("a", "b")]).collect()[0]
     assert out["bpe_tokens"] == ["a", "bc", "</w>"]
+
+
+def test_khop_frontier_hand_graph(spark):
+    """Path a->b->c->d plus a shortcut a->c: hop = SHORTEST distance (c is
+    hop 1 via the shortcut, never re-reported at hop 2); d is hop 2; e is
+    unreachable and absent."""
+    from semantic_index_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["hop"] for r in G.khop_frontier(edges, seeds, k=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_frontier_stops_when_frontier_empties(spark):
+    from semantic_index_spark.operators import graph as G
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = G.khop_frontier(edges, seeds, k=10).collect()
+    assert {(r["node"], r["hop"]) for r in got} == {("a", 0), ("b", 1)}

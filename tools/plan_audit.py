@@ -331,6 +331,8 @@ AUDITS = {
     # hybrid search: two bounded arms (BM25 + dense top-k) fused by a
     # metric-sized RRF groupBy.
     "hybrid_search": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": ["CartesianProduct"]},
+    # BFS layers: frontier-into-edges hash joins + anti-joins only.
+    "khop_frontier": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
