@@ -458,6 +458,49 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type")
 
 
+def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporal distinct counting — THE streaming health metric: exact
+    # distinct users per 6-hour event-time bucket next to the per-window
+    # HLL estimate. Explicit epoch-floor bucketing (engine-unambiguous,
+    # equals Spark's epoch-aligned window start); per-window register rows
+    # merge by max(rho), so 6-hour sketches roll up to daily/monthly
+    # without re-reading raw events.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn(
+            "wstart",
+            (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("bigint"),
+        )
+    )
+    est = SKT.hll_estimate_by(
+        SKT.hll_registers_by(ev, "user_id", "wstart", p=HLL_P), "wstart", p=HLL_P
+    )
+    exact = ev.groupBy("wstart").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "wstart")
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source rank-normalized quality: percent_rank within each source
+    # maps scores onto [0,1], so a global threshold over qnorm can't be
+    # gamed by one domain's score calibration — the within-slice companion
+    # of the per-domain quantile gate. One keyed window, deterministic
+    # (quality, doc_id) tie-break.
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_score("text")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(q.asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id",
+        "source",
+        q.alias("quality"),
+        F.round(F.percent_rank().over(w), 6).alias("qnorm"),
+    )
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable HyperLogLog next to the exact answer it approximates: both
     # engines run the identical md5-register formula, so even the APPROXIMATE
@@ -2101,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": q_stream_dedup_replay,
         "stream_join_replay": q_stream_join_replay,
         "khop_frontier": q_khop_frontier,
+        "window_distinct_users": q_window_distinct_users,
+        "quality_calibration": q_quality_calibration,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2638,6 +2683,71 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
               AND p.user_id % 3 = 0
+        """,
+        "window_distinct_users": f"""
+            WITH b AS (
+                SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS wstart, user_id
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT wstart,
+                       (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
+                FROM b
+            ),
+            r AS (
+                SELECT wstart, hv >> 48 AS idx,
+                       hv & ((1::BIGINT << 48) - 1) AS rem
+                FROM h
+            ),
+            regs AS (
+                SELECT wstart, idx,
+                       max(CASE WHEN rem = 0 THEN 49 ELSE 49 - length(bin(rem)) END) AS rho
+                FROM r GROUP BY wstart, idx
+            ),
+            f AS (
+                SELECT wstart, sum(power(2.0, -rho)) AS ps, count(*) AS np
+                FROM regs GROUP BY wstart
+            ),
+            est AS (
+                SELECT wstart, CASE
+                    WHEN {C_HLL!r} / (ps + (4096 - np)) <= 10240.0 AND np < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - np))
+                    ELSE {C_HLL!r} / (ps + (4096 - np))
+                END AS e FROM f
+            ),
+            ex AS (
+                SELECT wstart, count(DISTINCT user_id) AS exact_distinct
+                FROM b GROUP BY wstart
+            )
+            SELECT est.wstart, round(est.e, 3) AS approx_distinct, ex.exact_distinct
+            FROM est JOIN ex USING (wstart)
+        """,
+        "quality_calibration": f"""
+            WITH base AS (
+                SELECT doc_id, source, {_DUCK_TOKENS} AS toks, text FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, source,
+                       len(list_filter(toks, x -> list_contains([{", ".join("'" + w + "'" for w in T.STOPWORDS_EN)}], x)))::DOUBLE
+                           / greatest(len(toks), 1) AS sw,
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1) AS pr,
+                       list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                           / greatest(len(toks), 1) AS mtl
+                FROM base
+            ),
+            q AS (
+                SELECT doc_id, source,
+                       round(least(sw * 4.0, 1.0) * 0.5
+                             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+                             + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                             6) AS quality
+                FROM feat
+            )
+            SELECT doc_id, source, quality,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY quality, doc_id), 6) AS qnorm
+            FROM q
         """,
         "khop_frontier": """
             WITH raw AS (

@@ -919,3 +919,25 @@ def test_khop_frontier_stops_when_frontier_empties(spark):
     seeds = spark.createDataFrame([("a",)], ["node"])
     got = G.khop_frontier(edges, seeds, k=10).collect()
     assert {(r["node"], r["hop"]) for r in got} == {("a", 0), ("b", 1)}
+
+
+def test_randomized_looking_queries_are_run_deterministic(spark):
+    """The md5-derived 'randomness' contract: every sampling / noise /
+    bootstrap query must produce BIT-IDENTICAL results on a re-run in the
+    same session — retries, speculative re-execution, and cross-engine
+    oracles all depend on it."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in (
+        "weighted_sample",
+        "dp_noisy_counts",
+        "bootstrap_ci",
+        "hash_split",
+        "stratified_sample",
+        "ab_test_zscore",
+    ):
+        a = sorted(map(tuple, qs[name](spark, sf).collect()))
+        b = sorted(map(tuple, qs[name](spark, sf).collect()))
+        assert a == b, name

@@ -333,6 +333,11 @@ AUDITS = {
     "hybrid_search": {"expect": ["TakeOrderedAndProject", "HashAggregate"], "forbid": ["CartesianProduct"]},
     # BFS layers: frontier-into-edges hash joins + anti-joins only.
     "khop_frontier": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # windowed distinct: both arms are keyed partial aggs; the join runs
+    # on the |windows|-row summaries, never the corpus.
+    "window_distinct_users": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # calibration: one keyed window over the corpus, nothing else.
+    "quality_calibration": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct"]},
 }
 
 
