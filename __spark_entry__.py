@@ -501,6 +501,18 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partial-duplicate media detection: media pairs sharing >= 2 distinct
+    # frame fingerprints (multimodal.shared_frame_pairs over every frame,
+    # every_n=1). ASCII-clean filter for the byte/char oracle mirror, same
+    # contract as media_frames.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text")
+    )
+    frames = M.sample_frames(M.attach_fake_media(docs), frame_bytes=64, every_n=1)
+    return M.shared_frame_pairs(frames, min_shared=2)
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable HyperLogLog next to the exact answer it approximates: both
     # engines run the identical md5-register formula, so even the APPROXIMATE
@@ -2146,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_frontier": q_khop_frontier,
         "window_distinct_users": q_window_distinct_users,
         "quality_calibration": q_quality_calibration,
+        "media_shared_frames": q_media_shared_frames,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2683,6 +2696,27 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
               AND p.user_id % 3 = 0
+        """,
+        "media_shared_frames": """
+            WITH m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                WHERE octet_length(encode(text)) = length(text)
+            ),
+            ex AS (
+                SELECT media_id, text,
+                       unnest(range(0, greatest(
+                           ceil(length(text)::DOUBLE / 64)::INT, 1)))::INT AS i
+                FROM m
+            ),
+            d AS (
+                SELECT DISTINCT media_id,
+                       md5(substring(text, i * 64 + 1, 64)) AS h
+                FROM ex
+            )
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM d a JOIN d b ON a.h = b.h AND a.media_id < b.media_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "window_distinct_users": f"""
             WITH b AS (

@@ -264,3 +264,35 @@ def pool_frame_features(
             F.transform(summed, lambda v: v / F.col("n_frames")),
         ).alias(out_col),
     )
+
+
+def shared_frame_pairs(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    frame_col: str = "frame",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-duplicate media detection: pairs of media sharing at least
+    ``min_shared`` DISTINCT frame fingerprints — the video-dedup primitive
+    (full re-uploads, clipped copies, spliced compilations all share
+    frames). With a real perceptual frame signature swapped in for the
+    md5, the same plan catches re-encodes.
+
+    Scale shape: the (id, frame-hash) table deduplicates first, then an
+    inverted-index equi-join on the hash — the same Σdf² candidate shape
+    as the shingle joins (a frame shared by k media contributes k(k−1)/2
+    pairs; truly ubiquitous frames — intros, black frames — are the
+    ``max_df``-style cutoff lever if they ever dominate). Returns
+    (id_a, id_b, n_shared)."""
+    h = frames.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(frame_col)).alias("_h")
+    ).distinct()
+    a = h.select(F.col("_id").alias("id_a"), "_h")
+    b = h.select(F.col("_id").alias("id_b"), "_h")
+    return (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

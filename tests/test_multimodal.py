@@ -100,3 +100,28 @@ def test_metadata_agg_prunes_blob_column(spark, sf_dir, tmp_path):
     # and the full media_stats still computes correctly over parquet
     row = M.media_stats(tbl).collect()[0]
     assert row["n_media"] == docs.count() and row["total_bytes"] > 0
+
+
+def test_shared_frame_pairs_finds_partial_overlap(spark):
+    """Two media sharing exactly their first two 4-byte frames pair up
+    with n_shared=2; the unrelated third never appears."""
+    from semantic_index_spark.operators import multimodal as M
+
+    rows = [
+        (1, bytearray(b"AAAABBBBCCCC")),
+        (2, bytearray(b"AAAABBBBDDDD")),   # shares frames AAAA, BBBB with 1
+        (3, bytearray(b"EEEEFFFFGGGG")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    frames = M.sample_frames(media, frame_bytes=4, every_n=1)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in M.shared_frame_pairs(frames, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2}
+    # min_shared=1 would still exclude media 3 (no shared frame at all)
+    got1 = {
+        (r["id_a"], r["id_b"])
+        for r in M.shared_frame_pairs(frames, min_shared=1).collect()
+    }
+    assert got1 == {(1, 2)}

@@ -338,6 +338,9 @@ AUDITS = {
     "window_distinct_users": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # calibration: one keyed window over the corpus, nothing else.
     "quality_calibration": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct"]},
+    # media dedup: inverted-index equi-join on the frame hash — the Σdf²
+    # shingle-join shape, never all-pairs.
+    "media_shared_frames": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
