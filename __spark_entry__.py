@@ -2086,11 +2086,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-59, rotating into round 6: stateful_totals_replay,
+    this round (#51-63, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
-    observed_metrics, stream_dedup_replay, stream_join_replay); all 166
-    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    166 ok, 0 fail, 0 rows-only."""
+    observed_metrics, stream_dedup_replay, stream_join_replay,
+    khop_frontier, window_distinct_users, quality_calibration,
+    media_shared_frames); all 170 are verified at both sf0.01 and sf0.1
+    by tools/check_oracles.py — 170 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
