@@ -513,6 +513,18 @@ def q_media_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.shared_frame_pairs(frames, min_shared=2)
 
 
+CUSUM_K, CUSUM_H = 0.5, 4.0
+
+
+def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-sided CUSUM drift detection over daily per-type volumes — the
+    # sustained-small-shift monitor MAD/seasonal z-tests miss; the
+    # non-associative max-reset scan runs per-series in applyInPandas and
+    # the oracle replays it as a recursive CTE (timeseries.cusum_alerts).
+    ev = load_table(spark, sf_dir, "events")
+    return TS.cusum_alerts(ev, ts_col="ts", by="event_type", k=CUSUM_K, h=CUSUM_H)
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable HyperLogLog next to the exact answer it approximates: both
     # engines run the identical md5-register formula, so even the APPROXIMATE
@@ -2160,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distinct_users": q_window_distinct_users,
         "quality_calibration": q_quality_calibration,
         "media_shared_frames": q_media_shared_frames,
+        "cusum_alerts": q_cusum_alerts,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2697,6 +2710,58 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
               AND p.user_id % 3 = 0
+        """,
+        # recursive-CTE replay of the CUSUM max-reset recurrence; mu/sigma
+        # derive from exact integer sums so both engines run bitwise-equal
+        # floats; alert compares the UNROUNDED statistic like the operator
+        "cusum_alerts": f"""
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            days AS (
+                SELECT event_type,
+                       (d - DATE '1970-01-01')::INT AS day, x,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY d) AS rn
+                FROM daily
+            ),
+            params AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x)::DOUBLE / count(*) AS mu,
+                       CASE WHEN count(*) > 1 AND
+                                 (sum(x * x)::DOUBLE
+                                  - count(*) * (sum(x)::DOUBLE / count(*))
+                                    * (sum(x)::DOUBLE / count(*)))
+                                 / (count(*) - 1) > 0
+                            THEN sqrt((sum(x * x)::DOUBLE
+                                  - count(*) * (sum(x)::DOUBLE / count(*))
+                                    * (sum(x)::DOUBLE / count(*)))
+                                 / (count(*) - 1))
+                            ELSE 0.0 END AS sigma
+                FROM days GROUP BY event_type
+            ),
+            rec AS (
+                SELECT d.event_type, d.rn, d.day, d.x,
+                       greatest(0.0,
+                           (CASE WHEN p.sigma = 0 THEN 0.0
+                                 ELSE (d.x - p.mu) / p.sigma END)
+                           - {CUSUM_K!r}) AS s
+                FROM days d JOIN params p USING (event_type)
+                WHERE d.rn = 1
+                UNION ALL
+                SELECT d.event_type, d.rn, d.day, d.x,
+                       greatest(0.0, r.s
+                           + (CASE WHEN p.sigma = 0 THEN 0.0
+                                   ELSE (d.x - p.mu) / p.sigma END)
+                           - {CUSUM_K!r}) AS s
+                FROM rec r
+                JOIN days d ON d.event_type = r.event_type AND d.rn = r.rn + 1
+                JOIN params p ON p.event_type = d.event_type
+            )
+            SELECT event_type, day, x::BIGINT AS x,
+                   round(s, 6) AS cusum, (s > {CUSUM_H!r}) AS alert
+            FROM rec
         """,
         "media_shared_frames": """
             WITH m AS (

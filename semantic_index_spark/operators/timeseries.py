@@ -502,3 +502,98 @@ def winsorized_stats(
         F.round(F.avg("_w"), 6).alias("winsorized_mean"),
         F.round(F.stddev_samp("_w"), 6).alias("winsorized_std"),
     )
+
+
+def cusum_alerts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per series (Page 1954) — the
+    drift monitor that catches SUSTAINED small shifts MAD/seasonal z-tests
+    miss (each day looks fine; the accumulated deviation doesn't):
+    s_t = max(0, s_{t-1} + z_t − k) over daily volumes, alert when
+    s_t > h. z normalizes against the series' own mean/std computed from
+    EXACT integer sums (Σx, Σx²) so the recurrence is bit-reproducible
+    across engines. [absent in reference — north-star extension]
+
+    Scale shape: the corpus collapses to (series, day) counts in ONE
+    partial-agg groupBy; the recurrence is inherently sequential
+    (non-associative scan — no window can express the max-reset), so it
+    runs per-series in applyInPandas, bounded by days-per-series, never
+    corpus-sized. Fixed k/h → the oracle replays the recurrence as a
+    recursive CTE. Returns (by, day, x, cusum, alert).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    daily = (
+        events.select(F.col(by), F.to_date(ts_col).alias("_d"))
+        .groupBy(by, "_d")
+        .agg(F.count("*").cast("bigint").alias("_x"))
+        .select(
+            F.col(by),
+            F.datediff(F.col("_d"), F.lit("1970-01-01")).cast("int").alias("day"),
+            "_x",
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField(by, events.schema[by].dataType),
+            StructField("day", IntegerType()),
+            StructField("x", LongType()),
+            StructField("cusum", DoubleType()),
+            StructField("alert", BooleanType()),
+        ]
+    )
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = pdf["_x"].astype("int64").to_numpy()
+        n = len(xs)
+        # EXACT integer sums -> both engines derive bitwise-equal mu/sigma
+        s_sum = int(xs.sum())
+        ss = int((xs.astype(object) ** 2).sum())
+        import math
+
+        mu = s_sum / n
+        var = (ss - n * mu * mu) / (n - 1) if n > 1 else 0.0
+        # math.sqrt, not var**0.5: pow(x, 0.5) can be an ulp off IEEE sqrt,
+        # and the oracle's sqrt() is the IEEE one
+        sigma = math.sqrt(var) if var > 0 else 0.0
+        s = 0.0
+        out_s = []
+        for x in xs:
+            z = 0.0 if sigma == 0.0 else (x - mu) / sigma
+            s = max(0.0, s + z - k)
+            out_s.append(s)
+        return pd.DataFrame(
+            {
+                by: pdf[by],
+                "day": pdf["day"].astype("int32"),
+                "x": xs,
+                "cusum": [round_half_up6(v) for v in out_s],
+                "alert": [v > h for v in out_s],
+            }
+        )
+
+    return daily.groupBy(by).applyInPandas(_scan, out_schema)
+
+
+def round_half_up6(x: float) -> float:
+    """HALF_UP at 6 decimals, matching Spark F.round / DuckDB round —
+    Python's built-in round is half-to-even and diverges on boundaries."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)

@@ -941,3 +941,30 @@ def test_randomized_looking_queries_are_run_deterministic(spark):
         a = sorted(map(tuple, qs[name](spark, sf).collect()))
         b = sorted(map(tuple, qs[name](spark, sf).collect()))
         assert a == b, name
+
+
+def test_cusum_flags_sustained_shift_not_single_spike(spark):
+    """CUSUM's reason to exist: a level shift that is individually small
+    (each day under any per-day z threshold) accumulates past h, while a
+    stable series never alerts."""
+    rows = []
+    # stable series: 20 days of 10 events
+    for d in range(1, 21):
+        rows += [("stable", f"2024-01-{d:02d} 00:00:{i:02d}") for i in range(10)]
+    # shifted series: 10 days of 10, then 10 days of 14 (small sustained up-shift)
+    for d in range(1, 21):
+        n = 10 if d <= 10 else 14
+        rows += [("shift", f"2024-01-{d:02d} 00:00:{i:02d}") for i in range(n)]
+    ev = spark.createDataFrame(rows, ["event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = TS.cusum_alerts(ev, by="event_type", k=0.5, h=4.0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["event_type"], []).append((r["day"], r["cusum"], r["alert"]))
+    assert not any(a for _, _, a in by["stable"])
+    shift_alerts = [d for d, _, a in sorted(by["shift"]) if a]
+    assert shift_alerts, "sustained shift must eventually alert"
+    # alerts only appear after the shift begins (day index 10 of 20)
+    first_alert_rank = sorted(d for d, _, _ in by["shift"]).index(shift_alerts[0])
+    assert first_alert_rank >= 10

@@ -341,6 +341,9 @@ AUDITS = {
     # media dedup: inverted-index equi-join on the frame hash — the Σdf²
     # shingle-join shape, never all-pairs.
     "media_shared_frames": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # CUSUM: corpus collapses to (series, day) in one partial agg; the
+    # non-associative scan runs grouped-in-pandas on the tiny series.
+    "cusum_alerts": {"expect": ["HashAggregate", "FlatMapGroupsInPandas"], "forbid": ["Join", "CartesianProduct"]},
 }
 
 
