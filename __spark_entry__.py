@@ -516,6 +516,31 @@ def q_media_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSUM_K, CUSUM_H = 0.5, 4.0
 
 
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-time join (the feature-store primitive): each fact gets the
+    # SCD2 dimension version in force at its timestamp — here "what status
+    # did this user hold 30 minutes after each event" against the
+    # self-derived status history. One keyed sort-shuffle via the as-of
+    # machinery, never an interval cross-product (timeseries.pit_join).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hist = TS.scd2_history(
+        ev, key="user_id", ts="ts", attr="event_type", tiebreak="event_id"
+    )
+    facts = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+    )
+    out = TS.pit_join(facts, hist, key="user_id", attrs=["event_type"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("fts"),
+        F.col("event_type_pit").alias("status_pit"),
+        F.unix_timestamp("valid_from_pit").alias("valid_from_pit"),
+    )
+
+
 def q_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-sided CUSUM drift detection over daily per-type volumes — the
     # sustained-small-shift monitor MAD/seasonal z-tests miss; the
@@ -2173,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "media_shared_frames": q_media_shared_frames,
         "cusum_alerts": q_cusum_alerts,
+        "pit_join": q_pit_join,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2710,6 +2736,42 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
               AND p.user_id % 3 = 0
+        """,
+        # PIT join = interval containment against the reconstructed SCD2
+        # history; empty [t, t) versions are never in force on either side
+        "pit_join": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM events WHERE user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tr AS (
+                SELECT user_id, event_type, ts, event_id FROM o
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+            ),
+            hist AS (
+                SELECT user_id, event_type, ts AS vfrom,
+                       lead(ts) OVER w2 AS vto
+                FROM tr
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            live AS (
+                SELECT * FROM hist WHERE vto IS NULL OR vfrom < vto
+            ),
+            facts AS (
+                SELECT user_id, event_id, ts + INTERVAL 30 MINUTE AS fts
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT f.event_id, f.user_id,
+                   floor(epoch(f.fts))::BIGINT AS fts,
+                   h.event_type AS status_pit,
+                   floor(epoch(h.vfrom))::BIGINT AS valid_from_pit
+            FROM facts f LEFT JOIN live h
+              ON f.user_id = h.user_id
+             AND h.vfrom <= f.fts
+             AND (h.vto IS NULL OR f.fts < h.vto)
         """,
         # recursive-CTE replay of the CUSUM max-reset recurrence; mu/sigma
         # derive from exact integer sums so both engines run bitwise-equal

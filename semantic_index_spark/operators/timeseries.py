@@ -597,3 +597,48 @@ def round_half_up6(x: float) -> float:
     import math
 
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attrs: list[str] | None = None,
+    suffix: str = "_pit",
+) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store / Flink-temporal
+    primitive: each fact row gets the dimension version IN FORCE at its
+    own timestamp (``valid_from <= ts < valid_to``), never a later one —
+    the train/serve-skew correctness property PIT joins exist for.
+    [absent in reference — north-star extension]
+
+    Plan: the interval-containment join collapses to :func:`asof_join` on
+    ``valid_from`` (ONE keyed sort-shuffle, no range cross-product),
+    because SCD2 validity intervals PARTITION each key's timeline — the
+    last version starting at-or-before ts is exactly the one in force.
+    Empty ``[t, t)`` versions (same-instant transition runs) are dropped
+    first: they are never in force, and removing them makes
+    ``valid_from`` unique per key so the as-of resolution is total-order
+    deterministic. Facts before the key's first version get NULLs.
+    Returns all fact columns + ``<attr><suffix>`` + ``valid_from<suffix>``.
+    """
+    attrs = attrs or [
+        c
+        for c in dim_history.columns
+        if c not in (key, valid_from, valid_to, "is_current")
+    ]
+    live = dim_history.filter(
+        F.col(valid_to).isNull() | (F.col(valid_from) < F.col(valid_to))
+    ).select(key, valid_from, *attrs)
+    return asof_join(
+        facts,
+        live,
+        on=key,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        value_cols=attrs,
+        suffix=suffix,
+    )

@@ -968,3 +968,39 @@ def test_cusum_flags_sustained_shift_not_single_spike(spark):
     # alerts only appear after the shift begins (day index 10 of 20)
     first_alert_rank = sorted(d for d, _, _ in by["shift"]).index(shift_alerts[0])
     assert first_alert_rank >= 10
+
+
+def test_pit_join_attaches_version_in_force(spark):
+    """PIT correctness: a fact BETWEEN two versions must get the earlier
+    one (never leakage from the future); a fact before the first version
+    gets NULL; same-instant facts see the version starting at that
+    instant."""
+    from semantic_index_spark.operators import timeseries as TS2
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", "2024-01-01 00:00:00", "2024-01-10 00:00:00", False),
+            (1, "gold", "2024-01-10 00:00:00", None, True),
+        ],
+        "user_id long, status string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "user_id",
+        "status",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 100, "2023-12-31 23:00:00"),  # before history -> NULL
+            (1, 101, "2024-01-05 12:00:00"),  # mid bronze
+            (1, 102, "2024-01-10 00:00:00"),  # exactly at the transition -> gold
+            (1, 103, "2024-02-01 00:00:00"),  # current version
+        ],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r["status_pit"]
+        for r in TS2.pit_join(facts, hist, key="user_id", attrs=["status"]).collect()
+    }
+    assert got == {100: None, 101: "bronze", 102: "gold", 103: "gold"}

@@ -344,6 +344,9 @@ AUDITS = {
     # CUSUM: corpus collapses to (series, day) in one partial agg; the
     # non-associative scan runs grouped-in-pandas on the tiny series.
     "cusum_alerts": {"expect": ["HashAggregate", "FlatMapGroupsInPandas"], "forbid": ["Join", "CartesianProduct"]},
+    # PIT join rides the as-of union+window — NO join operator at all,
+    # and certainly no interval cross-product.
+    "pit_join": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct"]},
 }
 
 
