@@ -516,6 +516,49 @@ def q_media_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSUM_K, CUSUM_H = 0.5, 4.0
 
 
+def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-metric A/B readout: Mann-Whitney rank-sum z over event
+    # values (cents-discretized so the rank table is value-domain-bounded),
+    # arms from the same md5 hash-split as ab_test_zscore — the A/A shape.
+    from semantic_index_spark.operators import stats as ST
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    armed = ev.select(
+        F.round(F.col("value"), 2).alias("v"),
+        F.when(
+            F.pmod(
+                T.md5_bigint(F.col("user_id").cast("string"), salt="ab:"), F.lit(2)
+            )
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("_arm"),
+    )
+    return ST.mann_whitney_z(armed, "v", "_arm")
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # governance rollup: what fraction of each source survives corpus-level
+    # exact dedup (canonical winner = min doc_id per fingerprint) — the
+    # per-provider duplication scorecard.
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.fingerprint("text").alias("_fp")
+    )
+    w = d.groupBy("_fp").agg(F.min("doc_id").alias("_win"))
+    j = d.join(w, "_fp")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("doc_id") == F.col("_win")).cast("long")).alias("n_kept"),
+        F.round(
+            F.lit(1.0)
+            - F.sum((F.col("doc_id") == F.col("_win")).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
 def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time join (the feature-store primitive): each fact gets the
     # SCD2 dimension version in force at its timestamp — here "what status
@@ -2199,6 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_shared_frames": q_media_shared_frames,
         "cusum_alerts": q_cusum_alerts,
         "pit_join": q_pit_join,
+        "ab_mann_whitney": q_ab_mann_whitney,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2736,6 +2781,64 @@ def oracle_sql() -> dict[str, str]:
              AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
               AND p.user_id % 3 = 0
+        """,
+        # rank quantities are half-integers (exact doubles), so even the
+        # rank-sum statistic hash-matches bitwise
+        "ab_mann_whitney": f"""
+            WITH armed AS (
+                SELECT round(value, 2) AS v,
+                       CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'ab:' || CAST(user_id AS VARCHAR)")} % 2) = 0
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            per AS (
+                SELECT v, count(*)::BIGINT AS cnt,
+                       sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS a
+                FROM armed GROUP BY v
+            ),
+            ranked AS (
+                SELECT v, cnt, a,
+                       coalesce(sum(cnt) OVER (
+                           ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS bef
+                FROM per
+            ),
+            agg AS (
+                SELECT sum(a)::BIGINT AS n_a,
+                       sum(cnt - a)::BIGINT AS n_b,
+                       sum(a * (bef::DOUBLE + (cnt + 1) / 2.0)) AS r_a,
+                       sum(cnt * cnt * cnt - cnt)::BIGINT AS tsum
+                FROM ranked
+            ),
+            fin AS (
+                SELECT n_a, n_b, r_a, tsum,
+                       n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                       n_a::DOUBLE + n_b::DOUBLE AS n
+                FROM agg
+            )
+            SELECT n_a, n_b,
+                   round(r_a - na * (na + 1) / 2.0, 6) AS u_stat,
+                   round((r_a - na * (na + 1) / 2.0 - na * nb / 2.0)
+                         / sqrt(nullif(
+                               na * nb / 12.0
+                               * ((n + 1) - tsum / (n * (n - 1))), 0.0)), 6)
+                       AS zscore
+            FROM fin
+        """,
+        "dedup_rate_by_source": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ),
+            w AS (SELECT fp, min(doc_id) AS win FROM d GROUP BY fp)
+            SELECT d.source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN d.doc_id = w.win THEN 1 ELSE 0 END)::BIGINT
+                       AS n_kept,
+                   round(1.0 - sum(CASE WHEN d.doc_id = w.win THEN 1 ELSE 0 END)
+                               / count(*)::DOUBLE, 6) AS dup_rate
+            FROM d JOIN w USING (fp) GROUP BY d.source
         """,
         # PIT join = interval containment against the reconstructed SCD2
         # history; empty [t, t) versions are never in force on either side

@@ -374,3 +374,53 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+def mann_whitney_z(
+    df: DataFrame, value_col: str, arm_col: str = "_arm"
+) -> DataFrame:
+    """Mann–Whitney U rank-sum readout (the CONTINUOUS-metric A/B test;
+    :func:`ab_test_zscore` is its binary-conversion sibling): normal
+    approximation with the standard tie correction,
+    z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((N+1) − ΣT/(N(N−1)))).
+
+    Scale shape: ranks never materialize per row — ONE groupBy collapses
+    the corpus to its distinct metric values (discretize a truly
+    continuous metric first, e.g. round to cents: the rank table is then
+    bounded by the VALUE DOMAIN, not the corpus), average ranks come from
+    a cumulative window over that bounded table, and every rank quantity
+    is a half-integer — exactly representable, so the statistic is
+    bit-identical across engines and summation orders. Returns one row
+    (n_a, n_b, u_stat, zscore); z is NULL when the variance degenerates
+    (all values tied)."""
+    per = df.groupBy(value_col).agg(
+        F.count("*").cast("long").alias("_cnt"),
+        F.sum((F.col(arm_col) == "A").cast("long")).alias("_a"),
+    )
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).cast("long")
+    ).withColumn(
+        "_avg_rank",
+        F.col("_before").cast("double") + (F.col("_cnt") + 1) / F.lit(2.0),
+    )
+    agg = ranked.agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum(F.col("_cnt") - F.col("_a")).cast("long").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_avg_rank")).alias("_r_a"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).cast("long").alias("_tsum"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = n_a + n_b
+    u = F.col("_r_a") - n_a * (n_a + 1) / 2.0
+    var = n_a * n_b / 12.0 * ((n + 1) - F.col("_tsum") / (n * (n - 1)))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            (u - n_a * n_b / 2.0) / F.sqrt(F.nullif(var, F.lit(0.0))), 6
+        ).alias("zscore"),
+    )

@@ -1004,3 +1004,25 @@ def test_pit_join_attaches_version_in_force(spark):
         for r in TS2.pit_join(facts, hist, key="user_id", attrs=["status"]).collect()
     }
     assert got == {100: None, 101: "bronze", 102: "gold", 103: "gold"}
+
+
+def test_mann_whitney_hand_example_and_aa_shape(spark):
+    """Hand case: A={1,2}, B={3,4} (complete separation): U_A = 0,
+    mu_U = 2, sigma_U = sqrt(n_a*n_b*(N+1)/12) = sqrt(5/3) = 1.29099 ->
+    z = -1.549193 (normal approx, no ties). All-tied values must yield
+    NULL z, never a crash."""
+    from semantic_index_spark.operators import stats as ST2
+
+    df = spark.createDataFrame(
+        [(1.0, "A"), (2.0, "A"), (3.0, "B"), (4.0, "B")], "v double, _arm string"
+    )
+    row = ST2.mann_whitney_z(df, "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert row["u_stat"] == 0.0
+    assert abs(row["zscore"] + 1.549193) < 1e-5
+    # all-tied values: variance degenerates -> NULL z, never a crash
+    tied = spark.createDataFrame(
+        [(5.0, "A"), (5.0, "B"), (5.0, "A")], "v double, _arm string"
+    )
+    trow = ST2.mann_whitney_z(tied, "v").collect()[0]
+    assert trow["zscore"] is None

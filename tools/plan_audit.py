@@ -347,6 +347,12 @@ AUDITS = {
     # PIT join rides the as-of union+window — NO join operator at all,
     # and certainly no interval cross-product.
     "pit_join": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct"]},
+    # rank-sum test: corpus collapses to distinct metric values; the rank
+    # window runs on that value-domain-bounded table.
+    "ab_mann_whitney": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
+    # dedup scorecard: fingerprint groupBy + winner equi-join, word-count
+    # shapes only.
+    "dedup_rate_by_source": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
