@@ -538,6 +538,27 @@ def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.mann_whitney_z(armed, "v", "_arm")
 
 
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic reporting shape: per-type week-over-week event growth — one
+    # partial-agg groupBy to the (type, ISO week) grain, then a tiny keyed
+    # lag window over the aggregate (never the corpus).
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        (F.year("ts") * 100 + F.weekofyear("ts")).cast("int").alias("yw"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("event_type").orderBy("yw")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "yw",
+        "n",
+        F.round(F.col("n") / prev.cast("double") - 1.0, 6).alias("wow_growth"),
+    )
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2244,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "ab_mann_whitney": q_ab_mann_whitney,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "wow_growth": q_wow_growth,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2825,6 +2847,19 @@ def oracle_sql() -> dict[str, str]:
                                * ((n + 1) - tsum / (n * (n - 1))), 0.0)), 6)
                        AS zscore
             FROM fin
+        """,
+        "wow_growth": """
+            WITH m AS (
+                SELECT event_type,
+                       (year(ts) * 100 + weekofyear(ts))::INT AS yw,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, yw, n,
+                   round(n / lag(n) OVER (
+                       PARTITION BY event_type ORDER BY yw)::DOUBLE - 1.0, 6)
+                       AS wow_growth
+            FROM m
         """,
         "dedup_rate_by_source": """
             WITH d AS (

@@ -525,3 +525,62 @@ def test_segment_dedup_invariants(spark, docs):
     distinct = set(seg_occurrences)
     assert sum(r["n_kept"] for r in out) == len(distinct)
     assert sum(r["n_segs"] for r in out) == len(seg_occurrences)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # change time (sec offset)
+            st.sampled_from(["a", "b", "c"]),        # attr
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pit_join_matches_literal_interval_join(spark, changes, probes):
+    """pit_join (as-of union+window) must equal the LITERAL interval-
+    containment join against the SCD2 history, including same-instant
+    transitions and before-history probes."""
+    import pyspark.sql.functions as SF
+
+    ev = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{t:02d}.{i % 10}", a) for i, (u, t, a) in enumerate(changes)],
+        "user_id long, ts string, attr string",
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    hist = TS.scd2_history(ev, key="user_id", ts="ts", attr="attr", tiebreak="attr")
+    facts = spark.createDataFrame(
+        [(u, i, f"2024-01-01 00:00:{t:02d}") for i, (u, t) in enumerate(probes)],
+        "user_id long, fact_id long, ts string",
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    got = {
+        r["fact_id"]: r["attr_pit"]
+        for r in TS.pit_join(facts, hist, key="user_id", attrs=["attr"]).collect()
+    }
+    live = hist.filter(
+        SF.col("valid_to").isNull() | (SF.col("valid_from") < SF.col("valid_to"))
+    )
+    truth_rows = (
+        facts.alias("f")
+        .join(
+            live.alias("h"),
+            (SF.col("f.user_id") == SF.col("h.user_id"))
+            & (SF.col("h.valid_from") <= SF.col("f.ts"))
+            & (SF.col("h.valid_to").isNull() | (SF.col("f.ts") < SF.col("h.valid_to"))),
+            "left",
+        )
+        .select("f.fact_id", "h.attr")
+        .collect()
+    )
+    truth = {r["fact_id"]: r["attr"] for r in truth_rows}
+    assert len(truth_rows) == len(truth)  # containment matched at most once
+    assert got == truth

@@ -353,6 +353,9 @@ AUDITS = {
     # dedup scorecard: fingerprint groupBy + winner equi-join, word-count
     # shapes only.
     "dedup_rate_by_source": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # WoW growth: corpus collapses to (type, week); lag runs on the tiny
+    # aggregate.
+    "wow_growth": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
 }
 
 
