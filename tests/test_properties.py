@@ -540,7 +540,7 @@ def test_segment_dedup_invariants(spark, docs):
     probes=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=3),
-            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=59),  # valid seconds only
         ),
         min_size=1,
         max_size=10,
