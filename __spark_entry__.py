@@ -559,6 +559,29 @@ def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-aware train/test split: the fold is assigned to the whole
+    # near-dup CLUSTER (connected components over minhash-LSH pairs), so
+    # near-duplicates can never straddle the split — the train/eval
+    # contamination-avoidance property a doc-level hash split lacks.
+    # Assignment hashes the cluster's canonical id: deterministic,
+    # engine-portable, stable under corpus growth.
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    comp = D.connected_components(d.select("doc_id"), pairs)
+    fold = F.when(
+        F.pmod(
+            T.md5_bigint(F.col("component").cast("string"), salt="split:"),
+            F.lit(10),
+        )
+        < 8,
+        "train",
+    ).otherwise("test")
+    return comp.select("doc_id", "component", fold.alias("fold"))
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2266,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_mann_whitney": q_ab_mann_whitney,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "wow_growth": q_wow_growth,
+        "leakage_safe_split": q_leakage_safe_split,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4238,6 +4262,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        # same closure, fold hashed from the cluster's canonical id — a
+        # near-dup pair can never straddle train/test
+        "leakage_safe_split": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+            )
+            SELECT doc_id, component,
+                   CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'split:' || CAST(component AS VARCHAR)")} % 10) < 8
+                        THEN 'train' ELSE 'test' END AS fold
+            FROM comp
         """,
         "simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
