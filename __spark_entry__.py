@@ -582,6 +582,19 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("doc_id", "component", fold.alias("fold"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance weights (Xie et al. 2023): treat src0 as the
+    # high-quality target domain, weight every other doc by how much its
+    # hashed unigram+bigram profile looks like src0 vs the raw pool.
+    # Compared output keeps only the exact-integer micro-nat columns
+    # (the ngram_lm_score avg-rounding lesson).
+    d = load_table(spark, sf_dir, "documents")
+    w = TA.dsir_weights(
+        d, target_cond=F.col("source") == F.lit("src0"), buckets=1024, alpha=1.0
+    )
+    return w.select("doc_id", "n_feats", "logw_micro")
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2290,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "wow_growth": q_wow_growth,
         "leakage_safe_split": q_leakage_safe_split,
+        "dsir_weights": q_dsir_weights,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4292,6 +4306,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'split:' || CAST(component AS VARCHAR)")} % 10) < 8
                         THEN 'train' ELSE 'test' END AS fold
             FROM comp
+        """,
+        # DSIR importance weights: smoothed ratio assembled as one division
+        # of exact-integer products so both engines log the identical double
+        "dsir_weights": f"""
+            WITH base AS (
+                SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, source,
+                       unnest(list_concat(
+                           t,
+                           list_transform(
+                               list_zip(t[1:len(t) - 1], t[2:len(t)]),
+                               z -> z[1] || ' ' || z[2]
+                           )
+                       )) AS f
+                FROM base
+            ),
+            b AS (
+                SELECT doc_id, source = 'src0' AS tgt,
+                       ({_duck_md5_bigint("'dsir:' || f")} % 1024) AS bkt
+                FROM feats
+            ),
+            ct AS (SELECT bkt, count(*)::BIGINT AS ct FROM b WHERE tgt GROUP BY bkt),
+            cr AS (SELECT bkt, count(*)::BIGINT AS cr FROM b WHERE NOT tgt GROUP BY bkt),
+            tot AS (
+                SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS tt,
+                       sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS tr
+                FROM b
+            ),
+            scored AS (
+                SELECT doc_id,
+                       floor(ln(
+                           (coalesce(ct.ct, 0) + 1.0) * (tot.tr + 1024.0)
+                           / ((coalesce(cr.cr, 0) + 1.0) * (tot.tt + 1024.0))
+                       ) * 1e6 + 0.5)::BIGINT AS lp
+                FROM b LEFT JOIN ct USING (bkt) LEFT JOIN cr USING (bkt) CROSS JOIN tot
+                WHERE NOT tgt
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lp)::BIGINT AS logw_micro
+            FROM scored GROUP BY doc_id
         """,
         "simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),

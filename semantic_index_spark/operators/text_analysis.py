@@ -860,3 +860,107 @@ def bpe_encode(
     ).select(
         id_col, F.size("bpe_tokens").alias("n_bpe_tokens"), "bpe_tokens"
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for pretraining data selection
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): estimate hashed-n-gram bag-of-words
+    distributions for a TARGET slice (``target_cond`` true — the
+    high-quality domain you want more of) and the RAW rest of the corpus,
+    then weight every raw document by
+    ``log w(x) = sum_f [log p_target(bucket(f)) - log p_raw(bucket(f))]``
+    over its unigram+bigram features. High weight = "looks like the
+    target"; feed the weights to
+    :func:`semantic_index_spark.operators.skew.weighted_sample` for the
+    paper's resampling step.
+
+    Scale shape: one tokenize+explode pass over the corpus → TWO bounded
+    groupBys on the hashed bucket id (≤ ``buckets`` rows each — the whole
+    model state is O(buckets), independent of corpus size) → the per-doc
+    scoring join broadcasts those two bucket tables back onto the feature
+    stream → one groupBy(doc). Nothing unbounded is ever broadcast; the
+    shuffle keys are (bucket) then (doc_id), both well-distributed.
+
+    Cross-engine parity: per-feature log-ratios are fixed-pointed to
+    1e-6 micro-nats BEFORE the per-doc sum (same exact-integer trick as
+    :func:`ngram_lm_score`), and the smoothed ratio is assembled as ONE
+    division of two exact-integer products —
+    ``(ct+α)(tr+αB) / (cr+α)(tt+αB)`` with α=1 — so both engines log the
+    bit-identical double. The products stay exact below 2^53 (fine to
+    ~10^9 feature occurrences per side; at true 100 TB scale you would
+    sum float log-differences instead and give up hash-exact replay).
+
+    Returns (doc_id, n_feats, logw_micro, avg_logw) for raw docs only.
+    [absent in reference — north-star extension]
+    """
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    a = float(alpha)
+    base = ensure_parallelism(docs).select(
+        F.col(id_col),
+        target_cond.cast("boolean").alias("__tgt"),
+        T.tokens(text_col).alias("__t"),
+    )
+    # unigrams ++ word bigrams ("w1 w2"), all in-JVM array ops; slice with
+    # length 0 (single-token doc) yields [] on both engines
+    feats = base.select(
+        id_col,
+        "__tgt",
+        F.explode(
+            F.concat(
+                F.col("__t"),
+                F.expr(
+                    "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                    " (w, i) -> concat(w, ' ', __t[i + 1]))"
+                ),
+            )
+        ).alias("__f"),
+    ).select(
+        id_col,
+        "__tgt",
+        F.pmod(T.md5_bigint(F.col("__f"), salt="dsir:"), F.lit(buckets)).alias("bkt"),
+    )
+    ct = feats.filter("__tgt").groupBy("bkt").agg(F.count("*").alias("ct"))
+    cr = feats.filter(~F.col("__tgt")).groupBy("bkt").agg(F.count("*").alias("cr"))
+    tot = feats.agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tt"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("tr"),
+    )
+    scored = (
+        feats.filter(~F.col("__tgt"))
+        .join(F.broadcast(ct), "bkt", "left")
+        .join(F.broadcast(cr), "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                    * (F.col("tr") + F.lit(a) * F.lit(buckets))
+                    / (
+                        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(a))
+                        * (F.col("tt") + F.lit(a) * F.lit(buckets))
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_feats"),
+        F.sum("lp").cast("bigint").alias("logw_micro"),
+        F.round(
+            F.sum("lp").cast("double") / F.lit(1e6) / F.count("*"), 6
+        ).alias("avg_logw"),
+    )

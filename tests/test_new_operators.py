@@ -1401,3 +1401,56 @@ def test_bloom_filtered_join_screens_before_shuffle_and_validates(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     with pytest.raises(ValueError, match="inner/semi"):
         SKW.bloom_filtered_join(big, small, "k", how="left")
+
+
+def test_dsir_weights_hand_computed(spark):
+    import hashlib
+    import math
+
+    from semantic_index_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "t"),
+            (2, "a c", "t"),
+            (3, "a b", "r"),
+            (4, "x y", "r"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    B, a = 8, 1.0
+    got = {
+        row["doc_id"]: (row["n_feats"], row["logw_micro"])
+        for row in TA.dsir_weights(
+            docs, target_cond=F.col("source") == "t", buckets=B, alpha=a
+        ).collect()
+    }
+
+    # independent reference: same md5 spec, pure python
+    def bkt(f):
+        return int(hashlib.md5(("dsir:" + f).encode()).hexdigest()[:15], 16) % B
+
+    def feats(text):
+        t = text.split()
+        return t + [f"{w1} {w2}" for w1, w2 in zip(t, t[1:])]
+
+    tgt = feats("a b") + feats("a c")
+    raw = feats("a b") + feats("x y")
+    ct = {b: sum(1 for f in tgt if bkt(f) == b) for b in range(B)}
+    cr = {b: sum(1 for f in raw if bkt(f) == b) for b in range(B)}
+    tt, tr = len(tgt), len(raw)
+
+    def logw(text):
+        s = 0
+        for f in feats(text):
+            ratio = ((ct[bkt(f)] + a) * (tr + a * B)) / (
+                (cr[bkt(f)] + a) * (tt + a * B)
+            )
+            s += math.floor(math.log(ratio) * 1e6 + 0.5)
+        return s
+
+    assert set(got) == {3, 4}  # target docs are never scored
+    assert got[3] == (3, logw("a b"))
+    assert got[4] == (3, logw("x y"))
+    # the target-like raw doc must outscore the alien one
+    assert got[3][1] > got[4][1]
