@@ -595,6 +595,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("doc_id", "n_feats", "logw_micro")
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-level near-dup: estimated shingle-set Jaccard between whole
+    # SOURCES (mirror/re-crawl detection) — MinHash of each source's
+    # unioned shingle set, 16 hashes for a 1/16-granular estimate.
+    d = load_table(spark, sf_dir, "documents")
+    return D.group_minhash_similarity(
+        d, by="source", num_hashes=16, shingle_n=SHINGLE_N
+    )
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2304,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_growth": q_wow_growth,
         "leakage_safe_split": q_leakage_safe_split,
         "dsir_weights": q_dsir_weights,
+        "source_similarity": q_source_similarity,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2651,6 +2662,16 @@ def oracle_sql() -> dict[str, str]:
     )
     band_cond = " OR ".join(f"(a.h{i} = b.h{i})" for i in range(MINHASH_N))
     inc_band_cond = " OR ".join(f"(n.h{i} = c.h{i})" for i in range(MINHASH_N))
+    # 16-hash variant for source-level similarity (same mh{j}: digest
+    # slicing scheme as dedup.minhash_signature_long)
+    srcsim_cols = ", ".join(
+        f"min((('0x' || substr(md5('mh{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8))"
+        f"::UBIGINT)::BIGINT) AS h{i}"
+        for i in range(16)
+    )
+    srcsim_agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
     # r=2 banding for the edit-distance verifier: band k matches iff BOTH
     # of its rows agree — the textbook AND-then-OR S-curve, far more
     # selective than the single-row bands above (42k -> ~1k candidates at
@@ -4306,6 +4327,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'split:' || CAST(component AS VARCHAR)")} % 10) < 8
                         THEN 'train' ELSE 'test' END AS fold
             FROM comp
+        """,
+        # source-level MinHash: signature of each source's UNIONED shingle
+        # set, est_jaccard = agreeing hashes / 16
+        "source_similarity": f"""
+            WITH toks AS (SELECT source, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT source, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT source, {srcsim_cols} FROM shx GROUP BY source)
+            SELECT a.source AS grp_a, b.source AS grp_b,
+                   ({srcsim_agree})::BIGINT AS n_agree,
+                   round(({srcsim_agree})::DOUBLE / 16.0, 6) AS est_jaccard
+            FROM sig a JOIN sig b ON a.source < b.source
         """,
         # DSIR importance weights: smoothed ratio assembled as one division
         # of exact-integer products so both engines log the identical double

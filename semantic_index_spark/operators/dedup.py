@@ -1037,3 +1037,66 @@ def segment_dedup(
         F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
         F.coalesce("kept_md5", empty_md5).alias("kept_md5"),
     )
+
+
+def group_minhash_similarity(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """CORPUS-level near-duplicate detection: estimated shingle-set Jaccard
+    between whole GROUPS of documents (sources / domains / snapshots) — the
+    mirror-site and re-crawled-domain detector that doc-level pair finding
+    cannot see (two mirrors share few exact docs after boilerplate churn,
+    but their unioned shingle sets are nearly identical).
+
+    A group's signature is the MinHash of the UNION of its documents'
+    shingle sets — exactly :func:`minhash_signature_long` keyed by ``by``
+    instead of doc_id: min is insensitive to per-doc duplication, and the
+    map-side partial min keeps the low-cardinality groupBy key from
+    funneling raw shingle rows anywhere (the shuffle carries ≤
+    groups × num_hashes partial rows per map task). The pairwise compare
+    joins two group×num_hashes aggregates — metric-sized, broadcast. At
+    web scale (millions of domains) replace the pairwise compare with
+    :func:`banded_signatures` over these same group signatures; the
+    signature construction above is already the scalable part.
+
+    Returns (grp_a, grp_b, n_agree, est_jaccard) for grp_a < grp_b, where
+    est_jaccard = n_agree / num_hashes (the standard unbiased collision
+    estimator). [absent in reference — north-star extension]
+    """
+    sig = minhash_signature_long(
+        docs.select(by, text_col),
+        text_col=text_col,
+        id_col=by,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    a = sig.select(
+        F.col(by).alias("grp_a"), "hash_idx", F.col("min_hash").alias("_ha")
+    )
+    b = sig.select(
+        F.col(by).alias("grp_b"), "hash_idx", F.col("min_hash").alias("_hb")
+    )
+    return (
+        a.join(F.broadcast(b), "hash_idx")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_ha") == F.col("_hb"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree")
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("est_jaccard"),
+        )
+    )

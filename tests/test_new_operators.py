@@ -1454,3 +1454,45 @@ def test_dsir_weights_hand_computed(spark):
     assert got[4] == (3, logw("x y"))
     # the target-like raw doc must outscore the alien one
     assert got[3][1] > got[4][1]
+
+
+def test_group_minhash_similarity(spark):
+    from semantic_index_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            # s1 and s2 share most of their unioned shingle sets; s3 is alien
+            (1, "the quick brown fox jumps over the lazy dog", "s1"),
+            (2, "pack my box with five dozen liquor jugs", "s1"),
+            (3, "the quick brown fox jumps over the lazy dog today", "s2"),
+            (4, "pack my box with five dozen liquor jugs now", "s2"),
+            (5, "completely different words about spark shuffles", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = {
+        (row["grp_a"], row["grp_b"]): (row["n_agree"], row["est_jaccard"])
+        for row in D.group_minhash_similarity(
+            docs, by="source", num_hashes=16, shingle_n=3
+        ).collect()
+    }
+    assert set(r) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    for (a, b), (n, est) in r.items():
+        assert 0 <= n <= 16 and est == round(n / 16.0, 6)
+    # mirrors must estimate as far more similar than unrelated sources
+    assert r[("s1", "s2")][0] > r[("s1", "s3")][0]
+    assert r[("s1", "s2")][0] > r[("s2", "s3")][0]
+    # identical corpora would agree on every hash: sanity-lock the
+    # estimator's upper end with a self-mirror
+    both = docs.union(
+        docs.selectExpr("doc_id + 10 AS doc_id", "text", "'s1x' AS source").filter(
+            "doc_id - 10 IN (1, 2)"
+        )
+    )
+    r2 = {
+        (row["grp_a"], row["grp_b"]): row["n_agree"]
+        for row in D.group_minhash_similarity(
+            both, by="source", num_hashes=16, shingle_n=3
+        ).collect()
+    }
+    assert r2[("s1", "s1x")] == 16
