@@ -605,6 +605,16 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic multi-epoch training order: (epoch, shard, pos) from
+    # epoch-salted hashing — reproducible data order without a global
+    # permutation; loaders resume mid-epoch from (shard, pos).
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return P.epoch_shard_order(d, epochs=2, n_shards=8)
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2315,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "dsir_weights": q_dsir_weights,
         "source_similarity": q_source_similarity,
+        "training_order": q_training_order,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4327,6 +4338,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'split:' || CAST(component AS VARCHAR)")} % 10) < 8
                         THEN 'train' ELSE 'test' END AS fold
             FROM comp
+        """,
+        # deterministic multi-epoch training order: epoch-salted hash →
+        # shard, row_number within (epoch, shard)
+        "training_order": f"""
+            WITH e AS (
+                SELECT doc_id, unnest([0, 1]) AS epoch FROM documents
+            ),
+            h AS (
+                SELECT doc_id, epoch,
+                       {_duck_md5_bigint("'order:' || epoch || ':' || doc_id")} AS h1
+                FROM e
+            )
+            SELECT doc_id, epoch, (h1 % 8) AS shard,
+                   row_number() OVER (
+                       PARTITION BY epoch, h1 % 8 ORDER BY h1, doc_id
+                   )::BIGINT AS pos
+            FROM h
         """,
         # source-level MinHash: signature of each source's UNIONED shingle
         # set, est_jaccard = agreeing hashes / 16

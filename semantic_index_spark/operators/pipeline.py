@@ -466,3 +466,55 @@ def observed_profile(df: DataFrame, value_col: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["n_null"]), sv)],
         "n_rows bigint, n_null bigint, sum_value double",
     )
+
+
+def epoch_shard_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = 2,
+    n_shards: int = 8,
+    seed: str = "order:",
+) -> DataFrame:
+    """Deterministic multi-epoch training-data order: for each epoch,
+    reshuffle the corpus into ``n_shards`` shard files and fix each row's
+    position within its shard — the (epoch, shard, pos) layout a data
+    loader streams without ever holding a global permutation. Epoch-salted
+    hashing gives every epoch an independent-looking order that is still
+    bit-reproducible across runs, engines, and corpus re-reads (the
+    data-order-reproducibility property training debugging depends on);
+    restarts resume mid-epoch from (shard, pos) alone.
+
+    Scale shape: ONE corpus scan fans out ``epochs``× in-JVM (explode of a
+    literal range), then a single row_number window keyed by
+    (epoch, shard). At 100 TB, size ``n_shards`` in the thousands: the
+    window is keyed (never SinglePartition) and each shard sorts
+    ~N/n_shards rows — the same per-partition-sort cost a writer's
+    ``sortWithinPartitions`` would pay. Hash collisions break ties by id,
+    so the order is total and stable. Returns (id, epoch, shard, pos).
+    [absent in reference — north-star extension]"""
+    from pyspark.sql import Window
+
+    if epochs <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"epoch_shard_order: epochs and n_shards must be positive, "
+            f"got {epochs}, {n_shards}"
+        )
+    h = T.md5_bigint(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col(id_col).cast("string")
+        ),
+        salt=seed,
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
+    ).select(id_col, "epoch", h.alias("_h"))
+    w = Window.partitionBy("epoch", F.pmod("_h", F.lit(n_shards))).orderBy(
+        "_h", id_col
+    )
+    return rows.select(
+        id_col,
+        "epoch",
+        F.pmod("_h", F.lit(n_shards)).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

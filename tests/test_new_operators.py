@@ -1496,3 +1496,40 @@ def test_group_minhash_similarity(spark):
         ).collect()
     }
     assert r2[("s1", "s1x")] == 16
+
+
+def test_epoch_shard_order_properties(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = P.epoch_shard_order(docs, epochs=2, n_shards=4).collect()
+    assert len(out) == 400
+    # positions within each (epoch, shard) are exactly 1..|shard|
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[(r["epoch"], r["shard"])].append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # every doc appears exactly once per epoch
+    per_epoch = defaultdict(set)
+    for r in out:
+        per_epoch[r["epoch"]].add(r["doc_id"])
+    assert all(len(s) == 200 for s in per_epoch.values())
+    # epochs produce genuinely different orders (salted hash)
+    o0 = sorted((r["shard"], r["pos"], r["doc_id"]) for r in out if r["epoch"] == 0)
+    o1 = sorted((r["shard"], r["pos"], r["doc_id"]) for r in out if r["epoch"] == 1)
+    assert [d for *_, d in o0] != [d for *_, d in o1]
+    # bit-reproducible across runs
+    again = sorted(
+        (r["epoch"], r["shard"], r["pos"], r["doc_id"])
+        for r in P.epoch_shard_order(docs, epochs=2, n_shards=4).collect()
+    )
+    assert again == sorted(
+        (r["epoch"], r["shard"], r["pos"], r["doc_id"]) for r in out
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        P.epoch_shard_order(docs, epochs=0)
