@@ -615,6 +615,18 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.epoch_shard_order(d, epochs=2, n_shards=8)
 
 
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source order-insensitive content fingerprint: the integrity
+    # check a 100 TB copy / migration / engine swap is signed off with —
+    # ONE partial-agg scan, O(1) state per slice.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents")
+    return P.table_checksum(
+        d, cols=["doc_id", "text", "lang", "n_chars"], by="source"
+    )
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2326,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "source_similarity": q_source_similarity,
         "training_order": q_training_order,
+        "corpus_checksum": q_corpus_checksum,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4338,6 +4351,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'split:' || CAST(component AS VARCHAR)")} % 10) < 8
                         THEN 'train' ELSE 'test' END AS fold
             FROM comp
+        """,
+        # order-insensitive per-source content fingerprint: XOR-fold of a
+        # 60-bit md5 over NULL-canonicalized rows + the row count
+        "corpus_checksum": f"""
+            SELECT source, count(*)::BIGINT AS n_rows,
+                   bit_xor({_duck_md5_bigint(
+                       "'cksum:' || concat_ws(chr(31), "
+                       "coalesce(doc_id::VARCHAR, chr(0) || 'null'), "
+                       "coalesce(text, chr(0) || 'null'), "
+                       "coalesce(lang, chr(0) || 'null'), "
+                       "coalesce(n_chars::VARCHAR, chr(0) || 'null'))"
+                   )}) AS checksum
+            FROM documents GROUP BY source
         """,
         # deterministic multi-epoch training order: epoch-salted hash →
         # shard, row_number within (epoch, shard)

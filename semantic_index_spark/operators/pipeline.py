@@ -518,3 +518,37 @@ def epoch_shard_order(
         F.pmod("_h", F.lit(n_shards)).alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str],
+    by: str | None = None,
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a table (optionally per
+    ``by`` slice): XOR-fold of a 60-bit md5 over each row's canonicalized
+    column values, plus the row count. The cheap end-to-end integrity
+    check after a copy / migration / engine swap — two corpora with equal
+    (n_rows, checksum) per slice are byte-identical on ``cols`` with
+    2^-60 collision odds, and the whole check is ONE partial-agg scan with
+    O(1) state per slice (XOR is commutative/associative → map-side
+    combine; no overflow, unlike a SUM fold under ANSI arithmetic).
+
+    Caveat (documented, inherent to XOR): a row appearing an EVEN number
+    of times cancels out; the row count catches pure duplication, and
+    pairing this with :func:`exact_dedup` upstream removes the caveat
+    entirely. NULL values are canonicalized to a sentinel before hashing
+    so (a, NULL) never collides with (a,) or ("",).
+    [absent in reference — north-star extension]"""
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    )
+    h = T.md5_bigint(canon, salt="cksum:")
+    keys = [by] if by else []
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.bit_xor(h).alias("checksum"),
+        )
+    )

@@ -1533,3 +1533,44 @@ def test_epoch_shard_order_properties(spark):
 
     with pytest.raises(ValueError):
         P.epoch_shard_order(docs, epochs=0)
+
+
+def test_table_checksum_properties(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    schema = "doc_id long, text string, src string"
+    a = spark.createDataFrame(
+        [(1, "alpha", "s"), (2, "beta", "s"), (3, None, "s")], schema
+    )
+    # same rows, different order → identical fingerprint
+    b = spark.createDataFrame(
+        [(3, None, "s"), (1, "alpha", "s"), (2, "beta", "s")], schema
+    )
+    ck = lambda df: P.table_checksum(df, ["doc_id", "text"]).collect()[0]
+    assert ck(a) == ck(b)
+    # one mutated value → different checksum, same count
+    c = spark.createDataFrame(
+        [(1, "alpha", "s"), (2, "BETA", "s"), (3, None, "s")], schema
+    )
+    assert ck(c)["n_rows"] == ck(a)["n_rows"]
+    assert ck(c)["checksum"] != ck(a)["checksum"]
+    # NULL is not the empty string and not the literal "null"
+    d = spark.createDataFrame(
+        [(1, "alpha", "s"), (2, "beta", "s"), (3, "", "s")], schema
+    )
+    e = spark.createDataFrame(
+        [(1, "alpha", "s"), (2, "beta", "s"), (3, "null", "s")], schema
+    )
+    assert len({ck(x)["checksum"] for x in (a, d, e)}) == 3
+    # the documented XOR caveat: even duplication cancels in the checksum
+    # but is caught by n_rows
+    f = a.union(a)
+    assert ck(f)["checksum"] == 0 or ck(f)["checksum"] != ck(a)["checksum"]
+    assert ck(f)["n_rows"] == 2 * ck(a)["n_rows"]
+    # per-slice grouping keys the fingerprint
+    g = P.table_checksum(
+        a.withColumn("src", F.when(F.col("doc_id") < 3, "x").otherwise("y")),
+        ["doc_id", "text"],
+        by="src",
+    ).collect()
+    assert {r["src"] for r in g} == {"x", "y"}
