@@ -627,6 +627,43 @@ def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fastText-recipe quality classifier end-to-end: train logistic
+    # regression to distinguish the curated source (src0 = positives)
+    # from the raw pool on three cheap exact features, then score EVERY
+    # doc. Scoring uses the ROUNDED(6) weights — identical doubles on
+    # both engines (the logreg_gd parity argument) — so per-doc logits
+    # are bit-deterministic and fixed-point to micro units exactly.
+    from semantic_index_spark.operators import stats as ST
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    feats = d.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(1000.0)).alias("len_s"),
+        (F.size(toks) / F.lit(100.0)).alias("ntok_s"),
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias(
+            "ttr"
+        ),
+        (F.col("source") == "src0").cast("double").alias("label"),
+    )
+    w = ST.logistic_regression_gd(
+        feats, ["len_s", "ntok_s", "ttr"], "label", steps=2, lr=1.0
+    )
+    wm = {r["feature"]: r["weight"] for r in w.collect()}  # 4 rounded floats
+    logit = (
+        F.lit(wm["__intercept__"])
+        + F.lit(wm["len_s"]) * F.col("len_s")
+        + F.lit(wm["ntok_s"]) * F.col("ntok_s")
+        + F.lit(wm["ttr"]) * F.col("ttr")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("is_target"),
+        F.floor(logit * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("logit_micro"),
+    )
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # governance rollup: what fraction of each source survives corpus-level
     # exact dedup (canonical winner = min doc_id per fingerprint) — the
@@ -2255,12 +2292,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-63, rotating into round 6: stateful_totals_replay,
+    this round (#51-74, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
-    media_shared_frames); all 170 are verified at both sf0.01 and sf0.1
-    by tools/check_oracles.py — 170 ok, 0 fail, 0 rows-only."""
+    media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
+    dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
+    source_similarity, training_order, corpus_checksum, quality_model);
+    all 181 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 181 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2339,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         "training_order": q_training_order,
         "corpus_checksum": q_corpus_checksum,
+        "quality_model": q_quality_model,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4351,6 +4392,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'split:' || CAST(component AS VARCHAR)")} % 10) < 8
                         THEN 'train' ELSE 'test' END AS fold
             FROM comp
+        """,
+        # quality classifier end-to-end: 2 GD steps unrolled (step 1 has
+        # w=0 so sigma=0.5 exactly), then every doc scored with the
+        # ROUNDED weights — identical doubles both engines, exact floor
+        "quality_model": f"""
+            WITH t AS (
+                SELECT doc_id, n_chars, source, {_DUCK_TOKENS} AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, 1.0 AS x0,
+                       n_chars / 1000.0 AS x1,
+                       len(t) / 100.0 AS x2,
+                       len(list_distinct(t))::DOUBLE / len(t) AS x3,
+                       CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+                FROM t
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+            s1 AS (
+                SELECT sum(x0 * (0.5 - y)) AS g0, sum(x1 * (0.5 - y)) AS g1,
+                       sum(x2 * (0.5 - y)) AS g2, sum(x3 * (0.5 - y)) AS g3
+                FROM base
+            ),
+            w1 AS (
+                SELECT 0.0 - g0 / nn.n AS w0, 0.0 - g1 / nn.n AS w1,
+                       0.0 - g2 / nn.n AS w2, 0.0 - g3 / nn.n AS w3
+                FROM s1 CROSS JOIN nn
+            ),
+            s2 AS (
+                SELECT sum(x0 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g0,
+                       sum(x1 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g1,
+                       sum(x2 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g2,
+                       sum(x3 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g3
+                FROM base CROSS JOIN w1
+            ),
+            w2 AS (
+                SELECT w1.w0 - s2.g0 / nn.n AS w0, w1.w1 - s2.g1 / nn.n AS w1,
+                       w1.w2 - s2.g2 / nn.n AS w2, w1.w3 - s2.g3 / nn.n AS w3
+                FROM w1 CROSS JOIN s2 CROSS JOIN nn
+            ),
+            wr AS (
+                SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+                       round(w2, 6) AS w2, round(w3, 6) AS w3
+                FROM w2
+            )
+            SELECT b.doc_id, b.y::BIGINT AS is_target,
+                   floor((wr.w0 + wr.w1 * b.x1 + wr.w2 * b.x2 + wr.w3 * b.x3)
+                         * 1e6 + 0.5)::BIGINT AS logit_micro
+            FROM base b CROSS JOIN wr
         """,
         # order-insensitive per-source content fingerprint: XOR-fold of a
         # 60-bit md5 over NULL-canonicalized rows + the row count
