@@ -1825,6 +1825,21 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the homogeneity-attack audit k-anonymity misses: (nation, balance-
+    # band) groups where fewer than 3 distinct market segments appear —
+    # group membership alone leaks the segment (privacy.py). Bands of
+    # 100 keep groups small enough that violations exist at every SF.
+    from semantic_index_spark.operators import privacy as PV
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 100).cast("int")
+    )
+    return PV.l_diversity_audit(
+        c, ["c_nationkey", "bal_band"], sensitive_col="c_mktsegment", ell=3
+    )
+
+
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Laplace count release with md5-deterministic noise (privacy.py —
     # the determinism is the test-mode caveat, documented in the op).
@@ -2292,15 +2307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-74, rotating into round 6: stateful_totals_replay,
+    this round (#51-75, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
     media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
-    source_similarity, training_order, corpus_checksum, quality_model);
-    all 181 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 181 ok, 0 fail, 0 rows-only."""
+    source_similarity, training_order, corpus_checksum, quality_model,
+    l_diversity); all 182 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 182 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2380,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "corpus_checksum": q_corpus_checksum,
         "quality_model": q_quality_model,
+        "l_diversity": q_l_diversity,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4784,6 +4800,14 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY 1, 2, 3
             HAVING count(*) < {KANON_K}
+        """,
+        "l_diversity": """
+            SELECT c_nationkey, floor(c_acctbal / 100)::INT AS bal_band,
+                   count(*)::BIGINT AS group_size,
+                   count(DISTINCT c_mktsegment)::BIGINT AS n_sensitive
+            FROM customer
+            GROUP BY 1, 2
+            HAVING count(DISTINCT c_mktsegment) < 3
         """,
         "dp_noisy_counts": f"""
             WITH n AS (

@@ -104,3 +104,34 @@ def _py_laplace_noise(key: str, epsilon: float, seed: str = "dp:") -> float:
     u = (h + 1) / float(1 << 60)
     c = u - 0.5
     return -(1.0 / epsilon) * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ell: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a group can be k-large yet leak the sensitive
+    attribute outright when everyone in it SHARES the value (homogeneity
+    attack). A release is distinct-l-diverse when every quasi-identifier
+    group carries at least ``ell`` distinct sensitive values. Returns the
+    violating combinations with (group_size, n_sensitive); empty result
+    certifies the projection.
+
+    Same one-shuffle shape as :func:`k_anonymity_audit`: a single
+    partial-aggregated groupBy on the quasi columns — count and exact
+    distinct-count both merge map-side; swap ``countDistinct`` for the
+    HLL sketch in :mod:`..functions.sketch` when approximate certification
+    is acceptable at 100 TB. The fix loop generalizes quasi columns or
+    suppresses small groups and re-audits, exactly as with k-anonymity.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.countDistinct(sensitive_col).cast("bigint").alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < ell)
+    )

@@ -1574,3 +1574,36 @@ def test_table_checksum_properties(spark):
         by="src",
     ).collect()
     assert {r["src"] for r in g} == {"x", "y"}
+
+
+def test_l_diversity_audit(spark):
+    from semantic_index_spark.operators import privacy as PV
+
+    rows = [
+        # group (1, 1): 3 rows, all share the sensitive value -> violates
+        (1, 1, "A"),
+        (1, 1, "A"),
+        (1, 1, "A"),
+        # group (1, 2): 2 distinct values -> violates l=3
+        (1, 2, "A"),
+        (1, 2, "B"),
+        # group (2, 1): 3 distinct values -> passes
+        (2, 1, "A"),
+        (2, 1, "B"),
+        (2, 1, "C"),
+    ]
+    df = spark.createDataFrame(rows, "region int, band int, diagnosis string")
+    got = {
+        (r["region"], r["band"]): (r["group_size"], r["n_sensitive"])
+        for r in PV.l_diversity_audit(
+            df, ["region", "band"], "diagnosis", ell=3
+        ).collect()
+    }
+    assert got == {(1, 1): (3, 1), (1, 2): (2, 2)}
+    # k-anonymity alone would certify the homogeneous group: it is k=3
+    assert (
+        PV.k_anonymity_audit(df, ["region", "band"], k=3)
+        .filter("region = 1 AND band = 1")
+        .count()
+        == 0
+    )
