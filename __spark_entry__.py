@@ -1825,6 +1825,14 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-touch attribution: which session entry channel leads to
+    # purchases — three windows over ONE user-key shuffle, then a
+    # type-bounded rollup (timeseries.py).
+    ev = load_table(spark, sf_dir, "events")
+    return TS.first_touch_attribution(ev, conversion="purchase", gap_s=1800)
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2307,15 +2315,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-75, rotating into round 6: stateful_totals_replay,
+    this round (#51-76, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
     media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
-    l_diversity); all 182 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 182 ok, 0 fail, 0 rows-only."""
+    l_diversity, attribution); all 183 are verified at both sf0.01 and
+    sf0.1 by tools/check_oracles.py — 183 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2396,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_checksum": q_corpus_checksum,
         "quality_model": q_quality_model,
         "l_diversity": q_l_diversity,
+        "attribution": q_attribution,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4800,6 +4809,35 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY 1, 2, 3
             HAVING count(*) < {KANON_K}
+        """,
+        # first-touch attribution: same gaps-and-islands spine as
+        # batch_sessionization (>= gap starts a new session), then
+        # first_value per session and a type-bounded rollup
+        "attribution": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse,
+                       event_type, value
+                FROM events
+            ), marked AS (
+                SELECT user_id, event_id, tse, event_type, value,
+                       CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w >= 1800
+                            THEN 1 ELSE 0 END AS is_start
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+            ), sess AS (
+                SELECT user_id, event_id, tse, event_type, value,
+                       sum(is_start) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+            ), touched AS (
+                SELECT event_type, value,
+                       first_value(event_type) OVER (
+                           PARTITION BY user_id, sid ORDER BY tse, event_id
+                       ) AS first_touch
+                FROM sess
+            )
+            SELECT first_touch, count(*)::BIGINT AS n_conversions,
+                   round(sum(value), 2) AS total_value
+            FROM touched WHERE event_type = 'purchase' GROUP BY 1
         """,
         "l_diversity": """
             SELECT c_nationkey, floor(c_acctbal / 100)::INT AS bal_band,

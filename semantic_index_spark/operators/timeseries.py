@@ -642,3 +642,51 @@ def pit_join(
         value_cols=attrs,
         suffix=suffix,
     )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """First-touch attribution: credit each ``conversion`` event to the
+    FIRST event type of its session — the standard marketing/readout
+    question "which entry channel leads to purchases". Sessions are
+    gaps-and-islands (a new session when the inter-event gap is
+    ≥ ``gap_s``, mirroring :func:`...relational.batch_sessionization`);
+    ties in event time break by ``id_col`` so the first touch is total
+    and engine-stable. Last-touch is the same query with the window
+    reversed.
+
+    Scale shape: ONE shuffle on the user key serves all three windows
+    (lag for gaps, running sum for session ids, first_value within the
+    session — same partition prefix, Spark reuses the sort), then the
+    conversions collapse to a type-bounded groupBy. The corpus is never
+    re-shuffled and nothing is driver-side.
+    [absent in reference — north-star extension]"""
+    ut = F.unix_timestamp(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ut, id_col)
+    gap = ut - F.lag(ut, 1).over(w)
+    marked = events.withColumn(
+        "_is_start", F.when(gap.isNull() | (gap >= gap_s), 1).otherwise(0)
+    ).withColumn(
+        "_sess",
+        F.sum("_is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wsess = Window.partitionBy(user_col, "_sess").orderBy(ut, id_col)
+    touched = marked.withColumn("_first_touch", F.first(type_col).over(wsess))
+    return (
+        touched.filter(F.col(type_col) == conversion)
+        .groupBy(F.col("_first_touch").alias("first_touch"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+    )

@@ -1607,3 +1607,31 @@ def test_l_diversity_audit(spark):
         .count()
         == 0
     )
+
+
+def test_first_touch_attribution_hand_case(spark):
+    from semantic_index_spark.operators import timeseries as TS
+
+    rows = [
+        # user 1, session A: view -> click -> purchase (credit: view)
+        (1, 1, "2024-01-01 10:00:00", "view", 0.0),
+        (2, 1, "2024-01-01 10:05:00", "click", 0.0),
+        (3, 1, "2024-01-01 10:10:00", "purchase", 30.0),
+        # user 1, session B (gap > 30 min): click -> purchase (credit: click)
+        (4, 1, "2024-01-01 12:00:00", "click", 0.0),
+        (5, 1, "2024-01-01 12:01:00", "purchase", 70.0),
+        # user 2: purchase with no preceding touch credits itself
+        (6, 2, "2024-01-01 09:00:00", "purchase", 5.0),
+        # user 3: session without a conversion contributes nothing
+        (7, 3, "2024-01-01 09:00:00", "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["first_touch"]: (r["n_conversions"], r["total_value"])
+        for r in TS.first_touch_attribution(
+            ev, conversion="purchase", gap_s=1800
+        ).collect()
+    }
+    assert got == {"view": (1, 30.0), "click": (1, 70.0), "purchase": (1, 5.0)}
