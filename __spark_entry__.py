@@ -1833,6 +1833,24 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.first_touch_attribution(ev, conversion="purchase", gap_s=1800)
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-wide foreign-key audit: orphan counts per relation via one
+    # left-anti join each, NULL keys tallied separately (pipeline.py).
+    from semantic_index_spark.operators import pipeline as P
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return P.referential_integrity(
+        [
+            ("orders_custkey", orders, "o_custkey", cust, "c_custkey"),
+            ("lineitem_orderkey", li, "l_orderkey", orders, "o_orderkey"),
+            ("events_user", ev, "user_id", cust, "c_custkey"),
+        ]
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2315,15 +2333,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-76, rotating into round 6: stateful_totals_replay,
+    this round (#51-77, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
     media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
-    l_diversity, attribution); all 183 are verified at both sf0.01 and
-    sf0.1 by tools/check_oracles.py — 183 ok, 0 fail, 0 rows-only."""
+    l_diversity, attribution, fk_integrity); all 184 are verified at both
+    sf0.01 and sf0.1 by tools/check_oracles.py — 184 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2405,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         "l_diversity": q_l_diversity,
         "attribution": q_attribution,
+        "fk_integrity": q_fk_integrity,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4809,6 +4829,29 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY 1, 2, 3
             HAVING count(*) < {KANON_K}
+        """,
+        # per-relation orphan audit: anti-join ≡ NOT IN over a non-null key
+        "fk_integrity": """
+            SELECT 'orders_custkey' AS relation, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT AS n_orphans
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_orderkey', count(*)::BIGINT,
+                   sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NOT NULL
+                      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'events_user', count(*)::BIGINT,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   (SELECT count(*) FROM events
+                    WHERE user_id IS NOT NULL
+                      AND user_id NOT IN (SELECT c_custkey FROM customer))::BIGINT
+            FROM events
         """,
         # first-touch attribution: same gaps-and-islands spine as
         # batch_sessionization (>= gap starts a new session), then

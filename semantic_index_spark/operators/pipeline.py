@@ -552,3 +552,44 @@ def table_checksum(
             F.bit_xor(h).alias("checksum"),
         )
     )
+
+
+def referential_integrity(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit across a star/snowflake schema: for each
+    (name, fact, fk_col, dim, key_col) relation, count fact rows whose key
+    has no match in the dimension — orphans break every downstream join
+    silently (inner joins drop them, outer joins null them), so the audit
+    belongs at ingest next to :func:`validate_expectations`.
+
+    Each relation is ONE left-anti join on the key: Catalyst broadcasts
+    genuinely small dimensions and sort-merges corpus-sized ones (AQE
+    decides from runtime stats — the right call at 100 TB where "the
+    dimension" may be another fact). NULL keys are counted separately
+    (a NULL fk is a modeling choice, not an orphan — anti-join would
+    lump them in). Returns one row per relation:
+    (relation, n_rows, n_null_keys, n_orphans).
+    [absent in reference — north-star extension]"""
+    outs = []
+    for name, fact, fk, dim, key in relations:
+        keyed = fact.select(F.col(fk).alias("_k"))
+        nn = keyed.filter(F.col("_k").isNotNull())
+        orphans = nn.join(
+            dim.select(F.col(key).alias("_k")).distinct(), "_k", "left_anti"
+        )
+        outs.append(
+            keyed.agg(
+                F.lit(name).alias("relation"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_null_keys"),
+            ).crossJoin(
+                orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1635,3 +1635,21 @@ def test_first_touch_attribution_hand_case(spark):
         ).collect()
     }
     assert got == {"view": (1, 30.0), "click": (1, 70.0), "purchase": (1, 5.0)}
+
+
+def test_referential_integrity_nulls_vs_orphans(spark):
+    from semantic_index_spark.operators import pipeline as P
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99), (5, 10)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    row = P.referential_integrity([("fact_fk", fact, "fk", dim, "k")]).collect()[0]
+    # NULL keys are not orphans; duplicates in the fact all count
+    assert (row["relation"], row["n_rows"], row["n_null_keys"], row["n_orphans"]) == (
+        "fact_fk", 5, 1, 1
+    )
+    # clean relation reports zeros
+    clean = spark.createDataFrame([(1, 10)], "id long, fk long")
+    r2 = P.referential_integrity([("c", clean, "fk", dim, "k")]).collect()[0]
+    assert (r2["n_null_keys"], r2["n_orphans"]) == (0, 0)
