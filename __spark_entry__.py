@@ -1851,6 +1851,31 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reliability curve for the quality classifier: decile the corpus by
+    # model score and report the target fraction per decile — a
+    # calibrated separator should climb monotonically. Deciles come from
+    # the range-partition global-ranking primitive (skew.py), never a
+    # SinglePartition window; all arithmetic is integer-exact.
+    scores = q_quality_model(spark, sf_dir)
+    ranked = SK.global_ranks(scores, ["logit_micro", "doc_id"], rank_alias="r")
+    tot = ranked.agg(F.count("*").cast("bigint").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile", F.expr("CAST(((r - 1) * 10) DIV _n AS INT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_target").cast("bigint").alias("n_target"),
+            F.round(
+                F.sum("is_target").cast("double") / F.count("*"), 6
+            ).alias("frac_target"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2333,16 +2358,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-77, rotating into round 6: stateful_totals_replay,
+    this round (#51-78, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
     media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
-    l_diversity, attribution, fk_integrity); all 184 are verified at both
-    sf0.01 and sf0.1 by tools/check_oracles.py — 184 ok, 0 fail,
-    0 rows-only."""
+    l_diversity, attribution, fk_integrity, model_calibration); all 185
+    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    185 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2425,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "attribution": q_attribution,
         "fk_integrity": q_fk_integrity,
+        "model_calibration": q_model_calibration,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -2807,6 +2833,57 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN b{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END)"
         for b in range(SH_PAIR_BITS)
     )
+
+    # quality classifier end-to-end: 2 GD steps unrolled (step 1 has w=0 so
+    # sigma=0.5 exactly), then every doc scored with the ROUNDED weights —
+    # identical doubles both engines, exact floor. A local var because the
+    # calibration oracle nests the same pipeline.
+    qm_sql = f"""
+            WITH t AS (
+                SELECT doc_id, n_chars, source, {_DUCK_TOKENS} AS t
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, 1.0 AS x0,
+                       n_chars / 1000.0 AS x1,
+                       len(t) / 100.0 AS x2,
+                       len(list_distinct(t))::DOUBLE / len(t) AS x3,
+                       CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+                FROM t
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+            s1 AS (
+                SELECT sum(x0 * (0.5 - y)) AS g0, sum(x1 * (0.5 - y)) AS g1,
+                       sum(x2 * (0.5 - y)) AS g2, sum(x3 * (0.5 - y)) AS g3
+                FROM base
+            ),
+            w1 AS (
+                SELECT 0.0 - g0 / nn.n AS w0, 0.0 - g1 / nn.n AS w1,
+                       0.0 - g2 / nn.n AS w2, 0.0 - g3 / nn.n AS w3
+                FROM s1 CROSS JOIN nn
+            ),
+            s2 AS (
+                SELECT sum(x0 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g0,
+                       sum(x1 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g1,
+                       sum(x2 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g2,
+                       sum(x3 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g3
+                FROM base CROSS JOIN w1
+            ),
+            w2 AS (
+                SELECT w1.w0 - s2.g0 / nn.n AS w0, w1.w1 - s2.g1 / nn.n AS w1,
+                       w1.w2 - s2.g2 / nn.n AS w2, w1.w3 - s2.g3 / nn.n AS w3
+                FROM w1 CROSS JOIN s2 CROSS JOIN nn
+            ),
+            wr AS (
+                SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+                       round(w2, 6) AS w2, round(w3, 6) AS w3
+                FROM w2
+            )
+            SELECT b.doc_id, b.y::BIGINT AS is_target,
+                   floor((wr.w0 + wr.w1 * b.x1 + wr.w2 * b.x2 + wr.w3 * b.x3)
+                         * 1e6 + 0.5)::BIGINT AS logit_micro
+            FROM base b CROSS JOIN wr
+    """
 
     return {
         "knn_topk": f"""
@@ -4438,54 +4515,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'train' ELSE 'test' END AS fold
             FROM comp
         """,
-        # quality classifier end-to-end: 2 GD steps unrolled (step 1 has
-        # w=0 so sigma=0.5 exactly), then every doc scored with the
-        # ROUNDED weights — identical doubles both engines, exact floor
-        "quality_model": f"""
-            WITH t AS (
-                SELECT doc_id, n_chars, source, {_DUCK_TOKENS} AS t
-                FROM documents
-            ),
-            base AS (
-                SELECT doc_id, 1.0 AS x0,
-                       n_chars / 1000.0 AS x1,
-                       len(t) / 100.0 AS x2,
-                       len(list_distinct(t))::DOUBLE / len(t) AS x3,
-                       CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
-                FROM t
-            ),
-            nn AS (SELECT count(*)::DOUBLE AS n FROM base),
-            s1 AS (
-                SELECT sum(x0 * (0.5 - y)) AS g0, sum(x1 * (0.5 - y)) AS g1,
-                       sum(x2 * (0.5 - y)) AS g2, sum(x3 * (0.5 - y)) AS g3
-                FROM base
-            ),
-            w1 AS (
-                SELECT 0.0 - g0 / nn.n AS w0, 0.0 - g1 / nn.n AS w1,
-                       0.0 - g2 / nn.n AS w2, 0.0 - g3 / nn.n AS w3
-                FROM s1 CROSS JOIN nn
-            ),
-            s2 AS (
-                SELECT sum(x0 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g0,
-                       sum(x1 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g1,
-                       sum(x2 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g2,
-                       sum(x3 * (1.0 / (1.0 + exp(-(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3))) - y)) AS g3
-                FROM base CROSS JOIN w1
-            ),
-            w2 AS (
-                SELECT w1.w0 - s2.g0 / nn.n AS w0, w1.w1 - s2.g1 / nn.n AS w1,
-                       w1.w2 - s2.g2 / nn.n AS w2, w1.w3 - s2.g3 / nn.n AS w3
-                FROM w1 CROSS JOIN s2 CROSS JOIN nn
-            ),
-            wr AS (
-                SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
-                       round(w2, 6) AS w2, round(w3, 6) AS w3
-                FROM w2
+        "quality_model": qm_sql,
+        # reliability curve: rank-based deciles over the nested quality-
+        # model pipeline, integer-exact bucketing ((rn-1)*10 // n)
+        "model_calibration": f"""
+            WITH qm AS ({qm_sql}),
+            r AS (
+                SELECT is_target,
+                       row_number() OVER (ORDER BY logit_micro, doc_id) AS rn,
+                       count(*) OVER () AS n
+                FROM qm
             )
-            SELECT b.doc_id, b.y::BIGINT AS is_target,
-                   floor((wr.w0 + wr.w1 * b.x1 + wr.w2 * b.x2 + wr.w3 * b.x3)
-                         * 1e6 + 0.5)::BIGINT AS logit_micro
-            FROM base b CROSS JOIN wr
+            SELECT (((rn - 1) * 10) // n)::INT AS decile,
+                   count(*)::BIGINT AS n_docs,
+                   sum(is_target)::BIGINT AS n_target,
+                   round(sum(is_target)::DOUBLE / count(*), 6) AS frac_target
+            FROM r GROUP BY 1
         """,
         # order-insensitive per-source content fingerprint: XOR-fold of a
         # 60-bit md5 over NULL-canonicalized rows + the row count
