@@ -55,6 +55,10 @@ PANEL = [
     "segment_dedup",          # word-count-shaped corpus edit
     "bm25_topk",              # filtered explode + bounded top-k
     "events_tumbling_windows",  # event-time windows
+    "dsir_weights",           # O(buckets)-state model est. + broadcast-back scoring
+    "quality_model",          # GD aggregations + full-corpus scoring pass
+    "attribution",            # three windows over one user-key shuffle
+    "corpus_checksum",        # single partial-agg scan, O(1) state
 ]
 
 
