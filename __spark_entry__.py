@@ -564,8 +564,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup CLUSTER (connected components over minhash-LSH pairs), so
     # near-duplicates can never straddle the split — the train/eval
     # contamination-avoidance property a doc-level hash split lacks.
-    # Assignment hashes the cluster's canonical id: deterministic,
-    # engine-portable, stable under corpus growth.
+    # Assignment hashes the cluster's canonical id: deterministic and
+    # engine-portable. Stability under corpus growth holds while clusters
+    # don't MERGE — a new doc bridging two clusters re-keys the larger-id
+    # one (re-keying on merge is inherent to any canonical-id scheme; pin
+    # folds of released eval sets explicitly if that matters).
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
@@ -4533,15 +4536,15 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1
         """,
         # order-insensitive per-source content fingerprint: XOR-fold of a
-        # 60-bit md5 over NULL-canonicalized rows + the row count
+        # 60-bit md5 over INJECTIVELY (length-prefix) encoded rows + count
         "corpus_checksum": f"""
             SELECT source, count(*)::BIGINT AS n_rows,
                    bit_xor({_duck_md5_bigint(
                        "'cksum:' || concat_ws(chr(31), "
-                       "coalesce(doc_id::VARCHAR, chr(0) || 'null'), "
-                       "coalesce(text, chr(0) || 'null'), "
-                       "coalesce(lang, chr(0) || 'null'), "
-                       "coalesce(n_chars::VARCHAR, chr(0) || 'null'))"
+                       "CASE WHEN doc_id IS NULL THEN 'n:' ELSE 'v' || length(doc_id::VARCHAR) || ':' || doc_id::VARCHAR END, "
+                       "CASE WHEN text IS NULL THEN 'n:' ELSE 'v' || length(text) || ':' || text END, "
+                       "CASE WHEN lang IS NULL THEN 'n:' ELSE 'v' || length(lang) || ':' || lang END, "
+                       "CASE WHEN n_chars IS NULL THEN 'n:' ELSE 'v' || length(n_chars::VARCHAR) || ':' || n_chars::VARCHAR END)"
                    )}) AS checksum
             FROM documents GROUP BY source
         """,
@@ -4875,27 +4878,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             HAVING count(*) < {KANON_K}
         """,
-        # per-relation orphan audit: anti-join ≡ NOT IN over a non-null key
+        # per-relation orphan audit: NOT EXISTS mirrors the anti-join's
+        # NULL semantics exactly (NOT IN would go UNKNOWN on a NULL dim key)
         "fk_integrity": """
             SELECT 'orders_custkey' AS relation, count(*)::BIGINT AS n_rows,
                    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
-                   (SELECT count(*) FROM orders
-                    WHERE o_custkey IS NOT NULL
-                      AND o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT AS n_orphans
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
             FROM orders
             UNION ALL
             SELECT 'lineitem_orderkey', count(*)::BIGINT,
                    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-                   (SELECT count(*) FROM lineitem
-                    WHERE l_orderkey IS NOT NULL
-                      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))::BIGINT
             FROM lineitem
             UNION ALL
             SELECT 'events_user', count(*)::BIGINT,
                    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
-                   (SELECT count(*) FROM events
-                    WHERE user_id IS NOT NULL
-                      AND user_id NOT IN (SELECT c_custkey FROM customer))::BIGINT
+                   (SELECT count(*) FROM events e
+                    WHERE e.user_id IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = e.user_id))::BIGINT
             FROM events
         """,
         # first-touch attribution: same gaps-and-islands spine as

@@ -1058,7 +1058,10 @@ def group_minhash_similarity(
     map-side partial min keeps the low-cardinality groupBy key from
     funneling raw shingle rows anywhere (the shuffle carries ≤
     groups × num_hashes partial rows per map task). The pairwise compare
-    joins two group×num_hashes aggregates — metric-sized, broadcast. At
+    is collect-per-hash + in-JVM pair explosion (the same
+    one-pipeline trick as :func:`minhash_lsh_pairs` — a signatures
+    self-join would plan the whole shingle→minhash computation twice);
+    each collected list is |groups| entries, metric-sized by contract. At
     web scale (millions of domains) replace the pairwise compare with
     :func:`banded_signatures` over these same group signatures; the
     signature construction above is already the scalable part.
@@ -1074,19 +1077,19 @@ def group_minhash_similarity(
         num_hashes=num_hashes,
         shingle_n=shingle_n,
     )
-    a = sig.select(
-        F.col(by).alias("grp_a"), "hash_idx", F.col("min_hash").alias("_ha")
-    )
-    b = sig.select(
-        F.col(by).alias("grp_b"), "hash_idx", F.col("min_hash").alias("_hb")
+    per_hash = sig.groupBy("hash_idx").agg(
+        F.collect_list(
+            F.struct(F.col(by).alias("g"), F.col("min_hash").alias("h"))
+        ).alias("_gs")
     )
     return (
-        a.join(F.broadcast(b), "hash_idx")
-        .filter(F.col("grp_a") < F.col("grp_b"))
-        .groupBy("grp_a", "grp_b")
+        per_hash.select(F.explode("_gs").alias("a"), "_gs")
+        .select("a", F.explode("_gs").alias("b"))
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("grp_a"), F.col("b.g").alias("grp_b"))
         .agg(
             F.sum(
-                F.when(F.col("_ha") == F.col("_hb"), 1).otherwise(0)
+                F.when(F.col("a.h") == F.col("b.h"), 1).otherwise(0)
             )
             .cast("bigint")
             .alias("n_agree")

@@ -537,11 +537,27 @@ def table_checksum(
     Caveat (documented, inherent to XOR): a row appearing an EVEN number
     of times cancels out; the row count catches pure duplication, and
     pairing this with :func:`exact_dedup` upstream removes the caveat
-    entirely. NULL values are canonicalized to a sentinel before hashing
-    so (a, NULL) never collides with (a,) or ("",).
+    entirely. The row encoding is INJECTIVE — each value is
+    length-prefixed (``v<len>:<value>``, NULL → ``n:``) — so no value
+    content (separators, sentinel look-alikes) can make two different
+    rows encode identically, and (a, NULL) never collides with (a,) or
+    ("",).
     [absent in reference — north-star extension]"""
     canon = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+        "\x1f",
+        *[
+            F.when(
+                F.col(c).isNull(), F.lit("n:")
+            ).otherwise(
+                F.concat(
+                    F.lit("v"),
+                    F.length(F.col(c).cast("string")),
+                    F.lit(":"),
+                    F.col(c).cast("string"),
+                )
+            )
+            for c in cols
+        ],
     )
     h = T.md5_bigint(canon, salt="cksum:")
     keys = [by] if by else []
@@ -563,30 +579,39 @@ def referential_integrity(
     silently (inner joins drop them, outer joins null them), so the audit
     belongs at ingest next to :func:`validate_expectations`.
 
-    Each relation is ONE left-anti join on the key: Catalyst broadcasts
-    genuinely small dimensions and sort-merges corpus-sized ones (AQE
-    decides from runtime stats — the right call at 100 TB where "the
-    dimension" may be another fact). NULL keys are counted separately
-    (a NULL fk is a modeling choice, not an orphan — anti-join would
-    lump them in). Returns one row per relation:
+    Each relation costs ONE scan of the fact: a left join onto the
+    dimension's distinct keys (Catalyst broadcasts genuinely small
+    dimensions and sort-merges corpus-sized ones — AQE decides from
+    runtime stats, the right call at 100 TB where "the dimension" may be
+    another fact) feeds a single conditional aggregation producing all
+    three counts. NULL keys are counted separately (a NULL fk is a
+    modeling choice, not an orphan — an anti-join would lump them in;
+    here a NULL key simply never matches, and the orphan predicate
+    excludes it explicitly). Returns one row per relation:
     (relation, n_rows, n_null_keys, n_orphans).
     [absent in reference — north-star extension]"""
     outs = []
     for name, fact, fk, dim, key in relations:
-        keyed = fact.select(F.col(fk).alias("_k"))
-        nn = keyed.filter(F.col("_k").isNotNull())
-        orphans = nn.join(
-            dim.select(F.col(key).alias("_k")).distinct(), "_k", "left_anti"
+        dimk = (
+            dim.select(F.col(key).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
+        joined = fact.select(F.col(fk).alias("_k")).join(dimk, "_k", "left")
         outs.append(
-            keyed.agg(
+            joined.agg(
                 F.lit(name).alias("relation"),
                 F.count("*").cast("bigint").alias("n_rows"),
                 F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
                 .cast("bigint")
                 .alias("n_null_keys"),
-            ).crossJoin(
-                orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+                F.sum(
+                    F.when(
+                        F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_orphans"),
             )
         )
     res = outs[0]

@@ -882,12 +882,16 @@ def dsir_weights(
     :func:`semantic_index_spark.operators.skew.weighted_sample` for the
     paper's resampling step.
 
-    Scale shape: one tokenize+explode pass over the corpus → TWO bounded
-    groupBys on the hashed bucket id (≤ ``buckets`` rows each — the whole
-    model state is O(buckets), independent of corpus size) → the per-doc
-    scoring join broadcasts those two bucket tables back onto the feature
-    stream → one groupBy(doc). Nothing unbounded is ever broadcast; the
-    shuffle keys are (bucket) then (doc_id), both well-distributed.
+    Scale shape: TWO tokenize+explode passes over the corpus, total. Pass
+    one estimates the whole model in a SINGLE groupBy on the hashed
+    bucket id with conditional target/raw counts (≤ ``buckets`` rows —
+    model state is O(buckets), independent of corpus size; totals derive
+    from those rows for free, so the model never costs a second corpus
+    scan). Pass two scores: the bucket table broadcasts back onto the
+    re-derived feature stream → one groupBy(doc). Re-deriving beats
+    caching corpus×features rows at 100 TB. Nothing unbounded is ever
+    broadcast; the shuffle keys are (bucket) then (doc_id), both
+    well-distributed.
 
     Cross-engine parity: per-feature log-ratios are fixed-pointed to
     1e-6 micro-nats BEFORE the per-doc sum (same exact-integer trick as
@@ -928,26 +932,34 @@ def dsir_weights(
         "__tgt",
         F.pmod(T.md5_bigint(F.col("__f"), salt="dsir:"), F.lit(buckets)).alias("bkt"),
     )
-    ct = feats.filter("__tgt").groupBy("bkt").agg(F.count("*").alias("ct"))
-    cr = feats.filter(~F.col("__tgt")).groupBy("bkt").agg(F.count("*").alias("cr"))
-    tot = feats.agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tt"),
-        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("tr"),
+    # ONE model-estimation pass: target and raw counts as conditional
+    # aggregates of a single bucket groupBy. The result IS the whole
+    # model — ≤ `buckets` rows — so it collects to the driver (the same
+    # bounded-model shape as k-means centroids) and the totals fall out
+    # without ever re-scanning the corpus.
+    counts = feats.groupBy("bkt").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    rows = counts.collect()
+    tt = sum(r["ct"] for r in rows)
+    tr = sum(r["cr"] for r in rows)
+    model = docs.sparkSession.createDataFrame(
+        [(int(r["bkt"]), int(r["ct"]), int(r["cr"])) for r in rows],
+        "bkt bigint, ct bigint, cr bigint",
     )
     scored = (
         feats.filter(~F.col("__tgt"))
-        .join(F.broadcast(ct), "bkt", "left")
-        .join(F.broadcast(cr), "bkt", "left")
-        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(model), "bkt", "left")
         .select(
             id_col,
             F.floor(
                 F.log(
                     (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
-                    * (F.col("tr") + F.lit(a) * F.lit(buckets))
+                    * (F.lit(tr) + F.lit(a) * F.lit(buckets))
                     / (
                         (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(a))
-                        * (F.col("tt") + F.lit(a) * F.lit(buckets))
+                        * (F.lit(tt) + F.lit(a) * F.lit(buckets))
                     )
                 )
                 * F.lit(1e6)
