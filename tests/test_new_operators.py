@@ -1653,3 +1653,19 @@ def test_referential_integrity_nulls_vs_orphans(spark):
     clean = spark.createDataFrame([(1, 10)], "id long, fk long")
     r2 = P.referential_integrity([("c", clean, "fk", dim, "k")]).collect()[0]
     assert (r2["n_null_keys"], r2["n_orphans"]) == (0, 0)
+
+
+def test_table_checksum_injective_encoding(spark):
+    # adversarial cases for the length-prefix encoding: separator bytes
+    # inside values, sentinel look-alikes, and boundary-shifted splits
+    # must all fingerprint differently
+    from semantic_index_spark.operators import pipeline as P
+
+    ck = lambda rows: P.table_checksum(
+        spark.createDataFrame(rows, "a string, b string"), ["a", "b"]
+    ).collect()[0]["checksum"]
+    assert ck([("a\x1fb", "c")]) != ck([("a", "b\x1fc")])
+    assert ck([("n:", "x")]) != ck([(None, "x")])
+    assert ck([("v1:a", "x")]) != ck([("a", "x")])
+    assert ck([("ab", "")]) != ck([("a", "b")])
+    assert ck([("", None)]) != ck([(None, "")])
