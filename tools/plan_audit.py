@@ -356,6 +356,34 @@ AUDITS = {
     # WoW growth: corpus collapses to (type, week); lag runs on the tiny
     # aggregate.
     "wow_growth": {"expect": ["HashAggregate", "Window"], "forbid": ["Join", "CartesianProduct"]},
+    # leakage-safe split: result is the localCheckpointed CC output —
+    # lineage truncated by design, so only the trivial-plan check applies.
+    "leakage_safe_split": {"forbid": ["CartesianProduct"]},
+    # DSIR: the O(buckets) model must broadcast onto the feature stream,
+    # never sort-merge, and nothing may funnel to one partition.
+    "dsir_weights": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
+    # source similarity: collect-per-hash + pair explosion — NO join at all.
+    "source_similarity": {"expect": ["Generate"], "forbid": ["Join", "CartesianProduct"]},
+    # training order: the row_number window must stay KEYED (epoch, shard).
+    "training_order": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # checksum: one partial-agg scan, keyed by the slice column.
+    "corpus_checksum": {"expect": ["HashAggregate"], "forbid": ["Join", "SinglePartition"]},
+    # quality model scoring: literal weights in expressions — pure
+    # scan+project, no join, no shuffle.
+    "quality_model": {"forbid": ["Join", "Exchange"]},
+    # l-diversity: single keyed partial-agg groupBy, like k-anonymity.
+    "l_diversity": {"expect": ["HashAggregate"], "forbid": ["Join", "SinglePartition"]},
+    # attribution: three windows over ONE user-key shuffle; never a join,
+    # never an unpartitioned window.
+    "attribution": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # FK audit: dim keys broadcast (AQE may upgrade to SMJ for fact-sized
+    # dims — at this SF broadcast is the locked expectation); the
+    # SinglePartition branches are the three 1-row scalar aggregates.
+    "fk_integrity": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct"]},
+    # calibration: global_ranks shape — offsets broadcast back; the BNLJ
+    # is the 1-row totals crossJoin, the SinglePartition branch is the
+    # |partitions|-row offsets prefix-sum.
+    "model_calibration": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
