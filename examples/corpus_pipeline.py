@@ -159,5 +159,45 @@ print("strongest term-language associations:",
 sample = SK.weighted_sample(kept, "doc_id", "n_chars", 25)
 print("weighted sample:", sample.count(), "docs; stable across reruns")
 
+# 10. Domain-targeted selection (DSIR): weight every non-curated doc by
+#     how much its hashed n-gram profile looks like the curated source;
+#     the weights feed the same weighted sampler for the resampling step.
+#     Model state is O(buckets) however large the corpus.
+dsir = TA.dsir_weights(kept, target_cond=F.col("source") == "src0", buckets=256)
+# weighted_sample wants positive weights; shift by the (bounded, collected)
+# minimum so ordering is preserved and every weight is >= 1 micro-nat
+min_w = int(dsir.agg(F.min("logw_micro")).collect()[0][0])
+target_like = SK.weighted_sample(
+    dsir.withColumn("w", F.col("logw_micro") - F.lit(min_w - 1)),
+    "doc_id",
+    "w",
+    15,
+)
+print("DSIR: scored", dsir.count(), "raw docs; resampled", target_like.count(),
+      "target-alike docs")
+
+# 11. Leakage-safe split: assign train/test to whole near-dup CLUSTERS
+#     (connected components over the LSH pairs) so near-duplicates never
+#     straddle the split.
+comp = D.connected_components(kept.select("doc_id"), pairs)
+fold = F.when(
+    F.pmod(T.md5_bigint(F.col("component").cast("string"), salt="split:"), F.lit(10)) < 8,
+    "train",
+).otherwise("test")
+split = comp.select("doc_id", fold.alias("fold"))
+split.groupBy("fold").count().show()
+
+# 12. Deterministic training order: every epoch reshuffles into shards
+#     with fixed in-shard positions — loaders resume from (shard, pos).
+order = P.epoch_shard_order(
+    split.filter(F.col("fold") == "train").select("doc_id"), epochs=2, n_shards=4
+)
+print("training order:", order.count(), "rows across 2 epochs")
+
+# 13. Sign-off: order-insensitive per-source checksum of the released
+#     corpus — re-run after any copy/migration; equal (n_rows, checksum)
+#     certifies the release byte-identical.
+P.table_checksum(kept, ["doc_id", "text", "lang", "n_chars"], by="source").show(5)
+
 spark.stop()
 print("corpus pipeline complete.")
