@@ -1879,6 +1879,14 @@ def q_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov transition matrix over per-user event streams:
+    # one lag window, then the corpus collapses to the type x type grid
+    # (timeseries.py). Integer-exact probabilities.
+    ev = load_table(spark, sf_dir, "events")
+    return TS.event_transition_matrix(ev)
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2361,16 +2369,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-78, rotating into round 6: stateful_totals_replay,
+    this round (#51-79, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
     media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
-    l_diversity, attribution, fk_integrity, model_calibration); all 185
-    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    185 ok, 0 fail, 0 rows-only."""
+    l_diversity, attribution, fk_integrity, model_calibration,
+    event_transitions); all 186 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 186 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2454,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "fk_integrity": q_fk_integrity,
         "model_calibration": q_model_calibration,
+        "event_transitions": q_event_transitions,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4933,6 +4942,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # Markov transitions: lead() per user stream (ts, id tie-break),
+        # then the bounded type-grid groupBy; probs are exact int ratios
+        "event_transitions": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse,
+                       event_type
+                FROM events
+            ), pairs AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY tse, event_id
+                       ) AS to_type
+                FROM t
+            ), grid AS (
+                SELECT from_type, to_type, count(*)::BIGINT AS n
+                FROM pairs WHERE to_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+            FROM grid
         """,
         "l_diversity": """
             SELECT c_nationkey, floor(c_acctbal / 100)::INT AS bal_band,

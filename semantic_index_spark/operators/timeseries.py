@@ -644,6 +644,49 @@ def pit_join(
     )
 
 
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    streams: for every consecutive (from → to) event-type pair, the count
+    and the row-normalized transition probability — the behavioral model
+    behind next-action prediction, funnel simulation, and bot detection
+    (a scripted agent's transition rows are near-deterministic where
+    humans are diffuse).
+
+    Scale shape: ONE lag window over the user-key shuffle produces the
+    consecutive pairs, then the corpus collapses to the type×type grid
+    (bounded by the event vocabulary, not the corpus) in one partial-agg
+    groupBy; row totals come from a window over that grid — metric-sized.
+    Probabilities are exact integer ratios rounded at 6, so they
+    hash-match across engines. Ties in event time break by ``id_col``.
+    Returns (from_type, to_type, n, prob).
+    [absent in reference — north-star extension]"""
+    ut = F.unix_timestamp(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ut, id_col)
+    pairs = (
+        events.withColumn("_next", F.lead(type_col, 1).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("_next").alias("to_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    row_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row_tot), 6
+        ).alias("prob"),
+    )
+
+
 def first_touch_attribution(
     events: DataFrame,
     conversion: str,

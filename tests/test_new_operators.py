@@ -1669,3 +1669,30 @@ def test_table_checksum_injective_encoding(spark):
     assert ck([("v1:a", "x")]) != ck([("a", "x")])
     assert ck([("ab", "")]) != ck([("a", "b")])
     assert ck([("", None)]) != ck([(None, "")])
+
+
+def test_event_transition_matrix_hand_case(spark):
+    from semantic_index_spark.operators import timeseries as TS
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:01:00", "click"),
+        (3, 1, "2024-01-01 10:02:00", "view"),
+        (4, 1, "2024-01-01 10:03:00", "click"),
+        (5, 2, "2024-01-01 10:00:00", "view"),
+        (6, 2, "2024-01-01 10:01:00", "buy"),
+        (7, 3, "2024-01-01 10:00:00", "view"),  # no successor -> no pair
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in TS.event_transition_matrix(ev).collect()
+    }
+    # view -> click x2, view -> buy x1, click -> view x1; rows normalize
+    assert got == {
+        ("view", "click"): (2, round(2 / 3, 6)),
+        ("view", "buy"): (1, round(1 / 3, 6)),
+        ("click", "view"): (1, 1.0),
+    }
