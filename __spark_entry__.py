@@ -1887,6 +1887,36 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.event_transition_matrix(ev)
 
 
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signup -> first-purchase latency distribution in whole days: ONE
+    # user-key groupBy collapses the corpus to per-user first-event
+    # times (conditional min — no self-join), then a day-bucket rollup
+    # over the user-sized aggregate. NULL-safe: users with no purchase
+    # after signup (never, or only before) land in the day = -1 row.
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.unix_timestamp("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        ).alias("purchase_ts"),
+    )
+    lat = per_user.filter(F.col("signup_ts").isNotNull()).select(
+        F.when(
+            F.col("purchase_ts") >= F.col("signup_ts"),
+            F.floor(
+                (F.col("purchase_ts") - F.col("signup_ts")) / F.lit(86400)
+            ).cast("int"),
+        )
+        .otherwise(F.lit(-1))
+        .alias("days_to_convert")
+    )
+    return lat.groupBy("days_to_convert").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2369,7 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-79, rotating into round 6: stateful_totals_replay,
+    this round (#51-80, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2377,8 +2407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
-    event_transitions); all 186 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 186 ok, 0 fail, 0 rows-only."""
+    event_transitions, time_to_conversion); all 187 are verified at both
+    sf0.01 and sf0.1 by tools/check_oracles.py — 187 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2463,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity": q_fk_integrity,
         "model_calibration": q_model_calibration,
         "event_transitions": q_event_transitions,
+        "time_to_conversion": q_time_to_conversion,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4942,6 +4974,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # signup -> first-purchase latency: conditional-min groupBy, then
+        # a whole-day bucket rollup; -1 = no purchase at/after signup
+        "time_to_conversion": """
+            WITH pu AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup'
+                                THEN floor(epoch(ts))::BIGINT END) AS s,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN floor(epoch(ts))::BIGINT END) AS p
+                FROM events GROUP BY 1
+            )
+            SELECT CASE WHEN p >= s THEN ((p - s) // 86400)::INT
+                        ELSE -1 END AS days_to_convert,
+                   count(*)::BIGINT AS n_users
+            FROM pu WHERE s IS NOT NULL GROUP BY 1
         """,
         # Markov transitions: lead() per user stream (ts, id tie-break),
         # then the bounded type-grid groupBy; probs are exact int ratios
