@@ -1917,6 +1917,15 @@ def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-proportion 80/10/10 split within every language stratum —
+    # the per-stratum count guarantee hash_split trades away (skew.py).
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SK.stratified_split(
+        d, "lang", "doc_id", {"train": 8, "val": 1, "test": 1}
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2399,7 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-80, rotating into round 6: stateful_totals_replay,
+    this round (#51-81, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2407,9 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
-    event_transitions, time_to_conversion); all 187 are verified at both
-    sf0.01 and sf0.1 by tools/check_oracles.py — 187 ok, 0 fail,
-    0 rows-only."""
+    event_transitions, time_to_conversion, stratified_split); all 188
+    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    188 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2495,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_calibration": q_model_calibration,
         "event_transitions": q_event_transitions,
         "time_to_conversion": q_time_to_conversion,
+        "stratified_split": q_stratified_split,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4974,6 +4984,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # exact-proportion stratified split: salted-rank within stratum,
+        # fold boundaries by pure integer arithmetic
+        "stratified_split": f"""
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_duck_md5_bigint("'strat:' || doc_id")}, doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN ((rn - 1) * 10) // n < 8 THEN 'train'
+                        WHEN ((rn - 1) * 10) // n < 9 THEN 'val'
+                        ELSE 'test' END AS fold
+            FROM r
         """,
         # signup -> first-purchase latency: conditional-min groupBy, then
         # a whole-day bucket rollup; -1 = no purchase at/after signup

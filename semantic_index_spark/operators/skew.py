@@ -396,3 +396,49 @@ def weighted_sample(
         .limit(n)
         .withColumn("sample_key", F.round("sample_key", 6))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, int],
+    seed: str = "strat:",
+) -> DataFrame:
+    """EXACT-proportion stratified split: within every stratum, assign
+    folds so the realized counts match ``fractions`` to within one row —
+    the guarantee :func:`hash_split` deliberately trades away (a hash
+    split's per-stratum proportions only converge in expectation, which
+    under-represents small strata exactly where representation matters).
+    ``fractions`` maps fold name → integer weight (e.g. {"train": 8,
+    "val": 1, "test": 1} for 80/10/10).
+
+    One keyed window per stratum: rows rank by a salted md5 of the key
+    (deterministic shuffle order, engine-portable), and fold boundaries
+    are integer arithmetic over (rank-1)·total_weight // n — no floats,
+    no sampling, exact on every engine. Strata partition the corpus, so
+    the window parallelizes across strata; a single giant stratum sorts
+    N/|strata| rows — the same per-partition-sort cost a writer pays.
+    Returns the input columns plus ``fold``.
+    [absent in reference — north-star extension]"""
+    from pyspark.sql import Window
+
+    if not fractions or any(w <= 0 for w in fractions.values()):
+        raise ValueError("fractions must map fold -> positive integer weight")
+    total = sum(fractions.values())
+    w = Window.partitionBy(stratum_col).orderBy(
+        md5_bigint(F.col(key_col).cast("string"), salt=seed), key_col
+    )
+    ws = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(ws)
+    )
+    # slot in [0, total): pure integer arithmetic — exact proportions
+    slot = F.expr(f"CAST(((_rn - 1) * {total}) DIV _n AS BIGINT)")
+    fold = None
+    cum = 0
+    for name, weight in fractions.items():
+        cum += weight
+        cond = slot < cum
+        fold = F.when(cond, name) if fold is None else fold.when(cond, name)
+    return ranked.withColumn("fold", fold).drop("_rn", "_n")

@@ -1696,3 +1696,34 @@ def test_event_transition_matrix_hand_case(spark):
         ("view", "buy"): (1, round(1 / 3, 6)),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_stratified_split_exact_proportions(spark):
+    import pytest
+
+    from semantic_index_spark.operators import skew as SKW
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(107)],  # strata 100 + 7
+        "doc_id long, lang string",
+    )
+    out = SKW.stratified_split(
+        df, "lang", "doc_id", {"train": 8, "val": 1, "test": 1}
+    ).collect()
+    from collections import Counter
+
+    by = Counter((r["lang"], r["fold"]) for r in out)
+    # exact proportions within one row, per stratum
+    assert by[("a", "train")] == 80 and by[("a", "val")] == 10 and by[("a", "test")] == 10
+    assert by[("b", "train")] == 6  # floor boundaries of 7 rows at 8/1/1
+    assert by[("b", "val")] + by[("b", "test")] == 1
+    assert sum(by.values()) == 107
+    # deterministic across runs
+    again = SKW.stratified_split(
+        df, "lang", "doc_id", {"train": 8, "val": 1, "test": 1}
+    ).collect()
+    assert sorted((r["doc_id"], r["fold"]) for r in out) == sorted(
+        (r["doc_id"], r["fold"]) for r in again
+    )
+    with pytest.raises(ValueError):
+        SKW.stratified_split(df, "lang", "doc_id", {"train": 0})
