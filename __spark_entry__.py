@@ -1926,6 +1926,40 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary-level drift between two corpus snapshots (even/odd doc
+    # halves stand in for yesterday/today): per-term count deltas, top 20
+    # by |delta| — the term-level complement of the scalar PSI monitor
+    # (which terms MOVED, not just that the distribution did). Two
+    # word-count aggregations + one full-outer merge on the term key;
+    # all-integer, bounded top-k, deterministic (|delta| desc, tok asc).
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2 == 0).alias("_old"),
+        F.explode(T.tokens("text")).alias("tok"),
+    )
+    c_old = (
+        tok.filter("_old").groupBy("tok").agg(F.count("*").alias("n_old"))
+    )
+    c_new = (
+        tok.filter(~F.col("_old")).groupBy("tok").agg(F.count("*").alias("n_new"))
+    )
+    merged = (
+        c_old.join(c_new, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+        .withColumn("delta", (F.col("n_new") - F.col("n_old")).cast("bigint"))
+    )
+    return (
+        merged.orderBy(F.abs("delta").desc(), F.col("tok").asc())
+        .limit(20)
+        .select("tok", "n_old", "n_new", "delta")
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2408,7 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-81, rotating into round 6: stateful_totals_replay,
+    this round (#51-82, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2416,9 +2450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
-    event_transitions, time_to_conversion, stratified_split); all 188
-    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    188 ok, 0 fail, 0 rows-only."""
+    event_transitions, time_to_conversion, stratified_split,
+    vocab_drift); all 189 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 189 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2505,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "time_to_conversion": q_time_to_conversion,
         "stratified_split": q_stratified_split,
+        "vocab_drift": q_vocab_drift,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -4984,6 +5019,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # vocab drift: two word counts + full-outer merge, top-20 |delta|
+        "vocab_drift": f"""
+            WITH tok AS (
+                SELECT doc_id % 2 = 0 AS olds, unnest({_DUCK_TOKENS}) AS tok
+                FROM documents
+            ),
+            co AS (SELECT tok, count(*)::BIGINT AS n_old FROM tok WHERE olds GROUP BY 1),
+            cn AS (SELECT tok, count(*)::BIGINT AS n_new FROM tok WHERE NOT olds GROUP BY 1),
+            m AS (
+                SELECT coalesce(co.tok, cn.tok) AS tok,
+                       coalesce(n_old, 0)::BIGINT AS n_old,
+                       coalesce(n_new, 0)::BIGINT AS n_new
+                FROM co FULL OUTER JOIN cn ON co.tok = cn.tok
+            )
+            SELECT tok, n_old, n_new, (n_new - n_old)::BIGINT AS delta
+            FROM m
+            ORDER BY abs(n_new - n_old) DESC, tok ASC
+            LIMIT 20
         """,
         # exact-proportion stratified split: salted-rank within stratum,
         # fold boundaries by pure integer arithmetic
