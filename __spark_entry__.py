@@ -1960,6 +1960,46 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # candidate-generator scorecard: precision/recall of the banded
+    # MinHash-LSH pair finder against EXACT shingle-Jaccard truth at the
+    # same threshold — the number that justifies (or indicts) the LSH
+    # parameters before a 100 TB run. All three pair sets are hash
+    # equi-join shaped; the ratios are exact integer arithmetic.
+    d = load_table(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(
+        d, shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    cand = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_hit = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+                ),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hit").cast("double") / F.col("n_truth"), 6),
+            ).alias("recall"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2442,7 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-82, rotating into round 6: stateful_totals_replay,
+    this round (#51-83, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2451,8 +2491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
-    vocab_drift); all 189 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 189 ok, 0 fail, 0 rows-only."""
+    vocab_drift, lsh_dedup_quality); all 190 are verified at both sf0.01
+    and sf0.1 by tools/check_oracles.py — 190 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2540,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_to_conversion": q_time_to_conversion,
         "stratified_split": q_stratified_split,
         "vocab_drift": q_vocab_drift,
+        "lsh_dedup_quality": q_lsh_dedup_quality,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5019,6 +5060,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # LSH scorecard: exact shingle-Jaccard truth vs banded candidates,
+        # counts + exact-ratio precision/recall (NULL-guarded)
+        "lsh_dedup_quality": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shx GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            truth AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(common::DOUBLE / (sa.n_shingles + sb.n_shingles - common), 6)
+                      >= {JACCARD_THRESHOLD}
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            ),
+            hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand),
+            c AS (
+                SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+                       (SELECT count(*) FROM hit)::BIGINT AS n_hit
+            )
+            SELECT n_truth, n_candidates, n_hit,
+                   CASE WHEN n_candidates > 0
+                        THEN round(n_hit::DOUBLE / n_candidates, 6) END AS precision,
+                   CASE WHEN n_truth > 0
+                        THEN round(n_hit::DOUBLE / n_truth, 6) END AS recall
+            FROM c
         """,
         # vocab drift: two word counts + full-outer merge, top-20 |delta|
         "vocab_drift": f"""
