@@ -384,6 +384,19 @@ AUDITS = {
     # is the 1-row totals crossJoin, the SinglePartition branch is the
     # |partitions|-row offsets prefix-sum.
     "model_calibration": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # Markov transitions: one keyed lead window, then the bounded
+    # type-grid aggregate — never a join, never unpartitioned.
+    "event_transitions": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # conversion latency: conditional-min groupBy only — no window, no join.
+    "time_to_conversion": {"expect": ["HashAggregate"], "forbid": ["Join", "Window", "SinglePartition"]},
+    # exact stratified split: the rank window must stay KEYED by stratum.
+    "stratified_split": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # vocab drift: full-outer vocab merge correctly sort-merges (neither
+    # side is broadcast-safe at scale); bounded top-k at the end.
+    "vocab_drift": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # LSH scorecard: pair sets stay hash-equi-join shaped; the BNLJ /
+    # SinglePartition branches are the three 1-row scalar aggregates.
+    "lsh_dedup_quality": {"forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
