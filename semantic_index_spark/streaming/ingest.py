@@ -546,3 +546,27 @@ def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def checksum_sink(path: str, cols: list[str], by: str):
+    """Streaming corpus-integrity maintenance: per-slice
+    (n_rows, XOR-checksum) accumulated across micro-batches. XOR and ``+``
+    are both mergeable, so the ≤|slices|-row table at ``path`` always
+    equals the one-shot :func:`...operators.pipeline.table_checksum` of
+    everything ever streamed — a landing-zone ingest can certify "what we
+    hold equals what the producer sent" slice by slice without ever
+    re-reading history. Same O(state) epoch cost as the sketch sinks.
+
+    XOR caveat inherited from the batch operator (even duplication
+    cancels): pair with ``dedup_within_watermark`` upstream, and the
+    row count catches pure duplication."""
+    from semantic_index_spark.operators.pipeline import table_checksum
+
+    return incremental_sketch_sink(
+        path,
+        lambda b: table_checksum(b, cols, by=by),
+        lambda u: u.groupBy(by).agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.bit_xor("checksum").alias("checksum"),
+        ),
+    )

@@ -591,3 +591,30 @@ def test_stateful_tws_matches_batch_and_legacy_api(spark, events_dir, events_bat
     for uid, (n, tv) in expected.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - tv) < 1e-6
+
+
+def test_checksum_sink_equals_oneshot_batch_checksum(spark, events_dir, events_batch, tmp_path):
+    """Streaming checksum maintenance: after draining forced multi-file
+    micro-batches, the per-slice (n_rows, checksum) table must EQUAL the
+    one-shot batch table_checksum of all data — XOR/+ mergeability end
+    to end."""
+    from semantic_index_spark.operators.pipeline import table_checksum
+
+    ck_path = str(tmp_path / "ck_table")
+    ckpt = str(tmp_path / "ckpt_ck")
+    multi = str(tmp_path / "events_multi_ck")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.checksum_sink(ck_path, ["event_id", "user_id", "value"], by="event_type")
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = spark.read.parquet(ck_path)
+    want = table_checksum(events_batch, ["event_id", "user_id", "value"], by="event_type")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
