@@ -2000,6 +2000,44 @@ def q_lsh_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps'-law vocabulary growth curve (the Zipf fit's companion
+    # corpus-health check): cumulative distinct-token count after each
+    # tenth of the corpus, in ONE pass — each token contributes new
+    # vocabulary exactly at its FIRST document (min doc_id), so a
+    # token-level min-groupBy + a decile rollup + a 10-row cumulative
+    # window replaces ten prefix-distinct scans. All-integer.
+    d = load_table(spark, sf_dir, "documents")
+    nmax = d.agg((F.max("doc_id") + 1).alias("_n"))
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok")).crossJoin(
+        F.broadcast(nmax)
+    )
+    bucketed = tok.withColumn(
+        "decile", F.expr("CAST((doc_id * 10) DIV _n AS INT)")
+    )
+    toks_per = bucketed.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    first_seen = bucketed.groupBy("tok").agg(F.min("decile").alias("decile"))
+    vocab_per = first_seen.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_new_vocab")
+    )
+    from pyspark.sql import Window as W
+
+    cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the window runs over <= 10 rows — metric-sized, never the corpus
+    return (
+        toks_per.join(vocab_per, "decile", "full_outer")
+        .select(
+            "decile",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_new_vocab", F.lit(0)).cast("bigint").alias("n_new_vocab"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(cum).cast("bigint"))
+        .withColumn("cum_vocab", F.sum("n_new_vocab").over(cum).cast("bigint"))
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2482,7 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-83, rotating into round 6: stateful_totals_replay,
+    this round (#51-84, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2491,8 +2529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
-    vocab_drift, lsh_dedup_quality); all 190 are verified at both sf0.01
-    and sf0.1 by tools/check_oracles.py — 190 ok, 0 fail, 0 rows-only."""
+    vocab_drift, lsh_dedup_quality, vocab_growth); all 191 are verified
+    at both sf0.01 and sf0.1 by tools/check_oracles.py — 191 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2581,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "vocab_drift": q_vocab_drift,
         "lsh_dedup_quality": q_lsh_dedup_quality,
+        "vocab_growth": q_vocab_growth,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5060,6 +5100,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # Heaps' law: new vocab lands at each token's FIRST doc; decile
+        # rollup + 10-row cumulative window
+        "vocab_growth": f"""
+            WITH nmax AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            tok AS (
+                SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+            ),
+            b AS (
+                SELECT ((doc_id * 10) // nmax.n)::INT AS decile, tok
+                FROM tok CROSS JOIN nmax
+            ),
+            tp AS (SELECT decile, count(*)::BIGINT AS n_tokens FROM b GROUP BY 1),
+            fs AS (SELECT tok, min(decile) AS decile FROM b GROUP BY 1),
+            vp AS (SELECT decile, count(*)::BIGINT AS n_new_vocab FROM fs GROUP BY 1),
+            m AS (
+                SELECT coalesce(tp.decile, vp.decile) AS decile,
+                       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+                       coalesce(n_new_vocab, 0)::BIGINT AS n_new_vocab
+                FROM tp FULL OUTER JOIN vp ON tp.decile = vp.decile
+            )
+            SELECT decile, n_tokens, n_new_vocab,
+                   (sum(n_tokens) OVER w)::BIGINT AS cum_tokens,
+                   (sum(n_new_vocab) OVER w)::BIGINT AS cum_vocab
+            FROM m
+            WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         # LSH scorecard: exact shingle-Jaccard truth vs banded candidates,
         # counts + exact-ratio precision/recall (NULL-guarded)
