@@ -2038,6 +2038,38 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # churn-model training-set construction: per-user label (no activity
+    # in the last 30 days before the dataset horizon) + the behavioral
+    # features a model trains on — ONE conditional-agg groupBy over the
+    # corpus, horizon broadcast as a 1-row aggregate. All-integer.
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.unix_timestamp("ts")).alias("_h"))
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+            F.max(F.unix_timestamp("ts")).alias("_last"),
+            F.min(F.unix_timestamp("ts")).alias("_first"),
+        )
+    )
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        F.floor((F.col("_last") - F.col("_first")) / F.lit(86400))
+        .cast("int")
+        .alias("span_days"),
+        (F.col("_last") < F.col("_h") - F.lit(30 * 86400))
+        .cast("int")
+        .alias("churned"),
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2520,7 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-84, rotating into round 6: stateful_totals_replay,
+    this round (#51-85, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2529,9 +2561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
-    vocab_drift, lsh_dedup_quality, vocab_growth); all 191 are verified
-    at both sf0.01 and sf0.1 by tools/check_oracles.py — 191 ok, 0 fail,
-    0 rows-only."""
+    vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels); all 192
+    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    192 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2621,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "lsh_dedup_quality": q_lsh_dedup_quality,
         "vocab_growth": q_vocab_growth,
+        "churn_labels": q_churn_labels,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5100,6 +5133,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # churn labels: conditional-agg groupBy + broadcast horizon
+        "churn_labels": """
+            WITH h AS (SELECT max(floor(epoch(ts))::BIGINT) AS h FROM events),
+            pu AS (
+                SELECT user_id,
+                       count(*)::BIGINT AS n_events,
+                       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+                       max(floor(epoch(ts))::BIGINT) AS lastt,
+                       min(floor(epoch(ts))::BIGINT) AS firstt
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            )
+            SELECT user_id, n_events, n_purchases,
+                   ((lastt - firstt) // 86400)::INT AS span_days,
+                   (CASE WHEN lastt < h.h - 2592000 THEN 1 ELSE 0 END)::INT AS churned
+            FROM pu CROSS JOIN h
         """,
         # Heaps' law: new vocab lands at each token's FIRST doc; decile
         # rollup + 10-row cumulative window
