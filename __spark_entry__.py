@@ -2070,6 +2070,40 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5/mT5-style temperature sampling plan: per-source mixture weight
+    # w_s ∝ n_s^0.5 (α=0.5 upsamples small sources without letting the
+    # head dominate) and the effective epochs each source runs at the
+    # resulting mix. α=0.5 = sqrt — the ONE power IEEE guarantees
+    # correctly rounded, so fixed-pointing sqrt(n) to micro units makes
+    # every downstream ratio an exact-integer division: hash-identical
+    # across engines. One bounded groupBy; totals broadcast.
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    s = counts.withColumn(
+        "_s",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    tot = s.agg(
+        F.sum("_s").cast("bigint").alias("_st"),
+        F.sum("n_docs").cast("bigint").alias("_nt"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_s").cast("double") / F.col("_st"), 6).alias("weight"),
+            F.round(
+                (F.col("_s").cast("double") * F.col("_nt"))
+                / (F.col("_st").cast("double") * F.col("n_docs")),
+                6,
+            ).alias("eff_epochs"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2552,7 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-85, rotating into round 6: stateful_totals_replay,
+    this round (#51-86, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2561,9 +2595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     source_similarity, training_order, corpus_checksum, quality_model,
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
-    vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels); all 192
-    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    192 ok, 0 fail, 0 rows-only."""
+    vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
+    temperature_mix); all 193 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 193 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2654,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_quality": q_lsh_dedup_quality,
         "vocab_growth": q_vocab_growth,
         "churn_labels": q_churn_labels,
+        "temperature_mix": q_temperature_mix,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5133,6 +5168,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # temperature mix: sqrt is correctly rounded on every IEEE engine,
+        # so micro-fixed-pointed sqrt(n) makes all ratios exact-integer
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+            ),
+            s AS (
+                SELECT source, n_docs,
+                       floor(sqrt(n_docs::DOUBLE) * 1e6 + 0.5)::BIGINT AS sv
+                FROM c
+            ),
+            t AS (SELECT sum(sv)::BIGINT AS st, sum(n_docs)::BIGINT AS nt FROM s)
+            SELECT source, n_docs,
+                   round(sv::DOUBLE / st, 6) AS weight,
+                   round((sv::DOUBLE * nt) / (st::DOUBLE * n_docs), 6) AS eff_epochs
+            FROM s CROSS JOIN t
         """,
         # churn labels: conditional-agg groupBy + broadcast horizon
         "churn_labels": """
