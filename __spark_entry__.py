@@ -2104,6 +2104,42 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # burstiness coefficient B = (sigma - mu) / (sigma + mu) over each
+    # user's inter-event gaps (Goh & Barabasi 2008): B -> -1 for
+    # metronomic/scripted activity, ~0 Poisson, -> 1 bursty human
+    # sessions — a one-number bot screen. One lag window + one groupBy;
+    # mu/sigma derive from EXACT integer sums (gap, gap^2), sqrt is
+    # correctly rounded, so the rounded coefficient is engine-stable.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    gaps = (
+        ev.withColumn(
+            "_gap", F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts"), 1).over(w)
+        )
+        .filter(F.col("_gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum("_gap").cast("bigint").alias("_s1"),
+            F.sum(F.col("_gap") * F.col("_gap")).cast("bigint").alias("_s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mu = F.col("_s1").cast("double") / F.col("n_gaps")
+    var = F.col("_s2").cast("double") / F.col("n_gaps") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return gaps.select(
+        "user_id",
+        "n_gaps",
+        F.when(sigma + mu > 0, F.round((sigma - mu) / (sigma + mu), 6)).alias(
+            "burstiness"
+        ),
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2586,7 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-86, rotating into round 6: stateful_totals_replay,
+    this round (#51-87, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2596,8 +2632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
-    temperature_mix); all 193 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 193 ok, 0 fail, 0 rows-only."""
+    temperature_mix, user_burstiness); all 194 are verified at both
+    sf0.01 and sf0.1 by tools/check_oracles.py — 194 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2689,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "churn_labels": q_churn_labels,
         "temperature_mix": q_temperature_mix,
+        "user_burstiness": q_user_burstiness,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5168,6 +5206,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # burstiness: mu/sigma from exact integer sums; identical
+        # expression order keeps the doubles bit-equal cross-engine
+        "user_burstiness": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse
+                FROM events WHERE user_id IS NOT NULL
+            ), g AS (
+                SELECT user_id,
+                       tse - lag(tse) OVER (
+                           PARTITION BY user_id ORDER BY tse, event_id
+                       ) AS gap
+                FROM t
+            ), agg AS (
+                SELECT user_id, count(*)::BIGINT AS n_gaps,
+                       sum(gap)::BIGINT AS s1, sum(gap * gap)::BIGINT AS s2
+                FROM g WHERE gap IS NOT NULL GROUP BY 1
+                HAVING count(*) >= 5
+            )
+            SELECT user_id, n_gaps,
+                   CASE WHEN sqrt(greatest(
+                              s2::DOUBLE / n_gaps
+                              - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps),
+                              0.0))
+                             + (s1::DOUBLE / n_gaps) > 0
+                        THEN round(
+                            (sqrt(greatest(
+                                 s2::DOUBLE / n_gaps
+                                 - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps),
+                                 0.0))
+                             - (s1::DOUBLE / n_gaps))
+                            / (sqrt(greatest(
+                                   s2::DOUBLE / n_gaps
+                                   - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps),
+                                   0.0))
+                               + (s1::DOUBLE / n_gaps)), 6)
+                   END AS burstiness
+            FROM agg
         """,
         # temperature mix: sqrt is correctly rounded on every IEEE engine,
         # so micro-fixed-pointed sqrt(n) makes all ratios exact-integer
