@@ -2140,6 +2140,32 @@ def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # provenance rollup of near-duplication: how many near-dup pairs
+    # land WITHIN each source vs ACROSS each source pair — the "which
+    # providers copy from which" governance matrix. LSH pairs + two
+    # source lookups (hash equi-joins on doc_id) + one bounded groupBy;
+    # the source pair is canonicalized (least, greatest) so the matrix
+    # is upper-triangular and deterministic.
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .withColumn("within_source", (F.col("src_a") == F.col("src_b")).cast("int"))
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2622,7 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-87, rotating into round 6: stateful_totals_replay,
+    this round (#51-88, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2632,9 +2658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
-    temperature_mix, user_burstiness); all 194 are verified at both
-    sf0.01 and sf0.1 by tools/check_oracles.py — 194 ok, 0 fail,
-    0 rows-only."""
+    temperature_mix, user_burstiness, cross_source_dup); all 195 are
+    verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    195 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2727,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_labels": q_churn_labels,
         "temperature_mix": q_temperature_mix,
         "user_burstiness": q_user_burstiness,
+        "cross_source_dup": q_cross_source_dup,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5206,6 +5233,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # cross-source duplication: LSH pairs + source lookups, pair key
+        # canonicalized (least, greatest)
+        "cross_source_dup": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            ),
+            lab AS (
+                SELECT least(da.source, db.source) AS src_a,
+                       greatest(da.source, db.source) AS src_b
+                FROM pairs
+                JOIN documents da ON da.doc_id = pairs.id_a
+                JOIN documents db ON db.doc_id = pairs.id_b
+            )
+            SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+                   (CASE WHEN src_a = src_b THEN 1 ELSE 0 END)::INT AS within_source
+            FROM lab GROUP BY 1, 2
         """,
         # burstiness: mu/sigma from exact integer sums; identical
         # expression order keeps the doubles bit-equal cross-engine
