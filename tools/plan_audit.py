@@ -397,6 +397,17 @@ AUDITS = {
     # LSH scorecard: pair sets stay hash-equi-join shaped; the BNLJ /
     # SinglePartition branches are the three 1-row scalar aggregates.
     "lsh_dedup_quality": {"forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # Heaps curve: the SMJ/SinglePartition branches are the <=10-row
+    # decile merge and cumulative window — metric-sized by construction.
+    "vocab_growth": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
+    # churn labels / temperature mix: BNLJ = the 1-row broadcast
+    # (horizon / totals); nothing corpus-sized may sort-merge.
+    "churn_labels": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "temperature_mix": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # burstiness: one keyed lag window + one groupBy — no join anywhere.
+    "user_burstiness": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # provenance matrix: source lookups must broadcast-hash-join.
+    "cross_source_dup": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SinglePartition"]},
 }
 
 
