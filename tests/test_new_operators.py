@@ -1727,3 +1727,60 @@ def test_stratified_split_exact_proportions(spark):
     )
     with pytest.raises(ValueError):
         SKW.stratified_split(df, "lang", "doc_id", {"train": 0})
+
+
+def test_dsir_weights_randomized_against_reference(spark):
+    # seeded random corpora; exact match vs an independent pure-python
+    # implementation, plus order-invariance of the result
+    import hashlib
+    import math
+    import random
+
+    from semantic_index_spark.operators import text_analysis as TA
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(vocab, k=rng.randint(1, 12))),
+            "t" if rng.random() < 0.4 else "r",
+        )
+        for i in range(60)
+    ]
+    B, a = 16, 1.0
+
+    def bkt(f):
+        return int(hashlib.md5(("dsir:" + f).encode()).hexdigest()[:15], 16) % B
+
+    def feats(text):
+        t = text.split()
+        return t + [f"{w1} {w2}" for w1, w2 in zip(t, t[1:])]
+
+    tgt = [f for (_, tx, s) in rows if s == "t" for f in feats(tx)]
+    raw = [f for (_, tx, s) in rows if s == "r" for f in feats(tx)]
+    ct = {b: sum(1 for f in tgt if bkt(f) == b) for b in range(B)}
+    cr = {b: sum(1 for f in raw if bkt(f) == b) for b in range(B)}
+    tt, tr = len(tgt), len(raw)
+
+    def logw(text):
+        s = 0
+        for f in feats(text):
+            ratio = ((ct[bkt(f)] + a) * (tr + a * B)) / (
+                (cr[bkt(f)] + a) * (tt + a * B)
+            )
+            s += math.floor(math.log(ratio) * 1e6 + 0.5)
+        return s
+
+    want = {
+        i: (len(feats(tx)), logw(tx)) for (i, tx, s) in rows if s == "r"
+    }
+    for perm in (rows, list(reversed(rows))):
+        df = spark.createDataFrame(perm, "doc_id long, text string, source string")
+        got = {
+            r["doc_id"]: (r["n_feats"], r["logw_micro"])
+            for r in TA.dsir_weights(
+                df, target_cond=F.col("source") == "t", buckets=B, alpha=a
+            ).collect()
+        }
+        assert got == want
