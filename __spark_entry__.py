@@ -2166,6 +2166,40 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU / trailing-7-day WAU / stickiness per day — the engagement
+    # headline. Scalable shape: dedupe to (user, day) FIRST (one
+    # partial-agg distinct), then each row supports exactly the 7 days
+    # it counts toward (bounded ×7 in-JVM explode) → one count_distinct
+    # per day. No sliding window state, no per-day rescans; stickiness
+    # is an exact integer ratio.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("bigint").alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    supported = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    )
+    wau = supported.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    # restrict to days with actual activity (the leading 6 support-only
+    # days per user would otherwise trail past the horizon)
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2648,7 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-88, rotating into round 6: stateful_totals_replay,
+    this round (#51-89, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2658,9 +2692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     l_diversity, attribution, fk_integrity, model_calibration,
     event_transitions, time_to_conversion, stratified_split,
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
-    temperature_mix, user_burstiness, cross_source_dup); all 195 are
-    verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    195 ok, 0 fail, 0 rows-only."""
+    temperature_mix, user_burstiness, cross_source_dup,
+    rolling_active_users); all 196 are verified at both sf0.01 and
+    sf0.1 by tools/check_oracles.py — 196 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2754,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "user_burstiness": q_user_burstiness,
         "cross_source_dup": q_cross_source_dup,
+        "rolling_active_users": q_rolling_active_users,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5233,6 +5268,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # DAU/WAU: (user, day) dedupe first, each row supports its 7 days
+        "rolling_active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       (floor(epoch(ts))::BIGINT // 86400) AS day
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+            sup AS (
+                SELECT user_id, day + t.d AS day
+                FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS d) t
+            ),
+            wau AS (
+                SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+                FROM sup GROUP BY 1
+            )
+            SELECT dau.day, dau.dau, wau.wau,
+                   round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+            FROM dau JOIN wau ON dau.day = wau.day
         """,
         # cross-source duplication: LSH pairs + source lookups, pair key
         # canonicalized (least, greatest)
