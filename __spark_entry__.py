@@ -2200,6 +2200,53 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly growth accounting (the new/retained/resurrected/churned
+    # quadrant model): classify every (user, week) of activity against
+    # the user's previous active week and first week — one (user, week)
+    # dedupe, one keyed lag window, one bounded rollup. churned(w) =
+    # users active in w-1 but not w, accounted by shifting each active
+    # week forward and anti-classifying. All-integer.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from pyspark.sql import Window
+
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(7 * 86400)).cast("bigint").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = uw.withColumn("_prev", F.lag("week", 1).over(w)).withColumn(
+        "_first", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    status = flagged.select(
+        "week",
+        F.when(F.col("week") == F.col("_first"), "new")
+        .when(F.col("_prev") == F.col("week") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    active = status.groupBy("week").pivot(
+        "status", ["new", "retained", "resurrected"]
+    ).count()
+    # churned into week w+1: active in w but not in w+1
+    nxt = uw.select("user_id", (F.col("week") + 1).alias("week"))
+    churned = (
+        nxt.join(uw, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count("*").cast("bigint").alias("churned"))
+    )
+    return (
+        active.join(churned, "week", "full_outer")
+        .select(
+            "week",
+            F.coalesce("new", F.lit(0)).cast("bigint").alias("new"),
+            F.coalesce("retained", F.lit(0)).cast("bigint").alias("retained"),
+            F.coalesce("resurrected", F.lit(0)).cast("bigint").alias("resurrected"),
+            F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2682,7 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-89, rotating into round 6: stateful_totals_replay,
+    this round (#51-90, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2693,8 +2740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     event_transitions, time_to_conversion, stratified_split,
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
     temperature_mix, user_burstiness, cross_source_dup,
-    rolling_active_users); all 196 are verified at both sf0.01 and
-    sf0.1 by tools/check_oracles.py — 196 ok, 0 fail, 0 rows-only."""
+    rolling_active_users, growth_accounting); all 197 are verified at
+    both sf0.01 and sf0.1 by tools/check_oracles.py — 197 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2789,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_burstiness": q_user_burstiness,
         "cross_source_dup": q_cross_source_dup,
         "rolling_active_users": q_rolling_active_users,
+        "growth_accounting": q_growth_accounting,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5268,6 +5317,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # growth accounting: lag-classified (user, week) activity + a
+        # forward-shifted anti-join for churn
+        "growth_accounting": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       (floor(epoch(ts))::BIGINT // 604800) AS week
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            fl AS (
+                SELECT user_id, week,
+                       lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+                       min(week) OVER (PARTITION BY user_id) AS firstw
+                FROM uw
+            ),
+            st AS (
+                SELECT week,
+                       CASE WHEN week = firstw THEN 'new'
+                            WHEN prev = week - 1 THEN 'retained'
+                            ELSE 'resurrected' END AS status
+                FROM fl
+            ),
+            act AS (
+                SELECT week,
+                       sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                       sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)::BIGINT AS n_ret,
+                       sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)::BIGINT AS n_res
+                FROM st GROUP BY 1
+            ),
+            ch AS (
+                SELECT a.week + 1 AS week, count(*)::BIGINT AS n_churn
+                FROM uw a
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM uw b
+                    WHERE b.user_id = a.user_id AND b.week = a.week + 1
+                )
+                GROUP BY 1
+            )
+            SELECT coalesce(act.week, ch.week) AS week,
+                   coalesce(n_new, 0)::BIGINT AS "new",
+                   coalesce(n_ret, 0)::BIGINT AS retained,
+                   coalesce(n_res, 0)::BIGINT AS resurrected,
+                   coalesce(n_churn, 0)::BIGINT AS churned
+            FROM act FULL OUTER JOIN ch ON act.week = ch.week
         """,
         # DAU/WAU: (user, day) dedupe first, each row supports its 7 days
         "rolling_active_users": """
