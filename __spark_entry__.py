@@ -2247,6 +2247,60 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space source similarity (the semantic sibling of the
+    # lexical MinHash source matrix): cosine between per-source SUM
+    # vectors (= centroid cosine — scale-invariant, so no division by n
+    # ever happens). Components fixed-point to 1e-3 BEFORE summing, so
+    # the per-(source, dim) sums are exact integers and every pairwise
+    # cosine derives from bit-identical values on both engines; the
+    # quantization is a documented 1e-3 on unit-norm inputs. Shapes:
+    # one dim-explode groupBy (|sources|·d rows), then a dim equi-join
+    # over that metric-sized table.
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    dims = (
+        emb.join(docs, "vec_id")
+        .select("source", F.posexplode("embedding").alias("dim", "_v"))
+        .groupBy("source", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("_v").cast("double") * F.lit(1e3) + F.lit(0.5))
+                .cast("bigint")
+            ).alias("s")
+        )
+    )
+    a = dims.select(F.col("source").alias("src_a"), "dim", F.col("s").alias("_sa"))
+    b = dims.select(F.col("source").alias("src_b"), "dim", F.col("s").alias("_sb"))
+    prods = (
+        a.join(b, "dim")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).cast("bigint").alias("_dot"))
+    )
+    norms = prods.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("_src"), F.col("_dot").alias("_nsq")
+    )
+    na = norms.select(F.col("_src").alias("src_a"), F.col("_nsq").alias("_na"))
+    nb = norms.select(F.col("_src").alias("src_b"), F.col("_nsq").alias("_nb"))
+    return (
+        prods.filter(F.col("src_a") < F.col("src_b"))
+        .join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2729,7 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-90, rotating into round 6: stateful_totals_replay,
+    this round (#51-91, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2740,9 +2794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     event_transitions, time_to_conversion, stratified_split,
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
     temperature_mix, user_burstiness, cross_source_dup,
-    rolling_active_users, growth_accounting); all 197 are verified at
-    both sf0.01 and sf0.1 by tools/check_oracles.py — 197 ok, 0 fail,
-    0 rows-only."""
+    rolling_active_users, growth_accounting, source_embedding_sim); all
+    198 are verified at both sf0.01 and sf0.1 by tools/check_oracles.py
+    — 198 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2838,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup": q_cross_source_dup,
         "rolling_active_users": q_rolling_active_users,
         "growth_accounting": q_growth_accounting,
+        "source_embedding_sim": q_source_embedding_sim,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5317,6 +5372,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # source embedding similarity: 1e-3 fixed-point per-dim sums,
+        # cosine of SUM vectors (scale-invariant = centroid cosine)
+        "source_embedding_sim": """
+            WITH e AS (
+                SELECT d.source, emb.embedding
+                FROM embeddings emb JOIN documents d ON d.doc_id = emb.vec_id
+            ),
+            dims AS (
+                SELECT source, g.i AS dim,
+                       sum(floor(embedding[g.i]::DOUBLE * 1e3 + 0.5)::BIGINT)::BIGINT AS s
+                FROM e CROSS JOIN generate_series(1, 64) g(i)
+                GROUP BY 1, 2
+            ),
+            prods AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       sum(a.s * b.s)::BIGINT AS dot
+                FROM dims a JOIN dims b ON a.dim = b.dim AND a.source <= b.source
+                GROUP BY 1, 2
+            ),
+            norms AS (
+                SELECT src_a AS src, dot AS nsq FROM prods WHERE src_a = src_b
+            )
+            SELECT p.src_a, p.src_b,
+                   round(p.dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 6) AS cosine
+            FROM prods p
+            JOIN norms na ON na.src = p.src_a
+            JOIN norms nb ON nb.src = p.src_b
+            WHERE p.src_a < p.src_b
         """,
         # growth accounting: lag-classified (user, week) activity + a
         # forward-shifted anti-join for churn
