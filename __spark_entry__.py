@@ -2301,6 +2301,95 @@ def q_source_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lorenz/Pareto concentration curve: what share of total revenue the
+    # top decile / quintile / ... of customers carries — the curve-shaped
+    # view behind the scalar Gini/HHI indices. Revenue fixed-points to
+    # exact integer cents BEFORE any sum; deciles come from the
+    # range-partition global-ranking primitive (rank by cents desc via
+    # rank on (-cents, key) — never a SinglePartition window); cumulative
+    # share is an exact-integer ratio over the 10-row rollup.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast("bigint")
+        ).alias("cents")
+    )
+    ranked = SK.global_ranks(
+        cust.withColumn("_neg", -F.col("cents")), ["_neg", "o_custkey"], rank_alias="r"
+    )
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("cents").cast("bigint").alias("_tot"),
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the cumulative window runs over <= 10 rows — metric-sized
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("decile", F.expr("CAST(((r - 1) * 10) DIV _n AS INT)"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.first("_tot").alias("_tot"),
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("cents").over(cum).cast("double") / F.col("_tot"), 6
+            ),
+        )
+        .select("decile", "n_customers", "cents", "cum_share")
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM segmentation (the CRM workhorse): per-customer recency /
+    # frequency / monetary quintile scores 1-5 and the concatenated
+    # segment label. Each dimension's quintiles come from the
+    # range-partition global-ranking primitive with the (rank-1)*5 DIV n
+    # integer bucketing — three bounded ranking passes, never an
+    # unpartitioned ntile; monetary fixed-points to exact cents; all
+    # tie-breaks by custkey so the segmentation is engine-stable.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate")).alias("_last"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    n = base.count()  # bounded driver scalar: |customers| is known-finite
+
+    def score(df, order_col, alias):
+        ranked = SK.global_ranks(df, [order_col, "o_custkey"], rank_alias="_r")
+        return ranked.withColumn(
+            alias, F.expr(f"CAST(((_r - 1) * 5) DIV {n} AS INT) + 1")
+        ).drop("_r")
+    # ascending rank puts the best (most recent / most frequent / highest
+    # spend) in the top bucket, so score 5 = best on every dimension
+    scored = score(base, "_last", "r_score")
+    scored = score(scored.withColumn("_f", F.col("frequency")), "_f", "f_score").drop("_f")
+    scored = score(
+        scored.withColumn("_m", F.col("monetary_cents")), "_m", "m_score"
+    ).drop("_m")
+    return scored.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2783,7 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-91, rotating into round 6: stateful_totals_replay,
+    this round (#51-93, rotating into round 6: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -2794,9 +2883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     event_transitions, time_to_conversion, stratified_split,
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
     temperature_mix, user_burstiness, cross_source_dup,
-    rolling_active_users, growth_accounting, source_embedding_sim); all
-    198 are verified at both sf0.01 and sf0.1 by tools/check_oracles.py
-    — 198 ok, 0 fail, 0 rows-only."""
+    rolling_active_users, growth_accounting, source_embedding_sim,
+    pareto_curve, rfm_segments); all 200 are verified at both sf0.01 and
+    sf0.1 by tools/check_oracles.py — 200 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2893,6 +2982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "growth_accounting": q_growth_accounting,
         "source_embedding_sim": q_source_embedding_sim,
+        "pareto_curve": q_pareto_curve,
+        "rfm_segments": q_rfm_segments,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5372,6 +5463,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # RFM: three rank-quintiles with custkey tie-break, exact cents
+        "rfm_segments": """
+            WITH base AS (
+                SELECT o_custkey,
+                       max(floor(epoch(o_orderdate))::BIGINT) AS lastt,
+                       count(*)::BIGINT AS frequency,
+                       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS monetary_cents
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+            ),
+            nn AS (SELECT count(*) AS n FROM base),
+            s AS (
+                SELECT o_custkey, frequency, monetary_cents,
+                       (((row_number() OVER (ORDER BY lastt, o_custkey) - 1) * 5) // nn.n)::INT + 1 AS r_score,
+                       (((row_number() OVER (ORDER BY frequency, o_custkey) - 1) * 5) // nn.n)::INT + 1 AS f_score,
+                       (((row_number() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5) // nn.n)::INT + 1 AS m_score
+                FROM base CROSS JOIN nn
+            )
+            SELECT o_custkey, frequency, monetary_cents, r_score, f_score, m_score,
+                   r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+            FROM s
+        """,
+        # Pareto curve: exact integer cents, rank desc, 10-row cumulative
+        "pareto_curve": """
+            WITH cust AS (
+                SELECT o_custkey,
+                       sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+            ),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY -cents, o_custkey) AS rn,
+                       count(*) OVER () AS n,
+                       sum(cents) OVER () AS tot
+                FROM cust
+            ),
+            d AS (
+                SELECT (((rn - 1) * 10) // n)::INT AS decile,
+                       count(*)::BIGINT AS n_customers,
+                       sum(cents)::BIGINT AS cents,
+                       max(tot) AS tot
+                FROM r GROUP BY 1
+            )
+            SELECT decile, n_customers, cents,
+                   round((sum(cents) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                         / tot, 6) AS cum_share
+            FROM d
         """,
         # source embedding similarity: 1e-3 fixed-point per-dim sums,
         # cosine of SUM vectors (scale-invariant = centroid cosine)
