@@ -408,6 +408,17 @@ AUDITS = {
     "user_burstiness": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
     # provenance matrix: source lookups must broadcast-hash-join.
     "cross_source_dup": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SinglePartition"]},
+    # DAU/WAU: dedupe + bounded explode + keyed groupBys, nothing global.
+    "rolling_active_users": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
+    # growth accounting: the SMJ is the user-keyed (user, week) anti /
+    # outer merge — corpus-keyed and legitimate at scale.
+    "growth_accounting": {"expect": ["Window"], "forbid": ["CartesianProduct"]},
+    # source embedding sim: dim-keyed joins over the |sources|*d table.
+    "source_embedding_sim": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SinglePartition"]},
+    # Pareto / RFM: global_ranks shape — offsets broadcast back; the
+    # SinglePartition branches are the bounded offset/cumulative rows.
+    "pareto_curve": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "rfm_segments": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
