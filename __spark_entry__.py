@@ -2390,6 +2390,50 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort LTV curves: cumulative purchase revenue per signup-week
+    # cohort at each age-week — the payback-period readout next to the
+    # activity retention matrix. Cohort = user's first active week (one
+    # min-groupBy), revenue fixed-points to exact cents, the cumulative
+    # runs per-cohort over the tiny (cohort × age) grid.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from pyspark.sql import Window
+
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(7 * 86400)).cast("bigint")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", wk.alias("week"),
+                F.floor(F.col("value") * F.lit(100) + F.lit(0.5))
+                .cast("bigint").alias("cents"))
+        .join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("age_weeks"))
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("cents").over(cum).cast("bigint"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age_weeks",
+            "cohort_users",
+            "cents",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("cohort_users") / 100.0, 6
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2872,7 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-93 — 43 names, one round-6 window of 50 slots covers
+    this round (#51-94 — 44 names, one round-6 window of 50 slots covers
     them all with room for that round's additions: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
@@ -2885,8 +2929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
     temperature_mix, user_burstiness, cross_source_dup,
     rolling_active_users, growth_accounting, source_embedding_sim,
-    pareto_curve, rfm_segments); all 200 are verified at both sf0.01 and
-    sf0.1 by tools/check_oracles.py — 200 ok, 0 fail, 0 rows-only."""
+    pareto_curve, rfm_segments, cohort_ltv); all 201 are verified at
+    both sf0.01 and sf0.1 by tools/check_oracles.py — 201 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -2985,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_embedding_sim": q_source_embedding_sim,
         "pareto_curve": q_pareto_curve,
         "rfm_segments": q_rfm_segments,
+        "cohort_ltv": q_cohort_ltv,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5464,6 +5510,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # cohort LTV: first-week cohorts, exact cents, per-cohort cumsum
+        "cohort_ltv": """
+            WITH f AS (
+                SELECT user_id,
+                       min(floor(epoch(ts))::BIGINT // 604800) AS cohort
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            rev AS (
+                SELECT f.cohort,
+                       (floor(epoch(e.ts))::BIGINT // 604800) - f.cohort AS age_weeks,
+                       sum(floor(e.value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+                FROM events e JOIN f ON f.user_id = e.user_id
+                WHERE e.event_type = 'purchase'
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_users FROM f GROUP BY 1)
+            SELECT r.cohort, r.age_weeks, s.cohort_users, r.cents,
+                   (sum(r.cents) OVER w)::BIGINT AS cum_cents,
+                   round((sum(r.cents) OVER w)::DOUBLE / s.cohort_users / 100.0, 6) AS ltv_per_user
+            FROM rev r JOIN sizes s ON s.cohort = r.cohort
+            WINDOW w AS (PARTITION BY r.cohort ORDER BY r.age_weeks
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         # RFM: three rank-quintiles with custkey tie-break, exact cents
         "rfm_segments": """
