@@ -2434,6 +2434,98 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUPED variance reduction (Deng et al. 2013, the industry-standard
+    # A/B sensitivity booster): adjust each user's post-period metric by
+    # theta * (pre-period - pooled pre mean), theta = cov(pre,post)/
+    # var(pre). Per-user pre/post purchase cents are EXACT integers; n,
+    # Σx, Σy, Σxy, Σx², Σy² are exact integer sums, so theta, the
+    # adjusted group means, and the ρ² variance-reduction factor are
+    # deterministic doubles with mirrored expression order — hash-equal
+    # cross-engine. Two groupBys + two 1-row broadcasts; no per-user
+    # state leaves the executors.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # integer DIV: double-division halving truncates in Spark but a
+    # double->bigint cast ROUNDS in DuckDB — integer arithmetic sidesteps
+    span = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("_mn"),
+        F.max(F.unix_timestamp("ts")).alias("_mx"),
+    ).select(F.expr("CAST((_mn + _mx) DIV 2 AS BIGINT)").alias("_mid"))
+    cents = F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("bigint")
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_timestamp("ts") < F.col("_mid")),
+                    cents,
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_timestamp("ts") >= F.col("_mid")),
+                    cents,
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn(
+            "grp",
+            F.when(
+                F.pmod(
+                    T.md5_bigint(F.col("user_id").cast("string"), salt="ab:"),
+                    F.lit(2),
+                )
+                == 0,
+                "control",
+            ).otherwise("treatment"),
+        )
+    )
+    stats = per_user.agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("x").cast("bigint").alias("_sx"),
+        F.sum("y").cast("bigint").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vary = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    theta = num / den
+    xbar = F.col("_sx").cast("double") / F.col("_n")
+    return (
+        per_user.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("y").cast("bigint").alias("_syg"),
+            F.sum("x").cast("bigint").alias("_sxg"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            "n_users",
+            F.round(F.col("_syg").cast("double") / F.col("n_users"), 6).alias(
+                "mean_post"
+            ),
+            F.round(
+                F.col("_syg").cast("double") / F.col("n_users")
+                - theta
+                * (F.col("_sxg").cast("double") / F.col("n_users") - xbar),
+                6,
+            ).alias("mean_adj"),
+            F.round(theta, 6).alias("theta"),
+            F.round(num * num / (den * vary), 6).alias("var_reduction"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -2916,7 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-94 — 44 names, one round-6 window of 50 slots covers
+    this round (#51-95 — 45 names, one round-6 window of 50 slots covers
     them all with room for that round's additions: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
@@ -2929,9 +3021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
     temperature_mix, user_burstiness, cross_source_dup,
     rolling_active_users, growth_accounting, source_embedding_sim,
-    pareto_curve, rfm_segments, cohort_ltv); all 201 are verified at
-    both sf0.01 and sf0.1 by tools/check_oracles.py — 201 ok, 0 fail,
-    0 rows-only."""
+    pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment); all 202
+    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    202 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3031,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_curve": q_pareto_curve,
         "rfm_segments": q_rfm_segments,
         "cohort_ltv": q_cohort_ltv,
+        "cuped_adjustment": q_cuped_adjustment,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5510,6 +5603,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # CUPED: theta and rho^2 from exact integer sums; expression
+        # order mirrored so the doubles are bit-equal
+        "cuped_adjustment": f"""
+            WITH mid AS (
+                SELECT (min(floor(epoch(ts))::BIGINT)
+                        + max(floor(epoch(ts))::BIGINT)) // 2 AS m
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            pu AS (
+                SELECT user_id,
+                       sum(CASE WHEN event_type = 'purchase'
+                                 AND floor(epoch(ts))::BIGINT < mid.m
+                                THEN floor(value * 100 + 0.5)::BIGINT
+                                ELSE 0 END)::BIGINT AS x,
+                       sum(CASE WHEN event_type = 'purchase'
+                                 AND floor(epoch(ts))::BIGINT >= mid.m
+                                THEN floor(value * 100 + 0.5)::BIGINT
+                                ELSE 0 END)::BIGINT AS y,
+                       CASE WHEN ({_DUCK_MD5_BIGINT.format(expr="'ab:' || CAST(user_id AS VARCHAR)")} % 2) = 0
+                            THEN 'control' ELSE 'treatment' END AS grp
+                FROM events CROSS JOIN mid
+                WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            st AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                       sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx,
+                       sum(y * y)::BIGINT AS syy
+                FROM pu
+            ),
+            g AS (
+                SELECT grp, count(*)::BIGINT AS n_users,
+                       sum(y)::BIGINT AS syg, sum(x)::BIGINT AS sxg
+                FROM pu GROUP BY 1
+            )
+            SELECT grp, n_users,
+                   round(syg::DOUBLE / n_users, 6) AS mean_post,
+                   round(syg::DOUBLE / n_users
+                         - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+                           * (sxg::DOUBLE / n_users - sx::DOUBLE / n), 6) AS mean_adj,
+                   round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6) AS theta,
+                   round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+                         / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6) AS var_reduction
+            FROM g CROSS JOIN st
         """,
         # cohort LTV: first-week cohorts, exact cents, per-cohort cumsum
         "cohort_ltv": """
