@@ -2526,6 +2526,25 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document near-dup degree: how many near-dup partners each doc
+    # has — the "boilerplate-ness" signal (template pages accumulate
+    # high degree; unique prose sits at 0). Symmetrize the LSH pairs,
+    # one groupBy, left join back so undubbed docs report 0 explicitly.
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dup_degree"))
+    return d.select("doc_id").join(deg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("dup_degree", F.lit(0)).cast("bigint").alias("dup_degree"),
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -3008,7 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-95 — 45 names, one round-6 window of 50 slots covers
+    this round (#51-96 — 46 names, one round-6 window of 50 slots covers
     them all with room for that round's additions: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
@@ -3021,9 +3040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
     temperature_mix, user_burstiness, cross_source_dup,
     rolling_active_users, growth_accounting, source_embedding_sim,
-    pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment); all 202
-    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    202 ok, 0 fail, 0 rows-only."""
+    pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
+    dup_degree); all 203 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 203 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3124,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "cohort_ltv": q_cohort_ltv,
         "cuped_adjustment": q_cuped_adjustment,
+        "dup_degree": q_dup_degree,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5603,6 +5623,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # near-dup degree: symmetrized LSH pairs, groupBy, 0 for clean docs
+        "dup_degree": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            ),
+            sym AS (
+                SELECT id_a AS doc_id FROM pairs
+                UNION ALL SELECT id_b FROM pairs
+            ),
+            deg AS (SELECT doc_id, count(*)::BIGINT AS dup_degree FROM sym GROUP BY 1)
+            SELECT d.doc_id, coalesce(deg.dup_degree, 0)::BIGINT AS dup_degree
+            FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
         """,
         # CUPED: theta and rho^2 from exact integer sums; expression
         # order mirrored so the doubles are bit-equal
