@@ -419,6 +419,14 @@ AUDITS = {
     # SinglePartition branches are the bounded offset/cumulative rows.
     "pareto_curve": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
     "rfm_segments": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # cohort LTV: keyed cumulative over the (cohort, age) grid, broadcast
+    # cohort sizes — never unpartitioned, never sort-merge.
+    "cohort_ltv": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
+    # CUPED: the BNLJ / SinglePartition branches are the 1-row midpoint
+    # and pooled-moment broadcasts.
+    "cuped_adjustment": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # dup degree: LSH buckets + one groupBy + broadcast join back.
+    "dup_degree": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
 }
 
 
