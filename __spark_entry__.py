@@ -2545,6 +2545,49 @@ def q_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 (national market share): the 8-relation join chain —
+    # part, supplier, lineitem, orders, customer, nation×2, region —
+    # with the share-of-total CASE ratio per order year. All dims
+    # broadcast; lineitem is the only fact-sized side, one pipeline of
+    # broadcast hash joins, one groupBy(year). Ref: TPC-H spec Q8,
+    # predicates adapted to the synthetic domains (PROMO parts sold into
+    # ASIA; share held by NATION_2's suppliers).
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -3027,7 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-96 — 46 names, one round-6 window of 50 slots covers
+    this round (#51-97 — 47 names, one round-6 window of 50 slots covers
     them all with room for that round's additions: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
@@ -3041,8 +3084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mix, user_burstiness, cross_source_dup,
     rolling_active_users, growth_accounting, source_embedding_sim,
     pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
-    dup_degree); all 203 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 203 ok, 0 fail, 0 rows-only."""
+    dup_degree, q8_market_share); all 204 are verified at both sf0.01
+    and sf0.1 by tools/check_oracles.py — 204 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3144,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "cuped_adjustment": q_cuped_adjustment,
         "dup_degree": q_dup_degree,
+        "q8_market_share": q8_market_share,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5623,6 +5667,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # TPC-H Q8: share-of-total CASE ratio per order year
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0.0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+                SELECT extract(year FROM o_orderdate)::INT AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS nation
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            GROUP BY o_year
         """,
         # near-dup degree: symmetrized LSH pairs, groupBy, 0 for clean docs
         "dup_degree": f"""
