@@ -2588,6 +2588,192 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6: the pure scan-and-aggregate revenue-change forecast —
+    # every predicate pushes to the parquet scan, one partial agg, no
+    # shuffle of consequence.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13: customer order-count distribution — LEFT OUTER join so
+    # zero-order customers land in the c_count=0 bucket, then a
+    # distribution-of-a-distribution double groupBy. All-integer.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14: promo revenue share for one ship-month — conditional
+    # ratio over a broadcast part join.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15: top supplier(s) by quarterly revenue — per-supplier
+    # partial-agg rollup, revenue ROUNDED(2) before the max compare so
+    # the tie set is engine-identical; the max is a 1-row broadcast.
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("l_suppkey", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17: revenue lost to small-quantity orders of one brand —
+    # the correlated avg-quantity subquery de-correlates to a per-part
+    # aggregate joined back (Catalyst does the same to the SQL form).
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = joined.groupBy("p_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thr")
+    )
+    return (
+        joined.join(F.broadcast(avg_q), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18: orders whose total quantity exceeds the threshold, with
+    # the owning customer — HAVING over an integer-valued sum, then two
+    # joins to attach customer/order attributes.
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 230)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19: the disjunctive (brand, size, quantity) predicate
+    # blocks — Catalyst pushes the common join key and ORs the rest.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.filter(block).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 (adapted: no phone column → nation grouping; "no orders"
+    # → no RECENT orders, so the result is non-empty at every SF):
+    # above-average-balance customers inactive since 2000, counted per
+    # nation. The global average is a 1-row broadcast; the inactivity
+    # check is a left-anti join against recent orders.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent.distinct(), "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the homogeneity-attack audit k-anonymity misses: (nation, balance-
     # band) groups where fewer than 3 distinct market segments appear —
@@ -3070,8 +3256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
     k-means recurrence bitwise-identical across engines). Everything past
     the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-97 — 47 names, one round-6 window of 50 slots covers
-    them all with room for that round's additions: stateful_totals_replay,
+    this round (#51-105 — 55 names; round 6 should window the first 50
+    and rotate the remainder in round 7: stateful_totals_replay,
     segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
     observed_metrics, stream_dedup_replay, stream_join_replay,
     khop_frontier, window_distinct_users, quality_calibration,
@@ -3084,8 +3270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mix, user_burstiness, cross_source_dup,
     rolling_active_users, growth_accounting, source_embedding_sim,
     pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
-    dup_degree, q8_market_share); all 204 are verified at both sf0.01
-    and sf0.1 by tools/check_oracles.py — 204 ok, 0 fail, 0 rows-only."""
+    dup_degree, q8_market_share, and the TPC-H batch q6/q13/q14/q15/q17/
+    q18/q19/q22); all 212 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 212 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3188,6 +3375,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjustment": q_cuped_adjustment,
         "dup_degree": q_dup_degree,
         "q8_market_share": q8_market_share,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_effect": q14_promo_effect,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -5667,6 +5862,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT first_touch, count(*)::BIGINT AS n_conversions,
                    round(sum(value), 2) AS total_value
             FROM touched WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.04 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q14_promo_effect": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, total_revenue FROM rev
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH j AS (
+                SELECT l_quantity, l_extendedprice, p_partkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#3'
+            ),
+            thr AS (
+                SELECT p_partkey, 0.2 * avg(l_quantity) AS t FROM j GROUP BY 1
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM j JOIN thr USING (p_partkey)
+            WHERE l_quantity < thr.t
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 230
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_global_sales_opportunity": """
+            WITH ab AS (
+                SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+            ),
+            recent AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            SELECT c_nationkey, count(*)::BIGINT AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c CROSS JOIN ab
+            WHERE c.c_acctbal > ab.a
+              AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
         """,
         # TPC-H Q8: share-of-total CASE ratio per order year
         "q8_market_share": """
