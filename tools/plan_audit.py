@@ -427,6 +427,19 @@ AUDITS = {
     "cuped_adjustment": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
     # dup degree: LSH buckets + one groupBy + broadcast join back.
     "dup_degree": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
+    # TPC-H batch: every dimension must broadcast; lineitem is the only
+    # fact-sized side; predicates must reach the scans. Q6 is join-free
+    # (its SinglePartition is the 1-row final aggregate).
+    "q8_market_share": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "q6_forecast_revenue": {"expect": ["PushedFilters"], "forbid": ["Join"]},
+    "q13_customer_distribution": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
+    "q14_promo_effect": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "q15_top_supplier": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "q17_small_quantity_revenue": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "q18_large_volume_customers": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin", "SinglePartition"]},
+    "q19_disjunctive_revenue": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # Q22: the BNLJ is the 1-row global-average broadcast.
+    "q22_global_sales_opportunity": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
