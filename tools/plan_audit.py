@@ -440,6 +440,18 @@ AUDITS = {
     "q19_disjunctive_revenue": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
     # Q22: the BNLJ is the 1-row global-average broadcast.
     "q22_global_sales_opportunity": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # Q2/Q16/Q20: dimensions and the per-part min broadcast; the only
+    # fact-sized input is lineitem feeding one hash aggregate.
+    "q2_min_cost_supplier": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "q16_supplier_counts": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "q20_promotion_candidates": {"expect": ["BroadcastHashJoin", "PushedFilters"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # Q4/Q9/Q21 join lineitem to orders — both fact-sized at scale, so a
+    # shuffle join is the correct plan; only cartesian blow-ups are bugs.
+    "q4_order_priority": {"expect": ["PushedFilters"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    "q9_product_profit": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    "q21_waiting_suppliers": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # Q11: the BNLJ is the 1-row total-value broadcast.
+    "q11_important_stock": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct"]},
 }
 
 
