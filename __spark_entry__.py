@@ -3550,9 +3550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rolling_active_users, growth_accounting, source_embedding_sim,
     pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
     dup_degree, q8_market_share, the TPC-H batch q6/q13/q14/q15/q17/
-    q18/q19/q22, and the adapted completion of the TPC-H suite
-    q2/q4/q9/q11/q16/q20/q21); all 219 are verified at both sf0.01 and
-    sf0.1 by tools/check_oracles.py — 219 ok, 0 fail, 0 rows-only."""
+    q18/q19/q22, the adapted completion of the TPC-H suite
+    q2/q4/q9/q11/q16/q20/q21, cdc_apply, and skyline_frontier); all 221
+    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
+    221 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3670,6 +3671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_counts": q16_supplier_counts,
         "q20_promotion_candidates": q20_promotion_candidates,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "cdc_apply": R.cdc_apply,
+        "skyline_frontier": R.skyline_frontier,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6395,6 +6398,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             GROUP BY s_name
+        """,
+        # CDC compaction: last-writer-wins per key, terminal tombstones drop
+        "cdc_apply": """
+            WITH c AS (
+                SELECT user_id, event_id, event_type, value,
+                       floor(epoch(ts))::BIGINT AS tse,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY floor(epoch(ts))::BIGINT DESC, event_id DESC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_changes
+                FROM events
+            )
+            SELECT user_id, event_type AS last_type,
+                   floor(value * 100)::BIGINT AS last_value_cents,
+                   tse AS last_tse, n_changes::BIGINT AS n_changes
+            FROM c WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # 2-D skyline over the distinct-price spine
+        "skyline_frontier": """
+            WITH pp AS (
+                SELECT round(100 * p_retailprice)::BIGINT AS price_cents,
+                       max(p_size) AS best_size
+                FROM part GROUP BY 1
+            ),
+            f AS (
+                SELECT price_cents, best_size,
+                       max(best_size) OVER (
+                           ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS lower_best
+                FROM pp
+            )
+            SELECT p_partkey, p_size, price_cents / 100.0 AS p_retailprice
+            FROM part
+            JOIN f ON round(100 * p_retailprice)::BIGINT = f.price_cents
+                  AND p_size = f.best_size
+            WHERE lower_best IS NULL OR best_size > lower_best
         """,
         # TPC-H Q8: share-of-total CASE ratio per order year
         "q8_market_share": """

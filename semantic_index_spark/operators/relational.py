@@ -961,3 +961,88 @@ def q12_late_shipping(spark: SparkSession, sf_dir: str, late_days: int = 90) -> 
             F.sum(1 - hi).cast("bigint").alias("low_line_count"),
         )
     )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str, delete_type: str = "error") -> DataFrame:
+    """CDC changelog compaction: apply an ordered stream of per-key change
+    events (upserts + delete tombstones) and return the final table state —
+    the standard lakehouse "apply changes" primitive (Delta MERGE / Flink
+    changelog → table). The events table plays the changelog: one change
+    per event, ``delete_type`` rows are tombstones, everything else is an
+    upsert of (event_type, value).
+
+    Last-writer-wins per key via ONE window on (user_id): row_number over
+    the (epoch, event_id) change order picks the terminal change, and the
+    same partition supplies n_changes with no extra shuffle. Keys whose
+    terminal change is a tombstone vanish from the output — exactly the
+    compaction a streaming sink would persist. One hash-partition shuffle
+    on the key at any scale; skewed keys salt the same way salted_agg does.
+    The value surfaces as floor-cents (``floor(100·value)`` — exact on
+    both engines; a round(2) on an arbitrary stored double can straddle a
+    half-cent boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("_tse"), F.desc("event_id")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("_tse"),
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes",
+            F.count("*").over(Window.partitionBy("user_id")).cast("bigint"),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("event_type") != delete_type))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("last_value_cents"),
+            F.col("_tse").alias("last_tse"),
+            "n_changes",
+        )
+    )
+
+
+def skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part dominates on
+    (lower price, larger size). The naive formulation is a NOT-EXISTS
+    inequality self-join — a nested-loop blow-up at scale. This is the
+    scale-safe shape: collapse to one row per distinct price first
+    (groupBy → max size; a hash shuffle), run the running-max window over
+    that DISTINCT-PRICE relation (cardinality = the price domain, bounded
+    and tiny relative to the fact table — same bounded-spine pattern as
+    skew_profile), then broadcast-join the surviving (price, size) frontier
+    spec back to recover every qualifying part. Prices compare as exact
+    integer cents; a part is on the frontier iff it carries its price
+    group's max size AND that size strictly exceeds every cheaper group's
+    best (equal-price-equal-size duplicates don't dominate each other, so
+    all of them survive)."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    per_price = part.groupBy(cents.alias("price_cents")).agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    frontier = per_price.withColumn(
+        "_lower_best", F.max("best_size").over(w)
+    ).filter(
+        F.col("_lower_best").isNull()
+        | (F.col("best_size") > F.col("_lower_best"))
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (cents == frontier.price_cents)
+            & (part.p_size == frontier.best_size),
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            (F.col("price_cents") / 100.0).alias("p_retailprice"),
+        )
+    )

@@ -1784,3 +1784,56 @@ def test_dsir_weights_randomized_against_reference(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_cdc_apply_last_writer_wins_and_tombstones(spark, sf_dir):
+    from semantic_index_spark.operators import relational as R
+
+    out = R.cdc_apply(spark, sf_dir)
+    rows = {r["user_id"]: r for r in out.collect()}
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # independent reference: python-side replay of the changelog
+    import collections
+
+    changes = collections.defaultdict(list)
+    for r in ev.collect():
+        changes[r["user_id"]].append(
+            (int(r["ts"].timestamp()), r["event_id"], r["event_type"], r["value"])
+        )
+    for uid, log in changes.items():
+        log.sort()
+        tse, _, etype, value = log[-1]
+        if etype == "error":
+            assert uid not in rows  # terminal tombstone deletes the key
+        else:
+            got = rows[uid]
+            assert got["last_type"] == etype
+            assert got["last_tse"] == tse
+            assert got["last_value_cents"] == math.floor(value * 100)
+            assert got["n_changes"] == len(log)
+    # every emitted key exists in the changelog
+    assert set(rows) <= set(changes)
+
+
+def test_skyline_frontier_is_pareto_optimal_and_complete(spark, sf_dir):
+    from semantic_index_spark.operators import relational as R
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    pts = [
+        (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+        for r in part.collect()
+    ]
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in pts
+            if q[0] != p[0]
+        )
+    expect = {p[0] for p in pts if not dominated(p)}
+    got = {r["p_partkey"] for r in R.skyline_frontier(spark, sf_dir).collect()}
+    assert got == expect
+    # the window runs over the distinct-price spine, not the fact table:
+    # no NOT-EXISTS nested-loop join may appear in the plan
+    plan = R.skyline_frontier(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

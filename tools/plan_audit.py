@@ -452,6 +452,11 @@ AUDITS = {
     "q21_waiting_suppliers": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # Q11: the BNLJ is the 1-row total-value broadcast.
     "q11_important_stock": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct"]},
+    # CDC compaction: one keyed window, no joins at all.
+    "cdc_apply": {"expect": ["Window"], "forbid": ["CartesianProduct", "Join"]},
+    # skyline: the global window runs over the distinct-price spine
+    # (bounded), never a NOT-EXISTS nested loop over the fact table.
+    "skyline_frontier": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]},
 }
 
 
