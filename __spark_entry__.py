@@ -3444,6 +3444,72 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def q_stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join end-to-end — the third join shape the
+    streaming surface needs next to stream-stream (q_stream_join_replay)
+    and stateful dedup: a micro-batched event stream broadcast-joined to a
+    static dimension (customer → market segment) per batch, the standard
+    "enrich the firehose with reference data" pipeline. Stream-static
+    joins are stateless (no watermark, no join state — the dim is just
+    re-broadcast per micro-batch), so the replayed result must equal the
+    batch join exactly; the memory sink rows roll up to per-(segment,
+    type) counts and exact value cents. Events without a matching
+    customer keep a NULL segment (left join) — dropping them would hide
+    referential gaps (see fk_integrity)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    name = "stream_enrich_" + uuid.uuid4().hex[:12]
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            _write_one_file_parquet(
+                ev.filter(F.col("event_id") % 3 == b),
+                os.path.join(tmp, f"b{b}"),
+                os.path.join(src, f"batch{b}.parquet"),
+            )
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value_cents bigint"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        enriched = stream.join(F.broadcast(cust), "user_id", "left")
+        with _stream_shuffle_partitions(spark):
+            q = (
+                enriched.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = (
+            spark.table(name)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("value_cents").cast("bigint").alias("sum_value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-bounded inner join end-to-end (the purchase ←
     view attribution join): purchases and views replay as separate file
@@ -3551,9 +3617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
     dup_degree, q8_market_share, the TPC-H batch q6/q13/q14/q15/q17/
     q18/q19/q22, the adapted completion of the TPC-H suite
-    q2/q4/q9/q11/q16/q20/q21, cdc_apply, and skyline_frontier); all 221
-    are verified at both sf0.01 and sf0.1 by tools/check_oracles.py —
-    221 ok, 0 fail, 0 rows-only."""
+    q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier, and
+    stream_static_enrich_replay); all 222 are verified at both sf0.01 and
+    sf0.1 by tools/check_oracles.py — 222 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3673,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "cdc_apply": R.cdc_apply,
         "skyline_frontier": R.skyline_frontier,
+        "stream_static_enrich_replay": q_stream_static_enrich_replay,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6398,6 +6465,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             GROUP BY s_name
+        """,
+        # stream-static enrichment replay: stateless per-batch broadcast
+        # join — replayed result must equal the plain batch join
+        "stream_static_enrich_replay": """
+            SELECT c_mktsegment, event_type, count(*)::BIGINT AS n_events,
+                   sum(floor(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2
         """,
         # CDC compaction: last-writer-wins per key, terminal tombstones drop
         "cdc_apply": """

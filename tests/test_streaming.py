@@ -618,3 +618,30 @@ def test_checksum_sink_equals_oneshot_batch_checksum(spark, events_dir, events_b
     want = table_checksum(events_batch, ["event_id", "user_id", "value"], by="event_type")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_static_enrich_replay_equals_batch_join(spark):
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = entrymod.q_stream_static_enrich_replay(spark, sf_dir)
+    ev = spark.read.parquet(sf_dir + "/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    cust = spark.read.parquet(sf_dir + "/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = (
+        ev.join(cust, "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value_cents").cast("bigint").alias("sum_value_cents"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
