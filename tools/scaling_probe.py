@@ -59,6 +59,10 @@ PANEL = [
     "quality_model",          # GD aggregations + full-corpus scoring pass
     "attribution",            # three windows over one user-key shuffle
     "corpus_checksum",        # single partial-agg scan, O(1) state
+    "q9_product_profit",      # fact-fact join + derived-supply join-back
+    "q21_waiting_suppliers",  # per-order aggregate + semi join-back
+    "cdc_apply",              # one keyed window, no joins
+    "skyline_frontier",       # distinct-price spine window + broadcast back
 ]
 
 
