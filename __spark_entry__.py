@@ -3510,6 +3510,113 @@ def q_stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return final
 
 
+def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows end-to-end — the streaming twin of the
+    batch `session_window_agg` row (same native `F.session_window`
+    operator, same second-quantized event time): the events table replays
+    as 3 micro-batches that are NOT time-ordered (split by event_id, so
+    later batches deliver earlier events — the out-of-order arrival that
+    session MERGING exists for), aggregated in COMPLETE output mode. No
+    watermark on purpose: complete mode keeps all session state, so late
+    arrivals merge instead of dropping, and the final memory-sink table
+    must equal the batch sessionization exactly. (Append mode + watermark
+    is the production eviction story; it can never emit the trailing
+    open sessions, which would break exact batch parity — the bounded-
+    state variant is exercised by events_tumbling/sliding_windows.)"""
+    import shutil
+    import tempfile
+    import uuid
+
+    gap_s = 1800
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+        "user_id",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_session_")
+    name = "stream_session_" + uuid.uuid4().hex[:12]
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            _write_one_file_parquet(
+                ev.filter(F.col("event_id") % 3 == b),
+                os.path.join(tmp, f"b{b}"),
+                os.path.join(src, f"batch{b}.parquet"),
+            )
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        agg = stream.groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("w"),
+            "user_id",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = (
+            spark.table(name)
+            .select(
+                "user_id",
+                F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                F.unix_timestamp(F.col("w.end")).alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: write lineitem to ORC partitioned by
+    return flag, read it back, and aggregate — the second columnar format
+    next to parquet (native Spark ORC, predicate pushdown and partition
+    pruning included; the read path prunes to the partition directories
+    the aggregate touches). The oracle computes the same aggregate from
+    the parquet original, so any fidelity loss in the ORC round-trip
+    (type mapping, nulls, partition-column re-derivation) breaks the
+    hash. Money sums in exact cents — the round-trip must preserve the
+    doubles BIT-exactly for these to match."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        dest = os.path.join(tmp, "lineitem_orc")
+        li.write.partitionBy("l_returnflag").orc(dest)
+        back = spark.read.orc(dest)
+        final = (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.lit(100) * F.col("l_extendedprice")).cast("bigint")
+                ).alias("price_cents"),
+                F.sum("l_quantity").cast("bigint").alias("total_qty"),
+                F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-bounded inner join end-to-end (the purchase ←
     view attribution join): purchases and views replay as separate file
@@ -3617,9 +3724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
     dup_degree, q8_market_share, the TPC-H batch q6/q13/q14/q15/q17/
     q18/q19/q22, the adapted completion of the TPC-H suite
-    q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier, and
-    stream_static_enrich_replay); all 222 are verified at both sf0.01 and
-    sf0.1 by tools/check_oracles.py — 222 ok, 0 fail, 0 rows-only."""
+    q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier,
+    stream_static_enrich_replay, stream_session_replay, and
+    orc_roundtrip); all 224 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 224 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3740,6 +3848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": R.cdc_apply,
         "skyline_frontier": R.skyline_frontier,
         "stream_static_enrich_replay": q_stream_static_enrich_replay,
+        "stream_session_replay": q_stream_session_replay,
+        "orc_roundtrip": q_orc_roundtrip,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6465,6 +6575,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             GROUP BY s_name
+        """,
+        # streaming session windows (complete mode): must equal the batch
+        # gaps-and-islands sessionization exactly — same oracle shape as
+        # session_window_agg
+        "stream_session_replay": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse, value
+                FROM events
+            ), marked AS (
+                SELECT user_id, event_id, tse, value,
+                       CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 1800
+                            THEN 1 ELSE 0 END AS is_start
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+            ), sess AS (
+                SELECT user_id, tse, value,
+                       sum(is_start) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(tse) AS session_start,
+                   max(tse) + 1800 AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        # ORC round-trip: aggregate of the re-read ORC copy must equal the
+        # same aggregate over the parquet original
+        "orc_roundtrip": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                   sum(round(100 * l_extendedprice)::BIGINT) AS price_cents,
+                   sum(l_quantity)::BIGINT AS total_qty,
+                   count(DISTINCT l_partkey)::BIGINT AS n_parts
+            FROM lineitem GROUP BY 1
         """,
         # stream-static enrichment replay: stateless per-batch broadcast
         # join — replayed result must equal the plain batch join

@@ -369,3 +369,23 @@ def test_versioned_expire_rejects_nonpositive_keep_last(spark, tmp_path):
     VER.commit_version(spark.range(2).withColumnRenamed("id", "x"), table)
     with _pt.raises(ValueError):
         VER.expire_versions(table, keep_last=0)
+
+
+def test_orc_roundtrip_aggregate_matches_parquet(spark):
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = entrymod.q_orc_roundtrip(spark, sf_dir)
+    li = spark.read.parquet(sf_dir + "/lineitem.parquet")
+    want = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.round(F.lit(100) * F.col("l_extendedprice")).cast("bigint")
+        ).alias("price_cents"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

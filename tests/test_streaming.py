@@ -645,3 +645,14 @@ def test_stream_static_enrich_replay_equals_batch_join(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_session_replay_equals_batch_session_window(spark):
+    import __spark_entry__ as entrymod
+    from semantic_index_spark.operators import relational as R
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = entrymod.q_stream_session_replay(spark, sf_dir)
+    want = R.session_window_agg(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
