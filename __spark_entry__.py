@@ -3510,6 +3510,23 @@ def q_stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return final
 
 
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-based multinomial NB over the lang labels, reported as a
+    # confusion matrix — the train→broadcast→score classifier pipeline
+    # with exact micro-nat integer scoring (see text_analysis docstring).
+    d = load_table(spark, sf_dir, "documents")
+    return TA.naive_bayes_language(d)
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source percentile of doc length: the cross-source calibration
+    # step before one global mixing threshold; exact-integer cume_dist.
+    from semantic_index_spark.operators import pipeline as P
+
+    d = load_table(spark, sf_dir, "documents")
+    return P.quantile_normalize(d, by="source", value_col="n_chars")
+
+
 def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING session windows end-to-end — the streaming twin of the
     batch `session_window_agg` row (same native `F.session_window`
@@ -3725,9 +3742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_degree, q8_market_share, the TPC-H batch q6/q13/q14/q15/q17/
     q18/q19/q22, the adapted completion of the TPC-H suite
     q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier,
-    stream_static_enrich_replay, stream_session_replay, and
-    orc_roundtrip); all 224 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 224 ok, 0 fail, 0 rows-only."""
+    stream_static_enrich_replay, stream_session_replay, orc_roundtrip,
+    naive_bayes_lang, and quantile_normalize); all 226 are verified at
+    both sf0.01 and sf0.1 by tools/check_oracles.py — 226 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3850,6 +3868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich_replay": q_stream_static_enrich_replay,
         "stream_session_replay": q_stream_session_replay,
         "orc_roundtrip": q_orc_roundtrip,
+        "naive_bayes_lang": q_naive_bayes_lang,
+        "quantile_normalize": q_quantile_normalize,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6575,6 +6595,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             GROUP BY s_name
+        """,
+        # multinomial NB confusion matrix: same micro-nat fixed-point
+        # decomposition as the Spark side (observed pairs only; unseen
+        # pairs contribute ln(1)=0)
+        "naive_bayes_lang": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS w FROM documents
+            ),
+            cw AS (SELECT lang AS l, w, count(*) AS c FROM toks GROUP BY 1, 2),
+            plp AS (
+                SELECT l, w, floor(ln((c + 1)::DOUBLE) * 1e6 + 0.5)::BIGINT AS lp
+                FROM cw
+            ),
+            tl AS (SELECT lang AS l, count(*) AS t FROM toks GROUP BY 1),
+            v AS (SELECT count(DISTINCT w) AS v FROM toks),
+            den AS (
+                SELECT l, floor(ln((t + v.v)::DOUBLE) * 1e6 + 0.5)::BIGINT
+                           AS den_micro
+                FROM tl CROSS JOIN v
+            ),
+            prior AS (
+                SELECT lang AS l,
+                       floor(ln(count(*) / (sum(count(*)) OVER ())) * 1e6
+                             + 0.5)::BIGINT AS prior_micro
+                FROM documents GROUP BY 1
+            ),
+            nd AS (
+                SELECT doc_id, lang AS actual, count(*) AS n
+                FROM toks GROUP BY 1, 2
+            ),
+            matched AS (
+                SELECT toks.doc_id, plp.l, sum(plp.lp)::BIGINT AS m
+                FROM toks JOIN plp ON toks.w = plp.w GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT nd.doc_id, nd.actual, p.l,
+                       p.prior_micro - nd.n * d.den_micro
+                           + coalesce(m.m, 0) AS score
+                FROM nd
+                CROSS JOIN prior p
+                JOIN den d ON d.l = p.l
+                LEFT JOIN matched m ON m.doc_id = nd.doc_id AND m.l = p.l
+            ),
+            pred AS (
+                SELECT doc_id, actual, l AS predicted,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, l ASC
+                       ) AS rn
+                FROM grid
+            )
+            SELECT actual AS actual_lang, predicted AS predicted_lang,
+                   count(*)::BIGINT AS n_docs
+            FROM pred WHERE rn = 1 GROUP BY 1, 2
+        """,
+        # exact-integer cume_dist per source
+        "quantile_normalize": """
+            SELECT doc_id, source, n_chars,
+                   (count(*) OVER (PARTITION BY source ORDER BY n_chars
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) * 1000000)
+                   // count(*) OVER (PARTITION BY source) AS pct_micro
+            FROM documents
         """,
         # streaming session windows (complete mode): must equal the batch
         # gaps-and-islands sessionization exactly — same oracle shape as

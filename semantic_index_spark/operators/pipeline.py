@@ -618,3 +618,41 @@ def referential_integrity(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def quantile_normalize(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile normalization: map each row's value to its
+    within-group percentile so scores are comparable ACROSS groups — the
+    calibration step before mixing heterogeneous sources with one global
+    threshold (a raw cutoff keeps whatever per-source bias the scorer
+    has; the percentile is bias-free by construction).
+
+    ``pct_micro`` is the cume_dist numerator in exact integers:
+    r = peers-inclusive running count over the group's value order,
+    n = group size, pct_micro = (r·1,000,000) div n — the float-free form
+    of cume_dist()·1e6, so the hash can never ride a division boundary.
+    One hash shuffle on the group key; the RANGE window is per-group.
+    [absent in reference — north-star extension]"""
+    from pyspark.sql import Window
+
+    w_rank = (
+        Window.partitionBy(by)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(by)
+    r = F.count("*").over(w_rank)
+    n = F.count("*").over(w_all)
+    # r·1e6 and n are exact integers ≪ 2^53: the double division is exact
+    # whenever the true quotient is integral, so floor == integer div
+    return df.select(
+        id_col,
+        by,
+        value_col,
+        F.floor(r * F.lit(1000000) / n).cast("bigint").alias("pct_micro"),
+    )

@@ -976,3 +976,98 @@ def dsir_weights(
             F.sum("lp").cast("double") / F.lit(1e6) / F.count("*"), 6
         ).alias("avg_logw"),
     )
+
+
+def naive_bayes_language(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained ON the corpus labels and scored back
+    over it, reported as a confusion matrix — the classic count-based text
+    classifier (add-1 smoothing) as a train → score pipeline with no
+    model server: the "model" IS two aggregation results.
+
+    Exact-arithmetic decomposition: with add-1 smoothing the per-class
+    log-likelihood splits as
+
+        score_c(d) = log P(c) + Σ_t log(count(c,t)+1) − n_d·log(T_c + V)
+
+    so unseen (class, token) pairs contribute log(1) = 0 and the scoring
+    join only needs OBSERVED pairs — no dense class×vocab grid is ever
+    materialized. Every log is taken once per distinct quantity and
+    fixed-pointed to 1e-6 micro-nats (the ngram_lm_score trick), after
+    which scores are exact BIGINT sums and the argmax is an integer
+    compare with a deterministic label tiebreak — cross-engine parity by
+    construction.
+
+    Scale shape: token explode → class-conditional word count (shuffle
+    bounded by class×vocab), corpus join against those counts (hash
+    equi-join on the token — never broadcast, vocab grows with the
+    corpus), per-(doc, class) integer sum, and a ≤|classes|-row window
+    per doc for the argmax. Class marginals and priors are tiny
+    broadcasts. [absent in reference — north-star extension]"""
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), F.col(label_col), T.tokens(text_col).alias("__t")
+    )
+    toks = base.select(id_col, label_col, F.explode("__t").alias("w"))
+    micro = lambda c: F.floor(F.log(c) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    cw = toks.groupBy(F.col(label_col).alias("l"), "w").agg(
+        F.count("*").alias("c")
+    )
+    plp = cw.select("l", "w", micro(F.col("c") + F.lit(1.0)).alias("lp"))
+    tl = toks.groupBy(F.col(label_col).alias("l")).agg(F.count("*").alias("t"))
+    vocab = toks.select(F.count_distinct("w").alias("v"))
+    den = tl.crossJoin(F.broadcast(vocab)).select(
+        "l", micro(F.col("t") + F.col("v")).alias("den_micro")
+    )
+    # prior total via a window over the ≤|classes|-row aggregate — no
+    # second corpus scan, no driver action (SinglePartition over a tiny
+    # relation is fine)
+    prior = (
+        docs.groupBy(F.col(label_col).alias("l"))
+        .agg(F.count("*").alias("nl"))
+        .withColumn("_total", F.sum("nl").over(Window.partitionBy()))
+        .select(
+            "l", micro(F.col("nl") / F.col("_total")).alias("prior_micro")
+        )
+    )
+    classes = (
+        prior.join(F.broadcast(den), "l")
+        .select("l", "prior_micro", "den_micro")
+    )
+    nd = toks.groupBy(id_col, F.col(label_col).alias("actual")).agg(
+        F.count("*").alias("n")
+    )
+    matched = (
+        toks.join(plp, "w")
+        .groupBy(id_col, "l")
+        .agg(F.sum("lp").alias("m"))
+    )
+    grid = (
+        nd.crossJoin(F.broadcast(classes))
+        .join(matched, [id_col, "l"], "left")
+        .select(
+            id_col,
+            "actual",
+            "l",
+            (
+                F.col("prior_micro")
+                - F.col("n") * F.col("den_micro")
+                + F.coalesce(F.col("m"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("l"))
+    return (
+        grid.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(
+            F.col("actual").alias("actual_lang"),
+            F.col("l").alias("predicted_lang"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

@@ -1837,3 +1837,61 @@ def test_skyline_frontier_is_pareto_optimal_and_complete(spark, sf_dir):
     plan = R.skyline_frontier(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_confusion_matches_python_reference(spark, sf_dir):
+    import collections
+
+    from semantic_index_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {
+        (r["actual_lang"], r["predicted_lang"]): r["n_docs"]
+        for r in TA.naive_bayes_language(docs).collect()
+    }
+    rows = [(r["doc_id"], r["lang"], r["text"].strip().lower().split())
+            for r in docs.collect()]
+    cw = collections.Counter()
+    tl = collections.Counter()
+    nl = collections.Counter()
+    vocab = set()
+    for _, lang, toks in rows:
+        nl[lang] += 1
+        for w in toks:
+            cw[(lang, w)] += 1
+            tl[lang] += 1
+            vocab.add(w)
+    n_docs = sum(nl.values())
+    v = len(vocab)
+    micro = lambda x: math.floor(math.log(x) * 1e6 + 0.5)
+    want = collections.Counter()
+    langs = sorted(nl)
+    for _, actual, toks in rows:
+        scores = {}
+        for l in langs:
+            s = micro(nl[l] / n_docs) - len(toks) * micro(tl[l] + v)
+            s += sum(micro(cw[(l, w)] + 1) for w in toks if (l, w) in cw)
+            scores[l] = s
+        pred = max(langs, key=lambda l: (scores[l], [-ord(c) for c in l]))
+        want[(actual, pred)] += 1
+    assert got == dict(want)
+
+
+def test_quantile_normalize_is_exact_cume_dist(spark, sf_dir):
+    from semantic_index_spark.operators import pipeline as P
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {
+        r["doc_id"]: r["pct_micro"]
+        for r in P.quantile_normalize(docs, "source", "n_chars").collect()
+    }
+    by_source = {}
+    for r in docs.collect():
+        by_source.setdefault(r["source"], []).append((r["doc_id"], r["n_chars"]))
+    for src, rows in by_source.items():
+        vals = sorted(v for _, v in rows)
+        n = len(vals)
+        import bisect
+        for doc_id, v in rows:
+            r_le = bisect.bisect_right(vals, v)
+            assert got[doc_id] == (r_le * 1000000) // n

@@ -457,6 +457,12 @@ AUDITS = {
     # skyline: the global window runs over the distinct-price spine
     # (bounded), never a NOT-EXISTS nested loop over the fact table.
     "skyline_frontier": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]},
+    # NB: the token→class-count join is a hash equi-join (vocab grows
+    # with the corpus — never broadcast); the BNLJ/cross is the tiny
+    # class-marginal broadcast; argmax = per-doc window.
+    "naive_bayes_lang": {"expect": ["Window", "HashAggregate"], "forbid": ["CartesianProduct"]},
+    # exact-integer cume_dist: one keyed window pair, no joins
+    "quantile_normalize": {"expect": ["Window"], "forbid": ["CartesianProduct", "Join"]},
 }
 
 
