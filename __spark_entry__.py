@@ -3527,6 +3527,20 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quantile_normalize(d, by="source", value_col="n_chars")
 
 
+def q_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cooldown alert-throttling per user: the greedy kept-chain fold plain
+    # windows can't express (see timeseries.throttle_dedup).
+    ev = load_table(spark, sf_dir, "events")
+    return TS.throttle_dedup(ev, key_col="user_id", cooldown_s=1800)
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt double exponential smoothing of daily volume per event type —
+    # level/trend/7-day forecast in cents (see timeseries docstring).
+    ev = load_table(spark, sf_dir, "events")
+    return TS.holt_winters_level_trend(ev, by="event_type")
+
+
 def q_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING session windows end-to-end — the streaming twin of the
     batch `session_window_agg` row (same native `F.session_window`
@@ -3743,9 +3757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q18/q19/q22, the adapted completion of the TPC-H suite
     q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier,
     stream_static_enrich_replay, stream_session_replay, orc_roundtrip,
-    naive_bayes_lang, and quantile_normalize); all 226 are verified at
-    both sf0.01 and sf0.1 by tools/check_oracles.py — 226 ok, 0 fail,
-    0 rows-only."""
+    naive_bayes_lang, quantile_normalize, throttle_dedup, and
+    holt_winters); all 228 are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py — 228 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3870,6 +3884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "naive_bayes_lang": q_naive_bayes_lang,
         "quantile_normalize": q_quantile_normalize,
+        "throttle_dedup": q_throttle_dedup,
+        "holt_winters": q_holt_winters,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6648,6 +6664,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT actual AS actual_lang, predicted AS predicted_lang,
                    count(*)::BIGINT AS n_docs
             FROM pred WHERE rn = 1 GROUP BY 1, 2
+        """,
+        # greedy cooldown chain as a list_reduce fold (acc = kept list)
+        "throttle_dedup": """
+            WITH g AS (
+                SELECT user_id, count(*)::BIGINT AS n_events,
+                       list_sort(list_distinct(list(floor(epoch(ts))::BIGINT)))
+                           AS xs
+                FROM events GROUP BY 1
+            ),
+            k AS (
+                SELECT user_id, n_events, len(xs)::BIGINT AS n_distinct_seconds,
+                       list_reduce(
+                           list_prepend([xs[1]],
+                                        list_transform(xs[2:], x -> [x])),
+                           (acc, x) -> CASE WHEN x[1] >= acc[-1] + 1800
+                                       THEN list_append(acc, x[1])
+                                       ELSE acc END
+                       ) AS kept
+                FROM g
+            )
+            SELECT user_id, n_events, n_distinct_seconds,
+                   len(kept)::BIGINT AS n_kept,
+                   kept[1] AS first_kept_tse, kept[-1] AS last_kept_tse
+            FROM k
+        """,
+        # Holt fold with the identical expression order — exact-cents
+        # daily inputs make the smoothed doubles bit-identical
+        "holt_winters": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       sum(floor(value * 100)::BIGINT) AS cents
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, list(cents ORDER BY d) AS xs
+                FROM daily GROUP BY 1
+            ),
+            f AS (
+                SELECT event_type, len(xs)::BIGINT AS n_days,
+                       list_reduce(
+                           list_prepend(
+                               [xs[2]::DOUBLE, xs[2]::DOUBLE - xs[1]::DOUBLE],
+                               list_transform(xs[3:], x -> [x::DOUBLE])
+                           ),
+                           (acc, x) -> [
+                               0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                               0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2]))
+                                      - acc[1]) + 0.9 * acc[2]
+                           ]
+                       ) AS lt
+                FROM s WHERE len(xs) >= 2
+            )
+            SELECT event_type, n_days,
+                   floor(lt[1])::BIGINT AS level_cents,
+                   floor(lt[2])::BIGINT AS trend_cents,
+                   floor(lt[1] + 7.0 * lt[2])::BIGINT AS forecast7_cents
+            FROM f
         """,
         # exact-integer cume_dist per source
         "quantile_normalize": """

@@ -733,3 +733,117 @@ def first_touch_attribution(
             F.round(F.sum(value_col), 2).alias("total_value"),
         )
     )
+
+
+def throttle_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cooldown_s: int = 1800,
+) -> DataFrame:
+    """Cooldown throttling (alert suppression): per key, keep an event only
+    if at least ``cooldown_s`` seconds have passed since the last KEPT
+    event — the greedy chain real alerting/notification pipelines run.
+    This is NOT expressible with plain windows (whether an event is kept
+    depends on which earlier events were kept, a per-key left fold), so it
+    runs as a JVM-side higher-order `aggregate` over the key's sorted
+    distinct event-seconds: one hash shuffle on the key, state bounded by
+    the key's distinct seconds, zero Python in the data path. Same-second
+    duplicates collapse before the fold (any cooldown ≫ 1 s suppresses
+    them anyway).
+
+    Returns (key, n_events, n_distinct_seconds, n_kept, first_kept_tse,
+    last_kept_tse) — all exact integers."""
+    base = events.select(
+        F.col(key_col),
+        F.floor(F.unix_timestamp(ts_col)).cast("bigint").alias("_tse"),
+    )
+    agg = base.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.array_sort(F.collect_set("_tse")).alias("_a"),
+    )
+    kept = F.expr(
+        "aggregate(slice(_a, 2, size(_a) - 1), array(_a[0]), "
+        f"(acc, x) -> IF(x >= element_at(acc, -1) + {int(cooldown_s)}, "
+        "array_append(acc, x), acc))"
+    )
+    return agg.select(
+        key_col,
+        "n_events",
+        F.size("_a").cast("bigint").alias("n_distinct_seconds"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.element_at(kept, 1).alias("first_kept_tse"),
+        F.element_at(kept, -1).alias("last_kept_tse"),
+    )
+
+
+def holt_winters_level_trend(
+    events: DataFrame,
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) over each
+    group's DAILY value series — the classic cheap forecaster for volume
+    monitoring. The recurrence
+
+        level_t = α·x_t + (1−α)(level + trend);  trend_t = β·Δlevel + (1−β)·trend
+
+    is a per-group left fold, run as a JVM `aggregate` HOF over the
+    group's date-ordered daily totals (state = [level, trend], bounded by
+    days, not events). Daily totals are EXACT integer cents (floor-cents
+    summed as BIGINTs), so the double-precision smoothing consumes
+    bit-identical inputs and applies bit-identical operations in the same
+    order on every engine — the outputs are deterministic doubles, no
+    rounding slack needed. Forecast h=7 days ahead = level + 7·trend.
+
+    Returns (group, n_days, level_cents, trend_cents, forecast7_cents)
+    with the smoothed doubles floored to integer cents."""
+    daily = (
+        events.groupBy(
+            F.col(by), F.to_date(ts_col).alias("_d")
+        )
+        .agg(
+            F.sum(F.floor(F.col(value_col) * 100).cast("bigint")).alias("_cents")
+        )
+    )
+    series = daily.groupBy(by).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_d"), F.col("_cents")))
+        ).alias("_s")
+    )
+    a, b = float(alpha), float(beta)
+    fold = F.expr(
+        "aggregate("
+        "  slice(_s, 3, size(_s) - 2),"
+        # init = state after consuming (x1, x2): with l1=x1, b1=x2-x1 the
+        # t=2 update collapses algebraically to l2=x2, b2=x2-x1.
+        # (bracket indexing is 0-BASED in Spark SQL while slice() is
+        # 1-based: _s[1] is the second element, slice(_s, 3, …) starts
+        # at the third)
+        "  array(CAST(_s[1]._cents AS DOUBLE),"
+        "        CAST(_s[1]._cents AS DOUBLE) - CAST(_s[0]._cents AS DOUBLE)),"
+        "  (acc, x) -> array("
+        f"    {a}D * CAST(x._cents AS DOUBLE) + {1 - a}D * (acc[0] + acc[1]),"
+        f"    {b}D * (({a}D * CAST(x._cents AS DOUBLE) + {1 - a}D * (acc[0] + acc[1])) - acc[0])"
+        f"      + {1 - b}D * acc[1]))"
+    )
+    return (
+        series.filter(F.size("_s") >= 2)
+        .select(
+            by,
+            F.size("_s").cast("bigint").alias("n_days"),
+            fold.alias("_lt"),
+        )
+        .select(
+            by,
+            "n_days",
+            F.floor(F.col("_lt")[0]).cast("bigint").alias("level_cents"),
+            F.floor(F.col("_lt")[1]).cast("bigint").alias("trend_cents"),
+            F.floor(F.col("_lt")[0] + F.lit(7.0) * F.col("_lt")[1])
+            .cast("bigint")
+            .alias("forecast7_cents"),
+        )
+    )

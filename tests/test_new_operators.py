@@ -1895,3 +1895,48 @@ def test_quantile_normalize_is_exact_cume_dist(spark, sf_dir):
         for doc_id, v in rows:
             r_le = bisect.bisect_right(vals, v)
             assert got[doc_id] == (r_le * 1000000) // n
+
+
+def test_throttle_dedup_greedy_chain_matches_python(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {r["user_id"]: r for r in TS.throttle_dedup(ev, cooldown_s=1800).collect()}
+    per_user = {}
+    for r in ev.collect():
+        per_user.setdefault(r["user_id"], []).append(int(r["ts"].timestamp()))
+    for uid, ts_list in per_user.items():
+        xs = sorted(set(ts_list))
+        kept = [xs[0]]
+        for t in xs[1:]:
+            if t >= kept[-1] + 1800:
+                kept.append(t)
+        row = got[uid]
+        assert row["n_events"] == len(ts_list)
+        assert row["n_distinct_seconds"] == len(xs)
+        assert row["n_kept"] == len(kept)
+        assert row["first_kept_tse"] == kept[0]
+        assert row["last_kept_tse"] == kept[-1]
+
+
+def test_holt_winters_matches_python_fold(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {r["event_type"]: r for r in TS.holt_winters_level_trend(ev).collect()}
+    daily = {}
+    for r in ev.collect():
+        key = (r["event_type"], r["ts"].date())
+        daily[key] = daily.get(key, 0) + math.floor(r["value"] * 100)
+    series = {}
+    for (et, d), cents in daily.items():
+        series.setdefault(et, []).append((d, cents))
+    for et, rows in series.items():
+        xs = [c for _, c in sorted(rows)]
+        assert len(xs) >= 2
+        level, trend = float(xs[1]), float(xs[1]) - float(xs[0])
+        for x in xs[2:]:
+            new_level = 0.3 * float(x) + 0.7 * (level + trend)
+            trend = 0.1 * (new_level - level) + 0.9 * trend
+            level = new_level
+        row = got[et]
+        assert row["n_days"] == len(xs)
+        assert row["level_cents"] == math.floor(level)
+        assert row["trend_cents"] == math.floor(trend)
+        assert row["forecast7_cents"] == math.floor(level + 7.0 * trend)

@@ -463,6 +463,9 @@ AUDITS = {
     "naive_bayes_lang": {"expect": ["Window", "HashAggregate"], "forbid": ["CartesianProduct"]},
     # exact-integer cume_dist: one keyed window pair, no joins
     "quantile_normalize": {"expect": ["Window"], "forbid": ["CartesianProduct", "Join"]},
+    # per-key JVM folds: one hash shuffle each, no joins, no Python
+    "throttle_dedup": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas"]},
+    "holt_winters": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas"]},
 }
 
 
