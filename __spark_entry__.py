@@ -84,6 +84,17 @@ def _duck_ivf_cell(col: str, centroids: list[list[float]] | None = None) -> str:
     return f"(list_indexof({lst}, list_aggregate({lst}, 'max')) - 1)"
 
 
+def _duck_dist(col: str, c: list[float]) -> str:
+    """DuckDB euclidean distance to a literal centroid, mirroring the
+    Spark zip_with/aggregate fold in q_ivf_silhouette (same element
+    order, double-cast before subtracting)."""
+    lit = _duck_plane_lit(c)
+    return (
+        f"sqrt(list_sum(list_transform(list_zip({col}, {lit}), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))))"
+    )
+
+
 # DuckDB mirrors of functions.text helpers (tokens use the same regex)
 _DUCK_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _DUCK_MD5_BIGINT = "(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
@@ -3527,6 +3538,52 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quantile_normalize(d, by="source", value_col="n_chars")
 
 
+def q_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clustering-quality eval: simplified (centroid-distance) silhouette
+    # of the IVF cell assignment — a = euclidean distance to the own
+    # centroid, b = distance to the nearest OTHER centroid, s = (b-a)/
+    # max(a,b), reported per cell. O(n·k) JVM fold expressions (never the
+    # O(n²) exact silhouette — at 100 TB that's the only viable form);
+    # per-point s is fixed-pointed to micro units so the per-cell sums
+    # are exact integers. Tie-safe: if the own distance equals the global
+    # min shared with another centroid, b picks the same value and s = 0.
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, CENTROIDS, method="expr")
+
+    def _dist(c: list[float]):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    ds = F.array(*[_dist(c) for c in CENTROIDS])
+    base = assigned.select("vec_id", "_cell", ds.alias("_ds"))
+    a = F.element_at("_ds", F.col("_cell") + 1)
+    srt = F.array_sort("_ds")
+    b = F.when(a == srt[0], srt[1]).otherwise(srt[0])
+    s_micro = (
+        F.floor(F.lit(1e6) * (b - a) / F.greatest(a, b)).cast("bigint")
+    )
+    return (
+        base.select(F.col("_cell").alias("cell"), s_micro.alias("_sm"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_sm").cast("bigint").alias("sum_s_micro"),
+            F.round(F.sum("_sm") / F.count("*") / F.lit(1e6), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+    )
+
+
 def q_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cooldown alert-throttling per user: the greedy kept-chain fold plain
     # windows can't express (see timeseries.throttle_dedup).
@@ -3757,9 +3814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q18/q19/q22, the adapted completion of the TPC-H suite
     q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier,
     stream_static_enrich_replay, stream_session_replay, orc_roundtrip,
-    naive_bayes_lang, quantile_normalize, throttle_dedup, and
-    holt_winters); all 228 are verified at both sf0.01 and sf0.1 by
-    tools/check_oracles.py — 228 ok, 0 fail, 0 rows-only."""
+    naive_bayes_lang, quantile_normalize, throttle_dedup, holt_winters,
+    and ivf_silhouette); all 229 are verified at both sf0.01 and sf0.1
+    by tools/check_oracles.py — 229 ok, 0 fail, 0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3886,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "throttle_dedup": q_throttle_dedup,
         "holt_winters": q_holt_winters,
+        "ivf_silhouette": q_ivf_silhouette,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6664,6 +6722,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT actual AS actual_lang, predicted AS predicted_lang,
                    count(*)::BIGINT AS n_docs
             FROM pred WHERE rn = 1 GROUP BY 1, 2
+        """,
+        # simplified silhouette of the IVF cells: distances mirror the
+        # Spark fold element-for-element; per-point s in exact micro ints
+        "ivf_silhouette": f"""
+            WITH cells AS (
+                SELECT vec_id, embedding,
+                       {_duck_ivf_cell("embedding")} AS cell
+                FROM embeddings
+            ),
+            d AS (
+                SELECT vec_id, cell,
+                       [{", ".join(_duck_dist("embedding", c) for c in CENTROIDS)}]
+                           AS ds
+                FROM cells
+            ),
+            s AS (
+                SELECT cell,
+                       ds[cell + 1] AS a,
+                       CASE WHEN ds[cell + 1] = (list_sort(ds))[1]
+                            THEN (list_sort(ds))[2]
+                            ELSE (list_sort(ds))[1] END AS b
+                FROM d
+            ),
+            m AS (
+                SELECT cell,
+                       floor(1e6 * (b - a) / greatest(a, b))::BIGINT AS sm
+                FROM s
+            )
+            SELECT cell, count(*)::BIGINT AS n,
+                   sum(sm)::BIGINT AS sum_s_micro,
+                   round(sum(sm) / count(*) / 1e6, 6) AS mean_silhouette
+            FROM m GROUP BY cell
         """,
         # greedy cooldown chain as a list_reduce fold (acc = kept list)
         "throttle_dedup": """

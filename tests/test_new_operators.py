@@ -1940,3 +1940,34 @@ def test_holt_winters_matches_python_fold(spark, sf_dir):
         assert row["level_cents"] == math.floor(level)
         assert row["trend_cents"] == math.floor(trend)
         assert row["forecast7_cents"] == math.floor(level + 7.0 * trend)
+
+
+def test_ivf_silhouette_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["cell"]: (r["n"], r["sum_s_micro"])
+        for r in entrymod.q_ivf_silhouette(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).collect()
+    C = np.asarray(entrymod.CENTROIDS, dtype=np.float64)
+    want = {}
+    for r in emb:
+        x = np.asarray([float(v) for v in r["embedding"]], dtype=np.float64)
+        dots = C @ x
+        cell = int(np.argmax(dots))
+        ds = np.sqrt(((x - C) ** 2).sum(axis=1))
+        a = ds[cell]
+        srt = np.sort(ds)
+        b = srt[1] if a == srt[0] else srt[0]
+        sm = math.floor(1e6 * (b - a) / max(a, b))
+        n, s = want.get(cell, (0, 0))
+        want[cell] = (n + 1, s + sm)
+    # numpy sums in a different order than the Spark fold: allow the
+    # per-point micro floor to sit one unit off at most, times n
+    for cell, (n, s) in want.items():
+        gn, gs = got[cell]
+        assert gn == n
+        assert abs(gs - s) <= n  # each point's floor can differ by ≤1

@@ -466,6 +466,9 @@ AUDITS = {
     # per-key JVM folds: one hash shuffle each, no joins, no Python
     "throttle_dedup": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas"]},
     "holt_winters": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas"]},
+    # O(n·k) centroid silhouette: fold expressions + one groupBy — no
+    # joins, no O(n²) pair work, no Python
+    "ivf_silhouette": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas", "ArrowEvalPython"]},
 }
 
 
