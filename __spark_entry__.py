@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # module-level so pandas_udf can resolve postponed hints
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -3538,6 +3539,65 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quantile_normalize(d, by="source", value_col="n_chars")
 
 
+def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the literal GROUPED_AGG pandas UDAF API (Arrow-batched scalar
+    # aggregate), completing the UDF surface next to the scalar pandas_udf
+    # (embedder), grouped-map applyInPandas (label_centroids), and UDTF
+    # (tokenize): interquartile (25%-trimmed) mean of order value per
+    # market segment — a robust statistic Spark has no built-in for.
+    # The UDAF returns EXACT integers (trimmed sum of cents + kept count;
+    # numpy int64 sums, no floats), so the hash never rides an Arrow
+    # float boundary; the positional trim keeps the same multiset under
+    # any tie order. Pandas state is one group's values — bounded by the
+    # largest group, the standard GROUPED_AGG contract.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def trimmed_sum_cents(v: pd.Series) -> int:
+        import numpy as np
+
+        a = np.sort(v.to_numpy())
+        cut = len(a) // 4
+        return int(a[cut : len(a) - cut].sum())
+
+    @pandas_udf("long")
+    def trimmed_n(v: pd.Series) -> int:
+        n = len(v)
+        return n - 2 * (n // 4)
+
+    # GROUPED_AGG UDFs cannot share an agg() with built-in aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the plain count is a UDAF too
+    @pandas_udf("long")
+    def n_count(v: pd.Series) -> int:
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.lit(100) * F.col("o_totalprice")).cast("bigint").alias("_cents"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            n_count("_cents").alias("n_orders"),
+            trimmed_sum_cents("_cents").alias("trimmed_sum_cents"),
+            trimmed_n("_cents").alias("trimmed_n"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "trimmed_sum_cents",
+            "trimmed_n",
+            F.round(
+                F.col("trimmed_sum_cents") / F.col("trimmed_n") / F.lit(100.0), 2
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
 def q_ivf_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clustering-quality eval: simplified (centroid-distance) silhouette
     # of the IVF cell assignment — a = euclidean distance to the own
@@ -3815,8 +3875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier,
     stream_static_enrich_replay, stream_session_replay, orc_roundtrip,
     naive_bayes_lang, quantile_normalize, throttle_dedup, holt_winters,
-    and ivf_silhouette); all 229 are verified at both sf0.01 and sf0.1
-    by tools/check_oracles.py — 229 ok, 0 fail, 0 rows-only."""
+    ivf_silhouette, and trimmed_mean_udaf); all 230 are verified at both
+    sf0.01 and sf0.1 by tools/check_oracles.py — 230 ok, 0 fail,
+    0 rows-only."""
     return {
         # --- red/stale driver rows: re-verify first ---
         "label_centroids": q_label_centroids,
@@ -3944,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_dedup": q_throttle_dedup,
         "holt_winters": q_holt_winters,
         "ivf_silhouette": q_ivf_silhouette,
+        "trimmed_mean_udaf": q_trimmed_mean_udaf,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
@@ -6722,6 +6784,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT actual AS actual_lang, predicted AS predicted_lang,
                    count(*)::BIGINT AS n_docs
             FROM pred WHERE rn = 1 GROUP BY 1, 2
+        """,
+        # GROUPED_AGG UDAF: positional interquartile trim — the kept
+        # multiset is tie-order-invariant, so row_number banding replays it
+        "trimmed_mean_udaf": """
+            WITH j AS (
+                SELECT c_mktsegment, round(100 * o_totalprice)::BIGINT AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            r AS (
+                SELECT c_mktsegment, cents,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY c_mktsegment) AS n
+                FROM j
+            )
+            SELECT c_mktsegment, n::BIGINT AS n_orders,
+                   sum(CASE WHEN rn > n // 4 AND rn <= n - n // 4
+                            THEN cents ELSE 0 END)::BIGINT AS trimmed_sum_cents,
+                   (n - 2 * (n // 4))::BIGINT AS trimmed_n,
+                   round(sum(CASE WHEN rn > n // 4 AND rn <= n - n // 4
+                                  THEN cents ELSE 0 END)
+                         / (n - 2 * (n // 4)) / 100.0, 2) AS trimmed_mean
+            FROM r GROUP BY c_mktsegment, n
         """,
         # simplified silhouette of the IVF cells: distances mirror the
         # Spark fold element-for-element; per-point s in exact micro ints

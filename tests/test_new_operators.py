@@ -1971,3 +1971,30 @@ def test_ivf_silhouette_matches_numpy_reference(spark, sf_dir):
         gn, gs = got[cell]
         assert gn == n
         assert abs(gs - s) <= n  # each point's floor can differ by ≤1
+
+
+def test_trimmed_mean_udaf_matches_python(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in entrymod.q_trimmed_mean_udaf(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).collect()
+    }
+    groups = {}
+    for r in orders:
+        seg = cust.get(r["o_custkey"])
+        if seg is not None:
+            groups.setdefault(seg, []).append(round(100 * r["o_totalprice"]))
+    for seg, cents in groups.items():
+        a = sorted(cents)
+        cut = len(a) // 4
+        kept = a[cut : len(a) - cut]
+        row = got[seg]
+        assert row["n_orders"] == len(a)
+        assert row["trimmed_n"] == len(kept)
+        assert row["trimmed_sum_cents"] == sum(kept)

@@ -469,6 +469,8 @@ AUDITS = {
     # O(n·k) centroid silhouette: fold expressions + one groupBy — no
     # joins, no O(n²) pair work, no Python
     "ivf_silhouette": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas", "ArrowEvalPython"]},
+    # GROUPED_AGG UDAF: broadcast dim join + the Arrow aggregate node
+    "trimmed_mean_udaf": {"expect": ["BroadcastHashJoin", "ArrowAggregatePython"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
