@@ -3842,97 +3842,25 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
-    FIRST 50 entries each round. The round-5 window closes the loop on
-    every operator in SURVEY §2: slots 1-3 are the red/stale rows from
-    rounds 1-4 (label_centroids — round-4 ERR was the driver canonicalizer
-    hitting an array<double> cell, now long-form; text_stats/media_stats —
-    round-1 hash mismatches fixed in commit 6589141 but never re-windowed),
-    slots 4-49 are the 46 queries that have NEVER had a driver CORRECTNESS
-    row (union of the r1-r4 result files = 110 of 156 names), and slot 50
-    is the new streaming_upsert_replay (the reference's
-    AddRangeAsync(IAsyncEnumerable) contract end-to-end). EVERY query now
-    has a hash oracle — kcenter_coreset, mmr_rerank AND kmeans_centroids
-    graduated from rows-only to unrolled-CTE hash oracles this round
-    (fixed-iteration loops unroll; per-round 1e-6 rounding keeps the
-    k-means recurrence bitwise-identical across engines). Everything past
-    the window either has a green driver row from rounds 1-4 or is new
-    this round (#51-105 — 55 names; round 6 should window the first 50
-    and rotate the remainder in round 7: stateful_totals_replay,
-    segment_dedup, rrf_fusion, zipf_fit, filtered_knn, hybrid_search,
-    observed_metrics, stream_dedup_replay, stream_join_replay,
-    khop_frontier, window_distinct_users, quality_calibration,
-    media_shared_frames, cusum_alerts, pit_join, ab_mann_whitney,
-    dedup_rate_by_source, wow_growth, leakage_safe_split, dsir_weights,
-    source_similarity, training_order, corpus_checksum, quality_model,
-    l_diversity, attribution, fk_integrity, model_calibration,
-    event_transitions, time_to_conversion, stratified_split,
-    vocab_drift, lsh_dedup_quality, vocab_growth, churn_labels,
-    temperature_mix, user_burstiness, cross_source_dup,
-    rolling_active_users, growth_accounting, source_embedding_sim,
-    pareto_curve, rfm_segments, cohort_ltv, cuped_adjustment,
-    dup_degree, q8_market_share, the TPC-H batch q6/q13/q14/q15/q17/
-    q18/q19/q22, the adapted completion of the TPC-H suite
-    q2/q4/q9/q11/q16/q20/q21, cdc_apply, skyline_frontier,
-    stream_static_enrich_replay, stream_session_replay, orc_roundtrip,
-    naive_bayes_lang, quantile_normalize, throttle_dedup, holt_winters,
-    ivf_silhouette, and trimmed_mean_udaf); all 230 are verified at both
-    sf0.01 and sf0.1 by tools/check_oracles.py — 230 ok, 0 fail,
-    0 rows-only."""
+    FIRST 50 entries each round. Round-6 window: slots 1-50 are the first
+    50 of the 73 queries that had no hard driver CORRECTNESS row after
+    round 5 (stateful_totals_replay .. q14_promo_effect, in their original
+    relative order). Slots 51-73 (q15_top_supplier, q17_small_quantity_revenue,
+    q18_large_volume_customers, q19_disjunctive_revenue,
+    q22_global_sales_opportunity, q2_min_cost_supplier, q4_order_priority,
+    q9_product_profit, q11_important_stock, q16_supplier_counts,
+    q20_promotion_candidates, q21_waiting_suppliers, cdc_apply,
+    skyline_frontier, stream_static_enrich_replay, stream_session_replay,
+    orc_roundtrip, naive_bayes_lang, quantile_normalize, throttle_dedup,
+    holt_winters, ivf_silhouette, trimmed_mean_udaf) are the remaining 23:
+    ROUND 7 MUST move them to the FRONT of this dict (plus any queries new
+    in round 6) so they rotate through the driver window — the in-dict
+    comment marks the boundary. Everything after slot 73 carries a green
+    driver row from rounds 1-5 (r5 passed 50/50). EVERY query has a hash
+    oracle; all 230+ are verified at both sf0.01 and sf0.1 by
+    tools/check_oracles.py."""
     return {
-        # --- red/stale driver rows: re-verify first ---
-        "label_centroids": q_label_centroids,
-        "text_stats": q_text_stats,
-        "media_stats": q_media_stats,
-        # --- the 46 never-driver-checked queries ---
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "zorder_key": q_zorder_key,
-        "heavy_hitters_by": q_heavy_hitters_by,
-        "budget_select": q_budget_select,
-        "hll_set_ops": q_hll_set_ops,
-        "bloom_join": q_bloom_join,
-        "pagerank": q_pagerank,
-        "decayed_engagement": q_decayed_engagement,
-        "seasonal_anomaly": q_seasonal_anomaly,
-        "term_label_pmi": q_term_label_pmi,
-        "jaccard_prefix": q_jaccard_prefix,
-        "cosine_pairs": q_cosine_pairs,
-        "weighted_sample": q_weighted_sample,
-        "triangle_count": q_triangle_count,
-        "association_lift": q_association_lift,
-        "blocked_linkage": q_blocked_linkage,
-        "variant_json": R.variant_json,
-        "lateral_topn": R.lateral_topn,
-        "calendar_spine": R.calendar_spine,
-        "lsh_recall": q_lsh_recall,
-        "kmeans_centroids": q_kmeans_centroids,
-        "kcenter_coreset": q_kcenter_coreset,
-        "mmr_rerank": q_mmr_rerank,
-        "simhash_pairs": q_simhash_pairs,
-        "rp_project": q_rp_project,
-        "group_regression": R.group_regression,
-        "token_entropy": R.token_entropy,
-        "k_anonymity": q_k_anonymity,
-        "dp_noisy_counts": q_dp_noisy_counts,
-        "q7_volume_shipping": R.q7_volume_shipping,
-        "q10_returned_items": R.q10_returned_items,
-        "q12_late_shipping": R.q12_late_shipping,
-        "session_paths": R.session_paths,
-        "feature_hashing": q_feature_hashing,
-        "neg_sampling_weights": q_neg_sampling_weights,
-        "cooccurrence_pmi": q_cooccurrence_pmi,
-        "survival_curve": q_survival_curve,
-        "logreg_gd": q_logreg_gd,
-        "map_functions": R.map_functions,
-        "bootstrap_ci": q_bootstrap_ci,
-        "chi_square_mix": q_chi_square_mix,
-        "benford_audit": q_benford_audit,
-        "winsorized_stats": q_winsorized_stats,
-        "ab_test_zscore": q_ab_test_zscore,
-        "source_concentration": q_source_concentration,
-        "corpus_prep_pipeline": q_corpus_prep_pipeline,
-        # --- slot 50: new this round, the streaming-ingest contract ---
-        "streaming_upsert_replay": q_streaming_upsert_replay,
-        # --- past the window: new #51+ rotate into round 6 ---
+        # --- r6 window slots 1-50: never-driver-checked queries (first 50 of 73) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -3983,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_effect": q14_promo_effect,
+        # --- slots 51-73: move these 23 to the FRONT in round 7 ---
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
@@ -4006,6 +3935,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "ivf_silhouette": q_ivf_silhouette,
         "trimmed_mean_udaf": q_trimmed_mean_udaf,
+        # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
+        "label_centroids": q_label_centroids,
+        "text_stats": q_text_stats,
+        "media_stats": q_media_stats,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "zorder_key": q_zorder_key,
+        "heavy_hitters_by": q_heavy_hitters_by,
+        "budget_select": q_budget_select,
+        "hll_set_ops": q_hll_set_ops,
+        "bloom_join": q_bloom_join,
+        "pagerank": q_pagerank,
+        "decayed_engagement": q_decayed_engagement,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        "term_label_pmi": q_term_label_pmi,
+        "jaccard_prefix": q_jaccard_prefix,
+        "cosine_pairs": q_cosine_pairs,
+        "weighted_sample": q_weighted_sample,
+        "triangle_count": q_triangle_count,
+        "association_lift": q_association_lift,
+        "blocked_linkage": q_blocked_linkage,
+        "variant_json": R.variant_json,
+        "lateral_topn": R.lateral_topn,
+        "calendar_spine": R.calendar_spine,
+        "lsh_recall": q_lsh_recall,
+        "kmeans_centroids": q_kmeans_centroids,
+        "kcenter_coreset": q_kcenter_coreset,
+        "mmr_rerank": q_mmr_rerank,
+        "simhash_pairs": q_simhash_pairs,
+        "rp_project": q_rp_project,
+        "group_regression": R.group_regression,
+        "token_entropy": R.token_entropy,
+        "k_anonymity": q_k_anonymity,
+        "dp_noisy_counts": q_dp_noisy_counts,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q10_returned_items": R.q10_returned_items,
+        "q12_late_shipping": R.q12_late_shipping,
+        "session_paths": R.session_paths,
+        "feature_hashing": q_feature_hashing,
+        "neg_sampling_weights": q_neg_sampling_weights,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
+        "survival_curve": q_survival_curve,
+        "logreg_gd": q_logreg_gd,
+        "map_functions": R.map_functions,
+        "bootstrap_ci": q_bootstrap_ci,
+        "chi_square_mix": q_chi_square_mix,
+        "benford_audit": q_benford_audit,
+        "winsorized_stats": q_winsorized_stats,
+        "ab_test_zscore": q_ab_test_zscore,
+        "source_concentration": q_source_concentration,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "streaming_upsert_replay": q_streaming_upsert_replay,
         # --- driver-verified green in rounds 1-4 ---
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,

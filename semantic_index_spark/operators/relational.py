@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from semantic_index_spark.operators import skew as _skew
 from semantic_index_spark.session import load_table
 
 
@@ -175,10 +176,25 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank + lag/lead per market segment over customer balances."""
+    """rank + lag/lead per market segment over customer balances — the
+    SCALE-SAFE top-n window shape. ``c_mktsegment`` has 5 values, so the
+    naive ``Window.partitionBy(c_mktsegment)`` funnels a fifth of the
+    corpus through one reducer at 100 TB. Since only ``bal_rank <= 5``
+    survives (and ``lead`` of rank 5 needs rank 6), prune FIRST with
+    ``skew.capped_top_n(n=6)`` — salt-cell local top-6 then exact top-6
+    over the ≤ salt_n·6 survivors, row-identical to the direct window —
+    and run the exact rank/lag/lead window on ≤ 30 rows. The global top-6
+    of a segment is always a subset of the union of per-salt-cell top-6s,
+    so ranks, lag, and lead on the pruned set equal the full-table values
+    for every emitted row."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    cand = _skew.capped_top_n(
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"], order, n=6,
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    return cand.select(
         "c_mktsegment",
         "c_custkey",
         F.rank().over(w).alias("bal_rank"),
@@ -273,17 +289,50 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: ntile / percent_rank / cume_dist over
-    customer balances per segment (deterministic (acctbal, custkey) order)."""
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per market segment — the SCALE-SAFE form. The naive
+    ``Window.partitionBy(c_mktsegment)`` (5 values) is a one-reducer
+    funnel per segment; distribution measures can't be pruned like top-n
+    because every row's position matters. Instead ``skew.grouped_ranks``
+    computes per-segment (row_number, group size) via the range-
+    partitioned global-ranking primitive — a group spans as many range
+    partitions as it needs — and the three measures follow
+    arithmetically: with a TOTAL order, rank = row_number, so
+    percent_rank = (rk−1)/(n−1) (0 when n = 1), cume_dist = rk/n, and
+    ntile(4) by the SQL-standard split (first n mod 4 tiles get
+    ⌈n/4⌉ rows, the rest ⌊n/4⌋). Bit-identical to the window form:
+    identical integer operands feed identical double divisions."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
-        "c_mktsegment",
-        "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    ).filter(F.col("c_custkey") < 200)
+    d = cust.select("c_mktsegment", "c_custkey", "c_acctbal").withColumn(
+        "_negbal", -F.col("c_acctbal")
+    )
+    r = _skew.grouped_ranks(
+        d, ["c_mktsegment"], ["_negbal", "c_custkey"],
+        rank_alias="_rk", count_alias="_n",
+    )
+    q = F.expr("_n DIV 4")
+    rem = F.expr("_n % 4")
+    ntile4 = F.when(
+        F.col("_rk") <= rem * (q + F.lit(1)),
+        F.expr("(_rk - 1) DIV (_n DIV 4 + 1)") + F.lit(1),
+    ).otherwise(
+        rem + F.expr("(_rk - 1 - (_n % 4) * (_n DIV 4 + 1)) DIV (_n DIV 4)") + F.lit(1)
+    )
+    return (
+        r.filter(F.col("c_custkey") < 200)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            ntile4.cast("int").alias("quartile"),
+            F.round(
+                F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                    (F.col("_rk") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+                ),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("_rk").cast("double") / F.col("_n").cast("double"), 6).alias("cume"),
+        )
+    )
 
 
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,20 +674,46 @@ def full_outer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window over event time: for each event, the count and
-    value-sum of same-type events in the preceding hour (inclusive).
-    RANGE frames bound state by event-time distance, not row count — the
-    batch twin of a sliding streaming window. One shuffle on event_type."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+    value-sum of same-type events in the preceding hour (inclusive) —
+    the SCALE-SAFE block-overlap form. Partitioning the window by
+    ``event_type`` alone (~6 values) sends a sixth of the corpus through
+    one reducer; instead sub-bucket by (event_type, time block) with
+    carry-in duplication: block = 1 day ≥ the 3600 s frame, so a row's
+    preceding-hour frame spans at most its own block and the previous
+    one. Rows in a block's last hour are duplicated as carry-ins of the
+    NEXT block (≈ 4 % overhead at a 24 h block); the RANGE window runs
+    per (event_type, block) — every partition bounded by one day of one
+    type — and only resident rows are emitted. Frame contents are
+    row-identical to the global window, so the aggregates are exact.
+    ``block_s`` is the scale knob: shrink it if one (type, day) still
+    overloads a reducer."""
+    block_s = 86400
+    frame_s = 3600
+    ev = load_table(spark, sf_dir, "events").withColumn("_uts", F.unix_timestamp("ts"))
+    res = ev.withColumn("_blk", F.floor(F.col("_uts") / block_s)).withColumn(
+        "_res", F.lit(True)
     )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.count("*").over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    carry = (
+        ev.filter(F.col("_uts") % block_s >= block_s - frame_s)
+        .withColumn("_blk", F.floor(F.col("_uts") / block_s) + 1)
+        .withColumn("_res", F.lit(False))
+    )
+    w = (
+        Window.partitionBy("event_type", "_blk")
+        .orderBy("_uts")
+        .rangeBetween(-frame_s, 0)
+    )
+    return (
+        res.unionByName(carry)
+        .select(
+            "event_id",
+            "event_type",
+            "_res",
+            F.count("*").over(w).alias("n_last_hour"),
+            F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+        )
+        .filter(F.col("_res"))
+        .drop("_res")
     )
 
 

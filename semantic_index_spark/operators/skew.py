@@ -198,6 +198,45 @@ def global_ranks(
     )
 
 
+def grouped_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_alias: str = "rank",
+    count_alias: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ``row_number()`` + group size WITHOUT
+    ``Window.partitionBy(low_cardinality_key)`` — the form that funnels a
+    hot group's entire row set through one reducer (5 market segments ⇒
+    a fifth of the corpus per task at 100 TB). Instead:
+
+      1. ``global_ranks`` over ``group_cols + order_cols`` — the range-
+         partitioned zipWithIndex shape: a group SPANS as many range
+         partitions as its size demands, so no reducer ever holds a whole
+         group. Within a group the global ranks are contiguous.
+      2. one mergeable aggregate per group (min global rank + count),
+         broadcast back; per-group rank = global − group_min + 1.
+
+    ``order_cols`` must make ``group_cols + order_cols`` a TOTAL order
+    (unique tiebreaker), same contract as ``global_ranks``. For DESC
+    dimensions pre-compute a negated/inverted sort column. Distribution
+    measures follow arithmetically from (rank, n): percent_rank =
+    (rank−1)/(n−1), cume_dist = rank/n, ntile by the ceil/floor split —
+    see ``relational.window_distribution`` for the worked demo."""
+    g = global_ranks(df, list(group_cols) + list(order_cols), rank_alias="_gr", partitions=partitions)
+    stats = g.groupBy(*group_cols).agg(
+        F.min("_gr").alias("_gmin"), F.count("*").alias("_gn")
+    )
+    out = (
+        g.join(F.broadcast(stats), list(group_cols))
+        .withColumn(rank_alias, (F.col("_gr") - F.col("_gmin") + 1).cast("bigint"))
+    )
+    if count_alias:
+        out = out.withColumn(count_alias, F.col("_gn").cast("bigint"))
+    return out.drop("_gr", "_gmin", "_gn")
+
+
 def weighted_mix(
     df: DataFrame,
     weights: dict[str, float],
