@@ -471,6 +471,106 @@ AUDITS = {
     "ivf_silhouette": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "Join", "Window", "MapInPandas", "ArrowEvalPython"]},
     # GROUPED_AGG UDAF: broadcast dim join + the Arrow aggregate node
     "trimmed_mean_udaf": {"expect": ["BroadcastHashJoin", "ArrowAggregatePython"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # --- r6 expansion: the previously un-audited relational/batch surface ---
+    # winnowing: per-doc rolling-hash windows explode (Generate) into a
+    # per-window min groupBy — word-count shape, no joins anywhere.
+    "winnowing_fingerprints": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # recursive CTE spine: Spark 4 UnionLoop iteration; the BNLJ is the
+    # 1-row anchor/termination broadcast, never a corpus product.
+    "calendar_spine": {"expect": ["UnionLoop"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # threshold similarity join: the QUERY side is a bounded set by
+    # contract, so the broadcast nested-loop against it is the intended
+    # map-side scoring plan (corpus never shuffles, never self-joins).
+    "similarity_join": {"expect": ["BroadcastNestedLoopJoin"], "forbid": ["CartesianProduct", "SortMergeJoin", "Exchange"]},
+    # Python UDTF: the lateral expansion is the UDTF node itself — no
+    # join, no shuffle around it.
+    "udtf_token_positions": {"expect": ["BatchEvalPythonUDTF"], "forbid": ["Join", "Exchange"]},
+    # per-row JVM signal extraction: pure scan+project, nothing Python.
+    "text_signals": {"forbid": ["Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"]},
+    # frame sampling: pure-JVM byte slicing + bounded explode; the one
+    # Exchange is ensure_parallelism re-spreading the local scan.
+    "media_frames": {"expect": ["Generate"], "forbid": ["Join", "ArrowEvalPython", "BatchEvalPython"]},
+    # per-group HLL: register partial-agg (≤ groups·2^p keys) + the tiny
+    # estimate join broadcasts back.
+    "hll_by_group": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # normalized cosine top-k: per-partition heaps, no shuffle at all.
+    "knn_cosine": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join", "Exchange"]},
+    # Count contract: scalar aggregates; the BNLJ is the 1×1 crossJoin.
+    "count_records": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # TPC-H Q1: predicate pushed to the scan, ONE partial-agg shuffle.
+    "q1_pricing_summary": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # HAVING folds into the post-agg filter — no second shuffle, no sort.
+    "agg_having": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # running sum keyed by o_custkey — output-linear, high-cardinality
+    # partition key; never an unpartitioned window.
+    "window_running_sum": {"expect": ["Window"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # gaps-and-islands: lag + cumulative flag over ONE user-key shuffle,
+    # then the session groupBy — no self-join.
+    "batch_sessionization": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # exact dedup: one md5-fingerprint partial-agg shuffle; no sort.
+    "exact_dedup": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # projection/filter demo: map-only, filter rides the scan.
+    "filter_projection": {"forbid": ["Join", "Exchange"]},
+    # bounded top-k: per-partition heaps, no global sort, no shuffle.
+    "topk_orders": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join", "Exchange"]},
+    # duplicate-policy programs: anti/semi joins on the key must stay
+    # broadcast hash (the mutation batch is small by contract).
+    "upsert_update_demo": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "delete_ops_demo": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "skip_policy_demo": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "allow_policy_demo": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # semi/anti joins de-correlate to broadcast hash joins, never BNLJ.
+    "join_semi_anti": {"expect": ["BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # rollup/cube/grouping-sets: ONE Expand + partial-agg shuffle each;
+    # dims broadcast where joined.
+    "rollup_nation_region": {"expect": ["Expand", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    "cube_flags": {"expect": ["Expand", "HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    "grouping_sets_revenue": {"expect": ["Expand", "HashAggregate"], "forbid": ["Join", "Sort"]},
+    # scale-safe top-n window: WindowGroupLimit prunes per salt cell, the
+    # exact window runs on ≤ salt_n·n candidate rows — no join.
+    "window_rank_lag": {"expect": ["Window", "WindowGroupLimit"], "forbid": ["Join", "CartesianProduct"]},
+    # set ops plan as aggregates + broadcast hash joins, never BNLJ.
+    "set_ops_nations": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # multi-distinct: Expand fan-out + partial-agg — no join, no sort.
+    "distinct_counts": {"expect": ["Expand", "HashAggregate"], "forbid": ["Join", "Sort"]},
+    # exact percentiles buffer per-group (ObjectHashAggregate) — no
+    # global sort, no window, no join.
+    "percentiles_by_flag": {"expect": ["ObjectHashAggregate"], "forbid": ["Join", "Sort", "Window"]},
+    # scale-safe distribution windows: grouped_ranks (range-partitioned
+    # global rank + broadcast per-group stats); the only window is the
+    # |partitions|-row offsets prefix-sum.
+    "window_distribution": {"expect": ["BroadcastHashJoin", "Window"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # full outer on the nation key: NEITHER side can broadcast (outer
+    # rows must survive), so the keyed SMJ IS the 100 TB plan.
+    "full_outer_revenue": {"expect": ["SortMergeJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # unpivot = Expand multi-projection, never a per-column union/join.
+    "unpivot_quantities": {"expect": ["Expand"], "forbid": ["Join", "CartesianProduct"]},
+    # pivot: two stacked partial aggs, map-side combined — no join/sort.
+    "pivot_status": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    "null_semantics": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # modern aggregates (mode/median/any_value) buffer per group.
+    "agg_modern": {"expect": ["ObjectHashAggregate"], "forbid": ["Join", "Sort"]},
+    # array higher-order functions: pure map-side JVM lambda work.
+    "array_hof": {"forbid": ["Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"]},
+    # batch tumbling windows: time-bucket groupBy, one shuffle.
+    "events_tumbling_windows": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # banded range join: the band table is O(1) rows by construction, so
+    # the broadcast nested-loop against it is the intended plan — the
+    # huge-side×huge-side variant lives in bucketed_range_join.
+    "range_join_bands": {"expect": ["BroadcastNestedLoopJoin", "HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # LSH bucket histogram: projection + one ≤2^planes-key groupBy.
+    "lsh_bucket_hist": {"expect": ["HashAggregate"], "forbid": ["Join", "Sort"]},
+    # vector moments: element-wise JVM folds into one aggregate pass.
+    "vector_stats": {"expect": ["HashAggregate"], "forbid": ["Join", "ArrowEvalPython", "BatchEvalPython"]},
+    # signature builders: shingle explode + per-doc min/xor groupBy —
+    # word-count shape, JVM-side hashing, no joins.
+    "minhash_signatures": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join", "Sort"]},
+    "simhash": {"expect": ["Generate", "HashAggregate"], "forbid": ["Join", "Sort"]},
+    # exact Jaccard verify: shingle inverted-index equi-join; |S| sizes
+    # broadcast back; never a nested loop over docs.
+    "ngram_jaccard": {"expect": ["Generate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # quality scoring: per-row JVM expressions only.
+    "text_quality": {"forbid": ["Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"]},
 }
 
 
