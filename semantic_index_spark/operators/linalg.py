@@ -24,6 +24,7 @@ Python, no join.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from semantic_index_spark.session import collect_bounded
 from pyspark.sql import Column, DataFrame
 
 from semantic_index_spark.functions.vector import dot_literal
@@ -91,7 +92,11 @@ def covariance_matrix(df: DataFrame, col: str, dim: int):
     contract as the k-means centroid collect)."""
     import numpy as np
 
-    rows = covariance_entries(df, col, dim).collect()
+    rows = collect_bounded(
+        covariance_entries(df, col, dim),
+        dim * dim + dim + 1,
+        "covariance_matrix entries (d\u00b2+d+1 summary rows)",
+    )
     n = 0.0
     s = np.zeros(dim)
     gram = np.zeros((dim, dim))

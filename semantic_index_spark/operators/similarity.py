@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 import pandas as pd  # module-level so pandas_udf can resolve postponed hints
 import pyspark.sql.functions as F
+from semantic_index_spark.session import collect_bounded
 from pyspark.sql import DataFrame, Window
 
 from semantic_index_spark.functions import vector as V
@@ -69,6 +70,7 @@ def topk_multi(
     id_col: str = "vec_id",
     q_emb_col: str = "q_embedding",
     q_id_col: str = "q_id",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Top-k neighbors for EACH query row, in two phases:
 
@@ -90,7 +92,11 @@ def topk_multi(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    q_rows = queries.select(q_id_col, q_emb_col).collect()
+    q_rows = collect_bounded(
+        queries.select(q_id_col, q_emb_col),
+        max_queries,
+        "multi_topk query set",
+    )
 
     out_schema = StructType(
         [
@@ -541,8 +547,10 @@ def kmeans_fit(
     """
     import numpy as np
 
-    init = (
-        df.select(id_col, emb_col).orderBy(id_col).limit(k).collect()
+    init = collect_bounded(
+        df.select(id_col, emb_col).orderBy(id_col).limit(k),
+        k,
+        "kmeans_fit init centroids",
     )
     centroids = [[float(x) for x in r[emb_col]] for r in init]
     if not centroids:
@@ -560,7 +568,11 @@ def kmeans_fit(
     base = df.select(id_col, emb_col)
     for _ in range(iters):
         assigned = _assign(base)
-        rows = label_centroids(assigned, label_col="cell", emb_col=emb_col).collect()
+        rows = collect_bounded(
+            label_centroids(assigned, label_col="cell", emb_col=emb_col),
+            k,
+            "kmeans_fit per-cell centroids",
+        )
         new = dict((r["cell"], r["centroid"]) for r in rows)
         centroids = [
             [float(x) for x in new.get(i, centroids[i])] for i in range(k)
@@ -576,9 +588,11 @@ def kmeans_inertia(df: DataFrame, centroids: list[list[float]], emb_col: str = "
     dists = F.array(
         *[V.l2_distance(F.col(emb_col), F.lit(c).cast("array<double>")) for c in centroids]
     )
-    return df.select(
-        F.sum(F.pow(F.array_min(dists), 2)).alias("inertia")
-    ).collect()[0]["inertia"]
+    return collect_bounded(
+        df.select(F.sum(F.pow(F.array_min(dists), 2)).alias("inertia")),
+        1,
+        "kmeans_inertia scalar",
+    )[0]["inertia"]
 
 
 def make_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -616,7 +630,9 @@ def greedy_kcenter(
     = the max distance that triggered it (how uncovered the space still
     was; radius 0 means the data is already covered by fewer centers).
     """
-    first = df.select(id_col, emb_col).orderBy(id_col).limit(1).collect()
+    first = collect_bounded(
+        df.select(id_col, emb_col).orderBy(id_col).limit(1), 1, "greedy_kcenter seed"
+    )
     if not first:
         raise ValueError("greedy_kcenter: input DataFrame is empty")
     id_type = df.schema[id_col].dataType.simpleString()
@@ -629,8 +645,10 @@ def greedy_kcenter(
         V.l2_distance(F.col(emb_col), F.lit(center).cast("array<double>")).alias("_d"),
     ).localCheckpoint(eager=True)
     for r in range(1, k):
-        far = (
-            cur.orderBy(F.desc("_d"), F.col(id_col)).limit(1).collect()
+        far = collect_bounded(
+            cur.orderBy(F.desc("_d"), F.col(id_col)).limit(1),
+            1,
+            "greedy_kcenter farthest point",
         )
         if not far or far[0]["_d"] <= 0.0:
             break  # every remaining point coincides with a center
@@ -684,7 +702,7 @@ def mmr_rerank(
     """
     import numpy as np
 
-    cand = (
+    cand = collect_bounded(
         df.select(
             F.col(id_col),
             F.col(emb_col),
@@ -694,8 +712,9 @@ def mmr_rerank(
             ).alias("_rel"),
         )
         .orderBy(F.desc("_rel"), F.col(id_col))
-        .limit(pool)
-        .collect()
+        .limit(pool),
+        pool,
+        "mmr_rerank candidate pool",
     )
     id_type = df.schema[id_col].dataType.simpleString()
     if not cand:

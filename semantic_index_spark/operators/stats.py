@@ -10,6 +10,7 @@ single-pass / window shapes with exact cross-engine oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from semantic_index_spark.session import collect_bounded
 from pyspark.sql import DataFrame, Window
 
 from semantic_index_spark.functions.text import md5_bigint
@@ -207,12 +208,16 @@ def logistic_regression_gd(
         for _ in range(steps if n else 0):
             z = sum(F.col(f"_x{j}") * F.lit(w[j]) for j in range(d))
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            grads = base.select(
-                *[
-                    F.sum(F.col(f"_x{j}") * (p - F.col("_y"))).alias(f"g{j}")
-                    for j in range(d)
-                ]
-            ).collect()[0]
+            grads = collect_bounded(
+                base.select(
+                    *[
+                        F.sum(F.col(f"_x{j}") * (p - F.col("_y"))).alias(f"g{j}")
+                        for j in range(d)
+                    ]
+                ),
+                1,
+                "logistic_regression_gd gradient (d+1 sums, one row)",
+            )[0]
             w = [w[j] - lr * grads[f"g{j}"] / n for j in range(d)]
     finally:
         base.unpersist()

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level so pandas_udf can resolve postponed hints
 import pyspark.sql.functions as F
+from semantic_index_spark.session import collect_bounded
 from pyspark.sql import DataFrame, Window
 
 from semantic_index_spark.functions import text as T
@@ -752,6 +753,7 @@ def bpe_train(
     text_col: str = "text",
     min_count: int = 1,
     end_mark: str = "</w>",
+    max_word_types: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Train a byte-pair-encoding merge list (Sennrich et al. 2016) the way
     production tokenizer trainers do it: ONE distributed word-count pass
@@ -766,13 +768,14 @@ def bpe_train(
     Completes the tokenizer story: :func:`bpe_pair_counts` is one merge
     iteration's statistic at corpus scale; this is the full training loop;
     ``bpe_encode`` applies the result. [absent in reference]"""
-    counts = (
+    counts = collect_bounded(
         docs.select(F.explode(T.tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .collect()
+        .filter(F.col("n") >= min_count),
+        max_word_types,
+        "bpe_train word-type vocabulary (raise min_count or max_word_types)",
     )
     vocab: dict[tuple[str, ...], int] = {
         tuple(list(r["w"]) + [end_mark]): int(r["n"]) for r in counts
@@ -941,7 +944,7 @@ def dsir_weights(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
     )
-    rows = counts.collect()
+    rows = collect_bounded(counts, buckets, "dsir_weights bucket model")
     tt = sum(r["ct"] for r in rows)
     tr = sum(r["cr"] for r in rows)
     model = docs.sparkSession.createDataFrame(

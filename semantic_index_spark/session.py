@@ -83,3 +83,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def collect_bounded(df, max_rows: int, context: str = ""):
+    """Guarded driver-side materialization: every deliberate ``collect()``
+    in the operator modules routes through here so the bounded-model
+    contract — the driver holds MODELS and SUMMARIES (centroids, sketch
+    registers, gradient vectors, query sets), never the corpus — is
+    enforced rather than merely documented. Fetches at most
+    ``max_rows + 1`` rows through a pushed-down ``limit`` and raises if
+    the cap is exceeded: at 100 TB a mis-sized collect fails fast with a
+    named contract instead of OOMing the driver. Row content and order
+    are unchanged for any input within the cap."""
+    if max_rows < 0:
+        raise ValueError(f"collect_bounded: max_rows must be >= 0, got {max_rows}")
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        what = context or "collect_bounded input"
+        raise ValueError(
+            f"{what}: driver-side collect exceeded the {max_rows}-row cap "
+            "(bounded-model contract violated)"
+        )
+    return rows

@@ -1998,3 +1998,27 @@ def test_trimmed_mean_udaf_matches_python(spark, sf_dir):
         assert row["n_orders"] == len(a)
         assert row["trimmed_n"] == len(kept)
         assert row["trimmed_sum_cents"] == sum(kept)
+
+
+def test_collect_bounded_guard(spark):
+    from semantic_index_spark.session import collect_bounded
+
+    df = spark.range(100)
+    # within cap: all rows, order/content unchanged
+    rows = collect_bounded(df.orderBy("id"), 100, "test")
+    assert [r["id"] for r in rows[:3]] == [0, 1, 2] and len(rows) == 100
+    # past cap: raises with the named contract, never materializes the rest
+    with pytest.raises(ValueError, match="99-row cap"):
+        collect_bounded(df, 99, "test surface")
+    # zero cap on empty input is fine
+    assert collect_bounded(df.filter("id < 0"), 0) == []
+
+
+def test_collect_bounded_operators_still_exact(spark, sf_dir):
+    # the routed call sites must be behavior-preserving: k-means init and
+    # MMR pool ride limits <= cap, gradient/inertia are 1-row aggregates
+    from semantic_index_spark.operators import similarity as S
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = S.kmeans_fit(emb.limit(50), k=3, iters=2)
+    assert out.count() == 3
