@@ -87,6 +87,11 @@ def main() -> int:
                 "median": round(med, 3),
                 "min": round(min(times), 3),
                 "max": round(max(times), 3),
+                # per-query noise floor: rep spread relative to the median.
+                # Round-over-round deltas SMALLER than this are contention
+                # noise (shared local[32] JVM), not plan changes — compare
+                # medians only past this floor, or compare the mins.
+                "spread_pct": round(100.0 * (max(times) - min(times)) / med, 1) if med else 0.0,
                 "reps": len(times),
                 "rows": rows,
             }
@@ -98,6 +103,19 @@ def main() -> int:
 
     medians = {k: v["median"] for k, v in detail.items()}
     total = round(sum(medians.values()), 3)
+    # Contention-free floor + suite-level noise estimate: total_min is the
+    # sum of per-query BEST reps (what the suite costs without scheduler /
+    # GC contention); spread percentiles say how trustworthy per-query
+    # round-over-round deltas are (r5 closing runs differed 207.5 vs
+    # 171.5 s minutes apart on identical code — that gap is the noise this
+    # block quantifies).
+    total_min = round(sum(v["min"] for v in detail.values()), 3)
+    spreads = sorted(v["spread_pct"] for v in detail.values())
+    noise = {
+        "total_min": total_min,
+        "median_spread_pct": spreads[len(spreads) // 2] if spreads else 0.0,
+        "p90_spread_pct": spreads[int(len(spreads) * 0.9)] if spreads else 0.0,
+    }
     sf = _sf_from_dir(sf_dir)
     full = {
         "metric": "suite_seconds",
@@ -108,6 +126,7 @@ def main() -> int:
         "n_queries": len(detail) + len(errors),
         "n_errors": len(errors),
         "errors": errors,
+        "noise": noise,
         "queries": medians,
         "detail": detail,
     }

@@ -123,3 +123,249 @@ def expire_versions(
         shutil.rmtree(path)
         expired.append(v)
     return expired
+
+
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    op_col: str | None = None,
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> int:
+    """Delta-style ``MERGE INTO`` against the committed latest snapshot:
+    source rows update matching target keys, insert unmatched keys, and
+    (CDC form) delete via per-row tombstones. Commits the merged state as
+    the next immutable version and returns its number — time travel to
+    the pre-merge state stays one ``read_version`` away.
+
+    Two source shapes:
+      * ``op_col=None``: every source row applies ``when_matched``
+        ("update" or "delete") to its match; unmatched rows insert when
+        ``insert_not_matched`` (MERGE WHEN [NOT] MATCHED).
+      * ``op_col="op"``: per-row "upsert"/"delete" verbs — the CDC-feed
+        MERGE (Delta's whenMatchedDelete(condition) family). A delete for
+        an absent key is a no-op, tombstones never insert.
+
+    Source keys must be UNIQUE — like Delta, a key matched by two source
+    rows raises (nondeterministic merge); pre-compact the feed with
+    ``relational.cdc_apply``-style last-writer-wins first.
+
+    Execution: the relational expansion of MERGE — untouched target rows
+    survive via ONE left-anti equi-join on the key, surviving source
+    rows append — all hash equi-joins on the merge key (broadcast when
+    the batch is small, AQE decides), never a nested loop, and the
+    target is never rewritten in place. This form rewrites the WHOLE
+    snapshot per merge (copy-on-write at table granularity); for the
+    100 TB shape where a merge touches a sliver of the table, use
+    ``merge_into_bucketed`` which rewrites only the key-buckets the
+    source touches."""
+    import pyspark.sql.functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    target = read_version(spark, table)
+    keys = list(key_cols)
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into: source has multiple rows for key {tuple(dup[0][k] for k in keys)}; "
+            "MERGE requires unique source keys (compact the feed first)"
+        )
+    if op_col is None:
+        src = source.withColumn("__op", F.lit(when_matched))
+    else:
+        src = source.withColumnRenamed(op_col, "__op")
+    kept = target.join(src.select(*keys), keys, "left_anti")
+    upserts = src.filter(F.col("__op") != "delete").drop("__op").select(*target.columns)
+    if not insert_not_matched:
+        upserts = upserts.join(target.select(*keys), keys, "left_semi")
+    return commit_version(kept.unionByName(upserts), table)
+
+
+# --- bucketed incremental table: merge rewrites only touched key-buckets ---
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, f"_manifest_v{version}.json")
+
+
+def _read_manifest(table: str, version: int | None = None) -> dict:
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"bucketed table {table} has no commits")
+    with open(_manifest_path(table, v)) as f:
+        return json.load(f)
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    import pyspark.sql.functions as F
+
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+
+
+def _commit_bucketed(table: str, df: DataFrame, version: int, base: dict) -> dict:
+    """Write ``df`` partitioned by ``__bucket`` under v=<version>, then
+    atomically publish a manifest = ``base`` with every bucket that
+    actually produced files repointed at <version>. Buckets of ``base``
+    marked affected but emptied by the merge become ``None`` (tombstone:
+    no files to read). Crash before the pointer rename leaves invisible
+    orphans, same contract as ``commit_version``."""
+    path = os.path.join(table, f"v={version}")
+    df.write.mode("errorifexists").partitionBy("__bucket").parquet(path)
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    buckets = dict(base["buckets"])
+    for b in base.pop("__affected"):
+        buckets[str(b)] = version if b in written else None
+    manifest = {**base, "version": version, "buckets": buckets}
+    with open(_manifest_path(table, version), "w") as f:
+        json.dump(manifest, f)
+    tmp = _latest_path(table) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, _latest_path(table))
+    return manifest
+
+
+def create_bucketed(
+    df: DataFrame, table: str, key_cols: list[str], n_buckets: int = 64
+) -> int:
+    """Create a hash-bucketed versioned table: rows land in
+    ``pmod(xxhash64(key), n_buckets)`` buckets, and the per-version
+    manifest records WHICH version currently owns each bucket — the
+    minimal manifest-tree a real table format keeps per data file. Size
+    ``n_buckets`` so one bucket ≈ one comfortable task (100 TB / 64 GiB
+    ≈ thousands); the win is that a later merge touching k buckets
+    rewrites k/n_buckets of the table instead of all of it."""
+    os.makedirs(table, exist_ok=True)
+    if current_version(table) is not None:
+        raise FileExistsError(f"bucketed table {table} already exists")
+    keys = list(key_cols)
+    base = {
+        "key_cols": keys,
+        "n_buckets": int(n_buckets),
+        "schema": df.schema.json(),
+        "buckets": {str(b): None for b in range(n_buckets)},
+        "__affected": list(range(n_buckets)),
+    }
+    _commit_bucketed(table, df.withColumn("__bucket", _bucket_expr(keys, n_buckets)), 0, base)
+    return 0
+
+
+def read_bucketed(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    key_values: list[tuple] | None = None,
+) -> DataFrame:
+    """Read a bucketed table at the committed latest (or any retained)
+    version by unioning each bucket's owning-version files. With
+    ``key_values`` (tuples matching ``key_cols``), reads ONLY the buckets
+    those keys hash to — manifest-level partition pruning, the point-
+    lookup path (the scan shrinks ~n_buckets-fold before Spark sees it)."""
+    from pyspark.sql.types import StructType
+
+    man = _read_manifest(table, version)
+    live = {int(b): v for b, v in man["buckets"].items() if v is not None}
+    if key_values is not None:
+        import pyspark.sql.functions as F
+
+        keys = man["key_cols"]
+        probe = spark.createDataFrame(key_values, schema=", ".join(
+            f"{k} {t}" for k, t in zip(
+                keys,
+                [f.dataType.simpleString() for k2 in keys
+                 for f in StructType.fromJson(json.loads(man["schema"])).fields if f.name == k2],
+            )
+        ))
+        wanted = {
+            r["__b"]
+            for r in probe.select(_bucket_expr(keys, man["n_buckets"]).alias("__b")).collect()
+        }
+        live = {b: v for b, v in live.items() if b in wanted}
+    paths = [os.path.join(table, f"v={v}", f"__bucket={b}") for b, v in sorted(live.items())]
+    if not paths:
+        return spark.createDataFrame([], StructType.fromJson(json.loads(man["schema"])))
+    return spark.read.parquet(*paths)
+
+
+def merge_into_bucketed(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    op_col: str | None = None,
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> int:
+    """``MERGE INTO`` a bucketed table rewriting ONLY the buckets the
+    source touches — the incremental copy-on-write real table formats do
+    at file granularity. Semantics are identical to ``merge_into`` (same
+    op_col / when_matched / insert contract, same unique-source-key
+    rule); the difference is pure I/O scaling: a batch touching k of
+    n_buckets buckets reads and rewrites k buckets — at 100 TB with a
+    1 % daily feed that is the difference between a 1 TB job and a
+    100 TB job. Untouched buckets keep their old owning version in the
+    new manifest (no data movement, no read amplification later). The
+    merge itself stays all hash equi-joins on the merge key within the
+    affected buckets."""
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.session import collect_bounded
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    man = _read_manifest(table)
+    keys, n_buckets = man["key_cols"], man["n_buckets"]
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"merge_into_bucketed: source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)}; MERGE requires unique source keys"
+        )
+    if op_col is None:
+        src = source.withColumn("__op", F.lit(when_matched))
+    else:
+        src = source.withColumnRenamed(op_col, "__op")
+    src = src.withColumn("__bucket", _bucket_expr(keys, n_buckets)).localCheckpoint(eager=True)
+    affected = sorted(
+        r["__bucket"]
+        for r in collect_bounded(
+            src.select("__bucket").distinct(), n_buckets, "merge_into_bucketed affected buckets"
+        )
+    )
+    tgt_paths = [
+        os.path.join(table, f"v={man['buckets'][str(b)]}", f"__bucket={b}")
+        for b in affected
+        if man["buckets"].get(str(b)) is not None
+    ]
+    data_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    if tgt_paths:
+        target = spark.read.parquet(*tgt_paths).withColumn(
+            "__bucket", _bucket_expr(keys, n_buckets)
+        )
+        kept = target.join(src.select(*keys), keys, "left_anti")
+    else:
+        kept = None
+    upserts = src.filter(F.col("__op") != "delete").select(*data_cols, "__bucket")
+    if not insert_not_matched:
+        if kept is None:
+            upserts = upserts.limit(0)
+        else:
+            upserts = upserts.join(target.select(*keys), keys, "left_semi")
+    result = upserts if kept is None else kept.select(*data_cols, "__bucket").unionByName(upserts)
+    nxt = man["version"] + 1
+    base = {
+        "key_cols": keys,
+        "n_buckets": n_buckets,
+        "schema": man["schema"],
+        "buckets": man["buckets"],
+        "__affected": affected,
+    }
+    _commit_bucketed(table, result, nxt, base)
+    return nxt

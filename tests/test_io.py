@@ -389,3 +389,108 @@ def test_orc_roundtrip_aggregate_matches_parquet(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_merge_into_update_insert_delete(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "merge_tbl")
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+    )
+    assert VER.commit_version(target, t) == 0
+    src = spark.createDataFrame(
+        [(2, "B", "upsert"), (4, "D", "upsert"), (3, None, "delete"), (9, None, "delete")],
+        "id bigint, val string, op string",
+    )
+    v = VER.merge_into(spark, t, src, ["id"], op_col="op")
+    assert v == 1
+    got = {r["id"]: r["val"] for r in VER.read_version(spark, t).collect()}
+    # 1 kept, 2 updated, 3 deleted, 4 inserted, delete-of-absent-9 no-op
+    assert got == {1: "a", 2: "B", 4: "D"}
+    # time travel: pre-merge state intact
+    pre = {r["id"]: r["val"] for r in VER.read_version(spark, t, 0).collect()}
+    assert pre == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "merge_dup")
+    VER.commit_version(spark.createDataFrame([(1, "a")], "id bigint, val string"), t)
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "id bigint, val string")
+    with pytest.raises(ValueError, match="unique source keys"):
+        VER.merge_into(spark, t, src, ["id"])
+
+
+def test_merge_when_matched_delete_no_insert(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "merge_del")
+    VER.commit_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, val string"), t
+    )
+    src = spark.createDataFrame([(1, "zzz"), (7, "zzz")], "id bigint, val string")
+    VER.merge_into(spark, t, src, ["id"], when_matched="delete", insert_not_matched=False)
+    got = {r["id"]: r["val"] for r in VER.read_version(spark, t).collect()}
+    assert got == {2: "b"}
+
+
+def test_bucketed_merge_matches_plain_and_rewrites_only_touched_buckets(spark, tmp_path):
+    import os as _os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "bucketed")
+    tp = str(tmp_path / "plain")
+    base = spark.range(0, 200).selectExpr("id", "cast(id * 7 as string) AS val")
+    VER.create_bucketed(base, tb, ["id"], n_buckets=16)
+    VER.commit_version(base, tp)
+
+    src = spark.createDataFrame(
+        [(5, "UPD", "upsert"), (6, None, "delete"), (1005, "NEW", "upsert")],
+        "id bigint, val string, op string",
+    )
+    v = VER.merge_into_bucketed(spark, tb, src, op_col="op")
+    VER.merge_into(spark, tp, src, ["id"], op_col="op")
+
+    got_b = sorted((r["id"], r["val"]) for r in VER.read_bucketed(spark, tb).collect())
+    got_p = sorted((r["id"], r["val"]) for r in VER.read_version(spark, tp).collect())
+    assert got_b == got_p
+    assert len(got_b) == 200  # -1 delete +1 insert
+
+    # incremental property: v=1 holds ONLY the <=3 buckets the source touched
+    written = [
+        d for d in _os.listdir(_os.path.join(tb, f"v={v}")) if d.startswith("__bucket=")
+    ]
+    assert 1 <= len(written) <= 3
+    man = VER._read_manifest(tb)
+    moved = [b for b, ver in man["buckets"].items() if ver == v]
+    assert sorted(moved) == sorted(d.split("=", 1)[1] for d in written)
+    # untouched buckets still owned by v0
+    assert sum(1 for ver in man["buckets"].values() if ver == 0) == 16 - len(written)
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "bucketed_pt")
+    base = spark.range(0, 100).selectExpr("id", "cast(id as string) AS val")
+    VER.create_bucketed(base, tb, ["id"], n_buckets=8)
+    got = VER.read_bucketed(spark, tb, key_values=[(42,)]).filter("id = 42").collect()
+    assert len(got) == 1 and got[0]["val"] == "42"
+    # the pruned scan reads fewer buckets than the full table
+    full = VER.read_bucketed(spark, tb)
+    pruned = VER.read_bucketed(spark, tb, key_values=[(42,)])
+    assert pruned.count() < full.count()
+
+
+def test_bucketed_merge_emptied_bucket_tombstones(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "bucketed_empty")
+    one = spark.createDataFrame([(1, "a")], "id bigint, val string")
+    VER.create_bucketed(one, tb, ["id"], n_buckets=4)
+    src = spark.createDataFrame([(1, None, "delete")], "id bigint, val string, op string")
+    VER.merge_into_bucketed(spark, tb, src, op_col="op")
+    assert VER.read_bucketed(spark, tb).count() == 0
