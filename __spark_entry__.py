@@ -3840,6 +3840,114 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.weighted_sample(d, "doc_id", "n_chars", WS_N)
 
 
+
+
+LP_ITERS = 2  # fixed so the oracle unrolls the label recurrence as CTEs
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the symmetrized customer-part co-purchase
+    graph: 2 rounds of deterministic synchronous label propagation
+    (operators/graph.py) — most-frequent neighbor label, ties to the
+    smallest. Completes the graph family (PageRank, triangles, k-hop,
+    connected components) with the community primitive; the oracle
+    unrolls both rounds as count + argmax-window CTEs."""
+    from semantic_index_spark.operators import graph as G
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return G.label_propagation(edges, iters=LP_ITERS)
+
+
+def q_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (price ~ quantity + discount%) via normal equations
+    solved with Cramer's rule entirely in JVM expressions — ONE
+    map-side-combined aggregate pass, nothing driver-side
+    (operators/stats.py). Inputs fixed-point to integers so the moment
+    sums are exact and the identical expression tree yields bit-identical
+    coefficients on both engines."""
+    from semantic_index_spark.operators import stats as ST
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("bigint").alias("price_usd"),
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("disc_pct"),
+    )
+    return ST.ols2_closed_form(li, "price_usd", "qty", "disc_pct")
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: touches before a session's first
+    purchase share its credit 40/20/40 in exact integer micros
+    (operators/timeseries.py) — the middle ground between the
+    first-touch and Markov-transition readouts already in the registry."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.position_attribution(ev, conversion="purchase", gap_s=1800)
+
+
+def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO on the bucketed versioned store, end-to-end
+    (``sources/versioned.py``): target = documents with doc_id % 3 != 0
+    committed as a 16-bucket table; the source batch upserts every even
+    doc (n_chars + 1000) and tombstones docs divisible by 10. The merge
+    rewrites ONLY the buckets the batch touches (manifest-level
+    copy-on-write — the 100 TB property), the final state reads back via
+    the manifest, and each row is tagged kept/updated/inserted by
+    membership joins. The oracle replays the MERGE relationally
+    (NOT EXISTS anti-join + union) from the parquet original, so any
+    divergence in merge semantics, bucket routing, or manifest
+    bookkeeping breaks the row count or the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    target = d.filter(F.col("doc_id") % 3 != 0)
+    src = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_ver_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(target, tbl, ["doc_id"], n_buckets=16)
+        VER.merge_into_bucketed(spark, tbl, src, op_col="op")
+        final = VER.read_bucketed(spark, tbl)
+        out = (
+            final.join(
+                target.select("doc_id").withColumn("_t", F.lit(1)), "doc_id", "left"
+            )
+            .join(
+                src.filter(F.col("op") == "upsert")
+                .select("doc_id")
+                .withColumn("_s", F.lit(1)),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "n_chars",
+                F.when(F.col("_t").isNull(), F.lit("inserted"))
+                .when(F.col("_s").isNotNull(), F.lit("updated"))
+                .otherwise(F.lit("kept"))
+                .alias("action"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. Round-6 window: slots 1-50 are the first
@@ -3935,6 +4043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "ivf_silhouette": q_ivf_silhouette,
         "trimmed_mean_udaf": q_trimmed_mean_udaf,
+        # --- new in round 6: front-load with the 23 above in round 7 ---
+        "merge_versioned": q_merge_versioned,
+        "label_propagation": q_label_propagation,
+        "ols_closed_form": q_ols_closed_form,
+        "position_attribution": q_position_attribution,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -6913,6 +7026,147 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ORC round-trip: aggregate of the re-read ORC copy must equal the
         # same aggregate over the parquet original
+        "merge_versioned": """
+            WITH target AS (
+              SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+            ), src AS (
+              SELECT doc_id, n_chars + 1000 AS n_chars,
+                     CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT t.doc_id, t.n_chars, 'kept' AS action
+            FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
+            UNION ALL
+            SELECT s.doc_id, s.n_chars,
+                   CASE WHEN EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
+                        THEN 'updated' ELSE 'inserted' END AS action
+            FROM src s WHERE s.op = 'upsert'
+        """,
+        "label_propagation": """
+            WITH raw AS (
+                SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM raw
+                    UNION ALL SELECT dst AS src, src AS dst FROM raw
+                )
+            ),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            c1 AS (
+                SELECT e.dst AS node, l0.label, count(*) AS c
+                FROM e JOIN l0 ON e.src = l0.node GROUP BY e.dst, l0.label
+            ),
+            p1 AS (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM c1
+            ),
+            l1 AS (
+                SELECT n.node, coalesce(p.label, n.node) AS label
+                FROM nodes n LEFT JOIN (SELECT node, label FROM p1 WHERE rn = 1) p
+                  ON n.node = p.node
+            ),
+            c2 AS (
+                SELECT e.dst AS node, l1.label, count(*) AS c
+                FROM e JOIN l1 ON e.src = l1.node GROUP BY e.dst, l1.label
+            ),
+            p2 AS (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM c2
+            )
+            SELECT n.node, coalesce(p.label, l1.label) AS label
+            FROM nodes n
+            JOIN l1 ON n.node = l1.node
+            LEFT JOIN (SELECT node, label FROM p2 WHERE rn = 1) p ON n.node = p.node
+        """,
+        "ols_closed_form": """
+            WITH fx AS (
+                SELECT floor(l_extendedprice)::BIGINT AS y,
+                       floor(l_quantity)::BIGINT AS x1,
+                       floor(100 * l_discount + 0.5)::BIGINT AS x2
+                FROM lineitem
+            ),
+            s AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(x1)::DOUBLE AS s1, sum(x2)::DOUBLE AS s2,
+                       sum(x1 * x1)::DOUBLE AS s11, sum(x1 * x2)::DOUBLE AS s12,
+                       sum(x2 * x2)::DOUBLE AS s22,
+                       sum(y)::DOUBLE AS sy, sum(x1 * y)::DOUBLE AS s1y,
+                       sum(x2 * y)::DOUBLE AS s2y,
+                       count(*)::BIGINT AS n_rows
+                FROM fx
+            ),
+            d AS (
+                SELECT n_rows,
+                       (n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)) AS det,
+                       (sy * (s11 * s22 - s12 * s12)
+                        - s1 * (s1y * s22 - s12 * s2y)
+                        + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+                       (n * (s1y * s22 - s12 * s2y)
+                        - sy * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s2y - s1y * s2)) AS det1,
+                       (n * (s11 * s2y - s1y * s12)
+                        - s1 * (s1 * s2y - s1y * s2)
+                        + sy * (s1 * s12 - s11 * s2)) AS det2
+                FROM s
+            )
+            SELECT 'intercept' AS term, round(det0 / det, 6) AS coef, n_rows FROM d
+            UNION ALL SELECT 'qty', round(det1 / det, 6), n_rows FROM d
+            UNION ALL SELECT 'disc_pct', round(det2 / det, 6), n_rows FROM d
+        """,
+        "position_attribution": """
+            WITH t AS (
+                SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tse, event_type
+                FROM events
+            ), marked AS (
+                SELECT *, CASE WHEN lag(tse) OVER w IS NULL
+                                 OR tse - lag(tse) OVER w >= 1800
+                               THEN 1 ELSE 0 END AS is_start
+                FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+            ), sess AS (
+                SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                              ORDER BY tse, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS sid
+                FROM marked
+            ), conv AS (
+                SELECT user_id, sid, tse AS cts, event_id AS cid
+                FROM (
+                    SELECT user_id, sid, tse, event_id,
+                           row_number() OVER (PARTITION BY user_id, sid
+                                              ORDER BY tse, event_id) AS rn
+                    FROM sess WHERE event_type = 'purchase'
+                ) WHERE rn = 1
+            ), touches AS (
+                SELECT s.user_id, s.sid, s.event_type, s.tse, s.event_id
+                FROM sess s JOIN conv c ON s.user_id = c.user_id AND s.sid = c.sid
+                WHERE s.event_type <> 'purchase'
+                  AND (s.tse < c.cts OR (s.tse = c.cts AND s.event_id < c.cid))
+            ), pos AS (
+                SELECT event_type,
+                       row_number() OVER (PARTITION BY user_id, sid
+                                          ORDER BY tse, event_id) AS p,
+                       count(*) OVER (PARTITION BY user_id, sid) AS m
+                FROM touches
+            )
+            SELECT event_type AS channel,
+                   sum(CASE WHEN m = 1 THEN 1000000
+                            WHEN m = 2 THEN 500000
+                            WHEN p = 1 THEN 400000
+                            WHEN p = m THEN 400000
+                            ELSE 200000 // (m - 2) END)::BIGINT AS credit_micros,
+                   count(*)::BIGINT AS n_touches
+            FROM pos GROUP BY event_type
+        """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,
                    sum(round(100 * l_extendedprice)::BIGINT) AS price_cents,

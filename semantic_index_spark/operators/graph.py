@@ -236,3 +236,50 @@ def khop_frontier(
         visited = visited.unionByName(nxt.withColumn("hop", F.lit(h).cast("int")))
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), deterministic variant: every node starts labeled with its
+    own id; each round a node adopts the label most frequent among its
+    in-neighbors, ties broken by the SMALLEST label; a node with no
+    in-neighbors keeps its label. Pass a symmetrized edge list for the
+    undirected algorithm. Fixed ``iters`` keeps the recurrence
+    oracle-unrollable as plain CTEs (same contract as :func:`pagerank`).
+    [absent in reference — north-star extension]
+
+    Scale shape: per round ONE hash equi-join of the |nodes|-row label
+    vector into the edge list (shuffled on the source key), a partial-agg
+    (node, label) count, and a per-node argmax window — the window key is
+    the node id (high cardinality, never a funnel). Labels localCheckpoint
+    per round so lineage stays O(1) deep. Returns (node, label)."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    e.cache()
+    nodes = e.select(F.col("_s").alias("node")).union(e.select("_d")).distinct()
+    lbl = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(iters):
+        nb = e.join(lbl, e["_s"] == lbl["node"]).select(
+            F.col("_d").alias("node"), "label"
+        )
+        new = (
+            nb.groupBy("node", "label")
+            .agg(F.count("*").alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        lbl = (
+            lbl.join(new, "node", "left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return lbl

@@ -429,3 +429,74 @@ def mann_whitney_z(
             (u - n_a * n_b / 2.0) / F.sqrt(F.nullif(var, F.lit(0.0))), 6
         ).alias("zscore"),
     )
+
+
+def ols2_closed_form(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Two-feature multivariate OLS by the normal equations, solved with
+    Cramer's rule ENTIRELY in JVM expressions — the closed-form
+    counterpart of :func:`logistic_regression_gd`'s iterative path.
+    [absent in reference — north-star extension]
+
+    ONE partial-agg pass computes the nine sufficient statistics
+    (n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y); the 3×3 solve is a
+    fixed expression tree over that single row. Inputs must be
+    INTEGER-VALUED columns (fixed-point upstream): the moment sums are
+    then exact bigints below 2⁵³, so casting to double and applying the
+    IDENTICAL Cramer expression order on any engine yields bit-identical
+    coefficients — the cross-engine-exactness trick used throughout this
+    repo. Nothing ever reaches the driver; the result is a 3-row
+    (term, coef) DataFrame a pipeline can join or broadcast. At 100 TB
+    this is one map-side-combined aggregate — the cheapest possible
+    regression; for d features generalize the sums to d(d+3)/2 entries
+    and solve the tiny system driver-side (see ``covariance_entries``)."""
+    y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    g = df.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    solved = g.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(det0 / det, round_decimals).alias("b_intercept"),
+        F.round(det1 / det, round_decimals).alias("b_x1"),
+        F.round(det2 / det, round_decimals).alias("b_x2"),
+    )
+    return solved.selectExpr(
+        "n_rows",
+        f"stack(3, 'intercept', b_intercept, '{x1_col}', b_x1, '{x2_col}', b_x2) AS (term, coef)",
+    ).select("term", "coef", "n_rows")

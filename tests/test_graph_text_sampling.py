@@ -1026,3 +1026,79 @@ def test_mann_whitney_hand_example_and_aa_shape(spark):
     )
     trow = ST2.mann_whitney_z(tied, "v").collect()[0]
     assert trow["zscore"] is None
+
+
+def test_label_propagation_two_cliques(spark):
+    from semantic_index_spark.operators import graph as G
+
+    # K4 components converge to one label per component; after round 1
+    # every node holds the min of its neighbors, after round 2 the
+    # component's min label is the majority everywhere
+    import itertools
+
+    k4a = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    k4b = list(itertools.combinations(["w", "x", "y", "z"], 2))
+    e = spark.createDataFrame(k4a + k4b, "src string, dst string")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    got = {r["node"]: r["label"] for r in G.label_propagation(edges, iters=2).collect()}
+    assert {got[n] for n in "abcd"} == {"a"}
+    assert {got[n] for n in "wxyz"} == {"w"}
+    # deterministic: a second run yields the identical labeling
+    again = {r["node"]: r["label"] for r in G.label_propagation(edges, iters=2).collect()}
+    assert again == got
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from semantic_index_spark.operators import graph as G
+
+    # directed edge into q only: p has no in-neighbors and keeps itself
+    e = spark.createDataFrame([("p", "q")], "src string, dst string")
+    got = {r["node"]: r["label"] for r in G.label_propagation(e, iters=2).collect()}
+    assert got["p"] == "p" and got["q"] == "p"
+
+
+def test_ols2_closed_form_matches_numpy(spark):
+    import numpy as np
+
+    from semantic_index_spark.operators import stats as ST
+
+    rng = np.random.RandomState(7)
+    x1 = rng.randint(0, 50, 500)
+    x2 = rng.randint(0, 10, 500)
+    y = (3 + 2 * x1 - 5 * x2 + rng.randint(-4, 5, 500)).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(y, x1, x2)],
+        "y bigint, x1 bigint, x2 bigint",
+    )
+    got = {r["term"]: r["coef"] for r in ST.ols2_closed_form(df, "y", "x1", "x2").collect()}
+    X = np.column_stack([np.ones_like(x1), x1, x2]).astype(float)
+    ref, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert abs(got["intercept"] - ref[0]) < 1e-4
+    assert abs(got["x1"] - ref[1]) < 1e-4
+    assert abs(got["x2"] - ref[2]) < 1e-4
+
+
+def test_position_attribution_credit_split(spark):
+    from semantic_index_spark.operators import timeseries as TS
+
+    # one session: ad -> email -> search -> purchase  => 40/20/40
+    # second user: single touch then purchase => 100%
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "ad"),
+        (1, 2, "2024-01-01 10:05:00", "email"),
+        (1, 3, "2024-01-01 10:10:00", "search"),
+        (1, 4, "2024-01-01 10:15:00", "purchase"),
+        (2, 5, "2024-01-01 11:00:00", "email"),
+        (2, 6, "2024-01-01 11:01:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts string, event_type string"
+    ).selectExpr("user_id", "event_id", "cast(ts AS timestamp) AS ts", "event_type")
+    got = {
+        r["channel"]: (r["credit_micros"], r["n_touches"])
+        for r in TS.position_attribution(ev, conversion="purchase").collect()
+    }
+    assert got["ad"] == (400000, 1)
+    assert got["search"] == (400000, 1)
+    # email: middle of user 1 (200000) + solo touch of user 2 (1000000)
+    assert got["email"] == (1200000, 2)

@@ -571,6 +571,21 @@ AUDITS = {
     "ngram_jaccard": {"expect": ["Generate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # quality scoring: per-row JVM expressions only.
     "text_quality": {"forbid": ["Join", "Exchange", "ArrowEvalPython", "BatchEvalPython"]},
+    # MERGE readback: the merged state is checkpointed (lineage truncated
+    # by design); the action-classification joins on the key must stay
+    # hash equi-joins, never a nested loop.
+    "merge_versioned": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # label propagation: the returned labels are the localCheckpointed
+    # final round (lineage truncated by design, like leakage_safe_split) —
+    # only the trivial-plan check applies; per-round shapes (edge hash
+    # join, node-keyed argmax window) are pytest-asserted.
+    "label_propagation": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # closed-form OLS: ONE map-side-combined aggregate + expression-only
+    # solve — no join, no window, no Python, nothing driver-side.
+    "ols_closed_form": {"expect": ["HashAggregate"], "forbid": ["Join", "Window", "ArrowEvalPython", "BatchEvalPython"]},
+    # U-shaped attribution: every window shares the one user-key shuffle;
+    # the result is a |channels|-row aggregate — no join anywhere.
+    "position_attribution": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
 }
 
 
