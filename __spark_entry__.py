@@ -3890,6 +3890,46 @@ def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.position_attribution(ev, conversion="purchase", gap_s=1800)
 
 
+
+SP_ROUNDS = 2  # fixed Bellman-Ford rounds so the oracle unrolls min-plus
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix over event types via positional
+    bitmap aggregation (operators/mining.py): corpus collapses to
+    per-64-bit-word bitmaps in one partial-agg shuffle, intersections are
+    bitmap-sized bit_count folds — never a corpus self-join. The oracle
+    computes the same matrix the independent way (DISTINCT pairs
+    equi-join), so a bitmap bit-placement bug cannot hide."""
+    from semantic_index_spark.operators import mining as MN
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return MN.audience_overlap(ev, "event_type", "user_id")
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths (2 Bellman-Ford rounds) over
+    the symmetrized co-purchase graph with quantity edge weights
+    (operators/graph.py) — the weighted counterpart of the k-hop BFS row;
+    min-plus over exact integer weights, unrolled in the oracle CTEs."""
+    from semantic_index_spark.operators import graph as G
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    raw = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        F.floor("l_quantity").cast("bigint").alias("w"),
+    )
+    edges = raw.union(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = spark.createDataFrame([("c1",), ("c2",)], "node string")
+    return G.shortest_paths(edges, seeds, rounds=SP_ROUNDS)
+
+
 def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE INTO on the bucketed versioned store, end-to-end
     (``sources/versioned.py``): target = documents with doc_id % 3 != 0
@@ -4048,6 +4088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "ols_closed_form": q_ols_closed_form,
         "position_attribution": q_position_attribution,
+        "audience_overlap": q_audience_overlap,
+        "shortest_paths": q_shortest_paths,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7166,6 +7208,53 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 200000 // (m - 2) END)::BIGINT AS credit_micros,
                    count(*)::BIGINT AS n_touches
             FROM pos GROUP BY event_type
+        """,
+        "audience_overlap": """
+            WITH a AS (
+                SELECT DISTINCT event_type AS g, user_id FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            s AS (SELECT g, count(*)::BIGINT AS n FROM a GROUP BY g),
+            o AS (
+                SELECT x.g AS group_a, y.g AS group_b, count(*)::BIGINT AS n_overlap
+                FROM a x JOIN a y ON x.user_id = y.user_id AND x.g < y.g
+                GROUP BY x.g, y.g
+            )
+            SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, n_overlap,
+                   round(n_overlap::DOUBLE / (sa.n + sb.n - n_overlap)::DOUBLE, 6)
+                     AS jaccard
+            FROM o JOIN s sa ON o.group_a = sa.g JOIN s sb ON o.group_b = sb.g
+        """,
+        "shortest_paths": """
+            WITH raw AS (
+                SELECT 'c' || o_custkey AS s, 'p' || l_partkey AS d,
+                       floor(l_quantity)::BIGINT AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            sym AS (
+                SELECT s, d, w FROM raw
+                UNION ALL SELECT d AS s, s AS d, w FROM raw
+            ),
+            e AS (SELECT s, d, min(w) AS w FROM sym GROUP BY s, d),
+            d0 AS (SELECT 'c1' AS node, 0::BIGINT AS dist
+                   UNION ALL SELECT 'c2', 0::BIGINT),
+            r1 AS (
+                SELECT node, min(dist) AS dist FROM (
+                    SELECT node, dist FROM d0
+                    UNION ALL
+                    SELECT e.d AS node, d0.dist + e.w AS dist
+                    FROM e JOIN d0 ON e.s = d0.node
+                ) GROUP BY node
+            ),
+            r2 AS (
+                SELECT node, min(dist) AS dist FROM (
+                    SELECT node, dist FROM r1
+                    UNION ALL
+                    SELECT e.d AS node, r1.dist + e.w AS dist
+                    FROM e JOIN r1 ON e.s = r1.node
+                ) GROUP BY node
+            )
+            SELECT node, dist FROM r2
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

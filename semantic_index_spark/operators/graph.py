@@ -283,3 +283,50 @@ def label_propagation(
         )
     e.unpersist()
     return lbl
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths by ``rounds`` of Bellman-Ford
+    min-plus relaxation — the weighted counterpart of
+    :func:`khop_frontier`'s unweighted BFS layers. After round r every
+    returned distance is the exact shortest over paths of ≤ r edges
+    (unreached nodes are absent); fixed ``rounds`` keeps the recurrence
+    oracle-unrollable. Integer weights keep min-plus exact on any engine.
+    [absent in reference — north-star extension]
+
+    Scale shape: per round ONE hash equi-join of the |reached|-row
+    distance vector into the edge list (shuffled on the source key) and
+    one min-groupBy over (node) — the classic distributed Bellman-Ford;
+    the distance vector localCheckpoints per round so lineage stays O(1)
+    deep. Parallel edges collapse to their min weight up front."""
+    e = (
+        edges.groupBy(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .agg(F.min(F.col(weight)).cast("bigint").alias("_w"))
+    )
+    e.cache()
+    dist = (
+        sources.select(F.col(node_col).alias(node_col))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = e.join(dist, e["_s"] == dist[node_col]).select(
+            F.col("_d").alias(node_col), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy(node_col)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

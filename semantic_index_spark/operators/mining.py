@@ -78,3 +78,71 @@ def association_lift(
             ).alias("lift"),
         )
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact audience-overlap matrix via positional bitmap aggregation —
+    the analytics answer to "how many users did both X and Y" for every
+    group pair WITHOUT a corpus-sized pairwise self-join.
+    [absent in reference — north-star extension]
+
+    Shape: each (group, id) collapses into per-64-bit-word bitmaps
+    (word = id DIV 64, ``bit_or`` of ``1 << (id % 64)``) — ONE partial-agg
+    shuffle over ≤ |groups|·(id_domain/64) keys; the pairwise
+    intersection is then a bitmap-sized equi-join on the word index with
+    a JVM ``bit_count(a & b)`` fold. The naive alternative (self-join of
+    the (group, id) relation on id) shuffles the corpus against itself;
+    here the corpus is read once and everything after is bitmap-sized.
+    The roaring-bitmap analytics-engine trick, in pure DataFrame ops.
+
+    ``id_col`` must be a non-negative integer id; DENSE ids keep the
+    bitmaps compact (sparse 64-bit ids: remap via ``skew.global_ranks``
+    first, or hash to a fixed domain and accept collision-approximate
+    counts). Returns (group_a, group_b, n_a, n_b, n_overlap, jaccard)
+    for group_a < group_b."""
+    g = F.col(group_col)
+    words = (
+        df.select(
+            g.alias("_g"),
+            F.expr(f"CAST({id_col} AS BIGINT) DIV 64").alias("_w"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 64 AS INT))").alias("_bit"),
+        )
+        .groupBy("_g", "_w")
+        .agg(F.expr("bit_or(_bit)").alias("_bm"))
+    )
+    sizes = words.groupBy("_g").agg(
+        F.sum(F.bit_count("_bm")).cast("bigint").alias("_n")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    inter = (
+        a.join(b, (F.col("a._w") == F.col("b._w")) & (F.col("a._g") < F.col("b._g")))
+        .groupBy(F.col("a._g").alias("group_a"), F.col("b._g").alias("group_b"))
+        .agg(
+            F.sum(F.bit_count(F.col("a._bm").bitwiseAND(F.col("b._bm"))))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+    )
+    sa = sizes.select(F.col("_g").alias("group_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_g").alias("group_b"), F.col("_n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")).cast("double"),
+                round_decimals,
+            ).alias("jaccard"),
+        )
+    )

@@ -1102,3 +1102,41 @@ def test_position_attribution_credit_split(spark):
     assert got["search"] == (400000, 1)
     # email: middle of user 1 (200000) + solo touch of user 2 (1000000)
     assert got["email"] == (1200000, 2)
+
+
+def test_shortest_paths_weighted_relaxation(spark):
+    from semantic_index_spark.operators import graph as G
+
+    # a->b direct cost 10, a->c->b cost 3+4=7: round 2 must relax to 7
+    e = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 3), ("c", "b", 4)], "src string, dst string, w bigint"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in G.shortest_paths(e, seeds, rounds=2).collect()}
+    assert got == {"a": 0, "b": 7, "c": 3}
+    # one round only reaches the direct edges
+    got1 = {r["node"]: r["dist"] for r in G.shortest_paths(e, seeds, rounds=1).collect()}
+    assert got1 == {"a": 0, "b": 10, "c": 3}
+
+
+def test_audience_overlap_exact_counts(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    # X = {1, 2, 3, 64}, Y = {2, 64, 200}: overlap {2, 64} spans two words
+    rows = [("X", 1), ("X", 2), ("X", 3), ("X", 64), ("Y", 2), ("Y", 64), ("Y", 200)]
+    df = spark.createDataFrame(rows, "g string, uid bigint")
+    got = MN.audience_overlap(df, "g", "uid").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"], r["n_overlap"]) == ("X", "Y", 4, 3, 2)
+    assert abs(r["jaccard"] - 2 / 5) < 1e-9
+
+
+def test_audience_overlap_bit63_boundary(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    # id 63 uses the sign bit; id 127 the sign bit of word 1
+    rows = [("A", 63), ("A", 127), ("B", 63), ("B", 127), ("B", 5)]
+    df = spark.createDataFrame(rows, "g string, uid bigint")
+    r = MN.audience_overlap(df, "g", "uid").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_overlap"]) == (2, 3, 2)

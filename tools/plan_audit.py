@@ -586,6 +586,14 @@ AUDITS = {
     # U-shaped attribution: every window shares the one user-key shuffle;
     # the result is a |channels|-row aggregate — no join anywhere.
     "position_attribution": {"expect": ["Window", "HashAggregate"], "forbid": ["Join", "CartesianProduct", "SinglePartition"]},
+    # bitmap overlap: corpus collapses to bitmaps in one partial agg; the
+    # word-index join and size joins are hash/broadcast equi-joins on
+    # bitmap-sized relations — never a corpus self-join.
+    "audience_overlap": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # Bellman-Ford: returned distances are the localCheckpointed final
+    # round (lineage truncated by design) — trivial-plan check only;
+    # per-round join/min shapes are pytest-asserted.
+    "shortest_paths": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
