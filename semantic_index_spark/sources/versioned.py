@@ -369,3 +369,40 @@ def merge_into_bucketed(
     }
     _commit_bucketed(table, result, nxt, base)
     return nxt
+
+
+def expire_bucketed(table: str, keep_manifests: int = 2) -> list[int]:
+    """Retention for bucketed tables — ``expire_versions`` must NOT be
+    used here: an old ``v=`` directory can still OWN live buckets (the
+    whole point of incremental merges is that untouched buckets stay
+    where they were written). This walks the manifests instead: keep the
+    newest ``keep_manifests`` manifests; a version directory is
+    reclaimable only when NO kept manifest references any of its buckets.
+    Returns the reclaimed version numbers. Same crash contract as the
+    rest of the module: data is deleted only after the pointer already
+    stopped referencing it, so a reader pinned to a KEPT version never
+    loses files."""
+    if keep_manifests < 1:
+        raise ValueError(f"keep_manifests must be >= 1, got {keep_manifests}")
+    cur = current_version(table)
+    if cur is None:
+        return []
+    kept_versions = [
+        v for v in range(cur + 1) if os.path.exists(_manifest_path(table, v))
+    ][-keep_manifests:]
+    live: set[int] = set()
+    for v in kept_versions:
+        man = _read_manifest(table, v)
+        live.update(int(x) for x in man["buckets"].values() if x is not None)
+    reclaimed = []
+    for v in list_versions(table):
+        if v in live or v in kept_versions:
+            continue
+        if v > cur:  # in-flight concurrent commit — same age rule as expire_versions
+            continue
+        shutil.rmtree(os.path.join(table, f"v={v}"), ignore_errors=True)
+        mp = _manifest_path(table, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+        reclaimed.append(v)
+    return reclaimed

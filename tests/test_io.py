@@ -494,3 +494,26 @@ def test_bucketed_merge_emptied_bucket_tombstones(spark, tmp_path):
     src = spark.createDataFrame([(1, None, "delete")], "id bigint, val string, op string")
     VER.merge_into_bucketed(spark, tb, src, op_col="op")
     assert VER.read_bucketed(spark, tb).count() == 0
+
+
+def test_expire_bucketed_keeps_live_bucket_owners(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "bucketed_exp")
+    base = spark.range(0, 100).selectExpr("id", "cast(id as string) AS val")
+    VER.create_bucketed(base, tb, ["id"], n_buckets=8)
+    # three single-key merges: v1, v2, v3 each touch ~1 bucket; v0 still
+    # owns most buckets and must survive any retention
+    for i, key in enumerate([3, 4, 5]):
+        src = spark.createDataFrame([(key, f"upd{i}")], "id bigint, val string")
+        VER.merge_into_bucketed(spark, tb, src)
+    reclaimed = VER.expire_bucketed(tb, keep_manifests=1)
+    # v0 owns live buckets -> kept; v1/v2 reclaimable only if no latest-
+    # manifest bucket points at them (keys 3/4/5 may share buckets)
+    assert 0 not in reclaimed
+    man = VER._read_manifest(tb)
+    for v in reclaimed:
+        assert all(int(x) != v for x in man["buckets"].values() if x is not None)
+    # the table still reads completely and correctly
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert len(got) == 100 and got[3] == "upd0" and got[4] == "upd1" and got[5] == "upd2"

@@ -63,6 +63,13 @@ PANEL = [
     "q21_waiting_suppliers",  # per-order aggregate + semi join-back
     "cdc_apply",              # one keyed window, no joins
     "skyline_frontier",       # distinct-price spine window + broadcast back
+    "merge_versioned",        # bucketed incremental MERGE (touched-bucket IO)
+    "label_propagation",      # per-round edge join + node-keyed argmax
+    "ols_closed_form",        # one map-side-combined moment aggregate
+    "audience_overlap",       # bitmap build + bitmap-sized intersect joins
+    "shortest_paths",         # per-round min-plus edge join
+    "window_distribution",    # grouped_ranks distribution measures
+    "rolling_event_stats",    # block-overlap RANGE window
 ]
 
 
