@@ -3930,6 +3930,41 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.shortest_paths(edges, seeds, rounds=SP_ROUNDS)
 
 
+
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two versions of the bucketed store
+    (sources/versioned.py diff_bucketed): build the same target + merge
+    as merge_versioned, then ask "what changed between v0 and v1?" —
+    reading ONLY the buckets whose manifest owner moved (a 1 % merge
+    diffs ~1 % of the table at any size). The oracle derives the same
+    change set relationally from the parquet original: updates = matched
+    upserts with a differing payload, deletes = matched tombstones,
+    inserts = unmatched upserts."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    target = d.filter(F.col("doc_id") % 3 != 0)
+    src = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdf_ver_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(target, tbl, ["doc_id"], n_buckets=16)
+        VER.merge_into_bucketed(spark, tbl, src, op_col="op")
+        out = VER.diff_bucketed(spark, tbl, 0, 1).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE INTO on the bucketed versioned store, end-to-end
     (``sources/versioned.py``): target = documents with doc_id % 3 != 0
@@ -4090,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_attribution": q_position_attribution,
         "audience_overlap": q_audience_overlap,
         "shortest_paths": q_shortest_paths,
+        "table_changes": q_table_changes,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7255,6 +7291,28 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY node
             )
             SELECT node, dist FROM r2
+        """,
+        "table_changes": """
+            WITH target AS (
+              SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+            ), src AS (
+              SELECT doc_id, n_chars + 1000 AS n_chars,
+                     CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT t.doc_id, 'updated' AS _action,
+                   t.n_chars AS n_chars_old, s.n_chars AS n_chars_new
+            FROM target t JOIN src s ON t.doc_id = s.doc_id
+            WHERE s.op = 'upsert' AND t.n_chars IS DISTINCT FROM s.n_chars
+            UNION ALL
+            SELECT t.doc_id, 'deleted', t.n_chars, NULL
+            FROM target t JOIN src s ON t.doc_id = s.doc_id
+            WHERE s.op = 'delete'
+            UNION ALL
+            SELECT s.doc_id, 'inserted', NULL, s.n_chars
+            FROM src s
+            WHERE s.op = 'upsert'
+              AND NOT EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

@@ -406,3 +406,68 @@ def expire_bucketed(table: str, keep_manifests: int = 2) -> list[int]:
             os.remove(mp)
         reclaimed.append(v)
     return reclaimed
+
+
+def diff_bucketed(
+    spark: SparkSession, table: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed between two committed versions of a bucketed
+    table — Delta CDF / Iceberg changelog-scan semantics. The manifests
+    make it INCREMENTAL: a bucket whose owning version is identical in
+    both manifests cannot contain a change, so only buckets that moved
+    are read on either side — a merge that touched 1 % of the table
+    yields a diff that reads ~1 % of it, at any table size. Within the
+    changed buckets, one full-outer hash equi-join on the key classifies
+    rows (``inserted`` / ``deleted`` / ``updated``); rows whose full
+    payload is null-safe-equal are dropped (bucket churn is not a row
+    change). Returns key columns + ``_action`` + ``<col>_old`` /
+    ``<col>_new`` for every data column."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    man_a, man_b = _read_manifest(table, v_from), _read_manifest(table, v_to)
+    if man_a["key_cols"] != man_b["key_cols"] or man_a["n_buckets"] != man_b["n_buckets"]:
+        raise ValueError("diff_bucketed: incompatible manifests (key_cols/n_buckets differ)")
+    keys = man_a["key_cols"]
+    schema = StructType.fromJson(json.loads(man_a["schema"]))
+    data_cols = [f.name for f in schema.fields if f.name not in keys]
+    changed = sorted(
+        int(b) for b in man_a["buckets"] if man_a["buckets"][b] != man_b["buckets"][b]
+    )
+
+    def _side(man: dict) -> DataFrame:
+        paths = [
+            os.path.join(table, f"v={man['buckets'][str(b)]}", f"__bucket={b}")
+            for b in changed
+            if man["buckets"][str(b)] is not None
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths)
+
+    a = _side(man_a).select(
+        *keys, *[F.col(c).alias(f"{c}_old") for c in data_cols], F.lit(1).alias("_in_a")
+    )
+    b = _side(man_b).select(
+        *keys, *[F.col(c).alias(f"{c}_new") for c in data_cols], F.lit(1).alias("_in_b")
+    )
+    joined = a.join(b, keys, "full_outer")
+    same_payload = F.lit(True)
+    for c in data_cols:
+        same_payload = same_payload & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    action = (
+        F.when(F.col("_in_a").isNull(), F.lit("inserted"))
+        .when(F.col("_in_b").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        joined.filter(
+            F.col("_in_a").isNull() | F.col("_in_b").isNull() | ~same_payload
+        )
+        .select(
+            *keys,
+            action.alias("_action"),
+            *[F.col(f"{c}_old") for c in data_cols],
+            *[F.col(f"{c}_new") for c in data_cols],
+        )
+    )

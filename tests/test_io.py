@@ -517,3 +517,27 @@ def test_expire_bucketed_keeps_live_bucket_owners(spark, tmp_path):
     # the table still reads completely and correctly
     got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tb).collect()}
     assert len(got) == 100 and got[3] == "upd0" and got[4] == "upd1" and got[5] == "upd2"
+
+
+def test_diff_bucketed_reads_only_moved_buckets(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "cdf_tbl")
+    base = spark.range(0, 60).selectExpr("id", "cast(id * 3 as string) AS val")
+    VER.create_bucketed(base, tb, ["id"], n_buckets=8)
+    src = spark.createDataFrame(
+        [(7, "SEVEN", "upsert"), (8, None, "delete"), (1007, "NEW", "upsert")],
+        "id bigint, val string, op string",
+    )
+    VER.merge_into_bucketed(spark, tb, src, op_col="op")
+    got = {
+        (r["id"], r["_action"]): (r["val_old"], r["val_new"])
+        for r in VER.diff_bucketed(spark, tb, 0, 1).collect()
+    }
+    assert got == {
+        (7, "updated"): ("21", "SEVEN"),
+        (8, "deleted"): ("24", None),
+        (1007, "inserted"): (None, "NEW"),
+    }
+    # empty diff between identical versions
+    assert VER.diff_bucketed(spark, tb, 1, 1).count() == 0

@@ -594,6 +594,9 @@ AUDITS = {
     # round (lineage truncated by design) — trivial-plan check only;
     # per-round join/min shapes are pytest-asserted.
     "shortest_paths": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # change data feed: checkpointed readback (lineage truncated) — the
+    # in-flight diff join is a keyed full-outer; trivial-plan check only.
+    "table_changes": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
