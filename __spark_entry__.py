@@ -3250,6 +3250,65 @@ def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+
+def q_stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO the bucketed versioned table end-to-end
+    (streaming/ingest.merge_stream_sink): seed the table from documents
+    (doc_id % 3 != 0), then replay two micro-batches of CDC rows —
+    tombstones for doc_id % 6 == 0, +1000 upserts for % 6 == 2, +2000
+    upserts for % 6 == 4 — through foreachBatch incremental merges (one
+    committed version per batch, only touched buckets rewritten, epoch
+    ledger in the manifest). Batch key sets are DISJOINT so the final
+    state is independent of file-arrival order; the oracle applies the
+    same changes relationally in one expression."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.streaming import ingest as SI
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    target = d.filter(F.col("doc_id") % 3 != 0)
+    b1 = d.filter((F.col("doc_id") % 6 == 0) | (F.col("doc_id") % 6 == 2)).select(
+        "doc_id",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    b2 = d.filter(F.col("doc_id") % 6 == 4).select(
+        "doc_id", (F.col("n_chars") + 2000).alias("n_chars"), F.lit("upsert").alias("op")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_merge_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(target, tbl, ["doc_id"], n_buckets=16)
+        src = os.path.join(tmp, "feed")
+        os.makedirs(src)
+        for i, b in enumerate((b1, b2)):
+            _write_one_file_parquet(
+                b, os.path.join(tmp, f"s{i}"), os.path.join(src, f"batch{i}.parquet")
+            )
+        stream = (
+            spark.readStream.schema("doc_id bigint, n_chars bigint, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = SI.merge_stream_sink(tbl, op_col="op")
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = VER.read_bucketed(spark, tbl).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def q_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) in a
     rows-checkable form: replay the events table as 3 micro-batches
@@ -4126,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "shortest_paths": q_shortest_paths,
         "table_changes": q_table_changes,
+        "stream_merge_replay": q_stream_merge_replay,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7313,6 +7373,22 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.op = 'upsert'
               AND NOT EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
+        """,
+        "stream_merge_replay": """
+            WITH target AS (
+              SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+            ), changes AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 6 = 2 THEN n_chars + 1000
+                          WHEN doc_id % 6 = 4 THEN n_chars + 2000 END AS n_chars,
+                     CASE WHEN doc_id % 6 = 0 THEN 'delete' ELSE 'upsert' END AS op
+              FROM documents
+              WHERE doc_id % 6 IN (0, 2, 4)
+            )
+            SELECT t.doc_id, t.n_chars FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = t.doc_id)
+            UNION ALL
+            SELECT c.doc_id, c.n_chars FROM changes c WHERE c.op = 'upsert'
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

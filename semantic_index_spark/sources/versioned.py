@@ -302,6 +302,7 @@ def merge_into_bucketed(
     op_col: str | None = None,
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    meta: dict | None = None,
 ) -> int:
     """``MERGE INTO`` a bucketed table rewriting ONLY the buckets the
     source touches — the incremental copy-on-write real table formats do
@@ -366,6 +367,7 @@ def merge_into_bucketed(
         "schema": man["schema"],
         "buckets": man["buckets"],
         "__affected": affected,
+        "meta": dict(meta) if meta else {},
     }
     _commit_bucketed(table, result, nxt, base)
     return nxt

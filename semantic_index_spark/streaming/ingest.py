@@ -570,3 +570,34 @@ def checksum_sink(path: str, cols: list[str], by: str):
             F.bit_xor("checksum").alias("checksum"),
         ),
     )
+
+
+def merge_stream_sink(table: str, op_col: str | None = None):
+    """Streaming MERGE INTO the bucketed versioned table — the
+    Delta-streaming-upsert shape: each micro-batch applies
+    ``versioned.merge_into_bucketed`` (update/insert, tombstone deletes
+    via ``op_col``) and commits ONE new table version, rewriting only the
+    buckets the batch touches. ``foreachBatch`` is at-least-once; the
+    sink upgrades to exactly-once the transactional way — the batch's
+    epoch id is recorded in the committed manifest, and a re-delivered
+    epoch (restart between commit and checkpoint ack) is SKIPPED when the
+    latest manifest already carries an equal-or-newer epoch. That is the
+    same idempotency contract real table formats implement with txn ids;
+    the partition-overwrite trick (``idempotent_parquet_sink``) is the
+    non-transactional fallback. Returns the ``foreachBatch`` callback."""
+    from semantic_index_spark.sources import versioned as VER
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        man = VER._read_manifest(table)
+        last = man.get("meta", {}).get("epoch_id")
+        if last is not None and int(last) >= int(epoch_id):
+            return  # re-delivered micro-batch: already committed
+        VER.merge_into_bucketed(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            op_col=op_col,
+            meta={"epoch_id": int(epoch_id)},
+        )
+
+    return _apply

@@ -656,3 +656,56 @@ def test_stream_session_replay_equals_batch_session_window(spark):
     want = R.session_window_agg(spark, sf_dir)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_merge_stream_sink_upserts_and_skips_replayed_epoch(spark, tmp_path):
+    """Streaming MERGE into the bucketed versioned table: micro-batches
+    apply as incremental merges (one version each), and a re-delivered
+    epoch is skipped via the manifest's epoch ledger — exactly-once the
+    transactional way."""
+    import os as _os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    # seed the table
+    tbl = str(tmp_path / "merge_tbl")
+    base = spark.range(0, 40).selectExpr(
+        "id", "cast(id as string) AS val", "'upsert' AS op"
+    )
+    VER.create_bucketed(base.drop("op"), tbl, ["id"], n_buckets=8)
+
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    src_dir = str(tmp_path / "feed")
+    b1 = spark.createDataFrame(
+        [(1, "one", "upsert"), (2, None, "delete")], "id bigint, val string, op string"
+    )
+    b2 = spark.createDataFrame(
+        [(100, "hundred", "upsert"), (3, "three", "upsert")],
+        "id bigint, val string, op string",
+    )
+    b1.coalesce(1).write.parquet(_os.path.join(src_dir, "f1"))
+    b2.coalesce(1).write.parquet(_os.path.join(src_dir, "f2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    sink = I.merge_stream_sink(tbl, op_col="op")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tbl).collect()}
+    assert got[1] == "one" and got[3] == "three" and got[100] == "hundred"
+    assert 2 not in got and len(got) == 40  # -1 delete +1 insert
+    v_after = VER.current_version(tbl)
+    assert v_after >= 2  # one version per applied batch
+
+    # crash-replay simulation: re-deliver an already-committed epoch
+    sink(b2, VER._read_manifest(tbl)["meta"]["epoch_id"])
+    assert VER.current_version(tbl) == v_after  # skipped, no new version

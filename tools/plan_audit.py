@@ -597,6 +597,8 @@ AUDITS = {
     # change data feed: checkpointed readback (lineage truncated) — the
     # in-flight diff join is a keyed full-outer; trivial-plan check only.
     "table_changes": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # streaming merge replay: checkpointed manifest readback — trivial.
+    "stream_merge_replay": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
