@@ -4024,6 +4024,26 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community quality readout: Newman modularity of the 2-round
+    label-propagation assignment over the co-purchase graph
+    (operators/graph.py modularity) — per-community intra-edge and
+    degree-sum exact counts with the Q contribution; the oracle re-runs
+    the full LP recurrence and the modularity arithmetic in CTEs."""
+    from semantic_index_spark.operators import graph as G
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    labels = G.label_propagation(edges, iters=LP_ITERS)
+    return G.modularity(edges, labels)
+
+
 def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE INTO on the bucketed versioned store, end-to-end
     (``sources/versioned.py``): target = documents with doc_id % 3 != 0
@@ -4186,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "table_changes": q_table_changes,
         "stream_merge_replay": q_stream_merge_replay,
+        "modularity": q_modularity,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7389,6 +7410,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = t.doc_id)
             UNION ALL
             SELECT c.doc_id, c.n_chars FROM changes c WHERE c.op = 'upsert'
+        """,
+        "modularity": """
+            WITH raw AS (
+                SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM raw
+                    UNION ALL SELECT dst AS src, src AS dst FROM raw
+                )
+            ),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            c1 AS (
+                SELECT e.dst AS node, l0.label, count(*) AS c
+                FROM e JOIN l0 ON e.src = l0.node GROUP BY e.dst, l0.label
+            ),
+            p1 AS (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM c1
+            ),
+            l1 AS (
+                SELECT n.node, coalesce(p.label, n.node) AS label
+                FROM nodes n LEFT JOIN (SELECT node, label FROM p1 WHERE rn = 1) p
+                  ON n.node = p.node
+            ),
+            c2 AS (
+                SELECT e.dst AS node, l1.label, count(*) AS c
+                FROM e JOIN l1 ON e.src = l1.node GROUP BY e.dst, l1.label
+            ),
+            p2 AS (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM c2
+            ),
+            l2 AS (
+                SELECT n.node, coalesce(p.label, l1.label) AS label
+                FROM nodes n
+                JOIN l1 ON n.node = l1.node
+                LEFT JOIN (SELECT node, label FROM p2 WHERE rn = 1) p ON n.node = p.node
+            ),
+            tm AS (SELECT count(*)::DOUBLE AS m2 FROM e),
+            per_label AS (
+                SELECT ls.label,
+                       sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END)::BIGINT
+                         AS intra_edges,
+                       count(*)::BIGINT AS degree_sum
+                FROM e
+                JOIN l2 ls ON e.src = ls.node
+                JOIN l2 ld ON e.dst = ld.node
+                GROUP BY ls.label
+            ),
+            sizes AS (SELECT label, count(*)::BIGINT AS n_nodes FROM l2 GROUP BY label)
+            SELECT s.label, s.n_nodes,
+                   coalesce(p.intra_edges, 0) AS intra_edges,
+                   coalesce(p.degree_sum, 0) AS degree_sum,
+                   round(coalesce(p.intra_edges, 0)::DOUBLE / tm.m2
+                         - (coalesce(p.degree_sum, 0)::DOUBLE / tm.m2)
+                           * (coalesce(p.degree_sum, 0)::DOUBLE / tm.m2), 6) + 0.0
+                     AS contribution
+            FROM sizes s LEFT JOIN per_label p ON s.label = p.label CROSS JOIN tm
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

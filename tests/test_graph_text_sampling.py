@@ -1140,3 +1140,22 @@ def test_audience_overlap_bit63_boundary(spark):
     df = spark.createDataFrame(rows, "g string, uid bigint")
     r = MN.audience_overlap(df, "g", "uid").collect()[0]
     assert (r["n_a"], r["n_b"], r["n_overlap"]) == (2, 3, 2)
+
+
+def test_modularity_perfect_split_positive(spark):
+    import itertools
+
+    from semantic_index_spark.operators import graph as G
+
+    k4a = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    k4b = list(itertools.combinations(["w", "x", "y", "z"], 2))
+    e = spark.createDataFrame(k4a + k4b, "src string, dst string")
+    edges = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    labels = G.label_propagation(edges, iters=2)
+    rows = G.modularity(edges, labels).collect()
+    # two communities of 4; all edges intra: Q = sum = 2*(12/24 - (12/24)^2) = 0.5
+    assert len(rows) == 2
+    q = sum(r["contribution"] for r in rows)
+    assert abs(q - 0.5) < 1e-6
+    for r in rows:
+        assert r["n_nodes"] == 4 and r["intra_edges"] == 12 and r["degree_sum"] == 12

@@ -599,6 +599,9 @@ AUDITS = {
     "table_changes": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # streaming merge replay: checkpointed manifest readback — trivial.
     "stream_merge_replay": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # modularity: label-vector joins ride the checkpointed LP output; the
+    # per-label aggregation must stay hash-shaped.
+    "modularity": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
