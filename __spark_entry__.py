@@ -4115,9 +4115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skyline_frontier, stream_static_enrich_replay, stream_session_replay,
     orc_roundtrip, naive_bayes_lang, quantile_normalize, throttle_dedup,
     holt_winters, ivf_silhouette, trimmed_mean_udaf) are the remaining 23:
-    ROUND 7 MUST move them to the FRONT of this dict (plus any queries new
-    in round 6) so they rotate through the driver window — the in-dict
-    comment marks the boundary. Everything after slot 73 carries a green
+    ROUND 7 MUST move them to the FRONT of this dict, followed by the 9
+    queries NEW in round 6 (merge_versioned, label_propagation,
+    ols_closed_form, position_attribution, audience_overlap,
+    shortest_paths, table_changes, stream_merge_replay, modularity) —
+    23 + 9 = 32 never-driver-checked names, all fitting one 50-slot
+    window — so they rotate through the driver gate; the in-dict
+    comments mark both boundaries. Everything after slot 73 carries a green
     driver row from rounds 1-5 (r5 passed 50/50). EVERY query has a hash
     oracle; all 230+ are verified at both sf0.01 and sf0.1 by
     tools/check_oracles.py."""
