@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -96,6 +101,46 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source (Spark 4
+    ``SimpleDataSourceStreamReader``): each micro-batch advances the
+    offset by ``rows_per_batch`` rows of the SAME deterministic corpus,
+    so ``readStream.format("synthetic_docs")`` replays exactly the rows
+    ``read.format("synthetic_docs")`` would produce — stream/batch parity
+    is pytest-locked. Offsets are plain ``{"offset": n}`` dicts; `read`
+    returns (rows, next_offset) and `readBetweenOffsets` regenerates a
+    replayed range purely from the offsets (content is a pure function of
+    (seed, row_id)), which is exactly the exactly-once replay contract
+    the simple-reader API asks for. The driver never materializes rows
+    outside the requested batch; ``max_rows`` bounds the unbounded
+    stream for tests."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 0))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = int(start["offset"])
+        hi = lo + self.per_batch
+        if self.max_rows:
+            hi = min(hi, self.max_rows)
+        rows = [_doc_row(self.seed, i) for i in range(lo, hi)]
+        return iter(rows), {"offset": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            _doc_row(self.seed, i)
+            for i in range(int(start["offset"]), int(end["offset"]))
+        )
 
 
 def register_synthetic_docs(spark) -> None:

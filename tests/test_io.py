@@ -541,3 +541,48 @@ def test_diff_bucketed_reads_only_moved_buckets(spark, tmp_path):
     }
     # empty diff between identical versions
     assert VER.diff_bucketed(spark, tb, 1, 1).count() == 0
+
+
+def test_synthetic_docs_streaming_source_matches_batch(spark, tmp_path):
+    """The streaming face of the custom Python DataSource must replay
+    exactly the deterministic rows the batch face produces — stream/batch
+    parity across micro-batches."""
+    from semantic_index_spark.sources.synthetic import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("seed", 5)
+        .option("rows_per_batch", 40)
+        .option("max_rows", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # the reader advances one micro-batch per trigger; poll until the
+    # max_rows cap has streamed through, then stop
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table("synth_stream").count() >= 100:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in spark.table("synth_stream").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["text"], r["lang"])
+        for r in spark.read.format("synthetic_docs")
+        .option("rows", 100)
+        .option("seed", 5)
+        .load()
+        .collect()
+    )
+    assert got == want and len(got) == 100
