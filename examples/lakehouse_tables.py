@@ -1,0 +1,80 @@
+"""The table-format subsystem end to end: create a bucketed versioned
+table, apply an incremental MERGE (update/insert/delete), time-travel to
+the pre-merge state, read the change data feed between versions, stream
+a CDC feed through the exactly-once MERGE sink, and expire reclaimable
+versions. Run: python examples/lakehouse_tables.py
+
+Every step rewrites ONLY the buckets it touches (the per-version bucket
+manifest is the point) — at 100 TB a 1% feed costs ~1% of the table per
+merge, and the diff between versions reads just the moved buckets.
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from semantic_index_spark import get_spark
+from semantic_index_spark.session import load_table
+from semantic_index_spark.sources import versioned as VER
+from semantic_index_spark.streaming import ingest as SI
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+spark = get_spark(app_name="lakehouse-tables", master="local[4]", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+
+root = tempfile.mkdtemp(prefix="lakehouse_")
+tbl = os.path.join(root, "docs")
+try:
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+
+    # 1. create: 16 hash buckets, manifest v0 owns them all
+    VER.create_bucketed(docs, tbl, ["doc_id"], n_buckets=64)
+    print("v0 rows:", VER.read_bucketed(spark, tbl).count())
+
+    # 2. incremental MERGE: CDC batch with upserts + tombstones
+    batch = docs.filter(F.col("doc_id") % 53 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + 1).alias("n_chars"),
+        F.when(F.col("doc_id") % 106 == 0, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+    )
+    v1 = VER.merge_into_bucketed(spark, tbl, batch, op_col="op")
+    man = VER._read_manifest(tbl)
+    moved = sum(1 for v in man["buckets"].values() if v == v1)
+    print(f"v{v1}: rewrote {moved}/64 buckets")
+
+    # 3. time travel + change data feed
+    print("v0 still readable:", VER.read_bucketed(spark, tbl, version=0).count())
+    diff = VER.diff_bucketed(spark, tbl, 0, v1)
+    diff.groupBy("_action").count().show()
+
+    # 4. point lookup with manifest-level bucket pruning
+    VER.read_bucketed(spark, tbl, key_values=[(21,)]).filter("doc_id = 21").show()
+
+    # 5. streaming CDC through the exactly-once MERGE sink
+    feed = os.path.join(root, "feed")
+    batch.limit(20).coalesce(1).write.parquet(os.path.join(feed, "f1"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, n_chars bigint, op string")
+        .parquet(feed + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(SI.merge_stream_sink(tbl, op_col="op"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print("after stream merge:", VER.current_version(tbl), "versions;",
+          VER.read_bucketed(spark, tbl).count(), "rows")
+
+    # 6. retention: reclaim versions no kept manifest references
+    print("reclaimed:", VER.expire_bucketed(tbl, keep_manifests=2))
+finally:
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()

@@ -274,16 +274,11 @@ def read_bucketed(
     man = _read_manifest(table, version)
     live = {int(b): v for b, v in man["buckets"].items() if v is not None}
     if key_values is not None:
-        import pyspark.sql.functions as F
-
         keys = man["key_cols"]
-        probe = spark.createDataFrame(key_values, schema=", ".join(
-            f"{k} {t}" for k, t in zip(
-                keys,
-                [f.dataType.simpleString() for k2 in keys
-                 for f in StructType.fromJson(json.loads(man["schema"])).fields if f.name == k2],
-            )
-        ))
+        full = StructType.fromJson(json.loads(man["schema"]))
+        probe = spark.createDataFrame(
+            key_values, schema=StructType([full[k] for k in keys])
+        )
         wanted = {
             r["__b"]
             for r in probe.select(_bucket_expr(keys, man["n_buckets"]).alias("__b")).collect()
