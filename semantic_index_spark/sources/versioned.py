@@ -387,6 +387,13 @@ def expire_bucketed(table: str, keep_manifests: int = 2) -> list[int]:
     kept_versions = [
         v for v in range(cur + 1) if os.path.exists(_manifest_path(table, v))
     ][-keep_manifests:]
+    if not kept_versions:
+        # a plain-snapshot table has no manifests; without this guard the
+        # empty live-set would reclaim EVERY version — refuse instead.
+        raise ValueError(
+            f"expire_bucketed: {table} has no bucket manifests (plain snapshot "
+            "table? use expire_versions)"
+        )
     live: set[int] = set()
     for v in kept_versions:
         man = _read_manifest(table, v)

@@ -586,3 +586,14 @@ def test_synthetic_docs_streaming_source_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 100
+
+
+def test_expire_bucketed_refuses_plain_tables(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "plain_tbl")
+    VER.commit_version(spark.createDataFrame([(1, "a")], "id bigint, val string"), t)
+    with pytest.raises(ValueError, match="no bucket manifests"):
+        VER.expire_bucketed(t)
+    # nothing was deleted
+    assert VER.read_version(spark, t).count() == 1
