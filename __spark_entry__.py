@@ -3913,7 +3913,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls both rounds as count + argmax-window CTEs."""
     from semantic_index_spark.operators import graph as G
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
@@ -4033,14 +4035,23 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full LP recurrence and the modularity arithmetic in CTEs."""
     from semantic_index_spark.operators import graph as G
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     )
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    labels = G.label_propagation(edges, iters=LP_ITERS)
+    # materialize the distinct symmetric edge list ONCE: LP's rounds, the
+    # modularity joins, and the 2m count all read this checkpoint instead
+    # of re-running the co-purchase join + distinct three times
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = G.label_propagation(edges, iters=LP_ITERS, assume_distinct=True)
     return G.modularity(edges, labels)
 
 
@@ -7210,6 +7221,7 @@ def oracle_sql() -> dict[str, str]:
             WITH raw AS (
                 SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderkey % 4 = 0
             ),
             e AS (
                 SELECT DISTINCT src, dst FROM (
@@ -7419,6 +7431,7 @@ def oracle_sql() -> dict[str, str]:
             WITH raw AS (
                 SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderkey % 4 = 0
             ),
             e AS (
                 SELECT DISTINCT src, dst FROM (

@@ -243,13 +243,16 @@ def label_propagation(
     iters: int = 2,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007), deterministic variant: every node starts labeled with its
     own id; each round a node adopts the label most frequent among its
     in-neighbors, ties broken by the SMALLEST label; a node with no
     in-neighbors keeps its label. Pass a symmetrized edge list for the
-    undirected algorithm. Fixed ``iters`` keeps the recurrence
+    undirected algorithm; ``assume_distinct=True`` skips the internal
+    edge dedup when the caller already materialized a distinct edge list
+    (one corpus shuffle saved — see ``q_modularity``). Fixed ``iters`` keeps the recurrence
     oracle-unrollable as plain CTEs (same contract as :func:`pagerank`).
     [absent in reference — north-star extension]
 
@@ -258,23 +261,29 @@ def label_propagation(
     (node, label) count, and a per-node argmax window — the window key is
     the node id (high cardinality, never a funnel). Labels localCheckpoint
     per round so lineage stays O(1) deep. Returns (node, label)."""
-    from pyspark.sql import Window
-
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not assume_distinct:
+        e = e.distinct()
     e.cache()
     nodes = e.select(F.col("_s").alias("node")).union(e.select("_d")).distinct()
     lbl = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
-    w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
     for _ in range(iters):
         nb = e.join(lbl, e["_s"] == lbl["node"]).select(
             F.col("_d").alias("node"), "label"
         )
+        # argmax-by-(count DESC, label ASC) as a min_by aggregate over
+        # (-count, label) — two map-side-combinable hash aggs instead of
+        # a sort + row_number window over the (node, label) counts
         new = (
             nb.groupBy("node", "label")
             .agg(F.count("*").alias("_c"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+            .groupBy("node")
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("_c")).alias("a"), F.col("label").alias("b")),
+                ).alias("_new")
+            )
         )
         lbl = (
             lbl.join(new, "node", "left")
