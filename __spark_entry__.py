@@ -4055,6 +4055,32 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.modularity(edges, labels)
 
 
+
+def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-HUGE-SIDES range join (timeseries.bucketed_range_join):
+    order totalprices as points against a corpus-sized interval table
+    (one ±2500 band around each customer's account balance ×40) — too
+    many intervals to broadcast, so both sides overlay a fixed grid and
+    hash-equi-join on the bucket with the exact predicate re-checked.
+    The oracle is the literal theta join; counts are aggregated per
+    market segment so the result is segment-bounded."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") * 40 - 2500).alias("lo"),
+        (F.col("c_acctbal") * 40 + 2500).alias("hi"),
+    )
+    joined = TS.bucketed_range_join(
+        orders, cust, "o_totalprice", "lo", "hi", bucket_width=5000.0
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.count_distinct("c_custkey").cast("bigint").alias("n_customers"),
+    )
+
+
 def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE INTO on the bucketed versioned store, end-to-end
     (``sources/versioned.py``): target = documents with doc_id % 3 != 0
@@ -4222,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "stream_merge_replay": q_stream_merge_replay,
         "modularity": q_modularity,
+        "range_join_bucketed": q_range_join_bucketed,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7492,6 +7519,16 @@ def oracle_sql() -> dict[str, str]:
                            * (coalesce(p.degree_sum, 0)::DOUBLE / tm.m2), 6) + 0.0
                      AS contribution
             FROM sizes s LEFT JOIN per_label p ON s.label = p.label CROSS JOIN tm
+        """,
+        "range_join_bucketed": """
+            SELECT c_mktsegment,
+                   count(*)::BIGINT AS n_pairs,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+                   count(DISTINCT c_custkey)::BIGINT AS n_customers
+            FROM orders JOIN customer
+              ON o_totalprice >= c_acctbal * 40 - 2500
+             AND o_totalprice <  c_acctbal * 40 + 2500
+            GROUP BY c_mktsegment
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

@@ -602,6 +602,10 @@ AUDITS = {
     # modularity: label-vector joins ride the checkpointed LP output; the
     # per-label aggregation must stay hash-shaped.
     "modularity": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # two-huge-sides range join: grid-bucket equi-join (Generate = the
+    # interval->bucket explode); the exact predicate rides as a
+    # post-filter — never a broadcast nested loop over the corpus.
+    "range_join_bucketed": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
