@@ -4081,6 +4081,25 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+NJ_MAXDF = 5  # df cutoff; synthetic shingles top out at df~7, so 5 genuinely bites
+
+
+def q_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard verifier's 100 TB lever end-to-end: shingles in
+    more than NJ_MAXDF documents are dropped from BOTH the sizes and the
+    intersection (dedup.ngram_jaccard_pairs(max_df=...)), bounding the
+    self-join's Σdf² pair count while keeping a consistent Jaccard over
+    the informative-shingle space. The oracle replays the df filter and
+    the inclusion-exclusion identically."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+        max_df=NJ_MAXDF,
+    )
+
+
 def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-style MERGE INTO on the bucketed versioned store, end-to-end
     (``sources/versioned.py``): target = documents with doc_id % 3 != 0
@@ -4249,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_replay": q_stream_merge_replay,
         "modularity": q_modularity,
         "range_join_bucketed": q_range_join_bucketed,
+        "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -8198,6 +8218,31 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
             shx AS (
                 SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shx GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common::DOUBLE / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(common::DOUBLE / (sa.n_shingles + sb.n_shingles - common), 6) >= {JACCARD_THRESHOLD}
+        """,
+        "ngram_jaccard_maxdf": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+            shx0 AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            keep AS (
+                SELECT shingle FROM shx0 GROUP BY shingle
+                HAVING count(*) <= {NJ_MAXDF}
+            ),
+            shx AS (
+                SELECT shx0.doc_id, shx0.shingle FROM shx0 JOIN keep USING (shingle)
             ),
             sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shx GROUP BY doc_id),
             inter AS (

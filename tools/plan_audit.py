@@ -606,6 +606,9 @@ AUDITS = {
     # interval->bucket explode); the exact predicate rides as a
     # post-filter — never a broadcast nested loop over the corpus.
     "range_join_bucketed": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # max_df lever: same shingle equi-join shape as ngram_jaccard plus
+    # the df-filter join — still never a nested loop.
+    "ngram_jaccard_maxdf": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
