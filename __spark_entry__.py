@@ -3309,6 +3309,88 @@ def q_stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+
+def q_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance end-to-end: events replay as 3
+    micro-batches through streaming.incremental_hll_sink — per epoch the
+    batch's HLL registers max-merge into the sketch table (O(2^p) state,
+    independent of history) — and the final table folds to the estimate.
+    Mergeability means stream == one-shot batch sketch, and both engines
+    run the identical md5-register formula, so even the APPROXIMATE value
+    hash-matches the oracle's SQL replay."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="hll_replay_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for b in range(3):
+            batch = ev.filter(F.col("event_id") % 3 == b).select("user_id")
+            _write_one_file_parquet(
+                batch, os.path.join(tmp, f"s{b}"), os.path.join(src, f"b{b}.parquet")
+            )
+        sketch_path = os.path.join(tmp, "sketch")
+        stream = (
+            spark.readStream.schema("user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        cb = SI.incremental_hll_sink(sketch_path, "user_id", p=HLL_P)
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(cb)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        regs = spark.read.parquet(sketch_path)
+        final = SKT.hll_estimate(regs, p=HLL_P).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+
+def q_index_compact_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index.compact() is a pure plan-boundary operation: drive a mutation
+    chain through the reference API surface (distributed upsert_df of
+    docs 0-199, an UPDATE-policy re-upsert of the even docs with changed
+    payloads, a remove_range of docs divisible by 10), compact the
+    lineage, and surface the item set. The oracle replays the chain
+    relationally — hash equality proves the localCheckpoint truncation
+    changed the PLAN and nothing else (SemanticDatabase has no such op;
+    long-lived driver-resident indexes need it so analysis time stops
+    growing with mutation count)."""
+    import json as _json
+
+    from semantic_index_spark.index import SemanticIndex
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    item0 = F.concat(
+        F.lit('{"id":'), F.col("doc_id").cast("string"),
+        F.lit(',"v":'), F.col("n_chars").cast("string"), F.lit("}")
+    ).alias("item")
+    item1 = F.concat(
+        F.lit('{"id":'), F.col("doc_id").cast("string"),
+        F.lit(',"v":'), (F.col("n_chars") + 7).cast("string"), F.lit("}")
+    ).alias("item")
+    idx = SemanticIndex(spark)
+    idx.upsert_df(d.select(item0), canonicalize=False)
+    idx.upsert_df(d.filter(F.col("doc_id") % 2 == 0).select(item1), canonicalize=False)
+    removals = [
+        _json.loads(r["item"])
+        for r in d.filter(F.col("doc_id") % 10 == 0).select(item1).collect()
+    ]
+    idx.remove_range(removals)
+    idx.compact()
+    return idx.records.select("item").localCheckpoint(eager=True)
+
+
 def q_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) in a
     rows-checkable form: replay the events table as 3 micro-batches
@@ -4269,6 +4351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "range_join_bucketed": q_range_join_bucketed,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
+        "stream_hll_replay": q_stream_hll_replay,
+        "index_compact_demo": q_index_compact_demo,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -5580,6 +5664,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(e, 3) AS approx_distinct,
                    (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
             FROM est
+        """,
+        "stream_hll_replay": f"""
+            WITH h AS (
+                SELECT (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (SELECT hv >> 48 AS idx, hv & ((1::BIGINT << 48) - 1) AS rem FROM h),
+            regs AS (
+                SELECT idx, max(CASE WHEN rem = 0 THEN 49 ELSE 49 - length(bin(rem)) END) AS rho
+                FROM r GROUP BY idx
+            ),
+            f AS (SELECT sum(power(2.0, -rho)) AS ps, count(*) AS np FROM regs),
+            est AS (
+                SELECT CASE
+                    WHEN {C_HLL!r} / (ps + (4096 - np)) <= 10240.0 AND np < 4096
+                    THEN 4096.0 * ln(4096.0 / (4096 - np))
+                    ELSE {C_HLL!r} / (ps + (4096 - np))
+                END AS e FROM f
+            )
+            SELECT round(e, 3) AS approx_distinct FROM est
         """,
         "cms_freq": f"""
             WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents),
@@ -7549,6 +7653,19 @@ def oracle_sql() -> dict[str, str]:
               ON o_totalprice >= c_acctbal * 40 - 2500
              AND o_totalprice <  c_acctbal * 40 + 2500
             GROUP BY c_mktsegment
+        """,
+        "index_compact_demo": """
+            WITH base AS (
+              SELECT doc_id, n_chars FROM documents WHERE doc_id < 200
+            )
+            -- UPDATE-policy dedup keys on the WHOLE canonical item, so the
+            -- changed-payload re-upsert ADDS items; the removals hit only
+            -- the new-payload form
+            SELECT '{"id":' || doc_id || ',"v":' || n_chars || '}' AS item
+            FROM base
+            UNION ALL
+            SELECT '{"id":' || doc_id || ',"v":' || (n_chars + 7) || '}' AS item
+            FROM base WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,

@@ -609,6 +609,10 @@ AUDITS = {
     # max_df lever: same shingle equi-join shape as ngram_jaccard plus
     # the df-filter join — still never a nested loop.
     "ngram_jaccard_maxdf": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # streaming HLL maintenance / compact: checkpoint-truncated readbacks —
+    # trivial-plan checks only (the real shapes are stream==batch pytests).
+    "stream_hll_replay": {"forbid": ["CartesianProduct", "Join"]},
+    "index_compact_demo": {"forbid": ["CartesianProduct", "Join", "Exchange"]},
 }
 
 
