@@ -3391,6 +3391,61 @@ def q_index_compact_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.records.select("item").localCheckpoint(eager=True)
 
 
+
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine JSONL ingest end-to-end (sources/io.read_jsonl_quarantine):
+    documents are serialized to JSONL with corruption deterministically
+    injected by rule (doc_id % 13 == 0 lines get a truncated payload), read
+    back PERMISSIVE with a corrupt-record column, and split good/quarantined.
+    Output = per-language counts + char sums over the GOOD rows plus one
+    __QUARANTINED__ row counting the bad lines; the oracle derives both
+    directly from the rule — a dropped or silently-vanished corrupt line
+    breaks the row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from semantic_index_spark.sources import io as IO
+
+    d = load_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"doc_id":'), F.col("doc_id").cast("string"), F.lit(',"lang":')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id":'), F.col("doc_id").cast("string"),
+            F.lit(',"lang":"'), F.col("lang"),
+            F.lit('","n_chars":'), F.col("n_chars").cast("string"), F.lit("}"),
+        )
+    ).alias("value")
+    tmp = tempfile.mkdtemp(prefix="jsonl_q_")
+    try:
+        path = os.path.join(tmp, "dump")
+        d.select(line).write.text(path)
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("lang", StringType()),
+                StructField("n_chars", LongType()),
+            ]
+        )
+        good, bad = IO.read_jsonl_quarantine(spark, path, schema)
+        good_agg = good.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        bad_agg = bad.agg(
+            F.lit("__QUARANTINED__").alias("lang"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("total_chars"),
+        )
+        out = good_agg.unionByName(bad_agg).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) in a
     rows-checkable form: replay the events table as 3 micro-batches
@@ -4353,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
         "stream_hll_replay": q_stream_hll_replay,
         "index_compact_demo": q_index_compact_demo,
+        "jsonl_quarantine": q_jsonl_quarantine,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7653,6 +7709,14 @@ def oracle_sql() -> dict[str, str]:
               ON o_totalprice >= c_acctbal * 40 - 2500
              AND o_totalprice <  c_acctbal * 40 + 2500
             GROUP BY c_mktsegment
+        """,
+        "jsonl_quarantine": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents WHERE doc_id % 13 <> 0 GROUP BY lang
+            UNION ALL
+            SELECT '__QUARANTINED__', count(*)::BIGINT, 0::BIGINT
+            FROM documents WHERE doc_id % 13 = 0
         """,
         "index_compact_demo": """
             WITH base AS (

@@ -613,6 +613,7 @@ AUDITS = {
     # trivial-plan checks only (the real shapes are stream==batch pytests).
     "stream_hll_replay": {"forbid": ["CartesianProduct", "Join"]},
     "index_compact_demo": {"forbid": ["CartesianProduct", "Join", "Exchange"]},
+    "jsonl_quarantine": {"forbid": ["CartesianProduct", "Join"]},
 }
 
 
