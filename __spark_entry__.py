@@ -3446,6 +3446,44 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end (sources/io.read_parquet(merge_schema)):
+    an old batch of documents is written WITHOUT the quality column, a new
+    batch WITH it; the mergeSchema read reconciles the union schema (old
+    files surface NULL quality) and aggregates per language — null-aware
+    counts prove old rows really read as NULL rather than 0 or dropped.
+    The oracle derives the same split from the doc_id rule."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import io as IO
+
+    d = load_table(spark, sf_dir, "documents")
+    old_batch = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new_batch = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", (F.col("n_chars") % 100).cast("bigint").alias("quality")
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        path = os.path.join(tmp, "corpus")
+        old_batch.write.parquet(path)
+        new_batch.write.mode("append").parquet(path)
+        merged = IO.read_parquet(spark, path, merge_schema=True)
+        out = (
+            merged.groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.count("quality").cast("bigint").alias("n_with_quality"),
+                F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias("quality_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState) in a
     rows-checkable form: replay the events table as 3 micro-batches
@@ -4409,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_replay": q_stream_hll_replay,
         "index_compact_demo": q_index_compact_demo,
         "jsonl_quarantine": q_jsonl_quarantine,
+        "schema_evolution": q_schema_evolution,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -7709,6 +7748,13 @@ def oracle_sql() -> dict[str, str]:
               ON o_totalprice >= c_acctbal * 40 - 2500
              AND o_totalprice <  c_acctbal * 40 + 2500
             GROUP BY c_mktsegment
+        """,
+        "schema_evolution": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   count(CASE WHEN doc_id % 2 = 1 THEN 1 END)::BIGINT AS n_with_quality,
+                   coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END), 0)::BIGINT
+                     AS quality_sum
+            FROM documents GROUP BY lang
         """,
         "jsonl_quarantine": """
             SELECT lang, count(*)::BIGINT AS n_docs,

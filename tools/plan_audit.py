@@ -614,6 +614,7 @@ AUDITS = {
     "stream_hll_replay": {"forbid": ["CartesianProduct", "Join"]},
     "index_compact_demo": {"forbid": ["CartesianProduct", "Join", "Exchange"]},
     "jsonl_quarantine": {"forbid": ["CartesianProduct", "Join"]},
+    "schema_evolution": {"forbid": ["CartesianProduct", "Join"]},
 }
 
 
