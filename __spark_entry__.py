@@ -4346,11 +4346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skyline_frontier, stream_static_enrich_replay, stream_session_replay,
     orc_roundtrip, naive_bayes_lang, quantile_normalize, throttle_dedup,
     holt_winters, ivf_silhouette, trimmed_mean_udaf) are the remaining 23:
-    ROUND 7 MUST move them to the FRONT of this dict, followed by the 9
+    ROUND 7 MUST move them to the FRONT of this dict, followed by the 15
     queries NEW in round 6 (merge_versioned, label_propagation,
     ols_closed_form, position_attribution, audience_overlap,
-    shortest_paths, table_changes, stream_merge_replay, modularity) —
-    23 + 9 = 32 never-driver-checked names, all fitting one 50-slot
+    shortest_paths, table_changes, stream_merge_replay, modularity,
+    range_join_bucketed, ngram_jaccard_maxdf, stream_hll_replay,
+    index_compact_demo, jsonl_quarantine, schema_evolution) —
+    23 + 15 = 38 never-driver-checked names, all fitting one 50-slot
     window — so they rotate through the driver gate; the in-dict
     comments mark both boundaries. Everything after slot 73 carries a green
     driver row from rounds 1-5 (r5 passed 50/50). EVERY query has a hash
