@@ -193,6 +193,79 @@ def triangle_count(
     return per_edge.agg(F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_triangles"))
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 64,
+    min_common: int = 2,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an UNDIRECTED edge list: for every
+    unconnected node pair (u, w) sharing ≥ ``min_common`` neighbors, score
+    AA(u, w) = Σ_{z ∈ N(u)∩N(w)} 1/ln(deg z) — the classic "friends of
+    friends weighted by how selective the mutual friend is" recommender
+    (Adamic & Adar 2003). [absent in reference — north-star extension]
+
+    Only wedge centers with 2 ≤ deg(z) ≤ ``max_degree`` spread score: the
+    hub cutoff bounds the Σdeg² wedge space exactly the way the hot-shingle
+    ``max_df`` cutoff bounds the Jaccard verifier — a mega-hub contributes
+    ~1/ln(huge) ≈ 0 per pair while exploding the candidate set, so dropping
+    it is both the performance lever and standard practice. ``common``
+    counts mutual neighbors UNDER that cutoff (documented contract).
+
+    Cross-engine determinism: each center's weight is fixed-pointed to
+    ⌊1e6/ln(deg) + 0.5⌋ micro-units (the ngram_lm_score trick) so the pair
+    score is an exact BIGINT sum — no float-summation order dependence.
+
+    Scale shape: degree table + ONE self-equi-join of the capped adjacency
+    list on the center key z (hash join; wedge count ≤ Σ_{deg≤cap} deg² ≤
+    cap·m), a (u, w) partial-agg, and an anti-join against the edge list
+    to drop already-connected pairs. Never an all-pairs form.
+
+    Returns (u, w, common, aa_micro, aa_score) with u < w.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not assume_canonical:
+        e = (
+            e.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+    e.cache()
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("dz"))
+    centers = deg.filter((F.col("dz") >= 2) & (F.col("dz") <= max_degree))
+    half = sym.join(centers, sym["a"] == centers["z"]).select(
+        "z",
+        F.col("b").alias("n"),
+        F.floor(F.lit(1e6) / F.log("dz") + F.lit(0.5)).cast("bigint").alias("wz"),
+    )
+    lhs = half.select("z", F.col("n").alias("u"), "wz")
+    rhs = half.select(F.col("z").alias("_z"), F.col("n").alias("w"))
+    scored = (
+        lhs.join(rhs, (lhs["z"] == rhs["_z"]) & (lhs["u"] < rhs["w"]))
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum("wz").cast("bigint").alias("aa_micro"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    out = scored.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    return out.select(
+        "u",
+        "w",
+        "common",
+        "aa_micro",
+        F.round(F.col("aa_micro") / F.lit(1e6), 6).alias("aa_score"),
+    )
+
+
 def khop_frontier(
     edges: DataFrame,
     seeds: DataFrame,

@@ -500,3 +500,121 @@ def ols2_closed_form(
         "n_rows",
         f"stack(3, 'intercept', b_intercept, '{x1_col}', b_x1, '{x2_col}', b_x2) AS (term, coef)",
     ).select("term", "coef", "n_rows")
+
+
+def stratified_treatment_effect(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Post-stratified average-treatment-effect readout — the
+    observational-causal counterpart of :func:`ab_test_zscore`'s
+    randomized readout: within each stratum of a confounder, difference
+    of treated vs control outcome means; the stratum-weighted sum of
+    ``effect`` is the classic IPW/post-stratification ATE (identical
+    estimators when the propensity is fit per stratum). [absent in
+    reference — north-star extension]
+
+    Cross-engine exactness: per-stratum sums are exact BIGINTs (pass an
+    integer-valued outcome, e.g. cents), each mean is ONE IEEE division,
+    and ``effect`` is the difference of two such divisions — bit-stable
+    on any engine; no float accumulation.
+
+    Scale shape: ONE map-side-combined groupBy on the stratum key; output
+    is |strata| rows. Strata with an empty arm yield NULL effect rather
+    than a division blow-up.
+
+    Returns (stratum, n, n_treated, mean_treated, mean_control, effect).
+    """
+    t = F.col(treated_col).cast("boolean")
+    y = F.col(outcome_col).cast("bigint")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_treated"),
+        F.coalesce(F.sum(F.when(t, y)), F.lit(0)).cast("bigint").alias("_yt"),
+        F.coalesce(F.sum(F.when(~t, y)), F.lit(0)).cast("bigint").alias("_yc"),
+    )
+    n_c = F.col("n") - F.col("n_treated")
+    mean_t = F.when(
+        F.col("n_treated") > 0,
+        F.col("_yt").cast("double") / F.col("n_treated").cast("double"),
+    )
+    mean_c = F.when(n_c > 0, F.col("_yc").cast("double") / n_c.cast("double"))
+    return per.select(
+        "stratum",
+        "n",
+        "n_treated",
+        F.round(mean_t, 6).alias("mean_treated"),
+        F.round(mean_c, 6).alias("mean_control"),
+        # + 0.0 canonicalizes IEEE negative zero (engines disagree on
+        # rendering round(-1e-10, 6))
+        (F.round(mean_t - mean_c, 6) + F.lit(0.0)).alias("effect"),
+    )
+
+
+def best_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Decision-stump split finder: information gain of every candidate
+    threshold ``feature ≤ bucket·width`` against a binary label — the
+    inner loop of tree/GBDT training and the quickest "is this feature
+    predictive?" audit for quality-classifier features. [absent in
+    reference — north-star extension]
+
+    Histogram-based, the way distributed GBDT implementations do it: the
+    corpus collapses to per-bucket (count, positives) in ONE partial-agg
+    shuffle; cumulative sums over the |buckets| rows give every
+    threshold's left/right contingency in a single window pass. The
+    window is over buckets only — bounded by design (a bucketed feature,
+    never the corpus), the standard histogram trade-off.
+
+    Entropies are computed from exact integer counts with one expression
+    tree (p·ln p terms), rounded to 1e-6 — deterministic across engines
+    up to correctly-rounded ln.
+
+    Returns (threshold, n_left, pos_left, gain) for every split that
+    leaves both sides non-empty, ordered by nothing (caller sorts);
+    ``threshold`` is the inclusive left-side upper bucket edge.
+    """
+    b = df.select(
+        F.floor(F.col(feature_col) / F.lit(bucket_width)).cast("bigint").alias("bkt"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    hist = b.groupBy("bkt").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "bkt",
+        F.sum("c").over(w).alias("cl"),
+        F.sum("p").over(w).alias("pl"),
+        F.sum("c").over(Window.partitionBy()).alias("nn"),
+        F.sum("p").over(Window.partitionBy()).alias("pp"),
+    )
+
+    def _ent(pos, tot):
+        # binary entropy in nats from integer counts; 0·ln0 := 0
+        q = pos.cast("double") / tot.cast("double")
+        term = lambda r: F.when((r > 0) & (r < 1), -r * F.log(r)).otherwise(F.lit(0.0))
+        return term(q) + term(1 - q)
+
+    nr = F.col("nn") - F.col("cl")
+    pr = F.col("pp") - F.col("pl")
+    gain = (
+        _ent(F.col("pp"), F.col("nn"))
+        - (F.col("cl").cast("double") / F.col("nn").cast("double"))
+        * _ent(F.col("pl"), F.col("cl"))
+        - (nr.cast("double") / F.col("nn").cast("double")) * _ent(pr, nr)
+    )
+    return cum.filter(nr > 0).select(
+        (F.col("bkt") * F.lit(bucket_width)).alias("threshold"),
+        F.col("cl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        # + 0.0 canonicalizes IEEE negative zero on cancellation noise
+        (F.round(gain, 6) + F.lit(0.0)).alias("gain"),
+    )

@@ -923,3 +923,122 @@ def position_attribution(
             F.count("*").cast("bigint").alias("n_touches"),
         )
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks via the gaps-and-islands
+    idiom: distinct active days, islands keyed by ``day − row_number``
+    (consecutive days share the key), one groupBy per island, one per
+    user. The engagement primitive behind "7-day streak" product metrics
+    and habit-formation cohorts. [absent in reference — north-star
+    extension]
+
+    Scale shape: a (user, day) distinct shuffle, ONE window partitioned by
+    the high-cardinality user key (never a global funnel), and two keyed
+    partial-aggs. Output is |users| rows.
+
+    Returns (user, n_active_days, n_streaks, longest_streak,
+    last_active_day).
+    """
+    days = (
+        df.select(F.col(user_col).alias("user"), F.to_date(ts_col).alias("d"))
+        .filter(F.col("user").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user").orderBy("d")
+    isl = days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = isl.groupBy("user", "grp").agg(
+        F.count("*").alias("len"), F.max("d").alias("end_d")
+    )
+    return streaks.groupBy("user").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.max("end_d").alias("last_active_day"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lag-k autocorrelation (ACF) of each group's daily activity counts,
+    k = 1..``max_lag`` — the seasonality/burstiness readout behind "is
+    this source's volume weekly-periodic or white noise?" monitoring.
+    [absent in reference — north-star extension]
+
+    Cross-engine exactness: the Pearson numerator and denominator are
+    expanded so every aggregate is an exact BIGINT moment over integer
+    daily counts —
+
+      acf_k = [n²·Σx_t·x_{t−k} − n·S·(Σ_head + Σ_tail) + (n−k)·S²]
+              / (n·(n·SS − S²))
+
+    (S = Σx, SS = Σx²) — one IEEE division at the end, so both engines
+    produce the identical double bit pattern; no float-sum ordering.
+
+    Scale shape: the corpus collapses to (group, day) counts in ONE
+    partial-agg shuffle; the per-group lag windows then run over that
+    tiny aggregate (|groups|·|days| rows), partitioned by group. Output
+    is |groups|·max_lag rows.
+
+    Returns (group, lag, n_days, acf).
+    """
+    if max_lag < 1:
+        raise ValueError("autocorrelation: max_lag must be >= 1")
+    daily = (
+        df.select(F.col(group_col).alias("grp"), F.to_date(ts_col).alias("d"))
+        .groupBy("grp", "d")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    daily.cache()
+    totals = daily.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    w = Window.partitionBy("grp").orderBy("d")
+    parts = []
+    for k in range(1, max_lag + 1):
+        lagged = daily.withColumn("prev", F.lag("x", k).over(w)).filter(
+            F.col("prev").isNotNull()
+        )
+        parts.append(
+            lagged.groupBy("grp").agg(
+                F.lit(k).cast("int").alias("lag"),
+                F.sum(F.col("x") * F.col("prev")).cast("bigint").alias("sxy"),
+                F.sum("x").cast("bigint").alias("shead"),
+                F.sum("prev").cast("bigint").alias("stail"),
+            )
+        )
+    lags = parts[0]
+    for p in parts[1:]:
+        lags = lags.unionByName(p)
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("shead") + F.col("stail"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        lags.join(totals, "grp")
+        .filter(F.col("n") > F.col("lag"))
+        .select(
+            F.col("grp").alias(group_col),
+            "lag",
+            F.col("n").alias("n_days"),
+            # + 0.0 canonicalizes IEEE negative zero on near-zero ACFs
+            (
+                F.when(den == 0, F.lit(0.0)).otherwise(
+                    F.round(num.cast("double") / den.cast("double"), 6)
+                )
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+    )

@@ -1159,3 +1159,101 @@ def test_modularity_perfect_split_positive(spark):
     assert abs(q - 0.5) < 1e-6
     for r in rows:
         assert r["n_nodes"] == 4 and r["intra_edges"] == 12 and r["degree_sum"] == 12
+
+
+# ---------------------------------------------------------------- adamic-adar
+
+
+def test_adamic_adar_hand_computed(spark):
+    # path graph a-b-c plus a-d, c-d: pairs sharing >=2 neighbors
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("c", "d")], ["src", "dst"]
+    )
+    out = G.adamic_adar(edges, min_common=1).collect()
+    by_pair = {(r["u"], r["w"]): r for r in out}
+    # a and c share neighbors b (deg 2) and d (deg 2): AA = 2/ln2
+    ac = by_pair[("a", "c")]
+    assert ac["common"] == 2
+    expected = 2 * math.floor(1e6 / math.log(2) + 0.5)
+    assert ac["aa_micro"] == expected
+    # b and d share a and c: symmetric score
+    assert by_pair[("b", "d")]["aa_micro"] == expected
+    # connected pairs never appear
+    assert ("a", "b") not in by_pair
+
+
+def test_adamic_adar_hub_cutoff_drops_mega_center(spark):
+    # star center h with degree 5 > cap 4 spreads nothing
+    rows = [("h", f"x{i}") for i in range(5)] + [("x0", "x1")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    out = G.adamic_adar(edges, max_degree=4, min_common=1).collect()
+    # all leaf pairs share only the capped hub -> no scored pairs except
+    # wedges through x0/x1 (degree 2 each)
+    for r in out:
+        assert r["u"] in {"h", "x0", "x1"} or r["w"] in {"h", "x0", "x1"}
+
+
+def test_adamic_adar_min_common_filters(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("c", "d")], ["src", "dst"]
+    )
+    out = G.adamic_adar(edges, min_common=3).collect()
+    assert out == []
+
+
+# ------------------------------------------------------------------- streaks
+
+
+def test_activity_streaks_hand_computed(spark):
+    rows = [
+        ("u1", "2026-01-01 05:00:00"),
+        ("u1", "2026-01-02 06:00:00"),
+        ("u1", "2026-01-02 07:00:00"),  # same day, dedups
+        ("u1", "2026-01-05 08:00:00"),
+        ("u2", "2026-01-10 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["user"]: r for r in TS.activity_streaks(df).collect()}
+    u1 = out["u1"]
+    assert u1["n_active_days"] == 3
+    assert u1["n_streaks"] == 2
+    assert u1["longest_streak"] == 2
+    assert str(u1["last_active_day"]) == "2026-01-05"
+    assert out["u2"]["longest_streak"] == 1
+
+
+def test_activity_streaks_single_long_run(spark):
+    rows = [("u", f"2026-02-{d:02d} 12:00:00") for d in range(1, 11)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = TS.activity_streaks(df).collect()[0]
+    assert r["n_streaks"] == 1 and r["longest_streak"] == 10
+
+
+# ----------------------------------------------------------------------- acf
+
+
+def test_autocorrelation_perfect_alternation(spark):
+    # daily counts alternate 1,3,1,3,... -> lag-1 ACF = -1, lag-2 = +1
+    rows = []
+    for d in range(1, 13):
+        n = 1 if d % 2 else 3
+        rows += [("t", f"2026-03-{d:02d} 00:00:00")] * n
+    df = spark.createDataFrame(rows, ["event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["lag"]: r["acf"] for r in TS.autocorrelation(df, max_lag=2).collect()}
+    assert out[1] < -0.8
+    assert out[2] > 0.8
+
+
+def test_autocorrelation_constant_series_zero_denominator(spark):
+    rows = [("t", f"2026-03-{d:02d} 00:00:00") for d in range(1, 8)]
+    df = spark.createDataFrame(rows, ["event_type", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = TS.autocorrelation(df, max_lag=1).collect()
+    assert out[0]["acf"] == 0.0

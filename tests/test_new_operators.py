@@ -2022,3 +2022,66 @@ def test_collect_bounded_operators_still_exact(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     out = S.kmeans_fit(emb.limit(50), k=3, iters=2)
     assert out.count() == 3
+
+
+# ------------------------------------------------------- stratified ATE
+
+
+def test_stratified_ate_hand_computed(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    rows = [
+        ("a", True, 10),
+        ("a", True, 20),
+        ("a", False, 5),
+        ("b", True, 100),
+        ("b", False, 40),
+        ("b", False, 60),
+    ]
+    df = spark.createDataFrame(rows, ["s", "t", "y"])
+    out = {r["stratum"]: r for r in
+           ST.stratified_treatment_effect(df, "s", "t", "y").collect()}
+    assert out["a"]["mean_treated"] == 15.0
+    assert out["a"]["mean_control"] == 5.0
+    assert out["a"]["effect"] == 10.0
+    assert out["b"]["effect"] == 50.0
+
+
+def test_stratified_ate_empty_arm_is_null(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    df = spark.createDataFrame([("a", True, 3), ("a", True, 5)], ["s", "t", "y"])
+    r = ST.stratified_treatment_effect(df, "s", "t", "y").collect()[0]
+    assert r["mean_treated"] == 4.0
+    assert r["mean_control"] is None and r["effect"] is None
+
+
+# ----------------------------------------------------------- best split
+
+
+def test_best_split_perfect_separation(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    # feature < 10 -> label 0, >= 10 -> label 1; the boundary threshold
+    # has gain == parent entropy (= ln 2 for a balanced label)
+    rows = [(float(v), 0) for v in range(0, 10)] + [
+        (float(v), 1) for v in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = ST.best_split(df, "x", "y", bucket_width=1.0).collect()
+    best = max(out, key=lambda r: r["gain"])
+    assert best["threshold"] == 9.0
+    assert abs(best["gain"] - math.log(2)) < 1e-6
+    assert best["n_left"] == 10 and best["pos_left"] == 0
+
+
+def test_best_split_uninformative_feature_zero_gain(spark):
+    from semantic_index_spark.operators import stats as ST
+
+    # label independent of bucket -> every split has ~0 gain
+    rows = [(float(v % 4), (v // 4) % 2) for v in range(64)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = ST.best_split(df, "x", "y", bucket_width=1.0).collect()
+    assert all(abs(r["gain"]) < 1e-9 for r in out)
+    # right side must be non-empty: the last bucket is never a threshold
+    assert max(r["threshold"] for r in out) == 2.0

@@ -615,6 +615,19 @@ AUDITS = {
     "index_compact_demo": {"forbid": ["CartesianProduct", "Join", "Exchange"]},
     "jsonl_quarantine": {"forbid": ["CartesianProduct", "Join"]},
     "schema_evolution": {"forbid": ["CartesianProduct", "Join"]},
+    # AA wedge enumeration: capped-adjacency self-join + anti-join — all
+    # hash equi-joins, never a nested loop over pairs.
+    "adamic_adar": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # gaps-and-islands: user-partitioned window + keyed aggs, no join.
+    "activity_streaks": {"expect": ["Window", "HashAggregate"], "forbid": ["CartesianProduct", "Join"]},
+    # ACF: corpus collapses to (group, day) counts FIRST; lag windows and
+    # the totals join run over that bounded aggregate only.
+    "autocorrelation": {"expect": ["Window", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]},
+    # ATE: one broadcast dim join + ONE stratum-keyed partial agg.
+    "stratified_ate": {"expect": ["BroadcastHashJoin", "HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # stump: single partial-agg shuffle to the bucket histogram; the
+    # cumulative window runs over buckets only — no join anywhere.
+    "best_split": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "Join"]},
 }
 
 
