@@ -4333,7 +4333,7 @@ def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-AA_PART_CAP = 2000  # sub-graph cap: co-purchase edges among low-key parts
+AA_PART_MOD = 10  # sub-graph selector: every 10th part — density SF-invariant
 AA_MAX_DEG = 48  # hub cutoff — the Σdeg² wedge-space lever
 ACF_MAX_LAG = 3
 SPLIT_WIDTH = 25.0  # n_chars histogram bucket width (44..577 → ~22 buckets)
@@ -4349,7 +4349,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_index_spark.operators import graph as G
 
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey") < AA_PART_CAP
+        F.col("l_partkey") % AA_PART_MOD == 0
     )
     l2 = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk"))
     edges = (
@@ -7856,7 +7856,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
               FROM lineitem a JOIN lineitem b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-              WHERE a.l_partkey < {AA_PART_CAP} AND b.l_partkey < {AA_PART_CAP}
+              WHERE a.l_partkey % {AA_PART_MOD} = 0 AND b.l_partkey % {AA_PART_MOD} = 0
             ),
             sym AS (SELECT a, b FROM el UNION ALL SELECT b AS a, a AS b FROM el),
             deg AS (SELECT a AS z, count(*)::BIGINT AS dz FROM sym GROUP BY a),

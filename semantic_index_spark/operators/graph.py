@@ -51,8 +51,12 @@ def pagerank(
     (joining the |N|-row rank vector) and one groupBy on ``dst`` with
     map-side partial sums; the dangling term is a 1-row aggregate
     broadcast back. Edges and degrees are computed once and cached.
-    ``localCheckpoint`` every ``checkpoint_every`` iterations bounds both
-    lineage depth and AQE replanning cost.
+    The |N|-row rank vector is localCheckpointed at the top of every
+    iteration: its three consumers (dangling agg, contribution join, next
+    select) then share one materialization instead of re-deriving the
+    prior iteration's lineage each, and lineage/AQE replanning depth
+    stays O(1). ``checkpoint_every`` is kept for API compatibility; the
+    per-iteration checkpoint supersedes it.
     """
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
@@ -84,6 +88,12 @@ def pagerank(
     ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
 
     for it in range(iterations):
+        # materialize the rank vector ONCE per iteration: three consumers
+        # (the dangling agg, the contribution join, the next select) would
+        # otherwise each re-derive the whole prior-iteration lineage —
+        # ~3× redundant work per step. |N| rows, so the checkpoint is
+        # cheap, and it bounds lineage/AQE replanning depth at O(1).
+        ranks = ranks.localCheckpoint(eager=True)
         # mass that dangling nodes spread uniformly this step: 1-row agg,
         # broadcast into the closure of the next plan via crossJoin
         dangling = ranks.filter(F.col("_deg") == 0).agg(
@@ -113,8 +123,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
@@ -174,6 +182,10 @@ def triangle_count(
         )
         .select("e.u", "e.w")
     )
+    # TWO consumers below (the adjacency build and the per-edge probe)
+    # would otherwise each recompute the orientation's degree joins —
+    # cache the oriented edge list once
+    oriented.cache()
     # adjacency-intersection ("compact-forward") counting: per edge
     # (u, w), triangles closed through it = |N⁺(u) ∩ N⁺(w)|. Under the
     # orientation each triangle is counted exactly once — at its edge
