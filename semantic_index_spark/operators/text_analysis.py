@@ -1074,3 +1074,49 @@ def naive_bayes_language(
         )
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query via a positional inverted index — the Lucene
+    primitive: tokenize once, keep ONLY postings for the phrase's words
+    (the selectivity filter runs before any shuffle), then intersect
+    position lists with one (doc, position+i) hash equi-join per extra
+    word. [absent in reference — north-star extension]
+
+    Scale shape: the corpus tokenizes in-JVM (posexplode, no Python), the
+    per-word posting filter cuts the exploded stream to Σ df(wᵢ) rows
+    BEFORE the joins, and each join is an equi-join on (doc, position) —
+    never a LIKE scan per pattern, never a cross product. A production
+    index would materialize the postings table once and serve many
+    phrases from it; the plan here is identical downstream of the scan.
+
+    Returns (id, n_matches) for documents containing the phrase at least
+    once, n_matches = number of distinct start positions.
+    """
+    words = phrase.lower().split()
+    if len(words) < 2:
+        raise ValueError("phrase_search: phrase must have >= 2 words")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(T.tokens(text_col)).alias("_p", "_tok"),
+    ).filter(F.col("_tok").isin(words))
+    cur = (
+        toks.filter(F.col("_tok") == words[0])
+        .select("_id", F.col("_p").alias("_start"))
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = toks.filter(F.col("_tok") == w).select(
+            F.col("_id").alias("_id2"), (F.col("_p") - i).alias("_start2")
+        )
+        cur = cur.join(
+            nxt,
+            (cur["_id"] == nxt["_id2"]) & (cur["_start"] == nxt["_start2"]),
+        ).select("_id", "_start")
+    return cur.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )

@@ -1042,3 +1042,60 @@ def autocorrelation(
             ).alias("acf"),
         )
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-fill a sparse daily series to a dense per-key calendar with
+    last-observation-carried-forward (LOCF) — the resampling primitive
+    behind "every (series, day) must have a row" feature tables and
+    metric dashboards. Days with no observations inherit the most recent
+    prior day's aggregate and are flagged. [absent in reference —
+    north-star extension]
+
+    Exactness: the daily aggregate is an integer-cents SUM (exact
+    BIGINT), so the carried value is bit-identical on any engine.
+
+    Scale shape: the corpus collapses to (key, day) sums in ONE
+    partial-agg shuffle; each key's [min, max] day spine explodes
+    in-JVM from a 2-row-per-key aggregate (never a driver loop); the
+    forward fill is one last(ignorenulls) window partitioned by the key.
+    Output is Σ_key span_days rows — calendar-bounded, not corpus-bounded.
+
+    Returns (key, day, value_cents, is_filled).
+    """
+    daily = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.to_date(ts_col).alias("d"),
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint").alias("_c"),
+        )
+        .groupBy("key", "d")
+        .agg(F.sum("_c").alias("v"))
+    )
+    spine = (
+        daily.groupBy("key")
+        .agg(F.min("d").alias("_lo"), F.max("d").alias("_hi"))
+        .select(
+            "key",
+            F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 day"))).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["key", "d"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("d").alias("day"),
+            F.last("v", ignorenulls=True).over(w).alias("value_cents"),
+            F.col("v").isNull().alias("is_filled"),
+        )
+    )

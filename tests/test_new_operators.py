@@ -2085,3 +2085,82 @@ def test_best_split_uninformative_feature_zero_gain(spark):
     assert all(abs(r["gain"]) < 1e-9 for r in out)
     # right side must be non-empty: the last bucket is never a threshold
     assert max(r["threshold"] for r in out) == 2.0
+
+
+# --------------------------------------------------------- phrase search
+
+
+def test_phrase_search_counts_overlapping_starts(spark):
+    rows = [
+        (1, "big table hash join on the table hash map"),
+        (2, "hash table only reversed"),
+        (3, "a a a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["n_matches"] for r in
+           TA.phrase_search(df, "table hash").collect()}
+    assert out == {1: 2}
+    # overlapping starts both count
+    out3 = {r["doc_id"]: r["n_matches"] for r in
+            TA.phrase_search(df, "a a").collect()}
+    assert out3 == {3: 2}
+
+
+def test_phrase_search_three_words_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick Brown fox"), (2, "quick brown dog")],
+        ["doc_id", "text"],
+    )
+    out = TA.phrase_search(df, "quick brown fox").collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in out] == [(1, 1)]
+
+
+# ------------------------------------------------------------------ LOCF
+
+
+def test_resample_locf_fills_gaps_with_prior_sum(spark):
+    rows = [
+        ("u", "2026-01-01 01:00:00", 1.0),
+        ("u", "2026-01-01 02:00:00", 2.0),
+        ("u", "2026-01-04 03:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {str(r["day"]): r for r in
+           TS.resample_locf(df, "ts", "k", "value").collect()}
+    assert len(out) == 4  # dense Jan 1-4
+    assert out["2026-01-01"]["value_cents"] == 300 and not out["2026-01-01"]["is_filled"]
+    assert out["2026-01-02"]["value_cents"] == 300 and out["2026-01-02"]["is_filled"]
+    assert out["2026-01-03"]["value_cents"] == 300 and out["2026-01-03"]["is_filled"]
+    assert out["2026-01-04"]["value_cents"] == 500 and not out["2026-01-04"]["is_filled"]
+
+
+# ------------------------------------------------------------------- geo
+
+
+def test_grid_neighbor_join_exact_pairs(spark):
+    from semantic_index_spark.operators import geo as GEO
+
+    # b is across a cell boundary from a but within radius; c is far
+    pts = spark.createDataFrame(
+        [(1, 99, 0), (2, 101, 0), (3, 500, 500), (4, 99, 10)],
+        ["id", "x", "y"],
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist2"] for r in
+           GEO.grid_neighbor_join(pts, radius=100).collect()}
+    assert out[(1, 2)] == 4
+    assert out[(1, 4)] == 100
+    assert (2, 4) in out
+    assert all(3 not in pair for pair in out)
+
+
+def test_grid_neighbor_join_boundary_inclusive(spark):
+    from semantic_index_spark.operators import geo as GEO
+
+    pts = spark.createDataFrame([(1, 0, 0), (2, 10, 0), (3, 11, 0)], ["id", "x", "y"])
+    out = {(r["id_a"], r["id_b"]) for r in
+           GEO.grid_neighbor_join(pts, radius=10).collect()}
+    assert (1, 2) in out      # dist == radius exactly
+    assert (1, 3) not in out  # one past
+    assert (2, 3) in out

@@ -628,6 +628,15 @@ AUDITS = {
     # stump: single partial-agg shuffle to the bucket histogram; the
     # cumulative window runs over buckets only — no join anywhere.
     "best_split": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "Join"]},
+    # phrase query: postings filtered before the positional equi-joins;
+    # never a LIKE scan or a nested loop.
+    "phrase_search": {"expect": ["Generate", "HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # LOCF: spine explode + ONE key-partitioned fill window; the join is
+    # a keyed equi-join of two (key, day) aggregates.
+    "resample_locf": {"expect": ["Generate", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # spatial grid: stencil explode + hash equi-join on the cell — the
+    # O(n^2) theta join the oracle runs must NOT appear in the Spark plan.
+    "geo_neighbors": {"expect": ["Generate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
