@@ -4458,6 +4458,40 @@ def q_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return GEO.grid_neighbor_join(c, radius=GEO_RADIUS)
 
 
+GOLD_DOC_CAP = 2500
+EM_K, EM_EPS = 5, 1.0
+
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after record linkage (operators/dedup.py
+    golden_records): cluster near-dup documents (minhash LSH pairs →
+    connected components), then collapse each cluster to one canonical
+    record — min id, member count, max n_chars, most-frequent lang and
+    source with deterministic smallest-value tie-breaks. The oracle
+    replays the closure as a recursive CTE and the per-field modes as
+    ranked windows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < GOLD_DOC_CAP)
+    pairs = D.minhash_lsh_pairs(
+        d, num_hashes=MINHASH_N, bands=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    labels = D.connected_components(d.select("doc_id"), pairs)
+    return D.golden_records(
+        d, labels, mode_cols=["lang", "source"], max_cols=["n_chars"]
+    )
+
+
+def q_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism top-k (operators/privacy.py
+    dp_exponential_topk): DP-select the EM_K document sources with the
+    most documents via the one-shot Gumbel-max trick — the selection
+    counterpart of the Laplace count release. Reproducible md5 noise
+    (documented caveat) lets the oracle replay the release."""
+    from semantic_index_spark.operators import privacy as P
+
+    d = load_table(spark, sf_dir, "documents")
+    return P.dp_exponential_topk(d, "source", k=EM_K, epsilon=EM_EPS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. Round-6 window: slots 1-50 are the first
@@ -4585,6 +4619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "resample_locf": q_resample_locf,
         "geo_neighbors": q_geo_neighbors,
+        "golden_records": q_golden_records,
+        "dp_topk": q_dp_topk,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -6689,6 +6725,83 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        # same closure capped to GOLD_DOC_CAP docs, then per-field
+        # survivorship: modes as ranked windows, ties to the smallest value
+        "golden_records": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+                WHERE doc_id < {GOLD_DOC_CAP}
+            ),
+            shx AS (
+                SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM toks
+            ),
+            sig AS (SELECT doc_id, {minhash_cols} FROM shx GROUP BY doc_id),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_cond})
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents WHERE doc_id < {GOLD_DOC_CAP}
+                UNION
+                SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+            j AS (
+                SELECT c.component, d.doc_id, d.lang, d.source, d.n_chars
+                FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+                WHERE d.doc_id < {GOLD_DOC_CAP}
+            ),
+            base AS (
+                SELECT component AS cluster, min(doc_id)::BIGINT AS canonical_id,
+                       count(*)::BIGINT AS n_members, max(n_chars) AS n_chars
+                FROM j GROUP BY component
+            ),
+            pick_lang AS (
+                SELECT cluster, lang FROM (
+                    SELECT component AS cluster, lang,
+                           row_number() OVER (PARTITION BY component
+                             ORDER BY count(*) DESC, lang ASC) AS rn
+                    FROM j GROUP BY component, lang
+                ) WHERE rn = 1
+            ),
+            pick_src AS (
+                SELECT cluster, source FROM (
+                    SELECT component AS cluster, source,
+                           row_number() OVER (PARTITION BY component
+                             ORDER BY count(*) DESC, source ASC) AS rn
+                    FROM j GROUP BY component, source
+                ) WHERE rn = 1
+            )
+            SELECT b.cluster, b.canonical_id, b.n_members, b.n_chars,
+                   pl.lang, ps.source
+            FROM base b
+            JOIN pick_lang pl ON pl.cluster = b.cluster
+            JOIN pick_src ps ON ps.cluster = b.cluster
+        """,
+        # exponential mechanism: Gumbel-max over eps*count/2, md5 uniforms
+        "dp_topk": f"""
+            WITH g AS (
+                SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT source,
+                       {EM_EPS / 2.0} * n + (
+                         - ln(- ln(
+                           ((('0x' || substr(md5('em:' || source), 1, 15))::UBIGINT)::BIGINT
+                            + 1) / {float(1 << 60)}
+                         ))
+                       ) AS sc
+                FROM g
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sc DESC, source ASC) AS INTEGER)
+                     AS rank, source
+            FROM s ORDER BY sc DESC, source ASC LIMIT {EM_K}
         """,
         # same closure, fold hashed from the cluster's canonical id — a
         # near-dup pair can never straddle train/test

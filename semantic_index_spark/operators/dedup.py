@@ -1103,3 +1103,55 @@ def group_minhash_similarity(
             ).alias("est_jaccard"),
         )
     )
+
+
+def golden_records(
+    records: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    mode_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship / golden-record merge — the step AFTER record linkage
+    (:func:`blocked_linkage` → :func:`connected_components`) that MDM and
+    entity-resolution pipelines run: collapse each duplicate cluster to
+    ONE canonical record with per-field survivorship rules. Rules here:
+    ``mode_cols`` keep the most frequent value (ties → smallest, so the
+    merge is deterministic on any engine); ``max_cols`` keep the maximum;
+    the canonical id is the cluster's minimum member id.
+    [absent in reference — north-star extension]
+
+    Scale shape: one equi-join of the label vector into the records, then
+    one cluster-keyed agg for the max/count fields plus one
+    (cluster, value)-keyed count + min_by argmax per mode field — every
+    shuffle is keyed by the high-cardinality cluster id, never a funnel;
+    mode tables are bounded by Σ distinct values per cluster.
+
+    Returns (cluster, canonical_id, n_members, <mode cols>, <max cols>).
+    """
+    mode_cols = mode_cols or []
+    max_cols = max_cols or []
+    j = records.join(
+        labels.select(F.col(id_col).alias("_gid"), F.col(cluster_col).alias("_c")),
+        records[id_col] == F.col("_gid"),
+    )
+    base = j.groupBy(F.col("_c").alias("cluster")).agg(
+        F.min(id_col).cast("bigint").alias("canonical_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        *[F.max(c).alias(c) for c in max_cols],
+    )
+    out = base
+    for c in mode_cols:
+        pick = (
+            j.groupBy(F.col("_c").alias("cluster"), F.col(c))
+            .agg(F.count("*").alias("_n"))
+            .groupBy("cluster")
+            .agg(
+                F.min_by(
+                    c, F.struct((-F.col("_n")).alias("a"), F.col(c).alias("b"))
+                ).alias(c)
+            )
+        )
+        out = out.join(pick, "cluster")
+    return out

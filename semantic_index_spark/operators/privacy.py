@@ -135,3 +135,52 @@ def l_diversity_audit(
         )
         .filter(F.col("n_sensitive") < ell)
     )
+
+
+def dp_exponential_topk(
+    df: DataFrame,
+    by: str,
+    k: int = 5,
+    epsilon: float = 1.0,
+    seed: str = "em:",
+) -> DataFrame:
+    """Top-k selection through the exponential mechanism — the DP answer
+    to "which categories may we NAME?", where :func:`dp_noisy_counts`
+    answers "what counts may we publish?". Utility = group count
+    (sensitivity 1); selection uses the Gumbel-max trick: noisy score =
+    ε·count/2 + Gumbel(0,1), and taking the k LARGEST noisy scores is
+    exactly k sequential exponential-mechanism draws without replacement
+    (Durfee & Rogers 2019, "one-shot top-k"). [absent in reference —
+    north-star extension]
+
+    DETERMINISM CAVEAT — same contract as :func:`dp_noisy_counts`: the
+    Gumbel uniform is md5-derived from the group key so the release is
+    reproducible and the cross-engine oracle replays it bit-for-bit; a
+    real deployment swaps in a cryptographic RNG, everything else
+    (utility scaling, Gumbel inversion, one-shot ordering) unchanged.
+
+    Scale shape: ONE map-side-combined groupBy to |groups| rows, noise in
+    a scalar expression, bounded top-k (TakeOrderedAndProject) — the
+    corpus never sorts. Returns (rank, by) — counts deliberately NOT
+    released; naming the winners is the mechanism's entire output.
+    """
+    if k < 1:
+        raise ValueError("dp_exponential_topk: k must be >= 1")
+    u = (md5_bigint(F.col(by).cast("string"), salt=seed) + 1) / F.lit(
+        float(1 << 60)
+    )
+    gumbel = -F.log(-F.log(u))
+    noisy = F.lit(float(epsilon) / 2.0) * F.col("_n") + gumbel
+    ranked = (
+        df.groupBy(by)
+        .agg(F.count("*").alias("_n"))
+        .select(F.col(by), noisy.alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col(by).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_s").desc(), F.col(by).asc())
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"), F.col(by)
+    )

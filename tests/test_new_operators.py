@@ -2164,3 +2164,69 @@ def test_grid_neighbor_join_boundary_inclusive(spark):
     assert (1, 2) in out      # dist == radius exactly
     assert (1, 3) not in out  # one past
     assert (2, 3) in out
+
+
+# ------------------------------------------------------------ survivorship
+
+
+def test_golden_records_field_survivorship(spark):
+    from semantic_index_spark.operators import dedup as D
+
+    recs = spark.createDataFrame(
+        [
+            (1, "en", "web", 100),
+            (2, "fr", "web", 300),
+            (3, "fr", "pdf", 200),
+            (9, "zh", "api", 50),
+        ],
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["doc_id", "component"]
+    )
+    out = {r["cluster"]: r for r in D.golden_records(
+        recs, labels, mode_cols=["lang", "source"], max_cols=["n_chars"]
+    ).collect()}
+    g = out[1]
+    assert g["canonical_id"] == 1 and g["n_members"] == 3
+    assert g["n_chars"] == 300
+    assert g["lang"] == "fr"          # mode 2-of-3
+    assert g["source"] == "web"       # web appears twice, pdf once
+    assert out[9]["n_members"] == 1 and out[9]["lang"] == "zh"
+
+
+def test_golden_records_mode_tie_breaks_smallest(spark):
+    from semantic_index_spark.operators import dedup as D
+
+    recs = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "a")], ["doc_id", "lang"]
+    )
+    labels = spark.createDataFrame([(i, 1) for i in (1, 2, 3, 4)],
+                                   ["doc_id", "component"])
+    r = D.golden_records(recs, labels, mode_cols=["lang"]).collect()[0]
+    assert r["lang"] == "a"  # 2-2 tie -> smallest value
+
+
+# ---------------------------------------------------------------- dp top-k
+
+
+def test_dp_exponential_topk_shape_and_determinism(spark):
+    from semantic_index_spark.operators import privacy as P
+
+    rows = [(f"s{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["src"])
+    a = P.dp_exponential_topk(df, "src", k=3).collect()
+    b = P.dp_exponential_topk(df, "src", k=3).collect()
+    assert a == b
+    assert [r["rank"] for r in a] == [1, 2, 3]
+    assert len({r["src"] for r in a}) == 3
+
+
+def test_dp_exponential_topk_huge_epsilon_tracks_true_counts(spark):
+    from semantic_index_spark.operators import privacy as P
+
+    # eps so large the noise cannot reorder: top-1 must be the true mode
+    rows = [("big",)] * 50 + [("mid",)] * 10 + [("sml",)] * 2
+    df = spark.createDataFrame(rows, ["src"])
+    out = P.dp_exponential_topk(df, "src", k=2, epsilon=100.0).collect()
+    assert out[0]["src"] == "big" and out[1]["src"] == "mid"

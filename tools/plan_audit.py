@@ -637,6 +637,11 @@ AUDITS = {
     # spatial grid: stencil explode + hash equi-join on the cell — the
     # O(n^2) theta join the oracle runs must NOT appear in the Spark plan.
     "geo_neighbors": {"expect": ["Generate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # survivorship: every shuffle keyed by the cluster id; pair
+    # enumeration inherits the LSH band contract — no nested loop.
+    "golden_records": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # exponential mechanism: one partial-agg + bounded top-k selection.
+    "dp_topk": {"expect": ["HashAggregate", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "Join"]},
 }
 
 
