@@ -4492,6 +4492,37 @@ def q_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.dp_exponential_topk(d, "source", k=EM_K, epsilon=EM_EPS)
 
 
+KMV_K = 256
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via KMV bottom-k sketches
+    (functions/sketch.py kmv_sketch_by + kmv_estimates): sketches are
+    k rows per group after one map-side-combinable distinct; groups with
+    < k distinct values return exact counts, larger ones the classic
+    (k−1)·2⁶⁰/h_k estimator — both paths exercised across the two SFs.
+    The oracle replays the md5 ranks bit-for-bit."""
+    from semantic_index_spark.functions import sketch as SKC
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SKC.kmv_sketch_by(ev, "user_id", "event_type", k=KMV_K)
+    return SKC.kmv_estimates(sk, "event_type", k=KMV_K)
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates from coordinated KMV sketches
+    (functions/sketch.py kmv_pair_overlap) — the set-INTERSECTION query
+    HLL cannot serve and the sketch-sized counterpart of the exact
+    bitmap audience_overlap row: per event-type pair, Jaccard over the
+    union's bottom-k + scaled intersection. All joins sketch-sized;
+    the only cross product is the tiny group list."""
+    from semantic_index_spark.functions import sketch as SKC
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SKC.kmv_sketch_by(ev, "user_id", "event_type", k=KMV_K)
+    return SKC.kmv_pair_overlap(sk, "event_type", k=KMV_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. Round-6 window: slots 1-50 are the first
@@ -4621,6 +4652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_neighbors": q_geo_neighbors,
         "golden_records": q_golden_records,
         "dp_topk": q_dp_topk,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -8098,6 +8131,80 @@ def oracle_sql() -> dict[str, str]:
              AND abs(a.x - b.x) <= {GEO_RADIUS} AND abs(a.y - b.y) <= {GEO_RADIUS}
             WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
                   <= {GEO_RADIUS * GEO_RADIUS}
+        """,
+        # KMV bottom-k sketch: md5 ranks replayed bit-for-bit; < k distinct
+        # -> exact, else (k-1)*2^60/h_k
+        "kmv_distinct": f"""
+            WITH hx AS (
+              SELECT DISTINCT event_type,
+                     (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+              FROM hx
+            ),
+            sk AS (SELECT * FROM r WHERE rk <= {KMV_K}),
+            agg AS (
+              SELECT event_type, count(*)::BIGINT AS n_sketch,
+                     max(CASE WHEN rk = {KMV_K} THEN h END) AS hk
+              FROM sk GROUP BY event_type
+            )
+            SELECT event_type, n_sketch,
+                   CASE WHEN hk IS NULL THEN CAST(n_sketch AS DOUBLE)
+                        ELSE round({(KMV_K - 1) * float(1 << 60)} / hk, 6)
+                   END AS approx_distinct
+            FROM agg
+        """,
+        # coordinated-sample intersection: union's bottom-k re-rank, the
+        # query HLL cannot serve
+        "kmv_overlap": f"""
+            WITH hx AS (
+              SELECT DISTINCT event_type,
+                     (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+              FROM hx
+            ),
+            sk AS (SELECT * FROM r WHERE rk <= {KMV_K}),
+            pairs AS (
+              SELECT a.event_type AS ga, b.event_type AS gb
+              FROM (SELECT DISTINCT event_type FROM sk) a,
+                   (SELECT DISTINCT event_type FROM sk) b
+              WHERE a.event_type < b.event_type
+            ),
+            uni AS (
+              SELECT ga, gb, h, max(ina) AS ina, max(inb) AS inb FROM (
+                SELECT p.ga, p.gb, s.h, 1 AS ina, 0 AS inb
+                FROM pairs p JOIN sk s ON s.event_type = p.ga
+                UNION ALL
+                SELECT p.ga, p.gb, s.h, 0, 1
+                FROM pairs p JOIN sk s ON s.event_type = p.gb
+              ) GROUP BY ga, gb, h
+            ),
+            rk2 AS (
+              SELECT ga, gb, h, ina, inb,
+                     row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+              FROM uni
+            ),
+            pp AS (
+              SELECT ga, gb, count(*)::BIGINT AS k_union,
+                     sum(ina * inb)::BIGINT AS n_common,
+                     max(CASE WHEN rk = {KMV_K} THEN h END) AS hk
+              FROM rk2 WHERE rk <= {KMV_K} GROUP BY ga, gb
+            )
+            SELECT ga AS group_a, gb AS group_b, k_union, n_common,
+                   round(CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE), 6)
+                     AS jaccard,
+                   round(CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)
+                         * (CASE WHEN hk IS NULL THEN CAST(k_union AS DOUBLE)
+                                 ELSE {(KMV_K - 1) * float(1 << 60)} / hk END), 6)
+                     AS approx_intersection
+            FROM pp
         """,
         # gaps-and-islands: consecutive days share (day - row_number)
         "activity_streaks": """

@@ -460,3 +460,123 @@ def psi_drift(
         F.sum("n_ref").cast("bigint").alias("n_ref"),
         F.sum("n_cur").cast("bigint").alias("n_cur"),
     )
+
+
+def kmv_sketch_by(df: DataFrame, col: str, by: str, k: int = 256) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k) distinct sketch:
+    ``(by, rank, h)`` = each group's k smallest distinct md5 hashes.
+    The sketch family member HLL cannot replace: bottom-k sketches
+    support set INTERSECTION estimates (Jaccard over the coordinated
+    sample), where HLL only unions cleanly. [absent in reference —
+    north-star extension]
+
+    Scale shape: one distinct over (group, hash) — map-side combinable —
+    then ONE window rank partitioned by the high-cardinality group key;
+    everything past the distinct is sketch-sized (k rows per group).
+    Sketches from different partitions/days merge by re-ranking the
+    union's hashes and keeping the k smallest — the same mergeability
+    contract as the HLL registers and CMS counters here.
+
+    Deterministic: md5 hashing, integer ranks — bit-identical anywhere.
+    """
+    if k < 2:
+        raise ValueError("kmv_sketch_by: k must be >= 2")
+    h = md5_bigint(F.col(col).cast("string"))
+    from pyspark.sql import Window
+
+    dist = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(by), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(by).orderBy("h")
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(by, "rank", "h")
+    )
+
+
+def kmv_estimates(sketches: DataFrame, by: str, k: int = 256) -> DataFrame:
+    """Fold per-group KMV sketches into distinct-count estimates:
+    ``(by, n_sketch, approx_distinct)``. When a group has fewer than k
+    distinct values the sketch IS the exact distinct set (estimate =
+    sketch size); otherwise the classic unbiased estimator
+    (k − 1)·2⁶⁰ / h_k from the k-th minimum hash. One sketch-sized
+    groupBy — never touches raw data."""
+    hash_space = float(1 << 60)
+    agg = sketches.groupBy(by).agg(
+        F.count("*").cast("bigint").alias("n_sketch"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
+    )
+    return agg.select(
+        by,
+        "n_sketch",
+        F.when(F.col("_hk").isNull(), F.col("n_sketch").cast("double"))
+        .otherwise(F.round(F.lit((k - 1) * hash_space) / F.col("_hk"), 6))
+        .alias("approx_distinct"),
+    )
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame, by: str, k: int = 256
+) -> DataFrame:
+    """Pairwise set-overlap estimates from coordinated KMV sketches — the
+    query HLL fundamentally cannot serve: for every group pair, take the
+    k smallest hashes of the UNION of the two sketches, count how many
+    sit in both, and scale: jaccard ≈ c/k', intersection ≈ jaccard ×
+    union_estimate. Exact when both groups have < k distinct values
+    (the sketch is the full set). [absent in reference]
+
+    Scale shape: sketches are k rows per group, so the pair join is
+    sketch-sized — |groups|²·k at worst, independent of corpus size; the
+    per-pair re-rank runs over ≤ 2k rows per pair. Returns
+    (group_a, group_b, k_union, n_common, jaccard, approx_intersection).
+    """
+    hash_space = float(1 << 60)
+    a = sketches.select(
+        F.col(by).alias("ga"), F.col("h").alias("ha"), F.col("rank").alias("ra")
+    )
+    b = sketches.select(
+        F.col(by).alias("gb"), F.col("h").alias("hb"), F.col("rank").alias("rb")
+    )
+    # ordered group pairs: the ONLY cross product is |groups| × |groups|
+    # over the tiny group list — sketch rows join in by key afterwards
+    pairs = (
+        a.select(F.col("ga")).distinct()
+        .crossJoin(b.select(F.col("gb")).distinct())
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    # union of the two sketches per pair, tagged by membership
+    left = pairs.join(a, "ga").select(
+        "ga", "gb", F.col("ha").alias("h"), F.lit(1).alias("_ina"), F.lit(0).alias("_inb")
+    )
+    right = pairs.join(b, "gb").select(
+        "ga", "gb", F.col("hb").alias("h"), F.lit(0).alias("_ina"), F.lit(1).alias("_inb")
+    )
+    uni = (
+        left.unionByName(right)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("_ina").alias("ina"), F.max("_inb").alias("inb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    ranked = uni.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    per_pair = ranked.groupBy("ga", "gb").agg(
+        F.count("*").cast("bigint").alias("k_union"),
+        F.sum(F.col("ina") * F.col("inb")).cast("bigint").alias("n_common"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_hk"),
+    )
+    union_est = F.when(
+        F.col("_hk").isNull(), F.col("k_union").cast("double")
+    ).otherwise(F.lit((k - 1) * hash_space) / F.col("_hk"))
+    jac = F.col("n_common").cast("double") / F.col("k_union").cast("double")
+    return per_pair.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "k_union",
+        "n_common",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * union_est, 6).alias("approx_intersection"),
+    )

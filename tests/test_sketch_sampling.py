@@ -678,3 +678,71 @@ def test_quantile_filter_null_heavy_group_not_inflated(spark):
     # before the fix the 10 NULLs pulled the threshold to 0.0 and ALL ten
     # real values survived
     assert vals == [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_exact_below_k(spark):
+    from semantic_index_spark.functions import sketch as SKC
+
+    rows = [("g", f"u{i}") for i in range(40)] * 3  # 40 distinct, repeated
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    sk = SKC.kmv_sketch_by(df, "uid", "grp", k=64)
+    assert sk.count() == 40
+    est = SKC.kmv_estimates(sk, "grp", k=64).collect()[0]
+    assert est["n_sketch"] == 40 and est["approx_distinct"] == 40.0
+
+
+def test_kmv_estimator_accuracy_above_k(spark):
+    from semantic_index_spark.functions import sketch as SKC
+
+    rows = [("g", f"user{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    sk = SKC.kmv_sketch_by(df, "uid", "grp", k=256)
+    assert sk.count() == 256
+    est = SKC.kmv_estimates(sk, "grp", k=256).collect()[0]["approx_distinct"]
+    assert abs(est - 5000) / 5000 < 0.20  # ~1/sqrt(k) relative error
+
+
+def test_kmv_overlap_exact_on_small_sets(spark):
+    from semantic_index_spark.functions import sketch as SKC
+
+    # a = {0..59}, b = {30..89}: |a∩b| = 30, |a∪b| = 90
+    rows = [("a", f"u{i}") for i in range(60)] + [
+        ("b", f"u{i}") for i in range(30, 90)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    sk = SKC.kmv_sketch_by(df, "uid", "grp", k=256)
+    r = SKC.kmv_pair_overlap(sk, "grp", k=256).collect()[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["k_union"] == 90 and r["n_common"] == 30
+    assert abs(r["jaccard"] - 30 / 90) < 1e-6
+    assert abs(r["approx_intersection"] - 30.0) < 1e-6
+
+
+def test_kmv_sketch_merge_by_rerank(spark):
+    from semantic_index_spark.functions import sketch as SKC
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # sketches of two day-partitions of the same group merge to the
+    # sketch of the union (the mergeability contract)
+    rows1 = [("g", f"u{i}") for i in range(0, 400)]
+    rows2 = [("g", f"u{i}") for i in range(200, 600)]
+    d1 = spark.createDataFrame(rows1, ["grp", "uid"])
+    d2 = spark.createDataFrame(rows2, ["grp", "uid"])
+    s1 = SKC.kmv_sketch_by(d1, "uid", "grp", k=128)
+    s2 = SKC.kmv_sketch_by(d2, "uid", "grp", k=128)
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        s1.select("grp", "h").unionByName(s2.select("grp", "h")).distinct()
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 128)
+    )
+    full = SKC.kmv_sketch_by(
+        d1.unionByName(d2), "uid", "grp", k=128
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in full.collect()
+    )

@@ -642,6 +642,13 @@ AUDITS = {
     "golden_records": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # exponential mechanism: one partial-agg + bounded top-k selection.
     "dp_topk": {"expect": ["HashAggregate", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "Join"]},
+    # KMV: one map-side-combinable distinct, then group-keyed rank window;
+    # everything downstream is sketch-sized.
+    "kmv_distinct": {"expect": ["HashAggregate", "Window"], "forbid": ["CartesianProduct", "Join"]},
+    # pair overlap: the only cross product is the tiny group list (a
+    # BroadcastNestedLoopJoin of |groups| x |groups| rows, by design);
+    # sketch rows enter via hash joins.
+    "kmv_overlap": {"expect": ["Window", "HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
