@@ -4493,6 +4493,22 @@ def q_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMV_K = 256
+PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN = 4, 16, 2, 3, 10
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (operators/similarity.py
+    pq_train_encode + pq_topk): train 4×16 per-subspace codebooks
+    (Lloyd's rounds with the kmeans_fit 1e-6 re-entry contract), encode
+    the corpus to 4 codes per vector (16× memory cut), and serve a
+    query via the ADC lookup table — fixed-pointed to micros so the
+    per-vector distance is an exact BIGINT sum. Corpus floats are never
+    touched at query time. The oracle unrolls the per-subspace k-means
+    CTE rounds and replays encode + LUT + top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cb = S.pq_train_encode(emb, m_sub=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    q = emb.filter(F.col("vec_id") == PQ_QVEC).collect()[0]["embedding"]
+    return S.pq_topk(codes, cb, q, k_results=PQ_TOPN)
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4654,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "pq_topk": q_pq_topk,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -4983,6 +5000,84 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     )
 
 
+def _pq_oracle(m_sub: int, k: int, iters: int, q_vec_id: int, topn: int) -> str:
+    """Unrolled product quantization (similarity.pq_train_encode/pq_topk):
+    the _kmeans_oracle recurrence with a subspace key — per round, argmin
+    SQUARED-L2 assignment over the (sub, code) codebook (ties → smallest
+    code) and per-(sub, code, dim) means rounded to 1e-6 so both engines
+    re-enter each round with identical decimal centroids. The ADC lookup
+    table fixed-points each subspace distance to micros exactly like the
+    Python-side LUT, so the per-vector sum is an exact BIGINT."""
+    sub_vals = ", ".join(f"({s})" for s in range(m_sub))
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+
+    ctes = [
+        "dimn AS MATERIALIZED (SELECT len(embedding) AS d FROM embeddings LIMIT 1)",
+        f"subs AS MATERIALIZED (SELECT s FROM (VALUES {sub_vals}) t(s))",
+        # per-(vector, subspace) double subvectors
+        "sub AS MATERIALIZED (SELECT e.vec_id, t.s AS sub, "
+        "list_transform(e.embedding[(t.s * (SELECT d FROM dimn) // "
+        f"{m_sub} + 1):((t.s + 1) * (SELECT d FROM dimn) // {m_sub})], "
+        "x -> CAST(x AS DOUBLE)) AS sv FROM embeddings e CROSS JOIN subs t)",
+        # init: codes 0..k-1 = the k lowest-id vectors' slices
+        "init AS MATERIALIZED (SELECT sub, row_number() OVER (PARTITION BY sub "
+        "ORDER BY vec_id) - 1 AS code, sv AS c FROM sub WHERE vec_id IN "
+        f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT sub, code, c FROM init)",
+    ]
+
+    def _assign(r: int, cent: str) -> list[str]:
+        return [
+            f"a{r} AS MATERIALIZED (SELECT t.vec_id, t.sub, t.sv, c.code, "
+            "row_number() OVER (PARTITION BY t.vec_id, t.sub ORDER BY "
+            + sqd("t.sv", "c.c")
+            + f" ASC, c.code ASC) AS rn FROM sub t JOIN {cent} c ON c.sub = t.sub)",
+            f"asg{r} AS MATERIALIZED (SELECT vec_id, sub, sv, code FROM a{r} "
+            "WHERE rn = 1)",
+        ]
+
+    for r in range(1, iters + 1):
+        ctes += _assign(r, f"c{r - 1}")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT sub, code, dim, "
+            "round(avg(v), 6) AS m FROM (SELECT sub, code, unnest(sv) AS v, "
+            f"generate_subscripts(sv, 1) AS dim FROM asg{r}) GROUP BY sub, code, dim)"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT p.sub, p.code, coalesce(mm.c, p.c) AS c "
+            f"FROM c{r - 1} p LEFT JOIN (SELECT sub, code, list(m ORDER BY dim) AS c "
+            f"FROM m{r} GROUP BY sub, code) mm USING (sub, code))"
+        )
+    fin = iters + 1
+    ctes += _assign(fin, f"c{iters}")
+    ctes += [
+        "qsub AS MATERIALIZED (SELECT t.s AS sub, list_transform("
+        "(SELECT embedding FROM embeddings WHERE vec_id = "
+        f"{q_vec_id})[(t.s * (SELECT d FROM dimn) // {m_sub} + 1):"
+        f"((t.s + 1) * (SELECT d FROM dimn) // {m_sub})], "
+        "x -> CAST(x AS DOUBLE)) AS qv FROM subs t)",
+        "lut AS MATERIALIZED (SELECT c.sub, c.code, "
+        "floor(" + sqd("q.qv", "c.c") + " * 1000000.0 + 0.5)::BIGINT AS dmicro "
+        f"FROM c{iters} c JOIN qsub q ON q.sub = c.sub)",
+        f"sc AS MATERIALIZED (SELECT a.vec_id, sum(l.dmicro)::BIGINT AS dm "
+        f"FROM asg{fin} a JOIN lut l ON l.sub = a.sub AND l.code = a.code "
+        "GROUP BY a.vec_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(row_number() OVER (ORDER BY dm ASC, vec_id ASC) AS INTEGER)"
+        + " AS rank, vec_id, round(dm / 1000000.0, 6) AS approx_dist2"
+        + f"\nFROM sc ORDER BY dm ASC, vec_id ASC LIMIT {topn}"
+    )
+
+
 def _mmr_oracle(k: int, pool: int, lam: float, q_vec_id: int) -> str:
     """Unrolled MMR greedy selection (similarity.mmr_rerank): top-``pool``
     cosine candidates, then k rounds of argmax(λ·rel − (1−λ)·max-sim-to-
@@ -5192,6 +5287,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _kcenter_oracle(KCENTER_K),
         "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
         "kmeans_centroids": _kmeans_oracle(k=4, iters=3),
+        "pq_topk": _pq_oracle(PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN),
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

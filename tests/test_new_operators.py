@@ -2230,3 +2230,50 @@ def test_dp_exponential_topk_huge_epsilon_tracks_true_counts(spark):
     df = spark.createDataFrame(rows, ["src"])
     out = P.dp_exponential_topk(df, "src", k=2, epsilon=100.0).collect()
     assert out[0]["src"] == "big" and out[1]["src"] == "mid"
+
+
+# -------------------------------------------------------------------- PQ
+
+
+def _pq_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    # 3 well-separated cluster centers in 8-dim space
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [c[d] + rng.uniform(-0.5, 0.5) for d in range(8)]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    df = _pq_fixture(spark)
+    codes1, cb1 = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    codes2, cb2 = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    assert cb1 == cb2
+    got = codes1.collect()
+    assert len(got) == 60 * 2
+    assert all(0 <= r["code"] < 4 and r["sub"] in (0, 1) for r in got)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, codes2.collect()))
+
+
+def test_pq_topk_finds_query_cluster(spark):
+    df = _pq_fixture(spark)
+    codes, cb = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    q = df.filter("vec_id = 0").collect()[0]["embedding"]
+    top = S.pq_topk(codes, cb, q, k_results=20).collect()
+    assert [r["rank"] for r in top] == list(range(1, 21))
+    # the query's own cluster (vec_id % 3 == 0) fills the top ranks:
+    # same-cluster vectors share codes, distance 0 to the query cell
+    assert all(r["vec_id"] % 3 == 0 for r in top)
+    assert top[0]["approx_dist2"] <= top[-1]["approx_dist2"]
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        S.pq_train_encode(df, m_sub=2, k=2, iters=1)

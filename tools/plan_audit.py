@@ -649,6 +649,9 @@ AUDITS = {
     # BroadcastNestedLoopJoin of |groups| x |groups| rows, by design);
     # sketch rows enter via hash joins.
     "kmv_overlap": {"expect": ["Window", "HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # ADC serving: codes join the broadcast LUT, integer sum, bounded
+    # top-k — the corpus floats are never scanned at query time.
+    "pq_topk": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
