@@ -4539,6 +4539,21 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKC.kmv_pair_overlap(sk, "event_type", k=KMV_K)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving end-to-end (operators/similarity.py ivfpq_topk):
+    prune to the query's IVF_NPROBE max-dot cells, then ADC-score ONLY
+    those candidates from their PQ codes — the FAISS default index
+    family as DataFrame ops. Candidate scan is nprobe/K of the corpus;
+    scoring touches code bytes, never floats. The oracle adds the cell
+    filter to the unrolled PQ replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cb = S.pq_train_encode(emb, m_sub=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    q = emb.filter(F.col("vec_id") == PQ_QVEC).collect()[0]["embedding"]
+    return S.ivfpq_topk(
+        emb, codes, cb, CENTROIDS, q, k_results=PQ_TOPN, nprobe=IVF_NPROBE
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. Round-6 window: slots 1-50 are the first
@@ -4671,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -5000,7 +5016,14 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     )
 
 
-def _pq_oracle(m_sub: int, k: int, iters: int, q_vec_id: int, topn: int) -> str:
+def _pq_oracle(
+    m_sub: int,
+    k: int,
+    iters: int,
+    q_vec_id: int,
+    topn: int,
+    ivf_nprobe: int | None = None,
+) -> str:
     """Unrolled product quantization (similarity.pq_train_encode/pq_topk):
     the _kmeans_oracle recurrence with a subspace key — per round, argmin
     SQUARED-L2 assignment over the (sub, code) codebook (ties → smallest
@@ -5065,10 +5088,27 @@ def _pq_oracle(m_sub: int, k: int, iters: int, q_vec_id: int, topn: int) -> str:
         "lut AS MATERIALIZED (SELECT c.sub, c.code, "
         "floor(" + sqd("q.qv", "c.c") + " * 1000000.0 + 0.5)::BIGINT AS dmicro "
         f"FROM c{iters} c JOIN qsub q ON q.sub = c.sub)",
-        f"sc AS MATERIALIZED (SELECT a.vec_id, sum(l.dmicro)::BIGINT AS dm "
-        f"FROM asg{fin} a JOIN lut l ON l.sub = a.sub AND l.code = a.code "
-        "GROUP BY a.vec_id)",
     ]
+    cand_filter = ""
+    if ivf_nprobe is not None:
+        qsel = f"(SELECT embedding FROM embeddings WHERE vec_id = {q_vec_id})"
+        ctes += [
+            "ivfqd AS MATERIALIZED (SELECT unnest(range(0, "
+            f"{IVF_K})) AS cell, unnest(["
+            + ", ".join(_duck_dot(qsel, _duck_plane_lit(c)) for c in CENTROIDS)
+            + "]) AS d)",
+            "ivfprobe AS MATERIALIZED (SELECT cell FROM ivfqd "
+            f"ORDER BY d DESC, cell LIMIT {ivf_nprobe})",
+            "ivfcand AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id, "
+            + _duck_ivf_cell("embedding")
+            + " AS cell FROM embeddings) WHERE cell IN (SELECT cell FROM ivfprobe))",
+        ]
+        cand_filter = " WHERE a.vec_id IN (SELECT vec_id FROM ivfcand)"
+    ctes.append(
+        f"sc AS MATERIALIZED (SELECT a.vec_id, sum(l.dmicro)::BIGINT AS dm "
+        f"FROM asg{fin} a JOIN lut l ON l.sub = a.sub AND l.code = a.code"
+        f"{cand_filter} GROUP BY a.vec_id)"
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -5288,6 +5328,9 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
         "kmeans_centroids": _kmeans_oracle(k=4, iters=3),
         "pq_topk": _pq_oracle(PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN),
+        "ivfpq_topk": _pq_oracle(
+            PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
+        ),
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

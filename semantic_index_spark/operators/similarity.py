@@ -956,3 +956,34 @@ def pq_topk(
         F.col(id_col),
         F.round(F.col("_dm") / F.lit(1e6), 6).alias("approx_dist2"),
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    centroids: Sequence[Sequence[float]],
+    query_vec,
+    k_results: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ serving — the full billion-scale ANN composition (FAISS's
+    default index family): IVF pruning picks the query's ``nprobe`` cells
+    (planning-time partition pruning against a ``write_ivf_index``
+    layout), then ADC scores ONLY those candidates from their 16-byte PQ
+    codes via the broadcast lookup table. This is the non-residual
+    variant (global codebooks; residual-encoding is a centroid-subtract
+    away and changes nothing structural). At 100 TB the scan cost is
+    nprobe/K of the corpus and the scoring cost is code-bytes, not
+    floats. Returns (rank, id, approx_dist2)."""
+    probe = _probe_cells(query_vec, centroids, nprobe)
+    cand = (
+        ivf_assign(df, centroids, emb_col)
+        .filter(F.col("_cell").isin(probe))
+        .select(id_col)
+    )
+    return pq_topk(
+        codes.join(cand, id_col), codebooks, query_vec, k_results=k_results, id_col=id_col
+    )

@@ -2277,3 +2277,17 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError):
         S.pq_train_encode(df, m_sub=2, k=2, iters=1)
+
+
+def test_ivfpq_equals_pq_on_probed_candidates(spark):
+    df = _pq_fixture(spark)
+    codes, cb = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    q = df.filter("vec_id = 1").collect()[0]["embedding"]
+    cents = S.make_centroids(4, 8, seed=5)
+    got = S.ivfpq_topk(df, codes, cb, cents, q, k_results=5, nprobe=4).collect()
+    # nprobe == K probes every cell -> identical to plain PQ ADC
+    ref = S.pq_topk(codes, cb, q, k_results=5).collect()
+    assert got == ref
+    # nprobe=1 returns a subset of some cell, still ranked 1..n
+    narrow = S.ivfpq_topk(df, codes, cb, cents, q, k_results=5, nprobe=1).collect()
+    assert [r["rank"] for r in narrow] == list(range(1, len(narrow) + 1))

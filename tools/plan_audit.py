@@ -652,6 +652,9 @@ AUDITS = {
     # ADC serving: codes join the broadcast LUT, integer sum, bounded
     # top-k — the corpus floats are never scanned at query time.
     "pq_topk": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # IVF-PQ: cell prune + code-side ADC; still no corpus sort and no
+    # nested loop — the candidate filter is a hash semi/equi join.
+    "ivfpq_topk": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
 }
 
 
