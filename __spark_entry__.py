@@ -4539,6 +4539,19 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKC.kmv_pair_overlap(sk, "event_type", k=KMV_K)
 
 
+MNN_CAP = 800
+
+
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match pairs over a capped embedding panel
+    (operators/similarity.py mutual_nn): one BLAS multi-query top-2
+    pass, per-query argmax, and the (a→b, b→a) mutuality join. The
+    oracle is the literal O(n²) definition — the pruned pass must
+    reproduce it row-for-row."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < MNN_CAP)
+    return S.mutual_nn(emb)
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving end-to-end (operators/similarity.py ivfpq_topk):
     prune to the query's IVF_NPROBE max-dot cells, then ADC-score ONLY
@@ -4687,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "mutual_nn": q_mutual_nn,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -5327,6 +5341,27 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _kcenter_oracle(KCENTER_K),
         "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
         "kmeans_centroids": _kmeans_oracle(k=4, iters=3),
+        # mutual NN: the literal O(n^2) definition over the capped panel
+        "mutual_nn": f"""
+            WITH e AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < {MNN_CAP}
+            ),
+            s AS (
+              SELECT a.vec_id AS qa, b.vec_id AS qb,
+                     round({_duck_dot("a.embedding", "b.embedding")}, 6) AS sc
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            ),
+            nn AS (
+              SELECT qa, qb, sc,
+                     row_number() OVER (PARTITION BY qa ORDER BY sc DESC, qb ASC)
+                       AS rn
+              FROM s
+            ),
+            b1 AS (SELECT qa, qb, sc FROM nn WHERE rn = 1)
+            SELECT x.qa AS id_a, x.qb AS id_b, x.sc AS score
+            FROM b1 x JOIN b1 y ON y.qa = x.qb AND y.qb = x.qa
+            WHERE x.qa < x.qb
+        """,
         "pq_topk": _pq_oracle(PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN),
         "ivfpq_topk": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE

@@ -987,3 +987,49 @@ def ivfpq_topk(
     return pq_topk(
         codes.join(cand, id_col), codebooks, query_vec, k_results=k_results, id_col=id_col
     )
+
+
+def mutual_nn(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Mutual nearest neighbors (reciprocal best match): pairs (a, b)
+    where b is a's best non-self neighbor AND a is b's — the alignment
+    primitive behind bitext mining, cross-snapshot record alignment, and
+    high-precision duplicate seeding (a mutual edge is far stronger
+    evidence than a one-way NN). [absent in reference — north-star
+    extension]
+
+    Exact by construction: one :func:`topk_multi` pass (k=2 — if self is
+    not in a vector's top-2, both survivors outscore self, so rank-1
+    non-self is still the true best), a per-query argmax window keyed by
+    the high-cardinality query id, and one self-equi-join on the
+    (a→b, b→a) edge. Exact all-pairs NN is inherently O(N²) — this
+    operator's contract is a capped/sampled panel (``max_rows`` guards
+    the broadcast); at corpus scale, seed candidates with
+    :func:`lsh_topk`/:func:`ivfpq_topk` and verify mutuality the same
+    way. Returns (id_a, id_b, score) with id_a < id_b.
+    """
+    qs = df.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_embedding")
+    )
+    nn2 = topk_multi(df, qs, k=2, emb_col=emb_col, id_col=id_col, max_queries=max_rows)
+    best = nn2.filter(F.col(id_col) != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+    b1 = (
+        best.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("q_id").alias("a"), F.col(id_col).alias("b"), "score")
+    )
+    x, y = b1.alias("x"), b1.alias("y")
+    return (
+        x.join(y, (F.col("y.a") == F.col("x.b")) & (F.col("y.b") == F.col("x.a")))
+        .filter(F.col("x.a") < F.col("x.b"))
+        .select(
+            F.col("x.a").alias("id_a"),
+            F.col("x.b").alias("id_b"),
+            F.col("x.score").alias("score"),
+        )
+    )

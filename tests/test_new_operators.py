@@ -2291,3 +2291,28 @@ def test_ivfpq_equals_pq_on_probed_candidates(spark):
     # nprobe=1 returns a subset of some cell, still ranked 1..n
     narrow = S.ivfpq_topk(df, codes, cb, cents, q, k_results=5, nprobe=1).collect()
     assert [r["rank"] for r in narrow] == list(range(1, len(narrow) + 1))
+
+
+def test_mutual_nn_hand_computed(spark):
+    # a<->b mutual best; c's best is b but b's best is a -> c excluded
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = S.mutual_nn(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+
+
+def test_mutual_nn_symmetric_pairs_all_match(spark):
+    # two tight clusters of two: both pairs mutual
+    rows = [
+        (1, [10.0, 0.0]), (2, [10.0, 0.1]),
+        (3, [0.0, 10.0]), (4, [0.1, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in S.mutual_nn(df).collect()}
+    assert got == {(1, 2), (3, 4)}

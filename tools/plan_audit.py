@@ -655,6 +655,10 @@ AUDITS = {
     # IVF-PQ: cell prune + code-side ADC; still no corpus sort and no
     # nested loop — the candidate filter is a hash semi/equi join.
     "ivfpq_topk": {"expect": ["BroadcastHashJoin", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # mutual NN: the O(n^2) scoring lives inside the Arrow-batched BLAS
+    # pass; the relational plan must show only the partial-topk +
+    # mutuality equi-join — never a pair cross product.
+    "mutual_nn": {"expect": ["MapInPandas", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
