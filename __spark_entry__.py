@@ -4580,17 +4580,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skyline_frontier, stream_static_enrich_replay, stream_session_replay,
     orc_roundtrip, naive_bayes_lang, quantile_normalize, throttle_dedup,
     holt_winters, ivf_silhouette, trimmed_mean_udaf) are the remaining 23:
-    ROUND 7 MUST move them to the FRONT of this dict, followed by the
-    queries NEW in round 6 (merge_versioned, label_propagation,
-    ols_closed_form, position_attribution, audience_overlap,
-    shortest_paths, table_changes, stream_merge_replay, modularity,
-    range_join_bucketed, ngram_jaccard_maxdf, stream_hll_replay,
-    index_compact_demo, jsonl_quarantine, schema_evolution, adamic_adar,
-    activity_streaks, autocorrelation, stratified_ate, best_split, and
-    any later round-6 additions in the same in-dict block) —
-    23 + 20 = 43+ never-driver-checked names; fill the 50-slot window
-    with these first (oldest first), overflow waits for round 8; the
-    in-dict comments mark both boundaries. Everything after slot 73 carries a green
+    ROUND 7 MUST move them to the FRONT of this dict, followed by the 30
+    queries NEW in round 6, in this order: merge_versioned,
+    label_propagation, ols_closed_form, position_attribution,
+    audience_overlap, shortest_paths, table_changes, stream_merge_replay,
+    modularity, range_join_bucketed, ngram_jaccard_maxdf,
+    stream_hll_replay, index_compact_demo, jsonl_quarantine,
+    schema_evolution, adamic_adar, activity_streaks, autocorrelation,
+    stratified_ate, best_split, phrase_search, resample_locf,
+    geo_neighbors, golden_records, dp_topk, kmv_distinct, kmv_overlap,
+    pq_topk, ivfpq_topk, mutual_nn. That is 23 + 30 = 53
+    never-driver-checked names: slots 1-50 take the first 50 (through
+    kmv_overlap); the last 3 (pq_topk, ivfpq_topk, mutual_nn) lead the
+    ROUND 8 window. The in-dict comments mark the boundaries. Everything after slot 73 carries a green
     driver row from rounds 1-5 (r5 passed 50/50). EVERY query has a hash
     oracle; all 230+ are verified at both sf0.01 and sf0.1 by
     tools/check_oracles.py."""
