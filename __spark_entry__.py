@@ -4243,11 +4243,14 @@ def q_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        (F.col("c_acctbal") * 40 - 2500).alias("lo"),
-        (F.col("c_acctbal") * 40 + 2500).alias("hi"),
+        (F.col("c_acctbal") * 40 - 250).alias("lo"),
+        (F.col("c_acctbal") * 40 + 250).alias("hi"),
     )
+    # band ±250 over 500-wide buckets: candidate pairs per point stay
+    # ~|intervals|·2/|buckets| — the Σ|bucket|² lever that keeps the
+    # two-huge-sides join density-bounded at any scale
     joined = TS.bucketed_range_join(
-        orders, cust, "o_totalprice", "lo", "hi", bucket_width=5000.0
+        orders, cust, "o_totalprice", "lo", "hi", bucket_width=500.0
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
@@ -8204,8 +8207,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_orderkey)::BIGINT AS n_orders,
                    count(DISTINCT c_custkey)::BIGINT AS n_customers
             FROM orders JOIN customer
-              ON o_totalprice >= c_acctbal * 40 - 2500
-             AND o_totalprice <  c_acctbal * 40 + 2500
+              ON o_totalprice >= c_acctbal * 40 - 250
+             AND o_totalprice <  c_acctbal * 40 + 250
             GROUP BY c_mktsegment
         """,
         "schema_evolution": """

@@ -70,6 +70,12 @@ PANEL = [
     "shortest_paths",         # per-round min-plus edge join
     "window_distribution",    # grouped_ranks distribution measures
     "rolling_event_stats",    # block-overlap RANGE window
+    "geo_neighbors",          # grid-stencil spatial join (Σ|cell|² bound)
+    "adamic_adar",            # hub-capped wedge join (cap·m bound)
+    "pq_topk",                # PQ train + ADC serve: codebook joins
+    "phrase_search",          # filtered positional-postings joins
+    "kmv_overlap",            # sketch-sized pair re-rank
+    "resample_locf",          # calendar-bounded spine + keyed fill window
 ]
 
 
