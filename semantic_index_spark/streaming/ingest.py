@@ -288,6 +288,35 @@ def incremental_hll_sink(path: str, col: str, p: int = 12):
     )
 
 
+def incremental_kmv_sink(path: str, col: str, by: str, k: int = 256):
+    """Per-group KMV bottom-k sketch maintenance across micro-batches:
+    sketches merge by re-ranking the union of hashes and keeping each
+    group's k smallest (the KMV mergeability contract, pytest-proven
+    equal to the one-shot sketch), so the table at ``path`` always
+    supports exact-below-k distinct counts AND coordinated-sample
+    intersection estimates over everything ever streamed — the set
+    operation the HLL sink cannot serve."""
+    from pyspark.sql import Window
+
+    from semantic_index_spark.functions import sketch as SKT
+
+    def _rerank(u):
+        w = Window.partitionBy(by).orderBy("h")
+        return (
+            u.select(by, "h")
+            .distinct()
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(by, "rank", "h")
+        )
+
+    return incremental_sketch_sink(
+        path,
+        lambda b: SKT.kmv_sketch_by(b, col, by, k),
+        _rerank,
+    )
+
+
 def incremental_cms_sink(path: str, col: str, depth: int = 4, width: int = 2048):
     """CMS counter maintenance across micro-batches: counters ``+``-merge,
     so point queries against the table reflect everything ever streamed."""

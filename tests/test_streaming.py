@@ -709,3 +709,35 @@ def test_merge_stream_sink_upserts_and_skips_replayed_epoch(spark, tmp_path):
     # crash-replay simulation: re-deliver an already-committed epoch
     sink(b2, VER._read_manifest(tbl)["meta"]["epoch_id"])
     assert VER.current_version(tbl) == v_after  # skipped, no new version
+
+
+def test_incremental_kmv_sink_equals_oneshot_batch_sketch(spark, events_dir, events_batch, tmp_path):
+    """Streaming KMV maintenance: after the forced multi-micro-batch drain,
+    the per-group bottom-k table must EQUAL the one-shot batch sketch of
+    all data (the re-rank merge property, end to end), and so must the
+    distinct estimates."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    sketch_path = str(tmp_path / "kmv_table")
+    ckpt = str(tmp_path / "ckpt_kmv")
+    multi = str(tmp_path / "events_kmv_multi")
+    events_batch.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    writer = stream.writeStream.foreachBatch(
+        I.incremental_kmv_sink(sketch_path, "user_id", "event_type", k=32)
+    ).option("checkpointLocation", ckpt)
+    I.run_batch_like(writer)
+
+    got = spark.read.parquet(sketch_path)
+    want = SKT.kmv_sketch_by(events_batch, "user_id", "event_type", k=32)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    est_s = {r["event_type"]: r["approx_distinct"]
+             for r in SKT.kmv_estimates(got, "event_type", k=32).collect()}
+    est_b = {r["event_type"]: r["approx_distinct"]
+             for r in SKT.kmv_estimates(want, "event_type", k=32).collect()}
+    assert est_s == est_b
