@@ -4543,6 +4543,19 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MNN_CAP = 800
+SEQ_MIN_SUPPORT = 2
+
+
+def q_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped-subsequence support (operators/mining.py sequence_support):
+    per ordered event-type pair, users who did a then LATER b — the
+    existence trick (min_ts(a) < max_ts(b)) makes it one groupBy + a
+    user-keyed self-join, no sequence scan. Complements the
+    adjacent-pair Markov matrix. Oracle replays the trick literally."""
+    from semantic_index_spark.operators import mining as MN
+
+    ev = load_table(spark, sf_dir, "events")
+    return MN.sequence_support(ev, min_support=SEQ_MIN_SUPPORT)
 
 
 def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4706,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "mutual_nn": q_mutual_nn,
+        "sequence_support": q_sequence_support,
         # --- driver-verified green in round 5 (slots 1-50 of the r5 window) ---
         "label_centroids": q_label_centroids,
         "text_stats": q_text_stats,
@@ -5346,6 +5360,18 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _kcenter_oracle(KCENTER_K),
         "mmr_rerank": _mmr_oracle(KNN_K, 100, 0.7, 7),
         "kmeans_centroids": _kmeans_oracle(k=4, iters=3),
+        # gapped subsequence: existence iff min_ts(a) < max_ts(b) per user
+        "sequence_support": f"""
+            WITH ut AS (
+              SELECT user_id AS u, event_type AS t,
+                     min(ts) AS tmin, max(ts) AS tmax
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT a.t AS type_a, b.t AS type_b, count(*)::BIGINT AS support
+            FROM ut a JOIN ut b
+              ON b.u = a.u AND a.t <> b.t AND a.tmin < b.tmax
+            GROUP BY a.t, b.t HAVING count(*) >= {SEQ_MIN_SUPPORT}
+        """,
         # mutual NN: the literal O(n^2) definition over the capped panel
         "mutual_nn": f"""
             WITH e AS (

@@ -146,3 +146,43 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def sequence_support(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Gapped-subsequence support mining (PrefixSpan's length-2 core): for
+    every ordered type pair (a, b), how many users ever did a and LATER b
+    — regardless of what happened in between. The complement of the
+    adjacent-pair Markov matrix: "signup … eventually purchase" patterns
+    that adjacency misses. [absent in reference — north-star extension]
+
+    The existence trick makes it one pass: user u exhibits <a, b> iff
+    min_ts(u, a) < max_ts(u, b) — no per-user sequence scan, no
+    subsequence enumeration. ONE (user, type) groupBy collapses the
+    corpus, then a user-keyed self-equi-join over the per-user type rows
+    (pair space |types|² per user — bounded by the TYPE cardinality, the
+    same contract as audience_overlap) and a (a, b)-keyed count.
+
+    Returns (type_a, type_b, support) for pairs with support ≥
+    ``min_support``.
+    """
+    ut = (
+        df.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"), F.col(type_col).alias("t"))
+        .agg(F.min(ts_col).alias("tmin"), F.max(ts_col).alias("tmax"))
+    )
+    a = ut.select("u", F.col("t").alias("type_a"), "tmin")
+    b = ut.select(F.col("u").alias("_u"), F.col("t").alias("type_b"), "tmax")
+    pairs = a.join(b, (a["u"] == b["_u"])).filter(
+        (F.col("type_a") != F.col("type_b")) & (F.col("tmin") < F.col("tmax"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -2316,3 +2316,45 @@ def test_mutual_nn_symmetric_pairs_all_match(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     got = {(r["id_a"], r["id_b"]) for r in S.mutual_nn(df).collect()}
     assert got == {(1, 2), (3, 4)}
+
+
+def test_sequence_support_gapped_not_adjacent(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    rows = [
+        # u1: a .. c .. b  -> <a,b> holds despite the gap; <b,a> does not
+        ("u1", "2026-01-01 00:00:00", "a"),
+        ("u1", "2026-01-01 01:00:00", "c"),
+        ("u1", "2026-01-01 02:00:00", "b"),
+        # u2: b then a -> <b,a> holds
+        ("u2", "2026-01-01 00:00:00", "b"),
+        ("u2", "2026-01-01 01:00:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r["type_a"], r["type_b"]): r["support"]
+           for r in MN.sequence_support(df, min_support=1).collect()}
+    assert out[("a", "b")] == 1
+    assert out[("a", "c")] == 1 and out[("c", "b")] == 1
+    assert out[("b", "a")] == 1  # u2 only
+    assert ("b", "c") not in out
+
+
+def test_sequence_support_min_support_filters(spark):
+    from semantic_index_spark.operators import mining as MN
+
+    rows = [
+        ("u1", "2026-01-01 00:00:00", "a"),
+        ("u1", "2026-01-01 01:00:00", "b"),
+        ("u2", "2026-01-01 00:00:00", "a"),
+        ("u2", "2026-01-01 01:00:00", "b"),
+        ("u3", "2026-01-01 00:00:00", "b"),
+        ("u3", "2026-01-01 01:00:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r["type_a"], r["type_b"]): r["support"]
+           for r in MN.sequence_support(df, min_support=2).collect()}
+    assert out == {("a", "b"): 2}

@@ -659,6 +659,9 @@ AUDITS = {
     # pass; the relational plan must show only the partial-topk +
     # mutuality equi-join — never a pair cross product.
     "mutual_nn": {"expect": ["MapInPandas", "Window"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # gapped-subsequence support: corpus collapses to (user, type) rows
+    # first; the pair join is user-keyed, type-cardinality bounded.
+    "sequence_support": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
