@@ -10,6 +10,19 @@ code at sf0.1, so single-shot timings cannot support round-over-round
 comparisons. Each rep is timed end-to-end (plan + execute + collect), the
 same work a user pays for.
 
+Two round-6 lessons are baked in:
+
+- Queries run in CANONICAL (sorted-by-name) order, NOT registry order. The
+  registry front-loads each round's driver-verification window, so benching
+  in registry order made freshly-reordered queries pay JVM/page-cache
+  cold-start — r6's "regressions" were 1.47× on exactly the 50 reordered
+  queries vs 1.16× elsewhere, on byte-identical code. A fixed order makes
+  round-over-round per-query comparison position-independent.
+- One UNTIMED warm-up rep per query before the timed reps (set
+  ``$SPARK_GRAFT_BENCH_WARMUP=0`` to skip): the first execution pays
+  first-touch parquet footer reads, codegen compilation, and Python-worker
+  forks that later reps — and any steady-state deployment — do not.
+
 Output contract (the driver's capture window for stdout is small — the
 round-3 artifact kept only ~520 tail bytes, so a 3 KB JSON line gets
 front-truncated into unparseable garbage):
@@ -56,16 +69,21 @@ def main() -> int:
     # Warm-up: JVM JIT, parquet footer reads, first-job scheduling overhead.
     entrymod.entry(spark).collect()
 
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+
     detail: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
+    registry = entrymod.queries()
+    for name in sorted(registry):  # canonical order — see module docstring
+        fn = registry[name]
         times: list[float] = []
         rows = -1
-        for _ in range(reps):
+        for rep in range(-warmup, reps):
             t0 = time.perf_counter()
             try:
                 rows = len(fn(spark, sf_dir).collect())
-                times.append(time.perf_counter() - t0)
+                if rep >= 0:  # negative reps are untimed warm-up
+                    times.append(time.perf_counter() - t0)
             except Exception as e:  # a broken query must not hide the others —
                 # but it must be VISIBLE in the parsed output, not just stderr:
                 # a near-zero elapsed time for a crashed query would read as a
@@ -123,6 +141,8 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "reps": reps,
+        "warmup": warmup,
+        "order": "canonical-sorted",
         "n_queries": len(detail) + len(errors),
         "n_errors": len(errors),
         "errors": errors,
