@@ -4671,6 +4671,71 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance riding the stream, end-to-end
+    (similarity.write_ivfpq_index/append_ivfpq_index +
+    streaming/ingest.incremental_ivfpq_sink): train the frozen artifacts
+    offline (deterministic full-corpus pq_train_encode), build the base
+    ``_cell=``-partitioned code layout from two thirds of the corpus,
+    stream the remaining third as 2 micro-batches through the sink (each
+    epoch PQ-encodes against the frozen codebooks and lands as its own
+    batch_id partitions — exactly-once via dynamic partition overwrite),
+    then serve the SAME query q_ivfpq_topk answers ad hoc. Because cell
+    assignment and encoding are pure functions of (embedding, frozen
+    artifacts), the served top-k must be row-identical to the ad-hoc
+    path — the oracle is ivfpq_topk's unrolled PQ replay verbatim."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cb = S.pq_train_encode(emb, m_sub=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    qv = emb.filter(F.col("vec_id") == PQ_QVEC).collect()[0]["embedding"]
+    base = emb.filter(F.col("vec_id") % 3 != 2).select("vec_id", "embedding")
+    src = os.path.join(
+        _replay_sources(
+            spark,
+            sf_dir,
+            "ivfpq",
+            [
+                (
+                    f"src/batch{b}.parquet",
+                    emb.filter(
+                        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == b)
+                    ).select("vec_id", "embedding"),
+                )
+                for b in range(2)
+            ],
+        ),
+        "src",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    try:
+        idx = os.path.join(tmp, "index")
+        S.write_ivfpq_index(base, cb, CENTROIDS, idx)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = SI.incremental_ivfpq_sink(idx, cb, CENTROIDS)
+        with _stream_shuffle_partitions(spark):
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        final = S.ivfpq_topk_indexed(
+            spark, idx, cb, CENTROIDS, qv, k_results=PQ_TOPN, nprobe=IVF_NPROBE
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. After round 6 (50/50 pass), exactly **54**
@@ -4680,12 +4745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-54 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn) are the last 4 never-checked names and
-    MUST lead the ROUND 8 window.
+    (q15_top_supplier through kmv_overlap). Slots 51-55 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus ivfpq_incremental — NEW in round
+    7) are the never-checked names that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 4 remaining
+    has at least one driver row): each round's window = the 5 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -4753,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "mutual_nn": q_mutual_nn,
+        "ivfpq_incremental": q_ivfpq_incremental,
         # --- slots 55+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
@@ -5478,6 +5544,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_topk": _pq_oracle(PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN),
         "ivfpq_topk": _pq_oracle(
+            PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
+        ),
+        # the incremental index (base build + 2 streamed epochs) must serve
+        # exactly what the ad-hoc path computes over the full corpus —
+        # encoding is a pure function of (embedding, frozen artifacts), so
+        # the oracle is ivfpq_topk's unrolled replay verbatim
+        "ivfpq_incremental": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
         ),
         # final index state after 3 overlapping UPDATE-policy micro-batches

@@ -154,6 +154,7 @@ def sequence_support(
     ts_col: str = "ts",
     type_col: str = "event_type",
     min_support: int = 1,
+    max_types: int = 1024,
 ) -> DataFrame:
     """Gapped-subsequence support mining (PrefixSpan's length-2 core): for
     every ordered type pair (a, b), how many users ever did a and LATER b
@@ -165,12 +166,30 @@ def sequence_support(
     min_ts(u, a) < max_ts(u, b) — no per-user sequence scan, no
     subsequence enumeration. ONE (user, type) groupBy collapses the
     corpus, then a user-keyed self-equi-join over the per-user type rows
-    (pair space |types|² per user — bounded by the TYPE cardinality, the
-    same contract as audience_overlap) and a (a, b)-keyed count.
+    and a (a, b)-keyed count.
+
+    100 TB contract — the Σ|types-per-user|² lever: the self-join emits at
+    most |distinct types|² rows PER USER (independent of the user's event
+    count, since the groupBy collapsed repeats), so total work is
+    Σ_u |types(u)|² ≤ n_users · |types|². That is linear in users only
+    while the TYPE vocabulary stays dimension-like (event taxonomies,
+    page categories). ``max_types`` enforces the contract the way
+    ``max_basket``/``max_degree`` do for association_lift/adamic_adar:
+    if the observed type cardinality exceeds it, fail fast with the
+    remediation (pre-bucket the type column into a bounded taxonomy)
+    rather than silently running a quadratic blowup.
 
     Returns (type_a, type_b, support) for pairs with support ≥
     ``min_support``.
     """
+    n_types = df.select(type_col).distinct().limit(max_types + 1).count()
+    if n_types > max_types:
+        raise ValueError(
+            f"sequence_support: type cardinality exceeds max_types="
+            f"{max_types}; per-user pair space is |types|^2 — pre-bucket "
+            f"'{type_col}' into a bounded taxonomy (or raise max_types "
+            f"deliberately) before mining pairs"
+        )
     ut = (
         df.filter(F.col(user_col).isNotNull())
         .groupBy(F.col(user_col).alias("u"), F.col(type_col).alias("t"))

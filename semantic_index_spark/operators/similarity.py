@@ -914,8 +914,60 @@ def pq_train_encode(
             codebooks[s][c] = [
                 dims.get(i, codebooks[s][c][i]) for i in range(subdim)
             ]
-    codes = _assign().select(F.col("_id").alias(id_col), "sub", "code")
+    # final assignment = the standalone frozen-codebook encoder, so the
+    # training path and the incremental-maintenance path (pq_encode on new
+    # batches) can never diverge in formula or tie-break
+    codes = pq_encode(df, codebooks, emb_col=emb_col, id_col=id_col)
     return codes, codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against FROZEN per-subspace codebooks — the
+    incremental-maintenance half of PQ: training is a rare offline event,
+    but every ingest batch must encode against the fixed codebooks (a pure
+    function of the embedding, so index state after N appends equals a
+    from-scratch encode of the union). Same argmin formula and
+    smallest-code tie-break as :func:`pq_train_encode`'s training loop —
+    that function's final assignment IS this function. Returns
+    (id, sub, code) long-form code rows."""
+    m_sub = len(codebooks)
+    k = len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    spark = df.sparkSession
+    cb = spark.createDataFrame(
+        [(s, c, codebooks[s][c]) for s in range(m_sub) for c in range(k)],
+        "sub int, code int, cvec array<double>",
+    )
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(F.col(emb_col), s * subdim + 1, subdim)
+                .cast("array<double>")
+                .alias("sv"),
+            )
+            for s in range(m_sub)
+        ]
+    )
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(parts).alias("p")).select(
+        "_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
+    )
+    return (
+        ex.join(F.broadcast(cb), "sub")
+        .withColumn("_d", _sq_dist(F.col("sv"), F.col("cvec")))
+        .groupBy("_id", "sub")
+        .agg(
+            F.min_by(
+                "code", F.struct(F.col("_d").alias("a"), F.col("code").alias("b"))
+            ).alias("code")
+        )
+        .select(F.col("_id").alias(id_col), "sub", "code")
+    )
 
 
 def pq_topk(
@@ -986,6 +1038,95 @@ def ivfpq_topk(
     )
     return pq_topk(
         codes.join(cand, id_col), codebooks, query_vec, k_results=k_results, id_col=id_col
+    )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    codebooks,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_id: int = -1,
+) -> None:
+    """Materialize an IVF-PQ index as a cell-partitioned CODE layout:
+    ``path/_cell=<i>/batch_id=<e>/...`` rows of (id, sub, code). The two
+    levers of billion-scale serving land in the STORAGE layout: the IVF
+    cell is a partition column (probe queries prune to nprobe/K of the
+    directories at planning time) and only the m_sub code bytes per
+    vector are stored — the corpus floats never enter the serving path.
+    ``batch_id`` is the ingest epoch (-1 = the base build); see
+    :func:`append_ivfpq_index` for why it is a partition column."""
+    cells = ivf_assign(df, centroids, emb_col).select(
+        F.col(id_col), F.col("_cell")
+    )
+    rows = (
+        pq_encode(df, codebooks, emb_col=emb_col, id_col=id_col)
+        .join(cells, id_col)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        rows.repartition(max(1, len(centroids)), F.col("_cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_cell", "batch_id")
+        .parquet(path)
+    )
+
+
+def append_ivfpq_index(
+    df: DataFrame,
+    codebooks,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_id: int = 0,
+) -> None:
+    """Incremental IVF-PQ maintenance: encode a NEW ingest batch against
+    the frozen codebooks, assign cells, and land it under the existing
+    layout as ``(_cell, batch_id=<epoch>)`` partitions with DYNAMIC
+    partition overwrite. Because cell assignment and PQ encoding are pure
+    functions of (embedding, frozen artifacts), the index after N appends
+    is row-identical to a from-scratch :func:`write_ivfpq_index` of the
+    union (pytest-asserted). Dynamic overwrite keyed by the epoch makes a
+    REPLAYED batch overwrite its own partitions instead of duplicating —
+    the idempotent-sink upgrade from at-least-once foreachBatch to
+    exactly-once (same recipe as streaming.ingest.idempotent_parquet_sink).
+    Re-training codebooks or centroids is the one rebuild event, exactly
+    as for :func:`append_ivf_index`."""
+    write_ivfpq_index(
+        df,
+        codebooks,
+        centroids,
+        path,
+        emb_col=emb_col,
+        id_col=id_col,
+        batch_id=batch_id,
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    codebooks,
+    centroids: Sequence[Sequence[float]],
+    query_vec,
+    k_results: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivfpq_topk` over a :func:`write_ivfpq_index` layout — the
+    SERVING path: the nprobe cell filter lands on the ``_cell`` partition
+    column (planning-time directory prune, no cell recompute, no corpus
+    scan), then ADC scores the surviving code rows via the broadcast
+    lookup table. Results equal ``ivfpq_topk`` on the raw table with the
+    same frozen artifacts (pytest-asserted)."""
+    probe = _probe_cells(query_vec, centroids, nprobe)
+    codes = spark.read.parquet(path).filter(F.col("_cell").isin(probe))
+    return pq_topk(
+        codes, codebooks, query_vec, k_results=k_results, id_col=id_col
     )
 
 

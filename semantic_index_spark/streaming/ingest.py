@@ -630,3 +630,39 @@ def merge_stream_sink(table: str, op_col: str | None = None):
         )
 
     return _apply
+
+
+def incremental_ivfpq_sink(
+    path: str,
+    codebooks,
+    centroids,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Incremental IVF-PQ index maintenance riding the stream — ties the
+    ANN serving family to the ingest family: each micro-batch of new
+    vectors is PQ-encoded against the FROZEN codebooks, IVF-cell-assigned,
+    and landed under the ``_cell=``-partitioned code layout as its own
+    ``batch_id=<epoch>`` partitions (``similarity.append_ivfpq_index``).
+    Encoding is a pure function of (embedding, frozen artifacts), so the
+    served index always equals a from-scratch encode of everything ever
+    streamed; dynamic partition overwrite keyed by the epoch makes a
+    re-delivered batch overwrite itself — exactly-once without a
+    transaction log, the ``idempotent_parquet_sink`` recipe. Probe
+    queries (``similarity.ivfpq_topk_indexed``) keep planning-time cell
+    pruning throughout; codebook/centroid re-training remains the one
+    rebuild event. Returns the ``foreachBatch`` callback."""
+    from semantic_index_spark.operators import similarity as SIM
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        SIM.append_ivfpq_index(
+            batch_df,
+            codebooks,
+            centroids,
+            path,
+            emb_col=emb_col,
+            id_col=id_col,
+            batch_id=int(epoch_id),
+        )
+
+    return _apply

@@ -2293,6 +2293,64 @@ def test_ivfpq_equals_pq_on_probed_candidates(spark):
     assert [r["rank"] for r in narrow] == list(range(1, len(narrow) + 1))
 
 
+def test_ivfpq_index_roundtrip_and_indexed_serving(spark, tmp_path):
+    # write_ivfpq_index + ivfpq_topk_indexed must equal the ad-hoc
+    # ivfpq_topk on the raw table with the same frozen artifacts
+    df = _pq_fixture(spark)
+    codes, cb = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    cents = S.make_centroids(4, 8, seed=5)
+    q = df.filter("vec_id = 1").collect()[0]["embedding"]
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(df, cb, cents, idx)
+    for nprobe in (1, 2, 4):
+        got = S.ivfpq_topk_indexed(
+            spark, idx, cb, cents, q, k_results=5, nprobe=nprobe
+        ).collect()
+        ref = S.ivfpq_topk(df, codes, cb, cents, q, k_results=5, nprobe=nprobe).collect()
+        assert got == ref
+    # plan-lock: the nprobe cell filter must land on the PARTITION column —
+    # non-probed cells are pruned at planning time, never listed at 100 TB
+    served = S.ivfpq_topk_indexed(spark, idx, cb, cents, q, k_results=5, nprobe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_append_ivfpq_equals_rebuild(spark, tmp_path):
+    # encoding is a pure function of (embedding, frozen artifacts): base
+    # build + append of the remainder == from-scratch build of the union
+    df = _pq_fixture(spark)
+    _, cb = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    cents = S.make_centroids(4, 8, seed=5)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    S.write_ivfpq_index(df.filter("vec_id % 3 != 2"), cb, cents, inc)
+    S.append_ivfpq_index(df.filter("vec_id % 3 = 2"), cb, cents, inc, batch_id=0)
+    S.write_ivfpq_index(df, cb, cents, full)
+    key = ["vec_id", "sub", "code", "_cell"]
+    got = sorted(map(tuple, spark.read.parquet(inc).select(*key).collect()))
+    ref = sorted(map(tuple, spark.read.parquet(full).select(*key).collect()))
+    assert got == ref and len(got) == 60 * 2
+
+
+def test_ivfpq_sink_epoch_replay_idempotent(spark, tmp_path):
+    # a re-delivered epoch (post-crash restart) must overwrite its own
+    # batch_id partitions, not duplicate them
+    from semantic_index_spark.streaming import ingest as SI
+
+    df = _pq_fixture(spark)
+    _, cb = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    cents = S.make_centroids(4, 8, seed=5)
+    idx = str(tmp_path / "idx")
+    S.write_ivfpq_index(df.filter("vec_id < 40"), cb, cents, idx)
+    sink = SI.incremental_ivfpq_sink(idx, cb, cents)
+    batch = df.filter("vec_id >= 40")
+    sink(batch, 1)
+    once = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    sink(batch, 1)  # replay
+    assert sorted(map(tuple, spark.read.parquet(idx).collect())) == once
+    assert len(once) == 60 * 2
+
+
 def test_mutual_nn_hand_computed(spark):
     # a<->b mutual best; c's best is b but b's best is a -> c excluded
     rows = [
@@ -2358,3 +2416,18 @@ def test_sequence_support_min_support_filters(spark):
     out = {(r["type_a"], r["type_b"]): r["support"]
            for r in MN.sequence_support(df, min_support=2).collect()}
     assert out == {("a", "b"): 2}
+
+
+def test_sequence_support_max_types_cap(spark):
+    # the Σ|types|² contract: a type vocabulary past max_types must fail
+    # fast with the pre-bucket remediation, not run a quadratic self-join
+    from semantic_index_spark.operators import mining as MN
+
+    rows = [("u1", f"2026-01-01 0{i}:00:00", f"t{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    with pytest.raises(ValueError, match="max_types"):
+        MN.sequence_support(df, max_types=3).collect()
+    # at the boundary (cardinality == max_types) it must still run
+    assert MN.sequence_support(df, max_types=5).count() == 10
