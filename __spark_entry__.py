@@ -4736,6 +4736,66 @@ def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+# Session-scoped hidden-partitioned copy of `events` (same once-per-session
+# contract as _replay_sources): the table layout is a pure function of the
+# source table and the fixed spec, so bench reps and the driver's
+# oracle-compare reuse one build. Removed at interpreter exit.
+_HIDDEN_TBL_CACHE: dict[tuple[str, str], str] = {}
+
+HP_LO, HP_HI = "2024-01-10", "2024-01-13"
+HP_USERS = list(range(1, 21))
+
+
+def _hidden_events_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import hidden as H
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tbl = _HIDDEN_TBL_CACHE.get(key)
+    if tbl is not None and os.path.isdir(tbl):
+        return tbl
+    root = tempfile.mkdtemp(prefix="hidden_events_")
+    tbl = os.path.join(root, "events_hidden")
+    H.create_hidden(
+        load_table(spark, sf_dir, "events"),
+        tbl,
+        [("day", "ts"), ("bucket", "user_id", 8)],
+    )
+    _HIDDEN_TBL_CACHE[key] = tbl
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl
+
+
+def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning end-to-end (sources/hidden.py):
+    events live in a table whose layout is day(ts) × bucket(8, user_id) —
+    transforms the QUERY never mentions. The reader takes plain source
+    predicates (a 3-day ts window + a user_id in-list), rewrites them onto
+    the partition columns (PartitionFilters — planning-time directory
+    pruning, plan-locked in tests/test_io.py), applies the originals as
+    residuals, and aggregates. Pruning is IO-only, so the oracle is the
+    identical predicates on the raw parquet table."""
+    from semantic_index_spark.sources import hidden as H
+
+    tbl = _hidden_events_table(spark, sf_dir)
+    got = H.read_hidden(
+        spark,
+        tbl,
+        filters=[
+            ("ts", ">=", HP_LO),
+            ("ts", "<", HP_HI),
+            ("user_id", "in", HP_USERS),
+        ],
+    )
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. After round 6 (50/50 pass), exactly **54**
@@ -4745,12 +4805,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-55 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus ivfpq_incremental — NEW in round
-    7) are the never-checked names that MUST lead the ROUND 8 window.
+    (q15_top_supplier through kmv_overlap). Slots 51-56 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus ivfpq_incremental and
+    hidden_partition_prune — NEW in round 7) are the never-checked names
+    that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 5 remaining
+    has at least one driver row): each round's window = the 6 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -4819,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "mutual_nn": q_mutual_nn,
         "ivfpq_incremental": q_ivfpq_incremental,
+        "hidden_partition_prune": q_hidden_partition_prune,
         # --- slots 55+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
@@ -5553,6 +5615,17 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_incremental": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
         ),
+        # hidden partitioning is IO-only (partition rewrite + residual), so
+        # the oracle is the user's predicates verbatim on the raw table
+        "hidden_partition_prune": f"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '{HP_LO}' AND ts < TIMESTAMP '{HP_HI}'
+              AND user_id IN ({", ".join(str(u) for u in HP_USERS)})
+            GROUP BY event_type
+        """,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

@@ -1,0 +1,228 @@
+"""Iceberg-style hidden partitioning: transform-column pruning.
+
+[absent in reference — north-star extension] Plain Hive-style partitioning
+makes the LAYOUT part of the query contract: users must filter on the
+physical partition column (``dt='2026-01-01'``) or they silently full-scan,
+and changing the layout breaks every query. Iceberg's fix — the idea this
+module implements on the snapshot store — is *hidden* partitioning: the
+table declares partition TRANSFORMS of source columns (``day(ts)``,
+``bucket(16, user_id)``, ``truncate(4, code)``, ``identity(col)``); writers
+derive partition values automatically, and readers filter on the SOURCE
+column while the format rewrites those predicates into partition-value
+predicates. Queries never mention a partition column; the layout can evolve
+without touching them.
+
+Layout (on the ``versioned`` snapshot contract — immutable versions, atomic
+pointer, time travel):
+
+    <table>/v=<n>/_p0=<val>/_p1=<val>/...parquet
+    <table>/_hidden_spec.json      (the transform spec, fixed at create)
+    <table>/_latest.json           ({"version": n}, atomic rename)
+
+Scale note — why this matters at 100 TB: the rewritten predicates land on
+PARTITION columns of the parquet scan (``PartitionFilters`` in the plan,
+plan-lock pytest), so pruning happens at planning time from directory
+names. A 3-day window over a 5-year ``day(ts)``-partitioned table lists ~3
+directories out of ~1800 and never opens the rest; a key lookup against
+``bucket(N, k)`` reads 1/N of the table. The residual source-column filter
+still applies on the survivors, so rewriting is purely an IO optimization —
+results are identical with pruning on or off (pytest-asserted), which is
+also why the DuckDB oracles are the plain source predicates.
+
+Transform monotonicity is what makes rewriting sound (same rules Iceberg
+ships): ``identity``/``day``/``month``/``truncate`` are order-preserving,
+so range predicates map to range predicates on the transformed value
+(inclusive at the boundary — the residual tightens strict bounds);
+``bucket`` is not order-preserving, so only ``=`` / ``in`` prune and every
+other operator falls back to residual-only. The bucket hash is the
+portable md5 primitive (``functions.text.md5_bigint``) so the planner can
+evaluate it driver-side on literals without a Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from semantic_index_spark.functions.text import md5_bigint
+
+_SPEC = "_hidden_spec.json"
+_LATEST = "_latest.json"
+_BUCKET_SALT = "hpart:"
+
+_RANGE_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _spec_path(table: str) -> str:
+    return os.path.join(table, _SPEC)
+
+
+def _latest_path(table: str) -> str:
+    return os.path.join(table, _LATEST)
+
+
+def _norm_spec(spec: list) -> list[dict]:
+    out = []
+    for i, entry in enumerate(spec):
+        t, col = entry[0], entry[1]
+        arg = entry[2] if len(entry) > 2 else None
+        if t in ("bucket", "truncate") and (not isinstance(arg, int) or arg < 1):
+            raise ValueError(f"{t} transform needs a positive int arg, got {arg!r}")
+        if t not in ("identity", "day", "month", "bucket", "truncate"):
+            raise ValueError(f"unknown partition transform {t!r}")
+        out.append({"name": f"_p{i}", "transform": t, "col": col, "arg": arg})
+    return out
+
+
+def _transform_col(entry: dict) -> Column:
+    """The writer-side derived partition value, as a Spark expression."""
+    t, col, arg = entry["transform"], F.col(entry["col"]), entry["arg"]
+    if t == "identity":
+        return col
+    if t == "day":
+        return F.date_format(col, "yyyy-MM-dd")
+    if t == "month":
+        return F.date_format(col, "yyyy-MM")
+    if t == "bucket":
+        return F.pmod(md5_bigint(col.cast("string"), salt=_BUCKET_SALT), F.lit(arg))
+    if t == "truncate":
+        # order-preserving for STRING columns (lexicographic prefix);
+        # numeric columns would need Iceberg's floor-to-width variant to
+        # stay monotone — out of scope, declare truncate on strings only
+        return F.substring(col, 1, arg)
+    raise AssertionError(t)
+
+
+def _transform_literal(entry: dict, value):
+    """The same transform applied to a Python literal, driver-side — what
+    lets the reader rewrite a source predicate without running a job."""
+    t, arg = entry["transform"], entry["arg"]
+    if t == "identity":
+        return value
+    if t in ("day", "month"):
+        if isinstance(value, str):
+            v = datetime.datetime.fromisoformat(value)
+        elif isinstance(value, (datetime.datetime, datetime.date)):
+            v = value
+        else:
+            raise TypeError(f"{t} transform literal must be a timestamp, got {value!r}")
+        return v.strftime("%Y-%m-%d" if t == "day" else "%Y-%m")
+    if t == "bucket":
+        digest = hashlib.md5((_BUCKET_SALT + str(value)).encode()).hexdigest()
+        return int(digest[:15], 16) % arg
+    if t == "truncate":
+        return str(value)[:arg]
+    raise AssertionError(t)
+
+
+def create_hidden(df: DataFrame, table: str, spec: list) -> int:
+    """Create a hidden-partitioned table: ``spec`` is a list of transform
+    tuples — ``("identity", col)``, ``("day", ts_col)``,
+    ``("month", ts_col)``, ``("bucket", col, n)``,
+    ``("truncate", col, width)``. The spec is fixed at create time and
+    recorded next to the data; writers never see partition columns."""
+    os.makedirs(table, exist_ok=True)
+    if os.path.exists(_spec_path(table)):
+        raise FileExistsError(f"hidden-partitioned table {table} already exists")
+    entries = _norm_spec(spec)
+    with open(_spec_path(table), "w") as f:
+        json.dump({"spec": entries}, f)
+    return commit_hidden(df, table)
+
+
+def commit_hidden(df: DataFrame, table: str) -> int:
+    """Commit the next immutable snapshot version, deriving the partition
+    values from the recorded spec — the writer's schema is the SOURCE
+    schema; hidden columns exist only in the layout. Same crash contract
+    as ``versioned.commit_version`` (orphan until the pointer rename)."""
+    entries = _read_spec(table)
+    cur = current_version(table)
+    nxt = 0 if cur is None else cur + 1
+    out = df
+    for e in entries:
+        out = out.withColumn(e["name"], _transform_col(e))
+    (
+        out.write.mode("errorifexists")
+        .partitionBy(*[e["name"] for e in entries])
+        .parquet(os.path.join(table, f"v={nxt}"))
+    )
+    tmp = _latest_path(table) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"version": nxt}, f)
+    os.replace(tmp, _latest_path(table))
+    return nxt
+
+
+def _read_spec(table: str) -> list[dict]:
+    with open(_spec_path(table)) as f:
+        return json.load(f)["spec"]
+
+
+def current_version(table: str) -> int | None:
+    try:
+        with open(_latest_path(table)) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        return None
+
+
+def read_hidden(
+    spark: SparkSession,
+    table: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read with transform-column pruning: ``filters`` are predicates on
+    SOURCE columns — triples ``(col, op, value)`` with op in
+    ``= < <= > >= in`` — exactly what the user would write in a WHERE
+    clause. For every filter whose column carries a transform, the matching
+    partition predicate is derived and pushed onto the partition column
+    (planning-time directory pruning); the original source predicate is
+    ALWAYS applied as the residual, so results never depend on pruning.
+    Columns with no usable rewrite (e.g. a range over ``bucket``) simply
+    prune nothing. Returns the SOURCE schema — hidden columns are dropped."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"hidden-partitioned table {table} has no commits")
+    entries = _read_spec(table)
+    df = spark.read.parquet(os.path.join(table, f"v={v}"))
+    for col, op, value in filters or []:
+        # partition-predicate rewrite
+        for e in entries:
+            if e["col"] != col:
+                continue
+            p = F.col(e["name"])
+            if op == "in":
+                # every transform is many-to-one, so x IN {v…} implies
+                # T(x) IN {T(v)…} — always rewritable
+                df = df.filter(p.isin([_transform_literal(e, x) for x in value]))
+            elif op in _RANGE_OPS:
+                if e["transform"] == "bucket":
+                    if op == "=":
+                        df = df.filter(p == _transform_literal(e, value))
+                    # bucket is not order-preserving: other ops don't prune
+                else:
+                    lit = _transform_literal(e, value)
+                    # order-preserving transforms are many-to-one, so strict
+                    # bounds relax to inclusive at the transformed boundary;
+                    # the residual restores strictness
+                    if op == "=":
+                        df = df.filter(p == lit)
+                    elif op in ("<", "<="):
+                        df = df.filter(p <= lit)
+                    else:
+                        df = df.filter(p >= lit)
+        # residual: the user's actual predicate, verbatim
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(value)))
+        else:
+            df = df.filter(
+                {"=": c.__eq__, "<": c.__lt__, "<=": c.__le__, ">": c.__gt__, ">=": c.__ge__}[op](value)
+            )
+    return df.drop(*[e["name"] for e in entries])

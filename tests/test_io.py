@@ -597,3 +597,87 @@ def test_expire_bucketed_refuses_plain_tables(spark, tmp_path):
         VER.expire_bucketed(t)
     # nothing was deleted
     assert VER.read_version(spark, t).count() == 1
+
+
+# ------------------------------------------------------- hidden partitioning
+
+
+def _hidden_fixture(spark, tmp_path, spec):
+    from semantic_index_spark.sources import hidden as H
+
+    rows = [
+        (i, f"2026-0{1 + i % 3}-{1 + i % 9:02d} 12:00:00", f"src{i % 5}", float(i))
+        for i in range(200)
+    ]
+    df = (
+        spark.createDataFrame(rows, "id bigint, ts string, source string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    t = str(tmp_path / "hidden_tbl")
+    H.create_hidden(df, t, spec)
+    return H, df, t
+
+
+def test_hidden_day_pruning_matches_unpruned(spark, tmp_path):
+    # results must be identical with pruning on (filters=) and off
+    # (read everything, filter after) — rewriting is IO-only
+    H, df, t = _hidden_fixture(spark, tmp_path, [("day", "ts"), ("bucket", "id", 8)])
+    filt = [("ts", ">=", "2026-02-01"), ("ts", "<", "2026-02-05")]
+    pruned = H.read_hidden(spark, t, filters=filt)
+    ref = df.filter((F.col("ts") >= "2026-02-01") & (F.col("ts") < "2026-02-05"))
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, ref.collect()))
+    # hidden columns never reach the user
+    assert pruned.columns == df.columns
+    # plan-lock: the day rewrite must land on the PARTITION column
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_p0" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_hidden_bucket_equality_prunes_and_matches(spark, tmp_path):
+    H, df, t = _hidden_fixture(spark, tmp_path, [("bucket", "id", 8)])
+    pruned = H.read_hidden(spark, t, filters=[("id", "=", 17)])
+    assert [r["id"] for r in pruned.collect()] == [17]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "_p0" in plan.split("PartitionFilters", 1)[1][:300]
+    # a range over bucket cannot prune (not order-preserving) but must
+    # still return correct rows via the residual
+    rng = H.read_hidden(spark, t, filters=[("id", ">=", 198)])
+    assert sorted(r["id"] for r in rng.collect()) == [198, 199]
+
+
+def test_hidden_in_and_truncate_rewrites(spark, tmp_path):
+    H, df, t = _hidden_fixture(spark, tmp_path, [("truncate", "source", 4)])
+    got = H.read_hidden(spark, t, filters=[("source", "in", ["src1", "src3"])])
+    assert {r["source"] for r in got.collect()} == {"src1", "src3"}
+    assert got.count() == 80
+
+
+def test_hidden_time_travel_and_spec_is_fixed(spark, tmp_path):
+    H, df, t = _hidden_fixture(spark, tmp_path, [("day", "ts")])
+    v1 = H.commit_hidden(df.filter("id < 10"), t)
+    assert v1 == 1
+    assert H.read_hidden(spark, t).count() == 10
+    assert H.read_hidden(spark, t, version=0).count() == 200
+    with pytest.raises(FileExistsError):
+        H.create_hidden(df, t, [("day", "ts")])
+
+
+def test_hidden_bucket_literal_matches_spark_hash(spark, tmp_path):
+    # the driver-side md5 bucket of a literal must agree with the
+    # writer-side Spark expression for every id — otherwise pruning would
+    # silently drop matching rows
+    from semantic_index_spark.functions.text import md5_bigint
+    from semantic_index_spark.sources import hidden as H
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
+    spark_side = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id",
+            F.pmod(md5_bigint(F.col("id").cast("string"), salt="hpart:"), F.lit(8)).alias("b"),
+        ).collect()
+    }
+    e = {"transform": "bucket", "col": "id", "arg": 8}
+    for i in range(100):
+        assert H._transform_literal(e, i) == spark_side[i]
