@@ -4796,6 +4796,42 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif finding (operators/graph.py find_motifs):
+    the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
+    compiled to two hash equi-joins + the closing-edge join over the
+    canonical (src<dst) co-purchase graph, rolled up to feed-forward
+    triangles per root vertex. The oracle is the literal ordered 3-way
+    self-join grouped the same way — the motif compiler must reproduce the
+    textbook definition row-for-row."""
+    from semantic_index_spark.operators import graph as G
+
+    e = _copurchase_edges(spark, sf_dir)
+    m = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    return m.groupBy(F.col("a").alias("root")).agg(
+        F.count("*").cast("bigint").alias("n_ffw")
+    )
+
+
+def q_motif_open_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif NEGATION end-to-end: "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
+    — two-hop paths whose closing edge is ABSENT (the link-prediction
+    candidate set), where the negated term compiles to an anti-join
+    against the edge list rather than enumerating the complement. One-row
+    summary (wedge count, distinct roots, root checksum) so the
+    hash-compare stays bounded while every anti-join row still feeds the
+    aggregate."""
+    from semantic_index_spark.operators import graph as G
+
+    e = _copurchase_edges(spark, sf_dir)
+    m = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_open"),
+        F.count_distinct("a").cast("bigint").alias("n_roots"),
+        F.sum(F.col("a") + F.col("c")).cast("bigint").alias("endpoint_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round. After round 6 (50/50 pass), exactly **54**
@@ -4805,13 +4841,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-56 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus ivfpq_incremental and
-    hidden_partition_prune — NEW in round 7) are the never-checked names
-    that MUST lead the ROUND 8 window.
+    (q15_top_supplier through kmv_overlap). Slots 51-58 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the four NEW-in-round-7 queries
+    ivfpq_incremental, hidden_partition_prune, motif_triangles,
+    motif_open_wedges) are the never-checked names that MUST lead the
+    ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 6 remaining
+    has at least one driver row): each round's window = the 8 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -4881,6 +4918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn": q_mutual_nn,
         "ivfpq_incremental": q_ivfpq_incremental,
         "hidden_partition_prune": q_hidden_partition_prune,
+        "motif_triangles": q_motif_triangles,
+        "motif_open_wedges": q_motif_open_wedges,
         # --- slots 55+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
@@ -5615,6 +5654,33 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_incremental": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
         ),
+        "motif_triangles": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT e1.a AS root, count(*)::BIGINT AS n_ffw
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            GROUP BY e1.a
+        """,
+        "motif_open_wedges": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*)::BIGINT AS n_open,
+                   count(DISTINCT e1.a)::BIGINT AS n_roots,
+                   sum(e1.a + e2.b)::BIGINT AS endpoint_sum
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b
+            )
+        """,
         # hidden partitioning is IO-only (partition rewrite + residual), so
         # the oracle is the user's predicates verbatim on the raw table
         "hidden_partition_prune": f"""

@@ -494,3 +494,130 @@ def modularity(
             ).alias("contribution"),
         )
     )
+
+
+def find_motifs(
+    edges: DataFrame,
+    pattern: str,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """GraphFrames-style motif finding: compile a structural pattern into a
+    chain of hash equi-joins over the edge list. [absent in reference —
+    north-star extension; API modeled on the public GraphFrames
+    ``find()`` grammar.]
+
+    Pattern grammar — terms separated by ``;``:
+
+    - ``(a)-[e]->(b)``   directed edge from a to b, edge row exposed as
+      struct column ``e`` (all edge attributes)
+    - ``(a)-[]->(b)``    anonymous edge (matched, not returned)
+    - ``()-[]->(b)``     anonymous vertex (joined, not returned)
+    - ``!(a)-[]->(b)``   NEGATED edge: no a→b edge may exist (anti-join;
+      negated terms may not name an edge and must reference vertices
+      already bound by positive terms)
+
+    Returns one ``<name>`` column per named vertex (the vertex id; joined
+    attributes as struct if ``vertices`` is given) and one struct column
+    per named edge. GraphFrames semantics are preserved: distinct vertex
+    NAMES may bind the same vertex id (add ``a != c`` filters yourself),
+    and duplicate edges in the input yield duplicate motif rows.
+
+    Scale shape: each positive term is one equi-join on already-bound
+    vertex columns — shuffle-partitioned on the join key, broadcastable
+    when one side is small; negations are anti-joins (never enumerate the
+    complement). DISCONNECTED patterns are rejected rather than silently
+    cross-joined — the fail-fast contract every pair-shaped operator here
+    carries; at 100 TB motif cost is bounded by the same Σdeg² wedge
+    arithmetic as triangle_count (order terms hub-last for best pruning).
+    """
+    import re as _re
+
+    term_re = _re.compile(
+        r"^\s*(!?)\s*\(([A-Za-z_][A-Za-z0-9_]*)?\)\s*-\s*\[([A-Za-z_][A-Za-z0-9_]*)?\]\s*->\s*\(([A-Za-z_][A-Za-z0-9_]*)?\)\s*$"
+    )
+    terms = []
+    anon = 0
+    for raw in pattern.split(";"):
+        if not raw.strip():
+            continue
+        m = term_re.match(raw)
+        if m is None:
+            raise ValueError(f"find_motifs: cannot parse term {raw.strip()!r}")
+        neg, a, e, b = bool(m.group(1)), m.group(2), m.group(3), m.group(4)
+        if neg and e:
+            raise ValueError(f"find_motifs: negated term {raw.strip()!r} cannot name an edge")
+        if a is None:
+            a, anon = f"__anon{anon}", anon + 1
+        if b is None:
+            b, anon = f"__anon{anon}", anon + 1
+        if a == b:
+            raise ValueError(f"find_motifs: self-loop term {raw.strip()!r} not supported")
+        terms.append((neg, a, e, b))
+    if not any(not t[0] for t in terms):
+        raise ValueError("find_motifs: pattern needs at least one positive term")
+
+    edge_cols = [c for c in edges.columns]
+
+    def _edge(a: str, e: str | None, b: str) -> DataFrame:
+        sel = [F.col(src).alias(a), F.col(dst).alias(b)]
+        if e:
+            sel.append(F.struct(*[F.col(c) for c in edge_cols]).alias(e))
+        return edges.select(*sel)
+
+    out = None
+    bound: set[str] = set()
+    pending = [t for t in terms if not t[0]]
+    # greedy connected ordering: always pick a positive term sharing a
+    # bound vertex; reject patterns that would force a cross join
+    while pending:
+        pick = None
+        for t in pending:
+            if out is None or t[1] in bound or t[3] in bound:
+                pick = t
+                break
+        if pick is None:
+            raise ValueError(
+                "find_motifs: disconnected pattern would require a cross "
+                "join — bind the components through a shared vertex"
+            )
+        pending.remove(pick)
+        _, a, e, b = pick
+        piece = _edge(a, e, b)
+        if out is None:
+            out = piece
+        else:
+            on = [v for v in (a, b) if v in bound]
+            out = out.join(piece, on)
+        bound.update((a, b))
+    for neg, a, e, b in terms:
+        if not neg:
+            continue
+        if a not in bound or b not in bound:
+            raise ValueError(
+                f"find_motifs: negated term references unbound vertex "
+                f"({a!r} or {b!r}) — negations only constrain vertices "
+                f"bound by positive terms"
+            )
+        out = out.join(
+            edges.select(F.col(src).alias(a), F.col(dst).alias(b)),
+            [a, b],
+            "left_anti",
+        )
+    named = [v for v in bound if not v.startswith("__anon")]
+    keep = sorted(named) + [e for _, _, e, _ in terms if e]
+    out = out.select(*keep)
+    if vertices is not None:
+        vcols = [c for c in vertices.columns if c != id_col]
+        for v in sorted(named):
+            out = out.join(
+                vertices.select(
+                    F.col(id_col).alias(v),
+                    F.struct(*[F.col(c) for c in vcols]).alias(f"{v}_attrs"),
+                ),
+                v,
+                "left",
+            )
+    return out

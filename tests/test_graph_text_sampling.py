@@ -1257,3 +1257,60 @@ def test_autocorrelation_constant_series_zero_denominator(spark):
     )
     out = TS.autocorrelation(df, max_lag=1).collect()
     assert out[0]["acf"] == 0.0
+
+
+# ------------------------------------------------------------------ motifs
+
+
+def _motif_edges(spark):
+    # 1->2->3 with 1->3 closing (transitive triangle); 1->4 dangling;
+    # 4->5, 5->6 chain with NO 4->6 edge (open wedge)
+    rows = [(1, 2, 10.0), (2, 3, 20.0), (1, 3, 30.0), (1, 4, 40.0), (4, 5, 50.0), (5, 6, 60.0)]
+    return spark.createDataFrame(rows, "src bigint, dst bigint, weight double")
+
+
+def test_motif_transitive_triangle(spark):
+    e = _motif_edges(spark)
+    got = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)").collect()
+    assert [(r["a"], r["b"], r["c"]) for r in got] == [(1, 2, 3)]
+
+
+def test_motif_negation_open_wedge(spark):
+    e = _motif_edges(spark)
+    got = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").collect()
+    assert sorted((r["a"], r["b"], r["c"]) for r in got) == [(1, 4, 5), (4, 5, 6)]
+
+
+def test_motif_named_edge_and_vertex_attrs(spark):
+    e = _motif_edges(spark)
+    v = spark.createDataFrame([(i, f"n{i}") for i in range(1, 7)], "id bigint, name string")
+    got = G.find_motifs(e, "(a)-[e]->(b)", vertices=v).collect()
+    r = next(x for x in got if x["a"] == 2)
+    assert r["e"]["weight"] == 20.0 and r["a_attrs"]["name"] == "n2"
+    assert len(got) == 6
+
+
+def test_motif_anonymous_middle_vertex(spark):
+    e = _motif_edges(spark)
+    # (a)->(x)->(b) with x anonymous: NOT returned, but it is ONE shared
+    # vertex, so it must be written with a name... anonymous vertices are
+    # per-term fresh, so the two-hop pattern needs the explicit middle:
+    got = G.find_motifs(e, "(a)-[]->(m); (m)-[]->(b)").select("a", "b").collect()
+    assert sorted((r["a"], r["b"]) for r in got) == [(1, 3), (1, 5), (4, 6)]
+
+
+def test_motif_compile_errors(spark):
+    e = _motif_edges(spark)
+    # two anonymous vertices are DIFFERENT fresh names -> disconnected
+    with pytest.raises(ValueError, match="disconnected"):
+        G.find_motifs(e, "(a)-[]->(); ()-[]->(b)")
+    with pytest.raises(ValueError, match="cannot parse"):
+        G.find_motifs(e, "(a)->(b)")
+    with pytest.raises(ValueError, match="self-loop"):
+        G.find_motifs(e, "(a)-[]->(a)")
+    with pytest.raises(ValueError, match="unbound"):
+        G.find_motifs(e, "(a)-[]->(b); !(a)-[]->(z)")
+    with pytest.raises(ValueError, match="positive"):
+        G.find_motifs(e, "!(a)-[]->(b)")
+    with pytest.raises(ValueError, match="cannot name an edge"):
+        G.find_motifs(e, "(a)-[]->(b); !(b)-[x]->(a)")

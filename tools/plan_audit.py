@@ -662,6 +662,13 @@ AUDITS = {
     # gapped-subsequence support: corpus collapses to (user, type) rows
     # first; the pair join is user-keyed, type-cardinality bounded.
     "sequence_support": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # motif compiler: every positive term is a hash equi-join on bound
+    # vertex columns, negation an anti-join — never a nested loop.
+    "motif_triangles": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    "motif_open_wedges": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # hidden partitioning: source predicates must land on partition
+    # columns (PartitionFilters) — pruning at planning time, not row filters
+    "hidden_partition_prune": {"expect": ["PartitionFilters: ["], "forbid": ["CartesianProduct"]},
 }
 
 
