@@ -4796,6 +4796,63 @@ def q_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped zone-mapped copy of `lineitem`, range-clustered by ship
+# date (same once-per-session contract as _hidden_events_table).
+_ZONEMAP_TBL_CACHE: dict[tuple[str, str], str] = {}
+
+ZM_LO, ZM_HI = "1996-01-01", "1996-07-01"
+
+
+def _zonemap_lineitem_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import skipping as Z
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tbl = _ZONEMAP_TBL_CACHE.get(key)
+    if tbl is not None and os.path.isdir(tbl):
+        return tbl
+    root = tempfile.mkdtemp(prefix="zonemap_li_")
+    tbl = os.path.join(root, "lineitem_zm")
+    Z.write_skipping(
+        load_table(spark, sf_dir, "lineitem"),
+        tbl,
+        ["l_shipdate", "l_orderkey"],
+        n_files=32,
+        cluster_by="l_shipdate",
+    )
+    _ZONEMAP_TBL_CACHE[key] = tbl
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl
+
+
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping via zone maps (sources/skipping.py) — the
+    Delta/Iceberg column-stats pruning story: lineitem lives range-
+    clustered by ship date across 32 files with per-file min/max recorded
+    in a manifest; a 6-month window predicate eliminates every file whose
+    range cannot match BEFORE the scan (candidate_files asserts the
+    selectivity in tests), and the residual predicate makes results
+    skipping-independent — the oracle is the plain predicate on the raw
+    table. Returns exact revenue cents by return flag over the window."""
+    from semantic_index_spark.sources import skipping as Z
+
+    tbl = _zonemap_lineitem_table(spark, sf_dir)
+    df = Z.read_skipping(
+        spark, tbl, [("l_shipdate", ">=", ZM_LO), ("l_shipdate", "<", ZM_HI)]
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+
+
 def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/graph.py find_motifs):
     the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
@@ -4841,14 +4898,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-58 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the four NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-59 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the five NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
-    motif_open_wedges) are the never-checked names that MUST lead the
-    ROUND 8 window.
+    motif_open_wedges, zonemap_skipping) are the never-checked names that
+    MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 8 remaining
+    has at least one driver row): each round's window = the 9 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -4920,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_partition_prune": q_hidden_partition_prune,
         "motif_triangles": q_motif_triangles,
         "motif_open_wedges": q_motif_open_wedges,
+        "zonemap_skipping": q_zonemap_skipping,
         # --- slots 55+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
@@ -5654,6 +5712,18 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_incremental": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
         ),
+        # zone-map skipping is IO-only (file pruning + residual), so the
+        # oracle is the window predicate verbatim on the raw table
+        "zonemap_skipping": f"""
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT))::BIGINT AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{ZM_LO}'
+              AND l_shipdate < TIMESTAMP '{ZM_HI}'
+            GROUP BY l_returnflag
+        """,
         "motif_triangles": """
             WITH e AS (
                 SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

@@ -1,0 +1,168 @@
+"""File-level data skipping via zone maps (min/max statistics).
+
+[absent in reference — north-star extension] The second half of the
+lakehouse pruning story, complementing transform partitioning
+(:mod:`.hidden`): partitioning prunes on the DECLARED layout columns, but
+real tables also skip FILES inside a partition using per-file min/max
+statistics — Delta's data skipping, Iceberg's manifest column stats,
+parquet row-group stats one level up. A predicate on any stats-tracked
+column eliminates every file whose [min, max] range cannot contain a
+match, before Spark ever lists it in the scan.
+
+Layout:
+
+    <table>/data/part-*.parquet        (the data files)
+    <table>/_zonemaps.json             (per-file min/max per tracked column)
+
+The effectiveness lever — and the reason write_skipping takes
+``cluster_by`` — is LAYOUT, not the stats themselves: on randomly
+distributed data every file spans the whole value domain and nothing
+skips; range-clustering the write (``repartitionByRange`` on the tracked
+column, Delta's OPTIMIZE ZORDER at one dimension) makes each file own a
+narrow slice so a point or range predicate touches ~1/N of them. The
+pytest asserts both halves: clustered → most files skipped, unclustered →
+skipping still CORRECT (never drops a matching row) just not useful.
+
+Skipping is IO-only: the residual predicate always applies on the
+surviving files, so results are skipping-independent (the DuckDB oracle is
+the plain predicate on the raw table). At 100 TB the manifest is one tiny
+JSON per table (statistics, not data) and the candidate-file selection is
+a driver-side scan of n_files entries — the same cost profile real table
+formats pay reading manifests.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_zonemaps.json"
+
+
+def _manifest_path(table: str) -> str:
+    return os.path.join(table, _MANIFEST)
+
+
+def write_skipping(
+    df: DataFrame,
+    table: str,
+    stats_cols: list[str],
+    n_files: int = 32,
+    cluster_by: str | None = None,
+) -> int:
+    """Write ``df`` as ``n_files`` parquet files plus a zone-map manifest of
+    per-file min/max for every column in ``stats_cols``. ``cluster_by``
+    range-partitions the write on that column first — the layout lever
+    that makes the zone maps selective. Returns the number of data files
+    written."""
+    os.makedirs(table, exist_ok=True)
+    if os.path.exists(_manifest_path(table)):
+        raise FileExistsError(f"skipping table {table} already exists")
+    data = os.path.join(table, "data")
+    shaped = (
+        df.repartitionByRange(n_files, F.col(cluster_by))
+        if cluster_by
+        else df.repartition(n_files)
+    )
+    shaped.write.mode("errorifexists").parquet(data)
+    # one pass over the written files computes every file's column ranges
+    stats = (
+        df.sparkSession.read.parquet(data)
+        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
+        .agg(
+            *[
+                agg(c).cast("string").alias(f"{kind}_{c}")
+                for c in stats_cols
+                for kind, agg in (("min", F.min), ("max", F.max))
+            ]
+        )
+    )
+    files = {}
+    for r in stats.collect():
+        files[r["_f"]] = {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+        }
+    with open(_manifest_path(table), "w") as f:
+        json.dump({"stats_cols": stats_cols, "files": files}, f)
+    return len(files)
+
+
+def _coerce(lit, bound: str):
+    """Compare a filter literal against a stringified stat bound. Stats are
+    stored as strings; timestamps/dates/strings compare lexicographically
+    in ISO form, numerics re-parse."""
+    if isinstance(lit, (int, float)):
+        return float(lit), float(bound)
+    if isinstance(lit, (datetime.datetime, datetime.date)):
+        lit = lit.isoformat(sep=" ") if isinstance(lit, datetime.datetime) else lit.isoformat()
+    return str(lit), str(bound)
+
+
+def _file_may_match(ranges: dict, col: str, op: str, value) -> bool:
+    if col not in ranges:
+        return True  # untracked column: no evidence to skip on
+    lo, hi = ranges[col]
+    if lo is None or hi is None:
+        return True  # all-null file or missing stats: cannot rule out
+    if op == "in":
+        return any(_file_may_match(ranges, col, "=", v) for v in value)
+    v, lo2 = _coerce(value, lo)
+    _, hi2 = _coerce(value, hi)
+    if op == "=":
+        return lo2 <= v <= hi2
+    if op == "<":
+        return lo2 < v
+    if op == "<=":
+        return lo2 <= v
+    if op == ">":
+        return hi2 > v
+    if op == ">=":
+        return hi2 >= v
+    raise ValueError(f"unsupported op {op!r}")
+
+
+def read_skipping(
+    spark: SparkSession, table: str, filters: list[tuple] | None = None
+) -> DataFrame:
+    """Read with zone-map file skipping: ``filters`` are source-column
+    triples ``(col, op, value)``, op in ``= < <= > >= in``. Files whose
+    recorded [min, max] cannot contain a match are never handed to the
+    scan; the original predicates always apply as residuals on the
+    survivors, so results are identical with skipping on or off. Returns
+    an empty DataFrame (correct schema) when every file is skipped."""
+    with open(_manifest_path(table)) as f:
+        man = json.load(f)
+    data = os.path.join(table, "data")
+    keep = [
+        fn
+        for fn, ranges in man["files"].items()
+        if all(_file_may_match(ranges, c, op, v) for c, op, v in (filters or []))
+    ]
+    if not keep:
+        return spark.read.parquet(data).filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(data, fn) for fn in sorted(keep)])
+    for col, op, value in filters or []:
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(value)))
+        else:
+            df = df.filter(
+                {"=": c.__eq__, "<": c.__lt__, "<=": c.__le__, ">": c.__gt__, ">=": c.__ge__}[op](value)
+            )
+    return df
+
+
+def candidate_files(table: str, filters: list[tuple] | None = None) -> list[str]:
+    """The file names read_skipping would scan — exposed so tests and
+    monitoring can assert how selective the layout actually is."""
+    with open(_manifest_path(table)) as f:
+        man = json.load(f)
+    return sorted(
+        fn
+        for fn, ranges in man["files"].items()
+        if all(_file_may_match(ranges, c, op, v) for c, op, v in (filters or []))
+    )

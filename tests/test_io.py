@@ -681,3 +681,58 @@ def test_hidden_bucket_literal_matches_spark_hash(spark, tmp_path):
     e = {"transform": "bucket", "col": "id", "arg": 8}
     for i in range(100):
         assert H._transform_literal(e, i) == spark_side[i]
+
+
+# ---------------------------------------------------------- zone-map skipping
+
+
+def test_zonemap_skipping_clustered_prunes_and_matches(spark, tmp_path):
+    from semantic_index_spark.sources import skipping as Z
+
+    rows = [(i, float(i), f"s{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, v double, tag string")
+    t = str(tmp_path / "zm")
+    n = Z.write_skipping(df, t, ["id", "v"], n_files=16, cluster_by="id")
+    assert n == 16
+    filt = [("id", ">=", 100), ("id", "<", 160)]
+    # correctness: skipped read == full filter
+    got = sorted(r["id"] for r in Z.read_skipping(spark, t, filt).collect())
+    assert got == list(range(100, 160))
+    # selectivity: a 6% range over a range-clustered layout touches few files
+    assert len(Z.candidate_files(t, filt)) <= 3
+    # empty-range: every file skipped, schema intact
+    none = Z.read_skipping(spark, t, [("id", ">", 10_000)])
+    assert none.count() == 0 and none.columns == df.columns
+    assert Z.candidate_files(t, [("id", ">", 10_000)]) == []
+
+
+def test_zonemap_skipping_unclustered_still_correct(spark, tmp_path):
+    from semantic_index_spark.sources import skipping as Z
+
+    rows = [(i, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    t = str(tmp_path / "zm_rand")
+    Z.write_skipping(df, t, ["id"], n_files=8)  # no clustering
+    got = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("id", "in", [3, 77, 499])]).collect()
+    )
+    assert got == [3, 77, 499]
+    # untracked column: no skipping evidence, but residual still filters
+    got2 = Z.read_skipping(spark, t, [("v", "=", 42.0)]).collect()
+    assert [r["id"] for r in got2] == [42]
+
+
+def test_zonemap_skipping_timestamp_bounds(spark, tmp_path):
+    from semantic_index_spark.sources import skipping as Z
+
+    rows = [(i, f"2024-01-{1 + i % 28:02d} 06:00:00") for i in range(280)]
+    df = spark.createDataFrame(rows, "id bigint, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    t = str(tmp_path / "zm_ts")
+    Z.write_skipping(df, t, ["ts"], n_files=14, cluster_by="ts")
+    filt = [("ts", ">=", "2024-01-10"), ("ts", "<", "2024-01-12")]
+    got = Z.read_skipping(spark, t, filt)
+    ref = df.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert len(Z.candidate_files(t, filt)) < 14
