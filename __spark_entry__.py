@@ -4853,6 +4853,60 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the change feed
+    (sources/versioned.py maintain_group_agg): a per-lang (count, sum of
+    n_chars) view of the bucketed documents table is maintained across a
+    MERGE by absorbing the diff_bucketed DELTA — retract (−1, −old) for
+    deletes, add (+1, +new) for inserts, both for updates — instead of
+    rescanning. The maintained view must equal a full recompute of the
+    post-merge state, which is exactly what the oracle computes
+    relationally; the view reads the change set (merge-batch-sized), not
+    the table."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    target = d.filter(F.col("doc_id") % 3 != 0)
+    src = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ivm_agg_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(target, tbl, ["doc_id"], n_buckets=16)
+        base = (
+            VER.read_bucketed(spark, tbl, version=0)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)  # the view as of v0, pinned
+        )
+        VER.merge_into_bucketed(spark, tbl, src, op_col="op")
+        changes = VER.diff_bucketed(spark, tbl, 0, 1)
+        out = (
+            VER.maintain_group_agg(base, changes, "lang", "n_chars")
+            .select(
+                "lang",
+                "n_rows",
+                F.col("sum_value").cast("bigint").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/graph.py find_motifs):
     the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
@@ -4898,14 +4952,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-59 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the five NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-60 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the six NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
-    motif_open_wedges, zonemap_skipping) are the never-checked names that
-    MUST lead the ROUND 8 window.
+    motif_open_wedges, zonemap_skipping, ivm_agg) are the never-checked
+    names that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 9 remaining
+    has at least one driver row): each round's window = the 10 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -4968,7 +5022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-54: remaining never-checked; these lead the ROUND 8 window ---
+        # --- slots 51-60: remaining never-checked (incl. the six NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -4978,7 +5032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_triangles": q_motif_triangles,
         "motif_open_wedges": q_motif_open_wedges,
         "zonemap_skipping": q_zonemap_skipping,
-        # --- slots 55+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "ivm_agg": q_ivm_agg,
+        # --- slots 61+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5712,6 +5767,25 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_incremental": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
         ),
+        # the maintained view must equal a full recompute of the post-merge
+        # state — the oracle replays the merge relationally and aggregates
+        "ivm_agg": """
+            WITH target AS (
+              SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+            ), src AS (
+              SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+                     CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+              FROM documents WHERE doc_id % 2 = 0
+            ), final AS (
+              SELECT t.doc_id, t.lang, t.n_chars FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
+              UNION ALL
+              SELECT s.doc_id, s.lang, s.n_chars FROM src s WHERE s.op = 'upsert'
+            )
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM final GROUP BY lang
+        """,
         # zone-map skipping is IO-only (file pruning + residual), so the
         # oracle is the window predicate verbatim on the raw table
         "zonemap_skipping": f"""

@@ -475,3 +475,68 @@ def diff_bucketed(
             *[F.col(f"{c}_new") for c in data_cols],
         )
     )
+
+
+def maintain_group_agg(
+    base: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_col: str = "n_rows",
+    sum_col: str = "sum_value",
+) -> DataFrame:
+    """Incremental view maintenance of a (group → count, sum) aggregate
+    from a :func:`diff_bucketed` change feed — the materialized-view
+    story real lakehouses build on CDF: instead of rescanning the table,
+    the view absorbs the DELTA. Each change row contributes signed
+    updates: deletes retract (−1, −value_old) from the OLD group,
+    inserts add (+1, +value_new) to the NEW group, updates do both —
+    which also handles rows whose group itself changed (retract old
+    group, add new group). Groups whose count reaches zero drop out of
+    the view.
+
+    ``base`` must have columns (group_col, n_col, sum_col). ``changes``
+    is diff_bucketed output: ``_action`` + ``<col>_old``/``<col>_new``
+    for data columns (key columns appear unsuffixed and never change —
+    both spellings are accepted for group/value columns).
+
+    Scale shape: the delta aggregates the CHANGE SET (≈ merge batch
+    size, not table size) with one partial-agg shuffle on the group key,
+    then one group-keyed full-outer merge against the |groups|-row view.
+    A 0.1 % merge maintains the view for ~0.1 % of the recompute cost;
+    correctness (maintained == full recompute) is pytest- and
+    oracle-asserted."""
+    import pyspark.sql.functions as F
+
+    def _side(col: str, suffix: str):
+        name = f"{col}_{suffix}"
+        return F.col(name) if name in changes.columns else F.col(col)
+
+    retract = changes.filter(F.col("_action").isin("deleted", "updated")).select(
+        _side(group_col, "old").alias("_g"),
+        F.lit(-1).cast("bigint").alias("_dn"),
+        (-_side(value_col, "old")).alias("_dv"),
+    )
+    add = changes.filter(F.col("_action").isin("inserted", "updated")).select(
+        _side(group_col, "new").alias("_g"),
+        F.lit(1).cast("bigint").alias("_dn"),
+        _side(value_col, "new").alias("_dv"),
+    )
+    delta = (
+        retract.unionAll(add)
+        .groupBy("_g")
+        .agg(F.sum("_dn").alias("_dn"), F.sum("_dv").alias("_dv"))
+    )
+    merged = base.join(delta, base[group_col] == delta["_g"], "full_outer")
+    return (
+        merged.select(
+            F.coalesce(base[group_col], F.col("_g")).alias(group_col),
+            (
+                F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+            ).cast("bigint").alias(n_col),
+            (
+                F.coalesce(F.col(sum_col), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0))
+            ).alias(sum_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )

@@ -736,3 +736,40 @@ def test_zonemap_skipping_timestamp_bounds(spark, tmp_path):
     ref = df.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
     assert len(Z.candidate_files(t, filt)) < 14
+
+
+def test_ivm_maintain_group_agg_group_change_and_dropout(spark, tmp_path):
+    # a MERGE that moves a row BETWEEN groups must retract from the old
+    # group and add to the new; a group emptied by deletes must drop out
+    from semantic_index_spark.sources import versioned as VER
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, val bigint")
+    t = str(tmp_path / "ivm_tbl")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    base = VER.read_bucketed(spark, t, version=0).groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("val").cast("bigint").alias("sum_value"),
+    ).localCheckpoint(eager=True)
+    src = spark.createDataFrame(
+        # id=1 moves a->c with new value; id=3 deleted (empties group b)
+        [(1, "c", 100, "upsert"), (3, "b", 0, "delete"), (4, "c", 7, "upsert")],
+        "id bigint, grp string, val bigint, op string",
+    )
+    VER.merge_into_bucketed(spark, t, src, op_col="op")
+    changes = VER.diff_bucketed(spark, t, 0, 1)
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_value"])
+        for r in VER.maintain_group_agg(base, changes, "grp", "val").collect()
+    }
+    ref = {
+        r["grp"]: (r["n_rows"], r["sum_value"])
+        for r in VER.read_bucketed(spark, t)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == ref == {"a": (1, 20), "c": (2, 107)}  # b dropped out
