@@ -4907,6 +4907,29 @@ def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SQ_K = 512
+SQ_PS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-free mergeable quantiles from a hash-rank uniform sample
+    (functions/sketch.py hashrank_sample/sample_quantiles): keep the
+    SQ_K rows of lineitem with the smallest md5(row key), estimate each
+    p-quantile of l_extendedprice as the sample's value at sorted index
+    floor(p·(n−1)) — integer-exact "lower" interpolation so both engines
+    agree bitwise. Unlike the fixed-bin histogram quantiles this needs no
+    [lo, hi] bounds up front, and unlike approx_percentile it is
+    deterministic and engine-portable; the oracle replays the identical
+    ranks and order statistics in SQL."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_rk", F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+    s = SKT.hashrank_sample(li, "_rk", ["l_extendedprice"], k=SQ_K).localCheckpoint(
+        eager=True
+    )
+    return SKT.sample_quantiles(s, "l_extendedprice", SQ_PS)
+
+
 def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/graph.py find_motifs):
     the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
@@ -4952,14 +4975,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-60 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the six NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-61 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the seven NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
-    motif_open_wedges, zonemap_skipping, ivm_agg) are the never-checked
-    names that MUST lead the ROUND 8 window.
+    motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles) are
+    the never-checked names that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 10 remaining
+    has at least one driver row): each round's window = the 11 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5022,7 +5045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-60: remaining never-checked (incl. the six NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-61: remaining never-checked (incl. the seven NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5033,7 +5056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_open_wedges": q_motif_open_wedges,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
-        # --- slots 61+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "sampled_quantiles": q_sampled_quantiles,
+        # --- slots 62+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        # (boundary unchanged below)
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5767,6 +5792,28 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_incremental": _pq_oracle(
             PQ_M, PQ_K, PQ_ITERS, PQ_QVEC, PQ_TOPN, ivf_nprobe=IVF_NPROBE
         ),
+        # identical md5 ranks + integer order statistics on both engines —
+        # the APPROXIMATE estimates hash-match because the sample and the
+        # interpolation are bit-reproducible
+        "sampled_quantiles": f"""
+            WITH s AS (
+                SELECT l_extendedprice AS v
+                FROM lineitem
+                ORDER BY ('0x' || substr(md5('rs:' || (CAST(l_orderkey AS VARCHAR)
+                           || '-' || CAST(l_linenumber AS VARCHAR))), 1, 15))::UBIGINT
+                LIMIT {SQ_K}
+            ),
+            n AS (SELECT count(*) AS n FROM s),
+            r AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS i FROM s),
+            ps AS (
+                SELECT CAST(unnest([{", ".join(str(p) for p in SQ_PS)}]) AS DOUBLE) AS p
+            )
+            SELECT ps.p, n.n::BIGINT AS n_sample,
+                   round(r.v, 6) + 0.0 AS estimate
+            FROM ps, n
+            JOIN r ON r.i = CAST(floor(ps.p * (n.n - 1)) AS INT) + 1
+            ORDER BY ps.p
+        """,
         # the maintained view must equal a full recompute of the post-merge
         # state — the oracle replays the merge relationally and aggregates
         "ivm_agg": """

@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from semantic_index_spark.functions.text import md5_bigint
 
@@ -579,4 +579,92 @@ def kmv_pair_overlap(
         "n_common",
         F.round(jac, 6).alias("jaccard"),
         F.round(jac * union_est, 6).alias("approx_intersection"),
+    )
+
+
+def hashrank_sample(
+    df: DataFrame, key_col: str, payload_cols: list[str], k: int = 512
+) -> DataFrame:
+    """Mergeable uniform row sample by hash rank — the bottom-k idea of KMV
+    applied to ROWS instead of distinct values: keep the k rows whose
+    md5(key) is smallest. Because "the k globally smallest hashes" is a
+    property of the union, samples merge EXACTLY (union → re-rank →
+    bottom-k ≡ sample of the union, pytest-proven), which per-partition
+    reservoirs never do deterministically. With ≤ k rows the sample IS
+    the table. [absent in reference — north-star extension]
+
+    The payload travels with the sampled rows, so any downstream
+    statistic — quantiles (:func:`sample_quantiles`), means, heavy-value
+    inspection — reads k rows, never the corpus. ``key_col`` must be
+    row-unique (an id); hashing it makes the sample reproducible and
+    engine-portable (same md5 contract as every sketch here).
+
+    Scale shape: one JVM-side hash + ONE global bottom-k. The rank window
+    is unpartitioned but the TakeOrdered-style cost is bounded: each
+    partition pre-truncates to its local k before the single-reducer
+    rank (the orderBy-limit pushdown Spark already does for sort+limit).
+    Returns (rank, h, *payload_cols).
+    """
+    if k < 1:
+        raise ValueError("hashrank_sample: k must be >= 1")
+    h = md5_bigint(F.col(key_col).cast("string"), salt="rs:")
+    return (
+        df.select(h.alias("h"), *payload_cols)
+        .orderBy("h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("h")).cast("int").alias("rank"),
+            "h",
+            *payload_cols,
+        )
+    )
+
+
+def merge_hashrank_samples(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    """Merge two hash-rank samples: union, re-rank by hash, keep the
+    bottom k — exactly the sample of the union (duplicate hashes from
+    overlapping inputs collapse first, so merging a sample with itself is
+    idempotent)."""
+    uni = a.unionByName(b).dropDuplicates(["h"])
+    return (
+        uni.orderBy("h")
+        .limit(k)
+        .drop("rank")
+        .select(
+            F.row_number().over(Window.orderBy("h")).cast("int").alias("rank"),
+            "*",
+        )
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame, value_col: str, ps: list[float], round_decimals: int = 6
+) -> DataFrame:
+    """Quantile estimates from a :func:`hashrank_sample`: the p-quantile is
+    the sample's value at sorted index floor(p·(n−1)) — the "lower"
+    interpolation, chosen because it is integer-exact and therefore
+    hash-comparable across engines (no float interpolation to disagree
+    on). Exact when the sample holds the whole table (n_rows ≤ k);
+    otherwise a k-row order-statistic estimate whose error shrinks as
+    1/√k independent of table size. Returns (p, n_sample, estimate)."""
+    n = sample.count()
+    if n == 0:
+        raise ValueError("sample_quantiles: empty sample")
+    w = Window.orderBy(F.col(value_col).asc())
+    ranked = sample.select(
+        F.col(value_col), F.row_number().over(w).cast("int").alias("_i")
+    )
+    spark = sample.sparkSession
+    want = spark.createDataFrame(
+        [(float(p), int(math.floor(p * (n - 1))) + 1) for p in ps],
+        "p double, _i int",
+    )
+    return (
+        ranked.join(F.broadcast(want), "_i")
+        .select(
+            "p",
+            F.lit(n).cast("bigint").alias("n_sample"),
+            (F.round(F.col(value_col), round_decimals) + F.lit(0.0)).alias("estimate"),
+        )
+        .orderBy("p")
     )

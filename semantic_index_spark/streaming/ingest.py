@@ -666,3 +666,28 @@ def incremental_ivfpq_sink(
         )
 
     return _apply
+
+
+def incremental_sample_sink(path: str, key_col: str, payload_cols: list[str], k: int = 512):
+    """Uniform-sample maintenance across micro-batches: keep the k rows
+    with the globally smallest md5(key) ranks ever streamed
+    (functions.sketch.hashrank_sample). Because bottom-k-by-hash is a
+    property of the union, the maintained sample always equals the
+    one-shot sample of everything streamed (stream == batch pytest) —
+    the deterministic replacement for per-executor reservoir sampling,
+    and the state is O(k) regardless of history. Downstream quantile /
+    mean estimates read k rows, never the firehose."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    def _partials(b: DataFrame) -> DataFrame:
+        return SKT.hashrank_sample(b, key_col, payload_cols, k=k)
+
+    def _merge(u: DataFrame) -> DataFrame:
+        deduped = u.dropDuplicates(["h"]).orderBy("h").limit(k).drop("rank")
+        from pyspark.sql import Window as _W
+
+        return deduped.select(
+            F.row_number().over(_W.orderBy("h")).cast("int").alias("rank"), "*"
+        )
+
+    return incremental_sketch_sink(path, _partials, _merge)

@@ -746,3 +746,58 @@ def test_kmv_sketch_merge_by_rerank(spark):
     assert sorted(r["h"] for r in merged.collect()) == sorted(
         r["h"] for r in full.collect()
     )
+
+
+# ------------------------------------------------------- hash-rank sampling
+
+
+def test_hashrank_sample_merge_equals_union_sample(spark):
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.createDataFrame([(i, float(i * 3)) for i in range(400)], "id bigint, v double")
+    a, b = df.filter("id < 250"), df.filter("id >= 150")  # overlapping!
+    sa = SKT.hashrank_sample(a, "id", ["v"], k=64)
+    sb = SKT.hashrank_sample(b, "id", ["v"], k=64)
+    merged = SKT.merge_hashrank_samples(sa, sb, k=64)
+    direct = SKT.hashrank_sample(df, "id", ["v"], k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # idempotent: merging a sample with itself is the sample
+    self_merged = SKT.merge_hashrank_samples(sa, sa, k=64)
+    assert sorted(map(tuple, self_merged.collect())) == sorted(map(tuple, sa.collect()))
+
+
+def test_hashrank_sample_exact_below_k(spark):
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "id bigint, v double")
+    s = SKT.hashrank_sample(df, "id", ["v"], k=64)
+    assert s.count() == 20
+    q = {r["p"]: r["estimate"] for r in SKT.sample_quantiles(s, "v", [0.0, 0.5, 1.0]).collect()}
+    # whole table in the sample -> quantiles are EXACT (lower interpolation)
+    assert q[0.0] == 0.0 and q[0.5] == 9.0 and q[1.0] == 19.0
+
+
+def test_sample_quantiles_lower_interpolation(spark):
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate([10, 20, 30, 40])], "id bigint, v double")
+    s = SKT.hashrank_sample(df, "id", ["v"], k=10)
+    got = {r["p"]: r["estimate"] for r in SKT.sample_quantiles(s, "v", [0.5, 0.9]).collect()}
+    # n=4: idx(0.5) = floor(0.5*3) = 1 -> 20; idx(0.9) = floor(2.7) = 2 -> 30
+    assert got == {0.5: 20.0, 0.9: 30.0}
+
+
+def test_incremental_sample_sink_stream_equals_batch(spark, tmp_path):
+    from semantic_index_spark.functions import sketch as SKT
+    from semantic_index_spark.streaming import ingest as SI
+
+    df = spark.createDataFrame([(i, float(i * 7 % 101)) for i in range(300)], "id bigint, v double")
+    path = str(tmp_path / "sample_tbl")
+    sink = SI.incremental_sample_sink(path, "id", ["v"], k=32)
+    for e, pred in enumerate(["id % 3 = 0", "id % 3 = 1", "id % 3 = 2"]):
+        sink(df.filter(pred), e)
+    streamed = spark.read.parquet(path)
+    direct = SKT.hashrank_sample(df, "id", ["v"], k=32)
+    assert sorted(map(tuple, streamed.select("rank", "h", "v").collect())) == sorted(
+        map(tuple, direct.select("rank", "h", "v").collect())
+    )
