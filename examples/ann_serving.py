@@ -62,4 +62,21 @@ with tempfile.TemporaryDirectory() as tmp:
     print("\nrecall@10 per query (nprobe=2 of 8 cells, ~25% of files read):")
     S.ann_recall(exact_all, approx_all, by="q").orderBy("q").show()
 
+    # 5. IVF-PQ: 16-byte codes instead of floats, maintained incrementally —
+    #    train codebooks offline, build the code index from the base half,
+    #    stream the rest through the exactly-once foreachBatch sink, serve
+    #    with planning-time cell pruning + broadcast-LUT ADC scoring
+    import tempfile
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    codes, cb = S.pq_train_encode(emb, m_sub=4, k=16, iters=2)
+    pq_path = tempfile.mkdtemp(prefix="ivfpq_") + "/index"
+    S.write_ivfpq_index(base, cb, centroids, pq_path)
+    sink = SI.incremental_ivfpq_sink(pq_path, cb, centroids)
+    sink(emb.filter(F.col("vec_id") % 2 == 1), 0)  # one ingest epoch
+    qid, q = queries[0]
+    print("IVF-PQ served top-5 (codes only, corpus floats untouched):")
+    S.ivfpq_topk_indexed(spark, pq_path, cb, centroids, q, k_results=5, nprobe=2).show()
+
 spark.stop()

@@ -75,6 +75,49 @@ try:
 
     # 6. retention: reclaim versions no kept manifest references
     print("reclaimed:", VER.expire_bucketed(tbl, keep_manifests=2))
+
+    # 7. incremental view maintenance: a per-lang aggregate view absorbs
+    # the change feed instead of rescanning the table
+    d2 = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    tbl2 = os.path.join(root, "docs_ivm")
+    VER.create_bucketed(d2, tbl2, ["doc_id"], n_buckets=16)
+    view = (
+        VER.read_bucketed(spark, tbl2, version=0)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_rows"), F.sum("n_chars").alias("sum_value"))
+        .localCheckpoint(eager=True)
+    )
+    VER.merge_into_bucketed(
+        spark,
+        tbl2,
+        d2.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "lang", (F.col("n_chars") + 5).alias("n_chars"), F.lit("upsert").alias("op")
+        ),
+        op_col="op",
+    )
+    maintained = VER.maintain_group_agg(view, VER.diff_bucketed(spark, tbl2, 0, 1), "lang", "n_chars")
+    print("IVM view (reads the delta, not the table):")
+    maintained.orderBy("lang").show(5)
+
+    # 8. hidden partitioning + zone-map skipping: the two pruning layers
+    from semantic_index_spark.sources import hidden as H
+    from semantic_index_spark.sources import skipping as Z
+
+    ev = load_table(spark, SF_DIR, "events")
+    ht = os.path.join(root, "events_hidden")
+    H.create_hidden(ev, ht, [("day", "ts"), ("bucket", "user_id", 4)])
+    win = H.read_hidden(spark, ht, filters=[("ts", ">=", "2024-01-10"), ("ts", "<", "2024-01-12")])
+    print("hidden-partitioned window rows:", win.count(), "(PartitionFilters prune the layout)")
+
+    zt = os.path.join(root, "li_zoned")
+    li = load_table(spark, SF_DIR, "lineitem")
+    Z.write_skipping(li, zt, ["l_shipdate"], n_files=8, cluster_by="l_shipdate")
+    filt = [("l_shipdate", ">=", "1996-01-01"), ("l_shipdate", "<", "1996-07-01")]
+    print(
+        f"zone maps: {len(Z.candidate_files(zt, filt))}/8 files scanned,",
+        Z.read_skipping(spark, zt, filt).count(),
+        "rows",
+    )
 finally:
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
