@@ -4822,6 +4822,10 @@ def _zonemap_lineitem_table(spark: SparkSession, sf_dir: str) -> str:
         ["l_shipdate", "l_orderkey"],
         n_files=32,
         cluster_by="l_shipdate",
+        # point-lookup skipping on a column the clustering does NOT help:
+        # partkeys are spread uniformly across every ship-date file, so
+        # only the per-file bloom bitmaps can rule files out
+        bloom_cols=["l_partkey"],
     )
     _ZONEMAP_TBL_CACHE[key] = tbl
     atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -4930,6 +4934,29 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKT.sample_quantiles(s, "l_extendedprice", SQ_PS)
 
 
+BL_PART = 1117
+
+
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-index skipping (sources/skipping.py bloom_cols) —
+    Delta's bloom-filter-index story: the lineitem files are clustered by
+    ship date, so a part-key point lookup gets NOTHING from zone maps
+    (every file spans the key domain); the per-file md5-bloom bitmaps
+    rule out files where the key is definitely absent, and the residual
+    predicate keeps results skipping-independent. The oracle is the plain
+    predicate on the raw table; the selectivity contract (few of 32 files
+    scanned, absent key scans zero) is pytest-asserted."""
+    from semantic_index_spark.sources import skipping as Z
+
+    tbl = _zonemap_lineitem_table(spark, sf_dir)
+    df = Z.read_skipping(spark, tbl, [("l_partkey", "=", BL_PART)])
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
 def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/graph.py find_motifs):
     the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
@@ -4975,14 +5002,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-61 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the seven NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-62 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the eight NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
-    motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles) are
-    the never-checked names that MUST lead the ROUND 8 window.
+    motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
+    bloom_skipping) are the never-checked names that MUST lead the
+    ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 11 remaining
+    has at least one driver row): each round's window = the 12 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5045,7 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-61: remaining never-checked (incl. the seven NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-62: remaining never-checked (incl. the eight NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5057,8 +5085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
-        # --- slots 62+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
-        # (boundary unchanged below)
+        "bloom_skipping": q_bloom_skipping,
+        # --- slots 63+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5832,6 +5860,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM final GROUP BY lang
+        """,
+        # bloom skipping is IO-only too — plain point predicate on the raw
+        # table; a false positive costs IO, never correctness
+        "bloom_skipping": f"""
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(l_quantity)::BIGINT AS total_qty,
+                   count(DISTINCT l_orderkey)::BIGINT AS n_orders
+            FROM lineitem WHERE l_partkey = {BL_PART}
         """,
         # zone-map skipping is IO-only (file pruning + residual), so the
         # oracle is the window predicate verbatim on the raw table

@@ -33,12 +33,16 @@ formats pay reading manifests.
 
 from __future__ import annotations
 
+import base64
 import datetime
+import hashlib
 import json
 import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from semantic_index_spark.functions.bloom import _positions
 
 _MANIFEST = "_zonemaps.json"
 
@@ -53,12 +57,26 @@ def write_skipping(
     stats_cols: list[str],
     n_files: int = 32,
     cluster_by: str | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_m: int = 1 << 17,
+    bloom_k: int = 4,
 ) -> int:
     """Write ``df`` as ``n_files`` parquet files plus a zone-map manifest of
     per-file min/max for every column in ``stats_cols``. ``cluster_by``
     range-partitions the write on that column first — the layout lever
     that makes the zone maps selective. Returns the number of data files
-    written."""
+    written.
+
+    ``bloom_cols`` additionally records a per-file BLOOM bitmap (Delta's
+    bloom-filter-index story): zone maps only skip when the layout is
+    clustered on the filtered column, but a Bloom filter skips POINT
+    lookups (``=`` / ``in``) on any column regardless of layout — a
+    definitely-absent key eliminates the file. Bits are the portable md5
+    positions of :mod:`..functions.bloom` (computed JVM-side over the
+    data, evaluated driver-side on probe literals), packed to an m-bit
+    bitmap per (file, column) and base64-embedded in the manifest; real
+    formats store the same bitmap in the file footer. Size ``bloom_m``
+    for the per-file distinct count (fp ≈ (1−e^(−k·n/m))^k)."""
     os.makedirs(table, exist_ok=True)
     if os.path.exists(_manifest_path(table)):
         raise FileExistsError(f"skipping table {table} already exists")
@@ -69,26 +87,78 @@ def write_skipping(
         else df.repartition(n_files)
     )
     shaped.write.mode("errorifexists").parquet(data)
+    back = df.sparkSession.read.parquet(data)
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
     # one pass over the written files computes every file's column ranges
-    stats = (
-        df.sparkSession.read.parquet(data)
-        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
-        .agg(
-            *[
-                agg(c).cast("string").alias(f"{kind}_{c}")
-                for c in stats_cols
-                for kind, agg in (("min", F.min), ("max", F.max))
-            ]
-        )
+    stats = back.groupBy(fname.alias("_f")).agg(
+        *[
+            agg(c).cast("string").alias(f"{kind}_{c}")
+            for c in stats_cols
+            for kind, agg in (("min", F.min), ("max", F.max))
+        ]
     )
     files = {}
     for r in stats.collect():
         files[r["_f"]] = {
             c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
         }
+    blooms: dict[str, dict[str, str]] = {}
+    for c in bloom_cols or []:
+        # distinct (file, bit) stays distributed; only ≤ n_files rows of
+        # ≤ m packed ints reach the driver (one-time write cost)
+        bits = (
+            back.where(F.col(c).isNotNull())
+            .select(
+                fname.alias("_f"),
+                F.explode(_positions(c, bloom_m, bloom_k)).alias("bit"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("bit").alias("bits"))
+        )
+        for r in bits.collect():
+            bm = bytearray(bloom_m // 8 + 1)
+            for b in r["bits"]:
+                bm[b >> 3] |= 1 << (b & 7)
+            blooms.setdefault(r["_f"], {})[c] = base64.b64encode(bytes(bm)).decode()
+    man = {"stats_cols": stats_cols, "files": files}
+    if bloom_cols:
+        man["bloom"] = {
+            "cols": bloom_cols,
+            "m": bloom_m,
+            "k": bloom_k,
+            "files": blooms,
+        }
     with open(_manifest_path(table), "w") as f:
-        json.dump({"stats_cols": stats_cols, "files": files}, f)
+        json.dump(man, f)
     return len(files)
+
+
+def _bloom_positions_literal(value, m: int, k: int) -> list[int]:
+    """Driver-side twin of functions.bloom._positions (md5 contract):
+    positions of a probe literal, bit-identical to the JVM expression."""
+    out = []
+    for r in range(k):
+        h = hashlib.md5(f"bloom{r}:{value}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % m)
+    return out
+
+
+def _bloom_may_match(man: dict, fn: str, col: str, op: str, value) -> bool:
+    bl = man.get("bloom")
+    if not bl or col not in bl["cols"] or op not in ("=", "in"):
+        return True
+    enc = bl["files"].get(fn, {}).get(col)
+    if enc is None:
+        return True  # no bitmap recorded (e.g. all-null file): can't rule out
+    bm = base64.b64decode(enc)
+    vals = value if op == "in" else [value]
+    for v in vals:
+        if all(
+            bm[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions_literal(v, bl["m"], bl["k"])
+        ):
+            return True  # some probed value may be present
+    return False
 
 
 def _coerce(lit, bound: str):
@@ -140,7 +210,11 @@ def read_skipping(
     keep = [
         fn
         for fn, ranges in man["files"].items()
-        if all(_file_may_match(ranges, c, op, v) for c, op, v in (filters or []))
+        if all(
+            _file_may_match(ranges, c, op, v)
+            and _bloom_may_match(man, fn, c, op, v)
+            for c, op, v in (filters or [])
+        )
     ]
     if not keep:
         return spark.read.parquet(data).filter(F.lit(False))
@@ -164,5 +238,9 @@ def candidate_files(table: str, filters: list[tuple] | None = None) -> list[str]
     return sorted(
         fn
         for fn, ranges in man["files"].items()
-        if all(_file_may_match(ranges, c, op, v) for c, op, v in (filters or []))
+        if all(
+            _file_may_match(ranges, c, op, v)
+            and _bloom_may_match(man, fn, c, op, v)
+            for c, op, v in (filters or [])
+        )
     )

@@ -773,3 +773,45 @@ def test_ivm_maintain_group_agg_group_change_and_dropout(spark, tmp_path):
         .collect()
     }
     assert got == ref == {"a": (1, 20), "c": (2, 107)}  # b dropped out
+
+
+def test_bloom_skipping_point_lookup_on_unclustered(spark, tmp_path):
+    # zone maps cannot skip point lookups on an UNCLUSTERED column (every
+    # file spans the domain) — the per-file bloom index can
+    from semantic_index_spark.sources import skipping as Z
+
+    rows = [(i, i * 31 % 997) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, code bigint")
+    t = str(tmp_path / "zm_bloom")
+    Z.write_skipping(
+        df, t, ["id"], n_files=16, bloom_cols=["code"], bloom_m=1 << 14, bloom_k=4
+    )
+    # point lookup: correct rows, and far fewer than all 16 files scanned
+    filt = [("code", "=", 42)]
+    got = sorted(r["id"] for r in Z.read_skipping(spark, t, filt).collect())
+    ref = sorted(r["id"] for r in df.filter("code = 42").collect())
+    assert got == ref and len(got) >= 1
+    assert len(Z.candidate_files(t, filt)) < 16
+    # an absent key: definitely-absent in every file -> nothing scanned
+    assert Z.candidate_files(t, [("code", "=", 123456789)]) == []
+    assert Z.read_skipping(spark, t, [("code", "=", 123456789)]).count() == 0
+    # IN probes each value; range ops never consult the bloom (no evidence)
+    got_in = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("code", "in", [42, 123456789])]).collect()
+    )
+    assert got_in == ref
+    assert len(Z.candidate_files(t, [("code", ">", 0)])) == 16
+
+
+def test_bloom_literal_positions_match_spark(spark):
+    # the driver-side md5 position twin must agree with the JVM expression
+    from semantic_index_spark.functions.bloom import _positions
+    from semantic_index_spark.sources.skipping import _bloom_positions_literal
+
+    df = spark.createDataFrame([(v,) for v in range(50)], "v bigint")
+    jvm = {
+        r["v"]: list(r["p"])
+        for r in df.select("v", _positions("v", 1 << 14, 4).alias("p")).collect()
+    }
+    for v in range(50):
+        assert _bloom_positions_literal(v, 1 << 14, 4) == jvm[v]

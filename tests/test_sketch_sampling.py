@@ -801,3 +801,15 @@ def test_incremental_sample_sink_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.select("rank", "h", "v").collect())) == sorted(
         map(tuple, direct.select("rank", "h", "v").collect())
     )
+
+
+def test_hashrank_sample_plan_is_bounded_topk(spark):
+    # the corpus-side bottom-k must compile to TakeOrderedAndProject
+    # (per-partition truncation before the single reducer) — never a
+    # global Sort of the corpus
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id bigint, v double")
+    s = SKT.hashrank_sample(df, "id", ["v"], k=32)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -669,6 +669,10 @@ AUDITS = {
     # hidden partitioning: source predicates must land on partition
     # columns (PartitionFilters) — pruning at planning time, not row filters
     "hidden_partition_prune": {"expect": ["PartitionFilters: ["], "forbid": ["CartesianProduct"]},
+    # quantiles from the (localCheckpointed, k-row) sample: the audited
+    # plan is the order-statistic join; the corpus-side bounded top-k
+    # (TakeOrderedAndProject) is plan-locked in tests/test_sketch_sampling.py
+    "sampled_quantiles": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct"]},
 }
 
 
