@@ -82,6 +82,8 @@ PANEL = [
     "jaccard_prefix",         # AllPairs/PPJoin prefix-filtered pair join
     "golden_records",         # LSH pairs + iterative closure + mode windows
     "leakage_safe_split",     # LSH pairs + connected components + fold hash
+    "motif_triangles",        # 3-term motif join chain (Σdeg² wedge bound)
+    "sampled_quantiles",      # bounded bottom-k sample + k-row statistics
 ]
 
 # ---- scaling GATE ------------------------------------------------------
