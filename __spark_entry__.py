@@ -1666,6 +1666,13 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 LIFT_MIN_SUPPORT = 2
 
 
+# Session-scoped co-purchase edge artifact (same contract as
+# shared_lsh_pairs): three registry queries (triangle_count,
+# motif_triangles, motif_open_wedges) consume the identical edge list —
+# compute it once per (applicationId, sf_dir) and localCheckpoint it.
+_COPURCHASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part–part "bought together" edges: distinct part pairs sharing an
     # order, canonical src<dst. ONE groupBy shuffle collects each order's
@@ -1673,6 +1680,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same Σ|basket|² shape as association_lift, with mining.py's
     # max_basket as the cap lever if baskets ever grow), then one distinct
     # — vs a lineitem self-join this halves the shuffles
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COPURCHASE_CACHE.get(key)
+    if cached is not None:
+        return cached
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("_ps")
@@ -1686,11 +1697,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    edges = (
         baskets.select(F.explode(pairs).alias("_e"))
         .select("_e.src", "_e.dst")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    _COPURCHASE_CACHE[key] = edges
+    return edges
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
