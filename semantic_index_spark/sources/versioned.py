@@ -258,6 +258,31 @@ def create_bucketed(
     return 0
 
 
+def _dv_paths(table: str, man: dict, buckets: "set[int] | None" = None) -> list[str]:
+    """Paths of the deletion-vector key files a manifest references,
+    optionally restricted to a bucket subset."""
+    out = []
+    for b, versions in man.get("dv", {}).items():
+        if buckets is not None and int(b) not in buckets:
+            continue
+        for v in versions:
+            out.append(os.path.join(table, f"v={v}", "__dv", f"__bucket={b}"))
+    return out
+
+
+def _apply_dv(
+    spark: SparkSession, df: DataFrame, table: str, man: dict, buckets: "set[int] | None" = None
+) -> DataFrame:
+    """Anti-join out rows whose key appears in the manifest's deletion
+    vectors. Keys hash to exactly one bucket, so applying the DV keys
+    globally equals applying them per bucket."""
+    paths = _dv_paths(table, man, buckets)
+    if not paths:
+        return df
+    dv_keys = spark.read.parquet(*paths).select(*man["key_cols"]).distinct()
+    return df.join(dv_keys, man["key_cols"], "left_anti")
+
+
 def read_bucketed(
     spark: SparkSession,
     table: str,
@@ -268,7 +293,10 @@ def read_bucketed(
     version by unioning each bucket's owning-version files. With
     ``key_values`` (tuples matching ``key_cols``), reads ONLY the buckets
     those keys hash to — manifest-level partition pruning, the point-
-    lookup path (the scan shrinks ~n_buckets-fold before Spark sees it)."""
+    lookup path (the scan shrinks ~n_buckets-fold before Spark sees it).
+    Deletion vectors recorded by :func:`delete_bucketed` are applied as an
+    anti-join (each manifest lists exactly the DVs committed at or before
+    its version, so time travel sees the right deletes for free)."""
     from pyspark.sql.types import StructType
 
     man = _read_manifest(table, version)
@@ -287,7 +315,7 @@ def read_bucketed(
     paths = [os.path.join(table, f"v={v}", f"__bucket={b}") for b, v in sorted(live.items())]
     if not paths:
         return spark.createDataFrame([], StructType.fromJson(json.loads(man["schema"])))
-    return spark.read.parquet(*paths)
+    return _apply_dv(spark, spark.read.parquet(*paths), table, man, set(live))
 
 
 def merge_into_bucketed(
@@ -342,9 +370,11 @@ def merge_into_bucketed(
     ]
     data_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
     if tgt_paths:
-        target = spark.read.parquet(*tgt_paths).withColumn(
-            "__bucket", _bucket_expr(keys, n_buckets)
-        )
+        # outstanding deletion vectors must apply BEFORE the rewrite, or
+        # the rewrite would resurrect DV-deleted rows into the new bucket
+        target = _apply_dv(
+            spark, spark.read.parquet(*tgt_paths), table, man, set(affected)
+        ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
         kept = target.join(src.select(*keys), keys, "left_anti")
     else:
         kept = None
@@ -364,7 +394,75 @@ def merge_into_bucketed(
         "__affected": affected,
         "meta": dict(meta) if meta else {},
     }
+    # a rewritten bucket has its DVs folded into the data — clear them
+    old_dv = man.get("dv", {})
+    new_dv = {b: v for b, v in old_dv.items() if int(b) not in set(affected)}
+    if new_dv:
+        base["dv"] = new_dv
     _commit_bucketed(table, result, nxt, base)
+    return nxt
+
+
+def delete_bucketed(
+    spark: SparkSession, table: str, keys: DataFrame, meta: dict | None = None
+) -> int:
+    """Row-level DELETE without rewriting any bucket — deletion vectors,
+    the write-fast half of Delta DVs / Iceberg delete files: the delete
+    keys land as tiny per-bucket key files under the NEW version
+    (``v=<n>/__dv/__bucket=<b>/``), the manifest appends the version to
+    each affected bucket's DV list, and the data files are untouched.
+    Readers anti-join the DV keys (``read_bucketed``); the next MERGE
+    touching a bucket folds its DVs into the rewrite and clears them —
+    the standard compaction contract. Deleting is therefore O(delete
+    keys) IO at commit time, with the cost deferred to reads, the
+    opposite trade from ``merge_into_bucketed``'s tombstones (O(bucket)
+    commit, free reads) — at 100 TB you want both. Returns the new
+    version."""
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.session import collect_bounded
+
+    man = _read_manifest(table)
+    kc, n_buckets = man["key_cols"], man["n_buckets"]
+    keyed = (
+        keys.select(*kc)
+        .distinct()
+        .withColumn("__bucket", _bucket_expr(kc, n_buckets))
+        .localCheckpoint(eager=True)
+    )
+    affected = sorted(
+        r["__bucket"]
+        for r in collect_bounded(
+            keyed.select("__bucket").distinct(), n_buckets, "delete_bucketed affected"
+        )
+    )
+    nxt = man["version"] + 1
+    dv_root = os.path.join(table, f"v={nxt}", "__dv")
+    keyed.write.mode("errorifexists").partitionBy("__bucket").parquet(dv_root)
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(dv_root)
+        if d.startswith("__bucket=")
+    }
+    dv = {b: list(v) for b, v in man.get("dv", {}).items()}
+    for b in affected:
+        if b in written:
+            dv.setdefault(str(b), []).append(nxt)
+    manifest = {
+        "key_cols": kc,
+        "n_buckets": n_buckets,
+        "schema": man["schema"],
+        "buckets": man["buckets"],
+        "version": nxt,
+        "dv": dv,
+        "meta": dict(meta) if meta else {},
+    }
+    with open(_manifest_path(table, nxt), "w") as f:
+        json.dump(manifest, f)
+    tmp = _latest_path(table) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"version": nxt}, f)
+    os.replace(tmp, _latest_path(table))
     return nxt
 
 
@@ -398,6 +496,11 @@ def expire_bucketed(table: str, keep_manifests: int = 2) -> list[int]:
     for v in kept_versions:
         man = _read_manifest(table, v)
         live.update(int(x) for x in man["buckets"].values() if x is not None)
+        # deletion-vector files live under their committing version's dir —
+        # a version can be live purely because a kept manifest still
+        # references its DVs
+        for versions in man.get("dv", {}).values():
+            live.update(int(x) for x in versions)
     reclaimed = []
     for v in list_versions(table):
         if v in live or v in kept_versions:
@@ -435,8 +538,14 @@ def diff_bucketed(
     keys = man_a["key_cols"]
     schema = StructType.fromJson(json.loads(man_a["schema"]))
     data_cols = [f.name for f in schema.fields if f.name not in keys]
+    # a bucket changed if its owning version moved OR its deletion-vector
+    # list did (a DV-only commit moves no data but deletes rows)
+    dv_a, dv_b = man_a.get("dv", {}), man_b.get("dv", {})
     changed = sorted(
-        int(b) for b in man_a["buckets"] if man_a["buckets"][b] != man_b["buckets"][b]
+        int(b)
+        for b in man_a["buckets"]
+        if man_a["buckets"][b] != man_b["buckets"][b]
+        or dv_a.get(b, []) != dv_b.get(b, [])
     )
 
     def _side(man: dict) -> DataFrame:
@@ -447,7 +556,7 @@ def diff_bucketed(
         ]
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
+        return _apply_dv(spark, spark.read.parquet(*paths), table, man, set(changed))
 
     a = _side(man_a).select(
         *keys, *[F.col(c).alias(f"{c}_old") for c in data_cols], F.lit(1).alias("_in_a")

@@ -815,3 +815,89 @@ def test_bloom_literal_positions_match_spark(spark):
     }
     for v in range(50):
         assert _bloom_positions_literal(v, 1 << 14, 4) == jvm[v]
+
+
+# ---------------------------------------------------------- deletion vectors
+
+
+def test_deletion_vectors_basic_and_time_travel(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(100)], "id bigint, val bigint")
+    t = str(tmp_path / "dv_tbl")
+    VER.create_bucketed(df, t, ["id"], n_buckets=8)
+    v1 = VER.delete_bucketed(
+        spark, t, spark.createDataFrame([(i,) for i in range(0, 100, 7)], "id bigint")
+    )
+    assert v1 == 1
+    got = sorted(r["id"] for r in VER.read_bucketed(spark, t).collect())
+    assert got == [i for i in range(100) if i % 7 != 0]
+    # no data bucket was rewritten: every bucket still owned by v0
+    man = VER._read_manifest(t)
+    assert all(v == 0 for v in man["buckets"].values())
+    assert man["dv"]  # DVs recorded
+    # time travel: v0 sees everything
+    assert VER.read_bucketed(spark, t, version=0).count() == 100
+    # point lookup honors DVs
+    assert VER.read_bucketed(spark, t, key_values=[(7,)]).filter("id = 7").count() == 0
+    assert VER.read_bucketed(spark, t, key_values=[(8,)]).filter("id = 8").count() == 1
+
+
+def test_deletion_vectors_fold_on_merge_and_cdf(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(50)], "id bigint, val bigint")
+    t = str(tmp_path / "dv_merge")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(3,), (4,)], "id bigint"))
+    # CDF across the DV-only commit: exactly the two deletes
+    d = VER.diff_bucketed(spark, t, 0, 1)
+    assert sorted((r["id"], r["_action"]) for r in d.collect()) == [
+        (3, "deleted"),
+        (4, "deleted"),
+    ]
+    # a merge touching every bucket folds DVs into the rewrite and clears them
+    src = spark.createDataFrame([(i, i * 10 + 1) for i in range(50)], "id bigint, val bigint")
+    VER.merge_into_bucketed(spark, t, src.withColumn("op", F.lit("upsert")), op_col="op")
+    man = VER._read_manifest(t)
+    assert not man.get("dv")  # folded + cleared
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, t).collect()}
+    # upserts re-inserted 3 and 4 (they were deleted, then upserted anew)
+    assert len(got) == 50 and got[3] == 31
+    # a merge NOT touching a DV'd bucket keeps that DV live
+    t2 = str(tmp_path / "dv_partial")
+    VER.create_bucketed(df, t2, ["id"], n_buckets=4)
+    VER.delete_bucketed(spark, t2, spark.createDataFrame([(3,)], "id bigint"))
+    # single-key merge: only the bucket of id=17 rewrites
+    VER.merge_into_bucketed(
+        spark,
+        t2,
+        spark.createDataFrame([(17, 999, "upsert")], "id bigint, val bigint, op string"),
+        op_col="op",
+    )
+    got2 = sorted(r["id"] for r in VER.read_bucketed(spark, t2).collect())
+    assert 3 not in got2 and len(got2) == 49
+
+
+def test_deletion_vectors_expire_keeps_dv_versions(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.createDataFrame([(i, i) for i in range(40)], "id bigint, val bigint")
+    t = str(tmp_path / "dv_expire")
+    VER.create_bucketed(df, t, ["id"], n_buckets=2)
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(5,)], "id bigint"))  # v1 = DV only
+    for k in (100, 101, 102):  # v2..v4 rewrite one bucket each
+        VER.merge_into_bucketed(
+            spark,
+            t,
+            spark.createDataFrame([(k, 0, "upsert")], "id bigint, val bigint, op string"),
+            op_col="op",
+        )
+    reclaimed = VER.expire_bucketed(t, keep_manifests=2)
+    # the DV version must survive IF any kept manifest still references it
+    kept_mans = [VER._read_manifest(t, v) for v in (3, 4)]
+    dv_versions = {int(x) for m in kept_mans for vs in m.get("dv", {}).values() for x in vs}
+    assert all(v not in reclaimed for v in dv_versions)
+    # and the table still reads correctly (5 deleted unless its bucket was rewritten)
+    ids = {r["id"] for r in VER.read_bucketed(spark, t).collect()}
+    assert 5 not in ids
