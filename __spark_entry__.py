@@ -5005,6 +5005,41 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_optimize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE / compaction of the deletion-vector trade
+    (sources/versioned.py optimize_bucketed): accumulate DV deletes, then
+    compact — DVs fold into freshly written buckets and clear, the
+    logical state is bit-identical across the optimize (the oracle reads
+    the POST-optimize table but is just the delete predicate on the
+    base), and time travel to the pre-optimize DV state still works
+    (pytest). Delta OPTIMIZE / Iceberg rewrite_data_files semantics."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="opt_demo_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(d, tbl, ["doc_id"], n_buckets=16)
+        VER.delete_bucketed(spark, tbl, d.filter(F.col("doc_id") % 11 == 0).select("doc_id"))
+        VER.optimize_bucketed(spark, tbl)
+        assert not VER._read_manifest(tbl).get("dv")
+        out = (
+            VER.read_bucketed(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/graph.py find_motifs):
     the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
@@ -5050,15 +5085,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-63 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the nine NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-64 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the ten NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
     motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
-    bloom_skipping, delete_vectors) are the never-checked names that MUST
-    lead the ROUND 8 window.
+    bloom_skipping, delete_vectors, optimize_demo) are the never-checked
+    names that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 13 remaining
+    has at least one driver row): each round's window = the 14 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5121,7 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-63: remaining never-checked (incl. the nine NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-64: remaining never-checked (incl. the ten NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5135,7 +5170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles": q_sampled_quantiles,
         "bloom_skipping": q_bloom_skipping,
         "delete_vectors": q_delete_vectors,
-        # --- slots 64+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "optimize_demo": q_optimize_demo,
+        # --- slots 65+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5909,6 +5945,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM final GROUP BY lang
+        """,
+        # optimize is logically a no-op over the DV'd state — the oracle is
+        # just the delete predicate on the base
+        "optimize_demo": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            WHERE doc_id % 11 <> 0
+            GROUP BY lang
         """,
         # deletion vectors are a storage trade, not a semantics change —
         # the final state is the base minus both delete-key sets

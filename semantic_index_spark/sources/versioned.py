@@ -649,3 +649,63 @@ def maintain_group_agg(
         )
         .filter(F.col(n_col) > 0)
     )
+
+
+def optimize_bucketed(
+    spark: SparkSession,
+    table: str,
+    buckets: "list[int] | None" = None,
+    meta: dict | None = None,
+) -> int:
+    """OPTIMIZE — compact the current state of selected buckets (default:
+    every bucket that has accumulated deletion vectors) into freshly
+    written files under a new version: DVs fold into the data and clear,
+    small files from repeated merges collapse, and the logical table is
+    BIT-IDENTICAL before and after (pytest-asserted) — the maintenance
+    half of the deletion-vector trade, same contract as Delta OPTIMIZE /
+    Iceberg rewrite_data_files. Untouched buckets keep their owning
+    version; time travel to pre-optimize versions still works. Returns
+    the new version (or the current one when nothing needs optimizing)."""
+    import pyspark.sql.functions as F
+
+    man = _read_manifest(table)
+    keys, n_buckets = man["key_cols"], man["n_buckets"]
+    if buckets is None:
+        buckets = sorted(int(b) for b in man.get("dv", {}))
+    affected = [b for b in buckets if man["buckets"].get(str(b)) is not None]
+    dv_only = [b for b in buckets if b not in affected and str(b) in man.get("dv", {})]
+    if not affected and not dv_only:
+        return man["version"]
+    rows = None
+    if affected:
+        paths = [
+            os.path.join(table, f"v={man['buckets'][str(b)]}", f"__bucket={b}")
+            for b in affected
+        ]
+        rows = _apply_dv(
+            spark, spark.read.parquet(*paths), table, man, set(affected)
+        ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+    nxt = man["version"] + 1
+    base = {
+        "key_cols": keys,
+        "n_buckets": n_buckets,
+        "schema": man["schema"],
+        "buckets": man["buckets"],
+        "__affected": affected + dv_only,
+        "meta": dict(meta) if meta else {},
+    }
+    new_dv = {
+        b: v
+        for b, v in man.get("dv", {}).items()
+        if int(b) not in set(affected) | set(dv_only)
+    }
+    if new_dv:
+        base["dv"] = new_dv
+    if rows is None:
+        from pyspark.sql.types import StructType
+
+        rows = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(man["schema"]))
+        ).withColumn("__bucket", F.lit(0).cast("bigint"))
+    _commit_bucketed(table, rows, nxt, base)
+    return nxt

@@ -901,3 +901,24 @@ def test_deletion_vectors_expire_keeps_dv_versions(spark, tmp_path):
     # and the table still reads correctly (5 deleted unless its bucket was rewritten)
     ids = {r["id"] for r in VER.read_bucketed(spark, t).collect()}
     assert 5 not in ids
+
+
+def test_optimize_bucketed_folds_dvs_data_identical(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(60)], "id bigint, val bigint")
+    t = str(tmp_path / "opt_tbl")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(i,) for i in range(0, 60, 5)], "id bigint"))
+    before = sorted(map(tuple, VER.read_bucketed(spark, t).collect()))
+    v = VER.optimize_bucketed(spark, t)
+    assert v == 2
+    man = VER._read_manifest(t)
+    assert not man.get("dv")  # folded + cleared
+    after = sorted(map(tuple, VER.read_bucketed(spark, t).collect()))
+    assert after == before  # logically bit-identical
+    # time travel to the pre-optimize DV state still works
+    assert sorted(map(tuple, VER.read_bucketed(spark, t, version=1).collect())) == before
+    assert VER.read_bucketed(spark, t, version=0).count() == 60
+    # idempotent: nothing left to optimize -> same version back
+    assert VER.optimize_bucketed(spark, t) == 2
