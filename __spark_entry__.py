@@ -5005,6 +5005,23 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+MRL_DIMS, MRL_QVEC = 16, 5
+
+
+def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncated-embedding retrieval (operators/similarity.py
+    mrl_truncate, Kusupati 2022): serve top-k from the first MRL_DIMS of
+    64 coordinates, re-normalized — 4× less vector IO and FLOPs per
+    query, the dial MRL-trained encoders expose. Exact over the truncated
+    space (scan → slice/renorm JVM fold → TakeOrderedAndProject); the
+    oracle replays the slice, renorm, and sequential-fold dot in SQL, so
+    even the floats hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = S.mrl_truncate(emb, MRL_DIMS)
+    qv = trunc.filter(F.col("vec_id") == MRL_QVEC).collect()[0]["embedding"]
+    return S.topk(trunc, list(qv), k=KNN_K)
+
+
 def q_optimize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE / compaction of the deletion-vector trade
     (sources/versioned.py optimize_bucketed): accumulate DV deletes, then
@@ -5085,15 +5102,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-64 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the ten NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-65 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the eleven NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
     motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
-    bloom_skipping, delete_vectors, optimize_demo) are the never-checked
-    names that MUST lead the ROUND 8 window.
+    bloom_skipping, delete_vectors, optimize_demo, mrl_topk) are the
+    never-checked names that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 14 remaining
+    has at least one driver row): each round's window = the 15 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5156,7 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-64: remaining never-checked (incl. the ten NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-65: remaining never-checked (incl. the eleven NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5171,7 +5188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_skipping": q_bloom_skipping,
         "delete_vectors": q_delete_vectors,
         "optimize_demo": q_optimize_demo,
-        # --- slots 65+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "mrl_topk": q_mrl_topk,
+        # --- slots 66+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5945,6 +5963,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM final GROUP BY lang
+        """,
+        # slice + sequential-fold renorm + dot replayed in SQL — same IEEE
+        # ops in the same order, so the truncated scores hash-match
+        "mrl_topk": f"""
+            WITH t AS (
+                SELECT vec_id, embedding[1:{MRL_DIMS}] AS e FROM embeddings
+            ),
+            n AS (
+                SELECT vec_id, e,
+                       sqrt(list_sum(list_transform(
+                           e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                       ))) AS nm
+                FROM t
+            ),
+            v AS (
+                SELECT vec_id,
+                       list_transform(
+                           e,
+                           x -> CASE WHEN nm > 0 THEN CAST(x AS DOUBLE) / nm
+                                     ELSE 0.0 END
+                       ) AS e
+                FROM n
+            ),
+            q AS (SELECT e AS qe FROM v WHERE vec_id = {MRL_QVEC})
+            SELECT v.vec_id, round({_duck_dot("v.e", "q.qe")}, 6) AS score
+            FROM v, q
+            ORDER BY score DESC, v.vec_id
+            LIMIT {KNN_K}
         """,
         # optimize is logically a no-op over the DV'd state — the oracle is
         # just the delete predicate on the base

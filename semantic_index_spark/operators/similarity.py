@@ -1174,3 +1174,35 @@ def mutual_nn(
             F.col("x.score").alias("score"),
         )
     )
+
+
+def mrl_truncate(
+    df: DataFrame, dims: int, emb_col: str = "embedding", renormalize: bool = True
+) -> DataFrame:
+    """Matryoshka-style truncated embeddings (Kusupati et al. 2022): keep
+    the first ``dims`` coordinates and (by default) re-normalize to unit
+    length — the memory/recall dial MRL-trained encoders expose, where
+    prefixes of the vector are themselves valid embeddings. Serving at
+    dims=d/4 cuts vector IO and dot-product FLOPs 4× against a modest
+    recall loss (measure it with :func:`ann_recall` against the full-dim
+    top-k). Pure JVM expressions: slice + one aggregate-fold norm —
+    no Python in the corpus path. [absent in reference — north-star
+    extension; public MRL paper semantics]"""
+    if dims < 1:
+        raise ValueError("mrl_truncate: dims must be >= 1")
+    sliced = F.slice(F.col(emb_col), 1, dims)
+    if renormalize:
+        norm = F.sqrt(
+            F.aggregate(
+                sliced,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        sliced = F.transform(
+            sliced,
+            lambda x: F.when(norm > 0, x.cast("double") / norm).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return df.withColumn(emb_col, sliced.cast("array<double>"))

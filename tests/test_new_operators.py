@@ -2431,3 +2431,26 @@ def test_sequence_support_max_types_cap(spark):
         MN.sequence_support(df, max_types=3).collect()
     # at the boundary (cardinality == max_types) it must still run
     assert MN.sequence_support(df, max_types=5).count() == 10
+
+
+def test_mrl_truncate_renorm_and_recall(spark):
+    df = _pq_fixture(spark)  # 8-dim clustered vectors
+    t = S.mrl_truncate(df, 4)
+    rows = t.collect()
+    assert all(len(r["embedding"]) == 4 for r in rows)
+    # unit norm after renormalization
+    for r in rows[:10]:
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-9
+    # truncated retrieval still finds the query's own cluster — use the
+    # [10,…]-centered cluster (vec_id % 3 == 1): its members normalize to
+    # ~[0.5]*4 (pairwise cos ≈ 1), while the zero-centered cluster
+    # normalizes to arbitrary unit noise
+    q = t.filter("vec_id = 1").collect()[0]["embedding"]
+    top = S.topk(t, list(q), k=10)
+    assert all(r["vec_id"] % 3 == 1 for r in top.collect())
+    # no-renorm variant returns the raw prefix
+    raw = S.mrl_truncate(df, 4, renormalize=False).filter("vec_id = 0").collect()[0]
+    orig = df.filter("vec_id = 0").collect()[0]["embedding"]
+    assert [round(x, 5) for x in raw["embedding"]] == [round(float(x), 5) for x in orig[:4]]
+    with pytest.raises(ValueError):
+        S.mrl_truncate(df, 0)
