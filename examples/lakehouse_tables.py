@@ -99,6 +99,15 @@ try:
     print("IVM view (reads the delta, not the table):")
     maintained.orderBy("lang").show(5)
 
+    # 7b. deletion vectors: row-level DELETE with zero bucket rewrites,
+    # then OPTIMIZE folds them in
+    VER.delete_bucketed(spark, tbl2, d2.filter(F.col("doc_id") % 21 == 0).select("doc_id"))
+    print("after DV delete:", VER.read_bucketed(spark, tbl2).count(),
+          "rows; buckets rewritten: 0 (keys land as per-bucket DV files)")
+    VER.optimize_bucketed(spark, tbl2)
+    print("after OPTIMIZE:", VER.read_bucketed(spark, tbl2).count(),
+          "rows; DVs folded:", not VER._read_manifest(tbl2).get("dv"))
+
     # 8. hidden partitioning + zone-map skipping: the two pruning layers
     from semantic_index_spark.sources import hidden as H
     from semantic_index_spark.sources import skipping as Z

@@ -97,8 +97,10 @@ def write_skipping(
             for kind, agg in (("min", F.min), ("max", F.max))
         ]
     )
+    from semantic_index_spark.session import collect_bounded
+
     files = {}
-    for r in stats.collect():
+    for r in collect_bounded(stats, n_files, "write_skipping file stats"):
         files[r["_f"]] = {
             c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
         }
@@ -115,7 +117,7 @@ def write_skipping(
             .groupBy("_f")
             .agg(F.collect_set("bit").alias("bits"))
         )
-        for r in bits.collect():
+        for r in collect_bounded(bits, n_files, "write_skipping bloom bitmaps"):
             bm = bytearray(bloom_m // 8 + 1)
             for b in r["bits"]:
                 bm[b >> 3] |= 1 << (b & 7)

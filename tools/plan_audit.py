@@ -673,6 +673,9 @@ AUDITS = {
     # plan is the order-statistic join; the corpus-side bounded top-k
     # (TakeOrderedAndProject) is plan-locked in tests/test_sketch_sampling.py
     "sampled_quantiles": {"expect": ["Window", "BroadcastHashJoin"], "forbid": ["CartesianProduct"]},
+    # truncated-embedding serving keeps the exact-KNN plan shape: slice +
+    # fold stay in the scan projection, bounded top-k, no join, no shuffle
+    "mrl_topk": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join", "Exchange"]},
 }
 
 
