@@ -5005,6 +5005,47 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+AS_CUT, AS_LO, AS_HI = "2024-01-21", "2024-01-18", "2024-01-24"
+
+
+def q_append_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zone-map maintenance (sources/skipping.py
+    append_skipping): the events table lands as a ship-date-clustered
+    base (first ~20 days) plus an APPENDED batch (the rest) whose files
+    get their own zone maps under the fixed stats config — existing
+    files and their stats untouched. The query window straddles the
+    append boundary, so correct results REQUIRE candidates from both the
+    original and appended files; the oracle is the plain window predicate
+    on the raw table."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import skipping as Z
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="append_zm_")
+    try:
+        tbl = os.path.join(tmp, "events_zm")
+        Z.write_skipping(
+            ev.filter(F.col("ts") < AS_CUT), tbl, ["ts"], n_files=8, cluster_by="ts"
+        )
+        Z.append_skipping(
+            ev.filter(F.col("ts") >= AS_CUT), tbl, n_files=4, cluster_by="ts"
+        )
+        df = Z.read_skipping(spark, tbl, [("ts", ">=", AS_LO), ("ts", "<", AS_HI)])
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 MRL_DIMS, MRL_QVEC = 16, 5
 
 
@@ -5102,15 +5143,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-65 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the eleven NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-66 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the twelve NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
     motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
-    bloom_skipping, delete_vectors, optimize_demo, mrl_topk) are the
-    never-checked names that MUST lead the ROUND 8 window.
+    bloom_skipping, delete_vectors, optimize_demo, mrl_topk,
+    append_skipping) are the never-checked names that MUST lead the
+    ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 15 remaining
+    has at least one driver row): each round's window = the 16 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5173,7 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-65: remaining never-checked (incl. the eleven NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-66: remaining never-checked (incl. the twelve NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5189,7 +5231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_vectors": q_delete_vectors,
         "optimize_demo": q_optimize_demo,
         "mrl_topk": q_mrl_topk,
-        # --- slots 66+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "append_skipping": q_append_skipping,
+        # --- slots 67+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5963,6 +6006,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_chars
             FROM final GROUP BY lang
+        """,
+        # append-maintained zone maps are IO-only like the rest of the
+        # skipping family — plain window predicate on the raw table
+        "append_skipping": f"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '{AS_LO}' AND ts < TIMESTAMP '{AS_HI}'
+            GROUP BY event_type
         """,
         # slice + sequential-fold renorm + dot replayed in SQL — same IEEE
         # ops in the same order, so the truncated scores hash-match

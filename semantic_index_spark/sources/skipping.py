@@ -246,3 +246,79 @@ def candidate_files(table: str, filters: list[tuple] | None = None) -> list[str]
             for c, op, v in (filters or [])
         )
     )
+
+
+def append_skipping(
+    df: DataFrame,
+    table: str,
+    n_files: int = 4,
+    cluster_by: str | None = None,
+) -> int:
+    """Incremental maintenance of a :func:`write_skipping` table: land an
+    ingest batch as NEW data files (existing files untouched — concurrent
+    readers keep a consistent set, the parquet-append contract) and extend
+    the manifest with the new files' zone maps and, when the table tracks
+    them, bloom bitmaps. Stats configuration (stats_cols / bloom m, k) is
+    FIXED at create time, so appended files skip exactly like originals;
+    per-batch clustering keeps the new files' ranges tight even though
+    batches interleave with history (query-time candidates are per-file,
+    so old and new files prune independently). Returns the number of
+    files appended."""
+    with open(_manifest_path(table)) as f:
+        man = json.load(f)
+    stats_cols = man["stats_cols"]
+    bl = man.get("bloom")
+    data = os.path.join(table, "data")
+    before = set(os.listdir(data))
+    shaped = (
+        df.repartitionByRange(n_files, F.col(cluster_by))
+        if cluster_by
+        else df.repartition(n_files)
+    )
+    shaped.write.mode("append").parquet(data)
+    new_files = {
+        f
+        for f in set(os.listdir(data)) - before
+        if f.endswith(".parquet") or f.startswith("part-")
+    }
+    if not new_files:
+        return 0
+    paths = [os.path.join(data, fn) for fn in sorted(new_files)]
+    back = df.sparkSession.read.parquet(*paths)
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    stats = back.groupBy(fname.alias("_f")).agg(
+        *[
+            agg(c).cast("string").alias(f"{kind}_{c}")
+            for c in stats_cols
+            for kind, agg in (("min", F.min), ("max", F.max))
+        ]
+    )
+    from semantic_index_spark.session import collect_bounded
+
+    for r in collect_bounded(stats, len(new_files), "append_skipping file stats"):
+        man["files"][r["_f"]] = {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+        }
+    if bl:
+        for c in bl["cols"]:
+            bits = (
+                back.where(F.col(c).isNotNull())
+                .select(
+                    fname.alias("_f"),
+                    F.explode(_positions(c, bl["m"], bl["k"])).alias("bit"),
+                )
+                .groupBy("_f")
+                .agg(F.collect_set("bit").alias("bits"))
+            )
+            for r in collect_bounded(bits, len(new_files), "append_skipping blooms"):
+                bm = bytearray(bl["m"] // 8 + 1)
+                for b in r["bits"]:
+                    bm[b >> 3] |= 1 << (b & 7)
+                bl["files"].setdefault(r["_f"], {})[c] = base64.b64encode(
+                    bytes(bm)
+                ).decode()
+    tmp = _manifest_path(table) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(table))
+    return len(new_files)

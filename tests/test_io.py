@@ -922,3 +922,29 @@ def test_optimize_bucketed_folds_dvs_data_identical(spark, tmp_path):
     assert VER.read_bucketed(spark, t, version=0).count() == 60
     # idempotent: nothing left to optimize -> same version back
     assert VER.optimize_bucketed(spark, t) == 2
+
+
+def test_append_skipping_matches_rebuild(spark, tmp_path):
+    # appended files must skip exactly like originals: candidates stay
+    # per-file, results equal a filter over the full union
+    from semantic_index_spark.sources import skipping as Z
+
+    base = spark.createDataFrame([(i, i * 31 % 997) for i in range(800)], "id bigint, code bigint")
+    batch = spark.createDataFrame([(i, i * 31 % 997) for i in range(800, 1000)], "id bigint, code bigint")
+    t = str(tmp_path / "zm_append")
+    Z.write_skipping(base, t, ["id"], n_files=8, cluster_by="id",
+                     bloom_cols=["code"], bloom_m=1 << 14, bloom_k=4)
+    n_new = Z.append_skipping(batch, t, n_files=2, cluster_by="id")
+    assert n_new == 2
+    full = base.unionByName(batch)
+    # range over the clustered column: correct + still selective
+    filt = [("id", ">=", 850), ("id", "<", 900)]
+    got = sorted(r["id"] for r in Z.read_skipping(spark, t, filt).collect())
+    assert got == list(range(850, 900))
+    assert len(Z.candidate_files(t, filt)) <= 2  # only new files match
+    # bloom point lookup works across old AND new files
+    v = 850 * 31 % 997
+    got2 = sorted(r["id"] for r in Z.read_skipping(spark, t, [("code", "=", v)]).collect())
+    ref2 = sorted(r["id"] for r in full.filter(F.col("code") == v).collect())
+    assert got2 == ref2
+    assert len(Z.candidate_files(t, [("code", "=", v)])) < 10
