@@ -5005,6 +5005,84 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+MG_K = 16
+
+
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters across a 3-batch merge sequence
+    (functions/sketch.py mg_summary/mg_merge): events split by
+    event_id % 3, each batch's exact counts reduce to a k=MG_K counter
+    summary, summaries merge pairwise (counter add + (k+1)-th-largest
+    reduction — Agarwal 2012 mergeable-summaries algebra, error bounds
+    add to n/(k+1)). Deterministic count arithmetic, so the oracle
+    unrolls the identical batch/merge sequence in SQL and even the
+    reduced counts hash-match. The guaranteed-containment complement to
+    CMS point estimates: any user with true count > n/(k+1) is in here."""
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == b) for b in range(3)]
+    s = SKT.mg_summary(batches[0], "user_id", k=MG_K)
+    for b in batches[1:]:
+        s = SKT.mg_merge(s, SKT.mg_summary(b, "user_id", k=MG_K), k=MG_K)
+    return s.select(F.col("item").cast("bigint").alias("user_id"), "cnt")
+
+
+def _mg_oracle_sql() -> str:
+    """Unrolled 3-batch MG sequence: per batch, exact counts → reduce by
+    the 17th-largest; merges sum then reduce again."""
+    k = MG_K
+
+    def reduce_cte(src: str, out: str) -> str:
+        return f"""
+            {out}_r AS (
+                SELECT item, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, item) AS r
+                FROM {src}
+            ),
+            {out}_d AS (
+                SELECT coalesce(max(CASE WHEN r = {k + 1} THEN cnt END), 0) AS d
+                FROM {out}_r
+            ),
+            {out} AS (
+                SELECT item, (cnt - d)::BIGINT AS cnt
+                FROM {out}_r, {out}_d
+                WHERE r <= {k} AND cnt - d > 0
+            )"""
+
+    ctes = []
+    for b in range(3):
+        ctes.append(
+            f"""
+            c{b} AS (
+                SELECT user_id AS item, count(*)::BIGINT AS cnt
+                FROM events
+                WHERE event_id % 3 = {b} AND user_id IS NOT NULL
+                GROUP BY 1
+            )"""
+        )
+        ctes.append(reduce_cte(f"c{b}", f"s{b}"))
+    ctes.append(
+        """
+            m1 AS (
+                SELECT item, sum(cnt)::BIGINT AS cnt FROM (
+                    SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                ) GROUP BY 1
+            )"""
+    )
+    ctes.append(reduce_cte("m1", "t1"))
+    ctes.append(
+        """
+            m2 AS (
+                SELECT item, sum(cnt)::BIGINT AS cnt FROM (
+                    SELECT * FROM t1 UNION ALL SELECT * FROM s2
+                ) GROUP BY 1
+            )"""
+    )
+    ctes.append(reduce_cte("m2", "t2"))
+    return (
+        "WITH " + ",".join(ctes) + "\n            SELECT item::BIGINT AS user_id, cnt FROM t2"
+    )
+
+
 AS_CUT, AS_LO, AS_HI = "2024-01-21", "2024-01-18", "2024-01-24"
 
 
@@ -5143,16 +5221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-66 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the twelve NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-67 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the thirteen NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
     motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
     bloom_skipping, delete_vectors, optimize_demo, mrl_topk,
-    append_skipping) are the never-checked names that MUST lead the
-    ROUND 8 window.
+    append_skipping, mg_heavy_hitters) are the never-checked names that
+    MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 16 remaining
+    has at least one driver row): each round's window = the 17 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5215,7 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-66: remaining never-checked (incl. the twelve NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-67: remaining never-checked (incl. the thirteen NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5232,7 +5310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_demo": q_optimize_demo,
         "mrl_topk": q_mrl_topk,
         "append_skipping": q_append_skipping,
-        # --- slots 67+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        # --- slots 68+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -6007,6 +6086,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_chars
             FROM final GROUP BY lang
         """,
+        # the identical 3-batch count/reduce/merge sequence unrolled in SQL
+        "mg_heavy_hitters": _mg_oracle_sql(),
         # append-maintained zone maps are IO-only like the rest of the
         # skipping family — plain window predicate on the raw table
         "append_skipping": f"""

@@ -668,3 +668,64 @@ def sample_quantiles(
         )
         .orderBy("p")
     )
+
+
+def _mg_reduce(counts: DataFrame, k: int, item_col: str, cnt_col: str) -> DataFrame:
+    """The Misra-Gries reduction: subtract the (k+1)-th largest count from
+    every entry and keep the positive ones — at most k survive. Bounded
+    work: only the top-(k+1) rows can survive (an entry kept needs
+    cnt > delta = the (k+1)-th largest, which puts it in the top k by
+    value), so the reduction is a TakeOrdered of k+1 rows + a 1-row
+    broadcast, never a global window."""
+    top = counts.orderBy(F.desc(cnt_col), F.asc(item_col)).limit(k + 1)
+    w = Window.orderBy(F.desc(cnt_col), F.asc(item_col))
+    ranked = top.withColumn("_r", F.row_number().over(w))
+    delta = ranked.filter(F.col("_r") == k + 1).select(
+        F.col(cnt_col).alias("_delta")
+    )
+    return (
+        ranked.filter(F.col("_r") <= k)
+        .join(F.broadcast(delta), F.lit(True), "left")
+        .select(
+            item_col,
+            (F.col(cnt_col) - F.coalesce(F.col("_delta"), F.lit(0)))
+            .cast("bigint")
+            .alias(cnt_col),
+        )
+        .filter(F.col(cnt_col) > 0)
+    )
+
+
+def mg_summary(df: DataFrame, col: str, k: int = 16) -> DataFrame:
+    """Misra-Gries heavy-hitter summary with k counters: exact counts
+    reduced by the (k+1)-th largest (the offline construction of the MG
+    streaming summary). Guarantees: every stored count UNDERESTIMATES the
+    true count by at most n/(k+1) (n = items seen), and any item with
+    true count > n/(k+1) is guaranteed present — the deterministic
+    heavy-hitter contract CMS (randomized, overestimates) does not give.
+    [absent in reference — north-star extension; Misra-Gries 1982]
+
+    Returns (item, cnt) rows, at most k. Scale shape: one map-side
+    combinable count + a bounded TakeOrdered — the corpus never sorts."""
+    if k < 1:
+        raise ValueError("mg_summary: k must be >= 1")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return _mg_reduce(counts, k, "item", "cnt")
+
+
+def mg_merge(a: DataFrame, b: DataFrame, k: int = 16) -> DataFrame:
+    """Merge two MG summaries built with the same k: add counters
+    pointwise, reduce by the combined (k+1)-th largest (Agarwal et al.
+    2012, "Mergeable Summaries") — the error bounds ADD, so per-day /
+    per-source summaries fold into a corpus summary with the same
+    n/(k+1) total guarantee. Deterministic: pure count arithmetic."""
+    u = (
+        a.unionByName(b)
+        .groupBy("item")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return _mg_reduce(u, k, "item", "cnt")

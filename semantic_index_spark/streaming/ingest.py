@@ -691,3 +691,23 @@ def incremental_sample_sink(path: str, key_col: str, payload_cols: list[str], k:
         )
 
     return incremental_sketch_sink(path, _partials, _merge)
+
+
+def incremental_mg_sink(path: str, col: str, k: int = 16):
+    """Misra-Gries heavy-hitter maintenance across micro-batches: each
+    epoch's exact batch counts reduce to an MG summary and merge into the
+    k-counter state table (counter add + (k+1)-th-largest reduction — the
+    Agarwal et al. mergeable-summaries algebra, error bounds add to the
+    global n/(k+1) guarantee). Deterministic count arithmetic end to end,
+    state is O(k) regardless of history — the guaranteed-containment
+    heavy-hitter complement to the CMS sink's point estimates."""
+    from semantic_index_spark.functions import sketch as SKT
+
+    def _partials(b: DataFrame) -> DataFrame:
+        return SKT.mg_summary(b, col, k=k)
+
+    def _merge(u: DataFrame) -> DataFrame:
+        summed = u.groupBy("item").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        return SKT._mg_reduce(summed, k, "item", "cnt")
+
+    return incremental_sketch_sink(path, _partials, _merge)

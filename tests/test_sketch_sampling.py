@@ -813,3 +813,53 @@ def test_hashrank_sample_plan_is_bounded_topk(spark):
     s = SKT.hashrank_sample(df, "id", ["v"], k=32)
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------------ Misra-Gries
+
+
+def test_mg_summary_guarantees(spark):
+    from semantic_index_spark.functions import sketch as SKT
+
+    # skewed stream: item "hot" appears 40 times among 100 items
+    rows = [("hot",)] * 40 + [(f"c{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "v string")
+    s = {r["item"]: r["cnt"] for r in SKT.mg_summary(df, "v", k=9).collect()}
+    assert len(s) <= 9
+    # underestimate, bounded by n/(k+1) = 10; hot (40 > 10) MUST survive
+    assert "hot" in s and 40 - 10 <= s["hot"] <= 40
+    # ... and everything stored underestimates its true count
+    assert all(cnt <= (40 if it == "hot" else 1) for it, cnt in s.items())
+
+
+def test_mg_merge_error_bound_adds(spark):
+    from semantic_index_spark.functions import sketch as SKT
+
+    a = spark.createDataFrame([("x",)] * 30 + [(f"a{i}",) for i in range(30)], "v string")
+    b = spark.createDataFrame([("x",)] * 25 + [(f"b{i}",) for i in range(35)], "v string")
+    merged = SKT.mg_merge(SKT.mg_summary(a, "v", k=9), SKT.mg_summary(b, "v", k=9), k=9)
+    got = {r["item"]: r["cnt"] for r in merged.collect()}
+    # n_total = 120, bound = 120/10 = 12: x (true 55) survives with
+    # estimate within the additive bound
+    assert "x" in got and 55 - 12 <= got["x"] <= 55
+    assert len(got) <= 9
+
+
+def test_incremental_mg_sink_matches_unrolled_merge(spark, tmp_path):
+    from semantic_index_spark.functions import sketch as SKT
+    from semantic_index_spark.streaming import ingest as SI
+
+    rows = [(i, f"u{i % 13 if i % 4 else 0}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    path = str(tmp_path / "mg_tbl")
+    sink = SI.incremental_mg_sink(path, "v", k=5)
+    batches = [df.filter(f"id % 3 = {b}") for b in range(3)]
+    for e, b in enumerate(batches):
+        sink(b, e)
+    streamed = {r["item"]: r["cnt"] for r in spark.read.parquet(path).collect()}
+    # replay the identical merge sequence with the batch API
+    s = SKT.mg_summary(batches[0], "v", k=5)
+    for b in batches[1:]:
+        s = SKT.mg_merge(s, SKT.mg_summary(b, "v", k=5), k=5)
+    ref = {r["item"]: r["cnt"] for r in s.collect()}
+    assert streamed == ref and "u0" in streamed
