@@ -584,3 +584,84 @@ def test_pit_join_matches_literal_interval_join(spark, changes, probes):
     truth = {r["fact_id"]: r["attr"] for r in truth_rows}
     assert len(truth_rows) == len(truth)  # containment matched at most once
     assert got == truth
+
+
+# ---------------------------------------------------- round-7 lakehouse props
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    lo=st.integers(0, 500),
+    width=st.integers(0, 100),
+    nf=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_prop_zonemap_skipping_never_drops_rows(spark, tmp_path_factory, rows, lo, width, nf):
+    # data-skipping invariant: for ANY table layout and ANY range
+    # predicate, the pruned read equals the unpruned filter
+    from semantic_index_spark.sources import skipping as Z
+
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    t = str(tmp_path_factory.mktemp("zm") / "tbl")
+    Z.write_skipping(df, t, ["id"], n_files=nf, cluster_by="id")
+    filt = [("id", ">=", lo), ("id", "<", lo + width)]
+    got = sorted(r["id"] for r in Z.read_skipping(spark, t, filt).collect())
+    ref = sorted(i for i, _ in rows if lo <= i < lo + width)
+    assert got == ref
+
+
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=0, max_size=15),
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_prop_deletion_vectors_equal_filter(spark, tmp_path_factory, keys, base):
+    # DV semantics: read-after-delete == base minus the key set, always
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.createDataFrame(base, "id bigint, val bigint")
+    t = str(tmp_path_factory.mktemp("dv") / "tbl")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    VER.delete_bucketed(
+        spark, t, spark.createDataFrame([(k,) for k in set(keys)] or [(-1,)], "id bigint")
+    )
+    got = sorted(r["id"] for r in VER.read_bucketed(spark, t).collect())
+    ref = sorted(i for i, _ in base if i not in set(keys))
+    assert got == ref
+
+
+@given(
+    items=st.lists(st.integers(0, 8), min_size=1, max_size=60),
+    k=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_prop_mg_underestimate_and_containment(spark, items, k):
+    # Misra-Gries guarantees on arbitrary streams: every stored count
+    # underestimates by at most n/(k+1), and any item with true count
+    # above n/(k+1) is present
+    from collections import Counter
+
+    from semantic_index_spark.functions import sketch as SKT
+
+    df = spark.createDataFrame([(str(x),) for x in items], "v string")
+    got = {r["item"]: r["cnt"] for r in SKT.mg_summary(df, "v", k=k).collect()}
+    true = Counter(str(x) for x in items)
+    n = len(items)
+    bound = n / (k + 1)
+    assert len(got) <= k
+    for item, cnt in got.items():
+        assert cnt <= true[item]
+        assert true[item] - cnt <= bound + 1e-9
+    for item, tc in true.items():
+        if tc > bound:
+            assert item in got
