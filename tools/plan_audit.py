@@ -676,6 +676,9 @@ AUDITS = {
     # truncated-embedding serving keeps the exact-KNN plan shape: slice +
     # fold stay in the scan projection, bounded top-k, no join, no shuffle
     "mrl_topk": {"expect": ["TakeOrderedAndProject"], "forbid": ["Join", "Exchange"]},
+    # Misra-Gries: every reduction is a bounded top-(k+1) TakeOrdered; the
+    # only nested-loop join is the 1-row delta broadcast (by design)
+    "mg_heavy_hitters": {"expect": ["TakeOrderedAndProject"], "forbid": ["CartesianProduct"]},
 }
 
 
