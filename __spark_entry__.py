@@ -5005,6 +5005,22 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+SQB_K, SQB_PS = 64, [0.5, 0.9]
+
+
+def q_grouped_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bound-free quantiles from stratified hash-rank samples
+    (functions/sketch.py hashrank_sample_by/sample_quantiles_by): each
+    lang keeps its own exactly-mergeable k-row sample of documents, and
+    per-group medians/p90s read sample-sized relations — the stratified
+    form of sampled_quantiles (per-domain statistics at 100 TB each touch
+    k rows, not the stratum). Same integer lower interpolation, so the
+    oracle's identical rank replay hash-matches."""
+    d = load_table(spark, sf_dir, "documents")
+    s = SKT.hashrank_sample_by(d, "doc_id", "lang", ["n_chars"], k=SQB_K)
+    return SKT.sample_quantiles_by(s, "lang", "n_chars", SQB_PS)
+
+
 MG_K = 16
 
 
@@ -5221,16 +5237,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sequence_support, which the round-6 docstring's "53" count omitted —
     the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
     = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-67 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the thirteen NEW-in-round-7 queries
+    (q15_top_supplier through kmv_overlap). Slots 51-68 (sequence_support,
+    pq_topk, ivfpq_topk, mutual_nn, plus the fourteen NEW-in-round-7 queries
     ivfpq_incremental, hidden_partition_prune, motif_triangles,
     motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
     bloom_skipping, delete_vectors, optimize_demo, mrl_topk,
-    append_skipping, mg_heavy_hitters) are the never-checked names that
-    MUST lead the ROUND 8 window.
+    append_skipping, mg_heavy_hitters, grouped_sample_quantiles) are the
+    never-checked names that MUST lead the ROUND 8 window.
 
     Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 17 remaining
+    has at least one driver row): each round's window = the 18 remaining
     never-checked names (round 8 only), then the queries whose most recent
     driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
     in CORRECTNESS_r{N}.json; break ties by original registry order). This
@@ -5293,7 +5309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-67: remaining never-checked (incl. the thirteen NEW in r7); these lead the ROUND 8 window ---
+        # --- slots 51-68: remaining never-checked (incl. the fourteen NEW in r7); these lead the ROUND 8 window ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5311,7 +5327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_topk": q_mrl_topk,
         "append_skipping": q_append_skipping,
         "mg_heavy_hitters": q_mg_heavy_hitters,
-        # --- slots 68+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        "grouped_sample_quantiles": q_grouped_sample_quantiles,
+        # --- slots 69+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -6088,6 +6105,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the identical 3-batch count/reduce/merge sequence unrolled in SQL
         "mg_heavy_hitters": _mg_oracle_sql(),
+        # identical per-group md5 ranks + per-group order statistics
+        "grouped_sample_quantiles": f"""
+            WITH s AS (
+                SELECT lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5('rs:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                       ) AS rk
+                FROM documents
+            ),
+            t AS (SELECT lang, n_chars FROM s WHERE rk <= {SQB_K}),
+            r AS (
+                SELECT lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars ASC
+                       ) AS i,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM t
+            ),
+            ps AS (
+                SELECT CAST(unnest([{", ".join(str(p) for p in SQB_PS)}]) AS DOUBLE) AS p
+            )
+            SELECT r.lang, ps.p, r.n::BIGINT AS n_sample,
+                   round(CAST(r.n_chars AS DOUBLE), 6) + 0.0 AS estimate
+            FROM r, ps
+            WHERE r.i = CAST(floor(ps.p * (r.n - 1)) AS BIGINT) + 1
+        """,
         # append-maintained zone maps are IO-only like the rest of the
         # skipping family — plain window predicate on the raw table
         "append_skipping": f"""

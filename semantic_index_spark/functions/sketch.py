@@ -729,3 +729,61 @@ def mg_merge(a: DataFrame, b: DataFrame, k: int = 16) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return _mg_reduce(u, k, "item", "cnt")
+
+
+def hashrank_sample_by(
+    df: DataFrame,
+    key_col: str,
+    by: str,
+    payload_cols: list[str],
+    k: int = 128,
+) -> DataFrame:
+    """Per-group hash-rank sample: each group's k rows with the smallest
+    md5(key) — :func:`hashrank_sample` with a group key, giving every
+    group its own exactly-mergeable uniform sample (the stratified form:
+    per-domain / per-language statistics each read k rows). ONE window
+    rank partitioned by the high-cardinality group key; everything past
+    the scan is sample-sized. Returns (by, rank, h, *payload_cols)."""
+    if k < 1:
+        raise ValueError("hashrank_sample_by: k must be >= 1")
+    h = md5_bigint(F.col(key_col).cast("string"), salt="rs:")
+    w = Window.partitionBy(by).orderBy("h")
+    return (
+        df.select(F.col(by), h.alias("h"), *payload_cols)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(by, "rank", "h", *payload_cols)
+    )
+
+
+def sample_quantiles_by(
+    sample: DataFrame,
+    by: str,
+    value_col: str,
+    ps: list[float],
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-group quantiles from a :func:`hashrank_sample_by` output — the
+    same integer "lower" interpolation as :func:`sample_quantiles`,
+    vectorized across groups: index floor(p·(n_g−1)) within each group's
+    sorted sample. One sample-sized window + a broadcast of the p list.
+    Returns (by, p, n_sample, estimate)."""
+    spark = sample.sparkSession
+    pdf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    w = Window.partitionBy(by).orderBy(F.col(value_col).asc())
+    ranked = sample.select(
+        F.col(by),
+        F.col(value_col),
+        F.row_number().over(w).cast("bigint").alias("_i"),
+        F.count("*").over(Window.partitionBy(by)).cast("bigint").alias("_n"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pdf))
+        .filter(F.col("_i") == F.floor(F.col("p") * (F.col("_n") - 1)) + 1)
+        .select(
+            by,
+            "p",
+            F.col("_n").alias("n_sample"),
+            (F.round(F.col(value_col), round_decimals) + F.lit(0.0)).alias("estimate"),
+        )
+    )

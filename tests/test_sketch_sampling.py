@@ -863,3 +863,26 @@ def test_incremental_mg_sink_matches_unrolled_merge(spark, tmp_path):
         s = SKT.mg_merge(s, SKT.mg_summary(b, "v", k=5), k=5)
     ref = {r["item"]: r["cnt"] for r in s.collect()}
     assert streamed == ref and "u0" in streamed
+
+
+def test_hashrank_sample_by_merge_and_quantiles(spark):
+    from semantic_index_spark.functions import sketch as SKT
+
+    rows = [(i, "g" + str(i % 3), float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, g string, v double")
+    s = SKT.hashrank_sample_by(df, "id", "g", ["v"], k=16)
+    per = {r["g"] for r in s.collect()}
+    assert per == {"g0", "g1", "g2"}
+    assert s.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 16
+    # per-group sample = global bottom-k restricted to that group's rows
+    one = {r["h"] for r in s.filter("g = 'g1'").collect()}
+    direct = {
+        r["h"]
+        for r in SKT.hashrank_sample(df.filter("g = 'g1'"), "id", ["v"], k=16).collect()
+    }
+    assert one == direct
+    q = SKT.sample_quantiles_by(s, "g", "v", [0.0, 1.0])
+    got = {(r["g"], r["p"]): r["estimate"] for r in q.collect()}
+    # p=0 is each group's sample min; p=1 its sample max
+    for g in ("g0", "g1", "g2"):
+        assert got[(g, 0.0)] <= got[(g, 1.0)]
