@@ -711,3 +711,28 @@ def incremental_mg_sink(path: str, col: str, k: int = 16):
         return SKT._mg_reduce(summed, k, "item", "cnt")
 
     return incremental_sketch_sink(path, _partials, _merge)
+
+
+def incremental_weighted_sample_sink(
+    path: str, key_col: str, weight_col: str, n: int = 256
+):
+    """Weight-proportional sample (without replacement) maintained across
+    micro-batches: the Efraimidis-Spirakis competition key u^(1/w) is a
+    pure md5 function of each row's (key, weight), so "the n largest keys
+    ever streamed" is a property of the union — each epoch takes the
+    batch's top n (skew.weighted_sample), unions with the state, dedups
+    re-delivered keys, and re-competes; the maintained table always
+    equals the one-shot batch sample of everything streamed
+    (stream==batch pytest). O(n) state; the deterministic streaming twin
+    of rand()-based reservoir weighting."""
+    from semantic_index_spark.operators import skew as SK
+
+    def _partials(b: DataFrame) -> DataFrame:
+        return SK.weighted_sample(b, key_col, weight_col, n).drop("sample_key")
+
+    def _merge(u: DataFrame) -> DataFrame:
+        return SK.weighted_sample(
+            u.dropDuplicates([key_col]), key_col, weight_col, n
+        ).drop("sample_key")
+
+    return incremental_sketch_sink(path, _partials, _merge)

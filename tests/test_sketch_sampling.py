@@ -886,3 +886,22 @@ def test_hashrank_sample_by_merge_and_quantiles(spark):
     # p=0 is each group's sample min; p=1 its sample max
     for g in ("g0", "g1", "g2"):
         assert got[(g, 0.0)] <= got[(g, 1.0)]
+
+
+def test_incremental_weighted_sample_sink_stream_equals_batch(spark, tmp_path):
+    from semantic_index_spark.operators import skew as SK
+    from semantic_index_spark.streaming import ingest as SI
+
+    rows = [(i, float((i * 17) % 50 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    path = str(tmp_path / "ws_tbl")
+    sink = SI.incremental_weighted_sample_sink(path, "id", "w", n=24)
+    for e in range(3):
+        sink(df.filter(f"id % 3 = {e}"), e)
+    # re-delivered epoch must not change the state (dedup + re-compete)
+    sink(df.filter("id % 3 = 2"), 2)
+    streamed = sorted(map(tuple, spark.read.parquet(path).collect()))
+    direct = sorted(
+        map(tuple, SK.weighted_sample(df, "id", "w", 24).drop("sample_key").collect())
+    )
+    assert streamed == direct and len(streamed) == 24
