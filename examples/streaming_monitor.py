@@ -64,6 +64,15 @@ drain(
     "c_decay",
 )
 drain(I.moments_sink(f"{work}/moments", "value", "event_type"), "c_moments")
+drain(I.incremental_mg_sink(f"{work}/mg", "user_id", k=8), "c_mg")
+drain(
+    I.incremental_sample_sink(f"{work}/sample", "event_id", ["value"], k=64),
+    "c_sample",
+)
+drain(
+    I.incremental_weighted_sample_sink(f"{work}/wsample", "event_id", "value", n=32),
+    "c_wsample",
+)
 
 # ---- the monitor report: every read touches only sketch-sized tables ----
 est = SKT.hll_estimate(spark.read.parquet(f"{work}/hll"), p=HLL_P).collect()[0][0]
@@ -82,6 +91,17 @@ for r in decayed.orderBy(F.desc("decayed_sum")).limit(3).collect():
 print("running value stats per type:")
 for r in I.read_moments(spark, f"{work}/moments").orderBy("event_type").collect():
     print(f"  {r[0]:10s} n={r['n']:6d} mean={r['mean']:8.2f} sd={r['stddev']:8.2f}")
+
+mg = spark.read.parquet(f"{work}/mg")
+print(f"Misra-Gries heavy users (k=8, guaranteed if count > n/9): {mg.count()} entries")
+
+q = SKT.sample_quantiles(spark.read.parquet(f"{work}/sample"), "value", [0.5, 0.9])
+print("value quantiles from the 64-row maintained sample:")
+for r in q.collect():
+    print(f"  p{int(r['p'] * 100):2d} ≈ {r['estimate']:8.2f}")
+
+ws = spark.read.parquet(f"{work}/wsample")
+print(f"weighted sample: {ws.count()} rows, value-proportional, deterministic")
 
 shutil.rmtree(work, ignore_errors=True)
 spark.stop()
