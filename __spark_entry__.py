@@ -5228,37 +5228,91 @@ def q_motif_open_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOTIF_DEG_CAP = 150  # prunes the top ~10% co-purchase hubs at both SFs
+
+
+def q_motif_capped_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The find_motifs ``max_degree`` scale lever end-to-end (r8): the same
+    open-wedge + negation pattern as motif_open_wedges, matched in the
+    subgraph induced by vertices of total degree <= 150 — the Σdeg² wedge
+    space drops from hub-dominated to cap·m-bounded, which is THE lever
+    that keeps this pattern alive on a hub-heavy 100× graph. The oracle
+    recomputes the induced subgraph literally (degree CTE → hub exclusion
+    → wedge join → NOT EXISTS), so the driver hash checks the capping
+    semantics, not just the happy path."""
+    from semantic_index_spark.operators import graph as G
+
+    e = _copurchase_edges(spark, sf_dir)
+    m = G.find_motifs(
+        e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)", max_degree=MOTIF_DEG_CAP
+    )
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_open"),
+        F.count_distinct("a").cast("bigint").alias("n_roots"),
+        F.sum(F.col("a") + F.col("c")).cast("bigint").alias("endpoint_sum"),
+    )
+
+
+# The driver hash-checks the FIRST 50 queries() entries each round, so the
+# leading window is a verification contract.  queries() keeps the canonical
+# dict literal in stable historical order and reorders at return time by this
+# pinned list — re-pinning a round's window is an edit to THIS list only.
+#
+# ROUND 8 window (50 names) = the names that have never received a hard
+# driver CORRECTNESS row (4 r6-overflow + the 14 NEW in round 7 + the
+# NEW-in-round-8 queries), then the 2 round-7 hash-miss re-checks
+# (best_split / orc_roundtrip — both were oracle HUGEINT-cast bugs, fixed
+# this round; the Spark results were always right), then the stalest green
+# rows under the steady-state rotation policy: oldest CORRECTNESS_r{N}.json
+# round first (8 names last checked in r1, then the earliest of the r3
+# cohort), ties broken by original registry order.  Computed from the
+# CORRECTNESS_r0*.json history by tools/pin_window.py.
+_DRIVER_WINDOW_R8 = [
+    # never driver-checked (18 pre-r8 + new-in-r8)
+    "sequence_support", "pq_topk", "ivfpq_topk", "mutual_nn",
+    "ivfpq_incremental", "hidden_partition_prune", "motif_triangles",
+    "motif_open_wedges", "motif_capped_wedges", "zonemap_skipping",
+    "ivm_agg", "sampled_quantiles",
+    "bloom_skipping", "delete_vectors", "optimize_demo", "mrl_topk",
+    "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
+    # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
+    "best_split", "orc_roundtrip",
+    # stalest green driver rows, oldest round first (8 from r1, 22 from r3)
+    "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
+    "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
+    "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
+    "q3_shipping_priority", "filter_predicates", "agg_having",
+    "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
+    "hll_users", "filter_projection", "topk_orders", "upsert_update_demo",
+    "delete_ops_demo", "skip_policy_demo", "allow_policy_demo",
+    "q5_local_supplier_volume", "join_semi_anti", "rollup_nation_region",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
-    FIRST 50 entries each round. After round 6 (50/50 pass), exactly **54**
-    queries had never received a hard driver CORRECTNESS row: the 23
-    round-5 overflow names (q15_top_supplier .. trimmed_mean_udaf) plus the
-    31 queries NEW in round 6 (merge_versioned .. mutual_nn, including
-    sequence_support, which the round-6 docstring's "53" count omitted —
-    the round-6 judge flagged the off-by-one). ROUND 7 window = slots 1-50
-    = the first 50 of those 54, in their original relative order
-    (q15_top_supplier through kmv_overlap). Slots 51-68 (sequence_support,
-    pq_topk, ivfpq_topk, mutual_nn, plus the fourteen NEW-in-round-7 queries
-    ivfpq_incremental, hidden_partition_prune, motif_triangles,
-    motif_open_wedges, zonemap_skipping, ivm_agg, sampled_quantiles,
-    bloom_skipping, delete_vectors, optimize_demo, mrl_topk,
-    append_skipping, mg_heavy_hitters, grouped_sample_quantiles) are the
-    never-checked names that MUST lead the ROUND 8 window.
+    FIRST 50 entries each round.  The canonical dict below stays in stable
+    historical order; the returned dict is reordered so the pinned
+    ``_DRIVER_WINDOW_R8`` names come first (see the comment on that list for
+    the round-8 composition), followed by every other query in canonical
+    order.
 
-    Steady-state rotation policy (from round 8 onward, once every query
-    has at least one driver row): each round's window = the 18 remaining
-    never-checked names (round 8 only), then the queries whose most recent
-    driver CORRECTNESS row is OLDEST, oldest-first (driver round recorded
-    in CORRECTNESS_r{N}.json; break ties by original registry order). This
-    keeps every query's driver row at most ~5 rounds stale
-    (261 queries / 50 per round). Re-pin the explicit window enumeration
-    here each round; the in-dict comments mark the boundaries.
+    Steady-state rotation policy (round 8 closes never-checked coverage:
+    after it lands, every one of the 275 registry queries has at least one
+    hard driver CORRECTNESS row): each subsequent round's window = the
+    queries whose most recent driver CORRECTNESS row is OLDEST, oldest
+    round first, ties broken by original registry order — keeping every
+    driver row at most ~5 rounds stale (275 queries / 50 per round).
+    ``tools/pin_window.py`` computes the next window from the
+    CORRECTNESS_r{N}.json history; paste its output over
+    ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
+    appended to the canonical dict AND will be picked up by pin_window as
+    never-checked.
 
-    Everything after slot 54 carries a green driver row from rounds 1-6
-    (zero standing failures). EVERY query has a hash oracle; all 261 are
-    verified at both sf0.01 and sf0.1 by tools/check_oracles.py."""
-    return {
-        # --- r7 window slots 1-50: never-driver-checked (23 r5-overflow + first 27 r6 additions) ---
+    EVERY query has a hash oracle; all 275 are verified at both sf0.01 and
+    sf0.1 by tools/check_oracles.py."""
+    reg = {
+        # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
@@ -5309,7 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- slots 51-68: remaining never-checked (incl. the fourteen NEW in r7); these lead the ROUND 8 window ---
+        # --- r6 overflow + the fourteen NEW-in-r7 queries (never driver-checked before r8; pinned first in _DRIVER_WINDOW_R8) ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -5318,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_partition_prune": q_hidden_partition_prune,
         "motif_triangles": q_motif_triangles,
         "motif_open_wedges": q_motif_open_wedges,
+        "motif_capped_wedges": q_motif_capped_wedges,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -5328,7 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_skipping": q_append_skipping,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "grouped_sample_quantiles": q_grouped_sample_quantiles,
-        # --- slots 69+: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
+        # --- remainder: hard driver CORRECTNESS rows from rounds 1-6 (zero standing failures) ---
         "stateful_totals_replay": q_stateful_totals_replay,
         "segment_dedup": q_segment_dedup,
         "rrf_fusion": q_rrf_fusion,
@@ -5536,8 +5591,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
-        "text_quality": q_text_quality,
     }
+    missing = [n for n in _DRIVER_WINDOW_R8 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R8) != 50:
+        raise RuntimeError(
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R8)}, "
+            f"missing={missing}"
+        )
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R8}
+    ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
+    return ordered
 
 
 # ------------------------------------------------------------------ oracles
@@ -6226,6 +6289,35 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
                 FROM lineitem a JOIN lineitem b
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*)::BIGINT AS n_open,
+                   count(DISTINCT e1.a)::BIGINT AS n_roots,
+                   sum(e1.a + e2.b)::BIGINT AS endpoint_sum
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b
+            )
+        """,
+        # max_degree lever: the induced-subgraph capping recomputed
+        # literally — degree over BOTH endpoint appearances, hubs (> cap)
+        # excluded, then the identical wedge + NOT EXISTS on the capped set
+        "motif_capped_wedges": f"""
+            WITH e0 AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT v, count(*) AS d FROM (
+                    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+                ) GROUP BY v
+            ),
+            hubs AS (SELECT v FROM deg WHERE d > {MOTIF_DEG_CAP}),
+            e AS (
+                SELECT a, b FROM e0
+                WHERE a NOT IN (SELECT v FROM hubs)
+                  AND b NOT IN (SELECT v FROM hubs)
             )
             SELECT count(*)::BIGINT AS n_open,
                    count(DISTINCT e1.a)::BIGINT AS n_roots,
@@ -9380,7 +9472,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cum WHERE nn - cl > 0
             )
             SELECT bkt * {SPLIT_WIDTH} AS threshold,
-                   cl AS n_left, pl AS pos_left,
+                   cl::BIGINT AS n_left, pl::BIGINT AS pos_left,
                    round(
                      (CASE WHEN qa > 0 AND qa < 1 THEN -qa * ln(qa) ELSE 0.0 END
                       + CASE WHEN 1 - qa > 0 AND 1 - qa < 1
@@ -9419,7 +9511,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT l_returnflag, count(*)::BIGINT AS n_rows,
-                   sum(round(100 * l_extendedprice)::BIGINT) AS price_cents,
+                   sum(round(100 * l_extendedprice)::BIGINT)::BIGINT AS price_cents,
                    sum(l_quantity)::BIGINT AS total_qty,
                    count(DISTINCT l_partkey)::BIGINT AS n_parts
             FROM lineitem GROUP BY 1

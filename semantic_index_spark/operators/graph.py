@@ -503,6 +503,7 @@ def find_motifs(
     src: str = "src",
     dst: str = "dst",
     id_col: str = "id",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """GraphFrames-style motif finding: compile a structural pattern into a
     chain of hash equi-joins over the edge list. [absent in reference —
@@ -530,8 +531,16 @@ def find_motifs(
     when one side is small; negations are anti-joins (never enumerate the
     complement). DISCONNECTED patterns are rejected rather than silently
     cross-joined — the fail-fast contract every pair-shaped operator here
-    carries; at 100 TB motif cost is bounded by the same Σdeg² wedge
-    arithmetic as triangle_count (order terms hub-last for best pruning).
+    carries. Wedge-shaped terms cost Σdeg² on the shared vertex, so a
+    hub-heavy graph detonates the match space at 100× — ``max_degree`` is
+    the lever (same contract as ``adamic_adar``): when set, the pattern is
+    matched in the subgraph INDUCED by vertices of total degree ≤ cap
+    (every edge incident to a hub is dropped first, bounding the wedge
+    space at cap·m). Because all bound vertices are then sub-cap, negated
+    anti-joins see exactly the edges the full graph has between bound
+    vertices — capping never fabricates a "missing" edge. Results on a
+    graph whose max degree is already ≤ cap are identical to the uncapped
+    call (pytest-asserted parity).
     """
     import re as _re
 
@@ -558,6 +567,25 @@ def find_motifs(
         terms.append((neg, a, e, b))
     if not any(not t[0] for t in terms):
         raise ValueError("find_motifs: pattern needs at least one positive term")
+
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"find_motifs: max_degree must be >= 1, got {max_degree}")
+        deg = (
+            edges.select(F.col(src).alias("_v"))
+            .unionAll(edges.select(F.col(dst).alias("_v")))
+            .groupBy("_v")
+            .agg(F.count("*").alias("_deg"))
+        )
+        hubs = deg.filter(F.col("_deg") > max_degree).select("_v")
+        # the capped edge list feeds one join per pattern term — lazily
+        # checkpoint it so the degree agg + anti-joins run once, not once
+        # per term (the multi-consumer lineage-recompute class from r6)
+        edges = (
+            edges.join(hubs.withColumnRenamed("_v", src), src, "left_anti")
+            .join(hubs.withColumnRenamed("_v", dst), dst, "left_anti")
+            .localCheckpoint(eager=False)
+        )
 
     edge_cols = [c for c in edges.columns]
 

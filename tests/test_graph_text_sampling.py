@@ -1299,6 +1299,32 @@ def test_motif_anonymous_middle_vertex(spark):
     assert sorted((r["a"], r["b"]) for r in got) == [(1, 3), (1, 5), (4, 6)]
 
 
+def test_motif_max_degree_parity_below_cap(spark):
+    # max total degree in _motif_edges is 3 (vertex 1: out 3) — with the
+    # cap above that, capped and uncapped runs must be identical for both
+    # wedge and negated patterns
+    e = _motif_edges(spark)
+    for pat in (
+        "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)",
+        "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)",
+    ):
+        base = sorted(map(tuple, G.find_motifs(e, pat).collect()))
+        capped = sorted(map(tuple, G.find_motifs(e, pat, max_degree=3).collect()))
+        assert capped == base
+
+
+def test_motif_max_degree_drops_hub_subgraph(spark):
+    # vertex 1 has total degree 3; cap=2 removes ALL edges incident to it,
+    # leaving only the 4->5->6 open wedge
+    e = _motif_edges(spark)
+    got = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)", max_degree=2).collect()
+    assert sorted((r["a"], r["b"], r["c"]) for r in got) == [(4, 5, 6)]
+    # the triangle at 1-2-3 requires the hub, so it disappears entirely
+    assert G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)", max_degree=2).count() == 0
+    with pytest.raises(ValueError, match="max_degree"):
+        G.find_motifs(e, "(a)-[]->(b)", max_degree=0)
+
+
 def test_motif_compile_errors(spark):
     e = _motif_edges(spark)
     # two anonymous vertices are DIFFERENT fresh names -> disconnected

@@ -27,11 +27,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
-    # Type-faithful, exactly as strict as the driver's hash compare: an
-    # int-valued float renders "43684.0", an int renders "43684" — so
-    # engine-type mismatches (BIGINT vs DOUBLE, HUGEINT vs BIGINT) FAIL here
-    # before they fail at the driver. No rounding at compare time: queries
-    # themselves must round float aggregates.
+    # Type-faithful for what fetchall() exposes: an int-valued float renders
+    # "43684.0", an int renders "43684", so BIGINT-vs-DOUBLE mismatches FAIL
+    # here.  HUGEINT is the one blind spot — fetchall() coerces it to a clean
+    # Python int, while the driver's Arrow/pandas fetch renders it as float
+    # ("21.0") and hash-mismatches (round-7 `best_split`/`orc_roundtrip`).
+    # That class is closed by the DESCRIBE-time guard in oracle_type_problems()
+    # below, which fails any oracle emitting HUGEINT/UHUGEINT.  No rounding at
+    # compare time: queries themselves must round float aggregates.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -43,6 +46,27 @@ def norm_cell(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """DESCRIBE the oracle and flag output columns whose DuckDB type the
+    driver's Arrow/pandas fetch renders differently from fetchall().
+
+    DuckDB's sum(BIGINT) (plain or windowed) returns HUGEINT; pandas has no
+    int128, so the driver renders it float64 ("21.0") while Spark emits a
+    bigint ("21") — rows+schema match, hash doesn't.  fetchall() hides the
+    problem by coercing HUGEINT to Python int, which is exactly how the two
+    round-7 misses slipped through.  Fix in the oracle: `sum(x)::BIGINT`.
+    """
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        f"oracle column `{col}` is {typ} (driver renders as float; cast ::BIGINT)"
+        for col, typ, *_ in desc
+        if any(t in typ.upper() for t in FORBIDDEN_DUCK_TYPES)
+    ]
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -82,6 +106,7 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            type_problems = oracle_type_problems(con, oracles[name])
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
@@ -89,7 +114,7 @@ def main() -> int:
             print(f"FAIL  {name:28s} duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = list(type_problems)
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
