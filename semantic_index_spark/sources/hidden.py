@@ -37,6 +37,23 @@ so range predicates map to range predicates on the transformed value
 other operator falls back to residual-only. The bucket hash is the
 portable md5 primitive (``functions.text.md5_bigint``) so the planner can
 evaluate it driver-side on literals without a Spark job.
+
+Two soundness preconditions are ENFORCED, not assumed, because a wrong
+partition rewrite silently drops rows the residual cannot recover (the
+pruned files are never opened):
+
+- ``day``/``month`` render timestamps in the session time zone, so the
+  table's zone is part of the layout: ``create_hidden`` records the
+  writer's ``spark.sql.session.timeZone`` in ``_hidden_spec.json`` and
+  both ``commit_hidden`` and ``read_hidden`` fail fast when the current
+  session zone differs — re-set the session zone (or rewrite the table)
+  instead of reading wrong slices.
+- ``bucket`` hashes the Spark ``cast(col AS STRING)`` rendering writer-side
+  but a Python ``str(literal)`` reader-side; the two agree only for
+  integer and string types (bool: ``'True'`` vs ``'true'``; double:
+  ``'1e+20'`` vs ``'1.0E20'``; decimal scales), so bucket source columns
+  are restricted to int/string at commit time and bucket literals to
+  int/str at read time.
 """
 
 from __future__ import annotations
@@ -113,6 +130,16 @@ def _transform_literal(entry: dict, value):
             raise TypeError(f"{t} transform literal must be a timestamp, got {value!r}")
         return v.strftime("%Y-%m-%d" if t == "day" else "%Y-%m")
     if t == "bucket":
+        # only int/str literals render identically under Python str() and
+        # Spark cast-to-string (see module docstring); anything else would
+        # hash into the wrong bucket and silently exclude the matching
+        # partition
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                f"bucket transform literal must be int or str, got {value!r} "
+                f"({type(value).__name__}) — its Spark string rendering is "
+                "not guaranteed to match Python's"
+            )
         digest = hashlib.md5((_BUCKET_SALT + str(value)).encode()).hexdigest()
         return int(digest[:15], 16) % arg
     if t == "truncate":
@@ -120,18 +147,61 @@ def _transform_literal(entry: dict, value):
     raise AssertionError(t)
 
 
+def _session_tz(spark: SparkSession) -> str:
+    return spark.conf.get("spark.sql.session.timeZone")
+
+
+def _check_tz(table: str, spark: SparkSession, meta: dict, action: str) -> None:
+    """Fail fast when the session zone differs from the table's pinned zone
+    — day/month partition values were RENDERED in the writer's zone, so a
+    different session would derive (writer) or prune (reader) the wrong
+    directories, silently dropping rows the residual cannot recover."""
+    pinned = meta.get("time_zone")
+    if pinned is None:  # pre-r8 table: no recorded zone, keep legacy behavior
+        return
+    cur = _session_tz(spark)
+    if cur != pinned:
+        raise ValueError(
+            f"cannot {action} hidden-partitioned table {table}: its day/month "
+            f"partition values are rendered in time zone {pinned!r} but "
+            f"spark.sql.session.timeZone is {cur!r} — set the session zone to "
+            f"the table's zone (results would otherwise silently lose rows)"
+        )
+
+
+_BUCKET_OK_DTYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _check_bucket_dtypes(df: DataFrame, entries: list[dict]) -> None:
+    dtypes = dict(df.dtypes)
+    for e in entries:
+        if e["transform"] != "bucket":
+            continue
+        dt = dtypes.get(e["col"])
+        if dt not in _BUCKET_OK_DTYPES:
+            raise TypeError(
+                f"bucket transform on column {e['col']!r} of type {dt!r} is "
+                f"not supported: only {_BUCKET_OK_DTYPES} render identically "
+                "under Spark cast-to-string (writer) and Python str() "
+                "(reader literal), and a mismatch prunes the wrong bucket"
+            )
+
+
 def create_hidden(df: DataFrame, table: str, spec: list) -> int:
     """Create a hidden-partitioned table: ``spec`` is a list of transform
     tuples — ``("identity", col)``, ``("day", ts_col)``,
     ``("month", ts_col)``, ``("bucket", col, n)``,
     ``("truncate", col, width)``. The spec is fixed at create time and
-    recorded next to the data; writers never see partition columns."""
+    recorded next to the data; writers never see partition columns. The
+    creating session's time zone is pinned alongside the spec (see module
+    docstring); bucket source columns must be int/string typed."""
     os.makedirs(table, exist_ok=True)
     if os.path.exists(_spec_path(table)):
         raise FileExistsError(f"hidden-partitioned table {table} already exists")
     entries = _norm_spec(spec)
+    _check_bucket_dtypes(df, entries)
     with open(_spec_path(table), "w") as f:
-        json.dump({"spec": entries}, f)
+        json.dump({"spec": entries, "time_zone": _session_tz(df.sparkSession)}, f)
     return commit_hidden(df, table)
 
 
@@ -140,7 +210,10 @@ def commit_hidden(df: DataFrame, table: str) -> int:
     values from the recorded spec — the writer's schema is the SOURCE
     schema; hidden columns exist only in the layout. Same crash contract
     as ``versioned.commit_version`` (orphan until the pointer rename)."""
-    entries = _read_spec(table)
+    meta = _read_meta(table)
+    entries = meta["spec"]
+    _check_tz(table, df.sparkSession, meta, "commit to")
+    _check_bucket_dtypes(df, entries)
     cur = current_version(table)
     nxt = 0 if cur is None else cur + 1
     out = df
@@ -158,9 +231,13 @@ def commit_hidden(df: DataFrame, table: str) -> int:
     return nxt
 
 
-def _read_spec(table: str) -> list[dict]:
+def _read_meta(table: str) -> dict:
     with open(_spec_path(table)) as f:
-        return json.load(f)["spec"]
+        return json.load(f)
+
+
+def _read_spec(table: str) -> list[dict]:
+    return _read_meta(table)["spec"]
 
 
 def current_version(table: str) -> int | None:
@@ -189,7 +266,9 @@ def read_hidden(
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"hidden-partitioned table {table} has no commits")
-    entries = _read_spec(table)
+    meta = _read_meta(table)
+    entries = meta["spec"]
+    _check_tz(table, spark, meta, "read")
     df = spark.read.parquet(os.path.join(table, f"v={v}"))
     for col, op, value in filters or []:
         # partition-predicate rewrite

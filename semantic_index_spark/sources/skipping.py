@@ -166,8 +166,16 @@ def _bloom_may_match(man: dict, fn: str, col: str, op: str, value) -> bool:
 def _coerce(lit, bound: str):
     """Compare a filter literal against a stringified stat bound. Stats are
     stored as strings; timestamps/dates/strings compare lexicographically
-    in ISO form, numerics re-parse."""
-    if isinstance(lit, (int, float)):
+    in ISO form, numerics re-parse. Integer literals against integer-string
+    bounds compare as exact Python ints — routing them through float would
+    lose precision beyond 2^53 and could misclassify a boundary file,
+    silently skipping a file that contains matches."""
+    if isinstance(lit, int) and not isinstance(lit, bool):
+        try:
+            return lit, int(bound)
+        except ValueError:
+            return float(lit), float(bound)  # int literal vs float-typed stat
+    if isinstance(lit, float):
         return float(lit), float(bound)
     if isinstance(lit, (datetime.datetime, datetime.date)):
         lit = lit.isoformat(sep=" ") if isinstance(lit, datetime.datetime) else lit.isoformat()

@@ -721,18 +721,36 @@ def incremental_weighted_sample_sink(
     pure md5 function of each row's (key, weight), so "the n largest keys
     ever streamed" is a property of the union — each epoch takes the
     batch's top n (skew.weighted_sample), unions with the state, dedups
-    re-delivered keys, and re-competes; the maintained table always
+    re-delivered rows, and re-competes; the maintained table always
     equals the one-shot batch sample of everything streamed
     (stream==batch pytest). O(n) state; the deterministic streaming twin
-    of rand()-based reservoir weighting."""
+    of rand()-based reservoir weighting.
+
+    Redelivery contract: a key re-delivered with the SAME weight is an
+    at-least-once duplicate and dedups away; a key re-delivered with a
+    DIFFERENT weight would make "the" sample ill-defined (which weight
+    competes?), so the merge dedups on (key, weight) and keeps the row
+    with the LARGEST weight — deterministic last-write-wins by weight,
+    never an arbitrary dropDuplicates survivor."""
     from semantic_index_spark.operators import skew as SK
 
     def _partials(b: DataFrame) -> DataFrame:
         return SK.weighted_sample(b, key_col, weight_col, n).drop("sample_key")
 
     def _merge(u: DataFrame) -> DataFrame:
-        return SK.weighted_sample(
-            u.dropDuplicates([key_col]), key_col, weight_col, n
-        ).drop("sample_key")
+        from pyspark.sql.window import Window
+
+        per_key = (
+            u.dropDuplicates([key_col, weight_col])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(F.col(weight_col).desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return SK.weighted_sample(per_key, key_col, weight_col, n).drop("sample_key")
 
     return incremental_sketch_sink(path, _partials, _merge)

@@ -683,6 +683,48 @@ def test_hidden_bucket_literal_matches_spark_hash(spark, tmp_path):
         assert H._transform_literal(e, i) == spark_side[i]
 
 
+def test_hidden_tz_is_pinned_and_mismatch_fails_fast(spark, tmp_path):
+    # day/month partition dirs are rendered in the writer session's zone;
+    # a reader (or later writer) under a different zone would prune the
+    # wrong directories — it must fail fast, never silently drop rows
+    import json as _json
+
+    H, df, t = _hidden_fixture(spark, tmp_path, [("day", "ts")])
+    with open(t + "/_hidden_spec.json") as fh:
+        meta = _json.load(fh)
+    assert meta["time_zone"] == spark.conf.get("spark.sql.session.timeZone")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="time zone"):
+            H.read_hidden(spark, t, filters=[("ts", ">=", "2026-02-01")])
+        with pytest.raises(ValueError, match="time zone"):
+            H.commit_hidden(df, t)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # back in the pinned zone everything works
+    assert H.read_hidden(spark, t).count() == 200
+
+
+def test_hidden_bucket_rejects_unsafe_types(spark, tmp_path):
+    # bucket hashes Spark's cast-to-string writer-side but Python str()
+    # reader-side; bool/double/decimal render differently, so bucket specs
+    # on such columns are rejected at commit and such literals at read
+    from semantic_index_spark.sources import hidden as H
+
+    df = spark.createDataFrame(
+        [(1, 1.5, True)], "id bigint, v double, flag boolean"
+    )
+    with pytest.raises(TypeError, match="bucket transform on column"):
+        H.create_hidden(df, str(tmp_path / "h1"), [("bucket", "v", 4)])
+    with pytest.raises(TypeError, match="bucket transform on column"):
+        H.create_hidden(df, str(tmp_path / "h2"), [("bucket", "flag", 4)])
+    with pytest.raises(TypeError, match="bucket transform literal"):
+        H._transform_literal({"transform": "bucket", "col": "id", "arg": 4}, True)
+    with pytest.raises(TypeError, match="bucket transform literal"):
+        H._transform_literal({"transform": "bucket", "col": "id", "arg": 4}, 1.5)
+
+
 # ---------------------------------------------------------- zone-map skipping
 
 
@@ -720,6 +762,29 @@ def test_zonemap_skipping_unclustered_still_correct(spark, tmp_path):
     # untracked column: no skipping evidence, but residual still filters
     got2 = Z.read_skipping(spark, t, [("v", "=", 42.0)]).collect()
     assert [r["id"] for r in got2] == [42]
+
+
+def test_zonemap_skipping_bigint_beyond_float_precision(spark, tmp_path):
+    # bounds beyond 2^53 are not float-representable: 2^53 and 2^53+1
+    # collapse to the same double, so a float-coerced compare would
+    # misclassify the boundary file. _coerce must compare ints exactly.
+    from semantic_index_spark.sources import skipping as Z
+
+    base = 2**53  # 9007199254740992
+    rows = [(base + i,) for i in range(64)]
+    df = spark.createDataFrame(rows, "id bigint")
+    t = str(tmp_path / "zm_big")
+    Z.write_skipping(df, t, ["id"], n_files=8, cluster_by="id")
+    # point lookups at adjacent unrepresentable-as-float values
+    for probe in (base, base + 1, base + 63):
+        got = [r["id"] for r in Z.read_skipping(spark, t, [("id", "=", probe)]).collect()]
+        assert got == [probe], probe
+    # range straddling a file boundary
+    filt = [("id", ">", base + 7), ("id", "<=", base + 9)]
+    got = sorted(r["id"] for r in Z.read_skipping(spark, t, filt).collect())
+    assert got == [base + 8, base + 9]
+    # the exact-int compare really skips: a probe below the min matches 0 files
+    assert Z.candidate_files(t, [("id", "=", base - 1)]) == []
 
 
 def test_zonemap_skipping_timestamp_bounds(spark, tmp_path):

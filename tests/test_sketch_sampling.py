@@ -905,3 +905,29 @@ def test_incremental_weighted_sample_sink_stream_equals_batch(spark, tmp_path):
         map(tuple, SK.weighted_sample(df, "id", "w", 24).drop("sample_key").collect())
     )
     assert streamed == direct and len(streamed) == 24
+    # a key re-delivered with a DIFFERENT weight: largest weight wins,
+    # deterministically (documented last-write-wins-by-weight contract)
+    bumped = df.filter("id % 3 = 0").withColumn("w", F.col("w") + 1000.0)
+    sink(bumped, 3)
+    after = {r["id"]: r["w"] for r in spark.read.parquet(path).collect()}
+    assert len(after) == 24
+    # every surviving id that was bumped carries its bumped weight
+    bump_w = {r["id"]: r["w"] for r in bumped.collect()}
+    for i, w in after.items():
+        if i in bump_w:
+            assert w == bump_w[i]
+    # and the state equals the one-shot batch sample over max-weight rows
+    combined = df.unionByName(bumped)
+    from pyspark.sql.window import Window as _W
+
+    per_key = (
+        combined.withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("id").orderBy(F.col("w").desc()))
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    direct2 = sorted(
+        map(tuple, SK.weighted_sample(per_key, "id", "w", 24).drop("sample_key").collect())
+    )
+    assert sorted(after.items()) == direct2
