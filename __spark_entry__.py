@@ -5277,6 +5277,186 @@ def q_motif_capped_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped composed hidden×skipping copy of `events`: day(ts)
+# partition DIRECTORIES + per-file value/user_id zone maps with rows
+# value-clustered inside every day dir (same once-per-session contract as
+# _hidden_events_table / _zonemap_lineitem_table).
+_HIDDEN_SKIP_TBL_CACHE: dict[tuple[str, str], str] = {}
+
+HSK_TS_LO, HSK_TS_HI = "2024-01-08", "2024-01-12"
+HSK_VAL_LO, HSK_VAL_HI = 50.0, 150.0
+
+
+def _hidden_skip_events_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import hidden as H
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tbl = _HIDDEN_SKIP_TBL_CACHE.get(key)
+    if tbl is not None and os.path.isdir(tbl):
+        return tbl
+    root = tempfile.mkdtemp(prefix="hidden_skip_events_")
+    tbl = os.path.join(root, "events_hidden_skip")
+    H.create_hidden_skipping(
+        load_table(spark, sf_dir, "events"),
+        tbl,
+        [("day", "ts")],
+        stats_cols=["value", "user_id"],
+        n_files=32,
+        cluster_by="value",
+    )
+    _HIDDEN_SKIP_TBL_CACHE[key] = tbl
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl
+
+
+def q_hidden_skipping_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH lakehouse prunings on ONE layout (r8 — sources/hidden.py
+    ``read_hidden_skipping``): events live day(ts)-partitioned with rows
+    value-clustered inside each day and per-file value/user_id zone maps
+    in the version manifest. A plain source predicate (4-day ts window ×
+    value band) first eliminates whole day DIRECTORIES via the hidden
+    transform rewrite, then FILES inside the surviving directories via
+    their [min,max] ranges — Iceberg's partition-spec + manifest-stats
+    story, Delta's partitioning + data skipping. Both prunings are
+    IO-only (originals always reapply as residuals; pytest asserts
+    pruning-independence per level), so the oracle is the identical
+    predicates on the raw parquet table."""
+    from semantic_index_spark.sources import hidden as H
+
+    tbl = _hidden_skip_events_table(spark, sf_dir)
+    got = H.read_hidden_skipping(
+        spark,
+        tbl,
+        filters=[
+            ("ts", ">=", HSK_TS_LO),
+            ("ts", "<", HSK_TS_HI),
+            ("value", ">=", HSK_VAL_LO),
+            ("value", "<", HSK_VAL_HI),
+        ],
+    )
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
+# --- r8 similarity additions: SQ8 two-stage serving, filtered IVF, ColBERT ---
+
+SQ_QID = 7
+SQ_CANDIDATES = 50
+
+# Session-cached frozen SQ8 quantizer (per-dim lo/step), same train-once
+# contract as shared_pq_artifacts: training is a rare offline event, every
+# query serves against the frozen model.
+_SQ_MODEL_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _sq_model(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _SQ_MODEL_CACHE.get(key)
+    if m is None:
+        m = S.sq_train(load_table(spark, sf_dir, "embeddings"))
+        _SQ_MODEL_CACHE[key] = m
+    return m
+
+
+def q_sq_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8 scalar-quantized retrieval (r8 —
+    operators/similarity.py ``sq_train/sq_encode/sq_topk_rescore``, the
+    FAISS-SQ8 production pattern): stage 1 scans only the 1-byte-per-dim
+    codes with an asymmetric fold (4x less IO than the float corpus) into
+    a bounded top-50 candidate set; stage 2 broadcasts the candidate ids
+    back onto the float vectors and rescores EXACTLY. Clamped half-up
+    quantization is written as the identical double expression on both
+    engines, so the oracle replays train→encode→ADC→rescore bit-for-bit
+    in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = _sq_model(spark, sf_dir)
+    codes = S.sq_encode(emb, model)
+    q = emb.filter(F.col("vec_id") == SQ_QID).select("embedding").collect()[0][0]
+    return S.sq_topk_rescore(
+        codes, emb, model, [float(x) for x in q],
+        k=KNN_K, candidates=SQ_CANDIDATES,
+    )
+
+
+FILT_LABEL = 3
+
+# Session-cached on-disk IVF-flat index layout (cell-partitioned parquet),
+# payload columns included — the serving artifact for filtered search.
+_IVF_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tbl = _IVF_IDX_CACHE.get(key)
+    if tbl is not None and os.path.isdir(tbl):
+        return tbl
+    root = tempfile.mkdtemp(prefix="ivf_flat_idx_")
+    tbl = os.path.join(root, "embeddings_ivf")
+    S.write_ivf_index(load_table(spark, sf_dir, "embeddings"), CENTROIDS, tbl)
+    _IVF_IDX_CACHE[key] = tbl
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl
+
+
+def q_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (r8 — similarity.py
+    ``ivf_topk_filtered``): the "WHERE label = 3 AND vector near q" query
+    every vector store serves, over the materialized ``_cell=``-partitioned
+    IVF layout. The cell probe prunes DIRECTORIES at planning time
+    (PartitionFilters) and the label predicate pushes into the parquet
+    scan (PushedFilters) — the scan touches only probed-cell files and
+    only matching row groups. Exact within the probed cells (same
+    approximation contract as ivf_topk), so the oracle replays the probe +
+    filter + scoring in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tbl = _ivf_index_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivf_topk_filtered(
+        spark, tbl, [float(x) for x in q], CENTROIDS,
+        f"label = {FILT_LABEL}", k=KNN_K, nprobe=IVF_NPROBE,
+    )
+
+
+COLBERT_DOCTOKENS = 8
+COLBERT_QTOKENS = 4
+
+
+def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (r8 — similarity.py
+    ``late_interaction_topk``): documents are MULTI-vector — here every 8
+    consecutive embeddings form one doc's token vectors — and score(d) =
+    sum over the 4 query tokens of the MAX dot against any token of d
+    (MaxSim). The |Q|-row query side broadcasts against one token-corpus
+    scan; (doc, qtok) max and per-doc sum are partial-aggs, so no shuffle
+    carries more than one row per (doc, qtok). Scores are fixed-point
+    micro-integers (floor(dot*1e6+0.5)) — max/sum over bigints are exact,
+    making the hash engine-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr(f"CAST(vec_id DIV {COLBERT_DOCTOKENS} AS BIGINT)").alias("doc_id"),
+        "embedding",
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < COLBERT_QTOKENS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    qvecs = [[float(x) for x in r["embedding"]] for r in qrows]
+    return S.late_interaction_topk(toks, qvecs, k=KNN_K)
+
+
 # The driver hash-checks the FIRST 50 queries() entries each round, so the
 # leading window is a verification contract.  queries() keeps the canonical
 # dict literal in stable historical order and reorders at return time by this
@@ -5299,17 +5479,18 @@ _DRIVER_WINDOW_R8 = [
     "ivm_agg", "sampled_quantiles",
     "bloom_skipping", "delete_vectors", "optimize_demo", "mrl_topk",
     "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
+    "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
+    "colbert_maxsim",
     # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
     "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 22 from r3)
+    # stalest green driver rows, oldest round first (8 from r1, 17 from r3)
     "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
     "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
     "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
     "q3_shipping_priority", "filter_predicates", "agg_having",
     "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
     "hll_users", "filter_projection", "topk_orders", "upsert_update_demo",
-    "delete_ops_demo", "skip_policy_demo", "allow_policy_demo",
-    "q5_local_supplier_volume", "join_semi_anti", "rollup_nation_region",
+    "delete_ops_demo", "skip_policy_demo",
 ]
 
 
@@ -5322,18 +5503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
-    after it lands, every one of the 275 registry queries has at least one
+    after it lands, every one of the 280 registry queries has at least one
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~5 rounds stale (275 queries / 50 per round).
+    driver row at most ~5 rounds stale (280 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 275 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 280 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -5397,6 +5578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_triangles": q_motif_triangles,
         "motif_open_wedges": q_motif_open_wedges,
         "motif_capped_wedges": q_motif_capped_wedges,
+        "hidden_skipping_compose": q_hidden_skipping_compose,
+        "sq_rescore_topk": q_sq_rescore_topk,
+        "filtered_ivf_topk": q_filtered_ivf_topk,
+        "colbert_maxsim": q_colbert_maxsim,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6362,6 +6547,100 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{HP_LO}' AND ts < TIMESTAMP '{HP_HI}'
               AND user_id IN ({", ".join(str(u) for u in HP_USERS)})
             GROUP BY event_type
+        """,
+        # composed dir+file pruning is likewise IO-only at both levels, so
+        # the oracle is again the user's predicates verbatim on raw events
+        "hidden_skipping_compose": f"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
+              AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
+            GROUP BY event_type
+        """,
+        # SQ8 replayed end-to-end in SQL: exact per-dim float min/max (cast
+        # to DOUBLE before any arithmetic — FLOAT math would diverge from
+        # Spark's double path), the identical clamped floor(x+0.5) encoder,
+        # the same in-order ADC fold, then the exact-dot rescore of the
+        # top-{SQ_CANDIDATES} candidates
+        "sq_rescore_topk": f"""
+            WITH bounds AS (
+                SELECT i, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+                FROM (SELECT unnest(embedding) AS v,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings)
+                GROUP BY i
+            ),
+            model AS (
+                SELECT list(lo ORDER BY i) AS lo,
+                       list((hi - lo) / 255.0 ORDER BY i) AS step
+                FROM bounds
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {SQ_QID}),
+            codes AS (
+                SELECT e.vec_id,
+                       list_transform(generate_series(1, 64), i ->
+                           CASE WHEN m.step[i] = 0 THEN 0
+                                ELSE greatest(0, least(255,
+                                    CAST(floor((CAST(e.embedding[i] AS DOUBLE) - m.lo[i])
+                                               / m.step[i] + 0.5) AS INTEGER)))
+                           END) AS c
+                FROM embeddings e, model m
+            ),
+            adc AS (
+                SELECT c.vec_id,
+                       round(list_sum(list_transform(generate_series(1, 64), i ->
+                           CAST(q.qv[i] AS DOUBLE)
+                           * (m.lo[i] + m.step[i] * c.c[i]))), 6) AS a
+                FROM codes c, model m, q
+            ),
+            cand AS (SELECT vec_id FROM adc ORDER BY a DESC, vec_id LIMIT {SQ_CANDIDATES})
+            SELECT e.vec_id, round({_duck_dot("e.embedding", "q.qv")}, 6) AS score
+            FROM embeddings e JOIN cand USING (vec_id), q
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        # filtered IVF = the ivf_topk oracle + the metadata predicate; the
+        # layout's dir/file pruning is IO-only, so SQL replays probe +
+        # filter + scoring on the raw table
+        "filtered_ivf_topk": f"""
+            WITH qd AS (
+                SELECT unnest(range(0, {IVF_K})) AS cell,
+                       unnest([{", ".join(_duck_dot("(SELECT embedding FROM embeddings WHERE vec_id = 0)", _duck_plane_lit(c)) for c in CENTROIDS)}]) AS d
+            ),
+            probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT {IVF_NPROBE}),
+            cells AS (
+                SELECT vec_id, embedding, label, {_duck_ivf_cell("embedding")} AS cell
+                FROM embeddings
+            )
+            SELECT c.vec_id,
+                   round({_duck_dot("c.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 0)")}, 6) AS score
+            FROM cells c
+            WHERE c.cell IN (SELECT cell FROM probe) AND c.label = {FILT_LABEL}
+            ORDER BY score DESC, c.vec_id LIMIT {KNN_K}
+        """,
+        # MaxSim in SQL: same doc grouping (8 tokens/doc), same 4 query
+        # tokens, dots folded in array order then fixed-pointed to micro
+        # bigints BEFORE max/sum, so aggregation is exact integer math
+        "colbert_maxsim": f"""
+            WITH q AS (
+                SELECT vec_id AS q_id, embedding AS qv
+                FROM embeddings WHERE vec_id < {COLBERT_QTOKENS}
+            ),
+            d AS (
+                SELECT vec_id // {COLBERT_DOCTOKENS} AS doc_id, embedding
+                FROM embeddings
+            ),
+            dots AS (
+                SELECT d.doc_id, q.q_id,
+                       CAST(floor({_duck_dot("d.embedding", "q.qv")} * 1e6 + 0.5) AS BIGINT) AS m
+                FROM d, q
+            ),
+            mx AS (SELECT doc_id, q_id, max(m) AS mx FROM dots GROUP BY doc_id, q_id)
+            SELECT doc_id, sum(mx)::BIGINT AS score_micros
+            FROM mx GROUP BY doc_id
+            ORDER BY score_micros DESC, doc_id LIMIT {KNN_K}
         """,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every

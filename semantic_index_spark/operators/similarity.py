@@ -1206,3 +1206,212 @@ def mrl_truncate(
             ),
         )
     return df.withColumn(emb_col, sliced.cast("array<double>"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — int8 codes + asymmetric scoring + exact rescore
+# ---------------------------------------------------------------------------
+
+
+def sq_train(df: DataFrame, emb_col: str = "embedding") -> dict:
+    """Train an int8 scalar quantizer (FAISS ``SQ8``): per-dimension
+    [lo, hi] over the corpus, step = (hi-lo)/255. The most common
+    production vector compression — 4x less scan IO than float32 with
+    near-zero recall loss at rescored serving. One pass: posexplode to
+    (dim, value) rows with map-side partial min/max, so only ``dim`` rows
+    ever reach the driver (bounded-model contract). min/max of floats are
+    EXACT (no accumulation), which is what makes the encoder — and its
+    DuckDB oracle — bit-deterministic cross-engine. Returns
+    ``{"lo": [d], "step": [d]}``. [absent in reference — north-star
+    extension; public FAISS scalar-quantizer semantics]"""
+    dims = (
+        df.select(F.posexplode(emb_col).alias("dim0", "v"))
+        .groupBy("dim0")
+        .agg(F.min(F.col("v").cast("double")).alias("lo"),
+             F.max(F.col("v").cast("double")).alias("hi"))
+    )
+    rows = collect_bounded(dims, 4096, "sq_train per-dim bounds")
+    if not rows:
+        raise ValueError("sq_train: input DataFrame is empty")
+    by_dim = {r["dim0"]: r for r in rows}
+    lo = [by_dim[i]["lo"] for i in range(len(rows))]
+    # one double division per dim, same op the oracle runs: deterministic
+    step = [(by_dim[i]["hi"] - by_dim[i]["lo"]) / 255.0 for i in range(len(rows))]
+    return {"lo": lo, "step": step}
+
+
+def sq_encode(
+    df: DataFrame,
+    model: dict,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode against a FROZEN quantizer (same incremental-maintenance
+    contract as :func:`pq_encode`): code = clamp(floor((v-lo)/step+0.5),
+    0..255) stored SHIFTED by -128 as ``array<tinyint>`` — parquet then
+    holds byte arrays, the real 4x memory/IO cut that is this operator's
+    point. The half-up rounding is written as floor(x+0.5) so Spark and
+    the DuckDB oracle run the identical double expression; constant
+    dimensions (step=0) encode to 0. Keeps (id, codes)."""
+    lo = F.lit(model["lo"]).cast("array<double>")
+    step = F.lit(model["step"]).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.lit(len(model["lo"]) - 1))
+    v = F.col(emb_col)
+    code = F.transform(
+        idx,
+        lambda i: F.when(F.element_at(step, i + 1) == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (v[i].cast("double") - F.element_at(lo, i + 1))
+                        / F.element_at(step, i + 1)
+                        + F.lit(0.5)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(code, lambda c: (c - 128).cast("tinyint")).alias(out_col),
+    )
+
+
+def sq_topk_rescore(
+    codes: DataFrame,
+    vectors: DataFrame,
+    model: dict,
+    query: Sequence[float],
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Two-stage SQ8 serving — the billion-scale pattern: (1) asymmetric
+    scan over the int8 CODES only (score = sum_d q[d]*(lo[d]+step[d]*
+    (code[d]+128)), a fold over bytes — the float corpus is never read),
+    bounded top-``candidates`` via TakeOrderedAndProject; (2) join the
+    candidate ids back to the float vectors and rescore EXACTLY, top-k.
+    At 100 TB stage 1 reads 1/4 the bytes of a float scan and stage 2
+    touches ``candidates`` rows; the candidate join is a broadcast (the
+    candidate set is k-bounded driver-side knowledge, never the corpus).
+    Deterministic: both stages order by (rounded score DESC, id).
+    Returns (id, score) with the EXACT dot score."""
+    lo = F.lit(model["lo"]).cast("array<double>")
+    step = F.lit(model["step"]).cast("array<double>")
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    c = F.col(codes_col)
+    idx = F.sequence(F.lit(0), F.lit(len(model["lo"]) - 1))
+    adc = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.element_at(q, i + 1)
+            * (
+                F.element_at(lo, i + 1)
+                + F.element_at(step, i + 1)
+                * (c[i].cast("double") + F.lit(128.0))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(candidates)
+    )
+    return (
+        vectors.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_filtered(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    predicate: str,
+    k: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-FILTERED vector search over a :func:`write_ivf_index`
+    layout — the "WHERE label = x AND vector near q" query every vector
+    store serves: the cell probe prunes DIRECTORIES at planning time
+    (PartitionFilters) and the metadata ``predicate`` (a SQL expression
+    over the index's payload columns) pushes into the parquet scan of the
+    surviving cells (PushedFilters), so the scan reads only probed-cell
+    files and only matching row groups; scoring ranks what remains.
+    Same approximation contract as :func:`ivf_topk_indexed` — exact
+    within the probed cells; raise ``nprobe`` when the filter is
+    selective enough to starve the candidate pool."""
+    probe = _probe_cells(query, centroids, nprobe)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_cell").isin(probe))
+        .filter(F.expr(predicate))
+        .select(
+            F.col(id_col),
+            F.round(V.dot_literal(F.col(emb_col), query), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def late_interaction_topk(
+    doc_tokens: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    doc_col: str = "doc_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020):
+    documents are MULTI-vector (one embedding per token, long-form
+    (doc_id, embedding) rows); score(d) = sum over query tokens of the
+    MAX dot against any token of d (MaxSim). The query side is a handful
+    of vectors, so the plan is a broadcast of |Q| rows against the token
+    corpus — one scan, map-side dots, then (doc, qtok) max and per-doc
+    sum partial-aggs; no shuffle ever carries more than one row per
+    (doc, qtok). Scores are fixed-point MICRO-integers (floor(dot*1e6
+    +0.5), the repo's cross-engine determinism trick): max/sum over
+    bigints are exact, so result hashes are engine-independent. Returns
+    (doc_id, score_micros) top-k by (score DESC, doc_id).
+    [absent in reference — north-star extension; public ColBERT paper
+    semantics]"""
+    spark = doc_tokens.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+        "q_id int, qvec array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(emb_col),
+            F.col("qvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    micros = F.floor(dot * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        doc_tokens.crossJoin(F.broadcast(qdf))
+        .select(F.col(doc_col), F.col("q_id"), micros.alias("m"))
+        .groupBy(doc_col, "q_id")
+        .agg(F.max("m").alias("mx"))
+        .groupBy(doc_col)
+        .agg(F.sum("mx").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), F.asc(doc_col))
+        .limit(k)
+    )

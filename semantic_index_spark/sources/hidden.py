@@ -305,3 +305,250 @@ def read_hidden(
                 {"=": c.__eq__, "<": c.__lt__, "<=": c.__le__, ">": c.__gt__, ">=": c.__ge__}[op](value)
             )
     return df.drop(*[e["name"] for e in entries])
+
+
+# --------------------------------------------------------------------------
+# Composed layout: hidden partitioning × zone-map file skipping
+#
+# A real lakehouse table prunes at BOTH granularities on one layout:
+# partition transforms eliminate whole directories at planning time, and
+# per-file min/max statistics eliminate files INSIDE the surviving
+# directories (Iceberg: partition spec + manifest column stats; Delta:
+# partitioning + data skipping). The composed functions below put a
+# per-version zone-map manifest next to the hidden-partitioned snapshot:
+#
+#     <table>/v=<n>/_p0=<val>/.../part-*.parquet
+#     <table>/v=<n>/_zonemaps.json     (per-file min/max, RELATIVE paths)
+#     <table>/_hidden_spec.json        (+ skipping config, fixed at create)
+#     <table>/_latest.json
+#
+# The reader evaluates BOTH prunings driver-side from the manifest — the
+# partition values are parsed out of each file's relative path and checked
+# against the transformed literals (the same _transform_literal rewrite
+# read_hidden pushes into the plan), then the survivors' [min, max] ranges
+# are checked with skipping's _file_may_match — and hands Spark only the
+# final file list (with basePath, so partition dirs still parse). Pruned
+# directories are never even listed. Residual source predicates always
+# apply, so results are pruning-independent at both levels (pytest + the
+# hidden_skipping_compose driver oracle assert this).
+
+
+def _skip_meta(meta: dict) -> dict:
+    sk = meta.get("skipping")
+    if not sk:
+        raise ValueError(
+            "table was not created with create_hidden_skipping (no skipping "
+            "config in _hidden_spec.json)"
+        )
+    return sk
+
+
+def _zonemap_path(table: str, version: int) -> str:
+    return os.path.join(table, f"v={version}", "_zonemaps.json")
+
+
+def create_hidden_skipping(
+    df: DataFrame,
+    table: str,
+    spec: list,
+    stats_cols: list[str],
+    n_files: int = 32,
+    cluster_by: str | None = None,
+) -> int:
+    """Create a hidden-partitioned table that ALSO records per-file zone
+    maps for ``stats_cols``. ``n_files`` shapes the total file count per
+    commit; ``cluster_by`` range-clusters rows WITHIN partitions on that
+    column (after the partition transforms), which is what makes the
+    intra-partition zone maps selective — the same layout lever as
+    ``skipping.write_skipping``. Config is fixed at create time so every
+    commit's files skip identically."""
+    os.makedirs(table, exist_ok=True)
+    if os.path.exists(_spec_path(table)):
+        raise FileExistsError(f"hidden-partitioned table {table} already exists")
+    entries = _norm_spec(spec)
+    _check_bucket_dtypes(df, entries)
+    with open(_spec_path(table), "w") as f:
+        json.dump(
+            {
+                "spec": entries,
+                "time_zone": _session_tz(df.sparkSession),
+                "skipping": {
+                    "stats_cols": list(stats_cols),
+                    "n_files": n_files,
+                    "cluster_by": cluster_by,
+                },
+            },
+            f,
+        )
+    return commit_hidden_skipping(df, table)
+
+
+def commit_hidden_skipping(df: DataFrame, table: str) -> int:
+    """Commit the next immutable snapshot of a composed table: derive the
+    partition values, range-cluster within partitions, write, then one
+    read-back pass computes every file's [min, max] per tracked column
+    into the version's manifest (written BEFORE the pointer rename, so a
+    crash leaves an orphan version, never a version without stats)."""
+    meta = _read_meta(table)
+    entries = meta["spec"]
+    sk = _skip_meta(meta)
+    _check_tz(table, df.sparkSession, meta, "commit to")
+    _check_bucket_dtypes(df, entries)
+    cur = current_version(table)
+    nxt = 0 if cur is None else cur + 1
+    out = df
+    for e in entries:
+        out = out.withColumn(e["name"], _transform_col(e))
+    shape_keys = [F.col(e["name"]) for e in entries]
+    if sk["cluster_by"]:
+        shape_keys.append(F.col(sk["cluster_by"]))
+    vdir = os.path.join(table, f"v={nxt}")
+    (
+        out.repartitionByRange(sk["n_files"], *shape_keys)
+        .write.mode("errorifexists")
+        .partitionBy(*[e["name"] for e in entries])
+        .parquet(vdir)
+    )
+    back = df.sparkSession.read.parquet(vdir)
+    rel = F.regexp_extract(F.input_file_name(), r"/v=\d+/(.*)$", 1)
+    stats = back.groupBy(rel.alias("_f")).agg(
+        *[
+            agg(c).cast("string").alias(f"{kind}_{c}")
+            for c in sk["stats_cols"]
+            for kind, agg in (("min", F.min), ("max", F.max))
+        ]
+    )
+    from semantic_index_spark.session import collect_bounded
+
+    # file count per commit <= range tasks + partition-dir straddles, so the
+    # driver-held manifest is bounded by n_files + #dirs (counted from the
+    # just-written layout, no extra job) — same manifest-is-the-model
+    # contract as skipping.write_skipping
+    n_dirs = sum(1 for _, dirs, fns in os.walk(vdir) if not dirs and fns)
+    files = {}
+    for r in collect_bounded(
+        stats, 4 * (sk["n_files"] + n_dirs) + 16, "hidden_skipping stats"
+    ):
+        files[r["_f"]] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in sk["stats_cols"]}
+    with open(_zonemap_path(table, nxt), "w") as f:
+        json.dump({"files": files}, f)
+    tmp = _latest_path(table) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"version": nxt}, f)
+    os.replace(tmp, _latest_path(table))
+    return nxt
+
+
+def _parse_partition_values(relpath: str, entries: list[dict]) -> dict[str, str]:
+    """``_p0=a/_p1=b/part-x.parquet`` → {"_p0": "a", "_p1": "b"} (values as
+    the directory-name strings Spark rendered)."""
+    from urllib.parse import unquote
+
+    out = {}
+    for seg in relpath.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = unquote(v)
+    return out
+
+
+def _pval_matches(entry: dict, pval: str, op: str, value) -> bool:
+    """Driver-side partition-directory predicate: does a directory whose
+    transformed value rendered as ``pval`` possibly hold rows matching
+    ``col op value``? Mirrors read_hidden's rewrite rules exactly
+    (inclusive relaxation for ranges; bucket prunes only on =/in)."""
+    t = entry["transform"]
+    if op == "in":
+        want = {str(_transform_literal(entry, x)) for x in value}
+        return pval in want
+    if t == "bucket":
+        if op == "=":
+            return pval == str(_transform_literal(entry, value))
+        return True  # not order-preserving: other ops cannot prune
+    lit = _transform_literal(entry, value)
+    # order-preserving transforms: day/month/truncate render as strings that
+    # compare lexicographically in ISO/prefix form; identity may be numeric,
+    # so int-parse both sides when possible (same exactness contract as
+    # skipping._coerce — never through float)
+    a, b = pval, str(lit)
+    try:
+        a, b = int(a), int(b)
+    except (TypeError, ValueError):
+        pass
+    if op == "=":
+        return a == b
+    if op in ("<", "<="):
+        return a <= b  # strict bounds relax; residual restores them
+    return a >= b
+
+
+def candidate_files_hidden(
+    table: str, filters: list[tuple] | None = None, version: int | None = None
+) -> list[str]:
+    """The relative file paths read_hidden_skipping would scan, after BOTH
+    prunings — exposed so tests can assert each level's selectivity
+    independently (directory prune via the path prefix, file prune via
+    the count within surviving directories)."""
+    from semantic_index_spark.sources.skipping import _file_may_match
+
+    meta = _read_meta(table)
+    entries = meta["spec"]
+    _skip_meta(meta)
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"table {table} has no commits")
+    with open(_zonemap_path(table, v)) as f:
+        man = json.load(f)
+    by_col = {e["col"]: e for e in entries}
+    keep = []
+    for relpath, ranges in man["files"].items():
+        pvals = _parse_partition_values(relpath, entries)
+        ok = True
+        for col, op, value in filters or []:
+            e = by_col.get(col)
+            if e is not None and not _pval_matches(e, pvals[e["name"]], op, value):
+                ok = False  # directory-level prune
+                break
+            if not _file_may_match(ranges, col, op, value):
+                ok = False  # file-level prune
+                break
+        if ok:
+            keep.append(relpath)
+    return sorted(keep)
+
+
+def read_hidden_skipping(
+    spark: SparkSession,
+    table: str,
+    filters: list[tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read with BOTH prunings: source-column ``filters`` (triples, op in
+    ``= < <= > >= in``) first eliminate partition directories via the
+    transform rewrite, then files inside surviving directories via their
+    zone maps; the original predicates always apply as residuals on the
+    survivors, so results are identical with pruning on or off at either
+    level. Returns the SOURCE schema."""
+    meta = _read_meta(table)
+    entries = meta["spec"]
+    _check_tz(table, spark, meta, "read")
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"table {table} has no commits")
+    vdir = os.path.join(table, f"v={v}")
+    keep = candidate_files_hidden(table, filters, version=v)
+    if not keep:
+        df = spark.read.parquet(vdir).filter(F.lit(False))
+    else:
+        df = spark.read.option("basePath", vdir).parquet(
+            *[os.path.join(vdir, fn) for fn in keep]
+        )
+    for col, op, value in filters or []:
+        c = F.col(col)
+        if op == "in":
+            df = df.filter(c.isin(list(value)))
+        else:
+            df = df.filter(
+                {"=": c.__eq__, "<": c.__lt__, "<=": c.__le__, ">": c.__gt__, ">=": c.__ge__}[op](value)
+            )
+    return df.drop(*[e["name"] for e in entries])

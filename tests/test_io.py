@@ -1013,3 +1013,113 @@ def test_append_skipping_matches_rebuild(spark, tmp_path):
     ref2 = sorted(r["id"] for r in full.filter(F.col("code") == v).collect())
     assert got2 == ref2
     assert len(Z.candidate_files(t, [("code", "=", v)])) < 10
+
+
+# ---------------------------------------------------------------------------
+# Composed layout: hidden partitioning × zone-map file skipping
+# ---------------------------------------------------------------------------
+
+
+def _hidden_skipping_fixture(spark, tmp_path):
+    from semantic_index_spark.sources import hidden as H
+
+    # 8 distinct days, value monotone in id and clustered within each day:
+    # day(ts) prunes DIRECTORIES, the per-file value ranges prune FILES
+    # inside the surviving directories
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id"),
+            F.expr(
+                "timestampadd(DAY, cast(id % 8 as int), timestamp'2026-03-01 06:00:00')"
+            ).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+            (F.col("id") % 5).cast("string").alias("tag"),
+        )
+    )
+    t = str(tmp_path / "hidden_skip_tbl")
+    H.create_hidden_skipping(
+        df, t, [("day", "ts")], stats_cols=["value", "id"], n_files=16,
+        cluster_by="value",
+    )
+    return H, df, t
+
+
+def test_hidden_skipping_prunes_both_levels_and_matches(spark, tmp_path):
+    H, df, t = _hidden_skipping_fixture(spark, tmp_path)
+    all_files = H.candidate_files_hidden(t)
+    dirs = lambda fs: {f.rsplit("/", 1)[0] for f in fs}
+    n_dirs_all, n_files_all = len(dirs(all_files)), len(all_files)
+    assert n_dirs_all == 8
+
+    # (a) partition-source predicate alone prunes whole DIRECTORIES
+    ts_filt = [("ts", ">=", "2026-03-03"), ("ts", "<", "2026-03-05")]
+    keep_ts = H.candidate_files_hidden(t, ts_filt)
+    # the strict < bound relaxes inclusively at directory level (the
+    # boundary day COULD hold earlier rows; the residual restores
+    # strictness), so 3 day-dirs survive out of 8
+    assert len(dirs(keep_ts)) == 3 < n_dirs_all
+
+    # (b) stats-column predicate alone prunes FILES, not directories:
+    # value is clustered within every day, so each dir keeps a strict
+    # subset of its files while every dir stays alive
+    val_filt = [("value", "<", 400.0)]
+    keep_val = H.candidate_files_hidden(t, val_filt)
+    assert dirs(keep_val) == dirs(all_files)
+    assert len(keep_val) < n_files_all
+
+    # (c) composed: both prunings apply on one read
+    both = ts_filt + val_filt
+    keep_both = H.candidate_files_hidden(t, both)
+    assert len(dirs(keep_both)) <= 3
+    assert len(keep_both) < len(keep_ts)
+
+    # pruning-independence at BOTH levels: each filtered read equals the
+    # unfiltered read with the same predicates applied afterwards
+    full = H.read_hidden_skipping(spark, t)
+    assert full.columns == df.columns  # partition cols never surface
+    for filt in (ts_filt, val_filt, both):
+        got = H.read_hidden_skipping(spark, t, filt)
+        exp = full
+        for col, op, v in filt:
+            c = F.col(col)
+            exp = exp.filter({"=": c.__eq__, "<": c.__lt__, "<=": c.__le__,
+                              ">": c.__gt__, ">=": c.__ge__}[op](v))
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+    # and the source-of-truth check against the original frame
+    got = H.read_hidden_skipping(spark, t, both)
+    ref = df.filter((F.col("ts") >= "2026-03-03") & (F.col("ts") < "2026-03-05")
+                    & (F.col("value") < 400.0))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_hidden_skipping_empty_prune_and_in_op(spark, tmp_path):
+    H, df, t = _hidden_skipping_fixture(spark, tmp_path)
+    # predicate outside every zone: zero candidate files, empty result,
+    # schema intact
+    none = H.read_hidden_skipping(spark, t, [("value", ">", 1e9)])
+    assert none.count() == 0 and none.columns == df.columns
+    assert H.candidate_files_hidden(t, [("value", ">", 1e9)]) == []
+    # IN on the partition source column prunes to exactly those days
+    got = H.read_hidden_skipping(
+        spark, t, [("id", "in", [3, 11, 1999])]
+    )
+    assert sorted(r["id"] for r in got.collect()) == [3, 11, 1999]
+
+
+def test_hidden_skipping_commit_and_time_travel(spark, tmp_path):
+    H, df, t = _hidden_skipping_fixture(spark, tmp_path)
+    v1 = H.commit_hidden_skipping(df.filter("id < 100"), t)
+    assert v1 == 1
+    assert H.read_hidden_skipping(spark, t).count() == 100
+    # old snapshot still reads with its own manifest
+    assert H.read_hidden_skipping(spark, t, version=0).count() == 2000
+    old = H.read_hidden_skipping(
+        spark, t, [("value", "<", 400.0)], version=0
+    )
+    assert old.count() == 400
+    # every committed version carries stats (manifest-before-pointer)
+    import os as _os
+    for v in (0, 1):
+        assert _os.path.exists(H._zonemap_path(t, v))

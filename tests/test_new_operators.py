@@ -2454,3 +2454,132 @@ def test_mrl_truncate_renorm_and_recall(spark):
     assert [round(x, 5) for x in raw["embedding"]] == [round(float(x), 5) for x in orig[:4]]
     with pytest.raises(ValueError):
         S.mrl_truncate(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization, filtered IVF, late-interaction MaxSim (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_encode_roundtrip_codes_and_determinism(spark):
+    df = _pq_fixture(spark)  # 8-dim, 3 well-separated clusters
+    model = S.sq_train(df)
+    assert len(model["lo"]) == 8 and len(model["step"]) == 8
+    codes = S.sq_encode(df, model)
+    rows = codes.collect()
+    assert len(rows) == 60
+    # tinyint storage, full [-128, 127] range usable
+    assert codes.schema["codes"].dataType.simpleString() == "array<tinyint>"
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(-128 <= c <= 127 for c in r["codes"])
+    # deterministic: retrain + re-encode is identical
+    model2 = S.sq_train(df)
+    assert model2 == model
+    assert sorted(map(tuple, S.sq_encode(df, model2).collect())) == sorted(
+        map(tuple, rows)
+    )
+    # dequantized vectors approximate the originals within step/2 per dim
+    orig = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for r in rows[:20]:
+        for d, c in enumerate(r["codes"]):
+            deq = model["lo"][d] + model["step"][d] * (c + 128)
+            assert abs(deq - float(orig[r["vec_id"]][d])) <= model["step"][d] / 2 + 1e-9
+
+
+def test_sq_constant_dimension_encodes_zero(spark):
+    df = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(10)], "vec_id bigint, embedding array<float>"
+    )
+    model = S.sq_train(df)
+    assert model["step"][0] == 0.0
+    codes = {r["vec_id"]: r["codes"] for r in S.sq_encode(df, model).collect()}
+    assert all(c[0] == -128 for c in codes.values())  # code 0, shifted
+
+
+def test_sq_topk_rescore_matches_exact_topk(spark):
+    # clusters are far apart relative to quantization error, so the
+    # two-stage (ADC candidates -> exact rescore) result must EQUAL the
+    # brute-force exact top-k, scores included (stage 2 is the exact dot)
+    df = _pq_fixture(spark)
+    model = S.sq_train(df)
+    codes = S.sq_encode(df, model)
+    q = [float(x) for x in df.filter("vec_id = 1").collect()[0]["embedding"]]
+    got = S.sq_topk_rescore(codes, df, model, q, k=10, candidates=30)
+    want = S.topk(df, q, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    # stage-1 plan: bounded top-k over the codes scan, no join, no shuffle
+    from semantic_index_spark.plans import explain as E
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_topk_filtered_prunes_cells_and_pushes_predicate(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 4)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    cents = S.make_centroids(4, 8)
+    path = str(tmp_path / "ivf_filtered")
+    S.write_ivf_index(df, cents, path)
+    q = [float(x) for x in rows[7][1]]
+    got = S.ivf_topk_filtered(spark, path, q, cents, "label = 3", k=5, nprobe=2)
+    rows_got = got.collect()
+    assert len(rows_got) == 5
+    # parity: same probe + filter + scoring done by hand on the raw frame
+    probe = S._probe_cells(q, cents, 2)
+    want = (
+        S.ivf_assign(df, cents)
+        .filter(F.col("_cell").isin(probe))
+        .filter("label = 3")
+    )
+    from semantic_index_spark.functions import vector as V
+    want = (
+        want.select("vec_id", F.round(V.dot_literal(F.col("embedding"), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+    assert [tuple(r) for r in rows_got] == [tuple(r) for r in want.collect()]
+    # every result satisfies the predicate
+    assert all(r["vec_id"] % 4 == 3 for r in rows_got)
+    # plan: cells pruned at PLANNING time + predicate pushed to the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_late_interaction_maxsim_semantics(spark):
+    # 2 docs x 2 tokens in 2-dim space; query = 2 tokens.
+    # doc 0 tokens: e1, e2; doc 1 tokens: -e1, e2.
+    toks = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (0, [0.0, 1.0]),
+            (1, [-1.0, 0.0]), (1, [0.0, 1.0]),
+        ],
+        "doc_id bigint, embedding array<float>",
+    )
+    got = {r["doc_id"]: r["score_micros"]
+           for r in S.late_interaction_topk(toks, [[1.0, 0.0], [0.0, 2.0]], k=10).collect()}
+    # doc0: max(1,0) + max(0,2) = 3.0 ; doc1: max(-1,0) + max(0,2) = 2.0
+    assert got == {0: 3_000_000, 1: 2_000_000}
+    # top-k ordering + bound
+    top = S.late_interaction_topk(toks, [[1.0, 0.0], [0.0, 2.0]], k=1).collect()
+    assert [(r["doc_id"], r["score_micros"]) for r in top] == [(0, 3_000_000)]
+
+
+def test_late_interaction_matches_single_vector_topk_when_one_token(spark):
+    # with ONE query token and ONE token per doc, MaxSim degenerates to
+    # the exact dot top-k (micro-integer scores)
+    df = _pq_fixture(spark).withColumnRenamed("vec_id", "doc_id")
+    q = [float(x) for x in df.filter("doc_id = 1").collect()[0]["embedding"]]
+    got = S.late_interaction_topk(df, [q], k=10)
+    want = S.topk(df.withColumnRenamed("doc_id", "vec_id"), q, k=10)
+    got_ids = [r["doc_id"] for r in got.collect()]
+    want_ids = [r["vec_id"] for r in want.collect()]
+    assert got_ids == want_ids

@@ -669,6 +669,21 @@ AUDITS = {
     # hidden partitioning: source predicates must land on partition
     # columns (PartitionFilters) — pruning at planning time, not row filters
     "hidden_partition_prune": {"expect": ["PartitionFilters: ["], "forbid": ["CartesianProduct"]},
+    # composed dir+file pruning: BOTH prunings resolve driver-side from
+    # the manifest before the scan (the plan sees only the surviving file
+    # list), so the audited plan is the residual-filtered scan + group-by —
+    # partition columns still parse (basePath) and nothing joins.
+    "hidden_skipping_compose": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # SQ8 two-stage: stage 1 is a bounded top-k over the codes scan, the
+    # candidate set re-enters as a broadcast — never a corpus sort/shuffle
+    "sq_rescore_topk": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # filtered IVF serving: cells prune at PLANNING time, the metadata
+    # predicate pushes into the scan of the surviving cells
+    "filtered_ivf_topk": {"expect": ["PartitionFilters: [", "PushedFilters", "TakeOrderedAndProject"], "forbid": ["CartesianProduct", "SortMergeJoin", "Exchange"]},
+    # MaxSim: the |Q|-row query side broadcasts against ONE token-corpus
+    # scan; (doc,qtok) max + per-doc sum are partial-aggs (the broadcast
+    # nested-loop IS the plan — a k-row cross with the tiny side)
+    "colbert_maxsim": {"expect": ["BroadcastNestedLoopJoin", "HashAggregate", "TakeOrderedAndProject"], "forbid": ["SortMergeJoin"]},
     # quantiles from the (localCheckpointed, k-row) sample: the audited
     # plan is the order-statistic join; the corpus-side bounded top-k
     # (TakeOrderedAndProject) is plan-locked in tests/test_sketch_sampling.py
