@@ -5457,6 +5457,77 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.late_interaction_topk(toks, qvecs, k=KNN_K)
 
 
+ZSK_U_LO, ZSK_U_HI = 10, 100
+ZSK_V_LO, ZSK_V_HI = 100.0, 250.0
+
+# Session-cached Z-order-clustered zone-map copy of `events`: the Morton
+# key over (user_id, value) makes the per-file stats selective in BOTH
+# dimensions at once (Delta/Iceberg OPTIMIZE ZORDER BY).
+_ZORDER_TBL_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _zorder_events_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import skipping as Z
+    from semantic_index_spark.sources.io import zorder_key
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tbl = _ZORDER_TBL_CACHE.get(key)
+    if tbl is not None and os.path.isdir(tbl):
+        return tbl
+    root = tempfile.mkdtemp(prefix="zorder_events_")
+    tbl = os.path.join(root, "events_zorder")
+    ev = load_table(spark, sf_dir, "events")
+    # key domains from one tiny agg so the 8-bit cells stay selective at
+    # every SF (out-of-domain values would clamp to edge cells)
+    b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    zk = zorder_key(
+        [("user_id", float(b[0]), float(b[1]) + 1.0),
+         ("value", float(b[2]), float(b[3]) + 1.0)],
+        bits=8,
+    )
+    Z.write_skipping(ev, tbl, ["user_id", "value"], n_files=32, cluster_by=zk)
+    _ZORDER_TBL_CACHE[key] = tbl
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered multi-dimensional file skipping (r8 —
+    ``io.zorder_key`` as ``write_skipping``'s cluster expression, the
+    Delta/Iceberg OPTIMIZE ZORDER BY story): events range-cluster on the
+    Morton interleave of (user_id, value), so each file's zone map is a
+    tight box in BOTH dimensions and a 2-D box predicate prunes files on
+    each column independently — where 1-D clustering leaves every
+    non-clustered column's per-file range spanning the domain (pytest
+    asserts exactly that contrast). Pruning is IO-only (residuals always
+    reapply), so the oracle is the box predicate verbatim on raw
+    events."""
+    from semantic_index_spark.sources import skipping as Z
+
+    tbl = _zorder_events_table(spark, sf_dir)
+    got = Z.read_skipping(
+        spark,
+        tbl,
+        [
+            ("user_id", ">=", ZSK_U_LO),
+            ("user_id", "<", ZSK_U_HI),
+            ("value", ">=", ZSK_V_LO),
+            ("value", "<", ZSK_V_HI),
+        ],
+    )
+    return got.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
 # The driver hash-checks the FIRST 50 queries() entries each round, so the
 # leading window is a verification contract.  queries() keeps the canonical
 # dict literal in stable historical order and reorders at return time by this
@@ -5480,17 +5551,17 @@ _DRIVER_WINDOW_R8 = [
     "bloom_skipping", "delete_vectors", "optimize_demo", "mrl_topk",
     "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
     "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
-    "colbert_maxsim",
+    "colbert_maxsim", "zorder_skipping",
     # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
     "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 17 from r3)
+    # stalest green driver rows, oldest round first (8 from r1, 16 from r3)
     "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
     "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
     "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
     "q3_shipping_priority", "filter_predicates", "agg_having",
     "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
     "hll_users", "filter_projection", "topk_orders", "upsert_update_demo",
-    "delete_ops_demo", "skip_policy_demo",
+    "delete_ops_demo",
 ]
 
 
@@ -5503,18 +5574,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
-    after it lands, every one of the 280 registry queries has at least one
+    after it lands, every one of the 281 registry queries has at least one
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~5 rounds stale (280 queries / 50 per round).
+    driver row at most ~5 rounds stale (281 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 280 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 281 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -5582,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
+        "zorder_skipping": q_zorder_skipping,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6641,6 +6713,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(mx)::BIGINT AS score_micros
             FROM mx GROUP BY doc_id
             ORDER BY score_micros DESC, doc_id LIMIT {KNN_K}
+        """,
+        # Z-order skipping is IO-only like every pruning layout: the
+        # oracle is the 2-D box predicate verbatim on raw events
+        "zorder_skipping": f"""
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+            FROM events
+            WHERE user_id >= {ZSK_U_LO} AND user_id < {ZSK_U_HI}
+              AND value >= {ZSK_V_LO} AND value < {ZSK_V_HI}
+            GROUP BY event_type
         """,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every

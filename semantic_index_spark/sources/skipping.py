@@ -67,6 +67,14 @@ def write_skipping(
     that makes the zone maps selective. Returns the number of data files
     written.
 
+    ``cluster_by`` may also be a Column EXPRESSION — pass
+    ``io.zorder_key([...])`` to range-cluster on the Morton key, which
+    makes the zone maps selective in EVERY keyed dimension at once
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``): a box predicate over k
+    columns then prunes files on each column independently, where 1-D
+    clustering leaves every non-clustered column's per-file range spanning
+    the domain.
+
     ``bloom_cols`` additionally records a per-file BLOOM bitmap (Delta's
     bloom-filter-index story): zone maps only skip when the layout is
     clustered on the filtered column, but a Bloom filter skips POINT
@@ -81,9 +89,10 @@ def write_skipping(
     if os.path.exists(_manifest_path(table)):
         raise FileExistsError(f"skipping table {table} already exists")
     data = os.path.join(table, "data")
+    ck = F.col(cluster_by) if isinstance(cluster_by, str) else cluster_by
     shaped = (
-        df.repartitionByRange(n_files, F.col(cluster_by))
-        if cluster_by
+        df.repartitionByRange(n_files, ck)
+        if cluster_by is not None
         else df.repartition(n_files)
     )
     shaped.write.mode("errorifexists").parquet(data)
@@ -278,9 +287,10 @@ def append_skipping(
     bl = man.get("bloom")
     data = os.path.join(table, "data")
     before = set(os.listdir(data))
+    ck = F.col(cluster_by) if isinstance(cluster_by, str) else cluster_by
     shaped = (
-        df.repartitionByRange(n_files, F.col(cluster_by))
-        if cluster_by
+        df.repartitionByRange(n_files, ck)
+        if cluster_by is not None
         else df.repartition(n_files)
     )
     shaped.write.mode("append").parquet(data)

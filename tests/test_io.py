@@ -1123,3 +1123,39 @@ def test_hidden_skipping_commit_and_time_travel(spark, tmp_path):
     import os as _os
     for v in (0, 1):
         assert _os.path.exists(H._zonemap_path(t, v))
+
+
+def test_zorder_clustered_skipping_prunes_both_dimensions(spark, tmp_path):
+    # Z-order clustering makes zone maps selective in EVERY keyed
+    # dimension; 1-D clustering leaves the non-clustered column's
+    # per-file ranges spanning the whole domain (no pruning)
+    import random
+
+    from semantic_index_spark.sources import skipping as Z
+    from semantic_index_spark.sources.io import zorder_key
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 256), rng.uniform(0.0, 256.0)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y double")
+    tz = str(tmp_path / "zm_zorder")
+    t1 = str(tmp_path / "zm_1d")
+    Z.write_skipping(
+        df, tz, ["x", "y"], n_files=16,
+        cluster_by=zorder_key([("x", 0, 256), ("y", 0, 256)], bits=8),
+    )
+    Z.write_skipping(df, t1, ["x", "y"], n_files=16, cluster_by="x")
+    fx = [("x", ">=", 64), ("x", "<", 96)]
+    fy = [("y", ">=", 64.0), ("y", "<", 96.0)]
+    # 1-D layout: clustered column prunes, the other cannot
+    assert len(Z.candidate_files(t1, fx)) < 16
+    assert len(Z.candidate_files(t1, fy)) == 16
+    # Z-order layout: BOTH single-dimension slabs prune, the box prunes
+    # at least as hard as either slab
+    nx, ny = len(Z.candidate_files(tz, fx)), len(Z.candidate_files(tz, fy))
+    assert nx < 16 and ny < 16
+    nbox = len(Z.candidate_files(tz, fx + fy))
+    assert nbox <= min(nx, ny)
+    # pruning is IO-only: results equal the manual filter on the source
+    got = Z.read_skipping(spark, tz, fx + fy)
+    exp = df.filter("x >= 64 and x < 96 and y >= 64.0 and y < 96.0")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))

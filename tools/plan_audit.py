@@ -674,6 +674,9 @@ AUDITS = {
     # list), so the audited plan is the residual-filtered scan + group-by —
     # partition columns still parse (basePath) and nothing joins.
     "hidden_skipping_compose": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # Z-order skipping: candidates resolve driver-side from the manifest,
+    # the plan is the residual-filtered scan of survivors + group-by
+    "zorder_skipping": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
     # SQ8 two-stage: stage 1 is a bounded top-k over the codes scan, the
     # candidate set re-enters as a broadcast — never a corpus sort/shuffle
     "sq_rescore_topk": {"expect": ["TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
