@@ -5528,6 +5528,82 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E2E_DECONTAM_N = 8  # long shingles: the GPT-3/Lee-style decontam n-gram
+
+
+def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one verifiable composition (r8):
+    raw docs split into train/benchmark (doc_id % 10), then the train side
+    runs quality gate (Gopher rules conjunction) → exact dedup (normalized
+    md5 fingerprint, min-id winner) → DECONTAMINATION (drop any train doc
+    sharing an 8-gram shingle hash with the benchmark — long shingles, the
+    GPT-3/Lee-style decontam key; the anti-join twin of
+    contamination_check's audit) → sequence packing into 512-token
+    training rows. One summary row carries each stage's survivor count,
+    the packed-token totals, and a checksum over every (doc, seq, offset)
+    assignment — so the driver hash locks the ENTIRE composition, not one
+    operator. Every stage reuses a driver-verified operator
+    (gopher_rules / exact_dedup / shingle-hash join / pack_sequences);
+    each is a hash equi-join or map-only stage — nothing here changes
+    shape at 100 TB."""
+    from semantic_index_spark.operators import pipeline as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+
+    # min_stop_hits=1: the synthetic vocabulary carries few English
+    # stopwords (corpus-appropriate thresholds are the Gopher paper's own
+    # guidance); every other rule keeps its default
+    passed = TA.gopher_rules(
+        train, min_words=GOPHER_MIN_WORDS, min_stop_hits=1
+    ).filter("pass_gopher").select("doc_id")
+    quality = train.join(passed, "doc_id", "left_semi")
+
+    winners = D.exact_dedup(quality).select("doc_id")
+    deduped = quality.join(winners, "doc_id", "left_semi")
+
+    bench_h = (
+        bench.select(F.explode(T.shingles("text", E2E_DECONTAM_N)).alias("_sh"))
+        .select(T.md5_bigint("_sh").alias("_h"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.select(
+            "doc_id", F.explode(T.shingles("text", E2E_DECONTAM_N)).alias("_sh")
+        )
+        .select("doc_id", T.md5_bigint("_sh").alias("_h"))
+        .join(bench_h, "_h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    packed = P.pack_sequences(clean, budget=PACK_BUDGET)
+
+    def _cnt(df, name):
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    toks = clean.select(F.size(T.tokens("text")).alias("_nt")).agg(
+        F.sum("_nt").cast("bigint").alias("tok_clean")
+    )
+    pk = packed.agg(
+        F.count_distinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
+        F.sum(
+            F.col("doc_id") * (F.col("seq_id") + 1) + F.col("offset_in_seq")
+        ).cast("bigint").alias("pack_checksum"),
+    )
+    return (
+        _cnt(train, "n_train")
+        .crossJoin(_cnt(quality, "n_quality"))
+        .crossJoin(_cnt(deduped, "n_dedup"))
+        .crossJoin(_cnt(clean, "n_clean"))
+        .crossJoin(toks)
+        .crossJoin(pk)
+    )
+
+
 # The driver hash-checks the FIRST 50 queries() entries each round, so the
 # leading window is a verification contract.  queries() keeps the canonical
 # dict literal in stable historical order and reorders at return time by this
@@ -5551,17 +5627,16 @@ _DRIVER_WINDOW_R8 = [
     "bloom_skipping", "delete_vectors", "optimize_demo", "mrl_topk",
     "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
     "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
-    "colbert_maxsim", "zorder_skipping",
+    "colbert_maxsim", "zorder_skipping", "training_pipeline_e2e",
     # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
     "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 16 from r3)
+    # stalest green driver rows, oldest round first (8 from r1, 15 from r3)
     "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
     "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
     "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
     "q3_shipping_priority", "filter_predicates", "agg_having",
     "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
     "hll_users", "filter_projection", "topk_orders", "upsert_update_demo",
-    "delete_ops_demo",
 ]
 
 
@@ -5574,18 +5649,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
-    after it lands, every one of the 281 registry queries has at least one
+    after it lands, every one of the 282 registry queries has at least one
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~5 rounds stale (281 queries / 50 per round).
+    driver row at most ~5 rounds stale (282 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 281 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 282 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -5654,6 +5729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
         "zorder_skipping": q_zorder_skipping,
+        "training_pipeline_e2e": q_training_pipeline_e2e,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6725,6 +6801,104 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id >= {ZSK_U_LO} AND user_id < {ZSK_U_HI}
               AND value >= {ZSK_V_LO} AND value < {ZSK_V_HI}
             GROUP BY event_type
+        """,
+        # the full pipeline composition replayed stage-by-stage: the gopher
+        # measures (verbatim from the gopher_rules oracle) gate the train
+        # split, min-id-per-fingerprint dedup, shingle-hash anti-join
+        # decontamination (8-gram shingles) vs the benchmark split, then the pack_sequences
+        # prefix-sum layout — all folded into one summary row
+        "training_pipeline_e2e": f"""
+            WITH train AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ),
+            bench AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            gb AS (
+                SELECT doc_id, text, {_DUCK_TOKENS} AS t,
+                       string_split(text, chr(10)) AS lines
+                FROM train
+            ),
+            gm AS (
+                SELECT doc_id,
+                    len(t)::BIGINT AS n_words,
+                    round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 6) AS mean_word_len,
+                    round(((length(text) - length(replace(text, '#', '')))
+                           + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE / len(t), 6) AS symbol_ratio,
+                    round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(t), 6) AS alpha_frac,
+                    (list_contains(t, 'the')::INT + list_contains(t, 'be')::INT
+                     + list_contains(t, 'to')::INT + list_contains(t, 'of')::INT
+                     + list_contains(t, 'and')::INT + list_contains(t, 'that')::INT
+                     + list_contains(t, 'have')::INT + list_contains(t, 'with')::INT)::BIGINT AS stop_hits,
+                    round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE / len(lines), 6) AS bullet_frac,
+                    round(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))::DOUBLE / len(lines), 6) AS ellipsis_frac
+                FROM gb
+            ),
+            quality AS (
+                SELECT tr.doc_id, tr.text
+                FROM train tr JOIN gm USING (doc_id)
+                WHERE gm.n_words >= {GOPHER_MIN_WORDS} AND gm.n_words <= 100000
+                  AND gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0
+                  AND gm.symbol_ratio <= 0.1 AND gm.alpha_frac >= 0.8
+                  AND gm.stop_hits >= 1 AND gm.bullet_frac <= 0.9
+                  AND gm.ellipsis_frac <= 0.3
+            ),
+            winners AS (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id,
+                             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                      FROM quality)
+                GROUP BY fp
+            ),
+            deduped AS (
+                SELECT q.doc_id, q.text FROM quality q JOIN winners USING (doc_id)
+            ),
+            bench_h AS (
+                SELECT DISTINCT {_duck_md5_bigint("sh")} AS h
+                FROM (SELECT unnest({_duck_shingles(_DUCK_TOKENS, E2E_DECONTAM_N)}) AS sh
+                      FROM bench)
+            ),
+            contaminated AS (
+                SELECT DISTINCT d.doc_id
+                FROM (SELECT doc_id, {_duck_md5_bigint("sh")} AS h
+                      FROM (SELECT doc_id,
+                                   unnest({_duck_shingles(_DUCK_TOKENS, E2E_DECONTAM_N)}) AS sh
+                            FROM deduped)) d
+                JOIN bench_h USING (h)
+            ),
+            clean AS (
+                SELECT * FROM deduped
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            pt AS (
+                SELECT doc_id, len({_DUCK_TOKENS})::INT AS n_tokens FROM clean
+            ),
+            pc AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS s
+                FROM pt
+            ),
+            packed AS (
+                SELECT doc_id, n_tokens,
+                       s // {PACK_BUDGET} AS seq_id,
+                       s % {PACK_BUDGET} AS offset_in_seq,
+                       (n_tokens > 0 AND
+                        (s + n_tokens - 1) // {PACK_BUDGET} <> s // {PACK_BUDGET})
+                           AS spans_boundary
+                FROM pc
+            )
+            SELECT (SELECT count(*) FROM train)::BIGINT AS n_train,
+                   (SELECT count(*) FROM quality)::BIGINT AS n_quality,
+                   (SELECT count(*) FROM deduped)::BIGINT AS n_dedup,
+                   (SELECT count(*) FROM clean)::BIGINT AS n_clean,
+                   (SELECT sum(n_tokens) FROM pt)::BIGINT AS tok_clean,
+                   (SELECT count(DISTINCT seq_id) FROM packed)::BIGINT AS n_seqs,
+                   (SELECT sum(spans_boundary::INT) FROM packed)::BIGINT AS n_spanning,
+                   (SELECT sum(doc_id * (seq_id + 1) + offset_in_seq)
+                    FROM packed)::BIGINT AS pack_checksum
         """,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every

@@ -2583,3 +2583,19 @@ def test_late_interaction_matches_single_vector_topk_when_one_token(spark):
     got_ids = [r["doc_id"] for r in got.collect()]
     want_ids = [r["vec_id"] for r in want.collect()]
     assert got_ids == want_ids
+
+
+def test_training_pipeline_e2e_stage_invariants(spark, sf_dir):
+    # the composed pipeline's summary must be internally consistent:
+    # stages only shrink, and packing covers exactly the surviving tokens
+    import __spark_entry__ as entry
+
+    r = entry.q_training_pipeline_e2e(spark, sf_dir).collect()[0]
+    assert r["n_train"] >= r["n_quality"] >= r["n_dedup"] >= r["n_clean"] > 0
+    # every stage actually filters something on the test corpus
+    assert r["n_clean"] < r["n_train"]
+    # n_seqs counts sequences holding a doc's FIRST token; the stream is
+    # ceil(tok/B) sequences long, and first-token sequences are a subset
+    budget = entry.PACK_BUDGET
+    assert r["n_seqs"] <= (r["tok_clean"] + budget - 1) // budget
+    assert r["n_spanning"] >= 0 and r["pack_checksum"] > 0

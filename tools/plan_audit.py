@@ -674,6 +674,11 @@ AUDITS = {
     # list), so the audited plan is the residual-filtered scan + group-by —
     # partition columns still parse (basePath) and nothing joins.
     "hidden_skipping_compose": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # full pipeline composition: quality gate is map-only, dedup/decontam
+    # are hash equi-joins (semi/anti), the summary stitches 1-row aggs
+    # with broadcast nested loops (by design — every side is one row);
+    # never an unkeyed corpus product
+    "training_pipeline_e2e": {"expect": ["HashAggregate", "BroadcastHashJoin"], "forbid": ["CartesianProduct"]},
     # Z-order skipping: candidates resolve driver-side from the manifest,
     # the plan is the residual-filtered scan of survivors + group-by
     "zorder_skipping": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
