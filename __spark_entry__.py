@@ -5604,6 +5604,68 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KC_K = 80  # nontrivial core with a multi-round cascade at both SFs
+KC_ITERS = 6  # fixpoint is 5 rounds at sf0.01 AND sf0.1; 6 = margin
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition end-to-end (r8 — operators/graph.py
+    ``k_core``): peel the co-purchase graph to its 80-core — every
+    surviving part co-occurs with ≥80 other SURVIVING parts, the standard
+    density filter hub-and-leaf graphs get before community detection.
+    k=80 exercises the cascade (nodes above the threshold die because
+    their neighbors died: 5 peeling rounds to fixpoint at both SFs, vs
+    the one-round prune a naive degree filter does); fixed KC_ITERS=6
+    keeps the recurrence oracle-unrollable (the pagerank contract) with
+    one spare round proving the fixpoint to the unrolled CTE chain."""
+    from semantic_index_spark.operators import graph as G
+
+    return G.k_core(
+        _copurchase_edges(spark, sf_dir), KC_K, iters=KC_ITERS,
+        assume_canonical=True,
+    )
+
+
+def _duck_k_core_sql(k: int, iters: int) -> str:
+    """Unrolled peeling oracle: e0 = the canonical co-purchase edge list,
+    then per round n_i = vertices with degree >= k in e_{i-1} and e_i =
+    edges with both endpoints in n_i — the literal Seidman recurrence."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, so each e_i reference
+    # would re-expand the whole chain below it — exponential scans of the
+    # base table ("too many open files" long before wrong answers).
+    # Materializing pins each round to run once, like the Spark
+    # localCheckpoint per round.
+    parts = [
+        """e0 AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""n{i} AS MATERIALIZED (
+                SELECT n FROM (SELECT a AS n FROM e{i - 1}
+                               UNION ALL SELECT b AS n FROM e{i - 1})
+                GROUP BY n HAVING count(*) >= {k}
+            )"""
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+                SELECT e.a, e.b FROM e{i - 1} e
+                JOIN n{i} x ON e.a = x.n JOIN n{i} y ON e.b = y.n
+            )"""
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f"""
+            SELECT node, count(*)::BIGINT AS degree
+            FROM (SELECT a AS node FROM e{iters}
+                  UNION ALL SELECT b AS node FROM e{iters})
+            GROUP BY node"""
+    )
+
+
 # The driver hash-checks the FIRST 50 queries() entries each round, so the
 # leading window is a verification contract.  queries() keeps the canonical
 # dict literal in stable historical order and reorders at return time by this
@@ -5627,16 +5689,16 @@ _DRIVER_WINDOW_R8 = [
     "bloom_skipping", "delete_vectors", "optimize_demo", "mrl_topk",
     "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
     "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
-    "colbert_maxsim", "zorder_skipping", "training_pipeline_e2e",
+    "colbert_maxsim", "zorder_skipping", "training_pipeline_e2e", "k_core",
     # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
     "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 15 from r3)
+    # stalest green driver rows, oldest round first (8 from r1, 14 from r3)
     "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
     "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
     "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
     "q3_shipping_priority", "filter_predicates", "agg_having",
     "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
-    "hll_users", "filter_projection", "topk_orders", "upsert_update_demo",
+    "hll_users", "filter_projection", "topk_orders",
 ]
 
 
@@ -5649,18 +5711,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
-    after it lands, every one of the 282 registry queries has at least one
+    after it lands, every one of the 283 registry queries has at least one
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~5 rounds stale (282 queries / 50 per round).
+    driver row at most ~5 rounds stale (283 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 282 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 283 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -5730,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colbert_maxsim": q_colbert_maxsim,
         "zorder_skipping": q_zorder_skipping,
         "training_pipeline_e2e": q_training_pipeline_e2e,
+        "k_core": q_k_core,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6900,6 +6963,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum(doc_id * (seq_id + 1) + offset_in_seq)
                     FROM packed)::BIGINT AS pack_checksum
         """,
+        # k-core: the Seidman peeling recurrence unrolled to KC_ITERS
+        # rounds (fixpoint + 1 spare — proven 5 rounds at both SFs)
+        "k_core": _duck_k_core_sql(KC_K, KC_ITERS),
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

@@ -649,3 +649,57 @@ def find_motifs(
                 "left",
             )
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983): drop
+    every vertex of degree < ``k``, remove its edges, repeat — the
+    surviving subgraph is the k-core, the standard spam/quality filter
+    for hub-and-leaf graphs (a vertex survives only if k neighbors ALSO
+    survive). Fixed ``iters`` keeps the recurrence oracle-unrollable as
+    plain CTEs (the pagerank/label_propagation contract); callers assert
+    convergence by checking iters and iters+1 agree (pytest does).
+    ``assume_canonical=True`` skips self-loop/dedup normalization when
+    the caller already materialized a distinct a<b edge list.
+    [absent in reference — north-star extension]
+
+    Scale shape per round: one union + partial-agg degree count (map-side
+    combinable, keyed on the vertex id) and two LEFT SEMI hash joins of
+    the edge list against the |survivors|-row vertex set — never a
+    product, never a window over the corpus. The edge frame
+    localCheckpoints each round so lineage stays O(1) deep; peeling
+    monotonically shrinks it, so later rounds get cheaper. Returns the
+    k-core's (node, degree)."""
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("_a"),
+        F.greatest(F.col(src), F.col(dst)).alias("_b"),
+    )
+    if not assume_canonical:
+        e = e.filter(F.col("_a") != F.col("_b")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def _deg(ed):
+        return (
+            ed.select(F.col("_a").alias("node"))
+            .unionAll(ed.select(F.col("_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("degree"))
+        )
+
+    for _ in range(iters):
+        keep = _deg(e).filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "_a"), "_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return _deg(e)

@@ -1340,3 +1340,47 @@ def test_motif_compile_errors(spark):
         G.find_motifs(e, "!(a)-[]->(b)")
     with pytest.raises(ValueError, match="cannot name an edge"):
         G.find_motifs(e, "(a)-[]->(b); !(b)-[x]->(a)")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (r8)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_graph(spark):
+    # a 4-clique {1,2,3,4} with a pendant path 4-5-6 and an isolated edge
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = clique + [(4, 5), (5, 6), (10, 11)]
+    return spark.createDataFrame(edges, "src bigint, dst bigint")
+
+
+def test_k_core_peels_to_the_clique(spark):
+    e = _kcore_graph(spark)
+    # 3-core = exactly the 4-clique, every member at degree 3: the pendant
+    # path dies in round 1 EXCEPT node 4's edge — node 5 needs the cascade
+    # (after 6 drops, 5 has degree 1) — so the fixpoint needs >1 round
+    got = {r["node"]: r["degree"] for r in G.k_core(e, 3, iters=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 1-core keeps every non-isolated vertex with its full degree
+    one = {r["node"]: r["degree"] for r in G.k_core(e, 1, iters=4).collect()}
+    assert set(one) == {1, 2, 3, 4, 5, 6, 10, 11}
+    assert one[4] == 4 and one[5] == 2 and one[10] == 1
+    # an impossible k peels everything: empty result, stable schema
+    none = G.k_core(e, 99, iters=4)
+    assert none.count() == 0 and none.columns == ["node", "degree"]
+
+
+def test_k_core_fixed_iters_converge_and_normalize(spark):
+    e = _kcore_graph(spark)
+    # fixpoint: one extra round changes nothing (the oracle-unroll contract)
+    a = sorted(map(tuple, G.k_core(e, 3, iters=4).collect()))
+    b = sorted(map(tuple, G.k_core(e, 3, iters=5).collect()))
+    assert a == b
+    # reversed duplicates and self-loops normalize away
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["degree"] for r in G.k_core(messy, 2, iters=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # the triangle, each at degree 2
+    with pytest.raises(ValueError):
+        G.k_core(e, 0)

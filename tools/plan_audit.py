@@ -674,6 +674,10 @@ AUDITS = {
     # list), so the audited plan is the residual-filtered scan + group-by —
     # partition columns still parse (basePath) and nothing joins.
     "hidden_skipping_compose": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # k-core peeling: per round a vertex-keyed partial-agg degree count +
+    # two LEFT SEMI hash joins of edges against survivors — never a
+    # product; the audited plan is the final round over checkpointed edges
+    "k_core": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # full pipeline composition: quality gate is map-only, dedup/decontam
     # are hash equi-joins (semi/anti), the summary stitches 1-row aggs
     # with broadcast nested loops (by design — every side is one row);
