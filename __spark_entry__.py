@@ -5604,6 +5604,49 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-cached on-disk IVF-SQ8 layout: cell-partitioned byte codes only.
+_IVFSQ_IDX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivfsq_index_table(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tbl = _IVFSQ_IDX_CACHE.get(key)
+    if tbl is not None and os.path.isdir(tbl):
+        return tbl
+    root = tempfile.mkdtemp(prefix="ivfsq_idx_")
+    tbl = os.path.join(root, "embeddings_ivfsq")
+    S.write_ivfsq_index(
+        load_table(spark, sf_dir, "embeddings"), CENTROIDS,
+        _sq_model(spark, sf_dir), tbl,
+    )
+    _IVFSQ_IDX_CACHE[key] = tbl
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tbl
+
+
+def q_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed serving (r8 — similarity.py ``write_ivfsq_index``/
+    ``ivfsq_topk_indexed``, FAISS's ``IVF,SQ8``): the materialized layout
+    holds only (id, int8 codes) cell-partitioned, so a probe pays
+    planning-time cell pruning (PartitionFilters) TIMES the 4x byte cut
+    of the asymmetric code scan, then broadcasts the bounded candidate
+    set back onto the float table for the exact rescore. The oracle
+    composes the ivf probe CTE with the SQ train→encode→ADC→rescore
+    chain restricted to the probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = _sq_model(spark, sf_dir)
+    tbl = _ivfsq_index_table(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.ivfsq_topk_indexed(
+        spark, tbl, emb, model, [float(x) for x in q], CENTROIDS,
+        k=KNN_K, nprobe=IVF_NPROBE, candidates=SQ_CANDIDATES,
+    )
+
+
 KC_K = 80  # nontrivial core with a multi-round cascade at both SFs
 KC_ITERS = 6  # fixpoint is 5 rounds at sf0.01 AND sf0.1; 6 = margin
 
@@ -5690,15 +5733,16 @@ _DRIVER_WINDOW_R8 = [
     "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
     "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
     "colbert_maxsim", "zorder_skipping", "training_pipeline_e2e", "k_core",
+    "ivfsq_topk",
     # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
     "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 14 from r3)
+    # stalest green driver rows, oldest round first (8 from r1, 13 from r3)
     "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
     "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
     "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
     "q3_shipping_priority", "filter_predicates", "agg_having",
     "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
-    "hll_users", "filter_projection", "topk_orders",
+    "hll_users", "filter_projection",
 ]
 
 
@@ -5711,18 +5755,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
-    after it lands, every one of the 283 registry queries has at least one
+    after it lands, every one of the 284 registry queries has at least one
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~5 rounds stale (283 queries / 50 per round).
+    driver row at most ~5 rounds stale (284 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 283 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 284 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -5793,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_skipping": q_zorder_skipping,
         "training_pipeline_e2e": q_training_pipeline_e2e,
         "k_core": q_k_core,
+        "ivfsq_topk": q_ivfsq_topk,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6966,6 +7011,57 @@ def oracle_sql() -> dict[str, str]:
         # k-core: the Seidman peeling recurrence unrolled to KC_ITERS
         # rounds (fixpoint + 1 spare — proven 5 rounds at both SFs)
         "k_core": _duck_k_core_sql(KC_K, KC_ITERS),
+        # IVF-SQ8 composed: the ivf probe CTE gates which rows encode,
+        # then the sq_rescore chain (full-corpus model) runs on that subset
+        "ivfsq_topk": f"""
+            WITH qd AS (
+                SELECT unnest(range(0, {IVF_K})) AS cell,
+                       unnest([{", ".join(_duck_dot("(SELECT embedding FROM embeddings WHERE vec_id = 0)", _duck_plane_lit(c)) for c in CENTROIDS)}]) AS d
+            ),
+            probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT {IVF_NPROBE}),
+            cells AS (
+                SELECT vec_id, embedding, {_duck_ivf_cell("embedding")} AS cell
+                FROM embeddings
+            ),
+            sub AS (
+                SELECT vec_id, embedding FROM cells
+                WHERE cell IN (SELECT cell FROM probe)
+            ),
+            bounds AS (
+                SELECT i, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+                FROM (SELECT unnest(embedding) AS v,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings)
+                GROUP BY i
+            ),
+            model AS (
+                SELECT list(lo ORDER BY i) AS lo,
+                       list((hi - lo) / 255.0 ORDER BY i) AS step
+                FROM bounds
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            codes AS (
+                SELECT e.vec_id,
+                       list_transform(generate_series(1, 64), i ->
+                           CASE WHEN m.step[i] = 0 THEN 0
+                                ELSE greatest(0, least(255,
+                                    CAST(floor((CAST(e.embedding[i] AS DOUBLE) - m.lo[i])
+                                               / m.step[i] + 0.5) AS INTEGER)))
+                           END) AS c
+                FROM sub e, model m
+            ),
+            adc AS (
+                SELECT c.vec_id,
+                       round(list_sum(list_transform(generate_series(1, 64), i ->
+                           CAST(q.qv[i] AS DOUBLE)
+                           * (m.lo[i] + m.step[i] * c.c[i]))), 6) AS a
+                FROM codes c, model m, q
+            ),
+            cand AS (SELECT vec_id FROM adc ORDER BY a DESC, vec_id LIMIT {SQ_CANDIDATES})
+            SELECT e.vec_id, round({_duck_dot("e.embedding", "q.qv")}, 6) AS score
+            FROM embeddings e JOIN cand USING (vec_id), q
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

@@ -1415,3 +1415,65 @@ def late_interaction_topk(
         .orderBy(F.desc("score_micros"), F.asc(doc_col))
         .limit(k)
     )
+
+
+def write_ivfsq_index(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    model: dict,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    files_per_cell: int = 1,
+) -> None:
+    """Materialize an IVF-SQ8 index (FAISS ``IVF,SQ8``): rows are assigned
+    to centroid cells and stored as ``_cell=<i>/`` parquet partitions
+    holding only (id, int8 codes) — the float corpus never enters the
+    serving layout. Probes then compose BOTH savings: planning-time cell
+    pruning (PartitionFilters skips ~(K-nprobe)/K of the files) AND the
+    4x byte cut of byte-array codes inside the probed cells. Payload
+    columns beyond (id, codes) are dropped by design — rescoring joins
+    candidates back to the source-of-truth float table, which stays in
+    cheap cold storage."""
+    assigned = ivf_assign(df, centroids, emb_col)
+    codes = sq_encode(
+        assigned, model, emb_col=emb_col, id_col=id_col, out_col="codes"
+    ).join(assigned.select(id_col, "_cell"), id_col)
+    salt = F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(max(1, files_per_cell)))
+    (
+        codes.repartition(
+            max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+        )
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(path)
+    )
+
+
+def ivfsq_topk_indexed(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    model: dict,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve top-k from a :func:`write_ivfsq_index` layout — the composed
+    two-stage probe: (1) the cell filter prunes non-probed partitions at
+    PLANNING time, the surviving cells' byte codes score asymmetrically
+    into a bounded top-``candidates`` set; (2) candidate ids broadcast
+    back onto the float ``vectors`` table for the EXACT rescore.
+    Approximation contract = ivf_topk's (exact within probed cells,
+    given enough ``candidates``); determinism contract = sq_topk_rescore's
+    (both stages order by rounded score DESC, id)."""
+    probe = _probe_cells(query, centroids, nprobe)
+    codes = spark.read.parquet(path).filter(F.col("_cell").isin(probe))
+    return sq_topk_rescore(
+        codes, vectors, model, query,
+        k=k, candidates=candidates, id_col=id_col, emb_col=emb_col,
+    )

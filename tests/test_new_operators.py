@@ -2599,3 +2599,32 @@ def test_training_pipeline_e2e_stage_invariants(spark, sf_dir):
     budget = entry.PACK_BUDGET
     assert r["n_seqs"] <= (r["tok_clean"] + budget - 1) // budget
     assert r["n_spanning"] >= 0 and r["pack_checksum"] > 0
+
+
+def test_ivfsq_indexed_matches_adhoc_two_stage_and_prunes(spark, tmp_path):
+    # the composed layout must return exactly what the ad-hoc pipeline
+    # (assign -> filter probed cells -> sq two-stage) returns, while the
+    # plan prunes cells at planning time and scans only (id, codes)
+    df = _pq_fixture(spark)  # 60 rows, 8-dim, 3 clusters
+    cents = S.make_centroids(3, 8)
+    model = S.sq_train(df)
+    path = str(tmp_path / "ivfsq")
+    S.write_ivfsq_index(df, cents, model, path)
+    q = [float(x) for x in df.filter("vec_id = 1").collect()[0]["embedding"]]
+    got = S.ivfsq_topk_indexed(
+        spark, path, df, model, q, cents, k=5, nprobe=2, candidates=20
+    )
+    probe = S._probe_cells(q, cents, 2)
+    adhoc_codes = S.sq_encode(
+        S.ivf_assign(df, cents).filter(F.col("_cell").isin(probe)), model
+    )
+    want = S.sq_topk_rescore(adhoc_codes, df, model, q, k=5, candidates=20)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # the index scan reads codes, never a float embedding column
+    import re
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    idx_scans = [ln for ln in scans if "codes" in ln]
+    assert idx_scans and all("embedding" not in ln for ln in idx_scans)

@@ -674,6 +674,10 @@ AUDITS = {
     # list), so the audited plan is the residual-filtered scan + group-by —
     # partition columns still parse (basePath) and nothing joins.
     "hidden_skipping_compose": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
+    # IVF-SQ8 composed serving: cells prune at planning time, stage 1 is
+    # a bounded top-k over the byte-code scan, candidates re-enter as a
+    # broadcast for the exact rescore — never a corpus sort or product
+    "ivfsq_topk": {"expect": ["PartitionFilters: [", "TakeOrderedAndProject", "BroadcastHashJoin"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
     # k-core peeling: per round a vertex-keyed partial-agg degree count +
     # two LEFT SEMI hash joins of edges against survivors — never a
     # product; the audited plan is the final round over checkpointed edges
