@@ -5604,6 +5604,35 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEEDS = ["c1", "c2", "c3"]
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (r8 — graph.py ``personalized_pagerank``,
+    Haveliwala 2002): the same symmetrized customer–part graph as the
+    pagerank row, but teleport concentrated on three customer seeds —
+    rank becomes proximity TO the seed set, the standard related-items /
+    trust-propagation scorer. Dangling mass re-teleports proportionally
+    to the seed distribution (the personalized twin of pagerank's uniform
+    spread; Σrank = 1, pytest). Fixed 2 iterations keep the recurrence
+    oracle-unrollable — the oracle is the pagerank CTE chain with the
+    uniform 1/N teleport replaced by the seed indicator at every
+    occurrence."""
+    from semantic_index_spark.operators import graph as G
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ppr = G.personalized_pagerank(
+        edges, PPR_SEEDS, iterations=PR_ITERS, damping=PR_DAMP
+    )
+    return ppr.select("node", F.round("rank", 6).alias("ppr_rank"))
+
+
 # Session-cached on-disk IVF-SQ8 layout: cell-partitioned byte codes only.
 _IVFSQ_IDX_CACHE: dict[tuple[str, str], str] = {}
 
@@ -5733,16 +5762,16 @@ _DRIVER_WINDOW_R8 = [
     "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
     "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
     "colbert_maxsim", "zorder_skipping", "training_pipeline_e2e", "k_core",
-    "ivfsq_topk",
+    "ivfsq_topk", "personalized_pagerank",
     # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
     "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 13 from r3)
+    # stalest green driver rows, oldest round first (8 from r1, 12 from r3)
     "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
     "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
     "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
     "q3_shipping_priority", "filter_predicates", "agg_having",
     "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
-    "hll_users", "filter_projection",
+    "hll_users",
 ]
 
 
@@ -5755,18 +5784,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
-    after it lands, every one of the 284 registry queries has at least one
+    after it lands, every one of the 285 registry queries has at least one
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~5 rounds stale (284 queries / 50 per round).
+    driver row at most ~5 rounds stale (285 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 284 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 285 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -5838,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_e2e": q_training_pipeline_e2e,
         "k_core": q_k_core,
         "ivfsq_topk": q_ivfsq_topk,
+        "personalized_pagerank": q_personalized_pagerank,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -7011,6 +7041,67 @@ def oracle_sql() -> dict[str, str]:
         # k-core: the Seidman peeling recurrence unrolled to KC_ITERS
         # rounds (fixpoint + 1 spare — proven 5 rounds at both SFs)
         "k_core": _duck_k_core_sql(KC_K, KC_ITERS),
+        # personalized pagerank: the pagerank recurrence with the uniform
+        # 1/N teleport replaced by the seed indicator p(v) at EVERY
+        # occurrence (init, restart, dangling re-teleport)
+        "personalized_pagerank": f"""
+            WITH raw AS (
+                SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM raw
+                    UNION ALL SELECT dst AS src, src AS dst FROM raw
+                )
+            ),
+            nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            pv AS (
+                SELECT node,
+                       CASE WHEN node IN ({", ".join(repr(x) for x in PPR_SEEDS)})
+                            THEN 1.0::DOUBLE / {len(PPR_SEEDS)} ELSE 0.0 END AS p
+                FROM nodes
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT node, p AS pr FROM pv),
+            c1 AS (
+                SELECT e.dst AS node, sum(r0.pr / deg.deg) AS cin
+                FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ),
+            dang1 AS (
+                SELECT coalesce(sum(r0.pr), 0.0) AS dm FROM r0
+                LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL
+            ),
+            r1 AS (
+                SELECT pv.node,
+                       (1.0::DOUBLE - {PR_DAMP!r}::DOUBLE) * pv.p
+                       + {PR_DAMP!r}::DOUBLE
+                         * (coalesce(c1.cin, 0.0) + dang1.dm * pv.p) AS pr
+                FROM pv CROSS JOIN dang1
+                LEFT JOIN c1 ON pv.node = c1.node
+            ),
+            c2 AS (
+                SELECT e.dst AS node, sum(r1.pr / deg.deg) AS cin
+                FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ),
+            dang2 AS (
+                SELECT coalesce(sum(r1.pr), 0.0) AS dm FROM r1
+                LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL
+            ),
+            r2 AS (
+                SELECT pv.node,
+                       (1.0::DOUBLE - {PR_DAMP!r}::DOUBLE) * pv.p
+                       + {PR_DAMP!r}::DOUBLE
+                         * (coalesce(c2.cin, 0.0) + dang2.dm * pv.p) AS pr
+                FROM pv CROSS JOIN dang2
+                LEFT JOIN c2 ON pv.node = c2.node
+            )
+            SELECT node, round(pr, 6) AS ppr_rank FROM r2
+        """,
         # IVF-SQ8 composed: the ivf probe CTE gates which rows encode,
         # then the sq_rescore chain (full-corpus model) runs on that subset
         "ivfsq_topk": f"""

@@ -1384,3 +1384,41 @@ def test_k_core_fixed_iters_converge_and_normalize(spark):
     assert got == {1: 2, 2: 2, 3: 2}  # the triangle, each at degree 2
     with pytest.raises(ValueError):
         G.k_core(e, 0)
+
+
+def test_personalized_pagerank_localizes_mass_and_conserves(spark):
+    # path graph 1-2-3-4-5 (symmetrized): mass teleports to node 1, so
+    # rank must decay monotonically with distance from the seed
+    e = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]],
+        "src bigint, dst bigint",
+    )
+    sym = e.union(e.selectExpr("dst as src", "src as dst"))
+    # moderate damping so the degree-1 seed retains the top rank (at high
+    # damping a path seed correctly pushes most mass to its neighbor)
+    r = {row["node"]: row["rank"]
+         for row in G.personalized_pagerank(sym, [1], iterations=4,
+                                            damping=0.5).collect()}
+    assert r[1] > r[2] > r[3] > r[4] > r[5] >= 0.0
+    # probability distribution: seeds are graph nodes, so sum == 1
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    # two seeds split the teleport; symmetry makes their ranks equal
+    r2 = {row["node"]: row["rank"]
+          for row in G.personalized_pagerank(sym, [1, 5], iterations=4,
+                                             damping=0.5).collect()}
+    assert abs(r2[1] - r2[5]) < 1e-12 and abs(r2[2] - r2[4]) < 1e-12
+    assert abs(sum(r2.values()) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        G.personalized_pagerank(sym, [])
+
+
+def test_personalized_pagerank_dangling_reteleports_to_seeds(spark):
+    # directed 1->2, 2 dangling: its mass must re-teleport to the seed,
+    # never vanish — sum stays 1 with every seed in-graph
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    r = {row["node"]: row["rank"]
+         for row in G.personalized_pagerank(e, [1], iterations=3).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    # the walk flows 1 -> 2 and 2's dangling mass returns via the seed
+    # teleport, so both stay positive and nothing leaks
+    assert r[1] > 0 and r[2] > 0
