@@ -79,4 +79,36 @@ with tempfile.TemporaryDirectory() as tmp:
     print("IVF-PQ served top-5 (codes only, corpus floats untouched):")
     S.ivfpq_topk_indexed(spark, pq_path, cb, centroids, q, k_results=5, nprobe=2).show()
 
+    # 6. SQ8 (round 8): the lighter compression dial — int8 byte-array
+    #    codes (4x less scan IO), asymmetric candidate scan + exact
+    #    broadcast rescore; composed with the cell layout as IVF-SQ8
+    model = S.sq_train(emb)
+    codes8 = S.sq_encode(emb, model)
+    print("SQ8 two-stage top-5 (ADC over codes -> exact rescore):")
+    S.sq_topk_rescore(codes8, emb, model, q, k=5, candidates=25).show()
+
+    sq_path = os.path.join(tmp, "ivfsq_index")
+    S.write_ivfsq_index(emb, centroids, model, sq_path)
+    print("IVF-SQ8 served top-5 (cell pruning x byte-code scan):")
+    S.ivfsq_topk_indexed(
+        spark, sq_path, emb, model, q, centroids, k=5, nprobe=2, candidates=25
+    ).show()
+
+    # 7. filtered search (round 8): the "WHERE label = x AND near q" query —
+    #    cells prune at planning time, the predicate pushes into the scan
+    print("label-filtered IVF top-5 (PartitionFilters + PushedFilters):")
+    S.ivf_topk_filtered(
+        spark, index_path, q, centroids, "label = 3", k=5, nprobe=2
+    ).show()
+
+    # 8. late interaction (round 8): multi-vector docs (8 tokens each)
+    #    scored by ColBERT MaxSim with exact micro-integer aggregation
+    toks = emb.selectExpr("CAST(vec_id DIV 8 AS BIGINT) AS doc_id", "embedding")
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    print("ColBERT MaxSim top-5 docs (sum of per-query-token max dots):")
+    S.late_interaction_topk(toks, qvecs, k=5).show()
+
 spark.stop()

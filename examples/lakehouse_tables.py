@@ -127,6 +127,38 @@ try:
         Z.read_skipping(spark, zt, filt).count(),
         "rows",
     )
+
+    # 9. COMPOSED layout (round 8): one table prunes at BOTH granularities —
+    # day(ts) transforms eliminate whole directories, per-file zone maps
+    # eliminate files inside the survivors
+    ct = os.path.join(root, "events_composed")
+    H.create_hidden_skipping(
+        ev, ct, [("day", "ts")], stats_cols=["value", "user_id"],
+        n_files=8, cluster_by="value",
+    )
+    cf = [("ts", ">=", "2024-01-10"), ("ts", "<", "2024-01-12"), ("value", "<", 100.0)]
+    kept = H.candidate_files_hidden(ct, cf)
+    n_all = len(H.candidate_files_hidden(ct))
+    print(
+        f"composed dir+file pruning: {len(kept)}/{n_all} files survive,",
+        H.read_hidden_skipping(spark, ct, cf).count(), "rows",
+    )
+
+    # 10. Z-order (round 8): the Morton key as the cluster expression makes
+    # zone maps selective in BOTH dimensions of a box predicate
+    from semantic_index_spark.sources.io import zorder_key
+
+    zzt = os.path.join(root, "ev_zorder")
+    Z.write_skipping(
+        ev, zzt, ["user_id", "value"], n_files=8,
+        cluster_by=zorder_key([("user_id", 0, 150), ("value", 0, 500)], bits=8),
+    )
+    box = [("user_id", ">=", 10), ("user_id", "<", 40),
+           ("value", ">=", 100.0), ("value", "<", 200.0)]
+    print(
+        f"z-order box predicate: {len(Z.candidate_files(zzt, box))}/8 files scanned,",
+        Z.read_skipping(spark, zzt, box).count(), "rows",
+    )
 finally:
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
