@@ -674,10 +674,11 @@ AUDITS = {
     # list), so the audited plan is the residual-filtered scan + group-by —
     # partition columns still parse (basePath) and nothing joins.
     "hidden_skipping_compose": {"expect": ["HashAggregate"], "forbid": ["Join", "CartesianProduct"]},
-    # personalized pagerank: same audited shape as pagerank — keyed joins
-    # of the |N|-row rank vector into the cached edge list, 1-row dangling
-    # broadcast (the nested-loop IS the 1-row crossJoin, by design)
-    "personalized_pagerank": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct", "SortMergeJoin"]},
+    # personalized pagerank: same audited shape (and spec) as pagerank —
+    # keyed joins of the |N|-row rank vector into the cached edge list
+    # may legitimately sort-merge (both sides are corpus-sized at scale);
+    # the 1-row dangling broadcast is the only nested loop, by design
+    "personalized_pagerank": {"expect": ["HashAggregate"], "forbid": ["CartesianProduct"]},
     # IVF-SQ8 composed serving: cells prune at planning time, stage 1 is
     # a bounded top-k over the byte-code scan, candidates re-enter as a
     # broadcast for the exact rescore — never a corpus sort or product
