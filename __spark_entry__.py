@@ -5558,10 +5558,13 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = TA.gopher_rules(
         train, min_words=GOPHER_MIN_WORDS, min_stop_hits=1
     ).filter("pass_gopher").select("doc_id")
-    quality = train.join(passed, "doc_id", "left_semi")
+    # each stage feeds MULTIPLE consumers (the next stage + its own
+    # summary count), so pin the lineage once per stage — the
+    # recomputed-lineage class that cost pagerank/triangle_count 2-3x
+    quality = train.join(passed, "doc_id", "left_semi").localCheckpoint(eager=True)
 
     winners = D.exact_dedup(quality).select("doc_id")
-    deduped = quality.join(winners, "doc_id", "left_semi")
+    deduped = quality.join(winners, "doc_id", "left_semi").localCheckpoint(eager=True)
 
     bench_h = (
         bench.select(F.explode(T.shingles("text", E2E_DECONTAM_N)).alias("_sh"))
@@ -5577,7 +5580,9 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = deduped.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     packed = P.pack_sequences(clean, budget=PACK_BUDGET)
 
