@@ -84,6 +84,11 @@ PANEL = [
     "leakage_safe_split",     # LSH pairs + connected components + fold hash
     "motif_triangles",        # 3-term motif join chain (Σdeg² wedge bound)
     "sampled_quantiles",      # bounded bottom-k sample + k-row statistics
+    "k_core",                 # iterative peeling: degree agg + semi joins per round
+    "personalized_pagerank",  # per-round rank-vector join, seed teleport
+    "sq_rescore_topk",        # byte-code ADC scan + bounded candidate rescore
+    "colbert_maxsim",         # |Q|-row broadcast x token corpus, integer max/sum
+    "training_pipeline_e2e",  # quality->dedup->decontam->pack composition
 ]
 
 # ---- scaling GATE ------------------------------------------------------
