@@ -452,29 +452,64 @@ def _parse_partition_values(relpath: str, entries: list[dict]) -> dict[str, str]
     return out
 
 
+def _identity_prunable(pval: str, value):
+    """For an identity transform, return the comparable (a, b) pair when the
+    directory rendering is PROVABLY faithful to the Python literal, else
+    None (keep the directory; the residual filters). Faithful cases:
+    str literal vs the unquoted directory string (string source columns —
+    Spark's partition value IS the source string, and Python/Spark string
+    ordering both follow code points), and int literal vs an int-parseable
+    directory (integral source columns — same exactness contract as
+    skipping._coerce, never through float). Anything else — double,
+    timestamp, decimal identity partitions — renders under Spark's own
+    formatting ('1.0E20', '2024-01-01 00:00:00') which neither equals
+    Python's str() nor orders lexicographically, so pruning on it would
+    silently lose rows."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    if isinstance(value, str):
+        try:  # str literal against an int column: numeric order governs
+            return int(pval), int(value)
+        except (TypeError, ValueError):
+            return pval, value
+    try:
+        return int(pval), value
+    except (TypeError, ValueError):
+        return None  # int literal but non-int directory: non-int column
+
+
 def _pval_matches(entry: dict, pval: str, op: str, value) -> bool:
     """Driver-side partition-directory predicate: does a directory whose
     transformed value rendered as ``pval`` possibly hold rows matching
     ``col op value``? Mirrors read_hidden's rewrite rules exactly
-    (inclusive relaxation for ranges; bucket prunes only on =/in)."""
+    (inclusive relaxation for ranges; bucket prunes only on =/in;
+    identity prunes only when the rendering is provably faithful —
+    see _identity_prunable)."""
     t = entry["transform"]
     if op == "in":
+        if t == "identity":
+            for x in value:
+                ab = _identity_prunable(pval, x)
+                if ab is None:
+                    return True  # one unverifiable member keeps the dir
+                if ab[0] == ab[1]:
+                    return True
+            return False
         want = {str(_transform_literal(entry, x)) for x in value}
         return pval in want
     if t == "bucket":
         if op == "=":
             return pval == str(_transform_literal(entry, value))
         return True  # not order-preserving: other ops cannot prune
-    lit = _transform_literal(entry, value)
-    # order-preserving transforms: day/month/truncate render as strings that
-    # compare lexicographically in ISO/prefix form; identity may be numeric,
-    # so int-parse both sides when possible (same exactness contract as
-    # skipping._coerce — never through float)
-    a, b = pval, str(lit)
-    try:
-        a, b = int(a), int(b)
-    except (TypeError, ValueError):
-        pass
+    if t == "identity":
+        ab = _identity_prunable(pval, value)
+        if ab is None:
+            return True
+        a, b = ab
+    else:
+        # day/month/truncate render as strings that compare
+        # lexicographically in ISO/prefix form
+        a, b = pval, str(_transform_literal(entry, value))
     if op == "=":
         return a == b
     if op in ("<", "<="):

@@ -1125,6 +1125,57 @@ def test_hidden_skipping_commit_and_time_travel(spark, tmp_path):
         assert _os.path.exists(H._zonemap_path(t, v))
 
 
+def test_hidden_identity_prune_sound_on_nonint_columns(spark, tmp_path):
+    # Identity partitions on NON-int columns must never be pruned by the
+    # driver's lexicographic directory compare: Spark renders '10.5',
+    # '1.0E20', timestamp strings — none order (or even equal) like
+    # Python's str(). The sound contract: keep the directory, let the
+    # residual filter. Int identity keeps pruning exactly.
+    from semantic_index_spark.sources import hidden as H
+
+    rows = [(i, float(v), i % 4) for i, v in enumerate([0.5, 9.5, 10.5, 1e20])]
+    df = spark.createDataFrame(rows, "id bigint, dv double, iv bigint")
+    t = str(tmp_path / "hidden_ident_dv")
+    H.create_hidden_skipping(
+        df, t, [("identity", "dv"), ("identity", "iv")], stats_cols=["id"],
+        n_files=4,
+    )
+    dirs = lambda fs: {f.rsplit("/", 1)[0] for f in fs}
+    # range on the double identity: '10.5' < '9.5' lexicographically, so a
+    # string compare would prune the dv=10.5 and dv=1.0E20 directories; the
+    # residual can't resurrect a pruned directory, so rows would be LOST
+    got = sorted(
+        r["dv"] for r in H.read_hidden_skipping(spark, t, [("dv", ">", 9.5)]).collect()
+    )
+    assert got == [10.5, 1e20]
+    # equality across renderings: Python str(1e20)='1e+20', Spark '1.0E20'
+    got = H.read_hidden_skipping(spark, t, [("dv", "=", 1e20)]).collect()
+    assert [r["dv"] for r in got] == [1e20]
+    # IN with a float member keeps every directory at the driver level
+    got = sorted(
+        r["dv"]
+        for r in H.read_hidden_skipping(
+            spark, t, [("dv", "in", [0.5, 1e20])]
+        ).collect()
+    )
+    assert got == [0.5, 1e20]
+    # double identity never prunes directories (unverifiable rendering)...
+    assert dirs(H.candidate_files_hidden(t, [("dv", ">", 9.5)])) == dirs(
+        H.candidate_files_hidden(t)
+    )
+    # ...while int identity on the SAME table still prunes exactly
+    keep_iv = H.candidate_files_hidden(t, [("iv", "=", 2)])
+    assert {d.split("/")[1] for d in dirs(keep_iv)} == {"_p1=2"}
+    got = sorted(
+        r["id"] for r in H.read_hidden_skipping(spark, t, [("iv", ">=", 2)]).collect()
+    )
+    assert got == [2, 3]
+    # str-literal range against the int identity column compares
+    # numerically, not lexicographically ('3' > '10' as strings)
+    keep9 = H.candidate_files_hidden(t, [("iv", ">=", "3")])
+    assert {d.split("/")[1] for d in dirs(keep9)} == {"_p1=3"}
+
+
 def test_zorder_clustered_skipping_prunes_both_dimensions(spark, tmp_path):
     # Z-order clustering makes zone maps selective in EVERY keyed
     # dimension; 1-D clustering leaves the non-clustered column's
