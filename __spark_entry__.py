@@ -5216,18 +5216,29 @@ def q_optimize_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+MOTIF_DEG_CAP = 150  # prunes the top ~10% co-purchase hubs at both SFs
+MOTIF_WEDGE_CAP = 100  # tighter production cap for the negation headliner
+
+
 def q_motif_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/graph.py find_motifs):
     the transitive-triangle pattern "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
     compiled to two hash equi-joins + the closing-edge join over the
     canonical (src<dst) co-purchase graph, rolled up to feed-forward
-    triangles per root vertex. The oracle is the literal ordered 3-way
-    self-join grouped the same way — the motif compiler must reproduce the
-    textbook definition row-for-row."""
+    triangles per root vertex. Matched with ``max_degree=MOTIF_DEG_CAP``
+    (r9): the uncapped wedge join is Σdeg² on the shared vertex and
+    detonates on a hub-heavy 100× graph, so the REGISTRY headline runs the
+    cap·m-bounded induced-subgraph plan (uncapped-vs-capped parity on
+    sub-cap graphs stays pytest-asserted; exact full-graph triangle
+    counting remains the oriented O(m^1.5) ``triangle_count`` row). The
+    oracle recomputes the induced subgraph literally (degree CTE → hub
+    exclusion) then the ordered 3-way self-join grouped the same way."""
     from semantic_index_spark.operators import graph as G
 
     e = _copurchase_edges(spark, sf_dir)
-    m = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    m = G.find_motifs(
+        e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)", max_degree=MOTIF_DEG_CAP
+    )
     return m.groupBy(F.col("a").alias("root")).agg(
         F.count("*").cast("bigint").alias("n_ffw")
     )
@@ -5237,22 +5248,25 @@ def q_motif_open_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motif NEGATION end-to-end: "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)"
     — two-hop paths whose closing edge is ABSENT (the link-prediction
     candidate set), where the negated term compiles to an anti-join
-    against the edge list rather than enumerating the complement. One-row
-    summary (wedge count, distinct roots, root checksum) so the
-    hash-compare stays bounded while every anti-join row still feeds the
-    aggregate."""
+    against the edge list rather than enumerating the complement. Matched
+    with ``max_degree=MOTIF_WEDGE_CAP`` (r9): link-prediction candidates
+    FROM hubs are the lowest-value, highest-cost rows, so the headline
+    prunes them up front — a tighter cap than motif_capped_wedges' 150, so
+    the two rows hash-lock the capping semantics at two distinct
+    operating points. One-row summary (wedge count, distinct roots, root
+    checksum) so the hash-compare stays bounded while every anti-join row
+    still feeds the aggregate."""
     from semantic_index_spark.operators import graph as G
 
     e = _copurchase_edges(spark, sf_dir)
-    m = G.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    m = G.find_motifs(
+        e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)", max_degree=MOTIF_WEDGE_CAP
+    )
     return m.agg(
         F.count("*").cast("bigint").alias("n_open"),
         F.count_distinct("a").cast("bigint").alias("n_roots"),
         F.sum(F.col("a") + F.col("c")).cast("bigint").alias("endpoint_sum"),
     )
-
-
-MOTIF_DEG_CAP = 150  # prunes the top ~10% co-purchase hubs at both SFs
 
 
 def q_motif_capped_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6772,11 +6786,26 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '{ZM_HI}'
             GROUP BY l_returnflag
         """,
-        "motif_triangles": """
-            WITH e AS (
+        # both headline motif rows run CAPPED (r9): the oracle recomputes
+        # the induced subgraph literally (degree over BOTH endpoint
+        # appearances, hubs > cap excluded) before the pattern join, so the
+        # driver hash checks the capping semantics end-to-end
+        "motif_triangles": f"""
+            WITH e0 AS (
                 SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
                 FROM lineitem a JOIN lineitem b
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT v, count(*) AS d FROM (
+                    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+                ) GROUP BY v
+            ),
+            hubs AS (SELECT v FROM deg WHERE d > {MOTIF_DEG_CAP}),
+            e AS (
+                SELECT a, b FROM e0
+                WHERE a NOT IN (SELECT v FROM hubs)
+                  AND b NOT IN (SELECT v FROM hubs)
             )
             SELECT e1.a AS root, count(*)::BIGINT AS n_ffw
             FROM e e1
@@ -6784,11 +6813,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
             GROUP BY e1.a
         """,
-        "motif_open_wedges": """
-            WITH e AS (
+        "motif_open_wedges": f"""
+            WITH e0 AS (
                 SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
                 FROM lineitem a JOIN lineitem b
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT v, count(*) AS d FROM (
+                    SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+                ) GROUP BY v
+            ),
+            hubs AS (SELECT v FROM deg WHERE d > {MOTIF_WEDGE_CAP}),
+            e AS (
+                SELECT a, b FROM e0
+                WHERE a NOT IN (SELECT v FROM hubs)
+                  AND b NOT IN (SELECT v FROM hubs)
             )
             SELECT count(*)::BIGINT AS n_open,
                    count(DISTINCT e1.a)::BIGINT AS n_roots,
