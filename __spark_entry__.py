@@ -5762,35 +5762,65 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # dict literal in stable historical order and reorders at return time by this
 # pinned list — re-pinning a round's window is an edit to THIS list only.
 #
-# ROUND 8 window (50 names) = the names that have never received a hard
-# driver CORRECTNESS row (4 r6-overflow + the 14 NEW in round 7 + the
-# NEW-in-round-8 queries), then the 2 round-7 hash-miss re-checks
-# (best_split / orc_roundtrip — both were oracle HUGEINT-cast bugs, fixed
-# this round; the Spark results were always right), then the stalest green
-# rows under the steady-state rotation policy: oldest CORRECTNESS_r{N}.json
-# round first (8 names last checked in r1, then the earliest of the r3
-# cohort), ties broken by original registry order.  Computed from the
-# CORRECTNESS_r0*.json history by tools/pin_window.py.
-_DRIVER_WINDOW_R8 = [
-    # never driver-checked (18 pre-r8 + new-in-r8)
-    "sequence_support", "pq_topk", "ivfpq_topk", "mutual_nn",
-    "ivfpq_incremental", "hidden_partition_prune", "motif_triangles",
-    "motif_open_wedges", "motif_capped_wedges", "zonemap_skipping",
-    "ivm_agg", "sampled_quantiles",
-    "bloom_skipping", "delete_vectors", "optimize_demo", "mrl_topk",
-    "append_skipping", "mg_heavy_hitters", "grouped_sample_quantiles",
-    "hidden_skipping_compose", "sq_rescore_topk", "filtered_ivf_topk",
-    "colbert_maxsim", "zorder_skipping", "training_pipeline_e2e", "k_core",
-    "ivfsq_topk", "personalized_pagerank",
-    # round-7 hash-miss re-checks after the oracle ::BIGINT fixes (2)
-    "best_split", "orc_roundtrip",
-    # stalest green driver rows, oldest round first (8 from r1, 12 from r3)
-    "exact_dedup", "minhash_lsh_pairs", "vector_stats", "minhash_signatures",
-    "simhash", "ngram_jaccard", "embedding_neardup", "text_quality",
-    "knn_topk", "knn_cosine", "count_records", "q1_pricing_summary",
-    "q3_shipping_priority", "filter_predicates", "agg_having",
-    "window_running_sum", "batch_sessionization", "asof_join", "salted_agg",
-    "hll_users",
+# ROUND 9 window (50 names): round 8 closed never-checked coverage (every
+# registry query now has >=1 hard driver CORRECTNESS row), so from here on
+# the window is pure steady-state rotation — the queries whose most recent
+# driver row is OLDEST, oldest round first, ties broken by original
+# registry order.
+_DRIVER_WINDOW_R9 = [
+    # steady-state rotation (r9): the 50 stalest green driver rows,
+    # oldest CORRECTNESS round first (38 last checked r3, 12 last r4);
+    # computed by tools/pin_window.py from the CORRECTNESS_r0*.json history
+    "filter_projection",  # last r3
+    "topk_orders",  # last r3
+    "upsert_update_demo",  # last r3
+    "delete_ops_demo",  # last r3
+    "skip_policy_demo",  # last r3
+    "allow_policy_demo",  # last r3
+    "q5_local_supplier_volume",  # last r3
+    "join_semi_anti",  # last r3
+    "rollup_nation_region",  # last r3
+    "cube_flags",  # last r3
+    "window_rank_lag",  # last r3
+    "set_ops_nations",  # last r3
+    "string_functions",  # last r3
+    "date_functions",  # last r3
+    "json_functions",  # last r3
+    "math_case_functions",  # last r3
+    "distinct_counts",  # last r3
+    "percentiles_by_flag",  # last r3
+    "window_distribution",  # last r3
+    "full_outer_revenue",  # last r3
+    "rolling_event_stats",  # last r3
+    "unpivot_quantities",  # last r3
+    "grouping_sets_revenue",  # last r3
+    "exists_subqueries",  # last r3
+    "pivot_status",  # last r3
+    "scalar_subquery",  # last r3
+    "null_semantics",  # last r3
+    "agg_modern",  # last r3
+    "array_hof",  # last r3
+    "events_tumbling_windows",  # last r3
+    "events_sliding_windows",  # last r3
+    "range_join_bands",  # last r3
+    "global_ranking",  # last r3
+    "hash_split",  # last r3
+    "stratified_sample",  # last r3
+    "histogram_quantiles",  # last r3
+    "knn_multi",  # last r3
+    "lsh_bucket_hist",  # last r3
+    "incremental_dedup",  # last r4
+    "edit_distance_verify",  # last r4
+    "dedup_components",  # last r4
+    "similarity_join",  # last r4
+    "lsh_topk",  # last r4
+    "ivf_topk",  # last r4
+    "quantized_knn",  # last r4
+    "tfidf_top_terms",  # last r4
+    "heavy_hitters",  # last r4
+    "salted_join_agg",  # last r4
+    "gopher_rules",  # last r4
+    "ngram_lm_score",  # last r4
 ]
 
 
@@ -5798,8 +5828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round.  The canonical dict below stays in stable
     historical order; the returned dict is reordered so the pinned
-    ``_DRIVER_WINDOW_R8`` names come first (see the comment on that list for
-    the round-8 composition), followed by every other query in canonical
+    ``_DRIVER_WINDOW_R9`` names come first (see the comment on that list for
+    the round-9 composition), followed by every other query in canonical
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
@@ -5810,7 +5840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row at most ~5 rounds stale (285 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
-    ``_DRIVER_WINDOW_R8``.  EVERY new query added mid-round must be
+    ``_DRIVER_WINDOW_R9``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
@@ -5868,7 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_topk": q_dp_topk,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        # --- r6 overflow + the fourteen NEW-in-r7 queries (never driver-checked before r8; pinned first in _DRIVER_WINDOW_R8) ---
+        # --- r6 overflow + the fourteen NEW-in-r7 queries (never driver-checked before r8; r8 window cohort) ---
         "sequence_support": q_sequence_support,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -6106,13 +6136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
     }
-    missing = [n for n in _DRIVER_WINDOW_R8 if n not in reg]
-    if missing or len(_DRIVER_WINDOW_R8) != 50:
+    missing = [n for n in _DRIVER_WINDOW_R9 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R9) != 50:
         raise RuntimeError(
-            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R8)}, "
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R9)}, "
             f"missing={missing}"
         )
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R8}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R9}
     ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
     return ordered
 
