@@ -17,21 +17,94 @@ same guarantee real table formats get from their manifest trees). On an
 object store, swap the rename for a conditional PUT / DynamoDB-style
 pointer — the layout is unchanged. History retention is explicit
 (`expire_versions`), mirroring VACUUM/expire-snapshots.
+
+Concurrency (round 9): commits are OPTIMISTIC, the Delta/Iceberg
+contract. Every writer stages its files under ``_staged_<uuid>/``, then
+publishes inside a short pointer critical section: if the committed
+latest still equals the version the writer planned against, the staged
+directory renames to ``v=<n+1>`` and the pointer advances; if another
+writer committed first, the loser raises :class:`CommitConflictError`
+(retryable — re-read, re-apply, re-commit) and its staging is removed.
+Bucketed tables additionally REBASE instead of failing when the
+concurrent commits touched DISJOINT bucket sets (compared over both
+bucket ownership and deletion-vector lists): the later writer's manifest
+is rebuilt on top of the winner's, so both commits land — the same
+file-level conflict granularity Delta resolves. Crash contract is
+unchanged: a writer dying before publish leaves an invisible
+``_staged_*`` orphan (age-reclaimed by the expire functions), never a
+torn read.
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LATEST = "_latest.json"
+_LOCK = "_commit.lock"
+_STAGED_PREFIX = "_staged_"
+
+
+class CommitConflictError(RuntimeError):
+    """The committed latest moved between this writer's snapshot read and
+    its commit attempt (another writer won the race). Retryable: re-read
+    the table, re-apply the change, commit again — same contract as
+    Delta's ConcurrentModificationException family."""
 
 
 def _latest_path(table: str) -> str:
     return os.path.join(table, _LATEST)
+
+
+def _write_pointer(table: str, version: int) -> None:
+    tmp = _latest_path(table) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, _latest_path(table))
+
+
+def _staged_path(table: str) -> str:
+    return os.path.join(table, _STAGED_PREFIX + uuid.uuid4().hex)
+
+
+@contextlib.contextmanager
+def _pointer_lock(table: str, timeout: float = 60.0, stale_after: float = 300.0):
+    """Filesystem mutex around the check-pointer-then-rename critical
+    section — the local-FS stand-in for an object store's conditional PUT.
+    O_CREAT|O_EXCL is atomic on POSIX; a lock older than ``stale_after``
+    belongs to a dead writer (the section it guards is two metadata ops,
+    never a data write) and is broken."""
+    path = os.path.join(table, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > stale_after:
+                    os.unlink(path)  # break a dead writer's lock
+                    continue
+            except OSError:
+                continue  # holder released between our stat and unlink
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire commit lock on {table} within {timeout}s"
+                )
+            time.sleep(0.02)
+    try:
+        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(path)
 
 
 def current_version(table: str) -> int | None:
@@ -43,19 +116,44 @@ def current_version(table: str) -> int | None:
         return None
 
 
-def commit_version(df: DataFrame, table: str) -> int:
+_OBSERVED = object()  # sentinel: condition on the version seen at entry
+
+
+def commit_version(
+    df: DataFrame, table: str, expected_version: "int | None | object" = _OBSERVED
+) -> int:
     """Write the next immutable snapshot version and atomically commit the
-    latest-pointer. Returns the new version number. A crash before the
-    pointer rename leaves an orphan v-directory that is invisible to
-    readers (and reclaimed by ``expire_versions``) — never a torn read."""
+    latest-pointer. Returns the new version number.
+
+    The commit is CONDITIONAL on ``expected_version`` — the version this
+    snapshot was derived from (``None`` = the table must still be empty;
+    default = whatever was committed when this call started). If another
+    writer advanced the pointer in between, :class:`CommitConflictError`
+    is raised and nothing is published — the optimistic-concurrency
+    contract real table formats enforce; last-writer-wins pointer
+    clobbering cannot happen. Data is staged under ``_staged_<uuid>`` and
+    renamed into ``v=<n>`` only inside the pointer critical section, so a
+    crash at ANY point leaves either an invisible staged orphan or an
+    invisible v-orphan (both age-reclaimed by ``expire_versions``) —
+    never a torn read."""
     os.makedirs(table, exist_ok=True)
-    cur = current_version(table)
-    nxt = 0 if cur is None else cur + 1
-    df.write.mode("errorifexists").parquet(os.path.join(table, f"v={nxt}"))
-    tmp = _latest_path(table) + ".__tmp__"
-    with open(tmp, "w") as f:
-        json.dump({"version": nxt}, f)
-    os.replace(tmp, _latest_path(table))
+    expected = (
+        current_version(table) if expected_version is _OBSERVED else expected_version
+    )
+    staged = _staged_path(table)
+    df.write.mode("errorifexists").parquet(staged)
+    with _pointer_lock(table):
+        cur = current_version(table)
+        if cur != expected:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise CommitConflictError(
+                f"cannot commit to {table}: expected latest version "
+                f"{expected}, found {cur} — a concurrent writer committed "
+                "first; re-read and retry"
+            )
+        nxt = 0 if cur is None else cur + 1
+        os.rename(staged, os.path.join(table, f"v={nxt}"))
+        _write_pointer(table, nxt)
     return nxt
 
 
@@ -97,12 +195,15 @@ def expire_versions(
     v-directory past the pointer is indistinguishable from a concurrent
     writer's in-flight ``commit_version`` — deleting it eagerly would
     destroy that commit between its parquet write and pointer rename,
-    not just clean up crash leftovers. Same contract as Iceberg/Delta
-    orphan-file removal, which is likewise age-gated."""
+    not just clean up crash leftovers. ``_staged_*`` directories (crashed
+    writers that never reached the critical section) are reclaimed under
+    the same age gate. Same contract as Iceberg/Delta orphan-file
+    removal, which is likewise age-gated."""
     import time
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    _reclaim_staged(table, orphan_ttl_seconds)
     cur = current_version(table)
     keep = set()
     committed = [v for v in list_versions(table) if cur is not None and v <= cur]
@@ -123,6 +224,23 @@ def expire_versions(
         shutil.rmtree(path)
         expired.append(v)
     return expired
+
+
+def _reclaim_staged(table: str, ttl_seconds: float) -> None:
+    """Remove crashed writers' ``_staged_*`` orphans older than the TTL —
+    a young one may be an in-flight commit."""
+    if not os.path.isdir(table):
+        return
+    now = time.time()
+    for d in os.listdir(table):
+        if not d.startswith(_STAGED_PREFIX):
+            continue
+        path = os.path.join(table, d)
+        try:
+            if now - os.path.getmtime(path) >= ttl_seconds:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue  # vanished underneath us — its writer finished
 
 
 def merge_into(
@@ -165,7 +283,8 @@ def merge_into(
 
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
-    target = read_version(spark, table)
+    tv = current_version(table)
+    target = read_version(spark, table, tv)
     keys = list(key_cols)
     dup = (
         source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
@@ -183,7 +302,9 @@ def merge_into(
     upserts = src.filter(F.col("__op") != "delete").drop("__op").select(*target.columns)
     if not insert_not_matched:
         upserts = upserts.join(target.select(*keys), keys, "left_semi")
-    return commit_version(kept.unionByName(upserts), table)
+    # conditional on the version the merge PLANNED against, not the one at
+    # commit time — a concurrent commit in between must fail this merge
+    return commit_version(kept.unionByName(upserts), table, expected_version=tv)
 
 
 # --- bucketed incremental table: merge rewrites only touched key-buckets ---
@@ -206,31 +327,102 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
 
 
-def _commit_bucketed(table: str, df: DataFrame, version: int, base: dict) -> dict:
-    """Write ``df`` partitioned by ``__bucket`` under v=<version>, then
-    atomically publish a manifest = ``base`` with every bucket that
-    actually produced files repointed at <version>. Buckets of ``base``
-    marked affected but emptied by the merge become ``None`` (tombstone:
-    no files to read). Crash before the pointer rename leaves invisible
-    orphans, same contract as ``commit_version``."""
-    path = os.path.join(table, f"v={version}")
-    df.write.mode("errorifexists").partitionBy("__bucket").parquet(path)
-    written = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("__bucket=")
+def _changed_buckets(man_a: dict, man_b: dict) -> "set[int]":
+    """Buckets whose ownership OR deletion-vector list differs between two
+    manifests — the same changed-bucket rule ``diff_bucketed`` uses."""
+    dv_a, dv_b = man_a.get("dv", {}), man_b.get("dv", {})
+    return {
+        int(b)
+        for b in man_a["buckets"]
+        if man_a["buckets"][b] != man_b["buckets"][b]
+        or dv_a.get(b, []) != dv_b.get(b, [])
     }
-    buckets = dict(base["buckets"])
-    for b in base.pop("__affected"):
-        buckets[str(b)] = version if b in written else None
-    manifest = {**base, "version": version, "buckets": buckets}
-    with open(_manifest_path(table, version), "w") as f:
-        json.dump(manifest, f)
-    tmp = _latest_path(table) + ".__tmp__"
-    with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(tmp, _latest_path(table))
-    return manifest
+
+
+def _publish_bucketed(table, staged, read_man, affected, build_manifest):
+    """Publish a staged bucketed commit inside the pointer critical
+    section, with Delta-style conflict resolution: fast path when the
+    pointer still equals the planned-against version (``read_man``,
+    None = creating); REBASE onto the winner's manifest when concurrent
+    commits touched DISJOINT bucket sets (ownership and DV lists both
+    compared); :class:`CommitConflictError` when they overlap.
+    ``build_manifest(final, base_man, dest)`` returns the manifest to
+    write, built on ``base_man`` — ``read_man`` on the fast path, the
+    winner's manifest on rebase. Returns (final_version, manifest)."""
+    expected = None if read_man is None else read_man["version"]
+    with _pointer_lock(table):
+        cur = current_version(table)
+        base_man = read_man
+        if cur != expected:
+            if read_man is None or cur is None or cur < expected:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise CommitConflictError(
+                    f"cannot commit to {table}: expected latest version "
+                    f"{expected}, found {cur} — re-read and retry"
+                )
+            cur_man = _read_manifest(table, cur)
+            overlap = sorted(_changed_buckets(read_man, cur_man) & set(affected))
+            if overlap:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise CommitConflictError(
+                    f"cannot commit to {table}: a concurrent commit advanced "
+                    f"v{expected} -> v{cur} touching bucket(s) {overlap} this "
+                    "commit also touches — re-read and retry"
+                )
+            base_man = cur_man  # disjoint buckets: both commits win
+        final = 0 if cur is None else cur + 1
+        dest = os.path.join(table, f"v={final}")
+        os.rename(staged, dest)
+        manifest = build_manifest(final, base_man, dest)
+        with open(_manifest_path(table, final), "w") as f:
+            json.dump(manifest, f)
+        _write_pointer(table, final)
+    return final, manifest
+
+
+def _commit_bucketed(
+    table: str, df: DataFrame, base: dict, read_man: "dict | None", dv_clear=()
+) -> int:
+    """Stage ``df`` partitioned by ``__bucket``, then conditionally publish
+    (see ``_publish_bucketed``). ``base`` carries key_cols / n_buckets /
+    schema / meta plus ``__affected``; affected buckets that produced no
+    files become ``None`` tombstones. DV lists for ``dv_clear`` buckets
+    are dropped (the rewrite folded them in); all other bucket ownership
+    and DV state is inherited from the manifest the commit lands on —
+    which under a disjoint-bucket rebase is the concurrent winner's, so
+    neither commit's buckets are lost. Crash before the critical section
+    leaves an invisible ``_staged_*`` orphan, same contract as
+    ``commit_version``."""
+    staged = _staged_path(table)
+    df.write.mode("errorifexists").partitionBy("__bucket").parquet(staged)
+    affected = base.pop("__affected")
+    cleared = {str(b) for b in dv_clear}
+
+    def build(final: int, base_man: "dict | None", dest: str) -> dict:
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(dest)
+            if d.startswith("__bucket=")
+        }
+        buckets = (
+            dict(base_man["buckets"])
+            if base_man is not None
+            else {str(b): None for b in range(base["n_buckets"])}
+        )
+        for b in affected:
+            buckets[str(b)] = final if b in written else None
+        manifest = {**base, "version": final, "buckets": buckets}
+        dv = {
+            b: list(v)
+            for b, v in (base_man.get("dv", {}) if base_man else {}).items()
+            if b not in cleared
+        }
+        if dv:
+            manifest["dv"] = dv
+        return manifest
+
+    final, _ = _publish_bucketed(table, staged, read_man, affected, build)
+    return final
 
 
 def create_bucketed(
@@ -251,11 +443,11 @@ def create_bucketed(
         "key_cols": keys,
         "n_buckets": int(n_buckets),
         "schema": df.schema.json(),
-        "buckets": {str(b): None for b in range(n_buckets)},
         "__affected": list(range(n_buckets)),
     }
-    _commit_bucketed(table, df.withColumn("__bucket", _bucket_expr(keys, n_buckets)), 0, base)
-    return 0
+    return _commit_bucketed(
+        table, df.withColumn("__bucket", _bucket_expr(keys, n_buckets)), base, None
+    )
 
 
 def _dv_paths(table: str, man: dict, buckets: "set[int] | None" = None) -> list[str]:
@@ -385,22 +577,17 @@ def merge_into_bucketed(
         else:
             upserts = upserts.join(target.select(*keys), keys, "left_semi")
     result = upserts if kept is None else kept.select(*data_cols, "__bucket").unionByName(upserts)
-    nxt = man["version"] + 1
     base = {
         "key_cols": keys,
         "n_buckets": n_buckets,
         "schema": man["schema"],
-        "buckets": man["buckets"],
         "__affected": affected,
         "meta": dict(meta) if meta else {},
     }
-    # a rewritten bucket has its DVs folded into the data — clear them
-    old_dv = man.get("dv", {})
-    new_dv = {b: v for b, v in old_dv.items() if int(b) not in set(affected)}
-    if new_dv:
-        base["dv"] = new_dv
-    _commit_bucketed(table, result, nxt, base)
-    return nxt
+    # a rewritten bucket has its DVs folded into the data — clear them;
+    # the commit is conditional on `man` and rebases over concurrent
+    # commits that touched only DISJOINT buckets (_publish_bucketed)
+    return _commit_bucketed(table, result, base, man, dv_clear=affected)
 
 
 def delete_bucketed(
@@ -436,37 +623,41 @@ def delete_bucketed(
             keyed.select("__bucket").distinct(), n_buckets, "delete_bucketed affected"
         )
     )
-    nxt = man["version"] + 1
-    dv_root = os.path.join(table, f"v={nxt}", "__dv")
-    keyed.write.mode("errorifexists").partitionBy("__bucket").parquet(dv_root)
-    written = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(dv_root)
-        if d.startswith("__bucket=")
-    }
-    dv = {b: list(v) for b, v in man.get("dv", {}).items()}
-    for b in affected:
-        if b in written:
-            dv.setdefault(str(b), []).append(nxt)
-    manifest = {
-        "key_cols": kc,
-        "n_buckets": n_buckets,
-        "schema": man["schema"],
-        "buckets": man["buckets"],
-        "version": nxt,
-        "dv": dv,
-        "meta": dict(meta) if meta else {},
-    }
-    with open(_manifest_path(table, nxt), "w") as f:
-        json.dump(manifest, f)
-    tmp = _latest_path(table) + ".__tmp__"
-    with open(tmp, "w") as f:
-        json.dump({"version": nxt}, f)
-    os.replace(tmp, _latest_path(table))
-    return nxt
+    staged = _staged_path(table)
+    keyed.write.mode("errorifexists").partitionBy("__bucket").parquet(
+        os.path.join(staged, "__dv")
+    )
+
+    def build(final: int, base_man: dict, dest: str) -> dict:
+        dv_dir = os.path.join(dest, "__dv")
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(dv_dir)
+            if d.startswith("__bucket=")
+        }
+        dv = {b: list(v) for b, v in base_man.get("dv", {}).items()}
+        for b in affected:
+            if b in written:
+                dv.setdefault(str(b), []).append(final)
+        return {
+            "key_cols": kc,
+            "n_buckets": n_buckets,
+            "schema": base_man["schema"],
+            "buckets": base_man["buckets"],
+            "version": final,
+            "dv": dv,
+            "meta": dict(meta) if meta else {},
+        }
+
+    # conditional on `man`; a concurrent commit touching only OTHER
+    # buckets rebases (the DV lists append onto the winner's manifest)
+    final, _ = _publish_bucketed(table, staged, man, affected, build)
+    return final
 
 
-def expire_bucketed(table: str, keep_manifests: int = 2) -> list[int]:
+def expire_bucketed(
+    table: str, keep_manifests: int = 2, orphan_ttl_seconds: float = 24 * 3600.0
+) -> list[int]:
     """Retention for bucketed tables — ``expire_versions`` must NOT be
     used here: an old ``v=`` directory can still OWN live buckets (the
     whole point of incremental merges is that untouched buckets stay
@@ -479,6 +670,7 @@ def expire_bucketed(table: str, keep_manifests: int = 2) -> list[int]:
     loses files."""
     if keep_manifests < 1:
         raise ValueError(f"keep_manifests must be >= 1, got {keep_manifests}")
+    _reclaim_staged(table, orphan_ttl_seconds)
     cur = current_version(table)
     if cur is None:
         return []
@@ -685,27 +877,19 @@ def optimize_bucketed(
         rows = _apply_dv(
             spark, spark.read.parquet(*paths), table, man, set(affected)
         ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
-    nxt = man["version"] + 1
     base = {
         "key_cols": keys,
         "n_buckets": n_buckets,
         "schema": man["schema"],
-        "buckets": man["buckets"],
         "__affected": affected + dv_only,
         "meta": dict(meta) if meta else {},
     }
-    new_dv = {
-        b: v
-        for b, v in man.get("dv", {}).items()
-        if int(b) not in set(affected) | set(dv_only)
-    }
-    if new_dv:
-        base["dv"] = new_dv
     if rows is None:
         from pyspark.sql.types import StructType
 
         rows = spark.createDataFrame(
             [], StructType.fromJson(json.loads(man["schema"]))
         ).withColumn("__bucket", F.lit(0).cast("bigint"))
-    _commit_bucketed(table, rows, nxt, base)
-    return nxt
+    return _commit_bucketed(
+        table, rows, base, man, dv_clear=set(affected) | set(dv_only)
+    )

@@ -371,6 +371,224 @@ def test_versioned_expire_rejects_nonpositive_keep_last(spark, tmp_path):
         VER.expire_versions(table, keep_last=0)
 
 
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (round 9): conditional commits, disjoint-bucket
+# rebase, conflict-loser cleanliness
+# ---------------------------------------------------------------------------
+
+
+def _no_staged(table):
+    import os as _os
+
+    return not [d for d in _os.listdir(table) if d.startswith("_staged_")]
+
+
+def test_commit_version_conflict_fails_loser_cleanly(spark, tmp_path):
+    import pytest as _pt
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "occ_plain")
+    VER.commit_version(spark.range(3).withColumnRenamed("id", "x"), t)  # v0
+    VER.commit_version(spark.range(5).withColumnRenamed("id", "x"), t)  # v1
+    # a writer that planned against v0 must NOT clobber v1 (the old
+    # last-writer-wins pointer behavior) — it fails with a retryable error
+    with _pt.raises(VER.CommitConflictError):
+        VER.commit_version(
+            spark.range(9).withColumnRenamed("id", "x"), t, expected_version=0
+        )
+    assert VER.current_version(t) == 1
+    assert VER.read_version(spark, t).count() == 5
+    assert _no_staged(t)  # the loser's staging is removed, not orphaned
+    # the documented recovery: re-read, re-derive, commit against v1
+    assert (
+        VER.commit_version(
+            spark.range(9).withColumnRenamed("id", "x"), t, expected_version=1
+        )
+        == 2
+    )
+    # expected_version=None asserts "table still empty" — conflicts here
+    with _pt.raises(VER.CommitConflictError):
+        VER.commit_version(
+            spark.range(1).withColumnRenamed("id", "x"), t, expected_version=None
+        )
+
+
+def test_merge_into_conflicts_when_pointer_moves_mid_merge(spark, tmp_path, monkeypatch):
+    """A commit landing between a merge's snapshot read and its commit
+    fails the merge — never silently merges against a stale base."""
+    import pytest as _pt
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "occ_merge")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, val string")
+    VER.commit_version(base, t)  # v0
+    sneak = {"done": False}
+    real_read = VER.read_version
+
+    def read_then_sneak(sp, table, version=None):
+        df = real_read(sp, table, version)
+        if not sneak["done"]:
+            sneak["done"] = True  # competitor commits mid-merge
+            VER.commit_version(
+                spark.createDataFrame([(9, "z")], "id bigint, val string"), table
+            )
+        return df
+
+    with monkeypatch.context() as m:
+        m.setattr(VER, "read_version", read_then_sneak)
+        with _pt.raises(VER.CommitConflictError):
+            VER.merge_into(
+                spark,
+                t,
+                spark.createDataFrame([(1, "A")], "id bigint, val string"),
+                ["id"],
+            )
+    # the competitor's commit is intact, the failed merge left nothing
+    assert VER.current_version(t) == 1
+    got = sorted((r["id"], r["val"]) for r in VER.read_version(spark, t).collect())
+    assert got == [(9, "z")]
+    assert _no_staged(t)
+
+
+def _ids_by_bucket(spark, n_buckets, n=400):
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.range(n).select("id", VER._bucket_expr(["id"], n_buckets).alias("b"))
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["b"], []).append(r["id"])
+    return out
+
+
+def test_bucketed_disjoint_concurrent_commits_both_win(spark, tmp_path, monkeypatch):
+    """Two writers that planned against the same version but touch
+    DISJOINT buckets both land (Delta's file-level conflict granularity):
+    the later one rebases its manifest onto the winner's."""
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "occ_bucketed")
+    n_buckets = 8
+    base = spark.range(0, 200).selectExpr("id", "cast(id * 7 as string) AS val")
+    VER.create_bucketed(base, tb, ["id"], n_buckets=n_buckets)
+    by_bucket = _ids_by_bucket(spark, n_buckets, 200)
+    (bA, idsA), (bB, idsB) = sorted(by_bucket.items())[:2]
+    man0 = VER._read_manifest(tb)
+
+    # writer B wins the race: a normal merge touching only bucket bB
+    srcB = spark.createDataFrame([(idsB[0], "B")], "id bigint, val string")
+    assert VER.merge_into_bucketed(spark, tb, srcB) == 1
+
+    # writer A planned against v0 (stale manifest) and touches only bA
+    real_rm = VER._read_manifest
+
+    def stale_rm(table, version=None):
+        if version is None and table == tb:
+            return man0
+        return real_rm(table, version)
+
+    srcA = spark.createDataFrame([(idsA[0], "A")], "id bigint, val string")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        vA = VER.merge_into_bucketed(spark, tb, srcA)
+    assert vA == 2  # rebased onto v1, not clobbering it
+
+    # BOTH commits' effects are visible; everything else untouched
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert got[idsA[0]] == "A" and got[idsB[0]] == "B"
+    assert len(got) == 200
+    man = VER._read_manifest(tb)
+    assert man["buckets"][str(bA)] == 2 and man["buckets"][str(bB)] == 1
+
+    # writer C also planned against v0 but touches bucket bB — OVERLAP
+    # with B's commit: must fail, leaving v2 state and no staging behind
+    import pytest as _pt
+
+    srcC = spark.createDataFrame([(idsB[1], "C")], "id bigint, val string")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        with _pt.raises(VER.CommitConflictError):
+            VER.merge_into_bucketed(spark, tb, srcC)
+    assert VER.current_version(tb) == 2
+    got2 = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert got2 == got
+    assert _no_staged(tb)
+
+
+def test_bucketed_stale_delete_rebases_or_conflicts(spark, tmp_path, monkeypatch):
+    """Deletion-vector commits follow the same contract: disjoint buckets
+    rebase (both the merge and the delete land), overlapping conflict."""
+    import pytest as _pt
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "occ_dv")
+    n_buckets = 8
+    base = spark.range(0, 200).selectExpr("id", "cast(id * 7 as string) AS val")
+    VER.create_bucketed(base, tb, ["id"], n_buckets=n_buckets)
+    by_bucket = _ids_by_bucket(spark, n_buckets, 200)
+    (bA, idsA), (bB, idsB) = sorted(by_bucket.items())[:2]
+    man0 = VER._read_manifest(tb)
+
+    # winner: merge rewriting bucket bB
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(idsB[0], "B")], "id bigint, val string")
+    )
+
+    real_rm = VER._read_manifest
+
+    def stale_rm(table, version=None):
+        if version is None and table == tb:
+            return man0
+        return real_rm(table, version)
+
+    # stale delete touching only bucket bA: rebases onto v1
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        v = VER.delete_bucketed(
+            spark, tb, spark.createDataFrame([(idsA[0],)], "id bigint")
+        )
+    assert v == 2
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert idsA[0] not in got and got[idsB[0]] == "B" and len(got) == 199
+    # stale delete touching bucket bB (rewritten by the winner): conflict
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        with _pt.raises(VER.CommitConflictError):
+            VER.delete_bucketed(
+                spark, tb, spark.createDataFrame([(idsB[1],)], "id bigint")
+            )
+    assert VER.current_version(tb) == 2
+    assert _no_staged(tb)
+
+
+def test_staged_orphans_invisible_and_age_reclaimed(spark, tmp_path):
+    """A writer crashing before the critical section leaves a _staged_*
+    orphan: invisible to readers and version listings, reclaimed by the
+    age-gated expire — the crash-invisibility contract, now at the
+    staging layer."""
+    import os as _os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "occ_crash")
+    VER.commit_version(spark.range(4).withColumnRenamed("id", "x"), t)
+    # simulate a crash mid-stage: data written, never published
+    spark.range(9).withColumnRenamed("id", "x").write.parquet(
+        _os.path.join(t, "_staged_deadbeef")
+    )
+    assert VER.current_version(t) == 0
+    assert VER.read_version(spark, t).count() == 4
+    assert VER.list_versions(t) == [0]
+    # young staging is an in-flight commit — default TTL leaves it alone
+    VER.expire_versions(t, keep_last=2)
+    assert not _no_staged(t)
+    # past the TTL it is reclaimed
+    VER.expire_versions(t, keep_last=2, orphan_ttl_seconds=0.0)
+    assert _no_staged(t)
+
+
 def test_orc_roundtrip_aggregate_matches_parquet(spark):
     import pyspark.sql.functions as F
 
