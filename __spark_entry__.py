@@ -5695,6 +5695,77 @@ def q_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfsq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-SQ8 index maintenance riding the stream, end-to-end
+    (r9 — similarity.write_ivfsq_index/append_ivfsq_index +
+    streaming/ingest.incremental_ivfsq_sink, completing the maintenance
+    symmetry with ivfpq_incremental across the two compressed served
+    layouts): train the frozen quantizer offline (deterministic
+    full-corpus sq_train), build the base ``_cell=``-partitioned byte-code
+    layout from two thirds of the corpus, stream the remaining third as 2
+    micro-batches through the sink (each epoch SQ8-encodes against the
+    frozen model and lands as its own batch_id partitions — exactly-once
+    via dynamic partition overwrite), then serve the SAME query
+    q_ivfsq_topk answers ad hoc. Cell assignment and encoding are pure
+    functions of (embedding, frozen artifacts), so the served top-k must
+    be row-identical to the ad-hoc path — the oracle is ivfsq_topk's
+    composed probe+SQ replay verbatim."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.streaming import ingest as SI
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = _sq_model(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    base = emb.filter(F.col("vec_id") % 3 != 2).select("vec_id", "embedding")
+    src = os.path.join(
+        _replay_sources(
+            spark,
+            sf_dir,
+            "ivfsq",
+            [
+                (
+                    f"src/batch{b}.parquet",
+                    emb.filter(
+                        (F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == b)
+                    ).select("vec_id", "embedding"),
+                )
+                for b in range(2)
+            ],
+        ),
+        "src",
+    )
+    tmp = tempfile.mkdtemp(prefix="ivfsq_inc_")
+    try:
+        idx = os.path.join(tmp, "index")
+        S.write_ivfsq_index(base, CENTROIDS, model, idx)
+        stream = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = SI.incremental_ivfsq_sink(idx, CENTROIDS, model)
+        with _stream_shuffle_partitions(spark):
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        final = S.ivfsq_topk_indexed(
+            spark, idx, emb, model, qv, CENTROIDS,
+            k=KNN_K, nprobe=IVF_NPROBE, candidates=SQ_CANDIDATES,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 KC_K = 80  # nontrivial core with a multi-round cascade at both SFs
 KC_ITERS = 6  # fixpoint is 5 rounds at sf0.01 AND sf0.1; 6 = margin
 
@@ -5768,9 +5839,12 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R9 = [
-    # steady-state rotation (r9): the 50 stalest green driver rows,
-    # oldest CORRECTNESS round first (38 last checked r3, 12 last r4);
-    # computed by tools/pin_window.py from the CORRECTNESS_r0*.json history
+    # never driver-checked (NEW in round 9) first, per the rotation policy
+    "ivfsq_incremental",
+    # then the stalest green driver rows, oldest CORRECTNESS round first
+    # (38 last checked r3, 11 last r4); computed by tools/pin_window.py
+    # from the CORRECTNESS_r0*.json history (the 50th stalest,
+    # ngram_lm_score, yields its slot and rotates next round)
     "filter_projection",  # last r3
     "topk_orders",  # last r3
     "upsert_update_demo",  # last r3
@@ -5820,7 +5894,6 @@ _DRIVER_WINDOW_R9 = [
     "heavy_hitters",  # last r4
     "salted_join_agg",  # last r4
     "gopher_rules",  # last r4
-    "ngram_lm_score",  # last r4
 ]
 
 
@@ -5917,6 +5990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "ivfsq_topk": q_ivfsq_topk,
         "personalized_pagerank": q_personalized_pagerank,
+        # --- NEW in round 9 ---
+        "ivfsq_incremental": q_ivfsq_incremental,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6572,6 +6647,57 @@ def oracle_sql() -> dict[str, str]:
             FROM base b CROSS JOIN wr
     """
 
+    # shared by ivfsq_topk and ivfsq_incremental (identical served query)
+    ivfsq_sql = f"""
+            WITH qd AS (
+                SELECT unnest(range(0, {IVF_K})) AS cell,
+                       unnest([{", ".join(_duck_dot("(SELECT embedding FROM embeddings WHERE vec_id = 0)", _duck_plane_lit(c)) for c in CENTROIDS)}]) AS d
+            ),
+            probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT {IVF_NPROBE}),
+            cells AS (
+                SELECT vec_id, embedding, {_duck_ivf_cell("embedding")} AS cell
+                FROM embeddings
+            ),
+            sub AS (
+                SELECT vec_id, embedding FROM cells
+                WHERE cell IN (SELECT cell FROM probe)
+            ),
+            bounds AS (
+                SELECT i, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+                FROM (SELECT unnest(embedding) AS v,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings)
+                GROUP BY i
+            ),
+            model AS (
+                SELECT list(lo ORDER BY i) AS lo,
+                       list((hi - lo) / 255.0 ORDER BY i) AS step
+                FROM bounds
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            codes AS (
+                SELECT e.vec_id,
+                       list_transform(generate_series(1, 64), i ->
+                           CASE WHEN m.step[i] = 0 THEN 0
+                                ELSE greatest(0, least(255,
+                                    CAST(floor((CAST(e.embedding[i] AS DOUBLE) - m.lo[i])
+                                               / m.step[i] + 0.5) AS INTEGER)))
+                           END) AS c
+                FROM sub e, model m
+            ),
+            adc AS (
+                SELECT c.vec_id,
+                       round(list_sum(list_transform(generate_series(1, 64), i ->
+                           CAST(q.qv[i] AS DOUBLE)
+                           * (m.lo[i] + m.step[i] * c.c[i]))), 6) AS a
+                FROM codes c, model m, q
+            ),
+            cand AS (SELECT vec_id FROM adc ORDER BY a DESC, vec_id LIMIT {SQ_CANDIDATES})
+            SELECT e.vec_id, round({_duck_dot("e.embedding", "q.qv")}, 6) AS score
+            FROM embeddings e JOIN cand USING (vec_id), q
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """
+
     return {
         "knn_topk": f"""
             SELECT e.vec_id, round({dot_q0}, 6) AS score
@@ -7179,55 +7305,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # IVF-SQ8 composed: the ivf probe CTE gates which rows encode,
         # then the sq_rescore chain (full-corpus model) runs on that subset
-        "ivfsq_topk": f"""
-            WITH qd AS (
-                SELECT unnest(range(0, {IVF_K})) AS cell,
-                       unnest([{", ".join(_duck_dot("(SELECT embedding FROM embeddings WHERE vec_id = 0)", _duck_plane_lit(c)) for c in CENTROIDS)}]) AS d
-            ),
-            probe AS (SELECT cell FROM qd ORDER BY d DESC, cell LIMIT {IVF_NPROBE}),
-            cells AS (
-                SELECT vec_id, embedding, {_duck_ivf_cell("embedding")} AS cell
-                FROM embeddings
-            ),
-            sub AS (
-                SELECT vec_id, embedding FROM cells
-                WHERE cell IN (SELECT cell FROM probe)
-            ),
-            bounds AS (
-                SELECT i, CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
-                FROM (SELECT unnest(embedding) AS v,
-                             unnest(generate_series(1, len(embedding))) AS i
-                      FROM embeddings)
-                GROUP BY i
-            ),
-            model AS (
-                SELECT list(lo ORDER BY i) AS lo,
-                       list((hi - lo) / 255.0 ORDER BY i) AS step
-                FROM bounds
-            ),
-            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-            codes AS (
-                SELECT e.vec_id,
-                       list_transform(generate_series(1, 64), i ->
-                           CASE WHEN m.step[i] = 0 THEN 0
-                                ELSE greatest(0, least(255,
-                                    CAST(floor((CAST(e.embedding[i] AS DOUBLE) - m.lo[i])
-                                               / m.step[i] + 0.5) AS INTEGER)))
-                           END) AS c
-                FROM sub e, model m
-            ),
-            adc AS (
-                SELECT c.vec_id,
-                       round(list_sum(list_transform(generate_series(1, 64), i ->
-                           CAST(q.qv[i] AS DOUBLE)
-                           * (m.lo[i] + m.step[i] * c.c[i]))), 6) AS a
-                FROM codes c, model m, q
-            ),
-            cand AS (SELECT vec_id FROM adc ORDER BY a DESC, vec_id LIMIT {SQ_CANDIDATES})
-            SELECT e.vec_id, round({_duck_dot("e.embedding", "q.qv")}, 6) AS score
-            FROM embeddings e JOIN cand USING (vec_id), q
-            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
-        """,
+        "ivfsq_topk": ivfsq_sql,
+        # incremental maintenance serves the SAME query over a base+streamed
+        # layout; encode/assign are pure functions of the frozen artifacts,
+        # so the oracle is the composed probe+SQ replay verbatim
+        "ivfsq_incremental": ivfsq_sql,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

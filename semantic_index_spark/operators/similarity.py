@@ -1425,28 +1425,70 @@ def write_ivfsq_index(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     files_per_cell: int = 1,
+    batch_id: int = -1,
 ) -> None:
     """Materialize an IVF-SQ8 index (FAISS ``IVF,SQ8``): rows are assigned
-    to centroid cells and stored as ``_cell=<i>/`` parquet partitions
-    holding only (id, int8 codes) — the float corpus never enters the
-    serving layout. Probes then compose BOTH savings: planning-time cell
-    pruning (PartitionFilters skips ~(K-nprobe)/K of the files) AND the
-    4x byte cut of byte-array codes inside the probed cells. Payload
-    columns beyond (id, codes) are dropped by design — rescoring joins
-    candidates back to the source-of-truth float table, which stays in
-    cheap cold storage."""
+    to centroid cells and stored as ``_cell=<i>/batch_id=<e>/`` parquet
+    partitions holding only (id, int8 codes) — the float corpus never
+    enters the serving layout. Probes then compose BOTH savings:
+    planning-time cell pruning (PartitionFilters skips ~(K-nprobe)/K of
+    the files) AND the 4x byte cut of byte-array codes inside the probed
+    cells. Payload columns beyond (id, codes) are dropped by design —
+    rescoring joins candidates back to the source-of-truth float table,
+    which stays in cheap cold storage. ``batch_id`` is the ingest epoch
+    (-1 = the base build); see :func:`append_ivfsq_index` for why it is a
+    partition column — the same exactly-once recipe as
+    :func:`write_ivfpq_index`."""
     assigned = ivf_assign(df, centroids, emb_col)
-    codes = sq_encode(
-        assigned, model, emb_col=emb_col, id_col=id_col, out_col="codes"
-    ).join(assigned.select(id_col, "_cell"), id_col)
+    codes = (
+        sq_encode(assigned, model, emb_col=emb_col, id_col=id_col, out_col="codes")
+        .join(assigned.select(id_col, "_cell"), id_col)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
     salt = F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(max(1, files_per_cell)))
     (
         codes.repartition(
             max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
         )
         .write.mode("overwrite")
-        .partitionBy("_cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_cell", "batch_id")
         .parquet(path)
+    )
+
+
+def append_ivfsq_index(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    model: dict,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    files_per_cell: int = 1,
+    batch_id: int = 0,
+) -> None:
+    """Incremental IVF-SQ8 maintenance — the byte-code twin of
+    :func:`append_ivfpq_index`, completing symmetry across the two
+    compressed served layouts: encode a NEW ingest batch against the
+    FROZEN quantizer, assign cells against the frozen centroids, and land
+    it under the existing layout as ``(_cell, batch_id=<epoch>)``
+    partitions with DYNAMIC partition overwrite. Cell assignment and SQ8
+    encoding are pure functions of (embedding, frozen artifacts), so the
+    index after N appends is row-identical to a from-scratch
+    :func:`write_ivfsq_index` of the union (pytest-asserted); dynamic
+    overwrite keyed by the epoch makes a REPLAYED batch overwrite its own
+    partitions instead of duplicating (exactly-once without a transaction
+    log). Re-training the quantizer or centroids is the one rebuild
+    event."""
+    write_ivfsq_index(
+        df,
+        centroids,
+        model,
+        path,
+        emb_col=emb_col,
+        id_col=id_col,
+        files_per_cell=files_per_cell,
+        batch_id=batch_id,
     )
 
 

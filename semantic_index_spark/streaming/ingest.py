@@ -668,6 +668,44 @@ def incremental_ivfpq_sink(
     return _apply
 
 
+def incremental_ivfsq_sink(
+    path: str,
+    centroids,
+    model: dict,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Incremental IVF-SQ8 index maintenance riding the stream — the
+    byte-code twin of :func:`incremental_ivfpq_sink`, completing the
+    maintenance symmetry across the two compressed served layouts: each
+    micro-batch of new vectors is SQ8-encoded against the FROZEN
+    quantizer, IVF-cell-assigned against the frozen centroids, and landed
+    under the ``_cell=``-partitioned code layout as its own
+    ``batch_id=<epoch>`` partitions (``similarity.append_ivfsq_index``).
+    Encoding is a pure function of (embedding, frozen artifacts), so the
+    served index always equals a from-scratch encode of everything ever
+    streamed; dynamic partition overwrite keyed by the epoch makes a
+    re-delivered batch overwrite itself — exactly-once without a
+    transaction log, the ``idempotent_parquet_sink`` recipe. Probe
+    queries (``similarity.ivfsq_topk_indexed``) keep planning-time cell
+    pruning throughout; quantizer/centroid re-training remains the one
+    rebuild event. Returns the ``foreachBatch`` callback."""
+    from semantic_index_spark.operators import similarity as SIM
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        SIM.append_ivfsq_index(
+            batch_df,
+            centroids,
+            model,
+            path,
+            emb_col=emb_col,
+            id_col=id_col,
+            batch_id=int(epoch_id),
+        )
+
+    return _apply
+
+
 def incremental_sample_sink(path: str, key_col: str, payload_cols: list[str], k: int = 512):
     """Uniform-sample maintenance across micro-batches: keep the k rows
     with the globally smallest md5(key) ranks ever streamed

@@ -2628,3 +2628,56 @@ def test_ivfsq_indexed_matches_adhoc_two_stage_and_prunes(spark, tmp_path):
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     idx_scans = [ln for ln in scans if "codes" in ln]
     assert idx_scans and all("embedding" not in ln for ln in idx_scans)
+
+
+def test_append_ivfsq_equals_rebuild(spark, tmp_path):
+    # SQ8 encoding + cell assignment are pure functions of (embedding,
+    # frozen artifacts): base build + append of the remainder must be
+    # row-identical to a from-scratch build of the union — the same
+    # contract as append_ivfpq_index, now symmetric across both
+    # compressed served layouts
+    df = _pq_fixture(spark)
+    cents = S.make_centroids(3, 8)
+    model = S.sq_train(df)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    S.write_ivfsq_index(df.filter("vec_id % 3 != 2"), cents, model, inc)
+    S.append_ivfsq_index(df.filter("vec_id % 3 = 2"), cents, model, inc, batch_id=0)
+    S.write_ivfsq_index(df, cents, model, full)
+    key = ["vec_id", "codes", "_cell"]
+    got = sorted((r["vec_id"], tuple(r["codes"]), r["_cell"])
+                 for r in spark.read.parquet(inc).select(*key).collect())
+    ref = sorted((r["vec_id"], tuple(r["codes"]), r["_cell"])
+                 for r in spark.read.parquet(full).select(*key).collect())
+    assert got == ref and len(got) == 60
+
+
+def test_ivfsq_sink_epoch_replay_idempotent(spark, tmp_path):
+    # a re-delivered epoch (post-crash restart) must overwrite its own
+    # batch_id partitions, not duplicate them
+    from semantic_index_spark.streaming import ingest as SI
+
+    df = _pq_fixture(spark)
+    cents = S.make_centroids(3, 8)
+    model = S.sq_train(df)
+    idx = str(tmp_path / "idx")
+    S.write_ivfsq_index(df.filter("vec_id < 40"), cents, model, idx)
+    sink = SI.incremental_ivfsq_sink(idx, cents, model)
+    batch = df.filter("vec_id >= 40")
+    sink(batch, 1)
+    once = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["_cell"], r["batch_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    sink(batch, 1)  # replay
+    again = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["_cell"], r["batch_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert again == once and len(once) == 60
+    # serving over the maintained layout equals serving over a rebuild
+    q = [float(x) for x in df.filter("vec_id = 1").collect()[0]["embedding"]]
+    full = str(tmp_path / "full")
+    S.write_ivfsq_index(df, cents, model, full)
+    got = S.ivfsq_topk_indexed(spark, idx, df, model, q, cents, k=5, nprobe=2)
+    want = S.ivfsq_topk_indexed(spark, full, df, model, q, cents, k=5, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
