@@ -62,11 +62,18 @@ import datetime
 import hashlib
 import json
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from semantic_index_spark.functions.text import md5_bigint
+from semantic_index_spark.sources.versioned import (
+    CommitConflictError,
+    _pointer_lock,
+    _staged_path,
+    _write_pointer,
+)
 
 _SPEC = "_hidden_spec.json"
 _LATEST = "_latest.json"
@@ -205,30 +212,55 @@ def create_hidden(df: DataFrame, table: str, spec: list) -> int:
     return commit_hidden(df, table)
 
 
+def _publish_staged(
+    table: str, staged: str, expected: "int | None", before_pointer=None
+) -> int:
+    """The shared optimistic-commit tail (r9 — same contract as
+    ``versioned.commit_version``): inside the pointer critical section,
+    verify the committed latest still equals the version this commit was
+    planned against, rename the staged layout to ``v=<n+1>``, advance the
+    pointer. A concurrent winner fails the loser with retryable
+    :class:`versioned.CommitConflictError` and the staging is removed —
+    hidden tables share the versioned store's multi-writer semantics."""
+    with _pointer_lock(table):
+        cur = current_version(table)
+        if cur != expected:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise CommitConflictError(
+                f"cannot commit to {table}: expected latest version "
+                f"{expected}, found {cur} — a concurrent writer committed "
+                "first; re-read and retry"
+            )
+        nxt = 0 if cur is None else cur + 1
+        os.rename(staged, os.path.join(table, f"v={nxt}"))
+        if before_pointer is not None:
+            before_pointer(nxt)  # e.g. the version's zone-map manifest
+        _write_pointer(table, nxt)
+    return nxt
+
+
 def commit_hidden(df: DataFrame, table: str) -> int:
     """Commit the next immutable snapshot version, deriving the partition
     values from the recorded spec — the writer's schema is the SOURCE
-    schema; hidden columns exist only in the layout. Same crash contract
-    as ``versioned.commit_version`` (orphan until the pointer rename)."""
+    schema; hidden columns exist only in the layout. Same optimistic
+    crash/concurrency contract as ``versioned.commit_version``: staged
+    write, conditional publish, invisible ``_staged_*`` orphans on
+    crash."""
     meta = _read_meta(table)
     entries = meta["spec"]
     _check_tz(table, df.sparkSession, meta, "commit to")
     _check_bucket_dtypes(df, entries)
-    cur = current_version(table)
-    nxt = 0 if cur is None else cur + 1
+    expected = current_version(table)
     out = df
     for e in entries:
         out = out.withColumn(e["name"], _transform_col(e))
+    staged = _staged_path(table)
     (
         out.write.mode("errorifexists")
         .partitionBy(*[e["name"] for e in entries])
-        .parquet(os.path.join(table, f"v={nxt}"))
+        .parquet(staged)
     )
-    tmp = _latest_path(table) + ".__tmp__"
-    with open(tmp, "w") as f:
-        json.dump({"version": nxt}, f)
-    os.replace(tmp, _latest_path(table))
-    return nxt
+    return _publish_staged(table, staged, expected)
 
 
 def _read_meta(table: str) -> dict:
@@ -385,32 +417,38 @@ def create_hidden_skipping(
 
 def commit_hidden_skipping(df: DataFrame, table: str) -> int:
     """Commit the next immutable snapshot of a composed table: derive the
-    partition values, range-cluster within partitions, write, then one
-    read-back pass computes every file's [min, max] per tracked column
-    into the version's manifest (written BEFORE the pointer rename, so a
-    crash leaves an orphan version, never a version without stats)."""
+    partition values, range-cluster within partitions, write to staging,
+    then one read-back pass computes every file's [min, max] per tracked
+    column; the publish is conditional (``_publish_staged``) and the
+    version's zone-map manifest lands BEFORE the pointer rename, so a
+    crash leaves an invisible staged orphan or a pointerless version,
+    never a published version without stats."""
     meta = _read_meta(table)
     entries = meta["spec"]
     sk = _skip_meta(meta)
     _check_tz(table, df.sparkSession, meta, "commit to")
     _check_bucket_dtypes(df, entries)
-    cur = current_version(table)
-    nxt = 0 if cur is None else cur + 1
+    expected = current_version(table)
     out = df
     for e in entries:
         out = out.withColumn(e["name"], _transform_col(e))
     shape_keys = [F.col(e["name"]) for e in entries]
     if sk["cluster_by"]:
         shape_keys.append(F.col(sk["cluster_by"]))
-    vdir = os.path.join(table, f"v={nxt}")
+    staged = _staged_path(table)
     (
         out.repartitionByRange(sk["n_files"], *shape_keys)
         .write.mode("errorifexists")
         .partitionBy(*[e["name"] for e in entries])
-        .parquet(vdir)
+        .parquet(staged)
     )
-    back = df.sparkSession.read.parquet(vdir)
-    rel = F.regexp_extract(F.input_file_name(), r"/v=\d+/(.*)$", 1)
+    # stats are computed on the STAGED layout (relative `_f` keys survive
+    # the rename unchanged), keeping the Spark job outside the pointer
+    # critical section
+    back = df.sparkSession.read.parquet(staged)
+    rel = F.regexp_extract(
+        F.input_file_name(), "/" + os.path.basename(staged) + "/(.*)$", 1
+    )
     stats = back.groupBy(rel.alias("_f")).agg(
         *[
             agg(c).cast("string").alias(f"{kind}_{c}")
@@ -424,19 +462,18 @@ def commit_hidden_skipping(df: DataFrame, table: str) -> int:
     # driver-held manifest is bounded by n_files + #dirs (counted from the
     # just-written layout, no extra job) — same manifest-is-the-model
     # contract as skipping.write_skipping
-    n_dirs = sum(1 for _, dirs, fns in os.walk(vdir) if not dirs and fns)
+    n_dirs = sum(1 for _, dirs, fns in os.walk(staged) if not dirs and fns)
     files = {}
     for r in collect_bounded(
         stats, 4 * (sk["n_files"] + n_dirs) + 16, "hidden_skipping stats"
     ):
         files[r["_f"]] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in sk["stats_cols"]}
-    with open(_zonemap_path(table, nxt), "w") as f:
-        json.dump({"files": files}, f)
-    tmp = _latest_path(table) + ".__tmp__"
-    with open(tmp, "w") as f:
-        json.dump({"version": nxt}, f)
-    os.replace(tmp, _latest_path(table))
-    return nxt
+
+    def _write_zonemap(nxt: int) -> None:
+        with open(_zonemap_path(table, nxt), "w") as f:
+            json.dump({"files": files}, f)
+
+    return _publish_staged(table, staged, expected, before_pointer=_write_zonemap)
 
 
 def _parse_partition_values(relpath: str, entries: list[dict]) -> dict[str, str]:

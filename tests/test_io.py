@@ -563,6 +563,55 @@ def test_bucketed_stale_delete_rebases_or_conflicts(spark, tmp_path, monkeypatch
     assert _no_staged(tb)
 
 
+def test_hidden_commit_conflict_fails_loser_cleanly(spark, tmp_path, monkeypatch):
+    """Hidden-partitioned tables share the versioned store's optimistic
+    contract: a writer that planned against a stale version must fail
+    with CommitConflictError, never clobber the winner's pointer."""
+    import pytest as _pt
+
+    from semantic_index_spark.sources import hidden as H
+    from semantic_index_spark.sources import versioned as VER
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, p bigint")
+    t = str(tmp_path / "occ_hidden")
+    H.create_hidden(df, t, [("identity", "p")])  # v0
+    H.commit_hidden(df.filter("id < 10"), t)  # competitor wins: v1
+
+    real_cv = H.current_version
+    stale = {"used": False}
+
+    def stale_cv(table):
+        if not stale["used"]:
+            stale["used"] = True
+            return 0  # the loser's entry-time snapshot read
+        return real_cv(table)
+
+    with monkeypatch.context() as m:
+        m.setattr(H, "current_version", stale_cv)
+        with _pt.raises(VER.CommitConflictError):
+            H.commit_hidden(df.filter("id >= 20"), t)
+    assert H.current_version(t) == 1
+    assert H.read_hidden(spark, t).count() == 10  # the winner's state
+    assert _no_staged(t)
+
+    # the composed skipping variant shares the contract, and a conflict
+    # never leaves a zone-map manifest for an unpublished version
+    t2 = str(tmp_path / "occ_hidden_skip")
+    H.create_hidden_skipping(df, t2, [("identity", "p")], stats_cols=["id"], n_files=2)
+    H.commit_hidden_skipping(df.filter("id < 10"), t2)  # v1
+    stale["used"] = False
+    with monkeypatch.context() as m:
+        m.setattr(H, "current_version", stale_cv)
+        with _pt.raises(VER.CommitConflictError):
+            H.commit_hidden_skipping(df.filter("id >= 20"), t2)
+    assert H.current_version(t2) == 1
+    assert H.read_hidden_skipping(spark, t2).count() == 10
+    assert _no_staged(t2)
+    import os as _os
+
+    assert not _os.path.exists(H._zonemap_path(t2, 2))
+
+
 def test_staged_orphans_invisible_and_age_reclaimed(spark, tmp_path):
     """A writer crashing before the critical section leaves a _staged_*
     orphan: invisible to readers and version listings, reclaimed by the
