@@ -108,6 +108,26 @@ try:
     print("after OPTIMIZE:", VER.read_bucketed(spark, tbl2).count(),
           "rows; DVs folded:", not VER._read_manifest(tbl2).get("dv"))
 
+    # 8. optimistic concurrency (r9): a writer that planned against a
+    # stale version loses with a retryable conflict instead of clobbering
+    # the winner's pointer; retry_commit is the standard recovery
+    stale = VER.current_version(tbl2)
+    VER.merge_into_bucketed(  # the winner commits first
+        spark, tbl2,
+        d2.filter(F.col("doc_id") == 1).select(
+            "doc_id", "lang", (F.col("n_chars") + 9).alias("n_chars")),
+    )
+    try:
+        VER.commit_version(d2.limit(1), tbl2, expected_version=stale)
+    except VER.CommitConflictError as e:
+        print("conflict detected (expected):", str(e)[:80], "...")
+    v = VER.retry_commit(lambda: VER.merge_into_bucketed(
+        spark, tbl2,
+        d2.filter(F.col("doc_id") == 2).select(
+            "doc_id", "lang", (F.col("n_chars") + 9).alias("n_chars")),
+    ))
+    print("retry_commit landed v", v)
+
     # 8. hidden partitioning + zone-map skipping: the two pruning layers
     from semantic_index_spark.sources import hidden as H
     from semantic_index_spark.sources import skipping as Z

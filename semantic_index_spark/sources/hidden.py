@@ -272,6 +272,24 @@ def _read_spec(table: str) -> list[dict]:
     return _read_meta(table)["spec"]
 
 
+def expire_hidden(
+    table: str, keep_last: int = 2, orphan_ttl_seconds: float = 24 * 3600.0
+) -> list[int]:
+    """Retention for hidden-partitioned tables (r9 — completes the
+    create/commit/read/time-travel/expire lifecycle): hidden snapshots
+    are self-contained ``v=<n>`` directories under the same
+    latest-pointer layout as the plain versioned store (the composed
+    variant's zone-map manifest lives INSIDE its version directory, so
+    it expires with it), so the versioned store's age-gated retention —
+    including ``_staged_*`` orphan reclaim — applies verbatim. Returns
+    the expired version numbers."""
+    from semantic_index_spark.sources import versioned as _ver
+
+    return _ver.expire_versions(
+        table, keep_last=keep_last, orphan_ttl_seconds=orphan_ttl_seconds
+    )
+
+
 def current_version(table: str) -> int | None:
     try:
         with open(_latest_path(table)) as f:

@@ -226,6 +226,25 @@ def expire_versions(
     return expired
 
 
+def retry_commit(fn, attempts: int = 3):
+    """Run a commit closure, retrying on :class:`CommitConflictError` —
+    the standard loser recovery for optimistic commits. ``fn`` must
+    RE-READ the table on every attempt (every commit entry point here —
+    ``commit_version`` default, ``merge_into``, ``merge_into_bucketed``,
+    ``delete_bucketed``, ``optimize_bucketed`` — re-reads at call time,
+    so ``retry_commit(lambda: merge_into_bucketed(...))`` is correct as
+    written). Re-raises the conflict after ``attempts`` tries: livelock
+    under genuine contention should surface, not spin."""
+    if attempts < 1:
+        raise ValueError(f"attempts must be >= 1, got {attempts}")
+    for i in range(attempts):
+        try:
+            return fn()
+        except CommitConflictError:
+            if i == attempts - 1:
+                raise
+
+
 def _reclaim_staged(table: str, ttl_seconds: float) -> None:
     """Remove crashed writers' ``_staged_*`` orphans older than the TTL —
     a young one may be an in-flight commit."""

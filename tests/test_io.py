@@ -612,6 +612,64 @@ def test_hidden_commit_conflict_fails_loser_cleanly(spark, tmp_path, monkeypatch
     assert not _os.path.exists(H._zonemap_path(t2, 2))
 
 
+def test_retry_commit_recovers_from_conflicts(spark, tmp_path):
+    """retry_commit re-runs the closure on CommitConflictError (the
+    closure re-plans against the fresh latest) and re-raises once the
+    attempts are exhausted."""
+    import pytest as _pt
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "occ_retry")
+    VER.commit_version(spark.range(3).withColumnRenamed("id", "x"), t)  # v0
+
+    calls = {"n": 0}
+
+    def contended_commit():
+        calls["n"] += 1
+        # first attempt plans against a stale version; the retry re-reads
+        expected = 0 if calls["n"] == 1 else VER.current_version(t)
+        return VER.commit_version(
+            spark.range(5).withColumnRenamed("id", "x"), t, expected_version=expected
+        )
+
+    VER.commit_version(spark.range(4).withColumnRenamed("id", "x"), t)  # v1
+    assert VER.retry_commit(contended_commit, attempts=3) == 2
+    assert calls["n"] == 2  # one conflict, one success
+    with _pt.raises(VER.CommitConflictError):
+        VER.retry_commit(
+            lambda: VER.commit_version(
+                spark.range(1).withColumnRenamed("id", "x"), t, expected_version=0
+            ),
+            attempts=2,
+        )
+
+
+def test_expire_hidden_retention_and_staged_reclaim(spark, tmp_path):
+    """Hidden tables complete the lifecycle: expire drops old versions
+    (the composed variant's zone-map manifest lives inside the version
+    dir and goes with it) and reclaims aged staged orphans, never the
+    committed latest."""
+    import os as _os
+
+    from semantic_index_spark.sources import hidden as H
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, p bigint")
+    t = str(tmp_path / "exp_hidden")
+    H.create_hidden_skipping(df, t, [("identity", "p")], stats_cols=["id"], n_files=2)
+    H.commit_hidden_skipping(df.filter("id < 20"), t)  # v1
+    H.commit_hidden_skipping(df.filter("id < 10"), t)  # v2
+    _os.makedirs(_os.path.join(t, "_staged_dead"))
+    expired = H.expire_hidden(t, keep_last=2, orphan_ttl_seconds=0.0)
+    assert expired == [0]
+    assert not _os.path.isdir(_os.path.join(t, "v=0"))
+    assert not _os.path.isdir(_os.path.join(t, "_staged_dead"))
+    # survivors read fine at both retained versions, skipping intact
+    assert H.read_hidden_skipping(spark, t).count() == 10
+    assert H.read_hidden_skipping(spark, t, version=1).count() == 20
+    assert H.read_hidden_skipping(spark, t, [("id", "<", 5)]).count() == 5
+
+
 def test_staged_orphans_invisible_and_age_reclaimed(spark, tmp_path):
     """A writer crashing before the critical section leaves a _staged_*
     orphan: invisible to readers and version listings, reclaimed by the
