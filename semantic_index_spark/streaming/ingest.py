@@ -613,10 +613,14 @@ def merge_stream_sink(table: str, op_col: str | None = None):
     latest manifest already carries an equal-or-newer epoch. That is the
     same idempotency contract real table formats implement with txn ids;
     the partition-overwrite trick (``idempotent_parquet_sink``) is the
-    non-transactional fallback. Returns the ``foreachBatch`` callback."""
+    non-transactional fallback. A concurrent NON-stream writer committing
+    mid-merge surfaces as an optimistic-commit conflict (r9); the sink
+    re-plans and retries (``versioned.retry_commit``), re-checking the
+    epoch guard each attempt so a retry never double-applies. Returns
+    the ``foreachBatch`` callback."""
     from semantic_index_spark.sources import versioned as VER
 
-    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+    def _attempt(batch_df: DataFrame, epoch_id: int) -> None:
         man = VER._read_manifest(table)
         last = man.get("meta", {}).get("epoch_id")
         if last is not None and int(last) >= int(epoch_id):
@@ -628,6 +632,9 @@ def merge_stream_sink(table: str, op_col: str | None = None):
             op_col=op_col,
             meta={"epoch_id": int(epoch_id)},
         )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        VER.retry_commit(lambda: _attempt(batch_df, epoch_id))
 
     return _apply
 

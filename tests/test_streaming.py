@@ -711,6 +711,41 @@ def test_merge_stream_sink_upserts_and_skips_replayed_epoch(spark, tmp_path):
     assert VER.current_version(tbl) == v_after  # skipped, no new version
 
 
+def test_merge_stream_sink_retries_on_commit_conflict(spark, tmp_path, monkeypatch):
+    """A non-stream writer committing between the sink's manifest read and
+    its merge surfaces as CommitConflictError; the sink re-plans and
+    retries, and the retry re-checks the epoch guard (never
+    double-applies)."""
+    from semantic_index_spark.sources import versioned as VER
+
+    tbl = str(tmp_path / "merge_conf")
+    base = spark.range(0, 20).selectExpr("id", "cast(id as string) AS val")
+    VER.create_bucketed(base, tbl, ["id"], n_buckets=4)
+
+    real_merge = VER.merge_into_bucketed
+    raised = {"done": False}
+
+    def flaky_merge(sp, table, source, **kw):
+        if not raised["done"]:
+            raised["done"] = True
+            raise VER.CommitConflictError("concurrent writer (simulated)")
+        return real_merge(sp, table, source, **kw)
+
+    batch = spark.createDataFrame([(1, "ONE", "upsert")], "id bigint, val string, op string")
+    sink = I.merge_stream_sink(tbl, op_col="op")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "merge_into_bucketed", flaky_merge)
+        sink(batch, 7)  # conflict on attempt 1, lands on attempt 2
+    assert raised["done"]
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tbl).collect()}
+    assert got[1] == "ONE" and len(got) == 20
+    assert VER._read_manifest(tbl)["meta"]["epoch_id"] == 7
+    # the retried epoch is in the ledger: a replay is still skipped
+    v = VER.current_version(tbl)
+    sink(batch, 7)
+    assert VER.current_version(tbl) == v
+
+
 def test_incremental_kmv_sink_equals_oneshot_batch_sketch(spark, events_dir, events_batch, tmp_path):
     """Streaming KMV maintenance: after the forced multi-micro-batch drain,
     the per-group bottom-k table must EQUAL the one-shot batch sketch of
