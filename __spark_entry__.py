@@ -5766,6 +5766,33 @@ def q_ivfsq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+WALK_LEN, WALK_MOD = 4, 17
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus generation (r9 —
+    operators/graph.py deterministic_walks, the DeepWalk graph→sequence
+    bridge): one walk per start vertex (every WALK_MOD-th co-purchase
+    node), WALK_LEN steps, each step choosing the out-neighbor with the
+    smallest md5(seed:walk:step:here:cand) — hash-randomness instead of a
+    PRNG, so the emitted (walk_id, step, node) training sentences are a
+    pure function of (graph, starts, seed). Per step: ONE frontier×edges
+    hash equi-join + per-walk min_by, frontier localCheckpointed. The
+    oracle unrolls the WALK_LEN argmin rounds as MATERIALIZED CTEs with
+    the identical md5 total order, so every chosen neighbor hash-matches
+    cross-engine."""
+    from semantic_index_spark.operators import graph as G
+
+    e = _copurchase_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    starts = verts.filter(F.col("node") % WALK_MOD == 0)
+    return G.deterministic_walks(e, starts=starts, length=WALK_LEN)
+
+
 KC_K = 80  # nontrivial core with a multi-round cascade at both SFs
 KC_ITERS = 6  # fixpoint is 5 rounds at sf0.01 AND sf0.1; 6 = margin
 
@@ -5841,10 +5868,11 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 _DRIVER_WINDOW_R9 = [
     # never driver-checked (NEW in round 9) first, per the rotation policy
     "ivfsq_incremental",
+    "graph_walks",
     # then the stalest green driver rows, oldest CORRECTNESS round first
     # (38 last checked r3, 11 last r4); computed by tools/pin_window.py
-    # from the CORRECTNESS_r0*.json history (the 50th stalest,
-    # ngram_lm_score, yields its slot and rotates next round)
+    # from the CORRECTNESS_r0*.json history (the 49th/50th stalest,
+    # gopher_rules and ngram_lm_score, yield their slots and rotate next round)
     "filter_projection",  # last r3
     "topk_orders",  # last r3
     "upsert_update_demo",  # last r3
@@ -5893,7 +5921,6 @@ _DRIVER_WINDOW_R9 = [
     "tfidf_top_terms",  # last r4
     "heavy_hitters",  # last r4
     "salted_join_agg",  # last r4
-    "gopher_rules",  # last r4
 ]
 
 
@@ -5992,6 +6019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         # --- NEW in round 9 ---
         "ivfsq_incremental": q_ivfsq_incremental,
+        "graph_walks": q_graph_walks,
         "zonemap_skipping": q_zonemap_skipping,
         "ivm_agg": q_ivm_agg,
         "sampled_quantiles": q_sampled_quantiles,
@@ -6645,6 +6673,40 @@ def oracle_sql() -> dict[str, str]:
                    floor((wr.w0 + wr.w1 * b.x1 + wr.w2 * b.x2 + wr.w3 * b.x3)
                          * 1e6 + 0.5)::BIGINT AS logit_micro
             FROM base b CROSS JOIN wr
+    """
+
+    # deterministic_walks replay: the identical md5 total order, one
+    # MATERIALIZED CTE per step (plain CTEs re-expand the chain
+    # exponentially in DuckDB)
+    walk_steps = []
+    for t in range(1, WALK_LEN + 1):
+        prev = f"w{t - 1}"
+        walk_steps.append(f"""
+            w{t} AS MATERIALIZED (
+                SELECT p.walk_id, {t} AS step,
+                       arg_min(e.d,
+                               md5('walk:' || p.walk_id::VARCHAR || ':{t}:'
+                                   || p.node::VARCHAR || ':' || e.d::VARCHAR)
+                               || '|' || e.d::VARCHAR) AS node
+                FROM {prev} p JOIN e ON e.s = p.node
+                GROUP BY p.walk_id
+            )""")
+    walks_sql = f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e AS MATERIALIZED (
+            SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0
+        ),
+        w0 AS MATERIALIZED (
+            SELECT node AS walk_id, 0 AS step, node
+            FROM (SELECT DISTINCT s AS node FROM e)
+            WHERE node % {WALK_MOD} = 0
+        ),{",".join(walk_steps)}
+        SELECT walk_id, CAST(step AS INTEGER) AS step, node
+        FROM ({" UNION ALL ".join(f"SELECT * FROM w{t}" for t in range(WALK_LEN + 1))})
     """
 
     # shared by ivfsq_topk and ivfsq_incremental (identical served query)
@@ -7310,6 +7372,7 @@ def oracle_sql() -> dict[str, str]:
         # layout; encode/assign are pure functions of the frozen artifacts,
         # so the oracle is the composed probe+SQ replay verbatim
         "ivfsq_incremental": ivfsq_sql,
+        "graph_walks": walks_sql,
         # final index state after 3 overlapping UPDATE-policy micro-batches
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped

@@ -799,3 +799,83 @@ def personalized_pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame | None = None,
+    length: int = 4,
+    seed: str = "walk",
+    src: str = "src",
+    dst: str = "dst",
+    both_directions: bool = True,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (Perozzi 2014), made
+    DETERMINISTIC: from each start vertex take ``length`` steps, choosing
+    at every step the out-neighbor with the smallest
+    ``md5(seed:walk_id:step:here:candidate)`` — hash-randomness instead of
+    a PRNG (the same reproducible-noise idiom as ``dp_exponential_topk``),
+    so the corpus is a pure function of (graph, starts, seed) and replays
+    identically on any engine. This is the graph→sequence bridge an
+    embedding pipeline needs: the emitted (walk_id, step, node) rows ARE
+    the training sentences for skip-gram node embeddings.
+    [absent in reference — north-star extension]
+
+    ``starts`` (one walk per row of column ``node``; default = every
+    distinct vertex) is the scale lever: each step is ONE hash equi-join
+    of the |starts|-row frontier against the out-edge list (candidate
+    rows ≤ Σ outdeg(frontier)) followed by a per-walk min_by — never a
+    product, never a corpus window; the frontier localCheckpoints each
+    step so lineage stays O(1) deep. Walks reaching a sink vertex simply
+    end (inner join drops them; their emitted prefix survives).
+    ``both_directions=True`` walks the undirected view of a canonical
+    (src<dst) edge list. Returns (walk_id, step, node) with walk_id = the
+    start vertex."""
+    if length < 1:
+        raise ValueError(f"deterministic_walks: length must be >= 1, got {length}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if both_directions:
+        e = e.unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    e = e.filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint(eager=True)
+    if starts is None:
+        # every vertex gets a walk — a sink's walk is just its step-0 row
+        starts = (
+            e.select(F.col("_s").alias("node"))
+            .unionAll(e.select(F.col("_d").alias("node")))
+            .distinct()
+        )
+    cur = starts.select(
+        F.col("node").alias("walk_id"), F.col("node").alias("node")
+    ).localCheckpoint(eager=True)
+    out = cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
+    for t in range(1, length + 1):
+        ranked = cur.join(e, cur["node"] == e["_s"]).select(
+            "walk_id",
+            F.col("_d"),
+            # the total order the argmin runs over: md5 hex plus the
+            # candidate id makes it strictly unique (cross-engine ties
+            # impossible by construction, not by luck)
+            F.concat_ws(
+                "|",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                        F.col("_d").cast("string"),
+                    )
+                ),
+                F.col("_d").cast("string"),
+            ).alias("_h"),
+        )
+        cur = (
+            ranked.groupBy("walk_id")
+            .agg(F.min_by("_d", "_h").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(t).cast("int").alias("step"), "node")
+        )
+    return out

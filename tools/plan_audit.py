@@ -665,6 +665,10 @@ AUDITS = {
     # motif compiler: every positive term is a hash equi-join on bound
     # vertex columns, negation an anti-join — never a nested loop.
     "motif_triangles": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # per-step frontier equi-join + min_by argmin; each step's plan is
+    # checkpoint-hidden (k_core contract), the returned frame is the union
+    # of step checkpoints — audit forbids products end-to-end
+    "graph_walks": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     "motif_open_wedges": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # hidden partitioning: source predicates must land on partition
     # columns (PartitionFilters) — pruning at planning time, not row filters

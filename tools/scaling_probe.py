@@ -91,6 +91,7 @@ PANEL = [
     "training_pipeline_e2e",  # quality->dedup->decontam->pack composition
     "ivfpq_incremental",      # base build + 2-epoch streamed PQ encode + serve
     "ivfsq_incremental",      # base build + 2-epoch streamed SQ8 encode + serve
+    "graph_walks",            # per-step frontier equi-join + hash-argmin
 ]
 
 # ---- scaling GATE ------------------------------------------------------
@@ -134,6 +135,7 @@ EXPLICIT_CEILINGS = {
     "training_pipeline_e2e": 1.35,  # map-only gates + hash equi-joins
     "ivfpq_incremental": 1.35,    # pure-function encode, epoch-partitioned
     "ivfsq_incremental": 1.35,    # pure-function encode, epoch-partitioned
+    "graph_walks": 1.35,          # step cost = sum outdeg(frontier), frontier linear in corpus
 }
 MIN_GATE_SECONDS = 0.8
 HEAVY_SECONDS = 2.0  # the explicit-ceiling coverage threshold
