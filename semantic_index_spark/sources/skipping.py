@@ -279,8 +279,14 @@ def append_skipping(
     FIXED at create time, so appended files skip exactly like originals;
     per-batch clustering keeps the new files' ranges tight even though
     batches interleave with history (query-time candidates are per-file,
-    so old and new files prune independently). Returns the number of
-    files appended."""
+    so old and new files prune independently). CONCURRENT appends are
+    safe (r9): data files never collide (task-unique part names), and the
+    manifest merge runs inside the shared pointer critical section
+    (``versioned._pointer_lock``) against a RE-read manifest, so two
+    appenders both land their file entries instead of the later one
+    clobbering the earlier one's — the same contract every other mutable
+    pointer in the repo now carries. Returns the number of files
+    appended."""
     with open(_manifest_path(table)) as f:
         man = json.load(f)
     stats_cols = man["stats_cols"]
@@ -313,10 +319,11 @@ def append_skipping(
     )
     from semantic_index_spark.session import collect_bounded
 
-    for r in collect_bounded(stats, len(new_files), "append_skipping file stats"):
-        man["files"][r["_f"]] = {
-            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
-        }
+    our_stats = {
+        r["_f"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        for r in collect_bounded(stats, len(new_files), "append_skipping file stats")
+    }
+    our_blooms: dict[str, dict[str, str]] = {}
     if bl:
         for c in bl["cols"]:
             bits = (
@@ -332,11 +339,21 @@ def append_skipping(
                 bm = bytearray(bl["m"] // 8 + 1)
                 for b in r["bits"]:
                     bm[b >> 3] |= 1 << (b & 7)
-                bl["files"].setdefault(r["_f"], {})[c] = base64.b64encode(
+                our_blooms.setdefault(r["_f"], {})[c] = base64.b64encode(
                     bytes(bm)
                 ).decode()
-    tmp = _manifest_path(table) + ".__tmp__"
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _manifest_path(table))
+    # merge onto a RE-read manifest inside the critical section — a
+    # concurrent appender's entries landed in between must survive
+    from semantic_index_spark.sources.versioned import _pointer_lock
+
+    with _pointer_lock(table):
+        with open(_manifest_path(table)) as f:
+            man = json.load(f)
+        man["files"].update(our_stats)
+        for fn2, cols in our_blooms.items():
+            man["bloom"]["files"].setdefault(fn2, {}).update(cols)
+        tmp = _manifest_path(table) + ".__tmp__"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, _manifest_path(table))
     return len(new_files)

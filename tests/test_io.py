@@ -612,6 +612,57 @@ def test_hidden_commit_conflict_fails_loser_cleanly(spark, tmp_path, monkeypatch
     assert not _os.path.exists(H._zonemap_path(t2, 2))
 
 
+def test_append_skipping_interleaved_appenders_both_land(spark, tmp_path, monkeypatch):
+    """Two appenders whose manifest merges interleave must BOTH land their
+    file entries: the merge re-reads the manifest inside the shared
+    pointer critical section, so the later writer extends rather than
+    clobbers the earlier one's zone maps."""
+    import json as _json
+    import os as _os
+
+    from semantic_index_spark.sources import skipping as Z
+
+    base = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    t = str(tmp_path / "skip_occ")
+    Z.write_skipping(base, t, ["v"], n_files=2, cluster_by="v")
+    n0 = len(_json.load(open(_os.path.join(t, "_zonemaps.json")))["files"])
+
+    # appender A stages its data, then appender B fully lands BEFORE A's
+    # manifest merge — simulated by running B inside A's stats collection
+    from semantic_index_spark.session import collect_bounded as real_cb
+    import semantic_index_spark.sources.skipping as ZMOD
+
+    sneak = {"done": False}
+
+    def cb_then_sneak(df, cap, what):
+        rows = real_cb(df, cap, what)
+        if not sneak["done"] and what == "append_skipping file stats":
+            sneak["done"] = True
+            Z.append_skipping(
+                spark.range(200, 250).selectExpr("id", "id * 2 AS v"), t, n_files=1
+            )
+        return rows
+
+    with monkeypatch.context() as m:
+        m.setattr("semantic_index_spark.session.collect_bounded", cb_then_sneak)
+        # note: skipping imports collect_bounded inside the function body,
+        # so the patched module attribute is what it resolves
+        nA = Z.append_skipping(
+            spark.range(100, 200).selectExpr("id", "id * 2 AS v"), t, n_files=1
+        )
+    assert sneak["done"] and nA >= 1
+    man = _json.load(open(_os.path.join(t, "_zonemaps.json")))
+    # every data file has a manifest entry — nobody's entries were lost
+    data_files = {
+        f for f in _os.listdir(_os.path.join(t, "data")) if f.startswith("part-")
+    }
+    assert set(man["files"]) == data_files
+    assert len(man["files"]) >= n0 + 2
+    # and reads see every row with pruning intact
+    got = Z.read_skipping(spark, t, [("v", ">=", 300)]).count()
+    assert got == 100  # ids 150..249 -> v 300..498
+
+
 def test_retry_commit_recovers_from_conflicts(spark, tmp_path):
     """retry_commit re-runs the closure on CommitConflictError (the
     closure re-plans against the fresh latest) and re-raises once the
