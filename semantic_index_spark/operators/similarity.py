@@ -1066,10 +1066,18 @@ def write_ivfpq_index(
         .join(cells, id_col)
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
+    # batch_id=-1 is a BASE build (the re-train rebuild event): it must
+    # truncate the whole path — a dynamic overwrite would leave streamed
+    # batch_id>=0 partitions encoded under the OLD codebooks/centroids in
+    # place, poisoning served candidates. Dynamic overwrite is reserved for
+    # epoch appends, where replacing only the replayed epoch's partitions is
+    # exactly the exactly-once contract.
     (
         rows.repartition(max(1, len(centroids)), F.col("_cell"))
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option(
+            "partitionOverwriteMode", "dynamic" if batch_id >= 0 else "static"
+        )
         .partitionBy("_cell", "batch_id")
         .parquet(path)
     )
@@ -1446,12 +1454,18 @@ def write_ivfsq_index(
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
     salt = F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(max(1, files_per_cell)))
+    # same base-vs-epoch overwrite split as write_ivfpq_index: a base build
+    # (batch_id=-1, the quantizer re-train event) truncates the path so no
+    # stale epoch partitions encoded under the old quantizer survive;
+    # dynamic overwrite applies only to epoch appends (replay idempotence).
     (
         codes.repartition(
             max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
         )
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option(
+            "partitionOverwriteMode", "dynamic" if batch_id >= 0 else "static"
+        )
         .partitionBy("_cell", "batch_id")
         .parquet(path)
     )

@@ -66,6 +66,7 @@ import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import StringType
 
 from semantic_index_spark.functions.text import md5_bigint
 from semantic_index_spark.sources.versioned import (
@@ -177,6 +178,21 @@ def _check_tz(table: str, spark: SparkSession, meta: dict, action: str) -> None:
 
 
 _BUCKET_OK_DTYPES = ("tinyint", "smallint", "int", "bigint", "string")
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _record_dtypes(df: DataFrame, entries: list[dict]) -> None:
+    """Pin each transform's SOURCE column dtype into the spec at create
+    time. Identity pruning is dtype-dispatched (see ``_identity_prunable``):
+    a string column holding digit strings renders directories that
+    int-parse, and without the recorded dtype a reader cannot tell whether
+    the residual comparison is numeric (int column → prune numerically) or
+    code-point lexicographic (string column → prune lexicographically) —
+    guessing numerically silently loses rows ('9' >= '10' is TRUE under
+    string semantics, FALSE under numeric)."""
+    dtypes = dict(df.dtypes)
+    for e in entries:
+        e["dtype"] = dtypes.get(e["col"])
 
 
 def _check_bucket_dtypes(df: DataFrame, entries: list[dict]) -> None:
@@ -207,6 +223,7 @@ def create_hidden(df: DataFrame, table: str, spec: list) -> int:
         raise FileExistsError(f"hidden-partitioned table {table} already exists")
     entries = _norm_spec(spec)
     _check_bucket_dtypes(df, entries)
+    _record_dtypes(df, entries)
     with open(_spec_path(table), "w") as f:
         json.dump({"spec": entries, "time_zone": _session_tz(df.sparkSession)}, f)
     return commit_hidden(df, table)
@@ -298,6 +315,39 @@ def current_version(table: str) -> int | None:
         return None
 
 
+def _range_push_sound(e: dict, inferred, value) -> bool:
+    """Is a PLAN-time range rewrite (< <= > >=) on partition column
+    ``e["name"]`` sound, given the type Spark's partition-value inference
+    assigned to it? Equality/IN rewrites are always sound (many-to-one +
+    residual can only over-keep), but a RANGE prune must order directories
+    the way the residual orders source values. The one unsound family:
+    a STRING source column whose directory values all parse as something
+    else — inference yields a numeric/temporal partition column, the
+    rewritten bound compares numerically, the residual compares by code
+    point, and the mismatch PRUNES directories the residual matches
+    ('_p0=9' pruned by ``p >= '10'`` though '9' >= '10' under string
+    semantics). Every other combination is sound because inference
+    recovers the source type and Spark then compares both sides under the
+    source semantics."""
+    t = e["transform"]
+    if t == "truncate":
+        # truncate sources are strings by contract; the prefix directories
+        # must still BE strings after inference
+        return isinstance(inferred, StringType)
+    if t != "identity":
+        return True  # day/month render fixed-width ISO: date/string both order correctly
+    if isinstance(value, bool) or not isinstance(value, str):
+        return True  # numeric/temporal literal: residual is non-lexicographic
+    dtype = e.get("dtype")
+    if dtype in _INT_DTYPES:
+        return True  # numeric residual on an int column
+    if dtype in ("string", None):
+        # string (or unknown pre-r10) source: sound only when inference
+        # kept the verbatim strings
+        return isinstance(inferred, StringType)
+    return True  # double/timestamp/…: inference recovers the type
+
+
 def read_hidden(
     spark: SparkSession,
     table: str,
@@ -342,6 +392,10 @@ def read_hidden(
                     # the residual restores strictness
                     if op == "=":
                         df = df.filter(p == lit)
+                    elif not _range_push_sound(
+                        e, df.schema[e["name"]].dataType, value
+                    ):
+                        pass  # residual-only: the rewrite would mis-order
                     elif op in ("<", "<="):
                         df = df.filter(p <= lit)
                     else:
@@ -417,6 +471,7 @@ def create_hidden_skipping(
         raise FileExistsError(f"hidden-partitioned table {table} already exists")
     entries = _norm_spec(spec)
     _check_bucket_dtypes(df, entries)
+    _record_dtypes(df, entries)
     with open(_spec_path(table), "w") as f:
         json.dump(
             {
@@ -507,30 +562,48 @@ def _parse_partition_values(relpath: str, entries: list[dict]) -> dict[str, str]
     return out
 
 
-def _identity_prunable(pval: str, value):
+def _identity_prunable(pval: str, value, dtype: "str | None" = None):
     """For an identity transform, return the comparable (a, b) pair when the
-    directory rendering is PROVABLY faithful to the Python literal, else
-    None (keep the directory; the residual filters). Faithful cases:
-    str literal vs the unquoted directory string (string source columns —
-    Spark's partition value IS the source string, and Python/Spark string
-    ordering both follow code points), and int literal vs an int-parseable
-    directory (integral source columns — same exactness contract as
-    skipping._coerce, never through float). Anything else — double,
-    timestamp, decimal identity partitions — renders under Spark's own
-    formatting ('1.0E20', '2024-01-01 00:00:00') which neither equals
-    Python's str() nor orders lexicographically, so pruning on it would
-    silently lose rows."""
+    directory rendering is PROVABLY faithful to the Python literal AND the
+    comparison semantics provably match the residual's, else None (keep the
+    directory; the residual filters). Dispatch is on the SOURCE column
+    dtype recorded at create time (``_record_dtypes``):
+
+    - integral dtype → numeric: int-parse both sides (same exactness
+      contract as skipping._coerce, never through float); a literal that
+      doesn't int-parse can't prune (the residual's cast makes it match
+      nothing anyway).
+    - string dtype → code-point lexicographic on the verbatim directory
+      string (Spark's partition value IS the source string, and
+      Python/Spark string ordering both follow code points). An int
+      literal against a string column compares NUMERICALLY in the residual
+      (Spark casts through double), so it prunes via int-parse when the
+      directory parses.
+    - unknown dtype (pre-r10 table, no recorded dtype): a directory that
+      int-parses is ambiguous — it may be an int column (numeric residual)
+      or a string column holding digit strings (lexicographic residual) —
+      so it is never pruned; a non-parsing directory can only be a
+      string-rendered source, pruned lexicographically for str literals.
+    - any other dtype (double, timestamp, decimal, …) → None: the
+      rendering ('1.0E20', '2024-01-01 00:00:00') neither equals Python's
+      str() nor orders lexicographically."""
     if isinstance(value, bool) or not isinstance(value, (int, str)):
         return None
-    if isinstance(value, str):
-        try:  # str literal against an int column: numeric order governs
+    if isinstance(value, int) or (dtype in _INT_DTYPES):
+        try:
             return int(pval), int(value)
         except (TypeError, ValueError):
+            return None
+    # str literal from here on
+    if dtype == "string":
+        return pval, value
+    if dtype is None:
+        try:
+            int(pval)
+            return None  # ambiguous without the dtype — keep the directory
+        except (TypeError, ValueError):
             return pval, value
-    try:
-        return int(pval), value
-    except (TypeError, ValueError):
-        return None  # int literal but non-int directory: non-int column
+    return None
 
 
 def _pval_matches(entry: dict, pval: str, op: str, value) -> bool:
@@ -544,7 +617,7 @@ def _pval_matches(entry: dict, pval: str, op: str, value) -> bool:
     if op == "in":
         if t == "identity":
             for x in value:
-                ab = _identity_prunable(pval, x)
+                ab = _identity_prunable(pval, x, entry.get("dtype"))
                 if ab is None:
                     return True  # one unverifiable member keeps the dir
                 if ab[0] == ab[1]:
@@ -557,7 +630,7 @@ def _pval_matches(entry: dict, pval: str, op: str, value) -> bool:
             return pval == str(_transform_literal(entry, value))
         return True  # not order-preserving: other ops cannot prune
     if t == "identity":
-        ab = _identity_prunable(pval, value)
+        ab = _identity_prunable(pval, value, entry.get("dtype"))
         if ab is None:
             return True
         a, b = ab

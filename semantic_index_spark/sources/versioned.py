@@ -38,6 +38,7 @@ torn read.
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -77,34 +78,41 @@ def _staged_path(table: str) -> str:
 def _pointer_lock(table: str, timeout: float = 60.0, stale_after: float = 300.0):
     """Filesystem mutex around the check-pointer-then-rename critical
     section — the local-FS stand-in for an object store's conditional PUT.
-    O_CREAT|O_EXCL is atomic on POSIX; a lock older than ``stale_after``
-    belongs to a dead writer (the section it guards is two metadata ops,
-    never a data write) and is broken."""
+    Implemented as ``flock(LOCK_EX)`` on a PERSISTENT lock file (created
+    once, never unlinked): the kernel releases a dead holder's lock
+    automatically, so there is no stale-lock breaking step at all — and
+    therefore none of the break/re-acquire TOCTOU races an unlink-based
+    protocol has (two waiters both observing a stale file, the slower one
+    unlinking the faster one's FRESH lock and letting two writers into
+    the critical section). ``stale_after`` is retained for signature
+    compatibility but unused: a crashed writer's lock evaporates with its
+    process. The lock file must never be unlinked — an unlink would let a
+    later opener lock a NEW inode while an existing holder still locks
+    the old one."""
+    del stale_after  # kernel-released locks cannot go stale
     path = os.path.join(table, _LOCK)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(path) > stale_after:
-                    os.unlink(path)  # break a dead writer's lock
-                    continue
-            except OSError:
-                continue  # holder released between our stat and unlink
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"could not acquire commit lock on {table} within {timeout}s"
-                )
-            time.sleep(0.02)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire commit lock on {table} within "
+                        f"{timeout}s"
+                    )
+                time.sleep(0.02)
+        # diagnostic payload only — ownership is the flock, not the bytes
+        os.ftruncate(fd, 0)
         os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
-        os.close(fd)
         yield
     finally:
         with contextlib.suppress(OSError):
-            os.unlink(path)
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def current_version(table: str) -> int | None:
@@ -338,6 +346,63 @@ def _read_manifest(table: str, version: int | None = None) -> dict:
         raise FileNotFoundError(f"bucketed table {table} has no commits")
     with open(_manifest_path(table, v)) as f:
         return json.load(f)
+
+
+def _manifest_schema(man: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(man["schema"]))
+
+
+def _schema_union_json(a_json: str, b_json: str) -> str:
+    """Union of two schema JSONs by field name — ``a``'s fields in order,
+    then ``b``'s additions appended (the add-column-at-end evolution order
+    Delta uses without column mapping). Applied on the disjoint-bucket
+    REBASE path so two concurrent commits that each widened the schema
+    lose neither's columns."""
+    a = json.loads(a_json)
+    names = {f["name"] for f in a["fields"]}
+    for f in json.loads(b_json)["fields"]:
+        if f["name"] not in names:
+            a["fields"].append(f)
+    return json.dumps(a)
+
+
+def _read_bucket_files(spark: SparkSession, man: dict, paths: list[str]) -> DataFrame:
+    """Read bucket data files under the MANIFEST's schema rather than the
+    files' own: after a schema-evolving merge, buckets untouched since the
+    widening still hold old-schema files, and the explicit read schema
+    makes the parquet reader null-fill their missing columns (Delta /
+    Iceberg read-time evolution semantics) with no ``mergeSchema``
+    footer-sampling job — at 100 TB, sampling every file footer to
+    discover a schema the manifest already knows is pure waste."""
+    return spark.read.schema(_manifest_schema(man)).parquet(*paths)
+
+
+def _evolve_cols(source: DataFrame, existing: list[str], drop: list[str],
+                 schema_evolution: bool, fn: str) -> list:
+    """Validate a MERGE source schema against the target's ``existing``
+    columns and return the ADDED fields (StructFields, source order).
+    Sources must carry every existing column; added columns require
+    ``schema_evolution=True`` (without it the mismatch is an error, not a
+    silent drop — Delta's contract). Key columns can never be added, so
+    evolution only ever widens payloads."""
+    src_cols = [c for c in source.columns if c not in drop]
+    missing = [c for c in existing if c not in src_cols]
+    if missing:
+        raise ValueError(
+            f"{fn}: source is missing target column(s) {missing}; a MERGE "
+            "source must carry every existing column (added columns are "
+            "allowed with schema_evolution=True)"
+        )
+    added = [c for c in src_cols if c not in existing]
+    if added and not schema_evolution:
+        raise ValueError(
+            f"{fn}: source adds column(s) {added} not in the target schema; "
+            "pass schema_evolution=True to widen the table (old rows/"
+            "versions surface NULL), or drop them from the source"
+        )
+    return [source.schema[c] for c in added]
 
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):

@@ -1586,3 +1586,116 @@ def test_zorder_clustered_skipping_prunes_both_dimensions(spark, tmp_path):
     got = Z.read_skipping(spark, tz, fx + fy)
     exp = df.filter("x >= 64 and x < 96 and y >= 64.0 and y < 96.0")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_hidden_identity_prune_string_digit_columns(spark, tmp_path):
+    # r10 (ADVICE r9): a STRING identity column holding digit strings
+    # renders int-parseable directories; pruning must follow the
+    # residual's CODE-POINT order, not numeric order — '9' >= '10' is
+    # TRUE under string semantics ('9' > '1'). With every directory
+    # int-parseable, the old reader compared numerically at BOTH levels
+    # (driver manifest int-parse; plan-path partition-type inference)
+    # and silently lost rows. The recorded source dtype now dispatches.
+    from semantic_index_spark.sources import hidden as H
+
+    rows = [(1, "5"), (2, "9"), (3, "10")]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    t = str(tmp_path / "hidden_ident_str")
+    H.create_hidden_skipping(df, t, [("identity", "s")], stats_cols=["id"], n_files=4)
+    want = ["10", "5", "9"]  # all three satisfy s >= '10' lexicographically
+    got = sorted(
+        r["s"]
+        for r in H.read_hidden_skipping(spark, t, [("s", ">=", "10")]).collect()
+    )
+    assert got == want
+    # the plan path agrees: inference types _p0 as int here, so the range
+    # push is suppressed and only the residual (string semantics) filters
+    got = sorted(
+        r["s"] for r in H.read_hidden(spark, t, [("s", ">=", "10")]).collect()
+    )
+    assert got == want
+    # lexicographic pruning IS sound and selective when the dtype is known:
+    # s < '6' matches '10' and '5'; the '9' directory is pruned
+    dirs = lambda fs: {f.rsplit("/", 1)[0] for f in fs}
+    keep = H.candidate_files_hidden(t, [("s", "<", "6")])
+    assert {d.split("/")[0] for d in dirs(keep)} == {"_p0=10", "_p0=5"}
+    got = sorted(
+        r["s"] for r in H.read_hidden_skipping(spark, t, [("s", "<", "6")]).collect()
+    )
+    assert got == ["10", "5"]
+    # equality prunes to the single matching directory
+    keep = H.candidate_files_hidden(t, [("s", "=", "9")])
+    assert {d.split("/")[0] for d in dirs(keep)} == {"_p0=9"}
+    # an INT literal against the string column compares numerically in the
+    # residual (cast through double), so numeric pruning applies
+    got = sorted(
+        r["s"] for r in H.read_hidden_skipping(spark, t, [("s", ">=", 6)]).collect()
+    )
+    assert got == ["10", "9"]
+    keep = H.candidate_files_hidden(t, [("s", ">=", 6)])
+    assert {d.split("/")[0] for d in dirs(keep)} == {"_p0=10", "_p0=9"}
+
+
+def test_hidden_legacy_spec_without_dtype_keeps_ambiguous_dirs(spark, tmp_path):
+    # pre-r10 tables recorded no source dtype: an int-parseable directory
+    # is then ambiguous (int column => numeric residual, string column of
+    # digit strings => lexicographic residual), so the reader must keep it
+    # rather than guess — correctness over selectivity
+    from semantic_index_spark.sources import hidden as H
+
+    df = spark.createDataFrame([(1, "5"), (2, "9"), (3, "10")], "id bigint, s string")
+    t = str(tmp_path / "hidden_legacy")
+    H.create_hidden_skipping(df, t, [("identity", "s")], stats_cols=["id"], n_files=4)
+    with open(H._spec_path(t)) as f:
+        meta = json.load(f)
+    for e in meta["spec"]:
+        e.pop("dtype", None)  # simulate a pre-r10 spec
+    with open(H._spec_path(t), "w") as f:
+        json.dump(meta, f)
+    # no directory is pruned for a str-literal range...
+    assert H.candidate_files_hidden(t, [("s", ">=", "10")]) == H.candidate_files_hidden(t)
+    # ...and results are correct at both levels (string semantics)
+    for reader in (H.read_hidden_skipping, H.read_hidden):
+        got = sorted(r["s"] for r in reader(spark, t, [("s", ">=", "10")]).collect())
+        assert got == ["10", "5", "9"]
+
+
+def test_pointer_lock_excludes_and_survives_dead_holder(tmp_path):
+    # r10 (ADVICE r9): the commit lock is an flock on a persistent file —
+    # no unlink-based stale breaking, so the break/re-acquire TOCTOU that
+    # could admit two writers is structurally gone. The kernel releases a
+    # dead holder's lock, which this test proves with a subprocess that
+    # exits while holding it.
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    # mutual exclusion: a second acquirer times out while the lock is held
+    with VER._pointer_lock(t):
+        with pytest.raises(TimeoutError):
+            with VER._pointer_lock(t, timeout=0.3):
+                pass
+    # release makes it immediately acquirable again
+    with VER._pointer_lock(t, timeout=1.0):
+        pass
+    # dead holder: the subprocess flocks the file and exits WITHOUT
+    # unlocking; the kernel releases it with the process
+    lock_path = os.path.join(t, VER._LOCK)
+    code = textwrap.dedent(
+        f"""
+        import fcntl, os
+        fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        """
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+    t0 = _time.monotonic()
+    with VER._pointer_lock(t, timeout=5.0):
+        pass
+    assert _time.monotonic() - t0 < 1.0

@@ -2681,3 +2681,36 @@ def test_ivfsq_sink_epoch_replay_idempotent(spark, tmp_path):
     got = S.ivfsq_topk_indexed(spark, idx, df, model, q, cents, k=5, nprobe=2)
     want = S.ivfsq_topk_indexed(spark, full, df, model, q, cents, k=5, nprobe=2)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_ivf_compressed_base_rebuild_truncates_stale_epochs(spark, tmp_path):
+    # r10 (ADVICE r9): batch_id=-1 is the BASE build — the quantizer /
+    # codebook re-train event — and must truncate the whole layout; a
+    # dynamic overwrite would leave streamed batch_id>=0 partitions
+    # encoded under the OLD artifacts in place, poisoning served
+    # candidates. Dynamic overwrite stays reserved for epoch appends.
+    df = _pq_fixture(spark)
+    cents = S.make_centroids(3, 8)
+    model = S.sq_train(df)
+    sq = str(tmp_path / "sq")
+    S.write_ivfsq_index(df.filter("vec_id < 40"), cents, model, sq)
+    S.append_ivfsq_index(df.filter("vec_id >= 40"), cents, model, sq, batch_id=0)
+    S.write_ivfsq_index(df, cents, model, sq)  # re-train rebuild
+    dirs = {d for _, ds, _ in os.walk(sq) for d in ds}
+    assert "batch_id=0" not in dirs and "batch_id=-1" in dirs
+    got = sorted(r["vec_id"] for r in spark.read.parquet(sq).collect())
+    assert got == list(range(60))  # exactly the rebuilt corpus, once
+    # the PQ twin shares the contract
+    _, cb = S.pq_train_encode(df, m_sub=2, k=4, iters=2)
+    pq = str(tmp_path / "pq")
+    S.write_ivfpq_index(df.filter("vec_id < 40"), cb, cents, pq)
+    S.append_ivfpq_index(df.filter("vec_id >= 40"), cb, cents, pq, batch_id=0)
+    S.write_ivfpq_index(df, cb, cents, pq)
+    dirs = {d for _, ds, _ in os.walk(pq) for d in ds}
+    assert "batch_id=0" not in dirs and "batch_id=-1" in dirs
+    got = sorted(set(r["vec_id"] for r in spark.read.parquet(pq).collect()))
+    assert got == list(range(60))
+    # epoch appends still land additively after the rebuild
+    S.append_ivfsq_index(df.limit(0), cents, model, sq, batch_id=1)
+    got = sorted(r["vec_id"] for r in spark.read.parquet(sq).collect())
+    assert got == list(range(60))
