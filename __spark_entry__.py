@@ -4435,6 +4435,73 @@ def q_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the bucketed versioned store end-to-end
+    (``sources/versioned.py merge_into_bucketed(schema_evolution=True)``,
+    r10): target = documents with doc_id % 3 != 0 as (doc_id, n_chars)
+    in a 16-bucket table; the source batch upserts every even doc with
+    n_chars + 1000 AND an ADDED ``lang`` column (tombstoning docs
+    divisible by 10). The merge widens the manifest schema; buckets the
+    batch does not touch are NOT rewritten — their old-schema files
+    null-fill ``lang`` at read time — and time travel still reads v0
+    under the original two-column schema (``old_n_chars`` is joined from
+    that narrower read, proving it). The oracle derives the exact
+    NULL-backfilled merged state relationally, so a wrong backfill, a
+    dropped untouched bucket, or a leaked column into v0 breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "n_chars")
+    src = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        "lang",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_evo_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(target, tbl, ["doc_id"], n_buckets=16)
+        VER.merge_into_bucketed(spark, tbl, src, op_col="op", schema_evolution=True)
+        final = VER.read_bucketed(spark, tbl)  # widened: doc_id, n_chars, lang
+        v0 = VER.read_bucketed(spark, tbl, version=0)  # narrow: doc_id, n_chars
+        assert v0.columns == ["doc_id", "n_chars"], v0.columns
+        out = (
+            final.join(
+                v0.select("doc_id", F.col("n_chars").alias("old_n_chars")),
+                "doc_id",
+                "left",
+            )
+            .join(
+                src.filter(F.col("op") == "upsert")
+                .select("doc_id")
+                .withColumn("_s", F.lit(1)),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "n_chars",
+                "lang",
+                "old_n_chars",
+                F.when(F.col("old_n_chars").isNull(), F.lit("inserted"))
+                .when(F.col("_s").isNotNull(), F.lit("updated"))
+                .otherwise(F.lit("kept"))
+                .alias("action"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 AA_PART_MOD = 10  # sub-graph selector: every 10th part — density SF-invariant
 AA_MAX_DEG = 48  # hub cutoff — the Σdeg² wedge-space lever
 ACF_MAX_LAG = 3
@@ -6238,6 +6305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
+        # --- round 10 additions ---
+        "merge_schema_evolution": q_merge_schema_evolution,
     }
     missing = [n for n in _DRIVER_WINDOW_R9 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R9) != 50:
@@ -9926,6 +9995,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
                         THEN 'updated' ELSE 'inserted' END AS action
             FROM src s WHERE s.op = 'upsert'
+        """,
+        "merge_schema_evolution": """
+            WITH target AS (
+              SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+            ), src AS (
+              SELECT doc_id, n_chars + 1000 AS n_chars, lang,
+                     CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+              FROM documents WHERE doc_id % 2 = 0
+            ), merged AS (
+              SELECT t.doc_id, t.n_chars, CAST(NULL AS VARCHAR) AS lang,
+                     'kept' AS action
+              FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
+              UNION ALL
+              SELECT s.doc_id, s.n_chars, s.lang,
+                     CASE WHEN EXISTS (SELECT 1 FROM target t
+                                       WHERE t.doc_id = s.doc_id)
+                          THEN 'updated' ELSE 'inserted' END AS action
+              FROM src s WHERE s.op = 'upsert'
+            )
+            SELECT m.doc_id, m.n_chars, m.lang, t.n_chars AS old_n_chars,
+                   m.action
+            FROM merged m LEFT JOIN target t ON m.doc_id = t.doc_id
+            ORDER BY m.doc_id
         """,
         "label_propagation": """
             WITH raw AS (

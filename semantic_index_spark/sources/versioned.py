@@ -68,6 +68,66 @@ def _write_pointer(table: str, version: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"version": version}, f)
     os.replace(tmp, _latest_path(table))
+    _record_commit_ts(table, version)
+
+
+def _commit_ts_path(table: str) -> str:
+    return os.path.join(table, "_commit_ts.json")
+
+
+def _record_commit_ts(table: str, version: int) -> None:
+    """Record the commit wall-clock time as SIDE metadata — the timestamp
+    never enters any version's data or manifest (query outputs stay
+    deterministic for the oracles); it exists solely so ``as_of_ts`` time
+    travel can resolve a timestamp to a version driver-side. Runs inside
+    the pointer critical section (called from ``_write_pointer``), so the
+    read-modify-write is single-writer. A crash between the pointer
+    rename and this record leaves a version unresolvable by timestamp
+    (still readable by number) — the conservative failure."""
+    path = _commit_ts_path(table)
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        m = {}
+    m[str(version)] = time.time()
+    tmp = path + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, path)
+
+
+def resolve_as_of(table: str, ts) -> int:
+    """Timestamp → version: the NEWEST version committed at or before
+    ``ts`` (Delta ``TIMESTAMP AS OF`` / Iceberg snapshot-as-of semantics
+    — "read as of yesterday 09:00"). ``ts`` is epoch seconds, a
+    ``datetime``, or an ISO-8601 string (naive strings are the local
+    zone, matching ``time.time``'s clock). Raises when ``ts`` precedes
+    the first recorded commit. Works for any table on the versioned
+    layout — plain, bucketed, hidden-partitioned."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts).timestamp()
+    elif isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    ts = float(ts)
+    try:
+        with open(_commit_ts_path(table)) as f:
+            m = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"table {table} has no commit timestamps recorded (created "
+            "before timestamp time travel, or never committed)"
+        )
+    eligible = [int(v) for v, t in m.items() if t <= ts]
+    if not eligible:
+        first = min(m.values())
+        raise ValueError(
+            f"as_of_ts={ts} precedes the first recorded commit of {table} "
+            f"(epoch {first}); there is no version to read"
+        )
+    return max(eligible)
 
 
 def _staged_path(table: str) -> str:
@@ -165,9 +225,22 @@ def commit_version(
     return nxt
 
 
-def read_version(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-    """Time travel: read the committed latest (default) or any retained
-    historical version."""
+def read_version(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of_ts=None,
+) -> DataFrame:
+    """Time travel: read the committed latest (default), any retained
+    historical version by number, or — ``as_of_ts`` — the version that was
+    latest at a wall-clock time (``TIMESTAMP AS OF``; see
+    :func:`resolve_as_of` for accepted forms). Each version is read under
+    its own schema, so a later schema-evolving merge never leaks added
+    columns into historical reads."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = resolve_as_of(table, as_of_ts)
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"versioned table {table} has no commits")
@@ -278,6 +351,7 @@ def merge_into(
     op_col: str | None = None,
     when_matched: str = "update",
     insert_not_matched: bool = True,
+    schema_evolution: bool = False,
 ) -> int:
     """Delta-style ``MERGE INTO`` against the committed latest snapshot:
     source rows update matching target keys, insert unmatched keys, and
@@ -296,6 +370,14 @@ def merge_into(
     Source keys must be UNIQUE — like Delta, a key matched by two source
     rows raises (nondeterministic merge); pre-compact the feed with
     ``relational.cdc_apply``-style last-writer-wins first.
+
+    ``schema_evolution=True`` widens the table when the source carries
+    ADDED columns (Delta's mergeSchema-on-MERGE): the new version's
+    schema is target columns + added columns, surviving pre-merge rows
+    surface NULL for them, and time travel reads every historical version
+    under its own (narrower) schema. Without the flag, added columns are
+    an error — never a silent drop. Sources must always carry every
+    existing column; columns are never removed by MERGE.
 
     Execution: the relational expansion of MERGE — untouched target rows
     survive via ONE left-anti equi-join on the key, surviving source
@@ -321,12 +403,19 @@ def merge_into(
             f"merge_into: source has multiple rows for key {tuple(dup[0][k] for k in keys)}; "
             "MERGE requires unique source keys (compact the feed first)"
         )
+    added = _evolve_cols(
+        source, target.columns, [op_col] if op_col else [], schema_evolution,
+        "merge_into",
+    )
     if op_col is None:
         src = source.withColumn("__op", F.lit(when_matched))
     else:
         src = source.withColumnRenamed(op_col, "__op")
     kept = target.join(src.select(*keys), keys, "left_anti")
-    upserts = src.filter(F.col("__op") != "delete").drop("__op").select(*target.columns)
+    for f in added:  # pre-merge survivors surface NULL for added columns
+        kept = kept.withColumn(f.name, F.lit(None).cast(f.dataType))
+    out_cols = target.columns + [f.name for f in added]
+    upserts = src.filter(F.col("__op") != "delete").drop("__op").select(*out_cols)
     if not insert_not_matched:
         upserts = upserts.join(target.select(*keys), keys, "left_semi")
     # conditional on the version the merge PLANNED against, not the one at
@@ -496,6 +585,13 @@ def _commit_bucketed(
         for b in affected:
             buckets[str(b)] = final if b in written else None
         manifest = {**base, "version": final, "buckets": buckets}
+        if base_man is not None:
+            # rebase-lossless schema evolution: two concurrent commits that
+            # each widened the schema (disjoint buckets) keep BOTH column
+            # sets — ours in declared order, the winner's additions after
+            manifest["schema"] = _schema_union_json(
+                base["schema"], base_man["schema"]
+            )
         dv = {
             b: list(v)
             for b, v in (base_man.get("dv", {}) if base_man else {}).items()
@@ -564,6 +660,7 @@ def read_bucketed(
     table: str,
     version: int | None = None,
     key_values: list[tuple] | None = None,
+    as_of_ts=None,
 ) -> DataFrame:
     """Read a bucketed table at the committed latest (or any retained)
     version by unioning each bucket's owning-version files. With
@@ -572,9 +669,15 @@ def read_bucketed(
     lookup path (the scan shrinks ~n_buckets-fold before Spark sees it).
     Deletion vectors recorded by :func:`delete_bucketed` are applied as an
     anti-join (each manifest lists exactly the DVs committed at or before
-    its version, so time travel sees the right deletes for free)."""
+    its version, so time travel sees the right deletes for free).
+    ``as_of_ts`` resolves a wall-clock time to a version first
+    (:func:`resolve_as_of`)."""
     from pyspark.sql.types import StructType
 
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = resolve_as_of(table, as_of_ts)
     man = _read_manifest(table, version)
     live = {int(b): v for b, v in man["buckets"].items() if v is not None}
     if key_values is not None:
@@ -590,8 +693,10 @@ def read_bucketed(
         live = {b: v for b, v in live.items() if b in wanted}
     paths = [os.path.join(table, f"v={v}", f"__bucket={b}") for b, v in sorted(live.items())]
     if not paths:
-        return spark.createDataFrame([], StructType.fromJson(json.loads(man["schema"])))
-    return _apply_dv(spark, spark.read.parquet(*paths), table, man, set(live))
+        return spark.createDataFrame([], _manifest_schema(man))
+    # manifest-schema read: buckets untouched since a schema-evolving merge
+    # hold old-schema files and null-fill the added columns
+    return _apply_dv(spark, _read_bucket_files(spark, man, paths), table, man, set(live))
 
 
 def merge_into_bucketed(
@@ -602,6 +707,7 @@ def merge_into_bucketed(
     when_matched: str = "update",
     insert_not_matched: bool = True,
     meta: dict | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """``MERGE INTO`` a bucketed table rewriting ONLY the buckets the
     source touches — the incremental copy-on-write real table formats do
@@ -613,7 +719,16 @@ def merge_into_bucketed(
     100 TB job. Untouched buckets keep their old owning version in the
     new manifest (no data movement, no read amplification later). The
     merge itself stays all hash equi-joins on the merge key within the
-    affected buckets."""
+    affected buckets.
+
+    ``schema_evolution=True`` widens the table schema when the source
+    carries ADDED columns (Delta mergeSchema-on-MERGE): the new manifest
+    records old columns + added columns, REWRITTEN buckets' pre-merge
+    rows surface NULL for them, and — the incremental part — untouched
+    buckets are NOT rewritten: their old-schema files are null-filled at
+    read time because every bucket read goes through the manifest schema
+    (``_read_bucket_files``). Time travel reads each version under its
+    own manifest's schema. Key columns never evolve."""
     import pyspark.sql.functions as F
 
     from semantic_index_spark.session import collect_bounded
@@ -628,6 +743,13 @@ def merge_into_bucketed(
             f"merge_into_bucketed: source has multiple rows for key "
             f"{tuple(dup[0][k] for k in keys)}; MERGE requires unique source keys"
         )
+    data_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    added = _evolve_cols(
+        source, data_cols, [op_col] if op_col else [], schema_evolution,
+        "merge_into_bucketed",
+    )
+    new_schema = json.loads(man["schema"])
+    new_schema["fields"].extend(f.jsonValue() for f in added)
     if op_col is None:
         src = source.withColumn("__op", F.lit(when_matched))
     else:
@@ -644,27 +766,29 @@ def merge_into_bucketed(
         for b in affected
         if man["buckets"].get(str(b)) is not None
     ]
-    data_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
     if tgt_paths:
         # outstanding deletion vectors must apply BEFORE the rewrite, or
         # the rewrite would resurrect DV-deleted rows into the new bucket
         target = _apply_dv(
-            spark, spark.read.parquet(*tgt_paths), table, man, set(affected)
+            spark, _read_bucket_files(spark, man, tgt_paths), table, man, set(affected)
         ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
         kept = target.join(src.select(*keys), keys, "left_anti")
+        for f in added:  # rewritten buckets' survivors get typed NULLs
+            kept = kept.withColumn(f.name, F.lit(None).cast(f.dataType))
     else:
         kept = None
-    upserts = src.filter(F.col("__op") != "delete").select(*data_cols, "__bucket")
+    out_cols = data_cols + [f.name for f in added]
+    upserts = src.filter(F.col("__op") != "delete").select(*out_cols, "__bucket")
     if not insert_not_matched:
         if kept is None:
             upserts = upserts.limit(0)
         else:
             upserts = upserts.join(target.select(*keys), keys, "left_semi")
-    result = upserts if kept is None else kept.select(*data_cols, "__bucket").unionByName(upserts)
+    result = upserts if kept is None else kept.select(*out_cols, "__bucket").unionByName(upserts)
     base = {
         "key_cols": keys,
         "n_buckets": n_buckets,
-        "schema": man["schema"],
+        "schema": json.dumps(new_schema),
         "__affected": affected,
         "meta": dict(meta) if meta else {},
     }
@@ -812,7 +936,12 @@ def diff_bucketed(
     if man_a["key_cols"] != man_b["key_cols"] or man_a["n_buckets"] != man_b["n_buckets"]:
         raise ValueError("diff_bucketed: incompatible manifests (key_cols/n_buckets differ)")
     keys = man_a["key_cols"]
-    schema = StructType.fromJson(json.loads(man_a["schema"]))
+    # union schema: after a schema-evolving merge between v_from and v_to
+    # the sides differ — both read under the union so the added column
+    # shows NULL old-values (reported as an update when populated)
+    schema = StructType.fromJson(
+        json.loads(_schema_union_json(man_a["schema"], man_b["schema"]))
+    )
     data_cols = [f.name for f in schema.fields if f.name not in keys]
     # a bucket changed if its owning version moved OR its deletion-vector
     # list did (a DV-only commit moves no data but deletes rows)
@@ -832,7 +961,9 @@ def diff_bucketed(
         ]
         if not paths:
             return spark.createDataFrame([], schema)
-        return _apply_dv(spark, spark.read.parquet(*paths), table, man, set(changed))
+        return _apply_dv(
+            spark, spark.read.schema(schema).parquet(*paths), table, man, set(changed)
+        )
 
     a = _side(man_a).select(
         *keys, *[F.col(c).alias(f"{c}_old") for c in data_cols], F.lit(1).alias("_in_a")
@@ -959,7 +1090,7 @@ def optimize_bucketed(
             for b in affected
         ]
         rows = _apply_dv(
-            spark, spark.read.parquet(*paths), table, man, set(affected)
+            spark, _read_bucket_files(spark, man, paths), table, man, set(affected)
         ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
     base = {
         "key_cols": keys,

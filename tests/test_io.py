@@ -1699,3 +1699,165 @@ def test_pointer_lock_excludes_and_survives_dead_holder(tmp_path):
     with VER._pointer_lock(t, timeout=5.0):
         pass
     assert _time.monotonic() - t0 < 1.0
+
+
+def test_merge_into_schema_evolution_plain(spark, tmp_path):
+    # r10: Delta mergeSchema-on-MERGE for the plain snapshot store —
+    # added source columns widen the table; pre-merge survivors surface
+    # NULL; time travel reads each version under its own schema
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "evo_plain")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, val string")
+    VER.commit_version(base, t)
+    src = spark.createDataFrame(
+        [(2, "B", 20), (4, "D", 40)], "id bigint, val string, score int"
+    )
+    # without the flag: added columns are an error, never a silent drop
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        VER.merge_into(spark, t, src, ["id"])
+    v1 = VER.merge_into(spark, t, src, ["id"], schema_evolution=True)
+    got = {r["id"]: (r["val"], r["score"]) for r in VER.read_version(spark, t).collect()}
+    assert got == {1: ("a", None), 2: ("B", 20), 3: ("c", None), 4: ("D", 40)}
+    # historical version keeps its narrower schema
+    old = VER.read_version(spark, t, version=v1 - 1)
+    assert old.columns == ["id", "val"]
+    # a source missing an existing column is a clear error
+    bad = spark.createDataFrame([(5,)], "id bigint")
+    with pytest.raises(ValueError, match="missing target column"):
+        VER.merge_into(spark, t, bad, ["id"], schema_evolution=True)
+
+
+def test_merge_into_bucketed_schema_evolution(spark, tmp_path):
+    # r10: the bucketed store widens INCREMENTALLY — only touched buckets
+    # are rewritten; untouched buckets keep their old-schema files and
+    # null-fill the added column at read time via the manifest schema
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "evo_bucketed")
+    n_buckets = 8
+    base = spark.range(0, 80).selectExpr("id", "cast(id * 7 as string) AS val")
+    VER.create_bucketed(base, t, ["id"], n_buckets=n_buckets)
+    by_bucket = _ids_by_bucket(spark, n_buckets, 80)
+    (b0, ids0) = sorted(by_bucket.items())[0]
+    src = spark.createDataFrame(
+        [(ids0[0], "UP", 7), (100_000, "NEW", 9)], "id bigint, val string, score int"
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        VER.merge_into_bucketed(spark, t, src)
+    VER.merge_into_bucketed(spark, t, src, schema_evolution=True)
+    man = VER._read_manifest(t)
+    assert [f["name"] for f in json.loads(man["schema"])["fields"]] == [
+        "id", "val", "score",
+    ]
+    # untouched buckets were NOT rewritten (still owned by v0)
+    touched = {int(b) for b, v in man["buckets"].items() if v == man["version"]}
+    assert b0 in touched and len(touched) < n_buckets
+    got = {r["id"]: (r["val"], r["score"]) for r in VER.read_bucketed(spark, t).collect()}
+    assert got[ids0[0]] == ("UP", 7) and got[100_000] == ("NEW", 9)
+    # every pre-merge row — rewritten bucket or untouched old-schema file —
+    # surfaces NULL for the added column
+    assert all(s is None for i, (_, s) in got.items() if i not in (ids0[0], 100_000))
+    assert len(got) == 81
+    # time travel reads v0 under its own (narrower) schema
+    v0 = VER.read_bucketed(spark, t, version=0)
+    assert v0.columns == ["id", "val"] and v0.count() == 80
+    # CDF across the evolution reads both sides under the union schema
+    d = VER.diff_bucketed(spark, t, 0, man["version"])
+    acts = {r["id"]: r["_action"] for r in d.collect()}
+    assert acts == {ids0[0]: "updated", 100_000: "inserted"}
+    # point lookups (bucket prune + residual filter) and a later
+    # non-evolving merge keep working on the widened table
+    one = (
+        VER.read_bucketed(spark, t, key_values=[(100_000,)])
+        .filter("id = 100000")
+        .collect()
+    )
+    assert [(r["id"], r["score"]) for r in one] == [(100_000, 9)]
+    src2 = spark.createDataFrame([(ids0[0], "UP2", 8)], "id bigint, val string, score int")
+    VER.merge_into_bucketed(spark, t, src2)
+    got2 = (
+        VER.read_bucketed(spark, t, key_values=[(ids0[0],)])
+        .filter(F.col("id") == ids0[0])
+        .collect()
+    )
+    assert [(r["val"], r["score"]) for r in got2] == [("UP2", 8)]
+
+
+def test_bucketed_concurrent_evolutions_union_schemas(spark, tmp_path, monkeypatch):
+    # r10: two schema-evolving merges racing on DISJOINT buckets both
+    # land, and the rebased manifest records the UNION of the columns —
+    # neither writer's addition is lost
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "evo_occ")
+    n_buckets = 8
+    base = spark.range(0, 200).selectExpr("id", "cast(id * 7 as string) AS val")
+    VER.create_bucketed(base, t, ["id"], n_buckets=n_buckets)
+    by_bucket = _ids_by_bucket(spark, n_buckets, 200)
+    (bA, idsA), (bB, idsB) = sorted(by_bucket.items())[:2]
+    man0 = VER._read_manifest(t)
+    srcB = spark.createDataFrame([(idsB[0], "B", 1)], "id bigint, val string, b_col int")
+    VER.merge_into_bucketed(spark, t, srcB, schema_evolution=True)
+    real_rm = VER._read_manifest
+
+    def stale_rm(table, version=None):
+        if version is None and table == t:
+            return man0
+        return real_rm(table, version)
+
+    srcA = spark.createDataFrame([(idsA[0], "A", 2.5)], "id bigint, val string, a_col double")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        VER.merge_into_bucketed(spark, t, srcA, schema_evolution=True)
+    man = VER._read_manifest(t)
+    names = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    assert set(names) == {"id", "val", "a_col", "b_col"}
+    got = {r["id"]: r for r in VER.read_bucketed(spark, t).collect()}
+    assert got[idsA[0]]["a_col"] == 2.5 and got[idsA[0]]["b_col"] is None
+    assert got[idsB[0]]["b_col"] == 1 and got[idsB[0]]["a_col"] is None
+    assert len(got) == 200
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    # r10: TIMESTAMP AS OF — commit wall-times are side metadata (never in
+    # any query output), resolved to a version driver-side
+    import time as _time
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "ts_travel")
+    VER.commit_version(spark.createDataFrame([(1, "a")], "id bigint, v string"), t)
+    _time.sleep(0.05)
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    VER.commit_version(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"), t)
+    # between commits → the earlier version
+    assert VER.resolve_as_of(t, t_mid) == 0
+    assert VER.read_version(spark, t, as_of_ts=t_mid).count() == 1
+    # after the latest → the latest
+    assert VER.read_version(spark, t, as_of_ts=_time.time()).count() == 2
+    # datetime and ISO-string forms resolve identically
+    import datetime as _dt
+
+    dt = _dt.datetime.fromtimestamp(t_mid)
+    assert VER.resolve_as_of(t, dt) == 0
+    assert VER.resolve_as_of(t, dt.isoformat()) == 0
+    # before the first commit → error
+    with pytest.raises(ValueError, match="precedes the first"):
+        VER.resolve_as_of(t, t_mid - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        VER.read_version(spark, t, version=0, as_of_ts=t_mid)
+    # bucketed tables share the layout and the resolver
+    tb = str(tmp_path / "ts_bucketed")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, "a")], "id bigint, v string"), tb, ["id"], n_buckets=4
+    )
+    _time.sleep(0.05)
+    b_mid = _time.time()
+    _time.sleep(0.05)
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(2, "b")], "id bigint, v string")
+    )
+    assert VER.read_bucketed(spark, tb, as_of_ts=b_mid).count() == 1
+    assert VER.read_bucketed(spark, tb, as_of_ts=_time.time()).count() == 2
