@@ -4502,6 +4502,56 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-count zone maps end-to-end (``sources/skipping.py``, r10):
+    documents gain a genuinely-nullable derived column (``lang`` nulled
+    for 'en' rows), land as a zone-mapped layout range-clustered on it —
+    nulls sort together under ``repartitionByRange``, so all-null files
+    exist and per-file null counts (Delta nullCount stats) actually prune
+    — and BOTH null predicates read back through the manifest:
+    ``IS NOT NULL`` skips all-null files, ``IS NULL`` skips all-non-null
+    files. The output is the per-source aggregate of each read, tagged,
+    so a wrong skip (dropped file) breaks counts/sums against the oracle,
+    which replays the two predicates relationally on the raw table."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import skipping as Z
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("lang") != "en", F.col("lang")).alias("lang_nn"),
+    )
+    tmp = tempfile.mkdtemp(prefix="null_skip_")
+    try:
+        tbl = os.path.join(tmp, "docs_zm")
+        Z.write_skipping(
+            d, tbl, stats_cols=["doc_id", "lang_nn"], n_files=8, cluster_by="lang_nn"
+        )
+
+        def _agg(op: str, tag: str) -> DataFrame:
+            return (
+                Z.read_skipping(spark, tbl, [("lang_nn", op, None)])
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("sum_id"),
+                )
+                .withColumn("which", F.lit(tag))
+            )
+
+        out = (
+            _agg("is_not_null", "nonnull")
+            .unionByName(_agg("is_null", "null"))
+            .orderBy("which", "source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 AA_PART_MOD = 10  # sub-graph selector: every 10th part — density SF-invariant
 AA_MAX_DEG = 48  # hub cutoff — the Σdeg² wedge-space lever
 ACF_MAX_LAG = 3
@@ -6307,6 +6357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         # --- round 10 additions ---
         "merge_schema_evolution": q_merge_schema_evolution,
+        "null_skipping": q_null_skipping,
     }
     missing = [n for n in _DRIVER_WINDOW_R9 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R9) != 50:
@@ -10019,6 +10070,21 @@ def oracle_sql() -> dict[str, str]:
                    m.action
             FROM merged m LEFT JOIN target t ON m.doc_id = t.doc_id
             ORDER BY m.doc_id
+        """,
+        "null_skipping": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN lang <> 'en' THEN lang END AS lang_nn
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(doc_id)::BIGINT AS sum_id, 'nonnull' AS which
+            FROM d WHERE lang_nn IS NOT NULL GROUP BY source
+            UNION ALL
+            SELECT source, count(*) AS n_docs,
+                   sum(doc_id)::BIGINT AS sum_id, 'null' AS which
+            FROM d WHERE lang_nn IS NULL GROUP BY source
+            ORDER BY which, source
         """,
         "label_propagation": """
             WITH raw AS (

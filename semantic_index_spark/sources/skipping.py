@@ -98,21 +98,19 @@ def write_skipping(
     shaped.write.mode("errorifexists").parquet(data)
     back = df.sparkSession.read.parquet(data)
     fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    # one pass over the written files computes every file's column ranges
-    stats = back.groupBy(fname.alias("_f")).agg(
-        *[
-            agg(c).cast("string").alias(f"{kind}_{c}")
-            for c in stats_cols
-            for kind, agg in (("min", F.min), ("max", F.max))
-        ]
-    )
+    # one pass over the written files computes every file's column ranges,
+    # row count, and per-column null counts (Delta's nullCount stats — the
+    # only evidence that can prune IS NULL / IS NOT NULL predicates)
+    stats = back.groupBy(fname.alias("_f")).agg(*_stats_aggs(stats_cols))
     from semantic_index_spark.session import collect_bounded
 
     files = {}
+    nulls = {}
     for r in collect_bounded(stats, n_files, "write_skipping file stats"):
         files[r["_f"]] = {
             c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
         }
+        nulls[r["_f"]] = _null_entry(r, stats_cols)
     blooms: dict[str, dict[str, str]] = {}
     for c in bloom_cols or []:
         # distinct (file, bit) stays distributed; only ≤ n_files rows of
@@ -131,7 +129,7 @@ def write_skipping(
             for b in r["bits"]:
                 bm[b >> 3] |= 1 << (b & 7)
             blooms.setdefault(r["_f"], {})[c] = base64.b64encode(bytes(bm)).decode()
-    man = {"stats_cols": stats_cols, "files": files}
+    man = {"stats_cols": stats_cols, "files": files, "nulls": nulls}
     if bloom_cols:
         man["bloom"] = {
             "cols": bloom_cols,
@@ -142,6 +140,41 @@ def write_skipping(
     with open(_manifest_path(table), "w") as f:
         json.dump(man, f)
     return len(files)
+
+
+def _stats_aggs(stats_cols: list[str]) -> list:
+    """The per-file statistics aggregation list shared by write and append:
+    min/max per tracked column (string-rendered), total row count, and
+    per-column null counts."""
+    aggs = [
+        agg(c).cast("string").alias(f"{kind}_{c}")
+        for c in stats_cols
+        for kind, agg in (("min", F.min), ("max", F.max))
+    ]
+    aggs.append(F.count(F.lit(1)).alias("_rows"))
+    aggs.extend(
+        F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}")
+        for c in stats_cols
+    )
+    return aggs
+
+
+def _null_entry(r, stats_cols: list[str]) -> dict:
+    return {"rows": r["_rows"], "cols": {c: r[f"nulls_{c}"] for c in stats_cols}}
+
+
+def _null_may_match(man: dict, fn: str, col: str, op: str) -> bool:
+    """Null-count pruning (Delta nullCount zone maps): an all-non-null file
+    cannot satisfy IS NULL; an all-null file cannot satisfy IS NOT NULL.
+    Tables written before null counts existed (no ``nulls`` section) keep
+    every file — conservative, never wrong."""
+    if op not in ("is_null", "is_not_null"):
+        return True
+    nu = man.get("nulls", {}).get(fn)
+    if nu is None or col not in nu["cols"]:
+        return True
+    n = nu["cols"][col]
+    return n > 0 if op == "is_null" else n < nu["rows"]
 
 
 def _bloom_positions_literal(value, m: int, k: int) -> list[int]:
@@ -195,6 +228,11 @@ def _file_may_match(ranges: dict, col: str, op: str, value) -> bool:
     if col not in ranges:
         return True  # untracked column: no evidence to skip on
     lo, hi = ranges[col]
+    if op == "is_not_null":
+        # min/max of an all-null file are both null — nothing to match
+        return not (lo is None and hi is None)
+    if op == "is_null":
+        return True  # ranges carry no null evidence; _null_may_match prunes
     if lo is None or hi is None:
         return True  # all-null file or missing stats: cannot rule out
     if op == "in":
@@ -218,9 +256,11 @@ def read_skipping(
     spark: SparkSession, table: str, filters: list[tuple] | None = None
 ) -> DataFrame:
     """Read with zone-map file skipping: ``filters`` are source-column
-    triples ``(col, op, value)``, op in ``= < <= > >= in``. Files whose
-    recorded [min, max] cannot contain a match are never handed to the
-    scan; the original predicates always apply as residuals on the
+    triples ``(col, op, value)``, op in ``= < <= > >= in is_null
+    is_not_null`` (value ignored for the null ops — pass None). Files
+    whose recorded statistics cannot contain a match — [min, max] for
+    range/point ops, null counts for the null ops — are never handed to
+    the scan; the original predicates always apply as residuals on the
     survivors, so results are identical with skipping on or off. Returns
     an empty DataFrame (correct schema) when every file is skipped."""
     with open(_manifest_path(table)) as f:
@@ -232,6 +272,7 @@ def read_skipping(
         if all(
             _file_may_match(ranges, c, op, v)
             and _bloom_may_match(man, fn, c, op, v)
+            and _null_may_match(man, fn, c, op)
             for c, op, v in (filters or [])
         )
     ]
@@ -242,6 +283,10 @@ def read_skipping(
         c = F.col(col)
         if op == "in":
             df = df.filter(c.isin(list(value)))
+        elif op == "is_null":
+            df = df.filter(c.isNull())
+        elif op == "is_not_null":
+            df = df.filter(c.isNotNull())
         else:
             df = df.filter(
                 {"=": c.__eq__, "<": c.__lt__, "<=": c.__le__, ">": c.__gt__, ">=": c.__ge__}[op](value)
@@ -260,6 +305,7 @@ def candidate_files(table: str, filters: list[tuple] | None = None) -> list[str]
         if all(
             _file_may_match(ranges, c, op, v)
             and _bloom_may_match(man, fn, c, op, v)
+            and _null_may_match(man, fn, c, op)
             for c, op, v in (filters or [])
         )
     )
@@ -280,49 +326,51 @@ def append_skipping(
     per-batch clustering keeps the new files' ranges tight even though
     batches interleave with history (query-time candidates are per-file,
     so old and new files prune independently). CONCURRENT appends are
-    safe (r9): data files never collide (task-unique part names), and the
+    safe: the batch lands in a batch-unique STAGING directory first, so
+    the appended file names come from the writer's own output — never a
+    listing diff of the shared data directory, which races on an object
+    store (r10; the r9 version set-diffed ``os.listdir``) — and the
     manifest merge runs inside the shared pointer critical section
     (``versioned._pointer_lock``) against a RE-read manifest, so two
     appenders both land their file entries instead of the later one
-    clobbering the earlier one's — the same contract every other mutable
-    pointer in the repo now carries. Returns the number of files
-    appended."""
+    clobbering the earlier one's. Spark part file names embed a
+    job-unique UUID, so staged files move into ``data/`` without
+    collision; a crash before the manifest merge leaves moved-but-
+    unregistered files that readers (manifest-driven) never see. Returns
+    the number of files appended."""
+    import shutil
+    import uuid
+
     with open(_manifest_path(table)) as f:
         man = json.load(f)
     stats_cols = man["stats_cols"]
     bl = man.get("bloom")
     data = os.path.join(table, "data")
-    before = set(os.listdir(data))
+    staged = os.path.join(table, f"_staged_append_{uuid.uuid4().hex}")
     ck = F.col(cluster_by) if isinstance(cluster_by, str) else cluster_by
     shaped = (
         df.repartitionByRange(n_files, ck)
         if cluster_by is not None
         else df.repartition(n_files)
     )
-    shaped.write.mode("append").parquet(data)
+    shaped.write.mode("errorifexists").parquet(staged)
     new_files = {
-        f
-        for f in set(os.listdir(data)) - before
-        if f.endswith(".parquet") or f.startswith("part-")
+        f for f in os.listdir(staged) if f.startswith("part-") and not f.endswith(".crc")
     }
     if not new_files:
+        shutil.rmtree(staged, ignore_errors=True)
         return 0
-    paths = [os.path.join(data, fn) for fn in sorted(new_files)]
+    paths = [os.path.join(staged, fn) for fn in sorted(new_files)]
     back = df.sparkSession.read.parquet(*paths)
     fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    stats = back.groupBy(fname.alias("_f")).agg(
-        *[
-            agg(c).cast("string").alias(f"{kind}_{c}")
-            for c in stats_cols
-            for kind, agg in (("min", F.min), ("max", F.max))
-        ]
-    )
+    stats = back.groupBy(fname.alias("_f")).agg(*_stats_aggs(stats_cols))
     from semantic_index_spark.session import collect_bounded
 
-    our_stats = {
-        r["_f"]: {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
-        for r in collect_bounded(stats, len(new_files), "append_skipping file stats")
-    }
+    our_stats = {}
+    our_nulls = {}
+    for r in collect_bounded(stats, len(new_files), "append_skipping file stats"):
+        our_stats[r["_f"]] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols}
+        our_nulls[r["_f"]] = _null_entry(r, stats_cols)
     our_blooms: dict[str, dict[str, str]] = {}
     if bl:
         for c in bl["cols"]:
@@ -342,14 +390,23 @@ def append_skipping(
                 our_blooms.setdefault(r["_f"], {})[c] = base64.b64encode(
                     bytes(bm)
                 ).decode()
-    # merge onto a RE-read manifest inside the critical section — a
-    # concurrent appender's entries landed in between must survive
+    # publish: move the staged files into data/ (atomic per-file rename,
+    # names already unique), then merge onto a RE-read manifest inside the
+    # critical section — a concurrent appender's entries landed in between
+    # must survive
     from semantic_index_spark.sources.versioned import _pointer_lock
 
+    for fn2 in sorted(new_files):
+        dest = os.path.join(data, fn2)
+        if os.path.exists(dest):  # cannot happen with UUID part names
+            raise FileExistsError(f"append_skipping: file collision on {dest}")
+        os.rename(os.path.join(staged, fn2), dest)
+    shutil.rmtree(staged, ignore_errors=True)
     with _pointer_lock(table):
         with open(_manifest_path(table)) as f:
             man = json.load(f)
         man["files"].update(our_stats)
+        man.setdefault("nulls", {}).update(our_nulls)
         for fn2, cols in our_blooms.items():
             man["bloom"]["files"].setdefault(fn2, {}).update(cols)
         tmp = _manifest_path(table) + ".__tmp__"

@@ -1861,3 +1861,71 @@ def test_timestamp_time_travel(spark, tmp_path):
     )
     assert VER.read_bucketed(spark, tb, as_of_ts=b_mid).count() == 1
     assert VER.read_bucketed(spark, tb, as_of_ts=_time.time()).count() == 2
+
+
+def test_null_count_zone_maps_prune_and_stay_correct(spark, tmp_path):
+    # r10: per-file null counts (Delta nullCount stats) prune IS NULL /
+    # IS NOT NULL — boundary cases: an all-null file skips for
+    # IS NOT NULL and is kept for IS NULL; an all-non-null file skips for
+    # IS NULL; a mixed file is kept for both. Results never depend on
+    # pruning, and pre-null-count manifests stay readable (no pruning).
+    from semantic_index_spark.sources import skipping as Z
+
+    rows = (
+        [(i, None) for i in range(10)]  # g-range 0..9: all null
+        + [(i, i * 2) for i in range(10, 20)]  # 10..19: no null
+        + [(i, i if i % 2 else None) for i in range(20, 30)]  # 20..29: mixed
+    )
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    t = str(tmp_path / "null_zm")
+    Z.write_skipping(df, t, stats_cols=["id", "v"], n_files=3, cluster_by="id")
+    every = Z.candidate_files(t)
+    assert len(every) == 3
+    keep_nn = Z.candidate_files(t, [("v", "is_not_null", None)])
+    keep_nu = Z.candidate_files(t, [("v", "is_null", None)])
+    assert len(keep_nn) == 2 and len(keep_nu) == 2  # each op skips one file
+    assert set(keep_nn) | set(keep_nu) == set(every)
+    got_nn = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("v", "is_not_null", None)]).collect()
+    )
+    assert got_nn == [i for i in range(10, 20)] + [i for i in range(20, 30) if i % 2]
+    got_nu = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("v", "is_null", None)]).collect()
+    )
+    assert got_nu == list(range(10)) + [i for i in range(20, 30) if i % 2 == 0]
+    # null ops compose with range ops on the same read
+    got = sorted(
+        r["id"]
+        for r in Z.read_skipping(
+            spark, t, [("v", "is_not_null", None), ("id", ">=", 25)]
+        ).collect()
+    )
+    assert got == [25, 27, 29]
+    # appended batches record null counts too: an all-null batch file
+    # prunes for IS NOT NULL immediately
+    batch = spark.createDataFrame([(100 + i, None) for i in range(5)], "id bigint, v bigint")
+    assert Z.append_skipping(batch, t, n_files=1, cluster_by="id") == 1
+    assert len(Z.candidate_files(t)) == 4
+    assert len(Z.candidate_files(t, [("v", "is_not_null", None)])) == 2
+    got_nu2 = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("v", "is_null", None)]).collect()
+    )
+    assert got_nu2 == got_nu + [100 + i for i in range(5)]
+    # a legacy manifest (no nulls section) stays correct: IS NOT NULL can
+    # still prune all-null files from their [null, null] min/max, but
+    # IS NULL has no evidence and keeps every file
+    with open(Z._manifest_path(t)) as f:
+        man = json.load(f)
+    man.pop("nulls")
+    with open(Z._manifest_path(t), "w") as f:
+        json.dump(man, f)
+    assert len(Z.candidate_files(t, [("v", "is_not_null", None)])) == 2
+    assert len(Z.candidate_files(t, [("v", "is_null", None)])) == 4
+    got_legacy = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("v", "is_not_null", None)]).collect()
+    )
+    assert got_legacy == got_nn
+    got_legacy_nu = sorted(
+        r["id"] for r in Z.read_skipping(spark, t, [("v", "is_null", None)]).collect()
+    )
+    assert got_legacy_nu == got_nu2
