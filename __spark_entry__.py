@@ -5982,62 +5982,61 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # the window is pure steady-state rotation — the queries whose most recent
 # driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
-_DRIVER_WINDOW_R9 = [
-    # never driver-checked (NEW in round 9) first, per the rotation policy
-    "ivfsq_incremental",
-    "graph_walks",
-    # then the stalest green driver rows, oldest CORRECTNESS round first
-    # (38 last checked r3, 11 last r4); computed by tools/pin_window.py
-    # from the CORRECTNESS_r0*.json history (the 49th/50th stalest,
-    # gopher_rules and ngram_lm_score, yield their slots and rotate next round)
-    "filter_projection",  # last r3
-    "topk_orders",  # last r3
-    "upsert_update_demo",  # last r3
-    "delete_ops_demo",  # last r3
-    "skip_policy_demo",  # last r3
-    "allow_policy_demo",  # last r3
-    "q5_local_supplier_volume",  # last r3
-    "join_semi_anti",  # last r3
-    "rollup_nation_region",  # last r3
-    "cube_flags",  # last r3
-    "window_rank_lag",  # last r3
-    "set_ops_nations",  # last r3
-    "string_functions",  # last r3
-    "date_functions",  # last r3
-    "json_functions",  # last r3
-    "math_case_functions",  # last r3
-    "distinct_counts",  # last r3
-    "percentiles_by_flag",  # last r3
-    "window_distribution",  # last r3
-    "full_outer_revenue",  # last r3
-    "rolling_event_stats",  # last r3
-    "unpivot_quantities",  # last r3
-    "grouping_sets_revenue",  # last r3
-    "exists_subqueries",  # last r3
-    "pivot_status",  # last r3
-    "scalar_subquery",  # last r3
-    "null_semantics",  # last r3
-    "agg_modern",  # last r3
-    "array_hof",  # last r3
-    "events_tumbling_windows",  # last r3
-    "events_sliding_windows",  # last r3
-    "range_join_bands",  # last r3
-    "global_ranking",  # last r3
-    "hash_split",  # last r3
-    "stratified_sample",  # last r3
-    "histogram_quantiles",  # last r3
-    "knn_multi",  # last r3
-    "lsh_bucket_hist",  # last r3
-    "incremental_dedup",  # last r4
-    "edit_distance_verify",  # last r4
-    "dedup_components",  # last r4
-    "similarity_join",  # last r4
-    "lsh_topk",  # last r4
-    "ivf_topk",  # last r4
-    "quantized_knn",  # last r4
-    "tfidf_top_terms",  # last r4
-    "heavy_hitters",  # last r4
-    "salted_join_agg",  # last r4
+_DRIVER_WINDOW_R10 = [
+    # round-10 window: the 2 never-checked r10 additions first, then the
+    # 48 stalest green driver rows (oldest CORRECTNESS round first) —
+    # computed by tools/pin_window.py from CORRECTNESS_r01-r09
+
+    "merge_schema_evolution",  # never-checked
+    "null_skipping",  # never-checked
+    "gopher_rules",  # last r4
+    "ngram_lm_score",  # last r4
+    "bm25_topk",  # last r4
+    "bpe_pair_counts",  # last r4
+    "contamination_check",  # last r4
+    "pack_sequences",  # last r4
+    "repetition_pii",  # last r4
+    "chunk_documents",  # last r4
+    "udtf_token_positions",  # last r4
+    "text_signals",  # last r4
+    "media_frames",  # last r4
+    "scd2_user_status",  # last r4
+    "embed_cache_hits",  # last r4
+    "data_expectations",  # last r4
+    "weighted_mix",  # last r4
+    "media_pooled",  # last r4
+    "funnel_conversion",  # last r4
+    "retention_cohorts",  # last r4
+    "snapshot_diff",  # last r4
+    "session_window_agg",  # last r4
+    "lsh_multiprobe",  # last r4
+    "rerank_quantized",  # last r4
+    "hll_by_group",  # last r4
+    "cms_freq",  # last r4
+    "source_cap",  # last r4
+    "skew_profile",  # last r4
+    "semdedup",  # last r4
+    "rollup_merge",  # last r4
+    "duplicate_spans",  # last r4
+    "cms_join_size",  # last r4
+    "histogram_quantiles_by",  # last r4
+    "bloom_screen",  # last r4
+    "quality_filter",  # last r4
+    "containment_pairs",  # last r4
+    "psi_drift",  # last r4
+    "mad_outliers",  # last r4
+    "profile_docs",  # last r4
+    "embedding_covariance",  # last r4
+    "interval_overlap",  # last r4
+    "label_centroids",  # last r5
+    "text_stats",  # last r5
+    "media_stats",  # last r5
+    "winnowing_fingerprints",  # last r5
+    "zorder_key",  # last r5
+    "heavy_hitters_by",  # last r5
+    "budget_select",  # last r5
+    "hll_set_ops",  # last r5
+    "bloom_join",  # last r5
 ]
 
 
@@ -6045,8 +6044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round.  The canonical dict below stays in stable
     historical order; the returned dict is reordered so the pinned
-    ``_DRIVER_WINDOW_R9`` names come first (see the comment on that list for
-    the round-9 composition), followed by every other query in canonical
+    ``_DRIVER_WINDOW_R10`` names come first (see the comment on that list for
+    the round-10 composition), followed by every other query in canonical
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
@@ -6054,14 +6053,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (287 queries / 50 per round).
+    driver row at most ~6 rounds stale (289 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
-    ``_DRIVER_WINDOW_R9``.  EVERY new query added mid-round must be
+    ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 287 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 289 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6359,13 +6358,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_schema_evolution": q_merge_schema_evolution,
         "null_skipping": q_null_skipping,
     }
-    missing = [n for n in _DRIVER_WINDOW_R9 if n not in reg]
-    if missing or len(_DRIVER_WINDOW_R9) != 50:
+    missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R10) != 50:
         raise RuntimeError(
-            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R9)}, "
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R10)}, "
             f"missing={missing}"
         )
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R9}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R10}
     ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
     return ordered
 
