@@ -4552,6 +4552,61 @@ def q_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel end-to-end (``sources/versioned.py
+    resolve_as_of``, r10): three commits land on a plain versioned table
+    (orders slices by priority class), a wall-clock instant is captured
+    between each pair, and each instant's ``as_of_ts`` read must resolve
+    to exactly the version that was latest then — the output aggregates
+    every as-of read (row count + revenue checksum per snapshot), so a
+    wrong resolution (off-by-one version, inclusive-boundary mistake)
+    changes the hashed numbers. Wall-times live ONLY in the side ledger;
+    the output depends on commit ORDER alone, which is why this query can
+    carry a hard oracle: the oracle rebuilds the three cumulative
+    snapshot states relationally."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from semantic_index_spark.sources import versioned as VER
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        # fixed-point: floor(x*100 + 0.5) renders identically in Spark and
+        # DuckDB (a bare double->bigint cast truncates in Spark, rounds in
+        # DuckDB)
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ts_travel_")
+    try:
+        tbl = os.path.join(tmp, "orders_tbl")
+        instants = []
+        # commit k = priorities 1..k+1 — strictly growing snapshots
+        for k in range(1, 4):
+            slice_k = o.filter(F.substring("o_orderpriority", 1, 1) <= str(k))
+            if k == 1:
+                VER.commit_version(slice_k, tbl)
+            else:
+                VER.commit_version(slice_k, tbl, expected_version=k - 2)
+            instants.append(_time.time())
+            _time.sleep(0.02)
+        rows = []
+        for k, t in enumerate(instants, start=1):
+            snap = VER.read_version(spark, tbl, as_of_ts=t)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("cents").alias("rev_cents")
+            ).collect()[0]
+            rows.append((k, agg["n"], agg["rev_cents"]))
+        out = spark.createDataFrame(
+            rows, "snapshot int, n_orders bigint, rev_cents bigint"
+        ).orderBy("snapshot")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 AA_PART_MOD = 10  # sub-graph selector: every 10th part — density SF-invariant
 AA_MAX_DEG = 48  # hub cutoff — the Σdeg² wedge-space lever
 ACF_MAX_LAG = 3
@@ -5983,12 +6038,13 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R10 = [
-    # round-10 window: the 2 never-checked r10 additions first, then the
-    # 48 stalest green driver rows (oldest CORRECTNESS round first) —
+    # round-10 window: the 3 never-checked r10 additions first, then the
+    # 47 stalest green driver rows (oldest CORRECTNESS round first) —
     # computed by tools/pin_window.py from CORRECTNESS_r01-r09
 
     "merge_schema_evolution",  # never-checked
     "null_skipping",  # never-checked
+    "time_travel_as_of",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6036,7 +6092,6 @@ _DRIVER_WINDOW_R10 = [
     "heavy_hitters_by",  # last r5
     "budget_select",  # last r5
     "hll_set_ops",  # last r5
-    "bloom_join",  # last r5
 ]
 
 
@@ -6053,14 +6108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (289 queries / 50 per round).
+    driver row at most ~6 rounds stale (290 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 289 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 290 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6357,6 +6412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 additions ---
         "merge_schema_evolution": q_merge_schema_evolution,
         "null_skipping": q_null_skipping,
+        "time_travel_as_of": q_time_travel_as_of,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -10084,6 +10140,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS sum_id, 'null' AS which
             FROM d WHERE lang_nn IS NULL GROUP BY source
             ORDER BY which, source
+        """,
+        "time_travel_as_of": """
+            WITH ks AS (SELECT unnest([1, 2, 3]) AS snapshot)
+            SELECT k.snapshot,
+                   count(*) AS n_orders,
+                   sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS rev_cents
+            FROM ks k JOIN orders o
+              ON substring(o.o_orderpriority, 1, 1) <= CAST(k.snapshot AS VARCHAR)
+            GROUP BY k.snapshot
+            ORDER BY k.snapshot
         """,
         "label_propagation": """
             WITH raw AS (

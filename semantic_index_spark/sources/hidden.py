@@ -353,6 +353,7 @@ def read_hidden(
     table: str,
     filters: list[tuple] | None = None,
     version: int | None = None,
+    as_of_ts=None,
 ) -> DataFrame:
     """Read with transform-column pruning: ``filters`` are predicates on
     SOURCE columns — triples ``(col, op, value)`` with op in
@@ -362,7 +363,16 @@ def read_hidden(
     (planning-time directory pruning); the original source predicate is
     ALWAYS applied as the residual, so results never depend on pruning.
     Columns with no usable rewrite (e.g. a range over ``bucket``) simply
-    prune nothing. Returns the SOURCE schema — hidden columns are dropped."""
+    prune nothing. Returns the SOURCE schema — hidden columns are dropped.
+    ``as_of_ts`` resolves a wall-clock time to a version
+    (``versioned.resolve_as_of``) — hidden tables share the versioned
+    store's commit-timestamp ledger."""
+    if as_of_ts is not None:
+        from semantic_index_spark.sources.versioned import resolve_as_of
+
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = resolve_as_of(table, as_of_ts)
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"hidden-partitioned table {table} has no commits")

@@ -1929,3 +1929,24 @@ def test_null_count_zone_maps_prune_and_stay_correct(spark, tmp_path):
         r["id"] for r in Z.read_skipping(spark, t, [("v", "is_null", None)]).collect()
     )
     assert got_legacy_nu == got_nu2
+
+
+def test_hidden_timestamp_time_travel(spark, tmp_path):
+    # hidden-partitioned tables share the versioned commit-ts ledger
+    import time as _time
+
+    from semantic_index_spark.sources import hidden as H
+
+    t = str(tmp_path / "hidden_ts")
+    df1 = spark.createDataFrame([(1, 3)], "id bigint, b bigint")
+    H.create_hidden(df1, t, [("identity", "b")])
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    H.commit_hidden(
+        spark.createDataFrame([(1, 3), (2, 4)], "id bigint, b bigint"), t
+    )
+    assert H.read_hidden(spark, t, as_of_ts=mid).count() == 1
+    assert H.read_hidden(spark, t, as_of_ts=_time.time()).count() == 2
+    with pytest.raises(ValueError, match="not both"):
+        H.read_hidden(spark, t, version=0, as_of_ts=mid)
