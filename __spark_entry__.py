@@ -278,6 +278,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, q, CENTROIDS, k=KNN_K, nprobe=IVF_NPROBE)
 
 
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sharded HNSW (operators/hnsw.py): build per-shard small-world graphs,
+    # persist partitionBy(shard), scatter-gather search. ef=None runs the
+    # REAL graph traversal with beam = shard size over the connectivity-
+    # guaranteed base layer — provably visits every node, so the result is
+    # the exact top-k and the brute-force oracle hash-matches; real-beam
+    # recall is pytest-covered (tests/test_new_operators.py).
+    import tempfile
+
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="hnsw_idx_") + "/idx"
+    H.write_hnsw_index(H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32), path)
+    return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join: each purchase gets the user's most recent view at or
     # before it. Union + keyed window — one shuffle, no range cross-product.
@@ -6045,6 +6063,7 @@ _DRIVER_WINDOW_R10 = [
     "merge_schema_evolution",  # never-checked
     "null_skipping",  # never-checked
     "time_travel_as_of",  # never-checked
+    "hnsw_topk",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6091,7 +6110,6 @@ _DRIVER_WINDOW_R10 = [
     "zorder_key",  # last r5
     "heavy_hitters_by",  # last r5
     "budget_select",  # last r5
-    "hll_set_ops",  # last r5
 ]
 
 
@@ -6108,14 +6126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (290 queries / 50 per round).
+    driver row at most ~6 rounds stale (291 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 290 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 291 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6413,6 +6431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_schema_evolution": q_merge_schema_evolution,
         "null_skipping": q_null_skipping,
         "time_travel_as_of": q_time_travel_as_of,
+        "hnsw_topk": q_hnsw_topk,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -6938,6 +6957,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "knn_topk": f"""
             SELECT e.vec_id, round({dot_q0}, 6) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hnsw_topk": f"""
+            SELECT e.vec_id,
+                   round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 5)")}, 6) AS score
             FROM embeddings e
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
         """,

@@ -2714,3 +2714,65 @@ def test_ivf_compressed_base_rebuild_truncates_stale_epochs(spark, tmp_path):
     S.append_ivfsq_index(df.limit(0), cents, model, sq, batch_id=1)
     got = sorted(r["vec_id"] for r in spark.read.parquet(sq).collect())
     assert got == list(range(60))
+
+
+# ---------------------------------------------------------------- HNSW
+
+
+def _hnsw_corpus(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+
+
+def test_hnsw_exhaustive_equals_exact_topk(spark, sf_dir):
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir)
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    idx = H.build_hnsw(emb, n_shards=4, m=6, ef_construction=24)
+    got = [(r["vec_id"], r["score"]) for r in H.hnsw_topk(idx, q, k=10, ef=None).collect()]
+    want = [(r["vec_id"], r["score"]) for r in S.topk(emb, q, k=10).collect()]
+    assert got == want
+
+
+def test_hnsw_beam_recall_and_determinism(spark, sf_dir):
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir)
+    q = emb.filter("vec_id = 3").collect()[0]["embedding"]
+    idx = H.build_hnsw(emb, n_shards=4, m=8, ef_construction=64)
+    exact = {r["vec_id"] for r in S.topk(emb, q, k=10).collect()}
+    approx = [r["vec_id"] for r in H.hnsw_topk(idx, q, k=10, ef=64).collect()]
+    assert len(approx) == 10
+    assert len(exact & set(approx)) >= 9  # recall@10 >= 0.9 with a real beam
+    # two independent builds give byte-identical graphs (hash levels, id
+    # tie-breaks, sorted insertion — no RNG state anywhere)
+    idx2 = H.build_hnsw(emb, n_shards=4, m=8, ef_construction=64)
+    a = sorted(map(tuple, idx.select("shard", "id", "max_level", "neighbors").collect()))
+    b = sorted(map(tuple, idx2.select("shard", "id", "max_level", "neighbors").collect()))
+    assert a == b
+
+
+def test_hnsw_index_roundtrip_and_shard_partitioning(spark, sf_dir, tmp_path):
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir).filter("vec_id < 120")
+    q = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    path = str(tmp_path / "hnsw")
+    H.write_hnsw_index(H.build_hnsw(emb, n_shards=3, m=4, ef_construction=16), path)
+    dirs = {d for _, ds, _ in os.walk(path) for d in ds}
+    assert {"shard=0", "shard=1", "shard=2"} <= dirs
+    got = [(r["vec_id"], r["score"]) for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()]
+    want = [(r["vec_id"], r["score"]) for r in S.topk(emb, q, k=5).collect()]
+    assert got == want
+
+
+def test_hnsw_single_node_shard_and_small_corpus(spark):
+    from semantic_index_spark.operators import hnsw as H
+
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = H.build_hnsw(df, n_shards=5, m=2, ef_construction=4)
+    got = [r["vec_id"] for r in H.hnsw_topk(idx, [1.0, 0.0], k=3, ef=None).collect()]
+    assert got == [4, 3, 2]
