@@ -4520,6 +4520,67 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + CLONE on the versioned store end-to-end
+    (``sources/versioned.py restore_bucketed``/``clone_table``, r10):
+    customers ≤ 200 seed a 16-bucket table (v0); a MERGE updates every
+    7th key and inserts 10 synthetic keys (v1); a deletion-vector DELETE
+    removes every 13th key (v2); ``restore_bucketed`` rolls the table
+    back to v0 as a METADATA-ONLY v3 (no bucket data under the restore's
+    v-dir — pytest locks that); the restored table is then CLONEd
+    (hardlink consolidation) and the output is the CLONE's full content
+    joined with the rollback's change feed ``diff_bucketed(v2, v3)`` on
+    the SOURCE table. The oracle recomputes both relationally: content =
+    the v0 base (a wrong restore leaks merged/deleted rows), action =
+    'inserted' for DV'd keys (they come back), 'updated' for merged keys
+    (payload reverts), NULL for untouched — a wrong diff or a clone that
+    read stale buckets breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 200).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="restore_clone_")
+    try:
+        tbl = os.path.join(tmp, "cust_tbl")
+        VER.create_bucketed(base, tbl, ["id"], n_buckets=16)  # v0
+        upd = base.filter(F.col("id") % 7 == 0).select(
+            "id",
+            F.concat(F.col("name"), F.lit("_x")).alias("name"),
+            (F.col("cents") + 11).alias("cents"),
+        )
+        ins = spark.range(10001, 10011).select(
+            F.col("id"),
+            F.concat(F.lit("new_"), F.col("id")).alias("name"),
+            F.col("id").alias("cents"),
+        )
+        VER.merge_into_bucketed(spark, tbl, upd.unionByName(ins))  # v1
+        VER.delete_bucketed(
+            spark, tbl, base.filter(F.col("id") % 13 == 0).select("id")
+        )  # v2
+        v3 = VER.restore_bucketed(tbl, 0)
+        assert v3 == 3, v3
+        clone = os.path.join(tmp, "cust_clone")
+        VER.clone_table(tbl, clone)
+        feed = VER.diff_bucketed(spark, tbl, 2, 3).select("id", "_action")
+        out = (
+            VER.read_bucketed(spark, clone)
+            .join(feed, "id", "left")
+            .select("id", "name", "cents", F.col("_action").alias("action"))
+            .orderBy("id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-count zone maps end-to-end (``sources/skipping.py``, r10):
     documents gain a genuinely-nullable derived column (``lang`` nulled
@@ -6064,6 +6125,7 @@ _DRIVER_WINDOW_R10 = [
     "null_skipping",  # never-checked
     "time_travel_as_of",  # never-checked
     "hnsw_topk",  # never-checked
+    "restore_clone",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6109,7 +6171,6 @@ _DRIVER_WINDOW_R10 = [
     "winnowing_fingerprints",  # last r5
     "zorder_key",  # last r5
     "heavy_hitters_by",  # last r5
-    "budget_select",  # last r5
 ]
 
 
@@ -6126,14 +6187,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (291 queries / 50 per round).
+    driver row at most ~6 rounds stale (292 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 291 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 292 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6429,6 +6490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         # --- round 10 additions ---
         "merge_schema_evolution": q_merge_schema_evolution,
+        "restore_clone": q_restore_clone,
         "null_skipping": q_null_skipping,
         "time_travel_as_of": q_time_travel_as_of,
         "hnsw_topk": q_hnsw_topk,
@@ -10126,6 +10188,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
                         THEN 'updated' ELSE 'inserted' END AS action
             FROM src s WHERE s.op = 'upsert'
+        """,
+        "restore_clone": """
+            WITH base AS (
+                SELECT c_custkey AS id, c_name AS name,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer WHERE c_custkey <= 200
+            )
+            SELECT id, name, cents,
+                   CASE WHEN id % 13 = 0 THEN 'inserted'
+                        WHEN id % 7 = 0 THEN 'updated'
+                   END AS action
+            FROM base ORDER BY id
         """,
         "merge_schema_evolution": """
             WITH target AS (

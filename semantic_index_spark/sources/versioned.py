@@ -307,6 +307,144 @@ def expire_versions(
     return expired
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` under ``dst`` with hardlinks (copy fallback for
+    cross-device) — O(files) metadata operations, zero bytes copied, and
+    deletion-safe: every directory holds its own link, so expiring either
+    side never strands the other. An object-store port would copy by
+    reference (server-side copy / manifest pointer) instead."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for name in files:
+            s, d = os.path.join(root, name), os.path.join(out, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def restore_version(table: str, to_version: int) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` on a plain snapshot
+    table: publish a NEW version whose content is the retained historical
+    snapshot — a rollback that moves the table FORWARD, so history (and
+    time travel past the bad commits) is preserved and the restore itself
+    is visible in the commit log. The snapshot's files are hardlinked,
+    not rewritten (see :func:`_link_tree`), making a restore O(files)
+    metadata work at any table size. Conditional on the pointer not
+    moving (the standard OCC contract); restoring to the current version
+    is allowed and commits an explicit no-op rollback point."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table} has no commits")
+    src = os.path.join(table, f"v={to_version}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(
+            f"version {to_version} of {table} does not exist (expired or "
+            "never committed) — cannot restore"
+        )
+    staged = _staged_path(table)
+    _link_tree(src, staged)
+    with _pointer_lock(table):
+        now = current_version(table)
+        if now != cur:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise CommitConflictError(
+                f"cannot restore {table}: expected latest version {cur}, "
+                f"found {now} — a concurrent writer committed first"
+            )
+        nxt = cur + 1
+        os.rename(staged, os.path.join(table, f"v={nxt}"))
+        _write_pointer(table, nxt)
+    return nxt
+
+
+def clone_table(src_table: str, dst_table: str, version: int | None = None) -> int:
+    """Delta-style CLONE: create ``dst_table`` as an independent versioned
+    table whose v=0 is ``src_table``'s snapshot at ``version`` (default
+    latest). Files are hardlinked (:func:`_link_tree`) — shallow-clone
+    cost with deep-clone independence: either table can be written,
+    restored, or expired afterwards without affecting the other (each
+    directory owns its links). Works for plain snapshot tables AND
+    bucketed/hidden tables (their manifest, if any, is carried over with
+    the version renumbered to 0 so the clone's read path is
+    self-contained)."""
+    src_cur = current_version(src_table)
+    if src_cur is None:
+        raise FileNotFoundError(f"versioned table {src_table} has no commits")
+    v = src_cur if version is None else version
+    if os.path.exists(_latest_path(dst_table)):
+        raise FileExistsError(f"clone target {dst_table} already exists")
+    man = None
+    if os.path.exists(_manifest_path(src_table, v)):
+        man = _read_manifest(src_table, v)
+    os.makedirs(dst_table, exist_ok=True)
+    # hidden-partitioned tables carry their transform spec as a side file —
+    # the clone needs it for its read path to be self-contained
+    spec = os.path.join(src_table, "_hidden_spec.json")
+    if os.path.exists(spec):
+        shutil.copy2(spec, os.path.join(dst_table, "_hidden_spec.json"))
+    dst_v0 = os.path.join(dst_table, "v=0")
+    if man is None:
+        src_dir = os.path.join(src_table, f"v={v}")
+        if not os.path.isdir(src_dir):
+            raise FileNotFoundError(
+                f"version {v} of {src_table} does not exist (expired?)"
+            )
+        _link_tree(src_dir, dst_v0)
+    else:
+        # bucketed/hidden: live buckets may be spread across many source
+        # version dirs — consolidate them (and any referenced DV files)
+        # under the clone's v=0 and renumber the manifest accordingly
+        os.makedirs(dst_v0, exist_ok=True)
+        for b, owner in man["buckets"].items():
+            if owner is None:
+                continue
+            _link_tree(
+                os.path.join(src_table, f"v={owner}", f"__bucket={b}"),
+                os.path.join(dst_v0, f"__bucket={b}"),
+            )
+        # DV files for one bucket can live under SEVERAL source versions;
+        # consolidate them under v=0 with version-prefixed file names so
+        # same-named parquet parts never collide
+        for b, versions in man.get("dv", {}).items():
+            out = os.path.join(dst_v0, "__dv", f"__bucket={b}")
+            os.makedirs(out, exist_ok=True)
+            for vv in versions:
+                src_dv = os.path.join(src_table, f"v={vv}", "__dv", f"__bucket={b}")
+                for name in os.listdir(src_dv):
+                    s = os.path.join(src_dv, name)
+                    # prefixing would UN-hide `.crc`/`_SUCCESS` sidecars —
+                    # only data files carry over
+                    if not os.path.isfile(s) or name.startswith((".", "_")):
+                        continue
+                    d = os.path.join(out, f"v{vv}_{name}")
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        new_man = {
+            k: v2 for k, v2 in man.items() if k not in ("version", "buckets", "dv")
+        }
+        new_man["version"] = 0
+        new_man["buckets"] = {
+            b: (0 if owner is not None else None)
+            for b, owner in man["buckets"].items()
+        }
+        if man.get("dv"):
+            new_man["dv"] = {b: [0] for b in man["dv"]}
+        with open(_manifest_path(dst_table, 0), "w") as f:
+            json.dump(new_man, f)
+    with _pointer_lock(dst_table):
+        if current_version(dst_table) is not None:
+            raise CommitConflictError(
+                f"clone target {dst_table} was created concurrently"
+            )
+        _write_pointer(dst_table, 0)
+    return 0
+
+
 def retry_commit(fn, attempts: int = 3):
     """Run a commit closure, retrying on :class:`CommitConflictError` —
     the standard loser recovery for optimistic commits. ``fn`` must
@@ -991,6 +1129,40 @@ def diff_bucketed(
             *[F.col(f"{c}_new") for c in data_cols],
         )
     )
+
+
+def restore_bucketed(table: str, to_version: int) -> int:
+    """Delta ``RESTORE`` on a bucketed table, and the reason the manifest
+    layer exists: the new commit's manifest simply POINTS at the target
+    version's bucket ownership, schema, and deletion-vector lists — zero
+    data moves, zero files rewrite, O(manifest) work at any table size
+    (the plain-store :func:`restore_version` must at least re-link files;
+    here not even that). History moves forward: the bad commits stay
+    readable by time travel, :func:`diff_bucketed` of (pre-restore,
+    restore) shows exactly the rollback as a change feed, and
+    :func:`expire_bucketed` keeps every file the restore manifest
+    references live. Restore conflicts with ANY concurrent commit (it
+    rewrites every bucket's ownership), enforced through the standard
+    ``_publish_bucketed`` OCC path."""
+    man_t = _read_manifest(table, to_version)  # raises if expired/never committed
+    read_man = _read_manifest(table, None)
+    staged = _staged_path(table)
+    os.makedirs(staged)
+
+    def build(final: int, base_man: "dict | None", dest: str) -> dict:
+        manifest = {
+            k: v for k, v in man_t.items() if k not in ("version", "buckets", "dv")
+        }
+        manifest["version"] = final
+        manifest["buckets"] = dict(man_t["buckets"])
+        if man_t.get("dv"):
+            manifest["dv"] = {b: list(v) for b, v in man_t["dv"].items()}
+        return manifest
+
+    final, _ = _publish_bucketed(
+        table, staged, read_man, set(range(int(man_t["n_buckets"]))), build
+    )
+    return final
 
 
 def maintain_group_agg(

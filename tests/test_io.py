@@ -1950,3 +1950,147 @@ def test_hidden_timestamp_time_travel(spark, tmp_path):
     assert H.read_hidden(spark, t, as_of_ts=_time.time()).count() == 2
     with pytest.raises(ValueError, match="not both"):
         H.read_hidden(spark, t, version=0, as_of_ts=mid)
+
+
+# ------------------------------------------------------- RESTORE / CLONE
+
+
+def test_restore_version_plain_rolls_forward(spark, tmp_path):
+    """RESTORE publishes a NEW version with the target snapshot's content;
+    history stays readable and the links are metadata-cost."""
+    import os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "vt")
+    for n in [3, 5, 7]:
+        VER.commit_version(spark.range(n).withColumnRenamed("id", "x"), table)
+    v = VER.restore_version(table, 0)
+    assert v == 3 and VER.current_version(table) == 3
+    assert VER.read_version(spark, table).count() == 3          # rolled back
+    assert VER.read_version(spark, table, 2).count() == 7       # history intact
+    # hardlinked, not copied: data files in v=3 share inodes with v=0
+    v3 = os.path.join(table, "v=3")
+    linked = [
+        f for f in os.listdir(v3)
+        if f.endswith(".parquet") and os.stat(os.path.join(v3, f)).st_nlink >= 2
+    ]
+    assert linked  # at least the data files are links
+    # expiring the original snapshot cannot strand the restore
+    VER.expire_versions(table, keep_last=1)
+    assert VER.read_version(spark, table).count() == 3
+
+
+def test_restore_version_missing_target_raises(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "vt")
+    VER.commit_version(spark.range(2).withColumnRenamed("id", "x"), table)
+    with pytest.raises(FileNotFoundError):
+        VER.restore_version(table, 9)
+
+
+def test_restore_bucketed_is_metadata_only(spark, tmp_path):
+    """Bucketed RESTORE moves no data: the new manifest points at the old
+    version's buckets and DV lists; diff shows the rollback as a feed."""
+    import os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "bt")
+    base = spark.createDataFrame(
+        [(i, f"u{i}", 10 * i) for i in range(8)], "id long, name string, score long"
+    )
+    VER.create_bucketed(base, tb, ["id"], n_buckets=4)
+    src = spark.createDataFrame(
+        [(1, "u1x", 111), (99, "new", 990)], "id long, name string, score long"
+    )
+    VER.merge_into_bucketed(spark, tb, src)                      # v1: update+insert
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(2,)], "id long"))  # v2: DV
+    assert VER.read_bucketed(spark, tb).count() == 8  # 8 +1 -1
+    v = VER.restore_bucketed(tb, 0)
+    assert v == 3
+    got = sorted(r["id"] for r in VER.read_bucketed(spark, tb).collect())
+    assert got == list(range(8))                                 # exact v0 content
+    rows = {r["id"]: r for r in VER.read_bucketed(spark, tb).collect()}
+    assert rows[1]["name"] == "u1" and rows[1]["score"] == 10
+    # metadata-only: the restore's v-dir holds no bucket data at all
+    assert not any(
+        d.startswith("__bucket=") for d in os.listdir(os.path.join(tb, "v=3"))
+    )
+    # CDF of the rollback: the merge-era rows revert
+    actions = {
+        (r["id"], r["_action"]) for r in VER.diff_bucketed(spark, tb, 2, 3).collect()
+    }
+    assert (99, "deleted") in actions and (1, "updated") in actions
+    assert (2, "inserted") in actions  # the DV'd row comes back
+    # retention keeps everything the restore manifest references
+    VER.expire_bucketed(tb, keep_manifests=1)
+    got = sorted(r["id"] for r in VER.read_bucketed(spark, tb).collect())
+    assert got == list(range(8))
+
+
+def test_clone_table_plain_is_independent(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    VER.commit_version(spark.range(4).withColumnRenamed("id", "x"), src)
+    VER.commit_version(spark.range(6).withColumnRenamed("id", "x"), src)
+    assert VER.clone_table(src, dst) == 0
+    assert VER.read_version(spark, dst).count() == 6
+    # historical clone
+    dst0 = str(tmp_path / "dst0")
+    VER.clone_table(src, dst0, version=0)
+    assert VER.read_version(spark, dst0).count() == 4
+    # independence both ways: write src, expire dst's source — no bleed
+    VER.commit_version(spark.range(9).withColumnRenamed("id", "x"), src)
+    assert VER.read_version(spark, dst).count() == 6
+    VER.expire_versions(src, keep_last=1)
+    assert VER.read_version(spark, dst).count() == 6
+    VER.commit_version(spark.range(1).withColumnRenamed("id", "x"), dst)
+    assert VER.read_version(spark, src).count() == 9
+    with pytest.raises(FileExistsError):
+        VER.clone_table(src, dst)
+
+
+def test_clone_table_bucketed_consolidates_buckets_and_dvs(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    src = str(tmp_path / "bsrc")
+    dst = str(tmp_path / "bdst")
+    base = spark.createDataFrame(
+        [(i, 10 * i) for i in range(8)], "id long, score long"
+    )
+    VER.create_bucketed(base, src, ["id"], n_buckets=4)
+    VER.merge_into_bucketed(
+        spark, src, spark.createDataFrame([(1, 111), (99, 990)], "id long, score long")
+    )
+    VER.delete_bucketed(spark, src, spark.createDataFrame([(2,)], "id long"))
+    want = sorted((r["id"], r["score"]) for r in VER.read_bucketed(spark, src).collect())
+    VER.clone_table(src, dst)
+    got = sorted((r["id"], r["score"]) for r in VER.read_bucketed(spark, dst).collect())
+    assert got == want
+    # clone keeps working after the source expires its history
+    VER.merge_into_bucketed(
+        spark, src, spark.createDataFrame([(0, -1)], "id long, score long")
+    )
+    VER.expire_bucketed(src, keep_manifests=1)
+    got = sorted((r["id"], r["score"]) for r in VER.read_bucketed(spark, dst).collect())
+    assert got == want
+
+
+def test_clone_table_hidden_carries_spec(spark, tmp_path):
+    from semantic_index_spark.sources import hidden as HID
+    from semantic_index_spark.sources import versioned as VER
+
+    src = str(tmp_path / "hsrc")
+    dst = str(tmp_path / "hdst")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(12)], "id long, src string"
+    )
+    HID.create_hidden(df, src, [("identity", "src")])
+    VER.clone_table(src, dst)
+    got = sorted(r["id"] for r in HID.read_hidden(spark, dst, [("src", "=", "s1")]).collect())
+    want = sorted(r["id"] for r in HID.read_hidden(spark, src, [("src", "=", "s1")]).collect())
+    assert got == want and got == [1, 4, 7, 10]
