@@ -292,7 +292,41 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
     path = tempfile.mkdtemp(prefix="hnsw_idx_") + "/idx"
-    H.write_hnsw_index(H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32), path)
+    H.write_hnsw_index(
+        H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32),
+        path,
+        n_shards=4,
+        m=8,
+        ef_construction=32,
+    )
+    return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
+
+
+def q_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental HNSW maintenance (operators/hnsw.py append_hnsw_index):
+    # base index from the first 2/3 of the corpus, the rest appended as an
+    # ingest batch — only the shards the batch touches are read back,
+    # resumed (insertion continues from the stored pure-adjacency state),
+    # and rewritten via dynamic partition overwrite. Monotone ids make
+    # append == rebuild exactly (pytest); the exhaustive serve proves the
+    # appended index covers the WHOLE corpus, so the brute-force oracle
+    # hash-matches.
+    import tempfile
+
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.66)").alias("c")).collect()[0]["c"]
+    q = emb.filter(F.col("vec_id") == 9).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="hnsw_inc_") + "/idx"
+    H.write_hnsw_index(
+        H.build_hnsw(emb.filter(F.col("vec_id") <= cut), n_shards=4, m=8, ef_construction=32),
+        path,
+        n_shards=4,
+        m=8,
+        ef_construction=32,
+    )
+    H.append_hnsw_index(emb.filter(F.col("vec_id") > cut), path)
     return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
 
 
@@ -6126,6 +6160,7 @@ _DRIVER_WINDOW_R10 = [
     "time_travel_as_of",  # never-checked
     "hnsw_topk",  # never-checked
     "restore_clone",  # never-checked
+    "hnsw_incremental",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6170,7 +6205,6 @@ _DRIVER_WINDOW_R10 = [
     "media_stats",  # last r5
     "winnowing_fingerprints",  # last r5
     "zorder_key",  # last r5
-    "heavy_hitters_by",  # last r5
 ]
 
 
@@ -6187,14 +6221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (292 queries / 50 per round).
+    driver row at most ~6 rounds stale (293 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 292 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 293 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6494,6 +6528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_skipping": q_null_skipping,
         "time_travel_as_of": q_time_travel_as_of,
         "hnsw_topk": q_hnsw_topk,
+        "hnsw_incremental": q_hnsw_incremental,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -7025,6 +7060,12 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_topk": f"""
             SELECT e.vec_id,
                    round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 5)")}, 6) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hnsw_incremental": f"""
+            SELECT e.vec_id,
+                   round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 9)")}, 6) AS score
             FROM embeddings e
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
         """,

@@ -123,19 +123,14 @@ def _search_layer(q, entry, ef, adj, vecs, visited=None):
     return sorted(((-nd, -ni) for nd, ni in result))
 
 
-def _build_shard(ids, vec_mat, m, ef_construction, seed):
-    """Insert nodes in ascending-id order with the standard HNSW procedure;
-    returns {id: [layer0_neighbors, layer1_neighbors, ...]}."""
+def _insert_nodes(adj, levels, vecs, new_ids, m, ef_construction):
+    """Insert ``new_ids`` (ascending) into an existing graph state with the
+    standard HNSW procedure. ``adj`` is a list of per-layer {id: [nbr]}
+    dicts mutated in place; the entry point is derived from ``levels``
+    (max level, min id — exactly the node a from-scratch ascending-id
+    build would have promoted last, so resuming from stored state replays
+    the identical insertion sequence)."""
     import numpy as np
-
-    m_l = 1.0 / math.log(m)
-    order = np.argsort(ids, kind="stable")
-    vecs = {int(ids[i]): vec_mat[i] for i in range(len(ids))}
-    levels = {int(i): _node_level(int(i), seed, m_l) for i in ids}
-    # adj[layer][id] -> list of neighbor ids
-    adj: list[dict] = []
-    entry_id = None
-    entry_level = -1
 
     def _link(layer, a, b, cap):
         lst = adj[layer].setdefault(a, [])
@@ -148,8 +143,16 @@ def _build_shard(ids, vec_mat, m, ef_construction, seed):
             lst.sort(key=lambda x: (-float(np.dot(va, vecs[x])), x))
             del lst[cap:]
 
-    for pos in order:
-        nid = int(ids[pos])
+    newset = {int(i) for i in new_ids}
+    existing = [i for i in levels if i not in newset]
+    if existing:
+        entry_level = max(levels[i] for i in existing)
+        entry_id = min(i for i in existing if levels[i] == entry_level)
+    else:
+        entry_id, entry_level = None, -1
+
+    for nid in new_ids:
+        nid = int(nid)
         lvl = levels[nid]
         while len(adj) <= lvl:
             adj.append({})
@@ -177,23 +180,39 @@ def _build_shard(ids, vec_mat, m, ef_construction, seed):
         if lvl > entry_level:
             entry_id, entry_level = nid, lvl
 
-    # connectivity guarantee: chain id-adjacent nodes at layer 0 so the
-    # base layer is ONE component — exhaustive search is then provably
-    # exact. Chain edges are appended, never pruned.
+
+def _build_shard(ids, vec_mat, m, ef_construction, seed):
+    """Insert nodes in ascending-id order with the standard HNSW procedure;
+    returns ({id: [layer0_neighbors, ...]}, {id: level}). The stored graph
+    is PURE HNSW adjacency — the connectivity chain is applied at search
+    time (see :func:`_chain_layer0`), never persisted, so incremental
+    appends resume from exactly the state a from-scratch build had."""
+    m_l = 1.0 / math.log(m)
+    order = sorted(int(i) for i in ids)
+    vecs = {int(ids[i]): vec_mat[i] for i in range(len(ids))}
+    levels = {int(i): _node_level(int(i), seed, m_l) for i in ids}
+    adj: list[dict] = [{}]
+    _insert_nodes(adj, levels, vecs, order, m, ef_construction)
+    out = {}
+    for nid in order:
+        lvl = levels[nid]
+        out[nid] = [list(adj[layer].get(nid, [])) for layer in range(lvl + 1)]
+    return out, levels
+
+
+def _chain_layer0(adj0, ids):
+    """Connectivity guarantee at SEARCH time: chain id-adjacent nodes at
+    layer 0 so the base layer is ONE component — exhaustive search is
+    then provably exact. Never persisted (so appends replay rebuild state
+    exactly); O(n) to apply on load."""
     sorted_ids = sorted(int(i) for i in ids)
     for a, b in zip(sorted_ids, sorted_ids[1:]):
-        la = adj[0].setdefault(a, [])
-        lb = adj[0].setdefault(b, [])
+        la = adj0.setdefault(a, [])
+        lb = adj0.setdefault(b, [])
         if b not in la:
             la.append(b)
         if a not in lb:
             lb.append(a)
-
-    out = {}
-    for nid in sorted_ids:
-        lvl = levels[nid]
-        out[nid] = [list(adj[layer].get(nid, [])) for layer in range(lvl + 1)]
-    return out, levels
 
 
 def build_hnsw(
@@ -238,11 +257,151 @@ def build_hnsw(
     return prepared.groupBy("shard").applyInPandas(_build, _INDEX_SCHEMA)
 
 
-def write_hnsw_index(index: DataFrame, path: str) -> None:
+def _meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_hnsw_meta.json")
+
+
+def write_hnsw_index(
+    index: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    m: int = 8,
+    ef_construction: int = 64,
+    seed: int = 7,
+) -> None:
     """Persist ``partitionBy(shard)`` — a query scans all shard directories
-    in parallel; a single-shard rebuild rewrites exactly one directory
-    (dynamic partition overwrite, same contract as the IVF layouts)."""
+    in parallel; a single-shard rebuild rewrites exactly one directory.
+    The build parameters land in ``_hnsw_meta.json`` next to the data:
+    they are FROZEN artifacts of the layout (an append under different
+    (m, ef_construction, seed) would silently build a different graph),
+    the same frozen-artifact contract as the IVF layouts' centroids."""
+    import json
+    import os
+
     index.write.mode("overwrite").partitionBy("shard").parquet(path)
+    with open(_meta_path(path), "w") as f:
+        json.dump(
+            {
+                "n_shards": int(n_shards),
+                "m": int(m),
+                "ef_construction": int(ef_construction),
+                "seed": int(seed),
+            },
+            f,
+        )
+
+
+def append_hnsw_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental HNSW maintenance — the graph twin of the IVF family's
+    ``append_*`` operators: route the NEW ingest batch to its hash shards,
+    read back ONLY those shards' graphs (planning-time partition pruning),
+    resume the standard insertion procedure inside each (the stored graph
+    is pure adjacency and the entry point is derivable, so insertion
+    continues from exactly the state a from-scratch build had), and
+    rewrite just the affected shard directories with DYNAMIC partition
+    overwrite — untouched shards' files are never listed, read, or
+    replaced. Because a build inserts in ascending-id order, appending a
+    batch whose ids all EXCEED the existing ids is row-identical to a
+    from-scratch rebuild of the union (pytest-asserted); interleaved ids
+    still produce a valid deterministic graph, just not the rebuild's
+    (standard HNSW insertion-order sensitivity — documented, not hidden).
+    Build parameters come from the layout's frozen ``_hnsw_meta.json``;
+    duplicate ids are an error, not a silent double-insert."""
+    import json
+    import math as _math
+
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    n_shards, m = meta["n_shards"], meta["m"]
+    ef_construction, seed = meta["ef_construction"], meta["seed"]
+    spark = new_df.sparkSession
+
+    prepared = new_df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(emb_col).cast("array<double>").alias("emb"),
+    )
+    affected = sorted(r["shard"] for r in prepared.select("shard").distinct().collect())
+    if not affected:
+        return
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("shard").isin(affected))
+        .select(
+            "shard",
+            "id",
+            F.col("embedding").alias("emb"),
+            "max_level",
+            "neighbors",
+        )
+    )
+    combined = existing.unionByName(
+        prepared.select(
+            "shard",
+            "id",
+            "emb",
+            F.lit(None).cast("int").alias("max_level"),
+            F.lit(None).cast("array<array<long>>").alias("neighbors"),
+        )
+    )
+
+    def _resume(pdf):
+        import numpy as np
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        is_new = pdf["max_level"].isna()
+        old, new = pdf[~is_new], pdf[is_new]
+        old_ids = {int(i) for i in old["id"]}
+        new_ids = sorted(int(i) for i in new["id"])
+        dup = old_ids & set(new_ids)
+        if dup or len(new_ids) != len(set(new_ids)):
+            raise ValueError(
+                f"append_hnsw_index: duplicate ids in shard {shard}: "
+                f"{sorted(dup)[:5]}"
+            )
+        m_l = 1.0 / _math.log(m)
+        vecs = {
+            int(pdf["id"].iloc[i]): np.asarray(pdf["emb"].iloc[i], dtype=np.float64)
+            for i in range(len(pdf))
+        }
+        levels = {i: _node_level(i, seed, m_l) for i in vecs}
+        adj: list[dict] = [{}]
+        for i in range(len(old)):
+            node = int(old["id"].iloc[i])
+            for layer, lst in enumerate(old["neighbors"].iloc[i]):
+                while len(adj) <= layer:
+                    adj.append({})
+                adj[layer][node] = [int(x) for x in lst]
+        _insert_nodes(adj, levels, vecs, new_ids, m, ef_construction)
+        rows = sorted(vecs)
+        return pd.DataFrame(
+            {
+                "shard": [shard] * len(rows),
+                "id": rows,
+                "embedding": [list(map(float, vecs[i])) for i in rows],
+                "max_level": [levels[i] for i in rows],
+                "neighbors": [
+                    [list(adj[layer].get(i, [])) for layer in range(levels[i] + 1)]
+                    for i in rows
+                ],
+            }
+        )
+
+    rebuilt = combined.groupBy("shard").applyInPandas(_resume, _INDEX_SCHEMA)
+    (
+        rebuilt.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
 
 
 def _search_shard_pdf(pdf, q, k, ef):
@@ -264,6 +423,7 @@ def _search_shard_pdf(pdf, q, k, ef):
             while len(adj_by_layer) <= layer:
                 adj_by_layer.append({})
             adj_by_layer[layer][node] = [int(x) for x in lst]
+    _chain_layer0(adj_by_layer[0], ids)
     # entry point: max level, then min id — derivable, not stored
     top = min(int(levels.max()), len(adj_by_layer) - 1)
     entry_candidates = [int(ids[i]) for i in range(len(ids)) if levels[i] >= top]

@@ -2776,3 +2776,75 @@ def test_hnsw_single_node_shard_and_small_corpus(spark):
     idx = H.build_hnsw(df, n_shards=5, m=2, ef_construction=4)
     got = [r["vec_id"] for r in H.hnsw_topk(idx, [1.0, 0.0], k=3, ef=None).collect()]
     assert got == [4, 3, 2]
+
+
+def test_hnsw_append_equals_rebuild_for_monotone_ids(spark, sf_dir, tmp_path):
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir).filter("vec_id < 150")
+    base, batch = emb.filter("vec_id < 100"), emb.filter("vec_id >= 100")
+    path = str(tmp_path / "inc")
+    H.write_hnsw_index(
+        H.build_hnsw(base, n_shards=3, m=4, ef_construction=16),
+        path, n_shards=3, m=4, ef_construction=16,
+    )
+    H.append_hnsw_index(batch, path)
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "max_level", "neighbors").collect())
+    )
+    want = sorted(
+        map(tuple,
+            H.build_hnsw(emb, n_shards=3, m=4, ef_construction=16)
+            .select("id", "max_level", "neighbors").collect())
+    )
+    assert got == want
+    # and the appended index serves exactly (exhaustive mode)
+    from semantic_index_spark.operators import similarity as S
+    q = emb.filter("vec_id = 2").collect()[0]["embedding"]
+    got_k = [(r["vec_id"], r["score"]) for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()]
+    want_k = [(r["vec_id"], r["score"]) for r in S.topk(emb, q, k=5).collect()]
+    assert got_k == want_k
+
+
+def test_hnsw_append_rewrites_only_affected_shards(spark, tmp_path):
+    import os
+
+    from semantic_index_spark.operators import hnsw as H
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "inc2")
+    H.write_hnsw_index(
+        H.build_hnsw(df, n_shards=4, m=2, ef_construction=8),
+        path, n_shards=4, m=2, ef_construction=8,
+    )
+    # find one new id and the shards it does NOT touch
+    batch = spark.createDataFrame([(1000, [3.0, 1.0])], "vec_id long, embedding array<double>")
+    hit = batch.selectExpr("cast(pmod(xxhash64(vec_id), 4) as int) s").collect()[0]["s"]
+    untouched = [s for s in range(4) if s != hit]
+    before = {
+        s: sorted(os.listdir(os.path.join(path, f"shard={s}"))) for s in untouched
+    }
+    H.append_hnsw_index(batch, path)
+    after = {
+        s: sorted(os.listdir(os.path.join(path, f"shard={s}"))) for s in untouched
+    }
+    assert before == after  # dynamic overwrite left other shards' files alone
+    assert 1000 in {r["id"] for r in spark.read.parquet(path).filter(f"shard = {hit}").collect()}
+
+
+def test_hnsw_append_duplicate_id_raises(spark, tmp_path):
+    from semantic_index_spark.operators import hnsw as H
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "inc3")
+    H.write_hnsw_index(
+        H.build_hnsw(df, n_shards=2, m=2, ef_construction=8),
+        path, n_shards=2, m=2, ef_construction=8,
+    )
+    with pytest.raises(Exception, match="duplicate ids"):
+        H.append_hnsw_index(
+            spark.createDataFrame([(3, [9.0, 1.0])], "vec_id long, embedding array<double>"),
+            path,
+        )
