@@ -3308,6 +3308,67 @@ def _replay_sources(
     return root
 
 
+def q_versioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned store as a Structured Streaming SOURCE
+    (``sources/versioned_stream.py``, r10 — Delta table-as-stream-source
+    semantics via the Spark 4 Python DataSourceStreamReader API, offsets
+    = commit versions): three deterministic customer snapshots commit,
+    then ONE availableNow drain consumes the whole feed through a real
+    readStream→parquet-sink pipeline with a checkpoint. The output is
+    every emitted row tagged with its ``_version``; the oracle rebuilds
+    the three commit contents relationally and unions them with literal
+    version tags, so a dropped commit, a double-read, or a mis-tagged
+    version breaks the hash. Restart/bucketed/DV/schema-evolution feed
+    semantics are pytest-locked (tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources.versioned_stream import register_versioned_feed
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = c.select(F.col("c_custkey").alias("id"), cents.alias("cents"))
+    tmp = tempfile.mkdtemp(prefix="vfeed_")
+    try:
+        table = os.path.join(tmp, "t")
+        VER.commit_version(base.filter(F.col("id") <= 100), table)
+        VER.commit_version(
+            base.filter(F.col("id") <= 150).select(
+                "id", (F.col("cents") + 7).alias("cents")
+            ),
+            table,
+        )
+        VER.commit_version(
+            base.filter((F.col("id") % 2 == 0) & (F.col("id") <= 150)).select(
+                "id", (F.col("cents") * 2).alias("cents")
+            ),
+            table,
+        )
+        register_versioned_feed(spark)
+        sink, ckpt = os.path.join(tmp, "sink"), os.path.join(tmp, "ckpt")
+        q = (
+            spark.readStream.format("versioned_feed")
+            .option("table", table)
+            .load()
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = (
+            spark.read.parquet(sink)
+            .select("id", "cents", F.col("_version").alias("version"))
+            .orderBy("version", "id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_streaming_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's streaming ingest contract end-to-end
     (`SemanticDatabase.cs:213-221` AddRangeAsync(IAsyncEnumerable) →
@@ -6161,6 +6222,7 @@ _DRIVER_WINDOW_R10 = [
     "hnsw_topk",  # never-checked
     "restore_clone",  # never-checked
     "hnsw_incremental",  # never-checked
+    "versioned_feed",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6204,7 +6266,6 @@ _DRIVER_WINDOW_R10 = [
     "text_stats",  # last r5
     "media_stats",  # last r5
     "winnowing_fingerprints",  # last r5
-    "zorder_key",  # last r5
 ]
 
 
@@ -6221,14 +6282,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (293 queries / 50 per round).
+    driver row at most ~6 rounds stale (294 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 293 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 294 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6415,6 +6476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "streaming_upsert_replay": q_streaming_upsert_replay,
+        "versioned_feed": q_versioned_feed,
         "incremental_dedup": q_incremental_dedup,
         "edit_distance_verify": q_edit_distance_verify,
         "dedup_components": q_dedup_components,
@@ -7680,6 +7742,20 @@ def oracle_sql() -> dict[str, str]:
         # = one record per distinct item; the batches jointly cover every
         # doc_id residue mod 4, residues 1/2 arriving twice (an ALLOW-shaped
         # bug would duplicate them and fail the rowcount)
+        "versioned_feed": """
+            WITH base AS (
+                SELECT c_custkey AS id,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            )
+            SELECT id, cents, version FROM (
+                SELECT id, cents, 0::BIGINT AS version FROM base WHERE id <= 100
+                UNION ALL
+                SELECT id, cents + 7, 1::BIGINT FROM base WHERE id <= 150
+                UNION ALL
+                SELECT id, cents * 2, 2::BIGINT FROM base WHERE id % 2 = 0 AND id <= 150
+            ) ORDER BY version, id
+        """,
         "streaming_upsert_replay": """
             SELECT DISTINCT '{"id":' || doc_id || ',"lang":"' || lang || '"}' AS item
             FROM documents

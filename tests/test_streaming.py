@@ -891,3 +891,115 @@ def test_merge_stream_sink_restart_recovers_from_checkpoint(spark, tmp_path):
     _run_query()
     assert VER.current_version(tbl) == v0 + 3
     assert {r["id"]: r["val"] for r in VER.read_bucketed(spark, tbl).collect()} == want
+
+
+# ------------------------------------------------- versioned feed source
+
+
+def _drain_feed(spark, table, sink, ckpt, **opts):
+    from semantic_index_spark.sources.versioned_stream import register_versioned_feed
+
+    register_versioned_feed(spark)
+    reader = spark.readStream.format("versioned_feed").option("table", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_versioned_feed_streams_commits_and_resumes(spark, tmp_path):
+    """Offsets are commit versions: an availableNow drain emits every
+    retained commit tagged with _version; a restart from the same
+    checkpoint emits ONLY commits made in between."""
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "t")
+    for n in [2, 3]:
+        VER.commit_version(spark.range(n).withColumnRenamed("id", "x"), table)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _drain_feed(spark, table, sink, ckpt)
+    got = sorted((r["_version"], r["x"]) for r in spark.read.parquet(sink).collect())
+    assert got == [(0, 0), (0, 1), (1, 0), (1, 1), (1, 2)]
+    VER.commit_version(spark.range(1).withColumnRenamed("id", "x"), table)
+    _drain_feed(spark, table, sink, ckpt)
+    got = sorted((r["_version"], r["x"]) for r in spark.read.parquet(sink).collect())
+    assert got == [(0, 0), (0, 1), (1, 0), (1, 1), (1, 2), (2, 0)]
+
+
+def test_versioned_feed_bucketed_streams_only_added_files(spark, tmp_path):
+    """On a bucketed table a commit contributes exactly the bucket dirs it
+    OWNS: the create streams everything, an incremental merge streams only
+    its rewritten buckets, and a DV-only delete streams nothing."""
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "bt")
+    base = spark.createDataFrame(
+        [(i, 10 * i) for i in range(12)], "id long, score long"
+    )
+    VER.create_bucketed(base, tb, ["id"], n_buckets=4)
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(3, 333)], "id long, score long")
+    )  # v1 rewrites only id=3's bucket
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(5,)], "id long"))  # v2: DV only
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _drain_feed(spark, tb, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.filter("_version = 0").count() == 12
+    v1 = {(r["id"], r["score"]) for r in out.filter("_version = 1").collect()}
+    assert (3, 333) in v1
+    # only id=3's bucket was re-emitted: every v1 row hashes to its bucket
+    bucket_of_3 = base.selectExpr("cast(pmod(xxhash64(id), 4) as int) b").where(
+        "id = 3"
+    ).collect()[0]["b"]
+    others = spark.createDataFrame(list(v1), "id long, score long").selectExpr(
+        "cast(pmod(xxhash64(id), 4) as int) b"
+    )
+    assert {r["b"] for r in others.collect()} == {bucket_of_3}
+    assert out.filter("_version = 2").count() == 0  # deletes don't stream
+
+
+def test_versioned_feed_null_fills_evolved_schema(spark, tmp_path):
+    """Old-schema files from before a schema-evolving merge null-fill the
+    added column in the stream, matching read_bucketed."""
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "et")
+    VER.create_bucketed(
+        spark.createDataFrame([(i, i) for i in range(6)], "id long, a long"),
+        tb,
+        ["id"],
+        n_buckets=2,
+    )
+    VER.merge_into_bucketed(
+        spark,
+        tb,
+        spark.createDataFrame([(0, 100, "x")], "id long, a long, b string"),
+        schema_evolution=True,
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _drain_feed(spark, tb, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.schema["b"].dataType.typeName() == "string"
+    assert out.filter("_version = 0 AND b IS NOT NULL").count() == 0
+    assert out.filter("_version = 1 AND id = 0").collect()[0]["b"] == "x"
+
+
+def test_versioned_feed_starting_version_skips_history(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    table = str(tmp_path / "t2")
+    for n in [2, 3, 4]:
+        VER.commit_version(spark.range(n).withColumnRenamed("id", "x"), table)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _drain_feed(spark, table, sink, ckpt, starting_version=2)
+    got = sorted((r["_version"], r["x"]) for r in spark.read.parquet(sink).collect())
+    assert got == [(2, 0), (2, 1), (2, 2), (2, 3)]
