@@ -52,6 +52,12 @@ _LOCK = "_commit.lock"
 _STAGED_PREFIX = "_staged_"
 
 
+class ConstraintViolationError(ValueError):
+    """A commit carried rows that violate a table CHECK constraint —
+    nothing was published (Delta CHECK-constraint semantics: the
+    expression must not evaluate to FALSE; NULL passes)."""
+
+
 class CommitConflictError(RuntimeError):
     """The committed latest moved between this writer's snapshot read and
     its commit attempt (another writer won the race). Retryable: re-read
@@ -737,14 +743,43 @@ def _commit_bucketed(
         }
         if dv:
             manifest["dv"] = dv
+        # constraints are table metadata: inherited from the manifest the
+        # commit lands on (the winner's under a rebase — an add_constraint
+        # that won concurrently keeps governing)
+        cons = (base_man or {}).get("constraints") or manifest.get("constraints")
+        if cons:
+            manifest["constraints"] = dict(cons)
         return manifest
 
     final, _ = _publish_bucketed(table, staged, read_man, affected, build)
     return final
 
 
+def _check_constraints(df: DataFrame, constraints: "dict | None", where: str) -> None:
+    """Fail a commit whose rows violate any table CHECK constraint.
+    Delta semantics: a row violates only when the expression evaluates to
+    FALSE — NULL (unknown) passes, so ``x > 0`` admits NULL x and callers
+    who want NOT NULL say so (``x IS NOT NULL``). One short-circuiting
+    ``limit(1)`` probe per constraint over only the rows being WRITTEN —
+    rows already in untouched buckets were validated when they were
+    written, so enforcement cost scales with the batch, not the table."""
+    import pyspark.sql.functions as F
+
+    for name, expr in (constraints or {}).items():
+        bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"{where}: constraint {name!r} ({expr}) violated by row "
+                f"{bad[0].asDict()} — commit aborted, nothing published"
+            )
+
+
 def create_bucketed(
-    df: DataFrame, table: str, key_cols: list[str], n_buckets: int = 64
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    constraints: "dict[str, str] | None" = None,
 ) -> int:
     """Create a hash-bucketed versioned table: rows land in
     ``pmod(xxhash64(key), n_buckets)`` buckets, and the per-version
@@ -757,12 +792,15 @@ def create_bucketed(
     if current_version(table) is not None:
         raise FileExistsError(f"bucketed table {table} already exists")
     keys = list(key_cols)
+    _check_constraints(df, constraints, "create_bucketed")
     base = {
         "key_cols": keys,
         "n_buckets": int(n_buckets),
         "schema": df.schema.json(),
         "__affected": list(range(n_buckets)),
     }
+    if constraints:
+        base["constraints"] = dict(constraints)
     return _commit_bucketed(
         table, df.withColumn("__bucket", _bucket_expr(keys, n_buckets)), base, None
     )
@@ -923,6 +961,10 @@ def merge_into_bucketed(
         else:
             upserts = upserts.join(target.select(*keys), keys, "left_semi")
     result = upserts if kept is None else kept.select(*out_cols, "__bucket").unionByName(upserts)
+    # CHECK constraints: only the incoming rows can introduce a violation
+    # (kept rows passed when they were written; add_constraint validated
+    # the whole table), so enforcement is O(batch), not O(table)
+    _check_constraints(upserts, man.get("constraints"), "merge_into_bucketed")
     base = {
         "key_cols": keys,
         "n_buckets": n_buckets,
@@ -1162,6 +1204,62 @@ def restore_bucketed(table: str, to_version: int) -> int:
     final, _ = _publish_bucketed(
         table, staged, read_man, set(range(int(man_t["n_buckets"]))), build
     )
+    return final
+
+
+def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT`` on a bucketed table (Delta CHECK
+    constraints): validates the expression against the ENTIRE current
+    table first — a constraint that existing rows violate is rejected, so
+    a constraint in the manifest is always a true invariant — then
+    publishes a metadata-only commit. Every subsequent
+    ``merge_into_bucketed`` batch is validated O(batch) against it.
+    Adding a constraint conflicts with ANY concurrent data commit (all
+    buckets marked affected): a batch validated against the old
+    constraint set must not rebase under the new one unchecked."""
+    read_man = _read_manifest(table, None)
+    if name in read_man.get("constraints", {}):
+        raise ValueError(f"constraint {name!r} already exists on {table}")
+    _check_constraints(
+        read_bucketed(spark, table), {name: expr}, f"add_constraint({name!r})"
+    )
+    staged = _staged_path(table)
+    os.makedirs(staged)
+
+    def build(final: int, base_man: "dict | None", dest: str) -> dict:
+        manifest = {k: v for k, v in base_man.items() if k != "version"}
+        manifest["version"] = final
+        manifest["constraints"] = {**base_man.get("constraints", {}), name: expr}
+        return manifest
+
+    final, _ = _publish_bucketed(
+        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
+    )
+    return final
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT``: metadata-only, and — unlike
+    :func:`add_constraint` — safe to REBASE over concurrent data commits
+    (removing a check can never invalidate data), so the affected set is
+    empty and a concurrent merge wins alongside it."""
+    read_man = _read_manifest(table, None)
+    if name not in read_man.get("constraints", {}):
+        raise ValueError(f"constraint {name!r} does not exist on {table}")
+    staged = _staged_path(table)
+    os.makedirs(staged)
+
+    def build(final: int, base_man: "dict | None", dest: str) -> dict:
+        manifest = {k: v for k, v in base_man.items() if k != "version"}
+        manifest["version"] = final
+        cons = {k: v for k, v in base_man.get("constraints", {}).items() if k != name}
+        if cons:
+            manifest["constraints"] = cons
+        else:
+            manifest.pop("constraints", None)
+        return manifest
+
+    final, _ = _publish_bucketed(table, staged, read_man, set(), build)
     return final
 
 

@@ -2094,3 +2094,98 @@ def test_clone_table_hidden_carries_spec(spark, tmp_path):
     got = sorted(r["id"] for r in HID.read_hidden(spark, dst, [("src", "=", "s1")]).collect())
     want = sorted(r["id"] for r in HID.read_hidden(spark, src, [("src", "=", "s1")]).collect())
     assert got == want and got == [1, 4, 7, 10]
+
+
+# ---------------------------------------------------------- CHECK constraints
+
+
+def _cons_base(spark):
+    return spark.createDataFrame(
+        [(i, 10 * i) for i in range(1, 9)], "id long, score long"
+    )
+
+
+def test_check_constraints_enforced_on_create_and_merge(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "ct")
+    with pytest.raises(VER.ConstraintViolationError, match="pos_score"):
+        VER.create_bucketed(
+            spark.createDataFrame([(1, -5)], "id long, score long"),
+            tb + "_bad", ["id"], n_buckets=4,
+            constraints={"pos_score": "score > 0"},
+        )
+    VER.create_bucketed(
+        _cons_base(spark), tb, ["id"], n_buckets=4,
+        constraints={"pos_score": "score > 0"},
+    )
+    # violating merge: rejected, nothing published
+    with pytest.raises(VER.ConstraintViolationError, match="pos_score"):
+        VER.merge_into_bucketed(
+            spark, tb, spark.createDataFrame([(1, -1)], "id long, score long")
+        )
+    assert VER.current_version(tb) == 0
+    # valid merge passes AND the constraint persists to later commits
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(1, 999)], "id long, score long")
+    )
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(
+            spark, tb, spark.createDataFrame([(2, 0)], "id long, score long")
+        )
+    # NULL passes (CHECK semantics: only FALSE violates)
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(3, None)], "id long, score long")
+    )
+    rows = {r["id"]: r["score"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert rows[1] == 999 and rows[3] is None
+
+
+def test_add_constraint_validates_table_and_drop_releases(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "ct2")
+    VER.create_bucketed(_cons_base(spark), tb, ["id"], n_buckets=4)
+    # existing data violates -> rejected, no metadata commit
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.add_constraint(spark, tb, "big", "score >= 20")
+    assert VER.current_version(tb) == 0
+    v = VER.add_constraint(spark, tb, "pos", "score > 0")
+    assert v == 1
+    with pytest.raises(ValueError, match="already exists"):
+        VER.add_constraint(spark, tb, "pos", "score > 0")
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(
+            spark, tb, spark.createDataFrame([(1, -1)], "id long, score long")
+        )
+    VER.drop_constraint(tb, "pos")
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(1, -1)], "id long, score long")
+    )
+    assert {r["score"] for r in VER.read_bucketed(spark, tb).filter("id = 1").collect()} == {-1}
+    with pytest.raises(ValueError, match="does not exist"):
+        VER.drop_constraint(tb, "pos")
+
+
+def test_constraints_survive_restore_and_clone(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "ct3")
+    VER.create_bucketed(
+        _cons_base(spark), tb, ["id"], n_buckets=4,
+        constraints={"pos": "score > 0"},
+    )
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(1, 5)], "id long, score long")
+    )
+    VER.restore_bucketed(tb, 0)
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(
+            spark, tb, spark.createDataFrame([(1, -1)], "id long, score long")
+        )
+    clone = str(tmp_path / "ct3_clone")
+    VER.clone_table(tb, clone)
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(
+            spark, clone, spark.createDataFrame([(1, -1)], "id long, score long")
+        )

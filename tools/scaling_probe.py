@@ -92,6 +92,8 @@ PANEL = [
     "ivfpq_incremental",      # base build + 2-epoch streamed PQ encode + serve
     "ivfsq_incremental",      # base build + 2-epoch streamed SQ8 encode + serve
     "graph_walks",            # per-step frontier equi-join + hash-argmin
+    "hnsw_incremental",       # per-shard graph build/resume: n_shard·ef·M work
+    "versioned_feed",         # commit-version stream drain: file-listing + reads
 ]
 
 # ---- scaling GATE ------------------------------------------------------
@@ -136,6 +138,8 @@ EXPLICIT_CEILINGS = {
     "ivfpq_incremental": 1.35,    # pure-function encode, epoch-partitioned
     "ivfsq_incremental": 1.35,    # pure-function encode, epoch-partitioned
     "graph_walks": 1.35,          # step cost = sum outdeg(frontier), frontier linear in corpus
+    "hnsw_incremental": 1.35,     # per-shard insert: n·ef·M·log n, shard count is the lever
+    "versioned_feed": 1.35,       # one pyarrow read per added file, O(commits) listing
 }
 MIN_GATE_SECONDS = 0.8
 HEAVY_SECONDS = 2.0  # the explicit-ceiling coverage threshold
