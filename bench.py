@@ -99,6 +99,28 @@ def main() -> int:
             # surviving partial-rep timings must not leak into the medians
             # or the suite total (a half-timed query would skew comparisons)
             continue
+        # Adaptive re-measure (r10 — the r9 verdict flagged 8 rows whose
+        # >40 % min-max spread made their 3-rep medians noise-dominated):
+        # when the spread crosses the noise threshold, buy up to 2 extra
+        # reps so the median is taken over 5 samples instead of 3 — a
+        # single contention outlier then cannot drag it. Only noisy rows
+        # pay; a clean 3-rep row costs nothing extra.
+        extra = 0
+        while (
+            len(times) >= 3
+            and extra < 2
+            and (max(times) - min(times)) > 0.4 * statistics.median(times)
+        ):
+            t0 = time.perf_counter()
+            try:
+                rows = len(fn(spark, sf_dir).collect())
+                times.append(time.perf_counter() - t0)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                break
+            extra += 1
+        if name in errors:
+            continue
         if times:
             med = statistics.median(times)
             detail[name] = {
