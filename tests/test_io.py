@@ -2189,3 +2189,33 @@ def test_constraints_survive_restore_and_clone(spark, tmp_path):
         VER.merge_into_bucketed(
             spark, clone, spark.createDataFrame([(1, -1)], "id long, score long")
         )
+
+
+def test_clone_and_restore_hidden_skipping_keep_zonemaps(spark, tmp_path):
+    """Clone/restore of a hidden-SKIPPING table stays self-contained: the
+    per-version `_zonemaps.json` travels with the hardlinked v-dir
+    (relative paths), the spec side file carries the skipping config, and
+    pruned reads on the clone match the source."""
+    from semantic_index_spark.sources import hidden as HID
+    from semantic_index_spark.sources import versioned as VER
+
+    src = str(tmp_path / "hs_src")
+    dst = str(tmp_path / "hs_dst")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", float(i)) for i in range(40)],
+        "id long, src string, val double",
+    )
+    HID.create_hidden_skipping(
+        df, src, [("identity", "src")], stats_cols=["val"], n_files=4,
+        cluster_by="val",
+    )
+    VER.clone_table(src, dst)
+    preds = [("src", "=", "s1"), ("val", ">=", 30.0)]
+    want = sorted(r["id"] for r in HID.read_hidden_skipping(spark, src, preds).collect())
+    got = sorted(r["id"] for r in HID.read_hidden_skipping(spark, dst, preds).collect())
+    assert got == want and want == [31, 33, 35, 37, 39]
+    # restore on the hidden layout: commit a second version, roll back
+    HID.commit_hidden(df.filter("id < 10"), src)
+    VER.restore_version(src, 0)
+    got = sorted(r["id"] for r in HID.read_hidden_skipping(spark, src, preds).collect())
+    assert got == want
