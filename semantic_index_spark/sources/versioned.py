@@ -743,12 +743,13 @@ def _commit_bucketed(
         }
         if dv:
             manifest["dv"] = dv
-        # constraints are table metadata: inherited from the manifest the
-        # commit lands on (the winner's under a rebase — an add_constraint
-        # that won concurrently keeps governing)
-        cons = (base_man or {}).get("constraints") or manifest.get("constraints")
-        if cons:
-            manifest["constraints"] = dict(cons)
+        # constraints / generated columns are table metadata: inherited
+        # from the manifest the commit lands on (the winner's under a
+        # rebase — an add_constraint that won concurrently keeps governing)
+        for meta_key in ("constraints", "generated"):
+            val = (base_man or {}).get(meta_key) or manifest.get(meta_key)
+            if val:
+                manifest[meta_key] = dict(val)
         return manifest
 
     final, _ = _publish_bucketed(table, staged, read_man, affected, build)
@@ -774,12 +775,36 @@ def _check_constraints(df: DataFrame, constraints: "dict | None", where: str) ->
             )
 
 
+def _apply_generated(df: DataFrame, generated: "dict | None", where: str) -> DataFrame:
+    """Delta generated-column write semantics: a write that OMITS the
+    column gets it computed from its expression; a write that PROVIDES it
+    must match the expression exactly (null-safe) — a mismatched explicit
+    value is a violation, never a silent overwrite."""
+    import pyspark.sql.functions as F
+
+    for col, expr in (generated or {}).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = (
+                df.filter(~F.expr(expr).eqNullSafe(F.col(col))).limit(1).collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"{where}: generated column {col!r} = ({expr}) does not "
+                    f"match the provided value in row {bad[0].asDict()} — "
+                    "omit the column or provide the generated value"
+                )
+    return df
+
+
 def create_bucketed(
     df: DataFrame,
     table: str,
     key_cols: list[str],
     n_buckets: int = 64,
     constraints: "dict[str, str] | None" = None,
+    generated: "dict[str, str] | None" = None,
 ) -> int:
     """Create a hash-bucketed versioned table: rows land in
     ``pmod(xxhash64(key), n_buckets)`` buckets, and the per-version
@@ -792,6 +817,7 @@ def create_bucketed(
     if current_version(table) is not None:
         raise FileExistsError(f"bucketed table {table} already exists")
     keys = list(key_cols)
+    df = _apply_generated(df, generated, "create_bucketed")
     _check_constraints(df, constraints, "create_bucketed")
     base = {
         "key_cols": keys,
@@ -801,6 +827,8 @@ def create_bucketed(
     }
     if constraints:
         base["constraints"] = dict(constraints)
+    if generated:
+        base["generated"] = dict(generated)
     return _commit_bucketed(
         table, df.withColumn("__bucket", _bucket_expr(keys, n_buckets)), base, None
     )
@@ -913,6 +941,7 @@ def merge_into_bucketed(
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
     man = _read_manifest(table)
     keys, n_buckets = man["key_cols"], man["n_buckets"]
+    source = _apply_generated(source, man.get("generated"), "merge_into_bucketed")
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
         raise ValueError(

@@ -2219,3 +2219,35 @@ def test_clone_and_restore_hidden_skipping_keep_zonemaps(spark, tmp_path):
     VER.restore_version(src, 0)
     got = sorted(r["id"] for r in HID.read_hidden_skipping(spark, src, preds).collect())
     assert got == want
+
+
+def test_generated_columns_computed_validated_and_inherited(spark, tmp_path):
+    """Delta generated-column semantics: omitted -> computed, provided ->
+    must match (violation, never silent overwrite); the definition rides
+    the manifest through later merges."""
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "gt")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, cents long")
+    VER.create_bucketed(
+        df, tb, ["id"], n_buckets=4, generated={"dollars": "cents div 100"}
+    )
+    rows = {r["id"]: r["dollars"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert rows == {1: 0, 2: 0}
+    # merge OMITS the generated column -> computed
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(3, 250)], "id long, cents long")
+    )
+    assert VER.read_bucketed(spark, tb).filter("id = 3").collect()[0]["dollars"] == 2
+    # merge PROVIDES a mismatching value -> rejected
+    with pytest.raises(VER.ConstraintViolationError, match="generated column"):
+        VER.merge_into_bucketed(
+            spark, tb,
+            spark.createDataFrame([(4, 100, 9)], "id long, cents long, dollars long"),
+        )
+    # providing the CORRECT generated value passes
+    VER.merge_into_bucketed(
+        spark, tb,
+        spark.createDataFrame([(4, 100, 1)], "id long, cents long, dollars long"),
+    )
+    assert VER.read_bucketed(spark, tb).count() == 4
