@@ -1292,6 +1292,49 @@ def drop_constraint(table: str, name: str) -> int:
     return final
 
 
+def drop_column(table: str, col: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` on a bucketed table as a
+    METADATA-ONLY commit: the new manifest's schema simply omits the
+    field — no bucket rewrites, because every read path projects files
+    under the manifest schema (parquet column projection skips the
+    physical bytes for free), and writes after the drop stop carrying the
+    column. Time travel to pre-drop versions still reads the old schema
+    with the column present; RESTORE to a pre-drop version resurrects it
+    (the data was never deleted — Delta DROP COLUMN semantics). Key
+    columns and columns referenced by a CHECK constraint or generated-
+    column expression cannot be dropped (drop the constraint first)."""
+    read_man = _read_manifest(table, None)
+    schema = json.loads(read_man["schema"])
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise ValueError(f"column {col!r} does not exist on {table}")
+    if col in read_man["key_cols"]:
+        raise ValueError(f"cannot drop key column {col!r}")
+    for meta_key in ("constraints", "generated"):
+        for name, expr in read_man.get(meta_key, {}).items():
+            if col in expr or name == col:
+                raise ValueError(
+                    f"cannot drop {col!r}: referenced by {meta_key[:-1]} "
+                    f"{name!r} ({expr}) — drop that first"
+                )
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+    staged = _staged_path(table)
+    os.makedirs(staged)
+
+    def build(final: int, base_man: "dict | None", dest: str) -> dict:
+        manifest = {k: v for k, v in base_man.items() if k != "version"}
+        manifest["version"] = final
+        manifest["schema"] = json.dumps(schema)
+        return manifest
+
+    # dropping conflicts with ANY concurrent data commit: a batch written
+    # under the wide schema must not rebase under the narrow one unchecked
+    final, _ = _publish_bucketed(
+        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
+    )
+    return final
+
+
 def maintain_group_agg(
     base: DataFrame,
     changes: DataFrame,

@@ -2251,3 +2251,51 @@ def test_generated_columns_computed_validated_and_inherited(spark, tmp_path):
         spark.createDataFrame([(4, 100, 1)], "id long, cents long, dollars long"),
     )
     assert VER.read_bucketed(spark, tb).count() == 4
+
+
+def test_drop_column_is_metadata_only_and_time_travel_sees_it(spark, tmp_path):
+    import os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "dt")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "id long, cents long, tag string"),
+        tb, ["id"], n_buckets=2,
+    )
+    v = VER.drop_column(tb, "tag")
+    assert v == 1
+    assert VER.read_bucketed(spark, tb).columns == ["id", "cents"]
+    # metadata-only: no bucket data under the drop's v-dir
+    assert not any(d.startswith("__bucket=") for d in os.listdir(os.path.join(tb, "v=1")))
+    # time travel still sees the column; RESTORE resurrects it
+    assert VER.read_bucketed(spark, tb, version=0).columns == ["id", "cents", "tag"]
+    VER.restore_bucketed(tb, 0)
+    assert "tag" in VER.read_bucketed(spark, tb).columns
+    # guards
+    VER.drop_column(tb, "tag")
+    with pytest.raises(ValueError, match="does not exist"):
+        VER.drop_column(tb, "tag")
+    with pytest.raises(ValueError, match="key column"):
+        VER.drop_column(tb, "id")
+    # merges after the drop work narrow; old files' extra bytes project away
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(3, 30)], "id long, cents long")
+    )
+    got = sorted((r["id"], r["cents"]) for r in VER.read_bucketed(spark, tb).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_drop_column_blocked_by_constraint_reference(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "dt2")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, 10)], "id long, cents long"),
+        tb, ["id"], n_buckets=2, constraints={"pos": "cents > 0"},
+    )
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        VER.drop_column(tb, "cents")
+    VER.drop_constraint(tb, "pos")
+    VER.drop_column(tb, "cents")
+    assert VER.read_bucketed(spark, tb).columns == ["id"]
