@@ -352,6 +352,15 @@ def restore_version(table: str, to_version: int) -> int:
         )
     staged = _staged_path(table)
     _link_tree(src, staged)
+    if not os.path.isdir(src):
+        # a concurrent expire_versions removed the target mid-link: the
+        # walk may have seen a partial (or empty) tree — committing it
+        # would publish a silently truncated snapshot. Fail loud instead.
+        shutil.rmtree(staged, ignore_errors=True)
+        raise FileNotFoundError(
+            f"version {to_version} of {table} was expired concurrently "
+            "during the restore — nothing was committed"
+        )
     with _pointer_lock(table):
         now = current_version(table)
         if now != cur:
@@ -375,7 +384,12 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
     directory owns its links). Works for plain snapshot tables AND
     bucketed/hidden tables (their manifest, if any, is carried over with
     the version renumbered to 0 so the clone's read path is
-    self-contained)."""
+    self-contained). Concurrency-safe: files stage under a unique
+    ``_staged_*`` directory and publish by a single rename inside the
+    destination's pointer critical section — two racing clones cannot
+    interleave their files into one mixed ``v=0``; a source version (or
+    bucket dir) expired mid-link fails loud rather than publishing a
+    truncated clone."""
     src_cur = current_version(src_table)
     if src_cur is None:
         raise FileNotFoundError(f"versioned table {src_table} has no commits")
@@ -391,31 +405,42 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
     spec = os.path.join(src_table, "_hidden_spec.json")
     if os.path.exists(spec):
         shutil.copy2(spec, os.path.join(dst_table, "_hidden_spec.json"))
-    dst_v0 = os.path.join(dst_table, "v=0")
+    staged = _staged_path(dst_table)
+    new_man = None
     if man is None:
         src_dir = os.path.join(src_table, f"v={v}")
         if not os.path.isdir(src_dir):
             raise FileNotFoundError(
                 f"version {v} of {src_table} does not exist (expired?)"
             )
-        _link_tree(src_dir, dst_v0)
+        _link_tree(src_dir, staged)
+        if not os.path.isdir(src_dir):  # expired mid-link → partial tree
+            shutil.rmtree(staged, ignore_errors=True)
+            raise FileNotFoundError(
+                f"version {v} of {src_table} was expired concurrently "
+                "during the clone — nothing was published"
+            )
     else:
         # bucketed/hidden: live buckets may be spread across many source
         # version dirs — consolidate them (and any referenced DV files)
         # under the clone's v=0 and renumber the manifest accordingly
-        os.makedirs(dst_v0, exist_ok=True)
+        os.makedirs(staged, exist_ok=True)
         for b, owner in man["buckets"].items():
             if owner is None:
                 continue
-            _link_tree(
-                os.path.join(src_table, f"v={owner}", f"__bucket={b}"),
-                os.path.join(dst_v0, f"__bucket={b}"),
-            )
+            bsrc = os.path.join(src_table, f"v={owner}", f"__bucket={b}")
+            _link_tree(bsrc, os.path.join(staged, f"__bucket={b}"))
+            if not os.path.isdir(bsrc):  # reclaimed mid-link
+                shutil.rmtree(staged, ignore_errors=True)
+                raise FileNotFoundError(
+                    f"bucket {b} of {src_table} v={owner} was reclaimed "
+                    "concurrently during the clone — nothing was published"
+                )
         # DV files for one bucket can live under SEVERAL source versions;
         # consolidate them under v=0 with version-prefixed file names so
         # same-named parquet parts never collide
         for b, versions in man.get("dv", {}).items():
-            out = os.path.join(dst_v0, "__dv", f"__bucket={b}")
+            out = os.path.join(staged, "__dv", f"__bucket={b}")
             os.makedirs(out, exist_ok=True)
             for vv in versions:
                 src_dv = os.path.join(src_table, f"v={vv}", "__dv", f"__bucket={b}")
@@ -440,13 +465,17 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
         }
         if man.get("dv"):
             new_man["dv"] = {b: [0] for b in man["dv"]}
-        with open(_manifest_path(dst_table, 0), "w") as f:
-            json.dump(new_man, f)
+    dst_v0 = os.path.join(dst_table, "v=0")
     with _pointer_lock(dst_table):
-        if current_version(dst_table) is not None:
+        if current_version(dst_table) is not None or os.path.exists(dst_v0):
+            shutil.rmtree(staged, ignore_errors=True)
             raise CommitConflictError(
                 f"clone target {dst_table} was created concurrently"
             )
+        os.rename(staged, dst_v0)
+        if new_man is not None:
+            with open(_manifest_path(dst_table, 0), "w") as f:
+                json.dump(new_man, f)
         _write_pointer(dst_table, 0)
     return 0
 
