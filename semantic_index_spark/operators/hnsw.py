@@ -313,7 +313,10 @@ def append_hnsw_index(
     still produce a valid deterministic graph, just not the rebuild's
     (standard HNSW insertion-order sensitivity — documented, not hidden).
     Build parameters come from the layout's frozen ``_hnsw_meta.json``;
-    duplicate ids are an error, not a silent double-insert."""
+    duplicate ids are an error, not a silent double-insert. Appends are
+    SINGLE-WRITER per layout (no epoch ledger — two concurrent appends to
+    the same shard would last-write-win); serialize appends per index,
+    the same contract as rebuilding any search index."""
     import json
     import math as _math
 
