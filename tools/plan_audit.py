@@ -670,6 +670,17 @@ AUDITS = {
     # of step checkpoints — audit forbids products end-to-end
     "graph_walks": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     "motif_open_wedges": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # sharded HNSW serve: per-shard search in FlatMapGroupsInPandas, the
+    # global merge is a BOUNDED top-k (TakeOrderedAndProject over
+    # n_shards*k rows) — never a full sort, never a product
+    "hnsw_topk": {
+        "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "hnsw_incremental": {
+        "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # hidden partitioning: source predicates must land on partition
     # columns (PartitionFilters) — pruning at planning time, not row filters
     "hidden_partition_prune": {"expect": ["PartitionFilters: ["], "forbid": ["CartesianProduct"]},
