@@ -1085,7 +1085,7 @@ def delete_bucketed(
         for b in affected:
             if b in written:
                 dv.setdefault(str(b), []).append(final)
-        return {
+        out = {
             "key_cols": kc,
             "n_buckets": n_buckets,
             "schema": base_man["schema"],
@@ -1094,6 +1094,12 @@ def delete_bucketed(
             "dv": dv,
             "meta": dict(meta) if meta else {},
         }
+        # table metadata rides every commit — without this a DV delete
+        # would silently SHED the table's constraints/generated columns
+        for meta_key in ("constraints", "generated", "colmap"):
+            if base_man.get(meta_key):
+                out[meta_key] = dict(base_man[meta_key])
+        return out
 
     # conditional on `man`; a concurrent commit touching only OTHER
     # buckets rebases (the DV lists append onto the winner's manifest)

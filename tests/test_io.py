@@ -2299,3 +2299,32 @@ def test_drop_column_blocked_by_constraint_reference(spark, tmp_path):
     VER.drop_constraint(tb, "pos")
     VER.drop_column(tb, "cents")
     assert VER.read_bucketed(spark, tb).columns == ["id"]
+
+
+def test_table_metadata_survives_dv_delete_and_optimize(spark, tmp_path):
+    """Regression: a DV-only delete (which builds its manifest explicitly)
+    must inherit constraints/generated metadata, not shed it."""
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "mt")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, cents long"),
+        tb, ["id"], n_buckets=2,
+        constraints={"pos": "cents > 0"},
+        generated={"dollars": "cents div 100"},
+    )
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(2,)], "id long"))
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(
+            spark, tb, spark.createDataFrame([(3, -1)], "id long, cents long")
+        )
+    VER.optimize_bucketed(spark, tb)
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(
+            spark, tb, spark.createDataFrame([(3, -1)], "id long, cents long")
+        )
+    # generated definition also survived: omitted column still computed
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(3, 300)], "id long, cents long")
+    )
+    assert VER.read_bucketed(spark, tb).filter("id = 3").collect()[0]["dollars"] == 3
