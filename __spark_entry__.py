@@ -4676,6 +4676,50 @@ def q_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping end-to-end
+    (``sources/versioned.py rename_column``, r10): customers seed a
+    bucketed table; the payload column renames (metadata-only — physical
+    file names are frozen at column birth); a MERGE under the NEW logical
+    name updates every 5th key; a DV delete removes every 11th. The final
+    read serves PRE-rename files, POST-rename files, and DV anti-joins
+    all under the new logical name — the oracle recomputes the state
+    relationally, so a broken physical→logical alias (NULLs), a lost
+    mapping on any commit path, or a mis-keyed DV breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 150).select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_name").alias("name"),
+    )
+    tmp = tempfile.mkdtemp(prefix="rename_col_")
+    try:
+        tbl = os.path.join(tmp, "cust_tbl")
+        VER.create_bucketed(base, tbl, ["id"], n_buckets=8)  # v0
+        VER.rename_column(tbl, "cents", "pennies")  # v1: metadata-only
+        upd = base.filter(F.col("id") % 5 == 0).select(
+            "id", (F.col("cents") + 3).alias("pennies"), "name"
+        )
+        VER.merge_into_bucketed(spark, tbl, upd)  # v2: under the NEW name
+        VER.delete_bucketed(
+            spark, tbl, base.filter(F.col("id") % 11 == 0).select("id")
+        )  # v3: DV keys anti-join pre- and post-rename files alike
+        out = (
+            VER.read_bucketed(spark, tbl)
+            .select("id", "pennies", "name")
+            .orderBy("id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-count zone maps end-to-end (``sources/skipping.py``, r10):
     documents gain a genuinely-nullable derived column (``lang`` nulled
@@ -6223,6 +6267,7 @@ _DRIVER_WINDOW_R10 = [
     "restore_clone",  # never-checked
     "hnsw_incremental",  # never-checked
     "versioned_feed",  # never-checked
+    "rename_column",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6265,7 +6310,6 @@ _DRIVER_WINDOW_R10 = [
     "label_centroids",  # last r5
     "text_stats",  # last r5
     "media_stats",  # last r5
-    "winnowing_fingerprints",  # last r5
 ]
 
 
@@ -6282,14 +6326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (294 queries / 50 per round).
+    driver row at most ~6 rounds stale (295 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 294 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 295 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6587,6 +6631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 additions ---
         "merge_schema_evolution": q_merge_schema_evolution,
         "restore_clone": q_restore_clone,
+        "rename_column": q_rename_column,
         "null_skipping": q_null_skipping,
         "time_travel_as_of": q_time_travel_as_of,
         "hnsw_topk": q_hnsw_topk,
@@ -10305,6 +10350,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
                         THEN 'updated' ELSE 'inserted' END AS action
             FROM src s WHERE s.op = 'upsert'
+        """,
+        "rename_column": """
+            SELECT c_custkey AS id,
+                   CASE WHEN c_custkey % 5 = 0
+                        THEN CAST(round(c_acctbal * 100) AS BIGINT) + 3
+                        ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                   END AS pennies,
+                   c_name AS name
+            FROM customer
+            WHERE c_custkey <= 150 AND c_custkey % 11 != 0
+            ORDER BY id
         """,
         "restore_clone": """
             WITH base AS (

@@ -630,6 +630,35 @@ def _schema_union_json(a_json: str, b_json: str) -> str:
     return json.dumps(a)
 
 
+def _colmap(man: dict) -> dict:
+    """Logical→physical column-name mapping (Delta column mapping).
+    Empty until the first ``rename_column`` — physical names are frozen
+    at column birth (the original logical name), so every data and DV
+    file ever written stays readable by its physical name and a rename
+    is a pure metadata commit."""
+    return man.get("colmap") or {}
+
+
+def _physical_schema_json(man: dict) -> str:
+    s = json.loads(man["schema"])
+    cm = _colmap(man)
+    for f in s["fields"]:
+        f["name"] = cm.get(f["name"], f["name"])
+    return json.dumps(s)
+
+
+def _to_physical(df: DataFrame, man: dict) -> DataFrame:
+    """Rename logical columns to their frozen physical names for a staging
+    write; columns outside the mapping (``__bucket`` et al.) pass through.
+    No-op (same plan) when no rename ever happened."""
+    import pyspark.sql.functions as F
+
+    cm = _colmap(man)
+    if not cm:
+        return df
+    return df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
+
+
 def _read_bucket_files(spark: SparkSession, man: dict, paths: list[str]) -> DataFrame:
     """Read bucket data files under the MANIFEST's schema rather than the
     files' own: after a schema-evolving merge, buckets untouched since the
@@ -637,8 +666,20 @@ def _read_bucket_files(spark: SparkSession, man: dict, paths: list[str]) -> Data
     makes the parquet reader null-fill their missing columns (Delta /
     Iceberg read-time evolution semantics) with no ``mergeSchema``
     footer-sampling job — at 100 TB, sampling every file footer to
-    discover a schema the manifest already knows is pure waste."""
-    return spark.read.schema(_manifest_schema(man)).parquet(*paths)
+    discover a schema the manifest already knows is pure waste. Files
+    store PHYSICAL column names; the read projects them and aliases back
+    to the manifest's logical names (identity until a rename exists)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    cm = _colmap(man)
+    if not cm:
+        return spark.read.schema(_manifest_schema(man)).parquet(*paths)
+    phys = StructType.fromJson(json.loads(_physical_schema_json(man)))
+    logical = [f["name"] for f in json.loads(man["schema"])["fields"]]
+    return spark.read.schema(phys).parquet(*paths).select(
+        *[F.col(cm.get(l, l)).alias(l) for l in logical]
+    )
 
 
 def _evolve_cols(source: DataFrame, existing: list[str], drop: list[str],
@@ -740,6 +781,8 @@ def _commit_bucketed(
     leaves an invisible ``_staged_*`` orphan, same contract as
     ``commit_version``."""
     staged = _staged_path(table)
+    if read_man is not None:  # files persist PHYSICAL names (column mapping)
+        df = _to_physical(df, read_man)
     df.write.mode("errorifexists").partitionBy("__bucket").parquet(staged)
     affected = base.pop("__affected")
     cleared = {str(b) for b in dv_clear}
@@ -772,10 +815,11 @@ def _commit_bucketed(
         }
         if dv:
             manifest["dv"] = dv
-        # constraints / generated columns are table metadata: inherited
-        # from the manifest the commit lands on (the winner's under a
-        # rebase — an add_constraint that won concurrently keeps governing)
-        for meta_key in ("constraints", "generated"):
+        # constraints / generated columns / column mapping are table
+        # metadata: inherited from the manifest the commit lands on (the
+        # winner's under a rebase — an add_constraint that won
+        # concurrently keeps governing)
+        for meta_key in ("constraints", "generated", "colmap"):
             val = (base_man or {}).get(meta_key) or manifest.get(meta_key)
             if val:
                 manifest[meta_key] = dict(val)
@@ -881,10 +925,18 @@ def _apply_dv(
     """Anti-join out rows whose key appears in the manifest's deletion
     vectors. Keys hash to exactly one bucket, so applying the DV keys
     globally equals applying them per bucket."""
+    import pyspark.sql.functions as F
+
     paths = _dv_paths(table, man, buckets)
     if not paths:
         return df
-    dv_keys = spark.read.parquet(*paths).select(*man["key_cols"]).distinct()
+    cm = _colmap(man)
+    # DV files store PHYSICAL key names (stable across renames)
+    dv_keys = (
+        spark.read.parquet(*paths)
+        .select(*[F.col(cm.get(k, k)).alias(k) for k in man["key_cols"]])
+        .distinct()
+    )
     return df.join(dv_keys, man["key_cols"], "left_anti")
 
 
@@ -982,6 +1034,13 @@ def merge_into_bucketed(
         source, data_cols, [op_col] if op_col else [], schema_evolution,
         "merge_into_bucketed",
     )
+    retired = set(_colmap(man).values())  # physical names held by renamed cols
+    clash = [f.name for f in added if f.name in retired]
+    if clash:
+        raise ValueError(
+            f"merge_into_bucketed: added column(s) {clash} collide with the "
+            "frozen PHYSICAL name of a renamed column — pick different names"
+        )
     new_schema = json.loads(man["schema"])
     new_schema["fields"].extend(f.jsonValue() for f in added)
     if op_col is None:
@@ -1070,9 +1129,9 @@ def delete_bucketed(
         )
     )
     staged = _staged_path(table)
-    keyed.write.mode("errorifexists").partitionBy("__bucket").parquet(
-        os.path.join(staged, "__dv")
-    )
+    _to_physical(keyed, man).write.mode("errorifexists").partitionBy(
+        "__bucket"
+    ).parquet(os.path.join(staged, "__dv"))
 
     def build(final: int, base_man: dict, dest: str) -> dict:
         dv_dir = os.path.join(dest, "__dv")
@@ -1174,18 +1233,40 @@ def diff_bucketed(
     change). Returns key columns + ``_action`` + ``<col>_old`` /
     ``<col>_new`` for every data column."""
     import pyspark.sql.functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     man_a, man_b = _read_manifest(table, v_from), _read_manifest(table, v_to)
-    if man_a["key_cols"] != man_b["key_cols"] or man_a["n_buckets"] != man_b["n_buckets"]:
+    cm_a, cm_b = _colmap(man_a), _colmap(man_b)
+    # keys compare by PHYSICAL identity — a renamed key is the same key
+    pk_a = [cm_a.get(k, k) for k in man_a["key_cols"]]
+    pk_b = [cm_b.get(k, k) for k in man_b["key_cols"]]
+    if pk_a != pk_b or man_a["n_buckets"] != man_b["n_buckets"]:
         raise ValueError("diff_bucketed: incompatible manifests (key_cols/n_buckets differ)")
-    keys = man_a["key_cols"]
-    # union schema: after a schema-evolving merge between v_from and v_to
-    # the sides differ — both read under the union so the added column
-    # shows NULL old-values (reported as an update when populated)
-    schema = StructType.fromJson(
-        json.loads(_schema_union_json(man_a["schema"], man_b["schema"]))
+    # union schema by PHYSICAL identity: physical names are frozen at
+    # column birth, so a column renamed between the versions is ONE
+    # column (reported under v_to's logical name — Delta column-mapping
+    # CDF semantics), while a genuinely added column shows NULL
+    # old-values. With no renames this is the plain union-by-name.
+    phys_schema = StructType.fromJson(
+        json.loads(
+            _schema_union_json(
+                _physical_schema_json(man_a), _physical_schema_json(man_b)
+            )
+        )
     )
+    p2l: dict[str, str] = {}
+    for man in (man_a, man_b):  # v_to's logical names override v_from's
+        cm = _colmap(man)
+        for f in json.loads(man["schema"])["fields"]:
+            p2l[cm.get(f["name"], f["name"])] = f["name"]
+    logical_by_phys = [p2l[f.name] for f in phys_schema.fields]
+    schema = StructType(
+        [
+            StructField(lname, f.dataType, f.nullable)
+            for lname, f in zip(logical_by_phys, phys_schema.fields)
+        ]
+    )
+    keys = man_b["key_cols"]
     data_cols = [f.name for f in schema.fields if f.name not in keys]
     # a bucket changed if its owning version moved OR its deletion-vector
     # list did (a DV-only commit moves no data but deletes rows)
@@ -1205,9 +1286,18 @@ def diff_bucketed(
         ]
         if not paths:
             return spark.createDataFrame([], schema)
-        return _apply_dv(
-            spark, spark.read.schema(schema).parquet(*paths), table, man, set(changed)
+        rows = spark.read.schema(phys_schema).parquet(*paths).select(
+            *[
+                F.col(p.name).alias(l)
+                for p, l in zip(phys_schema.fields, logical_by_phys)
+            ]
         )
+        # rows now carry v_to's logical names — the DV anti-join must key
+        # on those (its colmap resolves them back to the physical files)
+        adj = dict(man)
+        adj["key_cols"] = keys
+        adj["colmap"] = dict(zip(keys, pk_b))
+        return _apply_dv(spark, rows, table, adj, set(changed))
 
     a = _side(man_a).select(
         *keys, *[F.col(c).alias(f"{c}_old") for c in data_cols], F.lit(1).alias("_in_a")
@@ -1360,10 +1450,71 @@ def drop_column(table: str, col: str) -> int:
         manifest = {k: v for k, v in base_man.items() if k != "version"}
         manifest["version"] = final
         manifest["schema"] = json.dumps(schema)
+        cm = {k: v for k, v in _colmap(base_man).items() if k != col}
+        if cm:
+            manifest["colmap"] = cm
+        else:
+            manifest.pop("colmap", None)
         return manifest
 
     # dropping conflicts with ANY concurrent data commit: a batch written
     # under the wide schema must not rebase under the narrow one unchecked
+    final, _ = _publish_bucketed(
+        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
+    )
+    return final
+
+
+def rename_column(table: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` as a METADATA-ONLY commit via
+    column mapping (the Delta column-mapping design): every column's
+    PHYSICAL name is frozen at birth (its original logical name), data
+    and DV files are always written and read by physical name, and the
+    manifest's ``colmap`` translates — so a rename touches one manifest,
+    never a data file, at any table size. Key columns rename too (the
+    manifest's ``key_cols`` follow; the bucket hash is over values, not
+    names, so placement is untouched). Time travel to pre-rename versions
+    reads the OLD logical name; ``diff_bucketed`` across the rename
+    matches the column by physical identity and reports it once, under
+    the new name. The new name must not collide with any live logical OR
+    frozen physical name, and columns referenced by a CHECK constraint /
+    generated expression refuse to rename (drop that first — expressions
+    are stored as text). Conflicts with any concurrent data commit."""
+    read_man = _read_manifest(table, None)
+    schema = json.loads(read_man["schema"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} does not exist on {table}")
+    cm = dict(_colmap(read_man))
+    physicals = {cm.get(n, n) for n in names}
+    if new in names or new in physicals:
+        raise ValueError(
+            f"cannot rename {old!r} -> {new!r}: the name collides with a "
+            "live logical or frozen physical column name"
+        )
+    for meta_key in ("constraints", "generated"):
+        for name, expr in read_man.get(meta_key, {}).items():
+            if old in expr or name == old:
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by {meta_key[:-1]} "
+                    f"{name!r} ({expr}) — drop that first"
+                )
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    cm[new] = cm.pop(old, old)
+    key_cols = [new if k == old else k for k in read_man["key_cols"]]
+    staged = _staged_path(table)
+    os.makedirs(staged)
+
+    def build(final: int, base_man: "dict | None", dest: str) -> dict:
+        manifest = {k: v for k, v in base_man.items() if k != "version"}
+        manifest["version"] = final
+        manifest["schema"] = json.dumps(schema)
+        manifest["colmap"] = cm
+        manifest["key_cols"] = key_cols
+        return manifest
+
     final, _ = _publish_bucketed(
         table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
     )

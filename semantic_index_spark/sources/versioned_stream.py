@@ -98,6 +98,20 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self.table = options["table"]
         self.start_version = int(options.get("starting_version", 0))
         self.schema = schema
+        # column mapping: files store PHYSICAL names (frozen at column
+        # birth, stable across renames), the declared schema is logical —
+        # snapshot the mapping at stream start (schema is fixed per run,
+        # same restart-on-rename contract as Delta sources)
+        self.colmap: dict = {}
+        try:
+            with open(os.path.join(self.table, "_latest.json")) as f:
+                cur = int(json.load(f)["version"])
+            man_path = os.path.join(self.table, f"_manifest_v{cur}.json")
+            if os.path.exists(man_path):
+                with open(man_path) as f:
+                    self.colmap = json.load(f).get("colmap") or {}
+        except FileNotFoundError:
+            pass
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -134,8 +148,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         n = tbl.num_rows
         for f in data_fields:
             t = to_arrow_type(f.dataType)
-            if f.name in tbl.column_names:
-                col = tbl.column(f.name)
+            phys = self.colmap.get(f.name, f.name)
+            if phys in tbl.column_names:
+                col = tbl.column(phys)
                 cols.append(col if col.type == t else col.cast(t))
             else:
                 # schema-evolved bucketed layouts: untouched old files

@@ -2328,3 +2328,128 @@ def test_table_metadata_survives_dv_delete_and_optimize(spark, tmp_path):
         spark, tb, spark.createDataFrame([(3, 300)], "id long, cents long")
     )
     assert VER.read_bucketed(spark, tb).filter("id = 3").collect()[0]["dollars"] == 3
+
+
+def test_rename_column_metadata_only_end_to_end(spark, tmp_path):
+    """RENAME via column mapping: zero data movement, old files served
+    under the new logical name, merges/DVs/time-travel/point-lookups all
+    work across the rename — including on a KEY column."""
+    import os
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "rt")
+    VER.create_bucketed(
+        spark.createDataFrame(
+            [(i, 10 * i, f"u{i}") for i in range(8)],
+            "id long, cents long, name string",
+        ),
+        tb, ["id"], n_buckets=4,
+    )
+    v = VER.rename_column(tb, "cents", "pennies")
+    assert v == 1
+    assert VER.read_bucketed(spark, tb).columns == ["id", "pennies", "name"]
+    # metadata-only commit
+    assert not any(d.startswith("__bucket=") for d in os.listdir(os.path.join(tb, "v=1")))
+    # old files (physical name `cents`) serve values under the new name
+    assert VER.read_bucketed(spark, tb).filter("id = 3").collect()[0]["pennies"] == 30
+    # time travel shows the pre-rename logical name
+    assert VER.read_bucketed(spark, tb, version=0).columns == ["id", "cents", "name"]
+    # merges AFTER the rename use the new name; untouched old files still read
+    VER.merge_into_bucketed(
+        spark, tb,
+        spark.createDataFrame([(3, 999, "u3x")], "id long, pennies long, name string"),
+    )
+    rows = {r["id"]: r["pennies"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert rows[3] == 999 and rows[5] == 50
+    # DV delete post-rename applies to pre-rename data files
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(5,)], "id long"))
+    assert VER.read_bucketed(spark, tb).count() == 7
+    # point lookup by key still prunes and matches
+    got = VER.read_bucketed(spark, tb, key_values=[(3,)]).filter("id = 3").collect()
+    assert got[0]["pennies"] == 999
+    # key rename: bucket placement untouched, lookups work under new name
+    VER.rename_column(tb, "id", "doc_id")
+    assert VER.read_bucketed(spark, tb).columns == ["doc_id", "pennies", "name"]
+    VER.merge_into_bucketed(
+        spark, tb,
+        spark.createDataFrame([(0, 1, "u0y")], "doc_id long, pennies long, name string"),
+    )
+    rows = {r["doc_id"]: r["pennies"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert rows[0] == 1 and rows[3] == 999 and 5 not in rows
+    # DV written pre-key-rename still anti-joins (physical key names)
+    assert VER.read_bucketed(spark, tb).count() == 7
+
+
+def test_rename_column_diff_matches_by_physical_identity(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "rt2")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, cents long"),
+        tb, ["id"], n_buckets=2,
+    )
+    VER.rename_column(tb, "cents", "pennies")                      # v1
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(1, 11)], "id long, pennies long")
+    )                                                              # v2
+    d = VER.diff_bucketed(spark, tb, 0, 2)
+    assert set(d.columns) == {"id", "_action", "pennies_old", "pennies_new"}
+    row = d.filter("id = 1").collect()[0]
+    assert row["_action"] == "updated"
+    assert row["pennies_old"] == 10 and row["pennies_new"] == 11
+
+
+def test_rename_column_guards(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "rt3")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, 10, "x")], "id long, cents long, tag string"),
+        tb, ["id"], n_buckets=2, constraints={"pos": "cents > 0"},
+    )
+    with pytest.raises(ValueError, match="referenced by constraint"):
+        VER.rename_column(tb, "cents", "pennies")
+    with pytest.raises(ValueError, match="collides"):
+        VER.rename_column(tb, "tag", "cents")
+    VER.rename_column(tb, "tag", "label")
+    # retired physical name cannot be re-introduced by rename or evolution
+    with pytest.raises(ValueError, match="collides"):
+        VER.rename_column(tb, "label", "tag")
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        VER.merge_into_bucketed(
+            spark, tb,
+            spark.createDataFrame(
+                [(2, 20, "y", "zzz")], "id long, cents long, label string, tag string"
+            ),
+            schema_evolution=True,
+        )
+
+
+def test_rename_column_feed_and_clone_follow_mapping(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "rt4")
+    VER.create_bucketed(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, cents long"),
+        tb, ["id"], n_buckets=2,
+    )
+    VER.rename_column(tb, "cents", "pennies")
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(3, 30)], "id long, pennies long")
+    )
+    # clone carries the mapping: reads by new name, physical files linked
+    clone = str(tmp_path / "rt4_clone")
+    VER.clone_table(tb, clone)
+    got = sorted((r["id"], r["pennies"]) for r in VER.read_bucketed(spark, clone).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # streaming feed: pre- and post-rename files both emit under the
+    # CURRENT logical name
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    from tests.test_streaming import _drain_feed
+
+    _drain_feed(spark, tb, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert "pennies" in out.columns
+    v0 = {(r["id"], r["pennies"]) for r in out.filter("_version = 0").collect()}
+    assert v0 == {(1, 10), (2, 20)}
