@@ -97,6 +97,15 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.table = options["table"]
         self.start_version = int(options.get("starting_version", 0))
+        # Delta maxFilesPerTrigger analog at version granularity: cap how
+        # many commits one micro-batch admits so a consumer far behind a
+        # busy table catches up in bounded batches instead of one giant
+        # one. The Python stream-reader API only reveals the checkpoint
+        # position when the first batch is planned, so the FIRST batch
+        # after a (re)start admits everything outstanding; every
+        # subsequent batch is capped.
+        self.max_versions = int(options.get("max_versions_per_batch", 0))  # 0 = all
+        self._progress: "int | None" = None  # furthest position learned
         self.schema = schema
         # column mapping: files store PHYSICAL names (frozen at column
         # birth, stable across renames), the declared schema is logical —
@@ -122,9 +131,13 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
                 cur = int(json.load(f)["version"])
         except FileNotFoundError:
             return {"version": self.start_version}
-        return {"version": max(cur + 1, self.start_version)}
+        end = max(cur + 1, self.start_version)
+        if self.max_versions and self._progress is not None:
+            end = max(min(end, self._progress + self.max_versions), self._progress)
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        self._progress = max(self._progress or 0, int(end["version"]))
         parts = [
             _FilePartition(path, v)
             for v in range(int(start["version"]), int(end["version"]))
@@ -161,7 +174,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         return iter(pa.Table.from_arrays(cols, names=names).to_batches())
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the checkpoint; nothing to ack
+        # offsets are durable in the checkpoint; track progress locally so
+        # rate limiting advances from the last completed batch
+        self._progress = max(self._progress or 0, int(end["version"]))
 
 
 class VersionedFeedDataSource(DataSource):

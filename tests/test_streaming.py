@@ -1003,3 +1003,38 @@ def test_versioned_feed_starting_version_skips_history(spark, tmp_path):
     _drain_feed(spark, table, sink, ckpt, starting_version=2)
     got = sorted((r["_version"], r["x"]) for r in spark.read.parquet(sink).collect())
     assert got == [(2, 0), (2, 1), (2, 2), (2, 3)]
+
+
+def test_versioned_feed_rate_limit_caps_steady_state_batches(spark, tmp_path):
+    """max_versions_per_batch: the reader admits at most N commits per
+    micro-batch once it has learned its position (the first planned batch
+    is uncapped — the Python API reveals the checkpoint only at planning).
+    Driven through the exact driver call sequence the engine uses."""
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources.versioned_stream import (
+        VersionedFeedStreamReader,
+    )
+
+    table = str(tmp_path / "t")
+    for n in [1, 2, 3, 4, 5, 6]:
+        VER.commit_version(spark.range(n).withColumnRenamed("id", "x"), table)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("x", LongType()), StructField("_version", LongType())])
+    r = VersionedFeedStreamReader(schema, {"table": table, "max_versions_per_batch": "2"})
+    assert r.initialOffset() == {"version": 0}
+    first = r.latestOffset()
+    assert first == {"version": 6}  # first batch uncapped (position unknown)
+    r.partitions({"version": 0}, first)
+    r.commit(first)
+    for n in [1, 1, 1, 1]:
+        VER.commit_version(spark.range(n).withColumnRenamed("id", "x"), table)
+    nxt = r.latestOffset()
+    assert nxt == {"version": 8}  # 10 outstanding would be uncapped; cap = 6+2
+    r.partitions(first, nxt)
+    r.commit(nxt)
+    assert r.latestOffset() == {"version": 10}
+    # never regresses below learned progress even if cap math would
+    r2 = VersionedFeedStreamReader(schema, {"table": table, "max_versions_per_batch": "2"})
+    r2.commit({"version": 9})
+    assert r2.latestOffset()["version"] >= 9
