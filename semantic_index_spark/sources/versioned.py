@@ -1591,6 +1591,8 @@ def optimize_bucketed(
     table: str,
     buckets: "list[int] | None" = None,
     meta: dict | None = None,
+    zorder_by: "list[tuple[str, float, float]] | None" = None,
+    zorder_bits: int = 8,
 ) -> int:
     """OPTIMIZE — compact the current state of selected buckets (default:
     every bucket that has accumulated deletion vectors) into freshly
@@ -1600,7 +1602,14 @@ def optimize_bucketed(
     half of the deletion-vector trade, same contract as Delta OPTIMIZE /
     Iceberg rewrite_data_files. Untouched buckets keep their owning
     version; time travel to pre-optimize versions still works. Returns
-    the new version (or the current one when nothing needs optimizing)."""
+    the new version (or the current one when nothing needs optimizing).
+
+    ``zorder_by`` = [(col, lo, hi), ...] additionally sorts the rewritten
+    rows within each bucket by the Morton key (``io.zorder_key``) —
+    Delta ``OPTIMIZE ZORDER BY``: rows close in every listed dimension
+    co-locate, so parquet row-group min/max stats turn multi-column box
+    predicates into row-group skips inside each bucket. Pure layout
+    change: same contract, same bit-identical logical table."""
     import pyspark.sql.functions as F
 
     man = _read_manifest(table)
@@ -1620,6 +1629,16 @@ def optimize_bucketed(
         rows = _apply_dv(
             spark, _read_bucket_files(spark, man, paths), table, man, set(affected)
         ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
+        if zorder_by:
+            from semantic_index_spark.sources.io import zorder_key
+
+            # one task per rewritten bucket, rows z-ordered inside it —
+            # partitionBy then writes each bucket's file in z-key order
+            rows = rows.repartition(
+                max(len(affected), 1), F.col("__bucket")
+            ).sortWithinPartitions(
+                F.col("__bucket"), zorder_key(zorder_by, bits=zorder_bits)
+            )
     base = {
         "key_cols": keys,
         "n_buckets": n_buckets,

@@ -2453,3 +2453,98 @@ def test_rename_column_feed_and_clone_follow_mapping(spark, tmp_path):
     assert "pennies" in out.columns
     v0 = {(r["id"], r["pennies"]) for r in out.filter("_version = 0").collect()}
     assert v0 == {(1, 10), (2, 20)}
+
+
+def test_optimize_zorder_sorts_rewritten_buckets(spark, tmp_path):
+    """OPTIMIZE ZORDER: bit-identical logical table, and the rewritten
+    files hold rows in Morton-key order (the row-group skipping lever)."""
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources.io import zorder_key
+
+    tb = str(tmp_path / "zt")
+    rows = [(i, float(i % 10), float((i * 7) % 10)) for i in range(200)]
+    VER.create_bucketed(
+        spark.createDataFrame(rows, "id long, x double, y double"),
+        tb, ["id"], n_buckets=2,
+    )
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(7,), (8,)], "id long"))
+    before = sorted(map(tuple, VER.read_bucketed(spark, tb).collect()))
+    v = VER.optimize_bucketed(
+        spark, tb, buckets=[0, 1], zorder_by=[("x", 0.0, 10.0), ("y", 0.0, 10.0)]
+    )
+    after = sorted(map(tuple, VER.read_bucketed(spark, tb).collect()))
+    assert after == before  # logical table untouched
+    # each rewritten file is in z-key order (parquet preserves row order)
+    import os
+
+    import pyspark.sql.functions as F
+
+    for b in (0, 1):
+        bdir = os.path.join(tb, f"v={v}", f"__bucket={b}")
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert files
+        for f in files:
+            zk = [
+                r["zk"]
+                for r in spark.read.parquet(os.path.join(bdir, f))
+                .select(zorder_key([("x", 0.0, 10.0), ("y", 0.0, 10.0)]).alias("zk"))
+                .collect()
+            ]
+            assert zk == sorted(zk) and len(zk) > 1
+
+
+def test_concurrent_writers_stress_disjoint_keys(spark, tmp_path):
+    """Multi-writer OCC under real thread concurrency: 4 writers x 3
+    merges each on writer-private keys (mixture of rebases and
+    conflict-retries), one concurrent DV-deleting writer. The final state
+    is deterministic (keys are writer-private, per-writer order is
+    sequential) and every commit must land exactly once."""
+    import threading
+
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "st")
+    VER.create_bucketed(
+        spark.createDataFrame([(i, 0) for i in range(4)], "id long, val long"),
+        tb, ["id"], n_buckets=8,
+    )
+    errs = []
+
+    def writer(t):
+        try:
+            for i in range(3):
+                VER.retry_commit(
+                    lambda: VER.merge_into_bucketed(
+                        spark, tb,
+                        spark.createDataFrame([(100 + t, 10 * t + i)], "id long, val long"),
+                    ),
+                    attempts=20,
+                )
+        except Exception as e:  # surfaced after join
+            errs.append(e)
+
+    def deleter():
+        try:
+            VER.retry_commit(
+                lambda: VER.delete_bucketed(
+                    spark, tb, spark.createDataFrame([(2,)], "id long")
+                ),
+                attempts=20,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    threads.append(threading.Thread(target=deleter))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    # 13 commits landed: create + 12 merges + 1 delete
+    assert VER.current_version(tb) == 13
+    rows = {r["id"]: r["val"] for r in VER.read_bucketed(spark, tb).collect()}
+    # writer t's last merge wins its private key; base keys intact minus DV
+    for t in range(4):
+        assert rows[100 + t] == 10 * t + 2
+    assert 2 not in rows and rows[0] == 0 and rows[3] == 0
