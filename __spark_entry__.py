@@ -330,6 +330,22 @@ def q_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
 
 
+def q_hnsw_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batched HNSW serving (operators/hnsw.py hnsw_topk_multi): the query
+    # panel broadcasts once, every shard answers ALL queries from ONE
+    # graph load, and only n_shards*Q*k winners shuffle into the per-query
+    # window rank. ef=None → exhaustive traversal → exact, so the oracle
+    # is the brute-force per-query rank (knn_multi's shape).
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32)
+    queries = emb.filter(F.col("vec_id").isin(2, 4, 6)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return H.hnsw_topk_multi(idx, queries, k=KNN_K, ef=None)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join: each purchase gets the user's most recent view at or
     # before it. Union + keyed window — one shuffle, no range cross-product.
@@ -6268,6 +6284,7 @@ _DRIVER_WINDOW_R10 = [
     "hnsw_incremental",  # never-checked
     "versioned_feed",  # never-checked
     "rename_column",  # never-checked
+    "hnsw_multi",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6309,7 +6326,6 @@ _DRIVER_WINDOW_R10 = [
     "interval_overlap",  # last r4
     "label_centroids",  # last r5
     "text_stats",  # last r5
-    "media_stats",  # last r5
 ]
 
 
@@ -6326,14 +6342,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (295 queries / 50 per round).
+    driver row at most ~6 rounds stale (296 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 295 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 296 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6636,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_as_of": q_time_travel_as_of,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_incremental": q_hnsw_incremental,
+        "hnsw_multi": q_hnsw_multi,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -7175,6 +7192,18 @@ def oracle_sql() -> dict[str, str]:
                    round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 9)")}, 6) AS score
             FROM embeddings e
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hnsw_multi": f"""
+            WITH scored AS (
+                SELECT q.vec_id AS q_id, e.vec_id,
+                       round({_duck_dot("e.embedding", "q.embedding")}, 6) AS score
+                FROM embeddings e, embeddings q WHERE q.vec_id IN (2, 4, 6)
+            ), ranked AS (
+                SELECT q_id, vec_id, score,
+                       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= {KNN_K}
         """,
         "knn_cosine": f"""
             SELECT e.vec_id, round({dot_q1} / ({norm} * {qnorm}), 6) AS score

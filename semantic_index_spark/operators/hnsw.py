@@ -47,7 +47,7 @@ import math
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -407,9 +407,10 @@ def append_hnsw_index(
     )
 
 
-def _search_shard_pdf(pdf, q, k, ef):
-    """Search ONE shard's graph for one query; returns [(id, score)] of the
-    per-shard top-k (exact scores, HALF_UP-rounded to 6)."""
+def _load_shard(pdf):
+    """Reconstruct one shard's in-memory search state from its stored
+    rows: (vecs, adj_by_layer, entry_point, top_layer). The layer-0
+    connectivity chain is applied here (never persisted)."""
     import numpy as np
 
     ids = pdf["id"].to_numpy()
@@ -429,21 +430,27 @@ def _search_shard_pdf(pdf, q, k, ef):
     _chain_layer0(adj_by_layer[0], ids)
     # entry point: max level, then min id — derivable, not stored
     top = min(int(levels.max()), len(adj_by_layer) - 1)
-    entry_candidates = [int(ids[i]) for i in range(len(ids)) if levels[i] >= top]
-    ep = [min(entry_candidates)]
+    ep = min(int(ids[i]) for i in range(len(ids)) if levels[i] >= top)
+    return vecs, adj_by_layer, ep, top
+
+
+def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef):
+    """Answer one query against loaded shard state; returns [(id, score)]
+    of the per-shard top-k (exact scores, HALF_UP-rounded to 6)."""
     # ef=None → exhaustive: beam width = shard size never prunes, and the
     # base layer is connected by the builder's chain edges, so the
     # traversal provably visits EVERY node — exact result via the same
     # pointer-chasing code path the approximate mode uses.
-    beam = len(ids) if ef is None else max(ef, k)
+    beam = len(vecs) if ef is None else max(ef, k)
+    ep = [ep0]
     for layer in range(top, 0, -1):
         near = _search_layer(q, ep, 1, adj_by_layer[layer], vecs)
         if near:
             ep = [near[0][1]]
     scored = _search_layer(q, ep, beam, adj_by_layer[0], vecs)
-    if ef is None and len(scored) != len(ids):  # pragma: no cover
+    if ef is None and len(scored) != len(vecs):  # pragma: no cover
         raise AssertionError(
-            f"exhaustive HNSW traversal visited {len(scored)}/{len(ids)} "
+            f"exhaustive HNSW traversal visited {len(scored)}/{len(vecs)} "
             "nodes — base layer not connected (corrupt index?)"
         )
     out = []
@@ -451,6 +458,12 @@ def _search_shard_pdf(pdf, q, k, ef):
         s = -d
         out.append((i, math.copysign(math.floor(abs(s) * 1e6 + 0.5) / 1e6, s)))
     return out
+
+
+def _search_shard_pdf(pdf, q, k, ef):
+    """Search ONE shard's graph for one query; returns [(id, score)]."""
+    vecs, adj_by_layer, ep, top = _load_shard(pdf)
+    return _query_shard(vecs, adj_by_layer, ep, top, q, k, ef)
 
 
 def hnsw_topk(
@@ -491,3 +504,70 @@ def hnsw_topk_indexed(
 ) -> DataFrame:
     """Search a persisted :func:`write_hnsw_index` layout."""
     return hnsw_topk(spark.read.parquet(path), query, k=k, ef=ef)
+
+
+def hnsw_topk_multi(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int | None = 64,
+    q_id_col: str = "q_id",
+    q_emb_col: str = "q_embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Batched scatter-gather — the HNSW twin of ``similarity.topk_multi``:
+    the Q-row query panel ships ONCE per executor via
+    ``SparkContext.broadcast`` and every shard answers ALL queries from a
+    single graph load (the adjacency reconstruction — the expensive part
+    of a shard visit — amortizes across the whole panel instead of
+    repeating per query). Only the ≤ n_shards·Q·k per-shard winners ever
+    shuffle; a window over them ranks per query. Columns:
+    ``(q_id, vec_id, score, rank)``."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from semantic_index_spark.session import collect_bounded
+
+    q_rows = collect_bounded(
+        queries.select(q_id_col, q_emb_col), max_queries, "hnsw_topk_multi query set"
+    )
+    out_schema = StructType(
+        [
+            StructField(q_id_col, queries.schema[q_id_col].dataType),
+            StructField("vec_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    spark = index.sparkSession
+    if not q_rows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).limit(0)
+    panel = [(r[q_id_col], [float(x) for x in r[q_emb_col]]) for r in q_rows]
+    bpanel = spark.sparkContext.broadcast(panel)
+
+    def _search(pdf):
+        import numpy as np
+
+        vecs, adj, ep, top = _load_shard(pdf)
+        qids, out_ids, scores = [], [], []
+        for qid, qv in bpanel.value:
+            for i, s in _query_shard(
+                vecs, adj, ep, top, np.asarray(qv, dtype=np.float64), k, ef
+            ):
+                qids.append(qid)
+                out_ids.append(i)
+                scores.append(s)
+        return pd.DataFrame({q_id_col: qids, "vec_id": out_ids, "score": scores})
+
+    per_shard = index.groupBy("shard").applyInPandas(_search, out_schema)
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(q_id_col, "rank")
+    )

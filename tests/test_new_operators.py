@@ -2848,3 +2848,34 @@ def test_hnsw_append_duplicate_id_raises(spark, tmp_path):
             spark.createDataFrame([(3, [9.0, 1.0])], "vec_id long, embedding array<double>"),
             path,
         )
+
+
+def test_hnsw_topk_multi_matches_per_query_search(spark, sf_dir):
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir)
+    idx = H.build_hnsw(emb, n_shards=4, m=6, ef_construction=24).localCheckpoint()
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    multi = H.hnsw_topk_multi(idx, queries, k=5, ef=None).collect()
+    assert len(multi) == 15
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+    for qid in (0, 1, 2):
+        q = emb.filter(f"vec_id = {qid}").collect()[0]["embedding"]
+        single = [
+            (i + 1, r["vec_id"], r["score"])
+            for i, r in enumerate(H.hnsw_topk(idx, q, k=5, ef=None).collect())
+        ]
+        assert sorted(by_q[qid]) == single
+    # exact parity with brute force multi-query
+    exact = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in S.topk_multi(emb, queries, k=5).collect()
+    }
+    got = {(r["q_id"], r["rank"]): (r["vec_id"], r["score"]) for r in multi}
+    assert got == exact
+    # empty panel → empty result, stable schema
+    assert H.hnsw_topk_multi(idx, queries.limit(0), k=5).count() == 0
