@@ -346,6 +346,21 @@ def q_hnsw_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.hnsw_topk_multi(idx, queries, k=KNN_K, ef=None)
 
 
+def q_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metadata-filtered HNSW (operators/hnsw.py hnsw_topk_filtered): the
+    # attribute predicate's surviving ids broadcast as a set; the graph
+    # traversal keeps disallowed nodes as routing waypoints (carving them
+    # out severs small-world paths) but only allowed nodes rank. ef=None
+    # → exhaustive → exactly the brute-force filtered top-k (the oracle).
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    idx = H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    return H.hnsw_topk_filtered(idx, allowed, q, k=KNN_K, ef=None)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join: each purchase gets the user's most recent view at or
     # before it. Union + keyed window — one shuffle, no range cross-product.
@@ -6285,6 +6300,7 @@ _DRIVER_WINDOW_R10 = [
     "versioned_feed",  # never-checked
     "rename_column",  # never-checked
     "hnsw_multi",  # never-checked
+    "hnsw_filtered",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6325,7 +6341,6 @@ _DRIVER_WINDOW_R10 = [
     "embedding_covariance",  # last r4
     "interval_overlap",  # last r4
     "label_centroids",  # last r5
-    "text_stats",  # last r5
 ]
 
 
@@ -6342,14 +6357,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (296 queries / 50 per round).
+    driver row at most ~6 rounds stale (297 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 296 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 297 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6653,6 +6668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_topk": q_hnsw_topk,
         "hnsw_incremental": q_hnsw_incremental,
         "hnsw_multi": q_hnsw_multi,
+        "hnsw_filtered": q_hnsw_filtered,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -7191,6 +7207,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id,
                    round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 9)")}, 6) AS score
             FROM embeddings e
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hnsw_filtered": f"""
+            SELECT e.vec_id,
+                   round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 1)")}, 6) AS score
+            FROM embeddings e
+            WHERE e.label = 3
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
         """,
         "hnsw_multi": f"""

@@ -434,9 +434,13 @@ def _load_shard(pdf):
     return vecs, adj_by_layer, ep, top
 
 
-def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef):
+def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef, allowed=None):
     """Answer one query against loaded shard state; returns [(id, score)]
-    of the per-shard top-k (exact scores, HALF_UP-rounded to 6)."""
+    of the per-shard top-k (exact scores, HALF_UP-rounded to 6).
+    ``allowed`` (a set) restricts which nodes may RANK — the traversal
+    still walks the full graph (disallowed nodes remain routing waypoints;
+    deleting them would sever small-world paths, the classic filtered-ANN
+    failure), it just never emits them."""
     # ef=None → exhaustive: beam width = shard size never prunes, and the
     # base layer is connected by the builder's chain edges, so the
     # traversal provably visits EVERY node — exact result via the same
@@ -453,6 +457,8 @@ def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef):
             f"exhaustive HNSW traversal visited {len(scored)}/{len(vecs)} "
             "nodes — base layer not connected (corrupt index?)"
         )
+    if allowed is not None:
+        scored = [(d, i) for d, i in scored if i in allowed]
     out = []
     for d, i in scored[:k]:
         s = -d
@@ -504,6 +510,57 @@ def hnsw_topk_indexed(
 ) -> DataFrame:
     """Search a persisted :func:`write_hnsw_index` layout."""
     return hnsw_topk(spark.read.parquet(path), query, k=k, ef=ef)
+
+
+def hnsw_topk_filtered(
+    index: DataFrame,
+    allowed: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    ef: int | None = 64,
+    id_col: str = "vec_id",
+    max_allowed: int = 1_000_000,
+) -> DataFrame:
+    """Metadata-FILTERED HNSW search — the query production vector systems
+    struggle with: ``allowed`` is the id set surviving the attribute
+    predicate (computed by any relational plan — pushed-down scan, join,
+    whatever). The graph traversal still walks ALL nodes — disallowed
+    nodes keep serving as routing waypoints, because carving them out of
+    the graph severs the small-world paths that make HNSW work (the
+    classic filtered-ANN failure mode: low-selectivity filters strand the
+    beam) — but only allowed nodes may rank. With a real beam, raise
+    ``ef`` as the filter gets more selective (the candidate pool thins);
+    with ``ef=None`` the exhaustive traversal makes the result EXACTLY
+    the brute-force filtered top-k (the registry's hash-checked
+    contract). The allowed set broadcasts as a plain Python set — ids,
+    not vectors, so even 10^6 survivors are a few MB."""
+    import numpy as np
+    import pandas as pd
+
+    from semantic_index_spark.session import collect_bounded
+
+    rows = collect_bounded(
+        allowed.select(id_col).distinct(), max_allowed, "hnsw_topk_filtered allowed set"
+    )
+    allowed_set = {int(r[id_col]) for r in rows}
+    qv = np.asarray([float(x) for x in query], dtype=np.float64)
+    spark = index.sparkSession
+    out_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("score", DoubleType())]
+    )
+    if not allowed_set:
+        return spark.createDataFrame([], out_schema)
+    ballowed = spark.sparkContext.broadcast(allowed_set)
+
+    def _search(pdf):
+        vecs, adj, ep, top = _load_shard(pdf)
+        hits = _query_shard(vecs, adj, ep, top, qv, k, ef, allowed=ballowed.value)
+        return pd.DataFrame(
+            {"vec_id": [i for i, _ in hits], "score": [s for _, s in hits]}
+        )
+
+    per_shard = index.groupBy("shard").applyInPandas(_search, out_schema)
+    return per_shard.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
 def hnsw_topk_multi(

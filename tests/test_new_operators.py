@@ -2879,3 +2879,33 @@ def test_hnsw_topk_multi_matches_per_query_search(spark, sf_dir):
     assert got == exact
     # empty panel → empty result, stable schema
     assert H.hnsw_topk_multi(idx, queries.limit(0), k=5).count() == 0
+
+
+def test_hnsw_topk_filtered_exact_and_waypoint_routing(spark, sf_dir):
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir)
+    full = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    idx = H.build_hnsw(emb, n_shards=4, m=6, ef_construction=24).localCheckpoint()
+    allowed = full.filter("label = 3").select("vec_id")
+    got = [
+        (r["vec_id"], r["score"])
+        for r in H.hnsw_topk_filtered(idx, allowed, q, k=5, ef=None).collect()
+    ]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in S.topk(
+            emb.join(allowed, "vec_id", "left_semi"), q, k=5
+        ).collect()
+    ]
+    assert got == want and len(got) == 5
+    # every hit satisfies the predicate
+    lbls = {r["vec_id"] for r in full.filter("label = 3").collect()}
+    assert all(v in lbls for v, _ in got)
+    # empty allowed set → empty result
+    assert H.hnsw_topk_filtered(idx, allowed.limit(0), q, k=5).count() == 0
+    # real-beam path returns only allowed rows too (recall probabilistic,
+    # membership exact)
+    beam = H.hnsw_topk_filtered(idx, allowed, q, k=5, ef=64).collect()
+    assert beam and all(r["vec_id"] in lbls for r in beam)
