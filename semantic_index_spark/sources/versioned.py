@@ -1521,6 +1521,82 @@ def rename_column(table: str, old: str, new: str) -> int:
     return final
 
 
+def table_history(table: str) -> list[dict]:
+    """``DESCRIBE HISTORY``: one dict per retained commit, newest first —
+    version, commit wall-time (from the side ledger; None for versions
+    recorded before timestamp tracking), whether the version is still
+    readable (not expired), and for bucketed tables the commit's shape
+    (buckets owned, DV lists touched, schema width, caller ``meta``).
+    Pure driver-side metadata reads — no Spark job, O(retained
+    versions)."""
+    cur = current_version(table)
+    if cur is None:
+        return []
+    try:
+        with open(_commit_ts_path(table)) as f:
+            ts_map = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        ts_map = {}
+    out = []
+    for v in range(cur, -1, -1):
+        entry: dict = {
+            "version": v,
+            "timestamp": ts_map.get(str(v)),
+            "readable": os.path.isdir(os.path.join(table, f"v={v}"))
+            or os.path.exists(_manifest_path(table, v)),
+        }
+        if os.path.exists(_manifest_path(table, v)):
+            man = _read_manifest(table, v)
+            owned = sorted(
+                int(b) for b, o in man["buckets"].items() if o == v
+            )
+            entry.update(
+                {
+                    "buckets_written": owned,
+                    "dv_buckets": sorted(
+                        int(b) for b, vs in man.get("dv", {}).items() if v in vs
+                    ),
+                    "n_columns": len(json.loads(man["schema"])["fields"]),
+                    "meta": man.get("meta", {}),
+                }
+            )
+        out.append(entry)
+    return out
+
+
+def maintenance_status(table: str, small_file_bytes: int = 8 * 1024 * 1024) -> dict:
+    """The OPTIMIZE advisor: per-bucket file counts, small-file counts,
+    and outstanding deletion-vector backlog for the current version of a
+    bucketed table — the numbers an auto-compaction policy triggers on
+    (Delta's optimize-candidates heuristics). Driver-side listing only;
+    at object-store scale this is the manifest walk a maintenance daemon
+    already does. Returns ``{bucket: {files, small_files, bytes,
+    dv_versions}}`` plus a ``candidates`` list (buckets with DVs or >1
+    file, the ones :func:`optimize_bucketed` would visit)."""
+    man = _read_manifest(table, None)
+    stats: dict = {}
+    for b, owner in man["buckets"].items():
+        if owner is None:
+            continue
+        bdir = os.path.join(table, f"v={owner}", f"__bucket={b}")
+        files = [
+            f
+            for f in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+            if f.endswith(".parquet")
+        ]
+        sizes = [os.path.getsize(os.path.join(bdir, f)) for f in files]
+        stats[int(b)] = {
+            "files": len(files),
+            "small_files": sum(1 for s in sizes if s < small_file_bytes),
+            "bytes": sum(sizes),
+            "dv_versions": len(man.get("dv", {}).get(b, [])),
+        }
+    candidates = sorted(
+        b for b, s in stats.items() if s["dv_versions"] > 0 or s["files"] > 1
+    )
+    return {"buckets": stats, "candidates": candidates}
+
+
 def maintain_group_agg(
     base: DataFrame,
     changes: DataFrame,

@@ -2548,3 +2548,39 @@ def test_concurrent_writers_stress_disjoint_keys(spark, tmp_path):
     for t in range(4):
         assert rows[100 + t] == 10 * t + 2
     assert 2 not in rows and rows[0] == 0 and rows[3] == 0
+
+
+def test_table_history_and_maintenance_status(spark, tmp_path):
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "ht")
+    VER.create_bucketed(
+        spark.createDataFrame([(i, 0) for i in range(8)], "id long, val long"),
+        tb, ["id"], n_buckets=4,
+    )
+    VER.merge_into_bucketed(
+        spark, tb,
+        spark.createDataFrame([(1, 5)], "id long, val long"),
+        meta={"job": "nightly"},
+    )
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(2,)], "id long"))
+    h = VER.table_history(tb)
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert all(e["readable"] and e["timestamp"] is not None for e in h)
+    assert h[1]["meta"] == {"job": "nightly"}
+    assert len(h[1]["buckets_written"]) == 1       # merge touched 1 bucket
+    assert h[0]["buckets_written"] == []           # DV-only commit
+    assert len(h[0]["dv_buckets"]) == 1
+    assert h[2]["n_columns"] == 2
+    ms = VER.maintenance_status(tb)
+    dv_b = h[0]["dv_buckets"][0]
+    assert ms["buckets"][dv_b]["dv_versions"] == 1
+    assert dv_b in ms["candidates"]
+    # after OPTIMIZE the DV backlog clears
+    VER.optimize_bucketed(spark, tb)
+    ms2 = VER.maintenance_status(tb)
+    assert ms2["buckets"][dv_b]["dv_versions"] == 0
+    # history survives expiry markers: expire then re-read
+    VER.expire_bucketed(tb, keep_manifests=1)
+    h2 = VER.table_history(tb)
+    assert h2[0]["version"] == 3

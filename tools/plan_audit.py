@@ -681,6 +681,15 @@ AUDITS = {
         "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "hnsw_filtered": {
+        "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    # multi-query merge is a per-query window rank over n_shards*Q*k rows
+    "hnsw_multi": {
+        "expect": ["FlatMapGroupsInPandas", "Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     # hidden partitioning: source predicates must land on partition
     # columns (PartitionFilters) — pruning at planning time, not row filters
     "hidden_partition_prune": {"expect": ["PartitionFilters: ["], "forbid": ["CartesianProduct"]},
