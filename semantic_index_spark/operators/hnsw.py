@@ -298,6 +298,7 @@ def append_hnsw_index(
     path: str,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    epoch_id: int | None = None,
 ) -> None:
     """Incremental HNSW maintenance — the graph twin of the IVF family's
     ``append_*`` operators: route the NEW ingest batch to its hash shards,
@@ -314,14 +315,21 @@ def append_hnsw_index(
     (standard HNSW insertion-order sensitivity — documented, not hidden).
     Build parameters come from the layout's frozen ``_hnsw_meta.json``;
     duplicate ids are an error, not a silent double-insert. Appends are
-    SINGLE-WRITER per layout (no epoch ledger — two concurrent appends to
-    the same shard would last-write-win); serialize appends per index,
-    the same contract as rebuilding any search index."""
+    SINGLE-WRITER per layout (no partition-level idempotency — the graph
+    is STATEFUL, so a replayed batch cannot simply overwrite its own
+    partitions the way the IVF epochs do); serialize appends per index.
+    For streaming exactly-once, pass ``epoch_id``: applied epochs are
+    recorded in the meta file and a re-delivered epoch is SKIPPED — the
+    replay ledger that replaces partition idempotency for stateful
+    structures (see :func:`incremental_hnsw_sink` in streaming.ingest)."""
     import json
     import math as _math
+    import os
 
     with open(_meta_path(path)) as f:
         meta = json.load(f)
+    if epoch_id is not None and epoch_id in meta.get("applied_epochs", []):
+        return  # replayed micro-batch: already folded into the graph
     n_shards, m = meta["n_shards"], meta["m"]
     ef_construction, seed = meta["ef_construction"], meta["seed"]
     spark = new_df.sparkSession
@@ -405,6 +413,15 @@ def append_hnsw_index(
         .partitionBy("shard")
         .parquet(path)
     )
+    if epoch_id is not None:
+        # record AFTER the data lands: a crash in between re-applies the
+        # epoch on replay, which the duplicate-id check turns into a loud
+        # error rather than a silent double-insert
+        meta.setdefault("applied_epochs", []).append(int(epoch_id))
+        tmp = _meta_path(path) + ".__tmp__"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, _meta_path(path))
 
 
 def _load_shard(pdf):

@@ -713,6 +713,32 @@ def incremental_ivfsq_sink(
     return _apply
 
 
+def incremental_hnsw_sink(
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming HNSW maintenance riding ``foreachBatch`` — completes
+    incremental maintenance across ALL FOUR served ANN layouts (IVF-flat/
+    PQ/SQ8 use epoch-partition overwrite; the graph is STATEFUL, so this
+    one replaces partition idempotency with a replay LEDGER): each
+    micro-batch resumes the insertion procedure inside only the shards it
+    touches (``hnsw.append_hnsw_index``), and the applied epoch id is
+    recorded in the layout's meta file — a re-delivered micro-batch is
+    skipped, so restart/replay is exactly-once. Appends stay
+    single-writer per layout (the append contract); retraining (m /
+    ef_construction / seed) remains the one rebuild event. Returns the
+    ``foreachBatch`` callback."""
+    from semantic_index_spark.operators import hnsw as H
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        H.append_hnsw_index(
+            batch_df, path, id_col=id_col, emb_col=emb_col, epoch_id=int(epoch_id)
+        )
+
+    return _apply
+
+
 def incremental_sample_sink(path: str, key_col: str, payload_cols: list[str], k: int = 512):
     """Uniform-sample maintenance across micro-batches: keep the k rows
     with the globally smallest md5(key) ranks ever streamed

@@ -2909,3 +2909,37 @@ def test_hnsw_topk_filtered_exact_and_waypoint_routing(spark, sf_dir):
     # membership exact)
     beam = H.hnsw_topk_filtered(idx, allowed, q, k=5, ef=64).collect()
     assert beam and all(r["vec_id"] in lbls for r in beam)
+
+
+def test_hnsw_sink_epoch_replay_idempotent(spark, sf_dir, tmp_path):
+    """Streaming HNSW maintenance: a re-delivered epoch is skipped via the
+    meta-file ledger (exactly-once for a STATEFUL structure), and the
+    final graph equals applying each epoch once."""
+    from semantic_index_spark.operators import hnsw as H
+    from semantic_index_spark.streaming.ingest import incremental_hnsw_sink
+
+    emb = _hnsw_corpus(spark, sf_dir).filter("vec_id < 150")
+    path = str(tmp_path / "hnsw_stream")
+    H.write_hnsw_index(
+        H.build_hnsw(emb.filter("vec_id < 100"), n_shards=3, m=4, ef_construction=16),
+        path, n_shards=3, m=4, ef_construction=16,
+    )
+    sink = incremental_hnsw_sink(path)
+    b1 = emb.filter("vec_id >= 100 AND vec_id < 125")
+    b2 = emb.filter("vec_id >= 125")
+    sink(b1, 0)
+    sink(b1, 0)  # replayed epoch: skipped (duplicate ids would error)
+    sink(b2, 1)
+    sink(b2, 1)
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "max_level", "neighbors").collect())
+    )
+    want = sorted(
+        map(tuple,
+            H.build_hnsw(emb, n_shards=3, m=4, ef_construction=16)
+            .select("id", "max_level", "neighbors").collect())
+    )
+    assert got == want
+    import json
+    with open(path + "/_hnsw_meta.json") as f:
+        assert json.load(f)["applied_epochs"] == [0, 1]
