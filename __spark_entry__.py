@@ -4751,6 +4751,123 @@ def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_table_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + generated columns end-to-end
+    (``sources/versioned.py``, r10): the table is created with a
+    constraint AND a generated column; a merge OMITS the generated column
+    (it must be computed) and a second merge PROVIDES the correct value
+    (it must pass validation) — then the constraint catches a violating
+    batch, whose commit must publish NOTHING (the output would carry the
+    poisoned row if it did). The oracle recomputes the final state with
+    the generated expression inline, so a wrong compute, a silently
+    dropped constraint (the DV-shedding regression class), or a leaked
+    rejected batch breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 120).select(
+        F.col("c_custkey").alias("id"),
+        F.abs(F.round(F.col("c_acctbal") * 100).cast("long")).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="tbl_meta_")
+    try:
+        tbl = os.path.join(tmp, "t")
+        VER.create_bucketed(
+            base, tbl, ["id"], n_buckets=8,
+            constraints={"nonneg": "cents >= 0"},
+            generated={"dollars": "cents div 100"},
+        )
+        # omitted generated column → computed
+        VER.merge_into_bucketed(
+            spark, tbl,
+            base.filter(F.col("id") % 4 == 0).select(
+                "id", (F.col("cents") + 250).alias("cents")
+            ),
+        )
+        # provided generated column (correct) → validated and accepted
+        VER.merge_into_bucketed(
+            spark, tbl,
+            base.filter(F.col("id") % 9 == 0).select(
+                "id",
+                (F.col("cents") + 100).alias("cents"),
+                F.expr("(cents + 100) div 100").alias("dollars"),
+            ),
+        )
+        # violating batch: rejected, NOTHING published
+        try:
+            VER.merge_into_bucketed(
+                spark, tbl,
+                spark.createDataFrame([(1, -5)], "id long, cents long"),
+            )
+            raise AssertionError("constraint did not fire")
+        except VER.ConstraintViolationError:
+            pass
+        out = (
+            VER.read_bucketed(spark, tbl)
+            .orderBy("id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DROP COLUMN end-to-end (``sources/versioned.py
+    drop_column``, r10): a three-column table merges, drops a payload
+    column (zero bucket rewrites — old files keep the bytes, reads
+    project them away), merges again narrow, and the output joins the
+    narrow current state with the dropped column read via TIME TRAVEL to
+    the pre-drop version — proving the drop is metadata-only (the data
+    still exists at v1) AND the current schema is narrow. The oracle
+    recomputes both relationally."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 100).select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.col("c_name").alias("name"),
+    )
+    tmp = tempfile.mkdtemp(prefix="drop_col_")
+    try:
+        tbl = os.path.join(tmp, "t")
+        VER.create_bucketed(base, tbl, ["id"], n_buckets=8)  # v0
+        VER.merge_into_bucketed(
+            spark, tbl,
+            base.filter(F.col("id") % 6 == 0).select(
+                "id", (F.col("cents") + 1).alias("cents"), "name"
+            ),
+        )  # v1
+        VER.drop_column(tbl, "name")  # v2: metadata-only
+        assert VER.read_bucketed(spark, tbl).columns == ["id", "cents"]
+        VER.merge_into_bucketed(
+            spark, tbl,
+            base.filter(F.col("id") % 10 == 0).select(
+                "id", (F.col("cents") + 2).alias("cents")
+            ),
+        )  # v3: narrow merge
+        old = VER.read_bucketed(spark, tbl, version=1).select(
+            "id", F.col("name").alias("dropped_name")
+        )
+        out = (
+            VER.read_bucketed(spark, tbl)
+            .join(old, "id")
+            .select("id", "cents", "dropped_name")
+            .orderBy("id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-count zone maps end-to-end (``sources/skipping.py``, r10):
     documents gain a genuinely-nullable derived column (``lang`` nulled
@@ -6301,6 +6418,8 @@ _DRIVER_WINDOW_R10 = [
     "rename_column",  # never-checked
     "hnsw_multi",  # never-checked
     "hnsw_filtered",  # never-checked
+    "table_metadata",  # never-checked
+    "drop_column",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6339,8 +6458,6 @@ _DRIVER_WINDOW_R10 = [
     "mad_outliers",  # last r4
     "profile_docs",  # last r4
     "embedding_covariance",  # last r4
-    "interval_overlap",  # last r4
-    "label_centroids",  # last r5
 ]
 
 
@@ -6357,14 +6474,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (297 queries / 50 per round).
+    driver row at most ~6 rounds stale (299 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 297 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 299 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6663,6 +6780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_schema_evolution": q_merge_schema_evolution,
         "restore_clone": q_restore_clone,
         "rename_column": q_rename_column,
+        "table_metadata": q_table_metadata,
+        "drop_column": q_drop_column,
         "null_skipping": q_null_skipping,
         "time_travel_as_of": q_time_travel_as_of,
         "hnsw_topk": q_hnsw_topk,
@@ -10449,6 +10568,35 @@ def oracle_sql() -> dict[str, str]:
                    m.action
             FROM merged m LEFT JOIN target t ON m.doc_id = t.doc_id
             ORDER BY m.doc_id
+        """,
+        "table_metadata": """
+            WITH base AS (
+                SELECT c_custkey AS id,
+                       CAST(abs(round(c_acctbal * 100)) AS BIGINT) AS cents
+                FROM customer WHERE c_custkey <= 120
+            )
+            SELECT id,
+                   CASE WHEN id % 9 = 0 THEN cents + 100
+                        WHEN id % 4 = 0 THEN cents + 250
+                        ELSE cents END AS cents,
+                   (CASE WHEN id % 9 = 0 THEN cents + 100
+                         WHEN id % 4 = 0 THEN cents + 250
+                         ELSE cents END) // 100 AS dollars
+            FROM base ORDER BY id
+        """,
+        "drop_column": """
+            WITH base AS (
+                SELECT c_custkey AS id,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       c_name AS name
+                FROM customer WHERE c_custkey <= 100
+            )
+            SELECT id,
+                   CASE WHEN id % 10 = 0 THEN cents + 2
+                        WHEN id % 6 = 0 THEN cents + 1
+                        ELSE cents END AS cents,
+                   name AS dropped_name
+            FROM base ORDER BY id
         """,
         "null_skipping": """
             WITH d AS (
