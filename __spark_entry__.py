@@ -361,6 +361,39 @@ def q_hnsw_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.hnsw_topk_filtered(idx, allowed, q, k=KNN_K, ef=None)
 
 
+def q_hnsw_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming HNSW maintenance (streaming/ingest.py incremental_hnsw_sink):
+    # base graph from 1/2 the corpus, the rest lands as 2 foreachBatch
+    # epochs — epoch 0 REPLAYED to prove the meta-file ledger skips it
+    # (exactly-once for a stateful structure; a double-insert would crash
+    # on duplicate ids, a lost batch would break the oracle hash). The
+    # exhaustive serve proves the final graph covers the whole corpus.
+    import tempfile
+
+    from semantic_index_spark.operators import hnsw as H
+    from semantic_index_spark.streaming.ingest import incremental_hnsw_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.5)").alias("c")).collect()[0]["c"]
+    hi = emb.agg(F.expr("percentile(vec_id, 0.75)").alias("c")).collect()[0]["c"]
+    q = emb.filter(F.col("vec_id") == 11).select("embedding").collect()[0][0]
+    path = tempfile.mkdtemp(prefix="hnsw_stream_") + "/idx"
+    H.write_hnsw_index(
+        H.build_hnsw(emb.filter(F.col("vec_id") <= cut), n_shards=4, m=8, ef_construction=32),
+        path,
+        n_shards=4,
+        m=8,
+        ef_construction=32,
+    )
+    sink = incremental_hnsw_sink(path)
+    b0 = emb.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= hi))
+    b1 = emb.filter(F.col("vec_id") > hi)
+    sink(b0, 0)
+    sink(b0, 0)  # replayed epoch: ledger-skipped
+    sink(b1, 1)
+    return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join: each purchase gets the user's most recent view at or
     # before it. Union + keyed window — one shuffle, no range cross-product.
@@ -6420,6 +6453,7 @@ _DRIVER_WINDOW_R10 = [
     "hnsw_filtered",  # never-checked
     "table_metadata",  # never-checked
     "drop_column",  # never-checked
+    "hnsw_streaming",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6457,7 +6491,6 @@ _DRIVER_WINDOW_R10 = [
     "psi_drift",  # last r4
     "mad_outliers",  # last r4
     "profile_docs",  # last r4
-    "embedding_covariance",  # last r4
 ]
 
 
@@ -6474,14 +6507,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (299 queries / 50 per round).
+    driver row at most ~6 rounds stale (300 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 299 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 300 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6788,6 +6821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_incremental": q_hnsw_incremental,
         "hnsw_multi": q_hnsw_multi,
         "hnsw_filtered": q_hnsw_filtered,
+        "hnsw_streaming": q_hnsw_streaming,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -7325,6 +7359,12 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_incremental": f"""
             SELECT e.vec_id,
                    round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 9)")}, 6) AS score
+            FROM embeddings e
+            ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hnsw_streaming": f"""
+            SELECT e.vec_id,
+                   round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 11)")}, 6) AS score
             FROM embeddings e
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
         """,
