@@ -291,15 +291,24 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 5).select("embedding").collect()[0][0]
-    path = tempfile.mkdtemp(prefix="hnsw_idx_") + "/idx"
-    H.write_hnsw_index(
-        H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32),
-        path,
-        n_shards=4,
-        m=8,
-        ef_construction=32,
-    )
-    return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="hnsw_idx_")
+    try:
+        path = tmp + "/idx"
+        H.write_hnsw_index(
+            H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32),
+            path,
+            n_shards=4,
+            m=8,
+            ef_construction=32,
+        )
+        out = H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,16 +327,25 @@ def q_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cut = emb.agg(F.expr("percentile(vec_id, 0.66)").alias("c")).collect()[0]["c"]
     q = emb.filter(F.col("vec_id") == 9).select("embedding").collect()[0][0]
-    path = tempfile.mkdtemp(prefix="hnsw_inc_") + "/idx"
-    H.write_hnsw_index(
-        H.build_hnsw(emb.filter(F.col("vec_id") <= cut), n_shards=4, m=8, ef_construction=32),
-        path,
-        n_shards=4,
-        m=8,
-        ef_construction=32,
-    )
-    H.append_hnsw_index(emb.filter(F.col("vec_id") > cut), path)
-    return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="hnsw_inc_")
+    try:
+        path = tmp + "/idx"
+        H.write_hnsw_index(
+            H.build_hnsw(emb.filter(F.col("vec_id") <= cut), n_shards=4, m=8, ef_construction=32),
+            path,
+            n_shards=4,
+            m=8,
+            ef_construction=32,
+        )
+        H.append_hnsw_index(emb.filter(F.col("vec_id") > cut), path)
+        out = H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_hnsw_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,21 +395,30 @@ def q_hnsw_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = emb.agg(F.expr("percentile(vec_id, 0.5)").alias("c")).collect()[0]["c"]
     hi = emb.agg(F.expr("percentile(vec_id, 0.75)").alias("c")).collect()[0]["c"]
     q = emb.filter(F.col("vec_id") == 11).select("embedding").collect()[0][0]
-    path = tempfile.mkdtemp(prefix="hnsw_stream_") + "/idx"
-    H.write_hnsw_index(
-        H.build_hnsw(emb.filter(F.col("vec_id") <= cut), n_shards=4, m=8, ef_construction=32),
-        path,
-        n_shards=4,
-        m=8,
-        ef_construction=32,
-    )
-    sink = incremental_hnsw_sink(path)
-    b0 = emb.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= hi))
-    b1 = emb.filter(F.col("vec_id") > hi)
-    sink(b0, 0)
-    sink(b0, 0)  # replayed epoch: ledger-skipped
-    sink(b1, 1)
-    return H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None)
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="hnsw_stream_")
+    try:
+        path = tmp + "/idx"
+        H.write_hnsw_index(
+            H.build_hnsw(emb.filter(F.col("vec_id") <= cut), n_shards=4, m=8, ef_construction=32),
+            path,
+            n_shards=4,
+            m=8,
+            ef_construction=32,
+        )
+        sink = incremental_hnsw_sink(path)
+        b0 = emb.filter((F.col("vec_id") > cut) & (F.col("vec_id") <= hi))
+        b1 = emb.filter(F.col("vec_id") > hi)
+        sink(b0, 0)
+        sink(b0, 0)  # replayed epoch: ledger-skipped
+        sink(b1, 1)
+        out = H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
