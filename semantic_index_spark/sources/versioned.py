@@ -815,14 +815,14 @@ def _commit_bucketed(
         }
         if dv:
             manifest["dv"] = dv
-        # constraints / generated columns / column mapping are table
-        # metadata: inherited from the manifest the commit lands on (the
-        # winner's under a rebase — an add_constraint that won
-        # concurrently keeps governing)
-        for meta_key in ("constraints", "generated", "colmap"):
+        # constraints / generated columns / column mapping / retired
+        # physical names are table metadata: inherited from the manifest
+        # the commit lands on (the winner's under a rebase — an
+        # add_constraint that won concurrently keeps governing)
+        for meta_key in ("constraints", "generated", "colmap", "retired_cols"):
             val = (base_man or {}).get(meta_key) or manifest.get(meta_key)
             if val:
-                manifest[meta_key] = dict(val)
+                manifest[meta_key] = dict(val) if isinstance(val, dict) else list(val)
         return manifest
 
     final, _ = _publish_bucketed(table, staged, read_man, affected, build)
@@ -1034,12 +1034,15 @@ def merge_into_bucketed(
         source, data_cols, [op_col] if op_col else [], schema_evolution,
         "merge_into_bucketed",
     )
-    retired = set(_colmap(man).values())  # physical names held by renamed cols
+    # physical names held by renamed columns AND tombstoned by drops:
+    # re-introducing either would read stale bytes out of untouched files
+    retired = set(_colmap(man).values()) | set(man.get("retired_cols", []))
     clash = [f.name for f in added if f.name in retired]
     if clash:
         raise ValueError(
             f"merge_into_bucketed: added column(s) {clash} collide with the "
-            "frozen PHYSICAL name of a renamed column — pick different names"
+            "frozen PHYSICAL name of a renamed or dropped column — old files "
+            "still hold those bytes; pick different names"
         )
     new_schema = json.loads(man["schema"])
     new_schema["fields"].extend(f.jsonValue() for f in added)
@@ -1155,9 +1158,10 @@ def delete_bucketed(
         }
         # table metadata rides every commit — without this a DV delete
         # would silently SHED the table's constraints/generated columns
-        for meta_key in ("constraints", "generated", "colmap"):
-            if base_man.get(meta_key):
-                out[meta_key] = dict(base_man[meta_key])
+        for meta_key in ("constraints", "generated", "colmap", "retired_cols"):
+            val = base_man.get(meta_key)
+            if val:
+                out[meta_key] = dict(val) if isinstance(val, dict) else list(val)
         return out
 
     # conditional on `man`; a concurrent commit touching only OTHER
@@ -1443,6 +1447,12 @@ def drop_column(table: str, col: str) -> int:
                     f"{name!r} ({expr}) — drop that first"
                 )
     schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+    # the dropped column's PHYSICAL name is retired forever: untouched
+    # buckets' files still hold its bytes, so re-introducing the name via
+    # evolution or rename would RESURRECT deleted data into the new
+    # column on manifest-schema reads (Delta avoids this with col-uuid
+    # physical ids; here the tombstone list is the guard)
+    phys_dropped = _colmap(read_man).get(col, col)
     staged = _staged_path(table)
     os.makedirs(staged)
 
@@ -1455,6 +1465,9 @@ def drop_column(table: str, col: str) -> int:
             manifest["colmap"] = cm
         else:
             manifest.pop("colmap", None)
+        manifest["retired_cols"] = sorted(
+            set(base_man.get("retired_cols", [])) | {phys_dropped}
+        )
         return manifest
 
     # dropping conflicts with ANY concurrent data commit: a batch written
@@ -1486,11 +1499,11 @@ def rename_column(table: str, old: str, new: str) -> int:
     if old not in names:
         raise ValueError(f"column {old!r} does not exist on {table}")
     cm = dict(_colmap(read_man))
-    physicals = {cm.get(n, n) for n in names}
+    physicals = {cm.get(n, n) for n in names} | set(read_man.get("retired_cols", []))
     if new in names or new in physicals:
         raise ValueError(
             f"cannot rename {old!r} -> {new!r}: the name collides with a "
-            "live logical or frozen physical column name"
+            "live logical, frozen physical, or retired (dropped) column name"
         )
     for meta_key in ("constraints", "generated"):
         for name, expr in read_man.get(meta_key, {}).items():

@@ -2584,3 +2584,52 @@ def test_table_history_and_maintenance_status(spark, tmp_path):
     VER.expire_bucketed(tb, keep_manifests=1)
     h2 = VER.table_history(tb)
     assert h2[0]["version"] == 3
+
+
+def test_dropped_column_name_cannot_resurrect(spark, tmp_path):
+    """Soundness: untouched buckets' files still hold a dropped column's
+    bytes, so re-introducing its name (via evolution OR rename) would
+    resurrect deleted data on manifest-schema reads — the retired-name
+    tombstone refuses both, and survives later commits."""
+    from semantic_index_spark.sources import versioned as VER
+
+    tb = str(tmp_path / "rz")
+    VER.create_bucketed(
+        spark.createDataFrame(
+            [(i, 10 * i, f"secret{i}") for i in range(8)],
+            "id long, cents long, tag string",
+        ),
+        tb, ["id"], n_buckets=4,
+    )
+    VER.drop_column(tb, "tag")
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        VER.merge_into_bucketed(
+            spark, tb,
+            spark.createDataFrame(
+                [(1, 11, "new")], "id long, cents long, tag string"
+            ),
+            schema_evolution=True,
+        )
+    with pytest.raises(ValueError, match="retired"):
+        VER.rename_column(tb, "cents", "tag")
+    # the tombstone rides later commits (merge, DV delete)
+    VER.merge_into_bucketed(
+        spark, tb, spark.createDataFrame([(1, 11)], "id long, cents long")
+    )
+    VER.delete_bucketed(spark, tb, spark.createDataFrame([(2,)], "id long"))
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        VER.merge_into_bucketed(
+            spark, tb,
+            spark.createDataFrame(
+                [(3, 33, "x")], "id long, cents long, tag string"
+            ),
+            schema_evolution=True,
+        )
+    # a DIFFERENT name evolves fine
+    VER.merge_into_bucketed(
+        spark, tb,
+        spark.createDataFrame([(3, 33, "x")], "id long, cents long, label string"),
+        schema_evolution=True,
+    )
+    rows = {r["id"]: r["label"] for r in VER.read_bucketed(spark, tb).collect()}
+    assert rows[3] == "x" and rows[4] is None
