@@ -421,6 +421,49 @@ def q_hnsw_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_hnsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # graph-layout deletion vectors (operators/hnsw.py
+    # delete_from_hnsw_index / compact_hnsw_index): tombstones land as
+    # O(delete-keys) files, serve applies them (deleted nodes route but
+    # never rank), compaction rebuilds live-only with identical results.
+    # Output = the exhaustive serve BOTH before and after compaction,
+    # stage-tagged — a leaked deleted row, a lost survivor, or a
+    # compaction that changed results breaks the hash.
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 4).select("embedding").collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="hnsw_dv_")
+    try:
+        path = tmp + "/idx"
+        H.write_hnsw_index(
+            H.build_hnsw(emb, n_shards=4, m=8, ef_construction=32),
+            path,
+            n_shards=4,
+            m=8,
+            ef_construction=32,
+        )
+        H.delete_from_hnsw_index(
+            emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), path
+        )
+        before = H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None).withColumn(
+            "stage", F.lit("tombstoned")
+        )
+        before = before.localCheckpoint(eager=True)
+        H.compact_hnsw_index(spark, path)
+        after = H.hnsw_topk_indexed(spark, path, q, k=KNN_K, ef=None).withColumn(
+            "stage", F.lit("compacted")
+        )
+        out = before.unionByName(after).orderBy("stage", F.desc("score"), "vec_id")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join: each purchase gets the user's most recent view at or
     # before it. Union + keyed window — one shuffle, no range cross-product.
@@ -6481,6 +6524,7 @@ _DRIVER_WINDOW_R10 = [
     "table_metadata",  # never-checked
     "drop_column",  # never-checked
     "hnsw_streaming",  # never-checked
+    "hnsw_delete",  # never-checked
     "gopher_rules",  # last r4
     "ngram_lm_score",  # last r4
     "bm25_topk",  # last r4
@@ -6517,7 +6561,6 @@ _DRIVER_WINDOW_R10 = [
     "containment_pairs",  # last r4
     "psi_drift",  # last r4
     "mad_outliers",  # last r4
-    "profile_docs",  # last r4
 ]
 
 
@@ -6534,14 +6577,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (300 queries / 50 per round).
+    driver row at most ~6 rounds stale (301 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 300 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 301 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6849,6 +6892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_multi": q_hnsw_multi,
         "hnsw_filtered": q_hnsw_filtered,
         "hnsw_streaming": q_hnsw_streaming,
+        "hnsw_delete": q_hnsw_delete,
     }
     missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
     if missing or len(_DRIVER_WINDOW_R10) != 50:
@@ -7388,6 +7432,19 @@ def oracle_sql() -> dict[str, str]:
                    round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 9)")}, 6) AS score
             FROM embeddings e
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+        """,
+        "hnsw_delete": f"""
+            WITH live AS (
+                SELECT e.vec_id,
+                       round({_duck_dot("e.embedding", "(SELECT embedding FROM embeddings WHERE vec_id = 4)")}, 6) AS score
+                FROM embeddings e WHERE e.vec_id % 7 != 0
+                ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
+            )
+            SELECT vec_id, score, stage FROM (
+                SELECT vec_id, score, 'tombstoned' AS stage FROM live
+                UNION ALL
+                SELECT vec_id, score, 'compacted' FROM live
+            ) ORDER BY stage, score DESC, vec_id
         """,
         "hnsw_streaming": f"""
             SELECT e.vec_id,

@@ -451,7 +451,7 @@ def _load_shard(pdf):
     return vecs, adj_by_layer, ep, top
 
 
-def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef, allowed=None):
+def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef, allowed=None, blocked=None):
     """Answer one query against loaded shard state; returns [(id, score)]
     of the per-shard top-k (exact scores, HALF_UP-rounded to 6).
     ``allowed`` (a set) restricts which nodes may RANK — the traversal
@@ -476,6 +476,10 @@ def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef, allowed=None):
         )
     if allowed is not None:
         scored = [(d, i) for d, i in scored if i in allowed]
+    if blocked:
+        # serve-time tombstones (deleted ids): same waypoint contract as
+        # ``allowed`` — the node still routes, it just never ranks
+        scored = [(d, i) for d, i in scored if i not in blocked]
     out = []
     for d, i in scored[:k]:
         s = -d
@@ -483,10 +487,10 @@ def _query_shard(vecs, adj_by_layer, ep0, top, q, k, ef, allowed=None):
     return out
 
 
-def _search_shard_pdf(pdf, q, k, ef):
+def _search_shard_pdf(pdf, q, k, ef, blocked=None):
     """Search ONE shard's graph for one query; returns [(id, score)]."""
     vecs, adj_by_layer, ep, top = _load_shard(pdf)
-    return _query_shard(vecs, adj_by_layer, ep, top, q, k, ef)
+    return _query_shard(vecs, adj_by_layer, ep, top, q, k, ef, blocked=blocked)
 
 
 def hnsw_topk(
@@ -494,6 +498,7 @@ def hnsw_topk(
     query: Sequence[float],
     k: int = 10,
     ef: int | None = 64,
+    blocked: "set[int] | None" = None,
 ) -> DataFrame:
     """Scatter-gather search: each shard beam-searches its own graph
     (``ef=None`` → exhaustive/exact), emits its local top-k with EXACT
@@ -508,14 +513,119 @@ def hnsw_topk(
         [StructField("vec_id", LongType()), StructField("score", DoubleType())]
     )
 
+    spark = index.sparkSession
+    bblocked = spark.sparkContext.broadcast(blocked) if blocked else None
+
     def _search(pdf):
-        hits = _search_shard_pdf(pdf, np.asarray(qv, dtype=np.float64), k, ef)
+        hits = _search_shard_pdf(
+            pdf,
+            np.asarray(qv, dtype=np.float64),
+            k,
+            ef,
+            blocked=bblocked.value if bblocked else None,
+        )
         return pd.DataFrame(
             {"vec_id": [i for i, _ in hits], "score": [s for _, s in hits]}
         )
 
     per_shard = index.groupBy("shard").applyInPandas(_search, out_schema)
     return per_shard.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def _tombstone_dir(path: str) -> str:
+    import os
+
+    # the `_` prefix keeps the dir invisible to the main parquet read
+    return os.path.join(path, "_deleted")
+
+
+def read_tombstones(spark: SparkSession, path: str, max_ids: int = 10_000_000) -> set:
+    """The layout's deleted-id set (empty if none were ever deleted)."""
+    import os
+
+    from semantic_index_spark.session import collect_bounded
+
+    d = _tombstone_dir(path)
+    if not os.path.isdir(d):
+        return set()
+    rows = collect_bounded(
+        spark.read.parquet(d).select("id").distinct(), max_ids, "hnsw tombstones"
+    )
+    return {int(r["id"]) for r in rows}
+
+
+def delete_from_hnsw_index(keys: DataFrame, path: str, id_col: str = "vec_id") -> None:
+    """Row-level DELETE on the graph layout — the deletion-vector trade
+    applied to ANN (the write-fast half): the deleted ids land as tiny
+    parquet files under ``_deleted/`` (append mode, O(delete keys) IO,
+    NO shard graph is touched), and every ``*_indexed`` serve applies
+    them as serve-time tombstones — deleted nodes keep ROUTING (carving
+    them out of the graph would sever small-world paths, the same
+    waypoint contract as filtered search), they just never rank.
+    :func:`compact_hnsw_index` is the maintenance half that folds
+    tombstones into a rebuild. Re-inserting a deleted id without
+    compacting first fails the append's duplicate-id check — compact to
+    make the id insertable again."""
+    (
+        keys.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(_tombstone_dir(path))
+    )
+
+
+def compact_hnsw_index(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE for the graph layout: rebuild every shard from the LIVE
+    nodes only (under the layout's frozen build params) and clear the
+    tombstones — serve results are identical before and after (pytest),
+    but the compacted graph stops paying traversal work for dead nodes.
+    Returns the number of ids folded. Full rebuild by design: removing
+    nodes in place would re-link every neighbor list and lose the
+    append==rebuild determinism contract."""
+    import json
+    import os
+    import shutil
+
+    dead = read_tombstones(spark, path)
+    if not dead:
+        return 0
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    live = (
+        spark.read.parquet(path)
+        .filter(~F.col("id").isin([int(x) for x in dead]))
+        .select(F.col("id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    rebuilt = build_hnsw(
+        live,
+        n_shards=meta["n_shards"],
+        m=meta["m"],
+        ef_construction=meta["ef_construction"],
+        seed=meta["seed"],
+        id_col="vec_id",
+        emb_col="embedding",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    write_hnsw_index(
+        rebuilt,
+        path,
+        n_shards=meta["n_shards"],
+        m=meta["m"],
+        ef_construction=meta["ef_construction"],
+        seed=meta["seed"],
+    )
+    # applied epochs describe batches folded into the PRE-compaction
+    # graph; they remain true history, keep them so replays still skip
+    if meta.get("applied_epochs"):
+        with open(_meta_path(path)) as f:
+            new_meta = json.load(f)
+        new_meta["applied_epochs"] = meta["applied_epochs"]
+        tmp = _meta_path(path) + ".__tmp__"
+        with open(tmp, "w") as f:
+            json.dump(new_meta, f)
+        os.replace(tmp, _meta_path(path))
+    return len(dead)
 
 
 def hnsw_topk_indexed(
@@ -525,8 +635,15 @@ def hnsw_topk_indexed(
     k: int = 10,
     ef: int | None = 64,
 ) -> DataFrame:
-    """Search a persisted :func:`write_hnsw_index` layout."""
-    return hnsw_topk(spark.read.parquet(path), query, k=k, ef=ef)
+    """Search a persisted :func:`write_hnsw_index` layout, applying any
+    deletion tombstones the layout carries."""
+    return hnsw_topk(
+        spark.read.parquet(path),
+        query,
+        k=k,
+        ef=ef,
+        blocked=read_tombstones(spark, path),
+    )
 
 
 def hnsw_topk_filtered(

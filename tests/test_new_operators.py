@@ -2943,3 +2943,47 @@ def test_hnsw_sink_epoch_replay_idempotent(spark, sf_dir, tmp_path):
     import json
     with open(path + "/_hnsw_meta.json") as f:
         assert json.load(f)["applied_epochs"] == [0, 1]
+
+
+def test_hnsw_delete_tombstones_and_compact(spark, sf_dir, tmp_path):
+    """Graph-layout DVs: O(delete-keys) tombstone writes applied at serve
+    (deleted nodes keep routing, never rank); compact folds them into a
+    live-only rebuild with identical serve results."""
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = _hnsw_corpus(spark, sf_dir)
+    q = emb.filter("vec_id = 4").collect()[0]["embedding"]
+    path = str(tmp_path / "dv")
+    H.write_hnsw_index(
+        H.build_hnsw(emb, n_shards=3, m=6, ef_construction=24),
+        path, n_shards=3, m=6, ef_construction=24,
+    )
+    H.delete_from_hnsw_index(emb.filter("vec_id % 7 = 0").select("vec_id"), path)
+    want = [
+        (r["vec_id"], r["score"])
+        for r in S.topk(emb.filter("vec_id % 7 != 0"), q, k=5).collect()
+    ]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()
+    ]
+    assert got == want
+    # graph untouched by the delete: all nodes still stored
+    n_before = spark.read.parquet(path).count()
+    assert n_before == emb.count()
+    # compact: identical serve, tombstones cleared, dead nodes gone
+    folded = H.compact_hnsw_index(spark, path)
+    assert folded == emb.filter("vec_id % 7 = 0").count()
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()
+    ]
+    assert got2 == want
+    assert H.read_tombstones(spark, path) == set()
+    assert spark.read.parquet(path).count() == emb.filter("vec_id % 7 != 0").count()
+    # a deleted id becomes insertable again after compaction
+    H.append_hnsw_index(
+        emb.filter("vec_id = 0").select("vec_id", "embedding"), path
+    )
+    assert 0 in {r["id"] for r in spark.read.parquet(path).collect()}
+    assert H.compact_hnsw_index(spark, path) == 0  # no tombstones -> no-op
