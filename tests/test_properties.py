@@ -665,3 +665,36 @@ def test_prop_mg_underestimate_and_containment(spark, items, k):
     for item, tc in true.items():
         if tc > bound:
             assert item in got
+
+
+# ---------------------------------------------------------------- HNSW
+
+hnsw_corpora = st.lists(
+    st.lists(
+        st.integers(min_value=-8, max_value=8),  # small ints: exact doubles
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(vecs=hnsw_corpora, seed=st.integers(min_value=0, max_value=3))
+@settings(**SETTINGS)
+def test_hnsw_exhaustive_always_exact(spark, vecs, seed):
+    """Soundness property: for ANY corpus and seed, exhaustive-mode HNSW
+    over the built graph equals brute-force top-k — the connectivity
+    chain + full-beam traversal can never lose a node, regardless of
+    level assignment, shard split, pruning, or tie patterns."""
+    from semantic_index_spark.operators import hnsw as H
+    from semantic_index_spark.operators import similarity as S
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = H.build_hnsw(df, n_shards=3, m=2, ef_construction=4, seed=seed)
+    q = rows[0][1]
+    k = min(5, len(rows))
+    got = [(r["vec_id"], r["score"]) for r in H.hnsw_topk(idx, q, k=k, ef=None).collect()]
+    want = [(r["vec_id"], r["score"]) for r in S.topk(df, q, k=k).collect()]
+    assert got == want
