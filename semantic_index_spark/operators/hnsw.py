@@ -263,6 +263,37 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "_hnsw_meta.json")
 
 
+def _write_meta(path: str, meta: dict) -> None:
+    """Atomically (re)write the layout's meta file."""
+    import json
+    import os
+
+    tmp = _meta_path(path) + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(path))
+
+
+def _write_hnsw_unlocked(
+    index: DataFrame,
+    path: str,
+    n_shards: int,
+    m: int,
+    ef_construction: int,
+    seed: int,
+) -> None:
+    index.write.mode("overwrite").partitionBy("shard").parquet(path)
+    _write_meta(
+        path,
+        {
+            "n_shards": int(n_shards),
+            "m": int(m),
+            "ef_construction": int(ef_construction),
+            "seed": int(seed),
+        },
+    )
+
+
 def write_hnsw_index(
     index: DataFrame,
     path: str,
@@ -276,21 +307,14 @@ def write_hnsw_index(
     The build parameters land in ``_hnsw_meta.json`` next to the data:
     they are FROZEN artifacts of the layout (an append under different
     (m, ef_construction, seed) would silently build a different graph),
-    the same frozen-artifact contract as the IVF layouts' centroids."""
-    import json
-    import os
+    the same frozen-artifact contract as the IVF layouts' centroids.
+    All layout mutators (this base build, append, delete, compact) take
+    the layout's sibling commit lock (``locking.index_lock``), so a base
+    rebuild never races an in-flight append."""
+    from semantic_index_spark.locking import index_lock
 
-    index.write.mode("overwrite").partitionBy("shard").parquet(path)
-    with open(_meta_path(path), "w") as f:
-        json.dump(
-            {
-                "n_shards": int(n_shards),
-                "m": int(m),
-                "ef_construction": int(ef_construction),
-                "seed": int(seed),
-            },
-            f,
-        )
+    with index_lock(path):
+        _write_hnsw_unlocked(index, path, n_shards, m, ef_construction, seed)
 
 
 def append_hnsw_index(
@@ -312,19 +336,34 @@ def append_hnsw_index(
     batch whose ids all EXCEED the existing ids is row-identical to a
     from-scratch rebuild of the union (pytest-asserted); interleaved ids
     still produce a valid deterministic graph, just not the rebuild's
-    (standard HNSW insertion-order sensitivity — documented, not hidden).
+    (standard HNSW insertion-order sensitivity — documented AND
+    measured: on a 400x16 gaussian corpus with a fully interleaved
+    even/odd split at m=8, ef=64, both the append graph and the rebuild
+    measure recall@10 = 1.000 against exact brute force; the pytest
+    contract floor is 0.95 — see
+    ``test_hnsw_interleaved_append_recall_vs_rebuild``).
     Build parameters come from the layout's frozen ``_hnsw_meta.json``;
-    duplicate ids are an error, not a silent double-insert. Appends are
-    SINGLE-WRITER per layout (no partition-level idempotency — the graph
-    is STATEFUL, so a replayed batch cannot simply overwrite its own
-    partitions the way the IVF epochs do); serialize appends per index.
+    duplicate ids are an error, not a silent double-insert. CONCURRENT
+    appenders SERIALIZE on the layout's sibling commit lock
+    (``locking.index_lock``, round 11): the graph is STATEFUL, so the
+    whole read-modify-write — meta read, shard read-back, insertion,
+    rewrite, ledger update — runs under the lock and the second appender
+    resumes from the state the first committed; interleaved shard
+    rewrites (each losing the other's nodes) cannot happen, and a stuck
+    holder surfaces as ``TimeoutError`` rather than silent corruption.
     For streaming exactly-once, pass ``epoch_id``: applied epochs are
     recorded in the meta file and a re-delivered epoch is SKIPPED — the
     replay ledger that replaces partition idempotency for stateful
     structures (see :func:`incremental_hnsw_sink` in streaming.ingest)."""
+    from semantic_index_spark.locking import index_lock
+
+    with index_lock(path):
+        _append_hnsw_locked(new_df, path, id_col, emb_col, epoch_id)
+
+
+def _append_hnsw_locked(new_df, path, id_col, emb_col, epoch_id):
     import json
     import math as _math
-    import os
 
     with open(_meta_path(path)) as f:
         meta = json.load(f)
@@ -418,10 +457,7 @@ def append_hnsw_index(
         # epoch on replay, which the duplicate-id check turns into a loud
         # error rather than a silent double-insert
         meta.setdefault("applied_epochs", []).append(int(epoch_id))
-        tmp = _meta_path(path) + ".__tmp__"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, _meta_path(path))
+        _write_meta(path, meta)
 
 
 def _load_shard(pdf):
@@ -565,13 +601,18 @@ def delete_from_hnsw_index(keys: DataFrame, path: str, id_col: str = "vec_id") -
     :func:`compact_hnsw_index` is the maintenance half that folds
     tombstones into a rebuild. Re-inserting a deleted id without
     compacting first fails the append's duplicate-id check — compact to
-    make the id insertable again."""
-    (
-        keys.select(F.col(id_col).cast("long").alias("id"))
-        .distinct()
-        .write.mode("append")
-        .parquet(_tombstone_dir(path))
-    )
+    make the id insertable again. Takes the layout commit lock so a
+    delete never lands in a directory a concurrent compaction is about
+    to swap aside (the tombstone would silently vanish)."""
+    from semantic_index_spark.locking import index_lock
+
+    with index_lock(path):
+        (
+            keys.select(F.col(id_col).cast("long").alias("id"))
+            .distinct()
+            .write.mode("append")
+            .parquet(_tombstone_dir(path))
+        )
 
 
 def compact_hnsw_index(spark: SparkSession, path: str) -> int:
@@ -579,53 +620,86 @@ def compact_hnsw_index(spark: SparkSession, path: str) -> int:
     nodes only (under the layout's frozen build params) and clear the
     tombstones — serve results are identical before and after (pytest),
     but the compacted graph stops paying traversal work for dead nodes.
-    Returns the number of ids folded. Full rebuild by design: removing
-    nodes in place would re-link every neighbor list and lose the
-    append==rebuild determinism contract."""
+    Returns the number of distinct tombstoned ids folded. Full rebuild
+    by design: removing nodes in place would re-link every neighbor list
+    and lose the append==rebuild determinism contract.
+
+    Dead ids are removed with an ANTI-JOIN against the tombstone
+    DataFrame — never an ``isin(list)`` literal, which at the 10M-id
+    tombstone cap would blow up the optimizer's expression tree long
+    before the data became a problem (round 11; the tombstone set is
+    data, so it joins as data).
+
+    Crash contract (round 11): the compacted layout is fully written to
+    a sibling temp directory FIRST, then swapped in by two renames (old
+    aside, new into place) — a crash at any point leaves a complete
+    layout on disk: before the swap the original is untouched at
+    ``path`` (plus a reclaimable ``<path>.__compact_tmp__``); in the
+    one-rename window the finished new layout sits at
+    ``<path>.__compact_tmp__`` and the original at
+    ``<path>.__compact_old__`` (recover by renaming either back). The
+    old ``rmtree-then-rebuild-in-place`` shape could lose the index
+    forever. Runs under the layout commit lock, serializing against
+    appends and deletes."""
     import json
     import os
     import shutil
 
-    dead = read_tombstones(spark, path)
-    if not dead:
-        return 0
-    with open(_meta_path(path)) as f:
-        meta = json.load(f)
-    live = (
-        spark.read.parquet(path)
-        .filter(~F.col("id").isin([int(x) for x in dead]))
-        .select(F.col("id").alias("vec_id"), "embedding")
-        .localCheckpoint(eager=True)
-    )
-    rebuilt = build_hnsw(
-        live,
-        n_shards=meta["n_shards"],
-        m=meta["m"],
-        ef_construction=meta["ef_construction"],
-        seed=meta["seed"],
-        id_col="vec_id",
-        emb_col="embedding",
-    ).localCheckpoint(eager=True)
-    shutil.rmtree(path, ignore_errors=True)
-    write_hnsw_index(
-        rebuilt,
-        path,
-        n_shards=meta["n_shards"],
-        m=meta["m"],
-        ef_construction=meta["ef_construction"],
-        seed=meta["seed"],
-    )
-    # applied epochs describe batches folded into the PRE-compaction
-    # graph; they remain true history, keep them so replays still skip
-    if meta.get("applied_epochs"):
+    from semantic_index_spark.locking import index_lock
+
+    with index_lock(path):
+        tomb = _tombstone_dir(path)
+        if not os.path.isdir(tomb):
+            return 0
+        dead = (
+            spark.read.parquet(tomb)
+            .select("id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_dead = dead.count()
+        if not n_dead:
+            return 0
         with open(_meta_path(path)) as f:
-            new_meta = json.load(f)
-        new_meta["applied_epochs"] = meta["applied_epochs"]
-        tmp = _meta_path(path) + ".__tmp__"
-        with open(tmp, "w") as f:
-            json.dump(new_meta, f)
-        os.replace(tmp, _meta_path(path))
-    return len(dead)
+            meta = json.load(f)
+        live = (
+            spark.read.parquet(path)
+            .join(dead, "id", "left_anti")
+            .select(F.col("id").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+        rebuilt = build_hnsw(
+            live,
+            n_shards=meta["n_shards"],
+            m=meta["m"],
+            ef_construction=meta["ef_construction"],
+            seed=meta["seed"],
+            id_col="vec_id",
+            emb_col="embedding",
+        )
+        tmp = path.rstrip("/") + ".__compact_tmp__"
+        old = path.rstrip("/") + ".__compact_old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        _write_hnsw_unlocked(
+            rebuilt,
+            tmp,
+            n_shards=meta["n_shards"],
+            m=meta["m"],
+            ef_construction=meta["ef_construction"],
+            seed=meta["seed"],
+        )
+        # applied epochs describe batches folded into the PRE-compaction
+        # graph; they remain true history, keep them so replays still skip
+        if meta.get("applied_epochs"):
+            with open(_meta_path(tmp)) as f:
+                new_meta = json.load(f)
+            new_meta["applied_epochs"] = meta["applied_epochs"]
+            _write_meta(tmp, new_meta)
+        os.rename(path, old)  # tombstones swap aside with the old layout
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n_dead
 
 
 def hnsw_topk_indexed(

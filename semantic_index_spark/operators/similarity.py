@@ -456,17 +456,23 @@ def write_ivf_index(
     files_per_cell — genuinely SPLITS a cell across files_per_cell tasks
     (keying on _cell alone could never split a cell, since every row of a
     cell hashes to one partition); raise it when hot cells outgrow one
-    task's write throughput."""
+    task's write throughput. Layout mutators (base writes and appends)
+    serialize on the layout's sibling commit lock (``locking.
+    index_lock``): two concurrent writers' jobs would otherwise race
+    each other's ``_temporary`` staging inside the target directory."""
+    from semantic_index_spark.locking import index_lock
+
     assigned = ivf_assign(df, centroids, emb_col)
     salt = F.pmod(F.abs(F.hash(F.col(emb_col))), F.lit(max(1, files_per_cell)))
-    (
-        assigned.repartition(
-            max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+    with index_lock(path):
+        (
+            assigned.repartition(
+                max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+            )
+            .write.mode("overwrite")
+            .partitionBy("_cell")
+            .parquet(path)
         )
-        .write.mode("overwrite")
-        .partitionBy("_cell")
-        .parquet(path)
-    )
 
 
 def append_ivf_index(
@@ -486,17 +492,25 @@ def append_ivf_index(
     pytest-asserted. Run :func:`semantic_index_spark.sources.io.
     compact_parquet` per cell on a cadence when many small batches
     accumulate; re-TRAINING centroids is the one operation that still
-    requires a rebuild (assignment function changes)."""
+    requires a rebuild (assignment function changes). Concurrent
+    appenders (and a concurrent base rebuild) serialize on the layout
+    commit lock — two append jobs sharing the target's ``_temporary``
+    staging directory could otherwise clobber each other's in-flight
+    files (round 11; committed files were always safe, the race was in
+    the job-commit protocol)."""
+    from semantic_index_spark.locking import index_lock
+
     assigned = ivf_assign(df, centroids, emb_col)
     salt = F.pmod(F.abs(F.hash(F.col(emb_col))), F.lit(max(1, files_per_cell)))
-    (
-        assigned.repartition(
-            max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+    with index_lock(path):
+        (
+            assigned.repartition(
+                max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+            )
+            .write.mode("append")
+            .partitionBy("_cell")
+            .parquet(path)
         )
-        .write.mode("append")
-        .partitionBy("_cell")
-        .parquet(path)
-    )
 
 
 def ivf_topk_indexed(
@@ -1072,15 +1086,23 @@ def write_ivfpq_index(
     # place, poisoning served candidates. Dynamic overwrite is reserved for
     # epoch appends, where replacing only the replayed epoch's partitions is
     # exactly the exactly-once contract.
-    (
-        rows.repartition(max(1, len(centroids)), F.col("_cell"))
-        .write.mode("overwrite")
-        .option(
-            "partitionOverwriteMode", "dynamic" if batch_id >= 0 else "static"
+    # the layout commit lock serializes concurrent mutators (appends of
+    # DIFFERENT epochs write disjoint partitions, but their jobs share
+    # the target's _temporary staging; a base rebuild racing an append
+    # is a true conflict either way). append_ivfpq_index inherits this
+    # lock by delegation — the lock is NOT reentrant per layout.
+    from semantic_index_spark.locking import index_lock
+
+    with index_lock(path):
+        (
+            rows.repartition(max(1, len(centroids)), F.col("_cell"))
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode", "dynamic" if batch_id >= 0 else "static"
+            )
+            .partitionBy("_cell", "batch_id")
+            .parquet(path)
         )
-        .partitionBy("_cell", "batch_id")
-        .parquet(path)
-    )
 
 
 def append_ivfpq_index(
@@ -1458,17 +1480,22 @@ def write_ivfsq_index(
     # (batch_id=-1, the quantizer re-train event) truncates the path so no
     # stale epoch partitions encoded under the old quantizer survive;
     # dynamic overwrite applies only to epoch appends (replay idempotence).
-    (
-        codes.repartition(
-            max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+    # layout commit lock: same serialization contract as write_ivfpq_index
+    # (append_ivfsq_index inherits it by delegation)
+    from semantic_index_spark.locking import index_lock
+
+    with index_lock(path):
+        (
+            codes.repartition(
+                max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
+            )
+            .write.mode("overwrite")
+            .option(
+                "partitionOverwriteMode", "dynamic" if batch_id >= 0 else "static"
+            )
+            .partitionBy("_cell", "batch_id")
+            .parquet(path)
         )
-        .write.mode("overwrite")
-        .option(
-            "partitionOverwriteMode", "dynamic" if batch_id >= 0 else "static"
-        )
-        .partitionBy("_cell", "batch_id")
-        .parquet(path)
-    )
 
 
 def append_ivfsq_index(

@@ -27,9 +27,13 @@ writer committed first, the loser raises :class:`CommitConflictError`
 (retryable — re-read, re-apply, re-commit) and its staging is removed.
 Bucketed tables additionally REBASE instead of failing when the
 concurrent commits touched DISJOINT bucket sets (compared over both
-bucket ownership and deletion-vector lists): the later writer's manifest
-is rebuilt on top of the winner's, so both commits land — the same
-file-level conflict granularity Delta resolves. Crash contract is
+bucket ownership and deletion-vector lists) AND the winner left the
+table metadata unchanged (schema / key_cols / constraints / generated /
+colmap / retired_cols — a data commit never rebases over a concurrent
+drop/rename/add_constraint it did not plan for; append-only schema
+widening is the one tolerated divergence, merged losslessly): the later
+writer's manifest is rebuilt on top of the winner's, so both commits
+land — the same file-level conflict granularity Delta resolves. Crash contract is
 unchanged: a writer dying before publish leaves an invisible
 ``_staged_*`` orphan (age-reclaimed by the expire functions), never a
 torn read.
@@ -37,8 +41,6 @@ torn read.
 
 from __future__ import annotations
 
-import contextlib
-import fcntl
 import json
 import os
 import shutil
@@ -140,45 +142,20 @@ def _staged_path(table: str) -> str:
     return os.path.join(table, _STAGED_PREFIX + uuid.uuid4().hex)
 
 
-@contextlib.contextmanager
 def _pointer_lock(table: str, timeout: float = 60.0, stale_after: float = 300.0):
     """Filesystem mutex around the check-pointer-then-rename critical
-    section — the local-FS stand-in for an object store's conditional PUT.
-    Implemented as ``flock(LOCK_EX)`` on a PERSISTENT lock file (created
-    once, never unlinked): the kernel releases a dead holder's lock
-    automatically, so there is no stale-lock breaking step at all — and
-    therefore none of the break/re-acquire TOCTOU races an unlink-based
-    protocol has (two waiters both observing a stale file, the slower one
-    unlinking the faster one's FRESH lock and letting two writers into
-    the critical section). ``stale_after`` is retained for signature
-    compatibility but unused: a crashed writer's lock evaporates with its
-    process. The lock file must never be unlinked — an unlink would let a
-    later opener lock a NEW inode while an existing holder still locks
-    the old one."""
+    section — the local-FS stand-in for an object store's conditional
+    PUT. The mechanism (``flock`` on a persistent, never-unlinked lock
+    file — kernel-released on holder death, so no stale-lock breaking
+    step and none of its TOCTOU races) lives in
+    :func:`semantic_index_spark.locking.flock_mutex`, shared with the
+    ANN index layouts' commit locks. ``stale_after`` is retained for
+    signature compatibility but unused: a crashed writer's lock
+    evaporates with its process."""
     del stale_after  # kernel-released locks cannot go stale
-    path = os.path.join(table, _LOCK)
-    deadline = time.monotonic() + timeout
-    fd = os.open(path, os.O_CREAT | os.O_RDWR)
-    try:
-        while True:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                break
-            except OSError:
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire commit lock on {table} within "
-                        f"{timeout}s"
-                    )
-                time.sleep(0.02)
-        # diagnostic payload only — ownership is the flock, not the bytes
-        os.ftruncate(fd, 0)
-        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
-        yield
-    finally:
-        with contextlib.suppress(OSError):
-            fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
+    from semantic_index_spark.locking import flock_mutex
+
+    return flock_mutex(os.path.join(table, _LOCK), timeout=timeout)
 
 
 def current_version(table: str) -> int | None:
@@ -548,9 +525,15 @@ def merge_into(
     ADDED columns (Delta's mergeSchema-on-MERGE): the new version's
     schema is target columns + added columns, surviving pre-merge rows
     surface NULL for them, and time travel reads every historical version
-    under its own (narrower) schema. Without the flag, added columns are
-    an error — never a silent drop. Sources must always carry every
-    existing column; columns are never removed by MERGE.
+    under its own (narrower) schema. It also TYPE-widens (Delta
+    typeWidening, round 11): a source column carried under a wider type
+    on the :data:`_WIDEN_CHAINS` lattice (int→bigint, float→double, …)
+    promotes the whole column — surviving rows upcast losslessly, and
+    time travel reads each historical version under its own narrower
+    type. Without the flag, added or widened columns are an error —
+    never a silent drop or coercion. Sources must always carry every
+    existing column; columns are never removed by MERGE; key columns
+    never widen.
 
     Execution: the relational expansion of MERGE — untouched target rows
     survive via ONE left-anti equi-join on the key, surviving source
@@ -576,19 +559,31 @@ def merge_into(
             f"merge_into: source has multiple rows for key {tuple(dup[0][k] for k in keys)}; "
             "MERGE requires unique source keys (compact the feed first)"
         )
-    added = _evolve_cols(
-        source, target.columns, [op_col] if op_col else [], schema_evolution,
-        "merge_into",
+    added, widened = _evolve_cols(
+        source, target.schema.fields, [op_col] if op_col else [],
+        schema_evolution, "merge_into", key_cols=keys,
     )
+    # every column's FINAL type: target's, promoted where the source
+    # widened, plus the added fields' own
+    final_types = {f.name: f.dataType for f in target.schema.fields}
+    final_types.update(widened)
+    for f in added:
+        final_types[f.name] = f.dataType
     if op_col is None:
         src = source.withColumn("__op", F.lit(when_matched))
     else:
         src = source.withColumnRenamed(op_col, "__op")
     kept = target.join(src.select(*keys), keys, "left_anti")
+    for c, dt in widened.items():  # survivors upcast into the widened type
+        kept = kept.withColumn(c, F.col(c).cast(dt))
     for f in added:  # pre-merge survivors surface NULL for added columns
         kept = kept.withColumn(f.name, F.lit(None).cast(f.dataType))
     out_cols = target.columns + [f.name for f in added]
-    upserts = src.filter(F.col("__op") != "delete").drop("__op").select(*out_cols)
+    # narrower source columns upcast into the table's type; widened and
+    # equal-typed columns cast is a no-op
+    upserts = src.filter(F.col("__op") != "delete").drop("__op").select(
+        *[F.col(c).cast(final_types[c]).alias(c) for c in out_cols]
+    )
     if not insert_not_matched:
         upserts = upserts.join(target.select(*keys), keys, "left_semi")
     # conditional on the version the merge PLANNED against, not the one at
@@ -616,17 +611,45 @@ def _manifest_schema(man: dict):
     return StructType.fromJson(json.loads(man["schema"]))
 
 
+#: Type-widening lattice (Delta ``typeWidening`` semantics): a column may
+#: evolve along these chains without rewriting any file — the parquet
+#: reader upcasts narrow file values under the wider read schema (int32
+#: files read as bigint, float files as double; verified against the
+#: Spark 4 vectorized reader). Only LOSSLESS integral/float promotions
+#: are listed; int→double is excluded (loses exactness above 2^53),
+#: and keys never widen (the bucket hash is type-sensitive — a widened
+#: key would re-hash every row to a different bucket).
+_WIDEN_CHAINS = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
+
+def _widens(frm, to) -> bool:
+    """True when a column of type ``frm`` may evolve to type ``to``."""
+    return isinstance(frm, str) and to in _WIDEN_CHAINS.get(frm, ())
+
+
 def _schema_union_json(a_json: str, b_json: str) -> str:
-    """Union of two schema JSONs by field name — ``a``'s fields in order,
-    then ``b``'s additions appended (the add-column-at-end evolution order
-    Delta uses without column mapping). Applied on the disjoint-bucket
-    REBASE path so two concurrent commits that each widened the schema
-    lose neither's columns."""
+    """Union of two schema JSONs by field name — ``a``'s fields in order
+    (promoted to ``b``'s type where ``b`` holds a WIDER type on the
+    lattice), then ``b``'s additions appended (the add-column-at-end
+    evolution order Delta uses without column mapping). Applied on the
+    disjoint-bucket REBASE path so two concurrent commits that each
+    widened the schema lose neither's columns, and by ``diff_bucketed``
+    so a version pair straddling a type widening reads both sides'
+    files under the wider type."""
     a = json.loads(a_json)
-    names = {f["name"] for f in a["fields"]}
+    by_name = {f["name"]: f for f in a["fields"]}
     for f in json.loads(b_json)["fields"]:
-        if f["name"] not in names:
+        cur = by_name.get(f["name"])
+        if cur is None:
             a["fields"].append(f)
+            by_name[f["name"]] = f
+        elif _widens(cur.get("type"), f.get("type")):
+            cur["type"] = f["type"]
     return json.dumps(a)
 
 
@@ -682,30 +705,71 @@ def _read_bucket_files(spark: SparkSession, man: dict, paths: list[str]) -> Data
     )
 
 
-def _evolve_cols(source: DataFrame, existing: list[str], drop: list[str],
-                 schema_evolution: bool, fn: str) -> list:
+def _evolve_cols(source: DataFrame, existing, drop: list[str],
+                 schema_evolution: bool, fn: str,
+                 key_cols: "list[str] | None" = None) -> tuple:
     """Validate a MERGE source schema against the target's ``existing``
-    columns and return the ADDED fields (StructFields, source order).
-    Sources must carry every existing column; added columns require
+    fields (StructFields — names AND types) and return
+    ``(added, widened)``: the ADDED StructFields (source order) and a
+    ``{name: wider_type_json}`` dict of common columns the source carries
+    under a WIDER type on the :data:`_WIDEN_CHAINS` lattice (int→bigint,
+    float→double — Delta's typeWidening). Sources must carry every
+    existing column; both evolution forms require
     ``schema_evolution=True`` (without it the mismatch is an error, not a
-    silent drop — Delta's contract). Key columns can never be added, so
-    evolution only ever widens payloads."""
+    silent drop/coercion — Delta's contract). A source column NARROWER
+    than the target upcasts into the target type (no schema change); any
+    other type difference is an error. Key columns can never be added or
+    widened — the bucket hash is type-sensitive, so a widened key would
+    re-hash every row to a different bucket."""
+    existing_fields = list(existing)
+    existing_names = [f.name for f in existing_fields]
     src_cols = [c for c in source.columns if c not in drop]
-    missing = [c for c in existing if c not in src_cols]
+    missing = [c for c in existing_names if c not in src_cols]
     if missing:
         raise ValueError(
             f"{fn}: source is missing target column(s) {missing}; a MERGE "
             "source must carry every existing column (added columns are "
             "allowed with schema_evolution=True)"
         )
-    added = [c for c in src_cols if c not in existing]
+    added = [c for c in src_cols if c not in existing_names]
     if added and not schema_evolution:
         raise ValueError(
             f"{fn}: source adds column(s) {added} not in the target schema; "
             "pass schema_evolution=True to widen the table (old rows/"
             "versions surface NULL), or drop them from the source"
         )
-    return [source.schema[c] for c in added]
+    widened: dict = {}
+    for f in existing_fields:
+        st = source.schema[f.name].dataType
+        tt = f.dataType
+        if st == tt:
+            continue
+        st_j, tt_j = st.jsonValue(), tt.jsonValue()
+        if _widens(tt_j, st_j):
+            if key_cols and f.name in key_cols:
+                raise ValueError(
+                    f"{fn}: key column {f.name!r} cannot widen "
+                    f"({tt_j} -> {st_j}): bucket placement hashes the key's "
+                    "binary form, so a widened key would re-hash every row "
+                    "to a different bucket — recreate the table instead"
+                )
+            if not schema_evolution:
+                raise ValueError(
+                    f"{fn}: source carries {f.name!r} as {st_j} but the "
+                    f"table stores {tt_j}; pass schema_evolution=True to "
+                    "WIDEN the column (old files read under the wider type "
+                    "with no rewrite), or cast the source down"
+                )
+            widened[f.name] = st
+        elif _widens(st_j, tt_j):
+            pass  # narrower source: upcast into the target type at write
+        else:
+            raise ValueError(
+                f"{fn}: source column {f.name!r} is {st_j} but the table "
+                f"stores {tt_j} — not a widening on the supported lattice "
+                f"({_WIDEN_CHAINS}); cast the source explicitly"
+            )
+    return [source.schema[c] for c in added], widened
 
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):
@@ -726,16 +790,63 @@ def _changed_buckets(man_a: dict, man_b: dict) -> "set[int]":
     }
 
 
-def _publish_bucketed(table, staged, read_man, affected, build_manifest):
+def _is_schema_append(base_json: str, new_json: str) -> bool:
+    """True when ``new``'s fields are exactly ``base``'s fields (same
+    name, type, order) followed by zero or more APPENDED fields — the
+    only schema change that is safe to rebase over (the schema-union
+    path keeps both sides' columns). A drop, rename, reorder, or type
+    change is NOT an append and must conflict."""
+    base_f = json.loads(base_json)["fields"]
+    new_f = json.loads(new_json)["fields"]
+    return len(new_f) >= len(base_f) and new_f[: len(base_f)] == base_f
+
+
+def _meta_diff(read_man: dict, cur_man: dict, strict: bool) -> list[str]:
+    """Table-metadata keys on which a concurrent winner (``cur_man``)
+    diverged from the manifest this commit planned against
+    (``read_man``) — any hit makes the rebase unsafe: a merge planned
+    before a ``drop_column`` would resurrect the dropped column (its
+    physical name sits in ``retired_cols``); over a ``rename_column``
+    it would duplicate the column as old+new logical fields; over an
+    ``add_constraint`` it would publish rows never validated against
+    the new constraint. With ``strict=False`` (data commits) a pure
+    APPEND-only schema widening is tolerated — the rebase's
+    ``_schema_union_json`` keeps both sides' columns losslessly;
+    metadata-only commits pass ``strict=True`` because their build
+    closures precompute the mutated schema/colmap from ``read_man`` and
+    must not publish it on top of ANY diverged metadata."""
+    diff = [
+        k
+        for k in ("key_cols", "n_buckets", "constraints", "generated",
+                  "colmap", "retired_cols")
+        if read_man.get(k) != cur_man.get(k)
+    ]
+    if read_man["schema"] != cur_man["schema"] and (
+        strict or not _is_schema_append(read_man["schema"], cur_man["schema"])
+    ):
+        diff.append("schema")
+    return diff
+
+
+def _publish_bucketed(table, staged, read_man, affected, build_manifest,
+                      strict_meta: bool = False):
     """Publish a staged bucketed commit inside the pointer critical
     section, with Delta-style conflict resolution: fast path when the
     pointer still equals the planned-against version (``read_man``,
     None = creating); REBASE onto the winner's manifest when concurrent
     commits touched DISJOINT bucket sets (ownership and DV lists both
-    compared); :class:`CommitConflictError` when they overlap.
+    compared) AND the winner left the table METADATA this commit planned
+    under unchanged (schema / key_cols / constraints / generated /
+    colmap / retired_cols — see :func:`_meta_diff`; a metadata-only
+    winner changes no buckets, so without this check a data commit
+    would silently rebase over a drop/rename/add_constraint it never
+    planned for); :class:`CommitConflictError` otherwise.
     ``build_manifest(final, base_man, dest)`` returns the manifest to
     write, built on ``base_man`` — ``read_man`` on the fast path, the
-    winner's manifest on rebase. Returns (final_version, manifest)."""
+    winner's manifest on rebase. ``strict_meta=True`` (metadata-only
+    commits, whose builds precompute their mutation from ``read_man``)
+    additionally conflicts on append-only schema widening. Returns
+    (final_version, manifest)."""
     expected = None if read_man is None else read_man["version"]
     with _pointer_lock(table):
         cur = current_version(table)
@@ -748,6 +859,15 @@ def _publish_bucketed(table, staged, read_man, affected, build_manifest):
                     f"{expected}, found {cur} — re-read and retry"
                 )
             cur_man = _read_manifest(table, cur)
+            meta_moved = _meta_diff(read_man, cur_man, strict_meta)
+            if meta_moved:
+                shutil.rmtree(staged, ignore_errors=True)
+                raise CommitConflictError(
+                    f"cannot commit to {table}: a concurrent commit advanced "
+                    f"v{expected} -> v{cur} changing table metadata "
+                    f"{meta_moved} this commit planned under — re-read and "
+                    "retry"
+                )
             overlap = sorted(_changed_buckets(read_man, cur_man) & set(affected))
             if overlap:
                 shutil.rmtree(staged, ignore_errors=True)
@@ -756,7 +876,7 @@ def _publish_bucketed(table, staged, read_man, affected, build_manifest):
                     f"v{expected} -> v{cur} touching bucket(s) {overlap} this "
                     "commit also touches — re-read and retry"
                 )
-            base_man = cur_man  # disjoint buckets: both commits win
+            base_man = cur_man  # disjoint buckets, same metadata: both win
         final = 0 if cur is None else cur + 1
         dest = os.path.join(table, f"v={final}")
         os.rename(staged, dest)
@@ -817,8 +937,8 @@ def _commit_bucketed(
             manifest["dv"] = dv
         # constraints / generated columns / column mapping / retired
         # physical names are table metadata: inherited from the manifest
-        # the commit lands on (the winner's under a rebase — an
-        # add_constraint that won concurrently keeps governing)
+        # the commit lands on (identical between read_man and any rebase
+        # winner — _meta_diff conflicts the rebase otherwise)
         for meta_key in ("constraints", "generated", "colmap", "retired_cols"):
             val = (base_man or {}).get(meta_key) or manifest.get(meta_key)
             if val:
@@ -1012,8 +1132,14 @@ def merge_into_bucketed(
     rows surface NULL for them, and — the incremental part — untouched
     buckets are NOT rewritten: their old-schema files are null-filled at
     read time because every bucket read goes through the manifest schema
-    (``_read_bucket_files``). Time travel reads each version under its
-    own manifest's schema. Key columns never evolve."""
+    (``_read_bucket_files``). It also TYPE-widens (Delta typeWidening,
+    round 11): a source column carried under a wider lattice type
+    (int→bigint, float→double, …) promotes the manifest field, rewritten
+    buckets' survivors upcast, and untouched buckets' NARROW files are
+    upcast by the parquet reader under the manifest's wider read schema —
+    zero rewrites, same mechanism as the null-fill. Time travel reads
+    each version under its own manifest's schema (and type). Key columns
+    never evolve — the bucket hash is type-sensitive."""
     import pyspark.sql.functions as F
 
     from semantic_index_spark.session import collect_bounded
@@ -1029,10 +1155,11 @@ def merge_into_bucketed(
             f"merge_into_bucketed: source has multiple rows for key "
             f"{tuple(dup[0][k] for k in keys)}; MERGE requires unique source keys"
         )
-    data_cols = [f["name"] for f in json.loads(man["schema"])["fields"]]
-    added = _evolve_cols(
-        source, data_cols, [op_col] if op_col else [], schema_evolution,
-        "merge_into_bucketed",
+    tgt_fields = _manifest_schema(man).fields
+    data_cols = [f.name for f in tgt_fields]
+    added, widened = _evolve_cols(
+        source, tgt_fields, [op_col] if op_col else [], schema_evolution,
+        "merge_into_bucketed", key_cols=keys,
     )
     # physical names held by renamed columns AND tombstoned by drops:
     # re-introducing either would read stale bytes out of untouched files
@@ -1044,7 +1171,38 @@ def merge_into_bucketed(
             "frozen PHYSICAL name of a renamed or dropped column — old files "
             "still hold those bytes; pick different names"
         )
+    # widening a column a CHECK constraint or generated expression reads
+    # could silently change that expression's result type (a generated
+    # int computed from a now-long input writes longs under an int
+    # manifest field) — refuse, mirroring drop/rename's guard
+    for meta_key in ("constraints", "generated"):
+        for gname, expr in man.get(meta_key, {}).items():
+            hit = [c for c in widened if c in expr or gname == c]
+            if hit:
+                raise ValueError(
+                    f"merge_into_bucketed: cannot widen column(s) {hit}: "
+                    f"referenced by {meta_key[:-1]} {gname!r} ({expr}) — "
+                    "drop that first"
+                )
+    final_types = {f.name: f.dataType for f in tgt_fields}
+    final_types.update(widened)
+    for f in added:
+        final_types[f.name] = f.dataType
+    # upcast the source into every column's FINAL type BEFORE bucketing:
+    # the bucket hash is type-sensitive (xxhash64 of an int and of the
+    # same value as long differ), so a narrower-typed source key must
+    # take the table's declared type first or its rows would land in the
+    # wrong bucket; widened/equal columns' casts are no-ops
+    source = source.select(
+        *[
+            F.col(c).cast(final_types[c]).alias(c) if c in final_types else F.col(c)
+            for c in source.columns
+        ]
+    )
     new_schema = json.loads(man["schema"])
+    for f in new_schema["fields"]:
+        if f["name"] in widened:
+            f["type"] = widened[f["name"]].jsonValue()
     new_schema["fields"].extend(f.jsonValue() for f in added)
     if op_col is None:
         src = source.withColumn("__op", F.lit(when_matched))
@@ -1069,6 +1227,8 @@ def merge_into_bucketed(
             spark, _read_bucket_files(spark, man, tgt_paths), table, man, set(affected)
         ).withColumn("__bucket", _bucket_expr(keys, n_buckets))
         kept = target.join(src.select(*keys), keys, "left_anti")
+        for c, dt in widened.items():  # survivors upcast into the widened type
+            kept = kept.withColumn(c, F.col(c).cast(dt))
         for f in added:  # rewritten buckets' survivors get typed NULLs
             kept = kept.withColumn(f.name, F.lit(None).cast(f.dataType))
     else:
@@ -1119,8 +1279,12 @@ def delete_bucketed(
 
     man = _read_manifest(table)
     kc, n_buckets = man["key_cols"], man["n_buckets"]
+    kt = {f.name: f.dataType for f in _manifest_schema(man).fields}
     keyed = (
-        keys.select(*kc)
+        # cast to the table's declared key types BEFORE bucketing — the
+        # bucket hash is type-sensitive, so an int-typed delete key for a
+        # long-keyed table would hash to the wrong bucket and never apply
+        keys.select(*[F.col(k).cast(kt[k]).alias(k) for k in kc])
         .distinct()
         .withColumn("__bucket", _bucket_expr(kc, n_buckets))
         .localCheckpoint(eager=True)
@@ -1360,7 +1524,8 @@ def restore_bucketed(table: str, to_version: int) -> int:
         return manifest
 
     final, _ = _publish_bucketed(
-        table, staged, read_man, set(range(int(man_t["n_buckets"]))), build
+        table, staged, read_man, set(range(int(man_t["n_buckets"]))), build,
+        strict_meta=True,
     )
     return final
 
@@ -1391,7 +1556,8 @@ def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int
         return manifest
 
     final, _ = _publish_bucketed(
-        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
+        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build,
+        strict_meta=True,
     )
     return final
 
@@ -1473,7 +1639,8 @@ def drop_column(table: str, col: str) -> int:
     # dropping conflicts with ANY concurrent data commit: a batch written
     # under the wide schema must not rebase under the narrow one unchecked
     final, _ = _publish_bucketed(
-        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
+        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build,
+        strict_meta=True,
     )
     return final
 
@@ -1529,7 +1696,8 @@ def rename_column(table: str, old: str, new: str) -> int:
         return manifest
 
     final, _ = _publish_bucketed(
-        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build
+        table, staged, read_man, set(range(int(read_man["n_buckets"]))), build,
+        strict_meta=True,
     )
     return final
 

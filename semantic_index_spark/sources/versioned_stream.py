@@ -105,7 +105,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         # after a (re)start admits everything outstanding; every
         # subsequent batch is capped.
         self.max_versions = int(options.get("max_versions_per_batch", 0))  # 0 = all
-        self._progress: "int | None" = None  # furthest position learned
+        # cap anchor: the last COMPLETED batch's end version (set by
+        # commit(); partitions() only seeds it with the checkpoint start)
+        self._progress: "int | None" = None
         self.schema = schema
         # column mapping: files store PHYSICAL names (frozen at column
         # birth, stable across renames), the declared schema is logical —
@@ -137,7 +139,12 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         return {"version": end}
 
     def partitions(self, start: dict, end: dict):
-        self._progress = max(self._progress or 0, int(end["version"]))
+        # learn the checkpoint position on the first planned batch (the
+        # Python API reveals it nowhere else); the cap anchor itself
+        # advances only in commit(), so a FAILED batch re-plans the same
+        # capped window instead of sliding past it
+        if self._progress is None:
+            self._progress = int(start["version"])
         parts = [
             _FilePartition(path, v)
             for v in range(int(start["version"]), int(end["version"]))
@@ -174,8 +181,10 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         return iter(pa.Table.from_arrays(cols, names=names).to_batches())
 
     def commit(self, end: dict) -> None:
-        # offsets are durable in the checkpoint; track progress locally so
-        # rate limiting advances from the last completed batch
+        # offsets are durable in the checkpoint; the rate-limit anchor
+        # advances HERE and only here, so the cap window is anchored to
+        # COMPLETED batches — planning a batch that later fails never
+        # moves it
         self._progress = max(self._progress or 0, int(end["version"]))
 
 

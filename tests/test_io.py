@@ -2633,3 +2633,219 @@ def test_dropped_column_name_cannot_resurrect(spark, tmp_path):
     )
     rows = {r["id"]: r["label"] for r in VER.read_bucketed(spark, tb).collect()}
     assert rows[3] == "x" and rows[4] is None
+
+
+def test_data_commit_conflicts_with_concurrent_metadata_commit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (high): the rebase rule compares TABLE METADATA, not
+    just bucket ownership — a merge planned before a concurrent
+    drop_column / rename_column / add_constraint must CONFLICT (and
+    succeed on retry under the new metadata), never rebase: rebasing
+    would resurrect the dropped column via the schema union, duplicate
+    the renamed one as old+new logical fields, or publish rows never
+    validated against the new constraint."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "mc")
+    base = spark.range(0, 100).selectExpr(
+        "id", "cast(id * 3 as long) AS val", "cast(id as double) AS score"
+    )
+    VER.create_bucketed(base, t, ["id"], n_buckets=8)
+    real_rm = VER._read_manifest
+
+    def staler(man0):
+        def stale_rm(table, version=None):
+            if version is None and table == t:
+                return man0
+            return real_rm(table, version)
+
+        return stale_rm
+
+    # --- winner: drop_column (metadata-only; zero buckets move) ---
+    man0 = VER._read_manifest(t)
+    VER.drop_column(t, "score")
+    src = spark.createDataFrame(
+        [(1, 999, 0.5)], "id bigint, val bigint, score double"
+    )
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", staler(man0))
+        with pytest.raises(VER.CommitConflictError, match="metadata"):
+            VER.merge_into_bucketed(spark, t, src)
+    # retry against the fresh manifest (without the dropped column) lands
+    VER.merge_into_bucketed(
+        spark, t, spark.createDataFrame([(1, 999)], "id bigint, val bigint")
+    )
+    names = [
+        f["name"] for f in json.loads(VER._read_manifest(t)["schema"])["fields"]
+    ]
+    assert "score" not in names
+    got = {r["id"]: r["val"] for r in VER.read_bucketed(spark, t).collect()}
+    assert got[1] == 999 and len(got) == 100
+
+    # --- winner: rename_column ---
+    man1 = VER._read_manifest(t)
+    VER.rename_column(t, "val", "value")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", staler(man1))
+        with pytest.raises(VER.CommitConflictError, match="metadata"):
+            VER.merge_into_bucketed(
+                spark, t, spark.createDataFrame([(2, 7)], "id bigint, val bigint")
+            )
+    VER.merge_into_bucketed(
+        spark, t, spark.createDataFrame([(2, 7)], "id bigint, value bigint")
+    )
+    got = {r["id"]: r["value"] for r in VER.read_bucketed(spark, t).collect()}
+    assert got[2] == 7
+
+    # --- winner: add_constraint (rows must re-validate under it) ---
+    man2 = VER._read_manifest(t)
+    VER.add_constraint(spark, t, "val_nonneg", "value >= 0")
+    bad = spark.createDataFrame([(3, -5)], "id bigint, value bigint")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", staler(man2))
+        with pytest.raises(VER.CommitConflictError, match="metadata"):
+            VER.merge_into_bucketed(spark, t, bad)
+    # the retry re-plans under the constraint and rejects the bad row
+    with pytest.raises(VER.ConstraintViolationError):
+        VER.merge_into_bucketed(spark, t, bad)
+
+
+def test_concurrent_metadata_only_commits_conflict(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (low): two racing metadata-only commits (neither moves
+    a bucket) must not clobber — the loser's precomputed schema/colmap
+    would silently undo the winner's change; it conflicts and retries."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "mm")
+    VER.create_bucketed(
+        spark.range(0, 40).selectExpr(
+            "id", "cast(id as long) AS a", "cast(id * 2 as long) AS b"
+        ),
+        t,
+        ["id"],
+        n_buckets=4,
+    )
+    man0 = VER._read_manifest(t)
+    real_rm = VER._read_manifest
+
+    def stale_rm(table, version=None):
+        if version is None and table == t:
+            return man0
+        return real_rm(table, version)
+
+    VER.rename_column(t, "a", "a2")  # winner
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        with pytest.raises(VER.CommitConflictError, match="metadata"):
+            VER.rename_column(t, "b", "b2")  # loser planned against man0
+    VER.rename_column(t, "b", "b2")  # retry under the fresh manifest
+    names = [
+        f["name"] for f in json.loads(VER._read_manifest(t)["schema"])["fields"]
+    ]
+    assert set(names) == {"id", "a2", "b2"}  # BOTH renames landed
+    rows = VER.read_bucketed(spark, t).filter("id = 3").collect()
+    assert rows[0]["a2"] == 3 and rows[0]["b2"] == 6
+
+
+def test_merge_type_widening_bucketed(spark, tmp_path):
+    """VERDICT r10 #4 — Delta typeWidening on the bucketed store:
+    int→bigint / float→double source columns widen the manifest schema on
+    commit, UNTOUCHED buckets' narrow files are upcast by the parquet
+    reader under the wider manifest read schema (zero rewrites), and time
+    travel reads each version under its own type."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "tw")
+    base = spark.range(0, 100).selectExpr(
+        "id",
+        "cast(id * 3 as int) AS n",
+        "cast(id / 4.0 as float) AS score",  # quarters: exact in float32
+    )
+    VER.create_bucketed(base, t, ["id"], n_buckets=8)
+    # a wide source WITHOUT the flag is an error, never a silent coercion
+    wide_src = spark.createDataFrame(
+        [(1, 3_000_000_000, 0.25), (200, 7, 1.5)],
+        "id bigint, n bigint, score double",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        VER.merge_into_bucketed(spark, t, wide_src)
+    v1 = VER.merge_into_bucketed(spark, t, wide_src, schema_evolution=True)
+    cur = VER.read_bucketed(spark, t)
+    assert dict(cur.dtypes)["n"] == "bigint" and dict(cur.dtypes)["score"] == "double"
+    got = {r["id"]: (r["n"], r["score"]) for r in cur.collect()}
+    assert got[1] == (3_000_000_000, 0.25)  # beyond int32: genuinely widened
+    assert got[200] == (7, 1.5)  # inserted key
+    assert got[99] == (297, 24.75)  # untouched bucket file upcast at read
+    assert len(got) == 101
+    # time travel: v0 still reads under the ORIGINAL narrow types
+    v0 = VER.read_bucketed(spark, t, version=0)
+    assert dict(v0.dtypes)["n"] == "int" and dict(v0.dtypes)["score"] == "float"
+    assert {r["id"] for r in v0.collect()} == set(range(100))
+    # CDF straddling the widening reads both sides under the wider type
+    diff = {r["id"]: r for r in VER.diff_bucketed(spark, t, 0, v1).collect()}
+    assert diff[1]["_action"] == "updated" and diff[1]["n_new"] == 3_000_000_000
+    assert diff[200]["_action"] == "inserted"
+    # key columns never widen (int-keyed table, bigint-keyed source)
+    t2 = str(tmp_path / "tw_key")
+    VER.create_bucketed(
+        spark.range(0, 10).selectExpr("cast(id as int) AS id", "id AS v"),
+        t2, ["id"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="key column"):
+        VER.merge_into_bucketed(
+            spark, t2,
+            spark.createDataFrame([(3, 9)], "id bigint, v bigint"),
+            schema_evolution=True,
+        )
+    # incompatible (non-lattice) type changes are errors, not coercions
+    with pytest.raises(ValueError, match="lattice"):
+        VER.merge_into_bucketed(
+            spark, t,
+            spark.createDataFrame([(5, "x", 0.5)], "id bigint, n string, score double"),
+            schema_evolution=True,
+        )
+
+
+def test_merge_type_widening_plain(spark, tmp_path):
+    """typeWidening on the plain snapshot store: same lattice, whole-table
+    copy-on-write, historical versions keep their own narrow schema."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "twp")
+    VER.commit_version(
+        spark.range(0, 50).selectExpr("id", "cast(id as int) AS v"), t
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        VER.merge_into(
+            spark, t,
+            spark.createDataFrame([(1, 2**40)], "id bigint, v bigint"),
+            ["id"],
+        )
+    VER.merge_into(
+        spark, t,
+        spark.createDataFrame([(1, 2**40)], "id bigint, v bigint"),
+        ["id"], schema_evolution=True,
+    )
+    cur = VER.read_version(spark, t)
+    assert dict(cur.dtypes)["v"] == "bigint"
+    got = {r["id"]: r["v"] for r in cur.collect()}
+    assert got[1] == 2**40 and got[7] == 7 and len(got) == 50
+    # v0 keeps its narrow dtype
+    assert dict(VER.read_version(spark, t, 0).dtypes)["v"] == "int"
+    # a NARROWER source upcasts into the table type without evolution
+    VER.merge_into(
+        spark, t,
+        spark.createDataFrame([(2, 5)], "id bigint, v int"),
+        ["id"],
+    )
+    got = {r["id"]: r["v"] for r in VER.read_version(spark, t).collect()}
+    assert got[2] == 5 and got[1] == 2**40

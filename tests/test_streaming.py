@@ -1038,3 +1038,36 @@ def test_versioned_feed_rate_limit_caps_steady_state_batches(spark, tmp_path):
     r2 = VersionedFeedStreamReader(schema, {"table": table, "max_versions_per_batch": "2"})
     r2.commit({"version": 9})
     assert r2.latestOffset()["version"] >= 9
+
+
+def test_versioned_feed_cap_anchored_to_committed_batches(spark, tmp_path):
+    """ADVICE r10: the rate-limit anchor advances only in commit() — a
+    planned batch that FAILS (no commit) re-plans the same capped window
+    instead of sliding the cap past versions that were never consumed."""
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources.versioned_stream import (
+        VersionedFeedStreamReader,
+    )
+
+    table = str(tmp_path / "t")
+    for n in [1, 2, 3, 4, 5, 6]:
+        VER.commit_version(spark.range(n).withColumnRenamed("id", "x"), table)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("x", LongType()), StructField("_version", LongType())]
+    )
+    # restart scenario: checkpoint says the last committed batch ended at
+    # version 2; the engine re-plans from there
+    r = VersionedFeedStreamReader(
+        schema, {"table": table, "max_versions_per_batch": "2"}
+    )
+    r.partitions({"version": 0}, {"version": 2})  # seeds anchor at START=0
+    # the planned-but-uncommitted end must NOT move the cap window
+    assert r.latestOffset() == {"version": 2}  # 0 + 2, not 2 + 2
+    # re-planning the same failed window changes nothing
+    r.partitions({"version": 0}, {"version": 2})
+    assert r.latestOffset() == {"version": 2}
+    # only a COMPLETED batch advances the anchor
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 4}
