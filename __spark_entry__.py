@@ -4753,6 +4753,74 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_merge_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-widening schema evolution on the bucketed versioned store
+    (``sources/versioned.py merge_into_bucketed``, r11 — Delta
+    typeWidening semantics): target = documents with doc_id % 3 != 0 as
+    (doc_id, n_chars INT, score FLOAT) in a 16-bucket table; the source
+    upserts every even doc carrying ``n_chars`` as BIGINT (values pushed
+    past int32 by +3e9 — the widening is load-bearing, not cosmetic) and
+    ``score`` as DOUBLE. The merge promotes the manifest field types;
+    buckets the batch does not touch are NOT rewritten — the parquet
+    reader upcasts their narrow int32/float32 files under the widened
+    manifest read schema — and time travel still reads v0 under the
+    original narrow types (asserted in-query; ``old_n_chars`` joins from
+    that read). Score values are exact quarters, representable in both
+    float32 and float64, so the float→double promotion is bit-exact on
+    both engines. The oracle derives the same merged state relationally;
+    a wrong upcast, a dropped untouched bucket, or a leaked wide value
+    into v0 breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        (F.col("n_chars") / F.lit(4)).cast("float").alias("score"),
+    )
+    src = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + F.lit(3_000_000_000)).alias("n_chars"),
+        ((F.col("n_chars") / F.lit(4)) + F.lit(1000000.25)).alias("score"),
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_widen_")
+    try:
+        tbl = os.path.join(tmp, "docs_tbl")
+        VER.create_bucketed(target, tbl, ["doc_id"], n_buckets=16)
+        VER.merge_into_bucketed(spark, tbl, src, schema_evolution=True)
+        final = VER.read_bucketed(spark, tbl)
+        assert dict(final.dtypes)["n_chars"] == "bigint", final.dtypes
+        assert dict(final.dtypes)["score"] == "double", final.dtypes
+        v0 = VER.read_bucketed(spark, tbl, version=0)  # narrow types
+        assert dict(v0.dtypes)["n_chars"] == "int", v0.dtypes
+        assert dict(v0.dtypes)["score"] == "float", v0.dtypes
+        out = (
+            final.join(
+                v0.select("doc_id", F.col("n_chars").alias("old_n_chars")),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "n_chars",
+                "score",
+                "old_n_chars",
+                F.when(F.col("old_n_chars").isNull(), F.lit("inserted"))
+                .when(F.col("n_chars") > 2_000_000_000, F.lit("updated"))
+                .otherwise(F.lit("kept"))
+                .alias("action"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE + CLONE on the versioned store end-to-end
     (``sources/versioned.py restore_bucketed``/``clone_table``, r10):
@@ -6505,66 +6573,65 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # dict literal in stable historical order and reorders at return time by this
 # pinned list — re-pinning a round's window is an edit to THIS list only.
 #
-# ROUND 9 window (50 names): round 8 closed never-checked coverage (every
-# registry query now has >=1 hard driver CORRECTNESS row), so from here on
-# the window is pure steady-state rotation — the queries whose most recent
-# driver row is OLDEST, oldest round first, ties broken by original
+# Since round 8 closed never-checked coverage (every registry query has
+# >=1 hard driver CORRECTNESS row), the window is pure steady-state
+# rotation — never-checked new queries first, then the queries whose most
+# recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
-_DRIVER_WINDOW_R10 = [
-    # round-10 window: the 3 never-checked r10 additions first, then the
-    # 47 stalest green driver rows (oldest CORRECTNESS round first) —
-    # computed by tools/pin_window.py from CORRECTNESS_r01-r09
-
-    "merge_schema_evolution",  # never-checked
-    "null_skipping",  # never-checked
-    "time_travel_as_of",  # never-checked
-    "hnsw_topk",  # never-checked
-    "restore_clone",  # never-checked
-    "hnsw_incremental",  # never-checked
-    "versioned_feed",  # never-checked
-    "rename_column",  # never-checked
-    "hnsw_multi",  # never-checked
-    "hnsw_filtered",  # never-checked
-    "table_metadata",  # never-checked
-    "drop_column",  # never-checked
-    "hnsw_streaming",  # never-checked
-    "hnsw_delete",  # never-checked
-    "gopher_rules",  # last r4
-    "ngram_lm_score",  # last r4
-    "bm25_topk",  # last r4
-    "bpe_pair_counts",  # last r4
-    "contamination_check",  # last r4
-    "pack_sequences",  # last r4
-    "repetition_pii",  # last r4
-    "chunk_documents",  # last r4
-    "udtf_token_positions",  # last r4
-    "text_signals",  # last r4
-    "media_frames",  # last r4
-    "scd2_user_status",  # last r4
-    "embed_cache_hits",  # last r4
-    "data_expectations",  # last r4
-    "weighted_mix",  # last r4
-    "media_pooled",  # last r4
-    "funnel_conversion",  # last r4
-    "retention_cohorts",  # last r4
-    "snapshot_diff",  # last r4
-    "session_window_agg",  # last r4
-    "lsh_multiprobe",  # last r4
-    "rerank_quantized",  # last r4
-    "hll_by_group",  # last r4
-    "cms_freq",  # last r4
-    "source_cap",  # last r4
-    "skew_profile",  # last r4
-    "semdedup",  # last r4
-    "rollup_merge",  # last r4
-    "duplicate_spans",  # last r4
-    "cms_join_size",  # last r4
-    "histogram_quantiles_by",  # last r4
-    "bloom_screen",  # last r4
-    "quality_filter",  # last r4
-    "containment_pairs",  # last r4
-    "psi_drift",  # last r4
-    "mad_outliers",  # last r4
+_DRIVER_WINDOW_R11 = [
+    # round-11 window: the 1 never-checked r11 addition first, then the
+    # 49 stalest green driver rows (oldest CORRECTNESS round first) -
+    # computed by tools/pin_window.py from CORRECTNESS_r01-r10
+    "merge_type_widening",  # never-checked
+    "profile_docs",  # last r4
+    "embedding_covariance",  # last r4
+    "interval_overlap",  # last r4
+    "label_centroids",  # last r5
+    "text_stats",  # last r5
+    "media_stats",  # last r5
+    "winnowing_fingerprints",  # last r5
+    "zorder_key",  # last r5
+    "heavy_hitters_by",  # last r5
+    "budget_select",  # last r5
+    "hll_set_ops",  # last r5
+    "bloom_join",  # last r5
+    "pagerank",  # last r5
+    "decayed_engagement",  # last r5
+    "seasonal_anomaly",  # last r5
+    "term_label_pmi",  # last r5
+    "jaccard_prefix",  # last r5
+    "cosine_pairs",  # last r5
+    "weighted_sample",  # last r5
+    "triangle_count",  # last r5
+    "association_lift",  # last r5
+    "blocked_linkage",  # last r5
+    "variant_json",  # last r5
+    "lateral_topn",  # last r5
+    "calendar_spine",  # last r5
+    "lsh_recall",  # last r5
+    "kmeans_centroids",  # last r5
+    "kcenter_coreset",  # last r5
+    "mmr_rerank",  # last r5
+    "simhash_pairs",  # last r5
+    "rp_project",  # last r5
+    "group_regression",  # last r5
+    "token_entropy",  # last r5
+    "k_anonymity",  # last r5
+    "dp_noisy_counts",  # last r5
+    "q7_volume_shipping",  # last r5
+    "q10_returned_items",  # last r5
+    "q12_late_shipping",  # last r5
+    "session_paths",  # last r5
+    "feature_hashing",  # last r5
+    "neg_sampling_weights",  # last r5
+    "cooccurrence_pmi",  # last r5
+    "survival_curve",  # last r5
+    "logreg_gd",  # last r5
+    "map_functions",  # last r5
+    "bootstrap_ci",  # last r5
+    "chi_square_mix",  # last r5
+    "benford_audit",  # last r5
+    "winsorized_stats",  # last r5
 ]
 
 
@@ -6572,7 +6639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round.  The canonical dict below stays in stable
     historical order; the returned dict is reordered so the pinned
-    ``_DRIVER_WINDOW_R10`` names come first (see the comment on that list for
+    ``_DRIVER_WINDOW_R11`` names come first (see the comment on that list for
     the round-10 composition), followed by every other query in canonical
     order.
 
@@ -6581,14 +6648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (301 queries / 50 per round).
+    driver row at most ~6 rounds stale (302 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
-    ``_DRIVER_WINDOW_R10``.  EVERY new query added mid-round must be
+    ``_DRIVER_WINDOW_R11``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 301 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 302 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6885,6 +6952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         # --- round 10 additions ---
         "merge_schema_evolution": q_merge_schema_evolution,
+        "merge_type_widening": q_merge_type_widening,
         "restore_clone": q_restore_clone,
         "rename_column": q_rename_column,
         "table_metadata": q_table_metadata,
@@ -6898,13 +6966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_streaming": q_hnsw_streaming,
         "hnsw_delete": q_hnsw_delete,
     }
-    missing = [n for n in _DRIVER_WINDOW_R10 if n not in reg]
-    if missing or len(_DRIVER_WINDOW_R10) != 50:
+    missing = [n for n in _DRIVER_WINDOW_R11 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R11) != 50:
         raise RuntimeError(
-            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R10)}, "
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R11)}, "
             f"missing={missing}"
         )
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R10}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R11}
     ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
     return ordered
 
@@ -10672,6 +10740,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN id % 7 = 0 THEN 'updated'
                    END AS action
             FROM base ORDER BY id
+        """,
+        "merge_type_widening": """
+            WITH target AS (
+              SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+                     CAST(n_chars AS DOUBLE) / 4 AS score
+              FROM documents WHERE doc_id % 3 <> 0
+            ), src AS (
+              SELECT doc_id, CAST(n_chars + 3000000000 AS BIGINT) AS n_chars,
+                     CAST(n_chars AS DOUBLE) / 4 + 1000000.25 AS score
+              FROM documents WHERE doc_id % 2 = 0
+            ), merged AS (
+              SELECT t.doc_id, CAST(t.n_chars AS BIGINT) AS n_chars,
+                     t.score, 'kept' AS action
+              FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = t.doc_id)
+              UNION ALL
+              SELECT s.doc_id, s.n_chars, s.score,
+                     CASE WHEN EXISTS (SELECT 1 FROM target t
+                                       WHERE t.doc_id = s.doc_id)
+                          THEN 'updated' ELSE 'inserted' END AS action
+              FROM src s
+            )
+            SELECT m.doc_id, m.n_chars, m.score, t.n_chars AS old_n_chars,
+                   m.action
+            FROM merged m LEFT JOIN target t ON m.doc_id = t.doc_id
+            ORDER BY m.doc_id
         """,
         "merge_schema_evolution": """
             WITH target AS (
