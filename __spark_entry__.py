@@ -4753,6 +4753,65 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_indexed_table_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactionally co-committed ANN index (``sources/indexed.py``,
+    r11 — the index ∘ table atomicity design): the HNSW index is a TABLE
+    ARTIFACT of the bucketed versioned store — shard b covers exactly
+    bucket b (same ``pmod(xxhash64(id), n_buckets)``), a MERGE rebuilds
+    the affected shards inside its OWN staged commit (one rename + one
+    pointer swap covers data and index, crash-atomicity pytest-
+    simulated), and serves resolve shards through the manifest. The row
+    drives the full lifecycle: create (embeddings with vec_id < 400) →
+    attach → MERGE (negate every 10th embedding, insert id+10000 copies
+    of the first 20) → DV-delete every 17th base id → serve the exact
+    exhaustive top-10 at the CURRENT version (merged content minus DV'd
+    keys) AND as-of the attach version (pre-merge content, no DVs) from
+    that version's own shards. The brute-force oracle recomputes both
+    states relationally — a stale shard, a leaked insert into the as-of
+    serve, or a DV that failed to tombstone breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    base = emb.select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    tmp = tempfile.mkdtemp(prefix="indexed_ann_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=8)
+        v_attach = IDX.attach_hnsw_index(spark, t, m=8, ef_construction=32)
+        src = (
+            base.filter(F.col("id") % 10 == 0)
+            .select("id", F.transform("embedding", lambda x: -x).alias("embedding"))
+            .unionByName(
+                base.filter(F.col("id") < 20).select(
+                    (F.col("id") + 10000).alias("id"), "embedding"
+                )
+            )
+        )
+        VER.merge_into_bucketed(spark, t, src)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("id") % 17 == 0).select("id")
+        )
+        post = IDX.indexed_hnsw_topk(spark, t, q, k=KNN_K, ef=None).withColumn(
+            "stage", F.lit("post_merge")
+        )
+        asof = IDX.indexed_hnsw_topk(
+            spark, t, q, k=KNN_K, ef=None, version=v_attach
+        ).withColumn("stage", F.lit("as_of_attach"))
+        out = (
+            post.unionByName(asof)
+            .orderBy("stage", F.desc("score"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_merge_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TYPE-widening schema evolution on the bucketed versioned store
     (``sources/versioned.py merge_into_bucketed``, r11 — Delta
@@ -6579,10 +6638,11 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R11 = [
-    # round-11 window: the 1 never-checked r11 addition first, then the
-    # 49 stalest green driver rows (oldest CORRECTNESS round first) -
+    # round-11 window: the 2 never-checked r11 additions first, then the
+    # 48 stalest green driver rows (oldest CORRECTNESS round first) -
     # computed by tools/pin_window.py from CORRECTNESS_r01-r10
     "merge_type_widening",  # never-checked
+    "indexed_table_ann",  # never-checked
     "profile_docs",  # last r4
     "embedding_covariance",  # last r4
     "interval_overlap",  # last r4
@@ -6631,7 +6691,6 @@ _DRIVER_WINDOW_R11 = [
     "bootstrap_ci",  # last r5
     "chi_square_mix",  # last r5
     "benford_audit",  # last r5
-    "winsorized_stats",  # last r5
 ]
 
 
@@ -6648,14 +6707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (302 queries / 50 per round).
+    driver row at most ~6 rounds stale (303 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R11``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 302 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 303 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -6953,6 +7012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 additions ---
         "merge_schema_evolution": q_merge_schema_evolution,
         "merge_type_widening": q_merge_type_widening,
+        "indexed_table_ann": q_indexed_table_ann,
         "restore_clone": q_restore_clone,
         "rename_column": q_rename_column,
         "table_metadata": q_table_metadata,
@@ -10740,6 +10800,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN id % 7 = 0 THEN 'updated'
                    END AS action
             FROM base ORDER BY id
+        """,
+        "indexed_table_ann": f"""
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400
+            ), merged AS (
+              SELECT vec_id, embedding FROM base WHERE vec_id % 10 <> 0
+              UNION ALL
+              SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+              FROM base WHERE vec_id % 10 = 0
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, embedding
+              FROM base WHERE vec_id < 20
+            ), live AS (
+              SELECT m.* FROM merged m
+              WHERE m.vec_id NOT IN (SELECT vec_id FROM base WHERE vec_id % 17 = 0)
+            ), q AS (
+              SELECT embedding FROM base WHERE vec_id = 3
+            ), post AS (
+              SELECT l.vec_id,
+                     round({_duck_dot("l.embedding", "(SELECT embedding FROM q)")}, 6) AS score,
+                     'post_merge' AS stage
+              FROM live l
+              ORDER BY score DESC, l.vec_id LIMIT {KNN_K}
+            ), at_attach AS (
+              SELECT b.vec_id,
+                     round({_duck_dot("b.embedding", "(SELECT embedding FROM q)")}, 6) AS score,
+                     'as_of_attach' AS stage
+              FROM base b
+              ORDER BY score DESC, b.vec_id LIMIT {KNN_K}
+            )
+            SELECT vec_id, score, stage FROM (
+              SELECT * FROM post UNION ALL SELECT * FROM at_attach
+            ) ORDER BY stage, score DESC, vec_id
         """,
         "merge_type_widening": """
             WITH target AS (

@@ -32,6 +32,20 @@ front-truncated into unparseable garbage):
 - stdout, final line: ONE compact JSON summary (< 500 bytes) with the
   headline metric and a pointer at the summary file.
 - stderr: human-readable per-query progress.
+
+Round-over-round notes (real work vs box drift):
+
+- r10 ``append_skipping`` 1.37 -> 2.28 s (1.66x) is REAL ADDED WORK, not
+  noise: commit e0e3f2d added null-count zone-map statistics collection
+  and object-store-safe file discovery to that path. 2.28 s absolute is
+  the accepted cost of the feature.
+- The box drifts ~10% run-to-run after hours of load (r10 measured
+  0.977x/1.083x/1.107x on identical common code); like-for-like
+  round-over-round ratios inside that band are not regressions. Run the
+  round's final bench FIRST after a quiet period.
+- r11 adds per-layout commit locks to every HNSW/IVF index mutation
+  (flock acquire/release, microseconds per mutation) — invisible at
+  bench granularity; any apparent index-row swing is drift, not locking.
 """
 
 from __future__ import annotations

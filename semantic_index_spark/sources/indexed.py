@@ -1,0 +1,271 @@
+"""Transactionally co-committed ANN index for bucketed tables.
+
+[absent in reference — north-star extension; design spike for
+ARCHITECTURE.md "Index ∘ table atomicity"]. The standalone index
+layouts (``operators/hnsw.py``, ``operators/similarity.py``) live
+OUTSIDE the versioned store: a MERGE that rewrites buckets and the
+index append that should accompany it are two non-atomic operations
+with no shared version — no time travel for indexes, no crash
+consistency between table and index. This module closes that gap the
+way real table formats do: the index becomes a TABLE ARTIFACT that
+commits in the same manifest publish as the data.
+
+Design:
+
+  * **Bucket-aligned shards.** The table's key must be a single
+    (integral) id column; index shard ``b`` covers exactly table bucket
+    ``b`` — both are ``pmod(xxhash64(id), n_buckets)`` (``build_hnsw``'s
+    shard hash IS ``_bucket_expr`` for a single key). The rows needed to
+    rebuild a shard are therefore exactly the rewritten bucket's rows,
+    which the merge has already computed — zero extra table reads — and
+    at cluster scale the shard is co-located with its bucket.
+  * **One staged directory, one publish.** The merge's rebuilt shard
+    graphs are written into the SAME ``_staged_<uuid>`` directory as its
+    bucket data (under ``__hnsw/shard=<b>``), and the manifest's
+    ``index.shards`` ownership map advances in the SAME manifest write —
+    one directory rename + one pointer swap covers both. A crash at ANY
+    point therefore leaves the table and the index at the same version:
+    a reader can never observe a merged table with a stale index or an
+    index containing rows the table commit never published
+    (pytest-simulated crashes at both failure points).
+  * **Time travel for free.** ``index.shards`` maps each shard to its
+    owning version exactly like ``buckets`` does for data, so reading
+    the index AS OF version ``n`` is the same manifest walk as reading
+    the data — and ``expire_bucketed`` keeps every file a retained
+    manifest's index references live.
+  * **Deletes stay write-fast.** ``delete_bucketed``'s deletion vectors
+    apply to the index as SERVE-TIME tombstones (deleted nodes keep
+    routing, never rank — the same waypoint contract as
+    ``delete_from_hnsw_index``), read from the manifest the serve
+    resolved, so a DV-only commit needs no shard rebuild and time travel
+    sees the right deletes.
+
+Prototype boundary (documented, enforced loudly): tables with column
+mapping (renames), and the OPTIMIZE / RESTORE / DROP / RENAME / CLONE
+verbs on an indexed table, are refused rather than served stale — each
+needs its own shard-maintenance rule (optimize must rebuild the shards
+of the buckets it rewrites because it folds DVs the serve would
+otherwise stop applying; restore must restore the shard map alongside).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from semantic_index_spark.sources import versioned as VER
+
+_INTEGRAL = {"byte", "short", "integer", "long"}
+
+
+def attach_hnsw_index(
+    spark: SparkSession,
+    table: str,
+    emb_col: str = "embedding",
+    m: int = 8,
+    ef_construction: int = 64,
+    seed: int = 7,
+) -> int:
+    """Build a bucket-aligned HNSW index over the CURRENT table state and
+    commit it as table metadata: the shard graphs stage under the commit's
+    version directory (``v=<n>/__hnsw/shard=<b>``) and the manifest gains
+    ``index = {params, shards}``. Conditional on the pointer AND marked as
+    touching every bucket, so a concurrent data commit conflicts (an index
+    built from pre-commit rows must not publish over it); retryable via
+    ``retry_commit``. From this commit on, every ``merge_into_bucketed``
+    rebuilds the affected shards inside its own staged commit — the index
+    can never drift from the data."""
+    from semantic_index_spark.operators.hnsw import build_hnsw
+
+    man = VER._read_manifest(table)
+    if man.get("index"):
+        raise ValueError(f"table {table} already carries a co-committed index")
+    if VER._colmap(man):
+        raise ValueError(
+            "attach_hnsw_index: tables with column mapping (renamed "
+            "columns) are outside the prototype boundary"
+        )
+    keys = man["key_cols"]
+    if len(keys) != 1:
+        raise ValueError(
+            f"attach_hnsw_index: bucket-aligned shards need a single key "
+            f"column, table has {keys}"
+        )
+    key = keys[0]
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    if emb_col not in fields:
+        raise ValueError(f"attach_hnsw_index: no column {emb_col!r} on {table}")
+    if fields[key].get("type") not in _INTEGRAL:
+        raise ValueError(
+            f"attach_hnsw_index: key {key!r} must be integral (graph node "
+            f"ids are longs), got {fields[key].get('type')}"
+        )
+    rows = VER.read_bucketed(spark, table).select(
+        F.col(key).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    # shard hash == bucket hash: pmod(xxhash64(key), n_buckets) on the
+    # key's manifest dtype, computed by build_hnsw exactly as _bucket_expr
+    idx = build_hnsw(
+        rows,
+        n_shards=int(man["n_buckets"]),
+        m=m,
+        ef_construction=ef_construction,
+        seed=seed,
+    )
+    staged = VER._staged_path(table)
+    idx.write.mode("errorifexists").partitionBy("shard").parquet(
+        os.path.join(staged, "__hnsw")
+    )
+    params = {
+        "kind": "hnsw",
+        "emb_col": emb_col,
+        "m": int(m),
+        "ef_construction": int(ef_construction),
+        "seed": int(seed),
+    }
+
+    def build(final: int, base_man: dict, dest: str) -> dict:
+        manifest = {k: v for k, v in base_man.items() if k != "version"}
+        manifest["version"] = final
+        hdir = os.path.join(dest, "__hnsw")
+        written = {
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
+            if d.startswith("shard=")
+        }
+        manifest["index"] = {
+            "params": params,
+            "shards": {
+                str(b): (final if b in written else None)
+                for b in range(int(man["n_buckets"]))
+            },
+        }
+        return manifest
+
+    final, _ = VER._publish_bucketed(
+        table, staged, man, set(range(int(man["n_buckets"]))), build,
+        strict_meta=True,
+    )
+    return final
+
+
+def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
+    """The merge-side maintenance hook (called by ``merge_into_bucketed``
+    when the manifest carries an index): build the affected buckets'
+    replacement shard graphs from the merge's OWN rewritten-bucket rows
+    and return (stage, finalize) callbacks for ``_commit_bucketed`` —
+    stage writes the graphs into the merge's staged directory, finalize
+    advances ``index.shards`` for the affected buckets in the same
+    manifest (inheriting every other shard's owner from the manifest the
+    commit lands on, so a disjoint-bucket rebase keeps both writers'
+    shards exactly like it keeps both writers' buckets)."""
+    from semantic_index_spark.operators.hnsw import build_hnsw
+
+    spec = man["index"]
+    p = spec["params"]
+    key = man["key_cols"][0]
+    idx = build_hnsw(
+        result.select(
+            F.col(key).alias("vec_id"), F.col(p["emb_col"]).alias("embedding")
+        ),
+        n_shards=int(man["n_buckets"]),
+        m=p["m"],
+        ef_construction=p["ef_construction"],
+        seed=p["seed"],
+    )
+
+    def stage(staged: str) -> None:
+        idx.write.mode("errorifexists").partitionBy("shard").parquet(
+            os.path.join(staged, "__hnsw")
+        )
+
+    def finalize(manifest: dict, final: int, base_man, dest: str) -> dict:
+        hdir = os.path.join(dest, "__hnsw")
+        written = {
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
+            if d.startswith("shard=")
+        }
+        base_idx = ((base_man or man).get("index") or spec)
+        shards = dict(base_idx["shards"])
+        for b in affected:
+            shards[str(b)] = final if b in written else None
+        manifest["index"] = {"params": dict(p), "shards": shards}
+        return manifest
+
+    return stage, finalize
+
+
+def indexed_hnsw_topk(
+    spark: SparkSession,
+    table: str,
+    query,
+    k: int = 10,
+    ef: int | None = 64,
+    version: int | None = None,
+    max_blocked: int = 10_000_000,
+) -> DataFrame:
+    """Serve top-k from the table's co-committed index AT a table version
+    (default latest) — the whole point of the design: the manifest the
+    read resolves names BOTH the bucket data and the shard graphs of one
+    consistent commit, so the serve can never rank a row the table
+    version doesn't contain (crash-simulation pytest) and time travel
+    serves historical versions from their own shards. Deletion vectors
+    recorded at or before the version apply as serve-time tombstones.
+    Columns: ``(vec_id, score)`` — the ``hnsw_topk`` contract
+    (``ef=None`` = exhaustive/exact)."""
+    from semantic_index_spark.operators.hnsw import hnsw_topk
+
+    man = VER._read_manifest(table, version)
+    spec = man.get("index")
+    if spec is None:
+        raise ValueError(
+            f"table {table} has no co-committed index (attach_hnsw_index)"
+        )
+    by_version: dict = {}
+    for b, v in spec["shards"].items():
+        if v is not None:
+            by_version.setdefault(int(v), []).append(int(b))
+    parts = []
+    # one read per OWNING VERSION (basePath recovers the shard partition
+    # column), unioned — the same grouping read_bucketed does for buckets
+    for v, bs in sorted(by_version.items()):
+        base = os.path.join(table, f"v={v}", "__hnsw")
+        parts.append(
+            spark.read.option("basePath", base).parquet(
+                *[os.path.join(base, f"shard={b}") for b in sorted(bs)]
+            )
+        )
+    if not parts:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("vec_id", LongType()), StructField("score", DoubleType())]
+            ),
+        )
+    idx = parts[0]
+    for extra in parts[1:]:
+        idx = idx.unionByName(extra)
+    blocked = None
+    dv_paths = VER._dv_paths(table, man)
+    if dv_paths:
+        from semantic_index_spark.session import collect_bounded
+
+        key = man["key_cols"][0]
+        rows = collect_bounded(
+            spark.read.parquet(*dv_paths).select(key).distinct(),
+            max_blocked,
+            "indexed_hnsw_topk DV tombstones",
+        )
+        blocked = {int(r[key]) for r in rows}
+    return hnsw_topk(idx, query, k=k, ef=ef, blocked=blocked)

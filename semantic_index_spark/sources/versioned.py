@@ -376,6 +376,7 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
     man = None
     if os.path.exists(_manifest_path(src_table, v)):
         man = _read_manifest(src_table, v)
+        _refuse_indexed(man, "clone_table")
     os.makedirs(dst_table, exist_ok=True)
     # hidden-partitioned tables carry their transform spec as a side file —
     # the clone needs it for its read path to be self-contained
@@ -888,7 +889,8 @@ def _publish_bucketed(table, staged, read_man, affected, build_manifest,
 
 
 def _commit_bucketed(
-    table: str, df: DataFrame, base: dict, read_man: "dict | None", dv_clear=()
+    table: str, df: DataFrame, base: dict, read_man: "dict | None", dv_clear=(),
+    stage_extra=None, finalize_manifest=None,
 ) -> int:
     """Stage ``df`` partitioned by ``__bucket``, then conditionally publish
     (see ``_publish_bucketed``). ``base`` carries key_cols / n_buckets /
@@ -899,11 +901,19 @@ def _commit_bucketed(
     which under a disjoint-bucket rebase is the concurrent winner's, so
     neither commit's buckets are lost. Crash before the critical section
     leaves an invisible ``_staged_*`` orphan, same contract as
-    ``commit_version``."""
+    ``commit_version``.
+
+    ``stage_extra(staged_dir)`` writes additional artifacts into the SAME
+    staged directory and ``finalize_manifest(manifest, final, base_man,
+    dest)`` amends the manifest in the SAME publish — the co-committed
+    index (``sources/indexed.py``) rides these so table data and index
+    shards land in one rename + one pointer swap, never separately."""
     staged = _staged_path(table)
     if read_man is not None:  # files persist PHYSICAL names (column mapping)
         df = _to_physical(df, read_man)
     df.write.mode("errorifexists").partitionBy("__bucket").parquet(staged)
+    if stage_extra is not None:
+        stage_extra(staged)
     affected = base.pop("__affected")
     cleared = {str(b) for b in dv_clear}
 
@@ -938,11 +948,16 @@ def _commit_bucketed(
         # constraints / generated columns / column mapping / retired
         # physical names are table metadata: inherited from the manifest
         # the commit lands on (identical between read_man and any rebase
-        # winner — _meta_diff conflicts the rebase otherwise)
-        for meta_key in ("constraints", "generated", "colmap", "retired_cols"):
+        # winner — _meta_diff conflicts the rebase otherwise); the index
+        # spec inherits too and is then ADVANCED by finalize_manifest
+        # (merges on indexed tables always pass one — inheritance alone
+        # would leave stale shards)
+        for meta_key in ("constraints", "generated", "colmap", "retired_cols", "index"):
             val = (base_man or {}).get(meta_key) or manifest.get(meta_key)
             if val:
                 manifest[meta_key] = dict(val) if isinstance(val, dict) else list(val)
+        if finalize_manifest is not None:
+            manifest = finalize_manifest(manifest, final, base_man, dest)
         return manifest
 
     final, _ = _publish_bucketed(table, staged, read_man, affected, build)
@@ -1252,10 +1267,21 @@ def merge_into_bucketed(
         "__affected": affected,
         "meta": dict(meta) if meta else {},
     }
+    stage_extra = finalize = None
+    if man.get("index"):
+        # co-committed index (sources/indexed.py): the affected buckets'
+        # replacement shard graphs ride THIS commit's staged directory
+        # and manifest — table and index can never publish separately
+        from semantic_index_spark.sources.indexed import _stage_merge_index
+
+        stage_extra, finalize = _stage_merge_index(spark, man, result, affected)
     # a rewritten bucket has its DVs folded into the data — clear them;
     # the commit is conditional on `man` and rebases over concurrent
     # commits that touched only DISJOINT buckets (_publish_bucketed)
-    return _commit_bucketed(table, result, base, man, dv_clear=affected)
+    return _commit_bucketed(
+        table, result, base, man, dv_clear=affected,
+        stage_extra=stage_extra, finalize_manifest=finalize,
+    )
 
 
 def delete_bucketed(
@@ -1322,7 +1348,8 @@ def delete_bucketed(
         }
         # table metadata rides every commit — without this a DV delete
         # would silently SHED the table's constraints/generated columns
-        for meta_key in ("constraints", "generated", "colmap", "retired_cols"):
+        # (the index spec rides too: DVs apply to it as serve tombstones)
+        for meta_key in ("constraints", "generated", "colmap", "retired_cols", "index"):
             val = base_man.get(meta_key)
             if val:
                 out[meta_key] = dict(val) if isinstance(val, dict) else list(val)
@@ -1332,6 +1359,22 @@ def delete_bucketed(
     # buckets rebases (the DV lists append onto the winner's manifest)
     final, _ = _publish_bucketed(table, staged, man, affected, build)
     return final
+
+
+def _refuse_indexed(man: dict, verb: str) -> None:
+    """Prototype boundary for the co-committed index
+    (``sources/indexed.py``): verbs that rewrite or re-point bucket data
+    without rebuilding the matching index shards would serve stale — an
+    OPTIMIZE folds DVs the serve would then stop applying (deleted rows
+    would rank again), a RESTORE re-points buckets at content the shard
+    map no longer matches. Refuse loudly until each verb carries its own
+    shard-maintenance rule."""
+    if man.get("index"):
+        raise ValueError(
+            f"{verb}: table carries a co-committed ANN index; this verb "
+            "does not maintain index shards yet (prototype boundary — "
+            "see sources/indexed.py)"
+        )
 
 
 def expire_bucketed(
@@ -1369,9 +1412,12 @@ def expire_bucketed(
         live.update(int(x) for x in man["buckets"].values() if x is not None)
         # deletion-vector files live under their committing version's dir —
         # a version can be live purely because a kept manifest still
-        # references its DVs
+        # references its DVs; likewise a co-committed index's shard graphs
         for versions in man.get("dv", {}).values():
             live.update(int(x) for x in versions)
+        for owner in man.get("index", {}).get("shards", {}).values():
+            if owner is not None:
+                live.add(int(owner))
     reclaimed = []
     for v in list_versions(table):
         if v in live or v in kept_versions:
@@ -1510,6 +1556,8 @@ def restore_bucketed(table: str, to_version: int) -> int:
     ``_publish_bucketed`` OCC path."""
     man_t = _read_manifest(table, to_version)  # raises if expired/never committed
     read_man = _read_manifest(table, None)
+    _refuse_indexed(read_man, "restore_bucketed")
+    _refuse_indexed(man_t, "restore_bucketed")
     staged = _staged_path(table)
     os.makedirs(staged)
 
@@ -1599,6 +1647,7 @@ def drop_column(table: str, col: str) -> int:
     columns and columns referenced by a CHECK constraint or generated-
     column expression cannot be dropped (drop the constraint first)."""
     read_man = _read_manifest(table, None)
+    _refuse_indexed(read_man, "drop_column")
     schema = json.loads(read_man["schema"])
     names = [f["name"] for f in schema["fields"]]
     if col not in names:
@@ -1661,6 +1710,7 @@ def rename_column(table: str, old: str, new: str) -> int:
     generated expression refuse to rename (drop that first — expressions
     are stored as text). Conflicts with any concurrent data commit."""
     read_man = _read_manifest(table, None)
+    _refuse_indexed(read_man, "rename_column")
     schema = json.loads(read_man["schema"])
     names = [f["name"] for f in schema["fields"]]
     if old not in names:
@@ -1870,6 +1920,7 @@ def optimize_bucketed(
     import pyspark.sql.functions as F
 
     man = _read_manifest(table)
+    _refuse_indexed(man, "optimize_bucketed")
     keys, n_buckets = man["key_cols"], man["n_buckets"]
     if buckets is None:
         buckets = sorted(int(b) for b in man.get("dv", {}))

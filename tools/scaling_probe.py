@@ -94,6 +94,7 @@ PANEL = [
     "graph_walks",            # per-step frontier equi-join + hash-argmin
     "hnsw_incremental",       # per-shard graph build/resume: n_shard·ef·M work
     "versioned_feed",         # commit-version stream drain: file-listing + reads
+    "merge_type_widening",    # bucketed MERGE + type-widened manifest read
 ]
 
 # ---- scaling GATE ------------------------------------------------------
@@ -140,6 +141,7 @@ EXPLICIT_CEILINGS = {
     "graph_walks": 1.35,          # step cost = sum outdeg(frontier), frontier linear in corpus
     "hnsw_incremental": 1.35,     # per-shard insert: n·ef·M·log n, shard count is the lever
     "versioned_feed": 1.35,       # one pyarrow read per added file, O(commits) listing
+    "merge_type_widening": 1.35,  # keyed anti-join + union over touched buckets
 }
 MIN_GATE_SECONDS = 0.8
 HEAVY_SECONDS = 2.0  # the explicit-ceiling coverage threshold
