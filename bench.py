@@ -46,6 +46,14 @@ Round-over-round notes (real work vs box drift):
 - r11 adds per-layout commit locks to every HNSW/IVF index mutation
   (flock acquire/release, microseconds per mutation) — invisible at
   bench granularity; any apparent index-row swing is drift, not locking.
+- r11 idle-box run: like-for-like on the 301 common queries = 306.5 ->
+  320.8 s (1.047x) vs r10 — WITHIN the 1.05x drift-resolution target, so
+  the r10 report's 1.136x was box drift as suspected (and
+  ``append_skipping`` swung back 2.28 -> 1.26 s on untouched code,
+  confirming its r10 number carried drift on top of the real feature
+  cost). ``hnsw_incremental`` 2.51 -> 7.96 s in-suite is CONTENTION, not
+  code: isolated A/B of r10 vs r11 code on a quiet box measures both at
+  3.1-3.6 s (lock overhead <= 0.2 s, inside noise).
 """
 
 from __future__ import annotations

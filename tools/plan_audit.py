@@ -672,15 +672,14 @@ AUDITS = {
     "motif_open_wedges": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # sharded HNSW serve: per-shard search in FlatMapGroupsInPandas, the
     # global merge is a BOUNDED top-k (TakeOrderedAndProject over
-    # n_shards*k rows) — never a full sort, never a product
-    "hnsw_topk": {
-        "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
-    },
-    "hnsw_incremental": {
-        "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
-    },
+    # n_shards*k rows) — never a full sort, never a product. The serve
+    # plan shape is asserted on hnsw_filtered / hnsw_multi (same code
+    # path, live plans); hnsw_topk and hnsw_incremental return
+    # checkpoint-truncated readbacks (their temp index dirs are removed
+    # in `finally`, r10 cleanup), so like the other lifecycle rows only
+    # products are forbidden end-to-end.
+    "hnsw_topk": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    "hnsw_incremental": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     "hnsw_filtered": {
         "expect": ["TakeOrderedAndProject", "FlatMapGroupsInPandas"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
