@@ -40,12 +40,19 @@ Design:
     resolved, so a DV-only commit needs no shard rebuild and time travel
     sees the right deletes.
 
-Prototype boundary (documented, enforced loudly): tables with column
-mapping (renames), and the OPTIMIZE / RESTORE / DROP / RENAME / CLONE
-verbs on an indexed table, are refused rather than served stale — each
-needs its own shard-maintenance rule (optimize must rebuild the shards
-of the buckets it rewrites because it folds DVs the serve would
-otherwise stop applying; restore must restore the shard map alongside).
+The full lifecycle maintains the index (round 11, second pass):
+OPTIMIZE rebuilds the rewritten buckets' shards from the DV-FOLDED
+content in its own commit (when the manifest clears the DV lists, the
+deleted nodes are already gone from the graph); RESTORE carries the
+target manifest's shard map wholesale (rollback restores the index with
+the data, and retention keeps the shard files live); CLONE consolidates
+shard graphs under the clone's v=0 exactly like buckets and DVs; DROP /
+RENAME COLUMN work on any column except the index's embedding column
+(the one name the spec stores — detach/rebuild first), with
+column-mapped key names resolved physically on the DV serve path. The
+remaining boundary: one index per table, single integral key, HNSW only
+(the IVF families still live as standalone layouts under their commit
+locks).
 """
 
 from __future__ import annotations
@@ -83,11 +90,6 @@ def attach_hnsw_index(
     man = VER._read_manifest(table)
     if man.get("index"):
         raise ValueError(f"table {table} already carries a co-committed index")
-    if VER._colmap(man):
-        raise ValueError(
-            "attach_hnsw_index: tables with column mapping (renamed "
-            "columns) are outside the prototype boundary"
-        )
     keys = man["key_cols"]
     if len(keys) != 1:
         raise ValueError(
@@ -259,11 +261,16 @@ def indexed_hnsw_topk(
     blocked = None
     dv_paths = VER._dv_paths(table, man)
     if dv_paths:
+        import pyspark.sql.functions as _F
+
         from semantic_index_spark.session import collect_bounded
 
         key = man["key_cols"][0]
+        phys = VER._colmap(man).get(key, key)  # DV files store PHYSICAL names
         rows = collect_bounded(
-            spark.read.parquet(*dv_paths).select(key).distinct(),
+            spark.read.parquet(*dv_paths)
+            .select(_F.col(phys).alias(key))
+            .distinct(),
             max_blocked,
             "indexed_hnsw_topk DV tombstones",
         )

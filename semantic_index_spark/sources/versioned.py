@@ -376,7 +376,6 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
     man = None
     if os.path.exists(_manifest_path(src_table, v)):
         man = _read_manifest(src_table, v)
-        _refuse_indexed(man, "clone_table")
     os.makedirs(dst_table, exist_ok=True)
     # hidden-partitioned tables carry their transform spec as a side file —
     # the clone needs it for its read path to be self-contained
@@ -433,6 +432,19 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
                         os.link(s, d)
                     except OSError:
                         shutil.copy2(s, d)
+        # co-committed index shards consolidate under v=0 exactly like
+        # buckets — the clone's serve path must be self-contained
+        for b, owner in (man.get("index", {}).get("shards") or {}).items():
+            if owner is None:
+                continue
+            ssrc = os.path.join(src_table, f"v={owner}", "__hnsw", f"shard={b}")
+            _link_tree(ssrc, os.path.join(staged, "__hnsw", f"shard={b}"))
+            if not os.path.isdir(ssrc):  # reclaimed mid-link
+                shutil.rmtree(staged, ignore_errors=True)
+                raise FileNotFoundError(
+                    f"index shard {b} of {src_table} v={owner} was reclaimed "
+                    "concurrently during the clone — nothing was published"
+                )
         new_man = {
             k: v2 for k, v2 in man.items() if k not in ("version", "buckets", "dv")
         }
@@ -443,6 +455,14 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
         }
         if man.get("dv"):
             new_man["dv"] = {b: [0] for b in man["dv"]}
+        if man.get("index"):
+            new_man["index"] = {
+                "params": dict(man["index"]["params"]),
+                "shards": {
+                    b: (0 if o is not None else None)
+                    for b, o in man["index"]["shards"].items()
+                },
+            }
     dst_v0 = os.path.join(dst_table, "v=0")
     with _pointer_lock(dst_table):
         if current_version(dst_table) is not None or os.path.exists(dst_v0):
@@ -1361,22 +1381,6 @@ def delete_bucketed(
     return final
 
 
-def _refuse_indexed(man: dict, verb: str) -> None:
-    """Prototype boundary for the co-committed index
-    (``sources/indexed.py``): verbs that rewrite or re-point bucket data
-    without rebuilding the matching index shards would serve stale — an
-    OPTIMIZE folds DVs the serve would then stop applying (deleted rows
-    would rank again), a RESTORE re-points buckets at content the shard
-    map no longer matches. Refuse loudly until each verb carries its own
-    shard-maintenance rule."""
-    if man.get("index"):
-        raise ValueError(
-            f"{verb}: table carries a co-committed ANN index; this verb "
-            "does not maintain index shards yet (prototype boundary — "
-            "see sources/indexed.py)"
-        )
-
-
 def expire_bucketed(
     table: str, keep_manifests: int = 2, orphan_ttl_seconds: float = 24 * 3600.0
 ) -> list[int]:
@@ -1556,8 +1560,6 @@ def restore_bucketed(table: str, to_version: int) -> int:
     ``_publish_bucketed`` OCC path."""
     man_t = _read_manifest(table, to_version)  # raises if expired/never committed
     read_man = _read_manifest(table, None)
-    _refuse_indexed(read_man, "restore_bucketed")
-    _refuse_indexed(man_t, "restore_bucketed")
     staged = _staged_path(table)
     os.makedirs(staged)
 
@@ -1647,7 +1649,13 @@ def drop_column(table: str, col: str) -> int:
     columns and columns referenced by a CHECK constraint or generated-
     column expression cannot be dropped (drop the constraint first)."""
     read_man = _read_manifest(table, None)
-    _refuse_indexed(read_man, "drop_column")
+    idx_emb = (read_man.get("index") or {}).get("params", {}).get("emb_col")
+    if col == idx_emb:
+        raise ValueError(
+            f"cannot drop {col!r}: it is the co-committed ANN index's "
+            "embedding column (sources/indexed.py) — detach or rebuild "
+            "the index first"
+        )
     schema = json.loads(read_man["schema"])
     names = [f["name"] for f in schema["fields"]]
     if col not in names:
@@ -1710,7 +1718,13 @@ def rename_column(table: str, old: str, new: str) -> int:
     generated expression refuse to rename (drop that first — expressions
     are stored as text). Conflicts with any concurrent data commit."""
     read_man = _read_manifest(table, None)
-    _refuse_indexed(read_man, "rename_column")
+    idx_emb = (read_man.get("index") or {}).get("params", {}).get("emb_col")
+    if old == idx_emb:
+        raise ValueError(
+            f"cannot rename {old!r}: it is the co-committed ANN index's "
+            "embedding column (sources/indexed.py) — detach or rebuild "
+            "the index first"
+        )
     schema = json.loads(read_man["schema"])
     names = [f["name"] for f in schema["fields"]]
     if old not in names:
@@ -1920,7 +1934,6 @@ def optimize_bucketed(
     import pyspark.sql.functions as F
 
     man = _read_manifest(table)
-    _refuse_indexed(man, "optimize_bucketed")
     keys, n_buckets = man["key_cols"], man["n_buckets"]
     if buckets is None:
         buckets = sorted(int(b) for b in man.get("dv", {}))
@@ -1960,6 +1973,20 @@ def optimize_bucketed(
         rows = spark.createDataFrame(
             [], StructType.fromJson(json.loads(man["schema"]))
         ).withColumn("__bucket", F.lit(0).cast("bigint"))
+    stage_extra = finalize = None
+    if man.get("index"):
+        # co-committed index: OPTIMIZE is the compaction half of the DV
+        # trade for the index too — the rewritten buckets' shard graphs
+        # rebuild from the DV-FOLDED content in the SAME commit, so when
+        # this manifest clears the DV lists the serve (which would stop
+        # applying those keys as tombstones) finds the deleted nodes
+        # physically gone from the graph, never resurrected
+        from semantic_index_spark.sources.indexed import _stage_merge_index
+
+        stage_extra, finalize = _stage_merge_index(
+            spark, man, rows, list(affected) + list(dv_only)
+        )
     return _commit_bucketed(
-        table, rows, base, man, dv_clear=set(affected) | set(dv_only)
+        table, rows, base, man, dv_clear=set(affected) | set(dv_only),
+        stage_extra=stage_extra, finalize_manifest=finalize,
     )

@@ -2915,20 +2915,59 @@ def test_indexed_table_attach_merge_serve_time_travel(spark, tmp_path):
     ]
     assert got3 == _brute_topk(spark, live, q, 5)
     assert all(v not in (5, 7) for v, _ in got3)
-    # prototype boundary verbs refuse loudly instead of serving stale
+    # OPTIMIZE folds the DVs AND rebuilds the affected shards in the same
+    # commit: identical serve, deleted nodes physically gone
+    v_opt = VER.optimize_bucketed(spark, t)
+    man_opt = VER._read_manifest(t)
+    assert not man_opt.get("dv")
+    got_opt = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
+    ]
+    assert got_opt == got3
+    idx_rows = IDX.indexed_hnsw_topk(spark, t, q, k=1000, ef=None).collect()
+    assert all(r["vec_id"] not in (5, 7) for r in idx_rows)
+    # RESTORE carries the shard map wholesale: rollback restores the
+    # index with the data (ids 5/7 rank again, 200/201 vanish)
+    VER.restore_bucketed(t, v_attach)
+    got_restored = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
+    ]
+    assert got_restored == got  # the attach-time serve
+    VER.restore_bucketed(t, v_opt)  # roll forward again
+    # RENAME of any column except the index's embedding column is fine;
+    # the DV serve path resolves column-mapped keys physically
     import pytest
 
-    with pytest.raises(ValueError, match="co-committed"):
-        VER.optimize_bucketed(spark, t)
-    with pytest.raises(ValueError, match="co-committed"):
+    with pytest.raises(ValueError, match="embedding column"):
         VER.rename_column(t, "embedding", "vec")
+    with pytest.raises(ValueError, match="embedding column"):
+        VER.drop_column(t, "embedding")
+    VER.rename_column(t, "id", "doc_id")
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(11,)], "doc_id long"))
+    live2 = VER.read_bucketed(spark, t).selectExpr("doc_id AS id", "embedding")
+    got_renamed = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
+    ]
+    assert got_renamed == _brute_topk(spark, live2, q, 5)
+    assert all(v != 11 for v, _ in got_renamed)
+    # CLONE consolidates the shard graphs under v=0 — self-contained serve
+    t2 = str(tmp_path / "it_clone")
+    VER.clone_table(t, t2)
+    got_clone = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t2, q, k=5, ef=None).collect()
+    ]
+    assert got_clone == got_renamed
     # expire keeps every version a retained manifest's index references
     VER.expire_bucketed(t, keep_manifests=2)
     got4 = [
         (r["vec_id"], r["score"])
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
     ]
-    assert got4 == got3
+    assert got4 == got_renamed
 
 
 def test_indexed_table_crash_never_skews(spark, tmp_path, monkeypatch):
