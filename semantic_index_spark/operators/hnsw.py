@@ -702,6 +702,54 @@ def compact_hnsw_index(spark: SparkSession, path: str) -> int:
         return n_dead
 
 
+def recover_hnsw_layout(path: str) -> str:
+    """Repair a layout after a crash inside :func:`compact_hnsw_index`'s
+    swap window — the operational verb completing that function's crash
+    contract (a crash always leaves a complete layout on disk; this puts
+    it back at ``path``). States, checked under the layout commit lock:
+
+      * ``path`` exists → the swap either never started or completed;
+        any ``__compact_tmp__`` / ``__compact_old__`` leftovers are
+        debris from a pre-swap crash and are removed. Returns ``"ok"``.
+      * ``path`` missing, tmp COMPLETE (its meta file exists — the base
+        writer writes meta last, so meta presence marks completeness) →
+        the crash hit between the two renames; the compaction had fully
+        built the new layout, so finish the swap: tmp renames to
+        ``path``, the old layout (whose tombstones the compaction was
+        folding) is dropped. Returns ``"recovered-new"``.
+      * ``path`` missing, only the old layout present → the crash hit
+        after old moved aside but before the (never-completed) new
+        layout landed; the old layout renames back, tombstones intact —
+        re-run the compaction. Returns ``"recovered-old"``.
+
+    Raises if no complete layout can be found (true data loss — never
+    produced by the compaction protocol)."""
+    import os
+    import shutil
+
+    from semantic_index_spark.locking import index_lock
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    with index_lock(path):
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return "ok"
+        if os.path.isdir(tmp) and os.path.exists(_meta_path(tmp)):
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+            return "recovered-new"
+        if os.path.isdir(old) and os.path.exists(_meta_path(old)):
+            os.rename(old, path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return "recovered-old"
+        raise FileNotFoundError(
+            f"no complete HNSW layout found at {path} (nor in its compact "
+            "swap directories) — nothing to recover"
+        )
+
+
 def hnsw_topk_indexed(
     spark: SparkSession,
     path: str,

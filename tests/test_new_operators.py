@@ -3147,3 +3147,63 @@ def test_hnsw_interleaved_append_recall_vs_rebuild(spark, tmp_path):
     # contract floor is 0.95 — insertion-order sensitivity is real but
     # small at production beam widths
     assert recall >= 0.95, f"interleaved append recall@10 = {recall:.3f}"
+
+
+def test_hnsw_compact_crash_recovery(spark, tmp_path):
+    """Round 11: recover_hnsw_layout repairs every crash state the
+    compaction swap can leave — old-aside-only (rename back, tombstones
+    intact) and new-complete (finish the swap) — and is a cleanup no-op
+    on a healthy layout."""
+    import os
+    import shutil
+
+    from semantic_index_spark.operators import hnsw as H
+
+    rows = [(int(i), [float((i * 37) % 11), float((i * 53) % 13)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "rec")
+    H.write_hnsw_index(
+        H.build_hnsw(df, n_shards=2, m=4, ef_construction=16),
+        path, n_shards=2, m=4, ef_construction=16,
+    )
+    H.delete_from_hnsw_index(spark.range(0, 10).selectExpr("id AS vec_id"), path)
+    q = rows[15][1]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()
+    ]
+    tmp = path + ".__compact_tmp__"
+    old = path + ".__compact_old__"
+    # state A: crash between the two renames with tmp INCOMPLETE is
+    # impossible (tmp is fully written before any rename), but a pre-swap
+    # crash leaves path + debris: recover cleans up
+    os.makedirs(tmp + "/junk")
+    assert H.recover_hnsw_layout(path) == "ok"
+    assert not os.path.exists(tmp)
+    # state B: crash after old moved aside, new never landed
+    os.rename(path, old)
+    assert H.recover_hnsw_layout(path) == "recovered-old"
+    got = [
+        (r["vec_id"], r["score"])
+        for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()
+    ]
+    assert got == want  # tombstones still apply after recovery
+    assert H.read_tombstones(spark, path) != set()
+    # state C: crash between the renames with the NEW layout complete —
+    # simulate by compacting into tmp for real, then losing path
+    folded = H.compact_hnsw_index(spark, path)
+    assert folded == 10
+    shutil.copytree(path, tmp)  # a complete new layout in the tmp slot
+    shutil.rmtree(path)
+    assert H.recover_hnsw_layout(path) == "recovered-new"
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in H.hnsw_topk_indexed(spark, path, q, k=5, ef=None).collect()
+    ]
+    assert got2 == want
+    # nothing to recover -> loud error
+    import pytest
+
+    shutil.rmtree(path)
+    with pytest.raises(FileNotFoundError):
+        H.recover_hnsw_layout(path)
