@@ -154,6 +154,36 @@ def attach_hnsw_index(
     return final
 
 
+def detach_hnsw_index(table: str) -> int:
+    """Drop the co-committed index: a METADATA-ONLY commit whose manifest
+    simply omits the ``index`` spec — no shard file is touched (retained
+    manifests still reference them for time travel; ``expire_bucketed``
+    reclaims them once those manifests age out). After this, merges stop
+    maintaining shards and the embedding column drops/renames freely —
+    the verb the drop/rename guards point at. Conflicts with ANY
+    concurrent commit (all buckets marked affected + strict metadata):
+    a merge that planned index maintenance must not land after the spec
+    is gone."""
+    man = VER._read_manifest(table)
+    if not man.get("index"):
+        raise ValueError(f"table {table} has no co-committed index to detach")
+    staged = VER._staged_path(table)
+    os.makedirs(staged)
+
+    def build(final: int, base_man: dict, dest: str) -> dict:
+        manifest = {
+            k: v for k, v in base_man.items() if k not in ("version", "index")
+        }
+        manifest["version"] = final
+        return manifest
+
+    final, _ = VER._publish_bucketed(
+        table, staged, man, set(range(int(man["n_buckets"]))), build,
+        strict_meta=True,
+    )
+    return final
+
+
 def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
     """The merge-side maintenance hook (called by ``merge_into_bucketed``
     when the manifest carries an index): build the affected buckets'

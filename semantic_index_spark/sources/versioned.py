@@ -846,6 +846,15 @@ def _meta_diff(read_man: dict, cur_man: dict, strict: bool) -> list[str]:
         strict or not _is_schema_append(read_man["schema"], cur_man["schema"])
     ):
         diff.append("schema")
+    # index SPEC (params / attached-ness) is metadata: a merge that
+    # planned index maintenance must not rebase over a concurrent
+    # detach/attach/re-attach (its finalize would resurrect or fight the
+    # winner's spec). The SHARD MAP is data-like and rebases per-bucket
+    # exactly like bucket ownership — only the params compare here.
+    if (read_man.get("index") or {}).get("params") != (
+        cur_man.get("index") or {}
+    ).get("params"):
+        diff.append("index")
     return diff
 
 

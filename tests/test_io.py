@@ -3175,3 +3175,66 @@ def test_indexed_table_concurrent_merges_rebase_shards(spark, tmp_path):
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=8, ef=None).collect()
     ]
     assert got == _brute_topk(spark, final, q, 8)
+
+
+def test_detach_hnsw_index_and_race_guard(spark, tmp_path, monkeypatch):
+    """Round 11: detach_hnsw_index is a metadata-only commit removing the
+    index spec (shard files stay for time travel, merges stop
+    maintaining, the embedding column frees up, re-attach works); a merge
+    that planned index maintenance CONFLICTS when a concurrent detach
+    wins instead of resurrecting the spec through its rebase finalize."""
+    import pytest
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "det")
+    rows = [(i, _emb(i)) for i in range(60)]
+    VER.create_bucketed(
+        spark.createDataFrame(rows, "id long, embedding array<double>"),
+        t, ["id"], n_buckets=4,
+    )
+    v_attach = IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
+    man_pre = VER._read_manifest(t)
+    v_det = IDX.detach_hnsw_index(t)
+    assert "index" not in VER._read_manifest(t)
+    with pytest.raises(ValueError, match="no co-committed index"):
+        IDX.detach_hnsw_index(t)
+    # time travel still serves the attach version from its shards
+    q = _emb(9)
+    got = IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None, version=v_attach)
+    assert got.count() == 5
+    with pytest.raises(ValueError, match="no co-committed index"):
+        IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None)
+    # merges stop maintaining; the embedding column renames freely now
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame([(100, _emb(100))], "id long, embedding array<double>"),
+    )
+    assert "index" not in VER._read_manifest(t)
+    VER.rename_column(t, "embedding", "vec")  # frees up post-detach
+    # race: a merge planned BEFORE the detach must conflict, not rebase
+    real_rm = VER._read_manifest
+
+    def stale_rm(table, version=None):
+        if version is None and table == t:
+            return man_pre  # still sees the index spec
+        return real_rm(table, version)
+
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_read_manifest", stale_rm)
+        with pytest.raises(VER.CommitConflictError, match="index"):
+            VER.merge_into_bucketed(
+                spark, t,
+                spark.createDataFrame(
+                    [(101, _emb(101))], "id long, embedding array<double>"
+                ),
+            )
+    # re-attach over the merged, renamed state works and serves correctly
+    IDX.attach_hnsw_index(spark, t, emb_col="vec", m=4, ef_construction=16)
+    final = VER.read_bucketed(spark, t).selectExpr("id", "vec AS embedding")
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
+    ]
+    assert got2 == _brute_topk(spark, final, q, 5)
