@@ -281,17 +281,23 @@ def _write_hnsw_unlocked(
     m: int,
     ef_construction: int,
     seed: int,
+    applied_epochs: "list[int] | None" = None,
 ) -> None:
+    # meta is written ONCE, LAST, with the replay ledger already merged:
+    # recover_hnsw_layout treats meta presence as "layout complete", so a
+    # two-step meta write would open a crash window where recovery installs
+    # a layout missing the ledger and a replayed epoch double-applies
+    # (round 12)
     index.write.mode("overwrite").partitionBy("shard").parquet(path)
-    _write_meta(
-        path,
-        {
-            "n_shards": int(n_shards),
-            "m": int(m),
-            "ef_construction": int(ef_construction),
-            "seed": int(seed),
-        },
-    )
+    meta = {
+        "n_shards": int(n_shards),
+        "m": int(m),
+        "ef_construction": int(ef_construction),
+        "seed": int(seed),
+    }
+    if applied_epochs:
+        meta["applied_epochs"] = [int(e) for e in applied_epochs]
+    _write_meta(path, meta)
 
 
 def write_hnsw_index(
@@ -681,6 +687,11 @@ def compact_hnsw_index(spark: SparkSession, path: str) -> int:
         old = path.rstrip("/") + ".__compact_old__"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+        # applied epochs describe batches folded into the PRE-compaction
+        # graph; they remain true history (replays must still skip), and
+        # they ride tmp's SINGLE meta write so meta presence always means
+        # a fully complete layout — recovery can never install tmp with
+        # the ledger missing (round 12, closes the r11 crash window)
         _write_hnsw_unlocked(
             rebuilt,
             tmp,
@@ -688,14 +699,8 @@ def compact_hnsw_index(spark: SparkSession, path: str) -> int:
             m=meta["m"],
             ef_construction=meta["ef_construction"],
             seed=meta["seed"],
+            applied_epochs=meta.get("applied_epochs"),
         )
-        # applied epochs describe batches folded into the PRE-compaction
-        # graph; they remain true history, keep them so replays still skip
-        if meta.get("applied_epochs"):
-            with open(_meta_path(tmp)) as f:
-                new_meta = json.load(f)
-            new_meta["applied_epochs"] = meta["applied_epochs"]
-            _write_meta(tmp, new_meta)
         os.rename(path, old)  # tombstones swap aside with the old layout
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -1219,9 +1220,16 @@ def merge_into_bucketed(
     # could silently change that expression's result type (a generated
     # int computed from a now-long input writes longs under an int
     # manifest field) — refuse, mirroring drop/rename's guard
+    # identifier-token match, not substring: widening `id` must not be
+    # refused because a constraint reads `doc_id` (round 12)
     for meta_key in ("constraints", "generated"):
         for gname, expr in man.get(meta_key, {}).items():
-            hit = [c for c in widened if c in expr or gname == c]
+            hit = [
+                c
+                for c in widened
+                if re.search(rf"(?<![A-Za-z0-9_]){re.escape(c)}(?![A-Za-z0-9_])", expr)
+                or gname == c
+            ]
             if hit:
                 raise ValueError(
                     f"merge_into_bucketed: cannot widen column(s) {hit}: "
@@ -1300,9 +1308,14 @@ def merge_into_bucketed(
     if man.get("index"):
         # co-committed index (sources/indexed.py): the affected buckets'
         # replacement shard graphs ride THIS commit's staged directory
-        # and manifest — table and index can never publish separately
+        # and manifest — table and index can never publish separately.
+        # Materialize `result` FIRST: it feeds two consumers (the staged
+        # data write and the shard build), and a lazy plan evaluated
+        # twice could publish index shards disagreeing with the bucket
+        # data if any input were non-deterministic (round 12)
         from semantic_index_spark.sources.indexed import _stage_merge_index
 
+        result = result.localCheckpoint(eager=True)
         stage_extra, finalize = _stage_merge_index(spark, man, result, affected)
     # a rewritten bucket has its DVs folded into the data — clear them;
     # the commit is conditional on `man` and rebases over concurrent
@@ -1992,6 +2005,9 @@ def optimize_bucketed(
         # physically gone from the graph, never resurrected
         from semantic_index_spark.sources.indexed import _stage_merge_index
 
+        # one evaluation feeds both the data write and the shard build
+        # (checkpoint preserves the zorder sortWithinPartitions layout)
+        rows = rows.localCheckpoint(eager=True)
         stage_extra, finalize = _stage_merge_index(
             spark, man, rows, list(affected) + list(dv_only)
         )

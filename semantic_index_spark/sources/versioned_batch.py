@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -296,12 +297,18 @@ def sql_view(
     ``version``/``as_of_ts`` pin a snapshot (``VERSION AS OF`` /
     ``TIMESTAMP AS OF`` equivalents); default = latest at bind time."""
     register_versioned_table(spark)
+    # option VALUES are interpolated into DDL text: a single quote in the
+    # path or timestamp would break the statement or inject SQL (round 12)
+    for label, val in (("table path", table), ("as_of_ts", as_of_ts)):
+        if val is not None and "'" in str(val):
+            raise ValueError(f"{label} {val!r} must not contain single quotes")
     opts = [f"table '{table}'"]
     if version is not None:
         opts.append(f"version '{int(version)}'")
     if as_of_ts is not None:
         opts.append(f"as_of_ts '{as_of_ts}'")
-    if not view_name.replace("_", "").isalnum():
+    # a real identifier: the old isalnum() check let a leading digit through
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", view_name):
         raise ValueError(f"invalid view name {view_name!r}")
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW {view_name} "

@@ -3238,3 +3238,65 @@ def test_detach_hnsw_index_and_race_guard(spark, tmp_path, monkeypatch):
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
     ]
     assert got2 == _brute_topk(spark, final, q, 5)
+
+
+def test_r12_widening_guard_is_token_scoped(spark, tmp_path):
+    """ADVICE r11: the constraint/generated widening guard matches
+    identifier TOKENS, not substrings — widening `id` while a constraint
+    reads `doc_id` must succeed; widening the genuinely referenced column
+    must still refuse."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "tok")
+    base = spark.range(0, 20).selectExpr(
+        "id AS k", "cast(id as int) AS id", "id * 7 AS doc_id"
+    )
+    VER.create_bucketed(base, t, ["k"], n_buckets=4)
+    VER.add_constraint(spark, t, "pos_doc", "doc_id >= 0")
+    # `id` is a substring of `doc_id` but a different identifier: widens
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame([(1, 2**40, 7)], "k long, id bigint, doc_id long"),
+        schema_evolution=True,
+    )
+    cur = VER.read_bucketed(spark, t)
+    assert dict(cur.dtypes)["id"] == "bigint"
+    assert {r["id"] for r in cur.filter("k = 1").collect()} == {2**40}
+    # the referenced column itself still refuses
+    t2 = str(tmp_path / "tok2")
+    VER.create_bucketed(
+        spark.range(0, 10).selectExpr("id AS k", "cast(id as int) AS n"),
+        t2, ["k"], n_buckets=4,
+    )
+    VER.add_constraint(spark, t2, "pos_n", "n >= 0")
+    with pytest.raises(ValueError, match="cannot widen"):
+        VER.merge_into_bucketed(
+            spark, t2,
+            spark.createDataFrame([(1, 2**40)], "k long, n bigint"),
+            schema_evolution=True,
+        )
+
+
+def test_r12_sql_view_guards(spark, tmp_path):
+    """ADVICE r11 + VERDICT #7: sql_view rejects identifiers that are not
+    real identifiers (leading digit) and option values carrying single
+    quotes (DDL injection through the interpolated path)."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "g")
+    VER.commit_version(spark.range(0, 3).selectExpr("id"), t)
+    with pytest.raises(ValueError, match="invalid view name"):
+        VB.sql_view(spark, "1view", t)
+    with pytest.raises(ValueError, match="invalid view name"):
+        VB.sql_view(spark, "a-b", t)
+    with pytest.raises(ValueError, match="single quote"):
+        VB.sql_view(spark, "ok_view", t + "') --'")
+    with pytest.raises(ValueError, match="single quote"):
+        VB.sql_view(spark, "ok_view", t, as_of_ts="2026-01-01' OR '")
+    VB.sql_view(spark, "ok_view", t)  # sane inputs still bind
+    assert spark.sql("SELECT count(*) AS n FROM ok_view").collect()[0][0] == 3

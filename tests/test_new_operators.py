@@ -3207,3 +3207,54 @@ def test_hnsw_compact_crash_recovery(spark, tmp_path):
     shutil.rmtree(path)
     with pytest.raises(FileNotFoundError):
         H.recover_hnsw_layout(path)
+
+
+def test_r12_compact_tmp_meta_carries_ledger_atomically(spark, tmp_path, monkeypatch):
+    """ADVICE r11: compact writes tmp's meta ONCE with the replay ledger
+    already merged — a crash between tmp completion and the swap leaves a
+    tmp whose meta has applied_epochs, so recovery + epoch replay still
+    skips (the exactly-once contract survives the crash)."""
+    import json
+    import os
+    import shutil
+
+    from semantic_index_spark.operators import hnsw as H
+
+    rows = [(int(i), [float((i * 37) % 11), float((i * 53) % 13)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "led")
+    H.write_hnsw_index(
+        H.build_hnsw(df, n_shards=2, m=4, ef_construction=16),
+        path, n_shards=2, m=4, ef_construction=16,
+    )
+    batch = spark.createDataFrame(
+        [(100, [1.0, 2.0]), (101, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    H.append_hnsw_index(batch, path, epoch_id=1)
+    H.delete_from_hnsw_index(spark.range(0, 5).selectExpr("id AS vec_id"), path)
+    # crash the compaction at the first rename: tmp is complete, path intact
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        if src.rstrip("/") == path.rstrip("/"):
+            raise OSError("simulated crash before the swap")
+        return real_rename(src, dst)
+
+    import pytest
+
+    with monkeypatch.context() as m:
+        m.setattr(os, "rename", crash_rename)
+        with pytest.raises(OSError, match="simulated crash"):
+            H.compact_hnsw_index(spark, path)
+    tmp = path + ".__compact_tmp__"
+    with open(H._meta_path(tmp)) as f:
+        tmp_meta = json.load(f)
+    # THE invariant: meta presence == complete layout INCLUDING the ledger
+    assert tmp_meta.get("applied_epochs") == [1]
+    # finish the crash into state C (path lost, complete tmp) and recover
+    shutil.rmtree(path)
+    assert H.recover_hnsw_layout(path) == "recovered-new"
+    # the replayed epoch is skipped, not double-inserted
+    H.append_hnsw_index(batch, path, epoch_id=1)
+    ids = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+    assert ids == (set(range(5, 60)) | {100, 101})
