@@ -204,9 +204,19 @@ class VersionedTableReader(DataSourceReader):
 
         if not partition.path:
             return iter(())
-        tbl = pq.read_table(partition.path)
         man = self.man
         colmap = (man.get("colmap") or {}) if man else {}
+        # column-pruned read (round 12): decode only the view schema's
+        # PHYSICAL columns (+ the key columns the DV anti-join needs),
+        # intersected with what the file actually holds (pre-evolution
+        # files lack added columns; the null-fill below covers them).
+        # Retired (dropped) columns' bytes are never decoded — DROP
+        # COLUMN stays zero-IO on the SQL path too.
+        wanted = {colmap.get(f.name, f.name) for f in self.schema.fields}
+        if man:
+            wanted.update(colmap.get(k, k) for k in man["key_cols"])
+        avail = [c for c in pq.read_schema(partition.path).names if c in wanted]
+        tbl = pq.read_table(partition.path, columns=avail)
         if partition.dv_paths:
             # per-bucket DV anti-join, executor-side: keys hash to exactly
             # one bucket, so this file's bucket's DV files are sufficient
