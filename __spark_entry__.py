@@ -6196,6 +6196,43 @@ def q_hidden_skipping_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_hidden_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden-partition + zone-map pruning through the SQL front door
+    (r12 — ``sources/versioned_batch.py``, VERDICT r11 #1): the SAME
+    composed day(ts)-partitioned / value-clustered events table as
+    ``hidden_skipping_compose``, but queried as pure SQL TEXT against a
+    ``sql_view`` binding — ``pushFilters`` translates the WHERE clause
+    into the triple dialect and plans only the surviving day directories
+    (transform rewrite, UTC instants converted through the table's
+    pinned zone) and, inside them, only the candidate files from the
+    version's [min,max] manifest. Pruning is IO-only (all filters
+    re-apply post-scan; pytest asserts SQL-path file selection ==
+    ``candidate_files_hidden``), so the oracle is the identical
+    predicates on the raw parquet table."""
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    tbl = _hidden_skip_events_table(spark, sf_dir)
+    VB.sql_view(spark, "sql_hidden_prune_v", tbl)
+    try:
+        out = spark.sql(
+            f"""
+            SELECT date_format(ts, 'yyyy-MM-dd') AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM sql_hidden_prune_v
+            WHERE ts >= timestamp'{HSK_TS_LO} 00:00:00'
+              AND ts < timestamp'{HSK_TS_HI} 00:00:00'
+              AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
+            GROUP BY day, event_type
+            ORDER BY day, event_type
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("sql_hidden_prune_v")
+    return out
+
+
 # --- r8 similarity additions: SQ8 two-stage serving, filtered IVF, ColBERT ---
 
 SQ_QID = 7
@@ -6844,6 +6881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_open_wedges": q_motif_open_wedges,
         "motif_capped_wedges": q_motif_capped_wedges,
         "hidden_skipping_compose": q_hidden_skipping_compose,
+        "sql_hidden_prune": q_sql_hidden_prune,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -8011,6 +8049,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
               AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
             GROUP BY event_type
+        """,
+        # identical predicates/aggregation on the raw table — pruning at
+        # both levels is IO-only, so the SQL-front-door read must match
+        "sql_hidden_prune": f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
+              AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
+            GROUP BY day, event_type
+            ORDER BY day, event_type
         """,
         # SQ8 replayed end-to-end in SQL: exact per-dim float min/max (cast
         # to DOUBLE before any arithmetic — FLOAT math would diverge from

@@ -220,7 +220,16 @@ def _coerce(lit, bound: str):
     if isinstance(lit, float):
         return float(lit), float(bound)
     if isinstance(lit, (datetime.datetime, datetime.date)):
-        lit = lit.isoformat(sep=" ") if isinstance(lit, datetime.datetime) else lit.isoformat()
+        if isinstance(lit, datetime.datetime):
+            # match Spark's cast-to-string rendering: minimal fractional
+            # digits ('…05.5', never '…05.500000') — Python's isoformat
+            # pads to 6, and the padded form mis-orders against the
+            # minimal bound exactly at the boundary file (round 12)
+            lit = lit.isoformat(sep=" ")
+            if "." in lit:
+                lit = lit.rstrip("0").rstrip(".")
+        else:
+            lit = lit.isoformat()
     return str(lit), str(bound)
 
 

@@ -30,21 +30,41 @@ bucket's DV files.
 
 Scale shape: planning lists files driver-side from the manifest (the
 same O(buckets) walk ``read_bucketed`` does); each file becomes one
-``InputPartition`` read executor-parallel with pyarrow. ``pushFilters``
-adds MANIFEST-LEVEL BUCKET PRUNING for point lookups: an ``id = k`` /
-``id IN (...)`` predicate on a single integral bucket key computes the
-key's bucket with a pure-Python XXH64 that bit-matches Spark's
-``xxhash64`` expression (seed 42; verified value-for-value in pytest —
-the prune MUST agree with the writer's placement or it would silently
-drop matching rows) and plans only that bucket's files — the
-~n_buckets-fold point-lookup saving of ``read_bucketed(key_values=...)``,
-now available to plain SQL. All filters are returned to Spark for
-re-evaluation: pruning is pure IO reduction, rows are never trusted to
-it.
+``InputPartition`` read executor-parallel with pyarrow, decoding ONLY
+the view schema's physical columns (+ DV keys) — dropped columns' bytes
+stay unread. ``pushFilters`` prunes at every level the Python API does
+(round 12 completes the set):
+
+- **bucketed tables** — manifest-level bucket pruning for point lookups:
+  an ``id = k`` / ``id IN (...)`` predicate on a single integral bucket
+  key computes the key's bucket with a pure-Python XXH64 that
+  bit-matches Spark's ``xxhash64`` expression (seed 42; verified
+  value-for-value in pytest — the prune MUST agree with the writer's
+  placement or it would silently drop matching rows) and plans only that
+  bucket's files — the ~n_buckets-fold point-lookup saving of
+  ``read_bucketed(key_values=...)``, now available to plain SQL.
+- **hidden-partitioned tables** — pushed predicates translate into the
+  triple dialect of ``read_hidden`` and prune partition DIRECTORIES via
+  the same transform-rewrite soundness rules (``hidden._pval_matches``:
+  inclusive range relaxation, dtype-dispatched identity, bucket =/in
+  only). Timestamp literals arrive as UTC instants and convert through
+  the table's PINNED zone, so day/month pruning needs no session-zone
+  equality (unlike the Python path's naive literals).
+- **zone-mapped layouts** — the composed hidden+skipping table's
+  per-file [min, max] manifest and the unversioned ``write_skipping``
+  layout's zone maps, null counts and bloom bitmaps all evaluate
+  driver-side per file (``skipping._file_may_match`` et al.), so a SQL
+  range predicate plans only candidate files.
+
+All filters are returned to Spark for re-evaluation: pruning is pure IO
+reduction, rows are never trusted to it (pytest asserts SQL-path file
+selection equals the Python path's ``candidate_files*`` and results are
+pruning-independent).
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -54,8 +74,14 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -111,6 +137,73 @@ def _bucket_of(value: int, dtype: str, n_buckets: int) -> int:
     return ((h % n_buckets) + n_buckets) % n_buckets
 
 
+# ---- SQL filter → (col, op, value) triples --------------------------------
+# The driver-side pruning verbs (hidden._pval_matches, skipping's
+# _file_may_match / _null_may_match / _bloom_may_match) all speak the
+# triple dialect of read_hidden/read_skipping; translating the pushed
+# Spark filters into it is what lets the SQL path reuse their logic
+# verbatim instead of reimplementing the soundness rules.
+
+_BIN_OPS = {
+    EqualTo: "=",
+    EqualNullSafe: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _norm_value(value, pinned_tz: "str | None"):
+    """Normalize one pushed literal for driver-side pruning, or raise
+    ``ValueError`` when no provably-sound normalization exists (the caller
+    drops the triple — the file is kept and Spark's residual filters it).
+
+    Timestamp literals arrive from SQL as tz-AWARE UTC datetimes (the
+    Variant channel normalizes the session-zone literal to an instant);
+    the writer rendered partition values and zone-map bounds in the
+    table's PINNED zone, so the instant converts exactly — no session-tz
+    equality requirement, unlike read_hidden's python literals. Booleans
+    never normalize (Python ``str(True)`` vs Spark ``'true'``)."""
+    if value is None or isinstance(value, bool):
+        raise ValueError("no sound driver-side rendering")
+    if isinstance(value, datetime.datetime) and value.tzinfo is not None:
+        if pinned_tz is None:
+            raise ValueError("tz-aware literal on a table with no pinned zone")
+        import zoneinfo
+
+        return value.astimezone(zoneinfo.ZoneInfo(pinned_tz)).replace(tzinfo=None)
+    return value
+
+
+def _to_triples(filters, pinned_tz: "str | None") -> list[tuple]:
+    """Translate pushed Spark filters into pruning triples. Unsupported
+    shapes (nested columns, Not, string-match filters, unnormalizable
+    literals) are simply skipped — pruning is IO-only, every filter goes
+    back to Spark regardless."""
+    out = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, IsNull):
+            out.append((col, "is_null", None))
+        elif isinstance(f, IsNotNull):
+            out.append((col, "is_not_null", None))
+        elif isinstance(f, In):
+            try:
+                out.append((col, "in", [_norm_value(v, pinned_tz) for v in f.value]))
+            except ValueError:
+                pass
+        elif type(f) in _BIN_OPS:
+            try:
+                out.append((col, _BIN_OPS[type(f)], _norm_value(f.value, pinned_tz)))
+            except ValueError:
+                pass
+    return out
+
+
 # ---- the data source -----------------------------------------------------
 
 
@@ -127,6 +220,14 @@ def _manifest(table: str, version: int) -> "dict | None":
         return json.load(f)
 
 
+def _hidden_meta(table: str) -> "dict | None":
+    p = os.path.join(table, "_hidden_spec.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 class _Part(InputPartition):
     def __init__(self, path: str, dv_paths: "tuple[str, ...]" = ()):
         self.path = path
@@ -134,14 +235,22 @@ class _Part(InputPartition):
 
 
 class VersionedTableReader(DataSourceReader):
-    def __init__(self, schema: StructType, table: str, version: int):
+    def __init__(self, schema: StructType, table: str, version: "int | None"):
         self.schema = schema
         self.table = table
         self.version = version
-        self.man = _manifest(table, version)
+        self.man = _manifest(table, version) if version is not None else None
+        self.hidden = _hidden_meta(table)  # _hidden_spec.json, when present
         self._wanted: "set[int] | None" = None  # bucket prune from filters
+        self._triples: list[tuple] = []  # hidden/zone-map prune from filters
 
     def pushFilters(self, filters):
+        # hidden-partition / zone-map layouts (round 12): translate the
+        # pushed filters into the triple dialect the existing driver-side
+        # pruning logic speaks; partitions() evaluates it per file
+        if self.man is None:
+            tz = (self.hidden or {}).get("time_zone")
+            self._triples = _to_triples(filters, tz)
         man = self.man
         if man is not None and len(man["key_cols"]) == 1:
             key = man["key_cols"][0]
@@ -175,10 +284,94 @@ class VersionedTableReader(DataSourceReader):
         # never depends on it (rows are re-filtered post-scan)
         return filters
 
+    def _skipping_partitions(self) -> list:
+        """Unversioned skipping table (``write_skipping`` layout): plan only
+        the files whose zone maps / null counts / bloom bitmaps cannot rule
+        out a match — the same per-file checks ``read_skipping`` runs,
+        now fed by SQL predicates."""
+        from semantic_index_spark.sources.skipping import (
+            _bloom_may_match,
+            _file_may_match,
+            _null_may_match,
+        )
+
+        with open(os.path.join(self.table, "_zonemaps.json")) as f:
+            man = json.load(f)
+        data = os.path.join(self.table, "data")
+        keep = []
+        for fn, ranges in sorted(man["files"].items()):
+            ok = True
+            for c, op, v in self._triples:
+                # bloom bitmaps hashed the SPARK string rendering; only
+                # int/str literals provably render identically in Python
+                vals = v if isinstance(v, list) else [v]
+                bloom_safe = all(isinstance(x, (int, str)) for x in vals)
+                if not (
+                    _file_may_match(ranges, c, op, v)
+                    and _null_may_match(man, fn, c, op)
+                    and (not bloom_safe or _bloom_may_match(man, fn, c, op, v))
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(fn)
+        return [_Part(os.path.join(data, fn)) for fn in keep] or [_Part("")]
+
+    def _hidden_partitions(self, vdir: str, files: list[str]) -> list:
+        """Hidden-partitioned snapshot: directory-level transform pruning
+        (``hidden._pval_matches`` — identical soundness rules to
+        read_hidden's plan rewrite, inclusive range relaxation, dtype-
+        dispatched identity, bucket =/in only) plus, on the composed
+        layout, per-file zone-map pruning from the version's manifest.
+        A transform that cannot evaluate the literal (TypeError — e.g. a
+        float against a bucket transform) keeps the file; pruning is
+        IO-only and Spark re-applies every filter."""
+        from semantic_index_spark.sources.hidden import (
+            _parse_partition_values,
+            _pval_matches,
+        )
+        from semantic_index_spark.sources.skipping import _file_may_match
+
+        entries = self.hidden["spec"]
+        by_col = {e["col"]: e for e in entries}
+        zmap = None
+        zpath = os.path.join(vdir, "_zonemaps.json")
+        if os.path.exists(zpath):
+            with open(zpath) as f:
+                zmap = json.load(f)["files"]
+        keep = []
+        for p in files:
+            rel = os.path.relpath(p, vdir)
+            pvals = _parse_partition_values(rel, entries)
+            ok = True
+            for col, op, value in self._triples:
+                e = by_col.get(col)
+                if e is not None and op not in ("is_null", "is_not_null"):
+                    try:
+                        if not _pval_matches(e, pvals[e["name"]], op, value):
+                            ok = False
+                            break
+                    except (TypeError, ValueError, KeyError):
+                        pass  # unevaluable rewrite: keep the directory
+                if zmap is not None and rel in zmap:
+                    if not _file_may_match(zmap[rel], col, op, value):
+                        ok = False
+                        break
+            if ok:
+                keep.append(p)
+        return [_Part(p) for p in keep] or [_Part("")]
+
     def partitions(self):
         man = self.man
-        if man is None:  # plain / hidden snapshot: every file under v=<n>
-            files = _data_files(os.path.join(self.table, f"v={self.version}"))
+        if man is None:
+            if self.version is None:  # unversioned skipping layout
+                return self._skipping_partitions()
+            # plain / hidden snapshot: every file under v=<n>, minus what
+            # the hidden-partition transforms and zone maps rule out
+            vdir = os.path.join(self.table, f"v={self.version}")
+            files = _data_files(vdir)
+            if self.hidden is not None and self._triples:
+                return self._hidden_partitions(vdir, files)
             return [_Part(p) for p in files] or [_Part("")]
         parts = []
         dv = man.get("dv", {})
@@ -254,7 +447,19 @@ class VersionedTableDataSource(DataSource):
         # resolve ONCE: schema() and reader() must describe the same
         # snapshot even if a concurrent commit advances the pointer
         # between planning steps
-        if options.get("as_of_ts") is not None:
+        pinned = options.get("version"), options.get("as_of_ts")
+        if not os.path.exists(os.path.join(self.table, "_latest.json")) and (
+            os.path.exists(os.path.join(self.table, "_zonemaps.json"))
+        ):
+            # write_skipping layout: unversioned (<table>/data + root
+            # manifest) — version pins don't apply, reads are zone-map,
+            # null-count and bloom pruned (round 12)
+            if any(p is not None for p in pinned):
+                raise ValueError(
+                    "skipping tables are unversioned: no version/as_of_ts"
+                )
+            self.version = None
+        elif options.get("as_of_ts") is not None:
             if options.get("version") is not None:
                 raise ValueError("pass version OR as_of_ts, not both")
             from semantic_index_spark.sources.versioned import resolve_as_of
@@ -270,14 +475,20 @@ class VersionedTableDataSource(DataSource):
         return "versioned_table"
 
     def schema(self) -> StructType:
-        man = _manifest(self.table, self.version)
-        if man is not None:
-            return StructType.fromJson(json.loads(man["schema"]))
+        if self.version is not None:
+            man = _manifest(self.table, self.version)
+            if man is not None:
+                return StructType.fromJson(json.loads(man["schema"]))
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = _data_files(os.path.join(self.table, f"v={self.version}"))
+        root = (
+            os.path.join(self.table, "data")
+            if self.version is None
+            else os.path.join(self.table, f"v={self.version}")
+        )
+        files = _data_files(root)
         if not files:
             raise FileNotFoundError(
                 f"version {self.version} of {self.table} has no data files"

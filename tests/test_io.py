@@ -3344,3 +3344,126 @@ def test_r12_sql_reader_prunes_retired_columns(spark, tmp_path, monkeypatch):
     assert spark.sql("SELECT sum(keep) AS s FROM prune_v").collect()[0][0] == sum(
         2 * i for i in range(40)
     )
+
+
+def test_r12_sql_hidden_partition_pruning(spark, tmp_path):
+    """VERDICT r11 #1: a SQL predicate on a hidden-partitioned table plans
+    only the surviving files — the pushFilters path reuses read_hidden's
+    transform-rewrite soundness rules (day literals convert through the
+    table's PINNED zone from the UTC instants SQL pushes), results match
+    the Python path exactly, and filters still re-apply post-scan."""
+    import datetime
+    import zoneinfo
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from semantic_index_spark.sources import hidden as HID
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "hsql")
+    df = spark.range(0, 300).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id AS INT), timestamp'2026-03-01 00:00:00') AS ts",
+        "CAST(id % 3 AS INT) AS cat",
+        "id * 1.5 AS x",
+    )
+    HID.create_hidden(df, t, [("day", "ts"), ("identity", "cat")])
+    VB.sql_view(spark, "hsql_v", t)
+    got = spark.sql(
+        "SELECT id, cat FROM hsql_v WHERE ts >= timestamp'2026-03-03 00:00:00' "
+        "AND ts < timestamp'2026-03-05 00:00:00' AND cat = 1 ORDER BY id"
+    ).collect()
+    want = [
+        (r["id"], r["cat"])
+        for r in HID.read_hidden(
+            spark, t,
+            [("ts", ">=", datetime.datetime(2026, 3, 3)),
+             ("ts", "<", datetime.datetime(2026, 3, 5)),
+             ("cat", "=", 1)],
+        ).orderBy("id").select("id", "cat").collect()
+    ]
+    assert [(r["id"], r["cat"]) for r in got] == want and len(want) > 0
+    # plan-level selectivity: the reader with pushed filters plans fewer
+    # files than the unfiltered reader, per level (day dirs, cat dirs)
+    tz = zoneinfo.ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    lo = datetime.datetime(2026, 3, 3, tzinfo=tz)
+    hi = datetime.datetime(2026, 3, 5, tzinfo=tz)
+    schema = spark.table("hsql_v").schema
+
+    def n_parts(filters):
+        r = VB.VersionedTableReader(schema, t, HID.current_version(t))
+        r.pushFilters(filters)
+        return len([p for p in r.partitions() if p.path])
+
+    full = n_parts([])
+    day_only = n_parts([GreaterThanOrEqual(("ts",), lo), LessThan(("ts",), hi)])
+    both = n_parts(
+        [GreaterThanOrEqual(("ts",), lo), LessThan(("ts",), hi), EqualTo(("cat",), 1)]
+    )
+    assert 0 < both < day_only < full
+    # a filter the rewrite cannot evaluate prunes nothing but stays correct
+    got2 = spark.sql("SELECT count(*) AS n FROM hsql_v WHERE x < 30.0").collect()
+    assert got2[0][0] == df.filter(F.col("x") < 30.0).count()
+
+
+def test_r12_sql_zonemap_pruning(spark, tmp_path):
+    """VERDICT r11 #1 (zone-map half): SQL predicates prune files of both
+    the composed hidden+skipping layout and the unversioned write_skipping
+    layout, with file selection matching the Python path's
+    candidate_files* exactly."""
+    import os
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+    from semantic_index_spark.sources import hidden as HID
+    from semantic_index_spark.sources import skipping as SK
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    # composed: hidden day(ts) partitions + per-file zone maps on id
+    t = str(tmp_path / "comp")
+    df = spark.range(0, 400).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id % 96 AS INT), timestamp'2026-05-01 00:00:00') AS ts",
+        "id * 2 AS v",
+    )
+    HID.create_hidden_skipping(df, t, [("day", "ts")], ["id"], n_files=8, cluster_by="id")
+    VB.sql_view(spark, "comp_v", t)
+    got = spark.sql(
+        "SELECT sum(v) AS s FROM comp_v WHERE id > 100 AND id <= 140"
+    ).collect()[0][0]
+    assert got == sum(2 * i for i in range(101, 141))
+    schema = spark.table("comp_v").schema
+    r = VB.VersionedTableReader(schema, t, HID.current_version(t))
+    r.pushFilters([GreaterThan(("id",), 100), LessThanOrEqual(("id",), 140)])
+    planned = sorted(
+        os.path.relpath(p.path, os.path.join(t, f"v={HID.current_version(t)}"))
+        for p in r.partitions() if p.path
+    )
+    want_files = HID.candidate_files_hidden(t, [("id", ">", 100), ("id", "<=", 140)])
+    assert planned == want_files
+    full = VB.VersionedTableReader(schema, t, HID.current_version(t)).partitions()
+    assert 0 < len(planned) < len([p for p in full if p.path])
+    # unversioned skipping layout with blooms: SQL reads it, point lookups
+    # plan the candidate_files set
+    ts = str(tmp_path / "skip")
+    SK.write_skipping(
+        spark.range(0, 1000).selectExpr("id", "id % 7 AS tag"),
+        ts, ["id"], n_files=10, cluster_by="id", bloom_cols=["tag"],
+    )
+    VB.sql_view(spark, "skip_v", ts)
+    assert spark.sql(
+        "SELECT count(*) AS n FROM skip_v WHERE id = 17"
+    ).collect()[0][0] == 1
+    r2 = VB.VersionedTableReader(spark.table("skip_v").schema, ts, None)
+    r2.pushFilters([EqualTo(("id",), 17)])
+    planned2 = sorted(os.path.basename(p.path) for p in r2.partitions() if p.path)
+    assert planned2 == SK.candidate_files(ts, [("id", "=", 17)])
+    assert 0 < len(planned2) < 10
+    # version pins are rejected on the unversioned layout
+    import pytest
+
+    with pytest.raises(Exception, match="unversioned"):
+        spark.read.format("versioned_table").option("table", ts).option(
+            "version", "0"
+        ).load().collect()
