@@ -6196,6 +6196,56 @@ def q_hidden_skipping_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_insert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO`` through the SQL front door (r12 —
+    ``sources/versioned_batch.py`` writer classes, VERDICT r11 #3):
+    customers ≤ 250 seed an 8-bucket table, a deletion-vector DELETE
+    removes every 9th key, then ONE pure-SQL ``INSERT INTO <view>
+    SELECT ... FROM range(200, 320)`` upserts 120 keys — executor tasks
+    bucket their rows with the vectorized Spark-bit-exact xxhash64
+    (``buckets_np``), the commit worker merges the affected buckets in
+    pyarrow (folding the outstanding DVs exactly like
+    ``merge_into_bucketed``), and the publish rides
+    ``versioned._commit_staged_bucketed`` — the IDENTICAL manifest-build
+    + OCC path as every Spark-side verb. The read-back is pure SQL too
+    (rebound post-insert: view READS pin the version at first resolution
+    — snapshot isolation — while writes re-resolve latest at execution).
+    The oracle replays seed → delete → upsert relationally."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") <= 250).select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sql_insert_merge_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=8)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("id") % 9 == 0).select("id")
+        )
+        VB.sql_view(spark, "sql_insert_merge_v", t)
+        spark.sql(
+            "INSERT INTO sql_insert_merge_v "
+            "SELECT id, id * 31 % 9973 AS cents FROM range(200, 320)"
+        )
+        # reads through a USING view are pinned at first resolution
+        # (snapshot isolation); REBIND to read the post-insert version
+        VB.sql_view(spark, "sql_insert_merge_v", t)
+        out = spark.sql(
+            "SELECT id, cents FROM sql_insert_merge_v ORDER BY id"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("sql_insert_merge_v")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_sql_hidden_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden-partition + zone-map pruning through the SQL front door
     (r12 — ``sources/versioned_batch.py``, VERDICT r11 #1): the SAME
@@ -6882,6 +6932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_capped_wedges": q_motif_capped_wedges,
         "hidden_skipping_compose": q_hidden_skipping_compose,
         "sql_hidden_prune": q_sql_hidden_prune,
+        "sql_insert_merge": q_sql_insert_merge,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -8049,6 +8100,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
               AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
             GROUP BY event_type
+        """,
+        # seed → DV-delete → SQL upsert, replayed relationally: the insert
+        # wins per key, surviving base rows are those neither deleted nor
+        # upserted (a deleted-then-upserted key resurrects with new value)
+        "sql_insert_merge": """
+            WITH base AS (
+              SELECT c_custkey AS id,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer WHERE c_custkey <= 250
+            ), ins AS (
+              SELECT range AS id, range * 31 % 9973 AS cents FROM range(200, 320)
+            )
+            SELECT id, cents FROM ins
+            UNION ALL
+            SELECT b.id, b.cents FROM base b
+            WHERE b.id % 9 <> 0 AND b.id NOT IN (SELECT id FROM ins)
+            ORDER BY id
         """,
         # identical predicates/aggregation on the raw table — pruning at
         # both levels is IO-only, so the SQL-front-door read must match

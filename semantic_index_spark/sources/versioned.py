@@ -942,6 +942,22 @@ def _commit_bucketed(
     if read_man is not None:  # files persist PHYSICAL names (column mapping)
         df = _to_physical(df, read_man)
     df.write.mode("errorifexists").partitionBy("__bucket").parquet(staged)
+    return _commit_staged_bucketed(
+        table, staged, base, read_man, dv_clear, stage_extra, finalize_manifest
+    )
+
+
+def _commit_staged_bucketed(
+    table: str, staged: str, base: dict, read_man: "dict | None", dv_clear=(),
+    stage_extra=None, finalize_manifest=None,
+) -> int:
+    """The Spark-FREE tail of :func:`_commit_bucketed`: publish an
+    already-staged ``__bucket=<b>`` directory layout (physical column
+    names) under the same manifest-build + OCC rebase semantics. Split
+    out in round 12 so the SQL front door's ``DataSourceWriter`` — whose
+    ``commit()`` runs in a Python worker with no SparkSession — commits
+    through the IDENTICAL path as every Spark-side verb, instead of a
+    re-implementation that could drift."""
     if stage_extra is not None:
         stage_extra(staged)
     affected = base.pop("__affected")

@@ -71,6 +71,7 @@ import re
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualNullSafe,
     EqualTo,
@@ -82,6 +83,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -135,6 +137,38 @@ _KEY_HASH = {"integer": xxhash64_int, "long": xxhash64_long}
 def _bucket_of(value: int, dtype: str, n_buckets: int) -> int:
     h = _KEY_HASH[dtype](int(value))
     return ((h % n_buckets) + n_buckets) % n_buckets
+
+
+def buckets_np(values, dtype: str, n_buckets: int):
+    """Vectorized bucket assignment: ``pmod(xxhash64(v), n_buckets)`` over
+    a whole int64 array with numpy uint64 wraparound arithmetic —
+    bit-identical to the scalar :func:`_bucket_of` (pytest-locked on a
+    sign/width boundary panel). This is what lets the SQL writer's
+    executor tasks route a batch to buckets in O(n) numpy instead of a
+    per-row Python loop."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        P1, P2, P3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
+        if dtype == "long":
+            h = np.uint64((42 + _P5 + 8) & _M64)
+            k = v * P2
+            k = (k << np.uint64(31)) | (k >> np.uint64(33))
+            h = h ^ (k * P1)
+            h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * P1 + np.uint64(_P4)
+        elif dtype == "integer":
+            h = np.uint64((42 + _P5 + 4) & _M64)
+            h = h ^ ((v & np.uint64(0xFFFFFFFF)) * P1)
+            h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * P2 + P3
+        else:
+            raise ValueError(f"unhashable bucket key dtype {dtype!r}")
+        h ^= h >> np.uint64(33)
+        h *= P2
+        h ^= h >> np.uint64(29)
+        h *= P3
+        h ^= h >> np.uint64(32)
+    return (h.view(np.int64) % n_buckets + n_buckets) % n_buckets
 
 
 # ---- SQL filter → (col, op, value) triples --------------------------------
@@ -418,21 +452,262 @@ class VersionedTableReader(DataSourceReader):
                 [pq.read_table(p, columns=phys_keys) for p in partition.dv_paths]
             )
             tbl = tbl.join(dv, keys=phys_keys, join_type="left anti")
-        cols, names = [], []
-        n = tbl.num_rows
-        for f in self.schema.fields:
-            t = to_arrow_type(f.dataType)
-            phys = colmap.get(f.name, f.name)
-            if phys in tbl.column_names:
-                col = tbl.column(phys)
-                # cast covers column-mapping dtype identity, added-column
-                # null-fill (below), AND type-widened columns: narrow
-                # int32/float32 files upcast under the widened read schema
-                cols.append(col if col.type == t else col.cast(t))
-            else:
-                cols.append(pa.nulls(n, type=t))
-            names.append(f.name)
-        return iter(pa.Table.from_arrays(cols, names=names).to_batches())
+        return iter(_project_logical(tbl, colmap, self.schema.fields).to_batches())
+
+
+def _project_logical(tbl, colmap: dict, fields):
+    """Project an arrow table onto the LOGICAL schema: column-mapping
+    rename aliasing, null-fill for added columns the file predates, and
+    arrow upcast for type-widened columns (narrow int32/float32 files
+    read under the widened schema). Shared by the reader and the SQL
+    writer's merge (which must normalize both the incoming rows and the
+    rewritten bucket's survivors the same way)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    cols, names = [], []
+    n = tbl.num_rows
+    for f in fields:
+        t = to_arrow_type(f.dataType)
+        phys = colmap.get(f.name, f.name)
+        if phys in tbl.column_names:
+            col = tbl.column(phys)
+            cols.append(col if col.type == t else col.cast(t))
+        else:
+            cols.append(pa.nulls(n, type=t))
+        names.append(f.name)
+    return pa.Table.from_arrays(cols, names=names)
+
+
+# ---- the SQL writer --------------------------------------------------------
+# ``INSERT INTO <view>`` on a versioned_table binding (round 12, VERDICT
+# r11 #3). The Python DataSource write protocol runs ``write()`` on
+# executors and ``commit()`` in a driver-side Python worker that has NO
+# SparkSession — so the merge is pure pyarrow, and it publishes through
+# ``versioned._commit_staged_bucketed``: the EXACT manifest-build + OCC
+# rebase + pointer-swap path every Spark-side verb uses (factored out for
+# this writer), never a reimplementation that could drift.
+#
+# Semantics: bucketed table → UPSERT on the key (insert-as-merge; the
+# affected buckets rewrite with deletion vectors folded, exactly like
+# merge_into_bucketed). Plain snapshot table → append (hardlink the prior
+# version + the new files, conditional pointer swap). Boundaries are
+# REFUSED loudly, never silently mishandled: hidden/skipping layouts,
+# tables with CHECK constraints or generated columns (their SQL
+# expressions need Spark to evaluate), co-committed indexes (shard
+# rebuild needs Spark), multi-column or non-integral keys, and schema
+# evolution (INSERT sources must match the view schema) all point the
+# user at the Python API verb that handles them.
+#
+# Scale shape: each executor task buckets its own rows with the
+# vectorized ``buckets_np`` (O(n) numpy, bit-exact with the writer-side
+# xxhash64) and writes per-bucket incoming files; the commit worker then
+# does O(affected buckets) pyarrow merge work — never a full-table pass.
+#
+# Version semantics (pytest-locked): a view's READS are pinned to the
+# version resolved when the view relation is first planned — snapshot
+# isolation; rebind (``sql_view`` is CREATE OR REPLACE) to see later
+# commits. WRITES construct a fresh DataSource in Spark's write worker,
+# so an un-pinned view's INSERT always targets the true latest (chained
+# inserts just work), while a version-pinned view's INSERT is a stale
+# snapshot and raises ``CommitConflictError``.
+
+
+class _WriteMsg(WriterCommitMessage):
+    def __init__(self, files: tuple):
+        self.files = files
+
+
+class BucketedMergeWriter(DataSourceArrowWriter):
+    """INSERT-as-MERGE for bucketed versioned tables (upsert on the key).
+    Reference parity: this is the SQL-facing twin of
+    ``merge_into_bucketed`` under DuplicateHandling.Update semantics
+    (reference ``SemanticDatabase.cs:157-191``)."""
+
+    def __init__(self, table: str, man: dict, staged: str):
+        self.table = table
+        self.man = man
+        self.staged = staged
+        self.key = man["key_cols"][0]
+        fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+        self.key_dtype = fields[self.key]["type"]
+        self.n_buckets = int(man["n_buckets"])
+
+    def write(self, iterator):
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator]
+        if not batches:
+            return _WriteMsg(())
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return _WriteMsg(())
+        kc = tbl.column(self.key)
+        if kc.null_count:
+            raise ValueError(f"INSERT row has NULL key {self.key!r}")
+        keys = kc.to_numpy(zero_copy_only=False).astype("int64")
+        bk = buckets_np(keys, self.key_dtype, self.n_buckets)
+        files = []
+        for b in np.unique(bk):
+            sub = tbl.filter(pa.array(bk == b))
+            rel = os.path.join(
+                "__incoming", f"b={int(b)}", f"part-{uuid.uuid4().hex}.parquet"
+            )
+            os.makedirs(os.path.dirname(os.path.join(self.staged, rel)), exist_ok=True)
+            pq.write_table(sub, os.path.join(self.staged, rel))
+            files.append(rel)
+        return _WriteMsg(tuple(files))
+
+    def commit(self, messages):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from semantic_index_spark.sources import versioned as VER
+
+        man = self.man
+        by_bucket: dict[int, list[str]] = {}
+        for m in messages:
+            for rel in getattr(m, "files", ()) or ():
+                b = int(rel.split("b=", 1)[1].split(os.sep, 1)[0])
+                by_bucket.setdefault(b, []).append(os.path.join(self.staged, rel))
+        if not by_bucket:  # empty INSERT: no version bump
+            shutil.rmtree(self.staged, ignore_errors=True)
+            return
+        fields = VER._manifest_schema(man).fields
+        colmap = man.get("colmap") or {}
+        phys_key = colmap.get(self.key, self.key)
+        affected = sorted(by_bucket)
+        for b in affected:
+            inc = pa.concat_tables(
+                _project_logical(pq.read_table(p), {}, fields) for p in by_bucket[b]
+            )
+            inc_keys = pc.unique(inc.column(self.key))
+            if len(inc_keys) != inc.num_rows:
+                shutil.rmtree(self.staged, ignore_errors=True)
+                raise ValueError(
+                    "INSERT source has multiple rows for the same key; "
+                    "upsert requires unique source keys"
+                )
+            owner = man["buckets"].get(str(b))
+            parts = []
+            if owner is not None:
+                bdir = os.path.join(self.table, f"v={owner}", f"__bucket={b}")
+                cur = pa.concat_tables(
+                    _project_logical(pq.read_table(p), colmap, fields)
+                    for p in _data_files(bdir)
+                )
+                # outstanding DVs fold into the rewrite (then clear), the
+                # merge contract — DV files store PHYSICAL key names
+                for v in man.get("dv", {}).get(str(b), ()):
+                    dvdir = os.path.join(self.table, f"v={v}", "__dv", f"__bucket={b}")
+                    dead = pa.concat_tables(
+                        pq.read_table(p, columns=[phys_key])
+                        for p in _data_files(dvdir)
+                    )
+                    cur = cur.filter(
+                        pc.invert(
+                            pc.is_in(
+                                cur.column(self.key),
+                                value_set=dead.column(phys_key).cast(
+                                    cur.column(self.key).type
+                                ).combine_chunks(),
+                            )
+                        )
+                    )
+                kept = cur.filter(
+                    pc.invert(pc.is_in(cur.column(self.key), value_set=inc_keys))
+                )
+                parts.append(kept)
+            parts.append(inc)
+            merged = pa.concat_tables(parts).rename_columns(
+                [colmap.get(f.name, f.name) for f in fields]
+            )
+            outd = os.path.join(self.staged, f"__bucket={b}")
+            os.makedirs(outd, exist_ok=True)
+            pq.write_table(merged, os.path.join(outd, "part-00000.parquet"))
+        shutil.rmtree(os.path.join(self.staged, "__incoming"), ignore_errors=True)
+        base = {
+            "key_cols": man["key_cols"],
+            "n_buckets": self.n_buckets,
+            "schema": man["schema"],
+            "__affected": affected,
+            "meta": {},
+        }
+        VER._commit_staged_bucketed(
+            self.table, self.staged, base, man, dv_clear=affected
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staged, ignore_errors=True)
+
+
+class PlainAppendWriter(DataSourceArrowWriter):
+    """INSERT INTO a plain snapshot table: append-only — the new version
+    hardlinks the prior version's files (O(files) metadata, zero bytes
+    copied) plus the inserted rows, published under the same conditional
+    pointer swap as ``commit_version``."""
+
+    def __init__(self, table: str, version: int, staged: str):
+        self.table = table
+        self.version = version
+        self.staged = staged
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator]
+        if not batches:
+            return _WriteMsg(())
+        tbl = pa.Table.from_batches(batches)
+        if tbl.num_rows == 0:
+            return _WriteMsg(())
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self.staged, name))
+        return _WriteMsg((name,))
+
+    def commit(self, messages):
+        import shutil
+
+        from semantic_index_spark.sources import versioned as VER
+
+        names = [n for m in messages for n in (getattr(m, "files", ()) or ())]
+        if not names:  # empty INSERT: no version bump
+            shutil.rmtree(self.staged, ignore_errors=True)
+            return
+        with VER._pointer_lock(self.table):
+            cur = VER.current_version(self.table)
+            if cur != self.version:
+                shutil.rmtree(self.staged, ignore_errors=True)
+                raise VER.CommitConflictError(
+                    f"cannot commit to {self.table}: expected latest version "
+                    f"{self.version}, found {cur} — a concurrent writer "
+                    "committed first; re-read and retry"
+                )
+            nxt = cur + 1
+            dest = os.path.join(self.table, f"v={nxt}")
+            VER._link_tree(os.path.join(self.table, f"v={cur}"), dest)
+            for n in names:
+                os.rename(os.path.join(self.staged, n), os.path.join(dest, n))
+            shutil.rmtree(self.staged, ignore_errors=True)
+            VER._write_pointer(self.table, nxt)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staged, ignore_errors=True)
 
 
 class VersionedTableDataSource(DataSource):
@@ -497,6 +772,61 @@ class VersionedTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VersionedTableReader:
         return VersionedTableReader(schema, self.table, self.version)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        """``INSERT INTO`` support (round 12) — see the writer section
+        comment for semantics and refused boundaries."""
+        from semantic_index_spark.sources.versioned import _staged_path
+
+        if overwrite:
+            raise ValueError(
+                "INSERT OVERWRITE is not supported on versioned tables — "
+                "use merge_into_bucketed/commit_version for rewrites"
+            )
+        if self.version is None:
+            raise ValueError(
+                "skipping tables are read-only through SQL — use "
+                "append_skipping"
+            )
+        man = _manifest(self.table, self.version)
+        if man is None:
+            if _hidden_meta(self.table) is not None:
+                raise ValueError(
+                    "hidden-partitioned tables are read-only through SQL — "
+                    "use commit_hidden (deriving partition transforms needs "
+                    "Spark and the table's pinned time zone)"
+                )
+            staged = _staged_path(self.table)
+            os.makedirs(staged)
+            return PlainAppendWriter(self.table, self.version, staged)
+        for blocker, verb in (
+            ("constraints", "merge_into_bucketed (CHECK constraints are SQL "
+             "expressions only Spark can evaluate)"),
+            ("generated", "merge_into_bucketed (generated columns need Spark)"),
+            ("index", "merge_into_bucketed (the co-committed index's shard "
+             "rebuild needs Spark)"),
+        ):
+            if man.get(blocker):
+                raise ValueError(
+                    f"INSERT INTO refuses tables with {blocker} — use {verb}"
+                )
+        keys = man["key_cols"]
+        fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+        if len(keys) != 1 or fields[keys[0]].get("type") not in _KEY_HASH:
+            raise ValueError(
+                "INSERT INTO supports single integral-key bucketed tables "
+                f"(got keys {keys}) — use merge_into_bucketed"
+            )
+        logical = [f["name"] for f in json.loads(man["schema"])["fields"]]
+        if [f.name for f in schema.fields] != logical:
+            raise ValueError(
+                f"INSERT schema {[f.name for f in schema.fields]} must match "
+                f"the table schema {logical} exactly — schema evolution goes "
+                "through merge_into_bucketed(schema_evolution=True)"
+            )
+        staged = _staged_path(self.table)
+        os.makedirs(staged)
+        return BucketedMergeWriter(self.table, man, staged)
 
 
 def register_versioned_table(spark) -> None:

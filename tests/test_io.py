@@ -3467,3 +3467,108 @@ def test_r12_sql_zonemap_pruning(spark, tmp_path):
         spark.read.format("versioned_table").option("table", ts).option(
             "version", "0"
         ).load().collect()
+
+
+def test_r12_sql_insert_into(spark, tmp_path):
+    """VERDICT r11 #3: INSERT INTO a versioned_table SQL view — bucketed
+    tables upsert on the key through the SAME staged-commit + OCC publish
+    path as merge_into_bucketed (versioned._commit_staged_bucketed), DVs
+    fold into the rewrite, time travel stays intact; plain snapshot
+    tables append; stale-snapshot inserts conflict; unsupported surfaces
+    refuse loudly."""
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "ins")
+    VER.create_bucketed(
+        spark.range(0, 50).selectExpr("id", "id * 2 AS v"), t, ["id"], n_buckets=8
+    )
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(3,), (48,)], "id long"))
+    VER.rename_column(t, "v", "val")  # column mapping crosses the writer too
+    VB.sql_view(spark, "ins_t", t)
+    spark.sql("INSERT INTO ins_t SELECT id, id * 100 AS val FROM range(48, 55)")
+    cur = {r["id"]: r["val"] for r in VER.read_bucketed(spark, t).collect()}
+    # updates, inserts, DV-deletes all visible; DV-deleted then re-inserted
+    # key (48) resurrects with the NEW value
+    assert cur[49] == 4900 and cur[54] == 5400 and cur[10] == 20
+    assert 3 not in cur and cur[48] == 4800
+    assert len(cur) == 54
+    # the rewrite folded + cleared the affected buckets' DVs
+    man = VER._read_manifest(t)
+    assert all(int(b) not in {  # buckets of 48/49/50..54 were rewritten
+        VB._bucket_of(48, "long", 8)
+    } for b in man.get("dv", {}))
+    # time travel: v0 unchanged
+    assert VER.read_bucketed(spark, t, version=0).count() == 50
+    # an UN-pinned view re-resolves latest per statement (a real table's
+    # semantics), so back-to-back inserts chain versions without rebinding
+    spark.sql("INSERT INTO ins_t VALUES (200, 1)")
+    assert VER.read_bucketed(spark, t).count() == 55
+    # a version-PINNED view is a stale snapshot: its insert conflicts
+    VB.sql_view(spark, "ins_t_v0", t, version=0)
+    with pytest.raises(Exception, match="expected latest|CommitConflict"):
+        spark.sql("INSERT INTO ins_t_v0 VALUES (201, 1)")
+    # duplicate source keys refuse
+    with pytest.raises(Exception, match="unique source keys"):
+        spark.sql("INSERT INTO ins_t VALUES (7, 1), (7, 2)")
+    # plain snapshot: append semantics + conflict on stale pin
+    tp = str(tmp_path / "plain_ins")
+    VER.commit_version(spark.range(0, 5).selectExpr("id", "id AS w"), tp)
+    VB.sql_view(spark, "ins_p", tp)
+    spark.sql("INSERT INTO ins_p VALUES (100, 700)")
+    got = {(r["id"], r["w"]) for r in VER.read_version(spark, tp).collect()}
+    assert got == {(i, i) for i in range(5)} | {(100, 700)}
+    assert VER.read_version(spark, tp, version=0).count() == 5
+    VB.sql_view(spark, "ins_p0", tp, version=0)  # stale pinned snapshot
+    with pytest.raises(Exception, match="expected latest|CommitConflict"):
+        spark.sql("INSERT INTO ins_p0 VALUES (101, 1)")
+    # refused boundaries point at the Python verb
+    tc = str(tmp_path / "cons")
+    VER.create_bucketed(
+        spark.range(0, 10).selectExpr("id", "id AS n"), tc, ["id"], n_buckets=4
+    )
+    VER.add_constraint(spark, tc, "pos", "n >= 0")
+    VB.sql_view(spark, "ins_c", tc)
+    with pytest.raises(Exception, match="constraints"):
+        spark.sql("INSERT INTO ins_c VALUES (1, 2)")
+    from semantic_index_spark.sources import hidden as HID
+
+    th = str(tmp_path / "hid")
+    HID.create_hidden(
+        spark.range(0, 10).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        th, [("identity", "p")],
+    )
+    VB.sql_view(spark, "ins_h", th)
+    with pytest.raises(Exception, match="read-only"):
+        spark.sql("INSERT INTO ins_h VALUES (1, 2)")
+    # empty INSERT is a no-op, not a version bump
+    VB.sql_view(spark, "ins_t", t)
+    v_before = VER.current_version(t)
+    spark.sql("INSERT INTO ins_t SELECT id, id AS val FROM range(0) ")
+    assert VER.current_version(t) == v_before
+
+
+def test_r12_sql_insert_widened_table(spark, tmp_path):
+    """INSERT INTO a type-widened bucketed table: the commit-side merge
+    upcasts the untouched narrow survivors under the widened manifest
+    schema exactly like the reader does (shared _project_logical)."""
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "insw")
+    VER.create_bucketed(
+        spark.range(0, 30).selectExpr("id", "CAST(id AS INT) AS n"),
+        t, ["id"], n_buckets=4,
+    )
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame([(1, 2**40)], "id long, n bigint"),
+        schema_evolution=True,
+    )
+    VB.sql_view(spark, "insw_v", t)
+    spark.sql(f"INSERT INTO insw_v VALUES (100, {2**41})")
+    cur = {r["id"]: r["n"] for r in VER.read_bucketed(spark, t).collect()}
+    assert cur[100] == 2**41 and cur[1] == 2**40 and cur[29] == 29
+    assert len(cur) == 31
