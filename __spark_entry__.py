@@ -6196,6 +6196,64 @@ def q_hidden_skipping_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second co-committed index KIND (r12 — ``sources/indexed.py``
+    ``attach_ivfsq_index``/``indexed_ivfsq_topk``, VERDICT r11 #4): the
+    FAISS ``IVF,SQ8`` layout as a TABLE ARTIFACT — int8 code shards under
+    ``__ivfsq/shard=<b>/_cell=<c>`` (shard b ≡ bucket b), the frozen
+    centroids + scalar quantizer stored IN the manifest params so every
+    version decodes with its own artifacts. Lifecycle: create
+    (embeddings vec_id < 350) → attach (8 cells) → MERGE (rescale every
+    7th embedding, insert id+20000 copies of the first 15) → DV-delete
+    every 13th base id → serve the exhaustive-exact top-10 (nprobe = all
+    cells, candidate slack ⇒ stage-2 exact rescore equals brute force)
+    at the CURRENT version AND as-of the attach version. The relational
+    oracle recomputes both states — a stale code shard, a leaked insert
+    into the as-of serve, or an undropped DV candidate breaks the
+    hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 350)
+    base = emb.select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]
+    tmp = tempfile.mkdtemp(prefix="indexed_ivfsq_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=8)
+        v_attach = IDX.attach_ivfsq_index(spark, t, n_cells=8)
+        src = (
+            base.filter(F.col("id") % 7 == 0)
+            .select("id", F.transform("embedding", lambda x: x * F.lit(3.0).cast("float")).alias("embedding"))
+            .unionByName(
+                base.filter(F.col("id") < 15).select(
+                    (F.col("id") + 20000).alias("id"), "embedding"
+                )
+            )
+        )
+        VER.merge_into_bucketed(spark, t, src)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("id") % 13 == 0).select("id")
+        )
+        post = IDX.indexed_ivfsq_topk(
+            spark, t, q, k=KNN_K, nprobe=8, candidates=1000
+        ).withColumn("stage", F.lit("post_merge"))
+        asof = IDX.indexed_ivfsq_topk(
+            spark, t, q, k=KNN_K, nprobe=8, candidates=1000, version=v_attach
+        ).withColumn("stage", F.lit("as_of_attach"))
+        out = (
+            post.unionByName(asof)
+            .orderBy("stage", F.desc("score"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_sql_insert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO`` through the SQL front door (r12 —
     ``sources/versioned_batch.py`` writer classes, VERDICT r11 #3):
@@ -6933,6 +6991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_skipping_compose": q_hidden_skipping_compose,
         "sql_hidden_prune": q_sql_hidden_prune,
         "sql_insert_merge": q_sql_insert_merge,
+        "indexed_table_ivfsq": q_indexed_table_ivfsq,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -11010,6 +11069,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'same' END AS status
             FROM cur c FULL OUTER JOIN base o ON c.id = o.id
             ORDER BY id
+        """,
+        # same relational replay shape as indexed_table_ann, second index
+        # kind: the serve is exhaustive-exact (nprobe = all cells + slack)
+        "indexed_table_ivfsq": f"""
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350
+            ), merged AS (
+              SELECT vec_id, embedding FROM base
+              WHERE vec_id % 7 <> 0 AND vec_id >= 15
+              UNION ALL
+              SELECT vec_id, list_transform(embedding, x -> x * CAST(3.0 AS FLOAT)) AS embedding
+              FROM base WHERE vec_id % 7 = 0
+              UNION ALL
+              SELECT vec_id, embedding FROM base
+              WHERE vec_id < 15 AND vec_id % 7 <> 0
+              UNION ALL
+              SELECT vec_id + 20000 AS vec_id, embedding
+              FROM base WHERE vec_id < 15
+            ), live AS (
+              SELECT m.* FROM merged m
+              WHERE m.vec_id NOT IN (SELECT vec_id FROM base WHERE vec_id % 13 = 0)
+            ), q AS (
+              SELECT embedding FROM base WHERE vec_id = 11
+            ), post AS (
+              SELECT l.vec_id,
+                     round({_duck_dot("l.embedding", "(SELECT embedding FROM q)")}, 6) AS score,
+                     'post_merge' AS stage
+              FROM live l
+              ORDER BY score DESC, l.vec_id LIMIT {KNN_K}
+            ), at_attach AS (
+              SELECT b.vec_id,
+                     round({_duck_dot("b.embedding", "(SELECT embedding FROM q)")}, 6) AS score,
+                     'as_of_attach' AS stage
+              FROM base b
+              ORDER BY score DESC, b.vec_id LIMIT {KNN_K}
+            )
+            SELECT vec_id, score, stage FROM (
+              SELECT * FROM post UNION ALL SELECT * FROM at_attach
+            ) ORDER BY stage, score DESC, vec_id
         """,
         "indexed_table_ann": f"""
             WITH base AS (

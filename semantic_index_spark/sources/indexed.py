@@ -49,10 +49,18 @@ the data, and retention keeps the shard files live); CLONE consolidates
 shard graphs under the clone's v=0 exactly like buckets and DVs; DROP /
 RENAME COLUMN work on any column except the index's embedding column
 (the one name the spec stores — detach/rebuild first), with
-column-mapped key names resolved physically on the DV serve path. The
-remaining boundary: one index per table, single integral key, HNSW only
-(the IVF families still live as standalone layouts under their commit
-locks).
+column-mapped key names resolved physically on the DV serve path.
+
+Round 12 generalizes the mechanism across index KINDS: the manifest spec
+carries ``params.kind`` and every hook (merge/OPTIMIZE shard rebuild,
+CLONE consolidation, RESTORE carry-over, drop/rename guards, detach)
+dispatches on it. Shipped kinds: ``hnsw`` (graph shards,
+``__hnsw/shard=<b>``) and ``ivfsq`` (IVF-partitioned int8 codes under
+``__ivfsq/shard=<b>/_cell=<c>`` — the FAISS ``IVF,SQ8`` layout with the
+frozen centroids + quantizer stored IN the manifest params, so a
+time-travel serve decodes with exactly the artifacts its version was
+encoded under). The remaining boundary: ONE index per table, single
+integral key.
 """
 
 from __future__ import annotations
@@ -66,6 +74,73 @@ from pyspark.sql import DataFrame, SparkSession
 from semantic_index_spark.sources import versioned as VER
 
 _INTEGRAL = {"byte", "short", "integer", "long"}
+
+# index kind → artifact directory inside each version dir; partition
+# columns of the staged shard write (shard first: shard b ≡ bucket b)
+_IDX_DIRS = {"hnsw": "__hnsw", "ivfsq": "__ivfsq"}
+_IDX_PARTS = {"hnsw": ["shard"], "ivfsq": ["shard", "_cell"]}
+
+
+def _index_dir(params: dict) -> str:
+    return _IDX_DIRS[params.get("kind", "hnsw")]
+
+
+def _check_attachable(man: dict, table: str, emb_col: str) -> str:
+    """Shared attach-time guards; returns the single integral key column."""
+    if man.get("index"):
+        raise ValueError(f"table {table} already carries a co-committed index")
+    keys = man["key_cols"]
+    if len(keys) != 1:
+        raise ValueError(
+            f"attach index: bucket-aligned shards need a single key "
+            f"column, table has {keys}"
+        )
+    key = keys[0]
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    if emb_col not in fields:
+        raise ValueError(f"attach index: no column {emb_col!r} on {table}")
+    if fields[key].get("type") not in _INTEGRAL:
+        raise ValueError(
+            f"attach index: key {key!r} must be integral (shard ids are "
+            f"longs), got {fields[key].get('type')}"
+        )
+    return key
+
+
+def _publish_index(table: str, man: dict, params: dict, idx: DataFrame) -> int:
+    """Stage the shard artifact and publish the attach commit: shared by
+    every index kind. Conditional on the pointer AND marked as touching
+    every bucket, so a concurrent data commit conflicts (an index built
+    from pre-commit rows must not publish over it); retryable via
+    ``retry_commit``."""
+    staged = VER._staged_path(table)
+    idx.write.mode("errorifexists").partitionBy(
+        *_IDX_PARTS[params["kind"]]
+    ).parquet(os.path.join(staged, _index_dir(params)))
+
+    def build(final: int, base_man: dict, dest: str) -> dict:
+        manifest = {k: v for k, v in base_man.items() if k != "version"}
+        manifest["version"] = final
+        hdir = os.path.join(dest, _index_dir(params))
+        written = {
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
+            if d.startswith("shard=")
+        }
+        manifest["index"] = {
+            "params": params,
+            "shards": {
+                str(b): (final if b in written else None)
+                for b in range(int(man["n_buckets"]))
+            },
+        }
+        return manifest
+
+    final, _ = VER._publish_bucketed(
+        table, staged, man, set(range(int(man["n_buckets"]))), build,
+        strict_meta=True,
+    )
+    return final
 
 
 def attach_hnsw_index(
@@ -88,23 +163,7 @@ def attach_hnsw_index(
     from semantic_index_spark.operators.hnsw import build_hnsw
 
     man = VER._read_manifest(table)
-    if man.get("index"):
-        raise ValueError(f"table {table} already carries a co-committed index")
-    keys = man["key_cols"]
-    if len(keys) != 1:
-        raise ValueError(
-            f"attach_hnsw_index: bucket-aligned shards need a single key "
-            f"column, table has {keys}"
-        )
-    key = keys[0]
-    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
-    if emb_col not in fields:
-        raise ValueError(f"attach_hnsw_index: no column {emb_col!r} on {table}")
-    if fields[key].get("type") not in _INTEGRAL:
-        raise ValueError(
-            f"attach_hnsw_index: key {key!r} must be integral (graph node "
-            f"ids are longs), got {fields[key].get('type')}"
-        )
+    key = _check_attachable(man, table, emb_col)
     rows = VER.read_bucketed(spark, table).select(
         F.col(key).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
@@ -117,10 +176,6 @@ def attach_hnsw_index(
         ef_construction=ef_construction,
         seed=seed,
     )
-    staged = VER._staged_path(table)
-    idx.write.mode("errorifexists").partitionBy("shard").parquet(
-        os.path.join(staged, "__hnsw")
-    )
     params = {
         "kind": "hnsw",
         "emb_col": emb_col,
@@ -128,30 +183,69 @@ def attach_hnsw_index(
         "ef_construction": int(ef_construction),
         "seed": int(seed),
     }
+    return _publish_index(table, man, params, idx)
 
-    def build(final: int, base_man: dict, dest: str) -> dict:
-        manifest = {k: v for k, v in base_man.items() if k != "version"}
-        manifest["version"] = final
-        hdir = os.path.join(dest, "__hnsw")
-        written = {
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
-            if d.startswith("shard=")
-        }
-        manifest["index"] = {
-            "params": params,
-            "shards": {
-                str(b): (final if b in written else None)
-                for b in range(int(man["n_buckets"]))
-            },
-        }
-        return manifest
 
-    final, _ = VER._publish_bucketed(
-        table, staged, man, set(range(int(man["n_buckets"]))), build,
-        strict_meta=True,
+def _ivfsq_index_df(man: dict, rows: DataFrame) -> DataFrame:
+    """The IVF-SQ8 shard artifact for a set of table rows: (vec_id, int8
+    codes, _cell, shard) — cell assignment and encoding are pure
+    functions of (embedding, frozen manifest artifacts), and shard IS the
+    row's bucket (``_bucket_expr`` on the key's manifest dtype), so a
+    merge's rewritten-bucket rows rebuild exactly their own shards."""
+    from semantic_index_spark.operators.similarity import ivf_assign, sq_encode
+
+    p = man["index"]["params"]
+    key = man["key_cols"][0]
+    src = rows.select(
+        F.col(key).alias("vec_id"),
+        F.col(p["emb_col"]).alias("embedding"),
+        VER._bucket_expr([key], int(man["n_buckets"])).alias("shard"),
     )
-    return final
+    assigned = ivf_assign(src, p["centroids"])
+    codes = sq_encode(assigned, p["model"])
+    return codes.join(assigned.select("vec_id", "_cell", "shard"), "vec_id")
+
+
+def attach_ivfsq_index(
+    spark: SparkSession,
+    table: str,
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 11,
+) -> int:
+    """Attach a co-committed IVF-SQ8 index (round 12 — the second index
+    kind, FAISS ``IVF,SQ8`` on the table-artifact contract): the current
+    table state trains the int8 quantizer (``sq_train``) and fixes
+    deterministic centroids; rows land as ``__ivfsq/shard=<b>/_cell=<c>``
+    byte-code partitions in the attach commit's staged directory. The
+    FROZEN artifacts (centroids + per-dim lo/step) live in the manifest
+    params — re-encoding after any merge uses exactly the artifacts the
+    rest of the index was encoded under, and a time-travel serve at
+    version n decodes with version n's own params. Same crash/OCC
+    contract as ``attach_hnsw_index``."""
+    from semantic_index_spark.operators.similarity import make_centroids, sq_train
+
+    man = VER._read_manifest(table)
+    key = _check_attachable(man, table, emb_col)
+    rows = VER.read_bucketed(spark, table).select(
+        F.col(key).alias(key), F.col(emb_col).alias(emb_col)
+    )
+    first = rows.select(F.size(emb_col).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError(f"attach_ivfsq_index: table {table} is empty")
+    dim = int(first[0]["d"])
+    model = sq_train(rows, emb_col=emb_col)
+    params = {
+        "kind": "ivfsq",
+        "emb_col": emb_col,
+        "centroids": make_centroids(int(n_cells), dim, seed),
+        "model": model,
+        "seed": int(seed),
+    }
+    man_view = dict(man)
+    man_view["index"] = {"params": params}
+    idx = _ivfsq_index_df(man_view, rows)
+    return _publish_index(table, man, params, idx)
 
 
 def detach_hnsw_index(table: str) -> int:
@@ -193,29 +287,35 @@ def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
     advances ``index.shards`` for the affected buckets in the same
     manifest (inheriting every other shard's owner from the manifest the
     commit lands on, so a disjoint-bucket rebase keeps both writers'
-    shards exactly like it keeps both writers' buckets)."""
-    from semantic_index_spark.operators.hnsw import build_hnsw
-
+    shards exactly like it keeps both writers' buckets). Dispatches on
+    the spec's ``params.kind`` (round 12): hnsw rebuilds shard graphs,
+    ivfsq re-encodes against the manifest's frozen quantizer/centroids."""
     spec = man["index"]
     p = spec["params"]
     key = man["key_cols"][0]
-    idx = build_hnsw(
-        result.select(
-            F.col(key).alias("vec_id"), F.col(p["emb_col"]).alias("embedding")
-        ),
-        n_shards=int(man["n_buckets"]),
-        m=p["m"],
-        ef_construction=p["ef_construction"],
-        seed=p["seed"],
-    )
+    if p.get("kind", "hnsw") == "hnsw":
+        from semantic_index_spark.operators.hnsw import build_hnsw
+
+        idx = build_hnsw(
+            result.select(
+                F.col(key).alias("vec_id"), F.col(p["emb_col"]).alias("embedding")
+            ),
+            n_shards=int(man["n_buckets"]),
+            m=p["m"],
+            ef_construction=p["ef_construction"],
+            seed=p["seed"],
+        )
+    else:
+        idx = _ivfsq_index_df(man, result)
+    idx_dir = _index_dir(p)
 
     def stage(staged: str) -> None:
-        idx.write.mode("errorifexists").partitionBy("shard").parquet(
-            os.path.join(staged, "__hnsw")
-        )
+        idx.write.mode("errorifexists").partitionBy(
+            *_IDX_PARTS[p.get("kind", "hnsw")]
+        ).parquet(os.path.join(staged, idx_dir))
 
     def finalize(manifest: dict, final: int, base_man, dest: str) -> dict:
-        hdir = os.path.join(dest, "__hnsw")
+        hdir = os.path.join(dest, idx_dir)
         written = {
             int(d.split("=", 1)[1])
             for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
@@ -306,3 +406,98 @@ def indexed_hnsw_topk(
         )
         blocked = {int(r[key]) for r in rows}
     return hnsw_topk(idx, query, k=k, ef=ef, blocked=blocked)
+
+
+# generic alias: detach works for any index kind (it only removes the
+# manifest spec; shard files stay for time travel regardless of layout)
+detach_index = detach_hnsw_index
+
+
+def _read_index_shards(spark: SparkSession, table: str, man: dict):
+    """Union the index artifact's shard partitions ACROSS owning versions
+    — one read per owning version with basePath (recovering the partition
+    columns), exactly the grouping ``read_bucketed`` does for buckets.
+    Returns None when no shard has an owner (empty table)."""
+    spec = man["index"]
+    idx_dir = _index_dir(spec["params"])
+    by_version: dict = {}
+    for b, v in spec["shards"].items():
+        if v is not None:
+            by_version.setdefault(int(v), []).append(int(b))
+    parts = []
+    for v, bs in sorted(by_version.items()):
+        base = os.path.join(table, f"v={v}", idx_dir)
+        parts.append(
+            spark.read.option("basePath", base).parquet(
+                *[os.path.join(base, f"shard={b}") for b in sorted(bs)]
+            )
+        )
+    if not parts:
+        return None
+    idx = parts[0]
+    for extra in parts[1:]:
+        idx = idx.unionByName(extra)
+    return idx
+
+
+def indexed_ivfsq_topk(
+    spark: SparkSession,
+    table: str,
+    query,
+    k: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    version: int | None = None,
+) -> DataFrame:
+    """Serve top-k from the table's co-committed IVF-SQ8 index AT a table
+    version (default latest): the manifest names both the byte-code
+    shards and the bucket data of ONE consistent commit, and the frozen
+    centroids/quantizer ride the same manifest, so a time-travel serve
+    probes and decodes with its version's own artifacts. Two-stage
+    probe: (1) planning-time ``_cell`` partition pruning to ``nprobe``
+    cells, asymmetric scan of int8 codes only into a bounded
+    top-``candidates`` set; (2) exact rescore against THIS VERSION's
+    table rows (``read_bucketed``, deletion vectors already applied — a
+    DV-deleted candidate drops at the rescore join, the tombstone
+    contract; size ``candidates`` with the usual slack). Columns:
+    ``(vec_id, score)``, exact-dot scores. Approximation contract =
+    ``ivfsq_topk_indexed``'s (exact within probed cells given enough
+    candidates; nprobe = n_cells ⇒ exhaustive-exact)."""
+    from semantic_index_spark.operators.similarity import (
+        _probe_cells,
+        sq_topk_rescore,
+    )
+
+    man = VER._read_manifest(table, version)
+    spec = man.get("index")
+    if spec is None or spec["params"].get("kind") != "ivfsq":
+        raise ValueError(
+            f"table {table} has no co-committed IVF-SQ8 index "
+            "(attach_ivfsq_index)"
+        )
+    p = spec["params"]
+    key = man["key_cols"][0]
+    idx = _read_index_shards(spark, table, man)
+    if idx is None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("vec_id", LongType()), StructField("score", DoubleType())]
+            ),
+        )
+    probe = _probe_cells(query, p["centroids"], nprobe)
+    codes = idx.filter(F.col("_cell").isin(probe))
+    vectors = VER.read_bucketed(spark, table, version=version).select(
+        F.col(key).cast("long").alias("vec_id"),
+        F.col(p["emb_col"]).alias("embedding"),
+    )
+    return sq_topk_rescore(
+        codes, vectors, p["model"], query, k=k, candidates=candidates
+    )

@@ -434,12 +434,17 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
                     except OSError:
                         shutil.copy2(s, d)
         # co-committed index shards consolidate under v=0 exactly like
-        # buckets — the clone's serve path must be self-contained
+        # buckets — the clone's serve path must be self-contained; the
+        # artifact directory is kind-specific (round 12)
+        if man.get("index"):
+            from semantic_index_spark.sources.indexed import _index_dir
+
+            idx_dir = _index_dir(man["index"]["params"])
         for b, owner in (man.get("index", {}).get("shards") or {}).items():
             if owner is None:
                 continue
-            ssrc = os.path.join(src_table, f"v={owner}", "__hnsw", f"shard={b}")
-            _link_tree(ssrc, os.path.join(staged, "__hnsw", f"shard={b}"))
+            ssrc = os.path.join(src_table, f"v={owner}", idx_dir, f"shard={b}")
+            _link_tree(ssrc, os.path.join(staged, idx_dir, f"shard={b}"))
             if not os.path.isdir(ssrc):  # reclaimed mid-link
                 shutil.rmtree(staged, ignore_errors=True)
                 raise FileNotFoundError(

@@ -3572,3 +3572,94 @@ def test_r12_sql_insert_widened_table(spark, tmp_path):
     cur = {r["id"]: r["n"] for r in VER.read_bucketed(spark, t).collect()}
     assert cur[100] == 2**41 and cur[1] == 2**40 and cur[29] == 29
     assert len(cur) == 31
+
+
+def test_r12_indexed_table_ivfsq_lifecycle_and_crash(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #4: the co-committed index generalizes to a SECOND
+    kind — IVF-SQ8 (frozen centroids + quantizer IN the manifest params,
+    byte-code shards under __ivfsq/shard=<b>/_cell=<c>). Same contract as
+    the HNSW kind: merges rebuild affected shards in their own commit,
+    time travel serves each version from its own artifacts, DV deletes
+    tombstone at the rescore join, OPTIMIZE physically drops dead codes,
+    CLONE consolidates, crash leaves table+index consistent."""
+    import pytest
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "ivfsq_t")
+    rows = [(i, _emb(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    v_attach = IDX.attach_ivfsq_index(spark, t, n_cells=4)
+    q = _emb(5)
+
+    def serve(version=None, k=5):
+        # nprobe = all cells + candidate slack ⇒ exhaustive-exact
+        return [
+            (r["vec_id"], r["score"])
+            for r in IDX.indexed_ivfsq_topk(
+                spark, t, q, k=k, nprobe=4, candidates=500, version=version
+            ).collect()
+        ]
+
+    before = serve()
+    assert before == _brute_topk(spark, df, q, 5)
+    # merge rebuilds ONLY the affected shards inside its own commit
+    src = spark.createDataFrame(
+        [(5, _emb(900)), (300, _emb(300))], "id long, embedding array<double>"
+    )
+    VER.merge_into_bucketed(spark, t, src)
+    merged = VER.read_bucketed(spark, t)
+    assert serve() == _brute_topk(spark, merged, q, 5)
+    man = VER._read_manifest(t)
+    assert set(man["index"]["shards"].values()) > {v_attach}  # mixed owners
+    # time travel: the attach version serves from its own shards/artifacts
+    assert serve(version=v_attach) == before
+    # DV delete: no rebuild; deleted candidates drop at the rescore join
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(5,)], "id long"))
+    live = VER.read_bucketed(spark, t)
+    got_dv = serve()
+    assert got_dv == _brute_topk(spark, live, q, 5)
+    assert all(v != 5 for v, _ in got_dv)
+    # OPTIMIZE folds DVs and physically drops the dead codes
+    VER.optimize_bucketed(spark, t)
+    man_opt = VER._read_manifest(t)
+    assert not man_opt.get("dv")
+    assert serve() == got_dv
+    idx = IDX._read_index_shards(spark, t, man_opt)
+    assert idx.filter("vec_id = 5").count() == 0
+    # clone consolidates shards; detach works for any kind
+    t2 = str(tmp_path / "ivfsq_clone")
+    VER.clone_table(t, t2)
+    got_clone = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_ivfsq_topk(
+            spark, t2, q, k=5, nprobe=4, candidates=500
+        ).collect()
+    ]
+    assert got_clone == got_dv
+    # the embedding column is guarded for this kind too
+    with pytest.raises(ValueError, match="embedding column"):
+        VER.drop_column(t, "embedding")
+    # crash sim: staged data + staged codes written, publish never runs →
+    # reader sees OLD table + OLD index together
+    class _Boom(RuntimeError):
+        pass
+
+    def explode(*a, **k):
+        raise _Boom("crash before publish")
+
+    src2 = spark.createDataFrame([(7, _emb(901))], "id long, embedding array<double>")
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_publish_bucketed", explode)
+        with pytest.raises(_Boom):
+            VER.merge_into_bucketed(spark, t, src2)
+    cur = VER.read_bucketed(spark, t)
+    assert serve() == _brute_topk(spark, cur, q, 5)
+    # detach: metadata-only, serve refuses, re-attach works
+    IDX.detach_index(t)
+    with pytest.raises(ValueError, match="no co-committed IVF-SQ8"):
+        IDX.indexed_ivfsq_topk(spark, t, q, k=5)
+    IDX.attach_ivfsq_index(spark, t, n_cells=4)
+    assert serve() == _brute_topk(spark, VER.read_bucketed(spark, t), q, 5)
