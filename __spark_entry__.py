@@ -6254,6 +6254,31 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal pipeline (r12 —
+    ``operators/multimodal.py`` ``decode_image``/``image_decoder``,
+    VERDICT r11 #5): 40 deterministic binary PPM images (pixel(y,x,c) =
+    (seed·31 + y·7 + x·13 + c·5) mod 256, 8×6×3) run through the
+    Arrow-batched ``extract_features`` stage with the pure-numpy codec —
+    feat_mean is the TRUE mean pixel intensity of the decoded raster,
+    n_bytes the exact container size. The oracle never sees the bytes:
+    it recomputes both from the closed-form pixel formula, so a decode
+    that mis-parses the header, drops a channel, or mis-strides a row
+    breaks the hash."""
+    from semantic_index_spark.operators import multimodal as M
+
+    rows = [
+        (s, M.make_test_image(s, 8, 6, 3), "image/x-portable-pixmap", 8, 6)
+        for s in range(40)
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    return (
+        M.extract_features(media, decoder=M.image_decoder)
+        .select("media_id", "n_bytes", "feat_mean")
+        .orderBy("media_id")
+    )
+
+
 def q_sql_insert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO`` through the SQL front door (r12 —
     ``sources/versioned_batch.py`` writer classes, VERDICT r11 #3):
@@ -6992,6 +7017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hidden_prune": q_sql_hidden_prune,
         "sql_insert_merge": q_sql_insert_merge,
         "indexed_table_ivfsq": q_indexed_table_ivfsq,
+        "media_decode_features": q_media_decode_features,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -8159,6 +8185,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
               AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
             GROUP BY event_type
+        """,
+        # the codec oracle: n_bytes and mean pixel intensity recomputed
+        # from the closed-form pixel formula, never from the bytes
+        # (header 'P6\\n8 6\\n255\\n' = 11 bytes + 8*6*3 raster = 155)
+        "media_decode_features": """
+            WITH grid AS (
+              SELECT y.range AS y, x.range AS x, c.range AS c
+              FROM range(0, 6) y, range(0, 8) x, range(0, 3) c
+            )
+            SELECT s.range AS media_id,
+                   CAST(155 AS BIGINT) AS n_bytes,
+                   printf('%.4f', avg((s.range * 31 + y * 7 + x * 13 + c * 5) % 256))
+                       AS feat_mean
+            FROM range(0, 40) s, grid
+            GROUP BY s.range ORDER BY media_id
         """,
         # seed → DV-delete → SQL upsert, replayed relationally: the insert
         # wins per key, surviving base rows are those neither deleted nor

@@ -5,13 +5,19 @@
 frame-sample run as Arrow-batched ``mapInPandas`` stages so each executor
 processes columnar batches of blobs without ever collecting to the driver.
 
-The actual codec step is STUBBED (this container has no image/audio libs):
-``decode_image_batch`` raises ``NotImplementedError`` unless handed a
-``decoder=`` callable, and ``fake_decode`` provides a deterministic stand-in
-so the Spark-side plumbing — schema, batch shape, partitioning — is real
-and tested. At 100 TB the blobs dominate I/O: keep media in its own parquet
-column (columnar pruning skips it unless selected) and repartition by size
-before the decode stage so batches are even.
+The codec layer (round 12 — previously a stub): a REAL pure-numpy decoder
+ships for the uncompressed formats a container without image libraries can
+still handle exactly — binary NetPBM (P5 grayscale / P6 RGB) and 24-bit
+uncompressed BMP — with nearest-neighbor resize and PPM/PGM re-encode
+(:func:`decode_image` / :func:`image_decoder` / :func:`image_resizer`),
+so ``extract_features`` and ``resize_media`` run real pixels end-to-end.
+Compressed formats (PNG/JPEG) go through PIL WHEN INSTALLED
+(:func:`pil_decode`, capability-gated — absent PIL raises a clear
+ImportError and the pytest skips with reason, the transformWithState
+precedent); ``fake_decode`` remains for plumbing-only tests. At 100 TB the
+blobs dominate I/O: keep media in its own parquet column (columnar pruning
+skips it unless selected) and repartition by size before the decode stage
+so batches are even.
 """
 
 from __future__ import annotations
@@ -296,3 +302,179 @@ def shared_frame_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---- real image codec (round 12) -------------------------------------------
+# Exact, dependency-free decode for the uncompressed formats: binary NetPBM
+# (P5/P6) and 24-bit BITMAPINFOHEADER BMP. Everything is numpy array work —
+# no per-pixel Python — so a decode stage over mapInPandas batches stays
+# Arrow-fast. PIL handles compressed formats when installed (pil_decode).
+
+
+def _parse_pnm_header(blob: bytes):
+    """(magic, width, height, maxval, data_offset) of a binary NetPBM blob.
+    Header tokens are whitespace-separated with '#' comments."""
+    if len(blob) < 2 or blob[:1] != b"P" or blob[1:2] not in b"56":
+        raise ValueError("not a binary NetPBM (P5/P6) blob")
+    tokens, i, n = [], 2, len(blob)
+    while len(tokens) < 3 and i < n:
+        c = blob[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and blob[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not blob[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(blob[i:j]))
+            i = j
+    if len(tokens) < 3 or i >= n:
+        raise ValueError("truncated NetPBM header")
+    i += 1  # exactly ONE whitespace byte separates header from raster
+    w, h, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported NetPBM maxval {maxval} (8-bit only)")
+    return blob[:2].decode(), w, h, maxval, i
+
+
+def decode_image(blob: bytes) -> dict:
+    """Decode an uncompressed image blob EXACTLY, no libraries: binary PGM
+    (P5), PPM (P6), or 24-bit uncompressed BMP. Returns ``{"width",
+    "height", "channels", "pixels"}`` with pixels an (h, w, channels)
+    uint8 numpy array. Raises ``ValueError`` for anything else — route
+    compressed formats through :func:`pil_decode`."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] in (b"P5", b"P6"):
+        magic, w, h, _maxval, off = _parse_pnm_header(blob)
+        ch = 1 if magic == "P5" else 3
+        need = w * h * ch
+        raster = np.frombuffer(blob, dtype=np.uint8, count=need, offset=off)
+        if raster.size < need:
+            raise ValueError("truncated NetPBM raster")
+        return {
+            "width": w, "height": h, "channels": ch,
+            "pixels": raster.reshape(h, w, ch),
+        }
+    if blob[:2] == b"BM":
+        if len(blob) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", blob, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", blob, 26)
+        if hdr_size < 40 or bpp != 24 or compression != 0:
+            raise ValueError(
+                f"only 24-bit uncompressed BITMAPINFOHEADER BMP is supported "
+                f"(bpp={bpp}, compression={compression})"
+            )
+        flipped = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        need = stride * h
+        raster = np.frombuffer(blob, dtype=np.uint8, count=need, offset=data_off)
+        if raster.size < need:
+            raise ValueError("truncated BMP raster")
+        px = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flipped:
+            px = px[::-1]
+        return {"width": w, "height": h, "channels": 3, "pixels": px[..., ::-1].copy()}  # BGR→RGB
+    raise ValueError(
+        "unsupported image format (raw P5/P6/24-bit BMP decode only) — "
+        "use pil_decode for compressed formats"
+    )
+
+
+def encode_pnm(pixels) -> bytes:
+    """Re-encode an (h, w, 1|3) uint8 array as binary PGM/PPM — the exact
+    inverse of :func:`decode_image`'s NetPBM path (pytest round-trips)."""
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    magic = b"P5" if ch == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def pil_decode(blob: bytes) -> dict:
+    """Decode ANY PIL-supported format (PNG/JPEG/...) — capability-gated:
+    raises ImportError with a clear message when PIL is not installed
+    (this container ships without it; the pytest skips with reason)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "pil_decode needs Pillow, which is not installed in this "
+            "environment — uncompressed P5/P6/BMP decode works without it "
+            "(decode_image)"
+        ) from e
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(blob))
+    arr = np.asarray(img.convert("RGB" if img.mode not in ("L",) else "L"))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return {
+        "width": arr.shape[1], "height": arr.shape[0],
+        "channels": arr.shape[2], "pixels": arr,
+    }
+
+
+def image_decoder(blob: bytes) -> dict:
+    """A REAL ``decoder=`` for :func:`extract_features`: decodes the blob
+    (numpy path first, PIL fallback for compressed formats) and derives
+    checksum + the true mean pixel intensity — the feature schema the
+    fake stub emits, now from actual pixels."""
+    import hashlib
+
+    if not blob:
+        return {"checksum": hashlib.md5(b"").hexdigest(), "feat_mean": "0.0000"}
+    try:
+        img = decode_image(blob)
+    except ValueError:
+        img = pil_decode(blob)
+    return {
+        "checksum": hashlib.md5(blob).hexdigest(),
+        "feat_mean": f"{float(img['pixels'].mean()):.4f}",
+    }
+
+
+def resize_nearest(pixels, width: int, height: int):
+    """Nearest-neighbor resample to (height, width) — pure numpy fancy
+    indexing (the `PIL.Image.NEAREST` grid: index = floor((i+0.5)*in/out),
+    deterministic and exact)."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return pixels[rows][:, cols]
+
+
+def image_resizer(blob: bytes, width: int, height: int) -> bytes:
+    """A REAL ``resizer=`` for :func:`resize_media`: decode (numpy path,
+    PIL fallback), nearest-neighbor resample, re-encode as binary
+    PGM/PPM (1- and 3-channel outputs; BMP/PIL inputs re-encode to PNM —
+    the one declared format change)."""
+    if not blob:
+        return blob
+    try:
+        img = decode_image(blob)
+    except ValueError:
+        img = pil_decode(blob)
+    return encode_pnm(resize_nearest(img["pixels"], width, height))
+
+
+def make_test_image(seed: int, width: int = 8, height: int = 6, channels: int = 3) -> bytes:
+    """Deterministic synthetic image bytes (binary PPM/PGM) for tests and
+    demos: pixel(y, x, c) = (seed·31 + y·7 + x·13 + c·5) mod 256."""
+    import numpy as np
+
+    y, x, c = np.ogrid[0:height, 0:width, 0:channels]
+    px = ((seed * 31 + y * 7 + x * 13 + c * 5) % 256).astype(np.uint8)
+    return encode_pnm(px)
