@@ -6872,60 +6872,61 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # rotation — never-checked new queries first, then the queries whose most
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
-_DRIVER_WINDOW_R11 = [
-    # round-11 window: the 3 never-checked r11 additions first, then the
-    # 47 stalest green driver rows (oldest CORRECTNESS round first) -
-    # computed by tools/pin_window.py from CORRECTNESS_r01-r10
-    "merge_type_widening",  # never-checked
-    "indexed_table_ann",  # never-checked
-    "sql_front_door",  # never-checked
-    "profile_docs",  # last r4
-    "embedding_covariance",  # last r4
-    "interval_overlap",  # last r4
-    "label_centroids",  # last r5
-    "text_stats",  # last r5
-    "media_stats",  # last r5
-    "winnowing_fingerprints",  # last r5
-    "zorder_key",  # last r5
-    "heavy_hitters_by",  # last r5
-    "budget_select",  # last r5
-    "hll_set_ops",  # last r5
-    "bloom_join",  # last r5
-    "pagerank",  # last r5
-    "decayed_engagement",  # last r5
-    "seasonal_anomaly",  # last r5
-    "term_label_pmi",  # last r5
-    "jaccard_prefix",  # last r5
-    "cosine_pairs",  # last r5
-    "weighted_sample",  # last r5
-    "triangle_count",  # last r5
-    "association_lift",  # last r5
-    "blocked_linkage",  # last r5
-    "variant_json",  # last r5
-    "lateral_topn",  # last r5
-    "calendar_spine",  # last r5
-    "lsh_recall",  # last r5
-    "kmeans_centroids",  # last r5
-    "kcenter_coreset",  # last r5
-    "mmr_rerank",  # last r5
-    "simhash_pairs",  # last r5
-    "rp_project",  # last r5
-    "group_regression",  # last r5
-    "token_entropy",  # last r5
-    "k_anonymity",  # last r5
-    "dp_noisy_counts",  # last r5
-    "q7_volume_shipping",  # last r5
-    "q10_returned_items",  # last r5
-    "q12_late_shipping",  # last r5
-    "session_paths",  # last r5
-    "feature_hashing",  # last r5
-    "neg_sampling_weights",  # last r5
-    "cooccurrence_pmi",  # last r5
-    "survival_curve",  # last r5
-    "logreg_gd",  # last r5
-    "map_functions",  # last r5
-    "bootstrap_ci",  # last r5
-    "chi_square_mix",  # last r5
+_DRIVER_WINDOW_R12 = [
+    # round-12 window: the 4 never-checked r12 additions first, then the
+    # 46 stalest green driver rows (oldest CORRECTNESS round first) -
+    # computed by tools/pin_window.py from CORRECTNESS_r01-r11
+
+    "sql_hidden_prune",  # never-checked
+    "sql_insert_merge",  # never-checked
+    "indexed_table_ivfsq",  # never-checked
+    "media_decode_features",  # never-checked
+    "benford_audit",  # last r5
+    "winsorized_stats",  # last r5
+    "ab_test_zscore",  # last r5
+    "source_concentration",  # last r5
+    "corpus_prep_pipeline",  # last r5
+    "streaming_upsert_replay",  # last r5
+    "stateful_totals_replay",  # last r6
+    "segment_dedup",  # last r6
+    "rrf_fusion",  # last r6
+    "zipf_fit",  # last r6
+    "filtered_knn",  # last r6
+    "hybrid_search",  # last r6
+    "observed_metrics",  # last r6
+    "stream_dedup_replay",  # last r6
+    "stream_join_replay",  # last r6
+    "khop_frontier",  # last r6
+    "window_distinct_users",  # last r6
+    "quality_calibration",  # last r6
+    "media_shared_frames",  # last r6
+    "cusum_alerts",  # last r6
+    "pit_join",  # last r6
+    "ab_mann_whitney",  # last r6
+    "dedup_rate_by_source",  # last r6
+    "wow_growth",  # last r6
+    "leakage_safe_split",  # last r6
+    "dsir_weights",  # last r6
+    "source_similarity",  # last r6
+    "training_order",  # last r6
+    "corpus_checksum",  # last r6
+    "quality_model",  # last r6
+    "l_diversity",  # last r6
+    "attribution",  # last r6
+    "fk_integrity",  # last r6
+    "model_calibration",  # last r6
+    "event_transitions",  # last r6
+    "time_to_conversion",  # last r6
+    "stratified_split",  # last r6
+    "vocab_drift",  # last r6
+    "lsh_dedup_quality",  # last r6
+    "vocab_growth",  # last r6
+    "churn_labels",  # last r6
+    "temperature_mix",  # last r6
+    "user_burstiness",  # last r6
+    "cross_source_dup",  # last r6
+    "rolling_active_users",  # last r6
+    "growth_accounting",  # last r6
 ]
 
 
@@ -6933,8 +6934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round.  The canonical dict below stays in stable
     historical order; the returned dict is reordered so the pinned
-    ``_DRIVER_WINDOW_R11`` names come first (see the comment on that list for
-    the round-10 composition), followed by every other query in canonical
+    ``_DRIVER_WINDOW_R12`` names come first (see the comment on that list for
+    the round-12 composition), followed by every other query in canonical
     order.
 
     Steady-state rotation policy (round 8 closes never-checked coverage:
@@ -6942,14 +6943,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (304 queries / 50 per round).
+    driver row at most ~6 rounds stale (308 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
-    ``_DRIVER_WINDOW_R11``.  EVERY new query added mid-round must be
+    ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 304 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 308 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7266,13 +7267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_streaming": q_hnsw_streaming,
         "hnsw_delete": q_hnsw_delete,
     }
-    missing = [n for n in _DRIVER_WINDOW_R11 if n not in reg]
-    if missing or len(_DRIVER_WINDOW_R11) != 50:
+    missing = [n for n in _DRIVER_WINDOW_R12 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R12) != 50:
         raise RuntimeError(
-            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R11)}, "
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R12)}, "
             f"missing={missing}"
         )
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R11}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R12}
     ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
     return ordered
 
