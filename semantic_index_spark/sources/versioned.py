@@ -641,22 +641,51 @@ def _manifest_schema(man: dict):
 #: Type-widening lattice (Delta ``typeWidening`` semantics): a column may
 #: evolve along these chains without rewriting any file — the parquet
 #: reader upcasts narrow file values under the wider read schema (int32
-#: files read as bigint, float files as double; verified against the
-#: Spark 4 vectorized reader). Only LOSSLESS integral/float promotions
-#: are listed; int→double is excluded (loses exactness above 2^53),
-#: and keys never widen (the bucket hash is type-sensitive — a widened
-#: key would re-hash every row to a different bucket).
+#: files read as bigint, float files as double, date32 as timestamp_ntz;
+#: verified against the Spark 4 vectorized reader). Only LOSSLESS
+#: promotions are listed; int→double is excluded (loses exactness above
+#: 2^53), and keys never widen (the bucket hash is type-sensitive — a
+#: widened key would re-hash every row to a different bucket). Decimal
+#: lanes (round 12) are rule-based in :func:`_widens`: decimal(p,s) →
+#: decimal(p',s') whenever the integer-digit budget and the scale both
+#: grow-or-hold (p'−s' ≥ p−s, s' ≥ s — every value representable
+#: exactly), and integral → decimal with enough integer digits for the
+#: SOURCE'S PHYSICAL parquet width — ≥ 10 digits for the int32-backed
+#: types (byte/short/int), ≥ 20 for long — the same floor Delta
+#: enforces, because the vectorized reader's INT32→decimal conversion
+#: refuses smaller precisions (probe-verified: decimal(5,0) fails,
+#: decimal(10,0) reads).
 _WIDEN_CHAINS = {
     "byte": ("short", "integer", "long"),
     "short": ("integer", "long"),
     "integer": ("long",),
     "float": ("double",),
+    "date": ("timestamp_ntz",),
 }
+
+#: minimum integer digits a decimal needs to hold the integral type,
+#: per its PHYSICAL parquet encoding (int32 family vs int64)
+_INT_TO_DECIMAL_DIGITS = {"byte": 10, "short": 10, "integer": 10, "long": 20}
+
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
 
 
 def _widens(frm, to) -> bool:
     """True when a column of type ``frm`` may evolve to type ``to``."""
-    return isinstance(frm, str) and to in _WIDEN_CHAINS.get(frm, ())
+    if not isinstance(frm, str) or not isinstance(to, str):
+        return False
+    if to in _WIDEN_CHAINS.get(frm, ()):
+        return True
+    m_to = _DECIMAL_RE.fullmatch(to)
+    if not m_to:
+        return False
+    p2, s2 = int(m_to.group(1)), int(m_to.group(2))
+    m_frm = _DECIMAL_RE.fullmatch(frm)
+    if m_frm:
+        p1, s1 = int(m_frm.group(1)), int(m_frm.group(2))
+        return (p1, s1) != (p2, s2) and s2 >= s1 and p2 - s2 >= p1 - s1
+    digits = _INT_TO_DECIMAL_DIGITS.get(frm)
+    return digits is not None and p2 - s2 >= digits
 
 
 def _schema_union_json(a_json: str, b_json: str) -> str:

@@ -3663,3 +3663,106 @@ def test_r12_indexed_table_ivfsq_lifecycle_and_crash(spark, tmp_path, monkeypatc
         IDX.indexed_ivfsq_topk(spark, t, q, k=5)
     IDX.attach_ivfsq_index(spark, t, n_cells=4)
     assert serve() == _brute_topk(spark, VER.read_bucketed(spark, t), q, 5)
+
+
+def test_r12_widening_decimal_date_lanes(spark, tmp_path):
+    """VERDICT r11 #8: the widening lattice gains the exact Delta lanes —
+    date→timestamp_ntz, decimal(p,s)→decimal(p',s') with non-shrinking
+    integer digits and scale, and integral→decimal with the physical-width
+    floor (int32 family needs ≥10 integer digits, long ≥20). Zero-rewrite
+    contract: untouched buckets' narrow files upcast at read; time travel
+    keeps the narrow types; the SQL front door reads the widened schema."""
+    import datetime
+    from decimal import Decimal
+
+    import pytest
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "wl")
+    base = spark.range(0, 60).selectExpr(
+        "id",
+        "DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS d",
+        "CAST(id AS DECIMAL(10,2)) AS amt",
+        "CAST(id AS INT) AS n",
+    )
+    VER.create_bucketed(base, t, ["id"], n_buckets=8)
+    wide = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 3, 1, 12, 30), Decimal("123.4567"), Decimal(7))],
+        "id bigint, d timestamp_ntz, amt decimal(16,4), n decimal(20,0)",
+    )
+    v1 = VER.merge_into_bucketed(spark, t, wide, schema_evolution=True)
+    cur = VER.read_bucketed(spark, t)
+    assert dict(cur.dtypes) == {
+        "id": "bigint", "d": "timestamp_ntz",
+        "amt": "decimal(16,4)", "n": "decimal(20,0)",
+    }
+    got = {r["id"]: r for r in cur.collect()}
+    # untouched buckets' narrow files upcast exactly at read
+    assert got[40]["d"] == datetime.datetime(1970, 2, 10, 0, 0)
+    assert got[40]["amt"] == Decimal("40.0000")
+    assert got[40]["n"] == Decimal("40")
+    assert got[1]["d"] == datetime.datetime(2026, 3, 1, 12, 30)
+    assert got[1]["amt"] == Decimal("123.4567")
+    # time travel reads v0 under the original narrow types
+    v0 = VER.read_bucketed(spark, t, version=0)
+    assert dict(v0.dtypes)["d"] == "date" and dict(v0.dtypes)["amt"] == "decimal(10,2)"
+    assert v0.filter("id = 40").collect()[0]["d"] == datetime.date(1970, 2, 10)
+    # the SQL front door reads the widened schema (pyarrow cast path)
+    VB.sql_view(spark, "wl_v", t)
+    r = spark.sql("SELECT d, amt, n FROM wl_v WHERE id = 40").collect()[0]
+    assert r["d"] == datetime.datetime(1970, 2, 10, 0, 0)
+    assert r["amt"] == Decimal("40.0000") and r["n"] == Decimal("40")
+    # CDF straddling the widening unions to the wider types
+    diff = {r["id"]: r for r in VER.diff_bucketed(spark, t, 0, v1).collect()}
+    assert diff[1]["amt_new"] == Decimal("123.4567")
+    # refusals: neither direction on the lattice — amt (16,2): scale grew
+    # 4→2? no, integer digits 12 vs 14 shrink one way, scale shrinks the
+    # other; n (38,24): digit budget shrinks vs (20,0) and scale shrinks
+    # in reverse — both are errors, never silent coercions
+    for bad_schema, bad_row in [
+        ("id bigint, d timestamp_ntz, amt decimal(16,2), n decimal(20,0)",
+         (2, datetime.datetime(2026, 1, 1), Decimal("1.00"), Decimal(1))),
+        ("id bigint, d timestamp_ntz, amt decimal(16,4), n decimal(38,24)",
+         (2, datetime.datetime(2026, 1, 1), Decimal("1.0000"), Decimal(1))),
+    ]:
+        with pytest.raises(ValueError, match="lattice"):
+            VER.merge_into_bucketed(
+                spark, t, spark.createDataFrame([bad_row], bad_schema),
+                schema_evolution=True,
+            )
+    # a NARROWER decimal source is not a refusal: it upcasts into the
+    # table type at write, no schema change
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame(
+            [(2, datetime.datetime(2026, 1, 2), Decimal("9.5"), Decimal(4))],
+            "id bigint, d timestamp_ntz, amt decimal(9,1), n decimal(9,0)",
+        ),
+    )
+    cur_n = VER.read_bucketed(spark, t)
+    assert dict(cur_n.dtypes)["amt"] == "decimal(16,4)"
+    assert cur_n.filter("id = 2").collect()[0]["amt"] == Decimal("9.5000")
+    t2 = str(tmp_path / "wl2")
+    VER.create_bucketed(
+        spark.range(0, 10).selectExpr("id", "CAST(id AS SMALLINT) AS s"),
+        t2, ["id"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="lattice"):  # short→decimal(5,0): sub-floor
+        VER.merge_into_bucketed(
+            spark, t2,
+            spark.createDataFrame([(1, Decimal("3"))], "id bigint, s decimal(5,0)"),
+            schema_evolution=True,
+        )
+    # short→decimal(10,0) is AT the floor: widens
+    VER.merge_into_bucketed(
+        spark, t2,
+        spark.createDataFrame([(1, Decimal("3"))], "id bigint, s decimal(10,0)"),
+        schema_evolution=True,
+    )
+    cur2 = VER.read_bucketed(spark, t2)
+    assert dict(cur2.dtypes)["s"] == "decimal(10,0)"
+    assert {r["s"] for r in cur2.filter("id in (1, 9)").collect()} == {
+        Decimal("3"), Decimal("9")
+    }
