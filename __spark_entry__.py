@@ -6254,6 +6254,56 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_index_maintenance_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run compaction advisor for the standalone HNSW layout (r12 —
+    ``operators/hnsw.py`` ``hnsw_maintenance_status``, the graph twin of
+    the versioned store's ``maintenance_status``): build an index over
+    embeddings vec_id < 280 (base 240 + one streamed epoch of 40),
+    tombstone every 5th id (56/280 = exactly the 0.2 ratio threshold →
+    recommend), then compact and re-inspect (folded graph, zero
+    tombstones, no recommendation, replay ledger intact). The advisor
+    mutates nothing — the serve before/after it is pytest-locked; counts
+    and the recommendation replay relationally in the oracle."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.operators import hnsw as H
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 240)
+    epoch = emb.filter((F.col("vec_id") >= 240) & (F.col("vec_id") < 280))
+    tmp = tempfile.mkdtemp(prefix="idx_advice_")
+    try:
+        path = os.path.join(tmp, "hnsw")
+        H.write_hnsw_index(
+            H.build_hnsw(base, n_shards=4, m=8, ef_construction=32),
+            path, n_shards=4, m=8, ef_construction=32,
+        )
+        H.append_hnsw_index(epoch, path, epoch_id=1)
+        H.delete_from_hnsw_index(
+            emb.filter((F.col("vec_id") < 280) & (F.col("vec_id") % 5 == 0))
+            .select("vec_id"),
+            path,
+        )
+        pre = H.hnsw_maintenance_status(spark, path)
+        H.compact_hnsw_index(spark, path)
+        post = H.hnsw_maintenance_status(spark, path)
+        rows = [
+            ("pre", pre["n_nodes"], pre["n_tombstones"],
+             int(pre["recommend_compact"]), pre["n_applied_epochs"]),
+            ("post", post["n_nodes"], post["n_tombstones"],
+             int(post["recommend_compact"]), post["n_applied_epochs"]),
+        ]
+        out = spark.createDataFrame(
+            rows,
+            "stage string, n_nodes bigint, n_tombstones bigint, "
+            "recommend_compact int, n_applied_epochs bigint",
+        ).orderBy("stage").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the multimodal pipeline (r12 —
     ``operators/multimodal.py`` ``decode_image``/``image_decoder``,
@@ -6873,14 +6923,15 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R12 = [
-    # round-12 window: the 4 never-checked r12 additions first, then the
-    # 46 stalest green driver rows (oldest CORRECTNESS round first) -
+    # round-12 window: the 5 never-checked r12 additions first, then the
+    # 45 stalest green driver rows (oldest CORRECTNESS round first) -
     # computed by tools/pin_window.py from CORRECTNESS_r01-r11
 
     "sql_hidden_prune",  # never-checked
     "sql_insert_merge",  # never-checked
     "indexed_table_ivfsq",  # never-checked
     "media_decode_features",  # never-checked
+    "index_maintenance_advice",  # never-checked
     "benford_audit",  # last r5
     "winsorized_stats",  # last r5
     "ab_test_zscore",  # last r5
@@ -6926,8 +6977,8 @@ _DRIVER_WINDOW_R12 = [
     "user_burstiness",  # last r6
     "cross_source_dup",  # last r6
     "rolling_active_users",  # last r6
-    "growth_accounting",  # last r6
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6943,14 +6994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (308 queries / 50 per round).
+    driver row at most ~6 rounds stale (309 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 308 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 309 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7019,6 +7070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_insert_merge": q_sql_insert_merge,
         "indexed_table_ivfsq": q_indexed_table_ivfsq,
         "media_decode_features": q_media_decode_features,
+        "index_maintenance_advice": q_index_maintenance_advice,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -8186,6 +8238,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
               AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
             GROUP BY event_type
+        """,
+        # the advisor replays relationally: node/tombstone counts from the
+        # same id rules, recommendation = ratio >= 0.2 (56/280 is exactly
+        # the threshold), compaction folds the dead ids and keeps the ledger
+        "index_maintenance_advice": """
+            WITH ids AS (SELECT vec_id FROM embeddings WHERE vec_id < 280),
+            dead AS (SELECT vec_id FROM ids WHERE vec_id % 5 = 0)
+            SELECT 'post' AS stage,
+                   (SELECT count(*) FROM ids) - (SELECT count(*) FROM dead)
+                       AS n_nodes,
+                   CAST(0 AS BIGINT) AS n_tombstones,
+                   CAST(0 AS INT) AS recommend_compact,
+                   CAST(1 AS BIGINT) AS n_applied_epochs
+            UNION ALL
+            SELECT 'pre' AS stage,
+                   (SELECT count(*) FROM ids) AS n_nodes,
+                   (SELECT count(*) FROM dead) AS n_tombstones,
+                   CAST(
+                     CAST((SELECT count(*) FROM dead) AS DOUBLE)
+                       / (SELECT count(*) FROM ids) >= 0.2 AS INT
+                   ) AS recommend_compact,
+                   CAST(1 AS BIGINT) AS n_applied_epochs
+            ORDER BY stage
         """,
         # the codec oracle: n_bytes and mean pixel intensity recomputed
         # from the closed-form pixel formula, never from the bytes

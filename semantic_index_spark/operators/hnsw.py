@@ -889,3 +889,41 @@ def hnsw_topk_multi(
         .filter(F.col("rank") <= k)
         .orderBy(q_id_col, "rank")
     )
+
+
+def hnsw_maintenance_status(
+    spark: SparkSession, path: str, compact_threshold: float = 0.2
+) -> dict:
+    """VACUUM-style DRY-RUN advisor for a persisted HNSW layout — the
+    graph twin of the versioned store's ``maintenance_status`` (round 12,
+    completing the create/append/delete/compact/recover lifecycle with an
+    inspection verb): report what :func:`compact_hnsw_index` WOULD do
+    without mutating anything. Returns ``{n_nodes, n_tombstones,
+    tombstone_ratio, n_shards, n_applied_epochs, recommend_compact}`` —
+    ``n_nodes`` counts graph nodes INCLUDING tombstoned ones (they still
+    pay traversal cost, which is exactly why the ratio is the compaction
+    signal), ``n_tombstones`` the distinct dead ids that a compaction
+    would fold. All counts are distributed aggregates (only scalars reach
+    the driver); reads take no lock — advice may race a concurrent
+    mutator by design, the same as any monitoring read."""
+    import json
+    import os
+
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    n_nodes = spark.read.parquet(path).count()
+    tomb = _tombstone_dir(path)
+    n_tomb = (
+        spark.read.parquet(tomb).select("id").distinct().count()
+        if os.path.isdir(tomb)
+        else 0
+    )
+    ratio = n_tomb / max(n_nodes, 1)
+    return {
+        "n_nodes": int(n_nodes),
+        "n_tombstones": int(n_tomb),
+        "tombstone_ratio": float(ratio),
+        "n_shards": int(meta["n_shards"]),
+        "n_applied_epochs": len(meta.get("applied_epochs", [])),
+        "recommend_compact": bool(n_tomb and ratio >= compact_threshold),
+    }

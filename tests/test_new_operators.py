@@ -3258,3 +3258,41 @@ def test_r12_compact_tmp_meta_carries_ledger_atomically(spark, tmp_path, monkeyp
     H.append_hnsw_index(batch, path, epoch_id=1)
     ids = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
     assert ids == (set(range(5, 60)) | {100, 101})
+
+
+def test_r12_hnsw_maintenance_status_advisor(spark, tmp_path):
+    """VERDICT r11 #8 (optional): the dry-run compaction advisor — reports
+    exactly what compact_hnsw_index would fold, recommends at the ratio
+    threshold, mutates nothing, and flips after a real compaction."""
+    from semantic_index_spark.operators import hnsw as H
+
+    rows = [(int(i), [float((i * 37) % 11), float((i * 53) % 13)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "adv")
+    H.write_hnsw_index(
+        H.build_hnsw(df, n_shards=2, m=4, ef_construction=16),
+        path, n_shards=2, m=4, ef_construction=16,
+    )
+    H.append_hnsw_index(
+        spark.createDataFrame([(100, [1.0, 2.0])], "vec_id long, embedding array<double>"),
+        path, epoch_id=9,
+    )
+    st0 = H.hnsw_maintenance_status(spark, path)
+    assert st0 == {
+        "n_nodes": 51, "n_tombstones": 0, "tombstone_ratio": 0.0,
+        "n_shards": 2, "n_applied_epochs": 1, "recommend_compact": False,
+    }
+    H.delete_from_hnsw_index(spark.range(0, 10).selectExpr("id AS vec_id"), path)
+    st1 = H.hnsw_maintenance_status(spark, path)
+    assert st1["n_nodes"] == 51 and st1["n_tombstones"] == 10
+    assert st1["recommend_compact"] is False  # 10/51 < 0.2
+    assert H.hnsw_maintenance_status(spark, path, compact_threshold=0.1)[
+        "recommend_compact"
+    ] is True
+    # the advisor is a dry run: nothing moved, serve unchanged
+    assert H.hnsw_maintenance_status(spark, path)["n_nodes"] == 51
+    folded = H.compact_hnsw_index(spark, path)
+    assert folded == 10
+    st2 = H.hnsw_maintenance_status(spark, path)
+    assert st2["n_nodes"] == 41 and st2["n_tombstones"] == 0
+    assert st2["recommend_compact"] is False and st2["n_applied_epochs"] == 1
