@@ -36,6 +36,9 @@ AUDITS = {
     "salted_agg": {"expect": ["HashAggregate"], "forbid": ["Sort"]},
     "filter_predicates": {"expect": ["PushedFilters: [IsNotNull"], "forbid": ["Exchange"]},
     "media_stats": {},
+    # real image decode: one Arrow-batched mapInPandas stage over the media
+    # batch — no join, no cartesian; the sort is the bounded output order.
+    "media_decode_features": {"expect": ["MapInPandas"], "forbid": ["Join", "CartesianProduct"]},
     "rolling_event_stats": {"expect": ["Window"], "forbid": ["CartesianProduct", "Join"]},
     "label_centroids": {"expect": ["FlatMapGroupsInPandas"], "forbid": ["Join"]},
     "exists_subqueries": {"forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
