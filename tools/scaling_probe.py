@@ -95,6 +95,10 @@ PANEL = [
     "hnsw_incremental",       # per-shard graph build/resume: n_shard·ef·M work
     "versioned_feed",         # commit-version stream drain: file-listing + reads
     "merge_type_widening",    # bucketed MERGE + type-widened manifest read
+    "sql_hidden_prune",       # SQL front door over hidden+zonemap layout (scales with events)
+    "sql_insert_merge",       # SQL INSERT upsert lifecycle (fixed-size seed: ~flat)
+    "indexed_table_ivfsq",    # co-committed IVF-SQ8 lifecycle (fixed-size seed: ~flat)
+    "index_maintenance_advice",  # advisor lifecycle (fixed-size seed: ~flat)
 ]
 
 # ---- scaling GATE ------------------------------------------------------
@@ -142,6 +146,10 @@ EXPLICIT_CEILINGS = {
     "hnsw_incremental": 1.35,     # per-shard insert: n·ef·M·log n, shard count is the lever
     "versioned_feed": 1.35,       # one pyarrow read per added file, O(commits) listing
     "merge_type_widening": 1.35,  # keyed anti-join + union over touched buckets
+    "sql_hidden_prune": 1.35,     # pruned per-file pyarrow reads + one agg shuffle
+    "sql_insert_merge": 1.35,     # fixed seed size: version churn, not corpus scale
+    "indexed_table_ivfsq": 1.35,  # fixed seed size: encode+serve on <=350 rows
+    "index_maintenance_advice": 1.35,  # fixed seed size: build+compact on <=280 rows
 }
 MIN_GATE_SECONDS = 0.8
 HEAVY_SECONDS = 2.0  # the explicit-ceiling coverage threshold
