@@ -6254,6 +6254,67 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_multi_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-index tables (r12 — ``sources/indexed.py``, the manifest's
+    ``indexes = {name: spec}`` map): ONE bucketed table carries BOTH a
+    co-committed HNSW index and a co-committed IVF-SQ8 index, and a
+    single MERGE + DV-delete maintains them together — each index's
+    affected shards rebuild inside the merge's one staged commit, the
+    DV applies as a graph tombstone on one and a rescore-join drop on
+    the other. Both serves run exhaustive-exact (``ef=None``; nprobe =
+    all cells + candidate slack), so they must return the IDENTICAL
+    top-10 — the oracle computes the brute-force answer once and
+    expects it under both index labels; either index drifting from the
+    table (or from the other index) breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    base = emb.select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("vec_id") == 21).collect()[0]["embedding"]
+    tmp = tempfile.mkdtemp(prefix="multi_index_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=8)
+        IDX.attach_hnsw_index(spark, t, m=8, ef_construction=32)
+        IDX.attach_ivfsq_index(spark, t, n_cells=8)
+        src = (
+            base.filter(F.col("id") % 6 == 0)
+            .select(
+                "id",
+                F.transform(
+                    "embedding", lambda x: x * F.lit(2.0).cast("float")
+                ).alias("embedding"),
+            )
+            .unionByName(
+                base.filter(F.col("id") < 10).select(
+                    (F.col("id") + 30000).alias("id"), "embedding"
+                )
+            )
+        )
+        VER.merge_into_bucketed(spark, t, src)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("id") % 11 == 0).select("id")
+        )
+        g = IDX.indexed_hnsw_topk(spark, t, q, k=KNN_K, ef=None).withColumn(
+            "index_name", F.lit("hnsw")
+        )
+        s = IDX.indexed_ivfsq_topk(
+            spark, t, q, k=KNN_K, nprobe=8, candidates=1000
+        ).withColumn("index_name", F.lit("ivfsq"))
+        out = (
+            g.unionByName(s)
+            .orderBy("index_name", F.desc("score"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_index_maintenance_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dry-run compaction advisor for the standalone HNSW layout (r12 —
     ``operators/hnsw.py`` ``hnsw_maintenance_status``, the graph twin of
@@ -6923,8 +6984,8 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R12 = [
-    # round-12 window: the 5 never-checked r12 additions first, then the
-    # 45 stalest green driver rows (oldest CORRECTNESS round first) -
+    # round-12 window: the 6 never-checked r12 additions first, then the
+    # 44 stalest green driver rows (oldest CORRECTNESS round first) -
     # computed by tools/pin_window.py from CORRECTNESS_r01-r11
 
     "sql_hidden_prune",  # never-checked
@@ -6932,6 +6993,7 @@ _DRIVER_WINDOW_R12 = [
     "indexed_table_ivfsq",  # never-checked
     "media_decode_features",  # never-checked
     "index_maintenance_advice",  # never-checked
+    "multi_index_table",  # never-checked
     "benford_audit",  # last r5
     "winsorized_stats",  # last r5
     "ab_test_zscore",  # last r5
@@ -6976,8 +7038,8 @@ _DRIVER_WINDOW_R12 = [
     "temperature_mix",  # last r6
     "user_burstiness",  # last r6
     "cross_source_dup",  # last r6
-    "rolling_active_users",  # last r6
 ]
+
 
 
 
@@ -6994,14 +7056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (309 queries / 50 per round).
+    driver row at most ~6 rounds stale (310 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 309 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 310 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7071,6 +7133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_table_ivfsq": q_indexed_table_ivfsq,
         "media_decode_features": q_media_decode_features,
         "index_maintenance_advice": q_index_maintenance_advice,
+        "multi_index_table": q_multi_index_table,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -8238,6 +8301,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '{HSK_TS_LO}' AND ts < TIMESTAMP '{HSK_TS_HI}'
               AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
             GROUP BY event_type
+        """,
+        # ONE brute-force answer expected under BOTH index labels — the
+        # two exhaustive-exact serves must agree with the table and with
+        # each other
+        "multi_index_table": f"""
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+            ), merged AS (
+              SELECT vec_id, embedding FROM base WHERE vec_id % 6 <> 0 AND vec_id >= 10
+              UNION ALL
+              SELECT vec_id, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+              FROM base WHERE vec_id % 6 = 0
+              UNION ALL
+              SELECT vec_id, embedding FROM base WHERE vec_id < 10 AND vec_id % 6 <> 0
+              UNION ALL
+              SELECT vec_id + 30000 AS vec_id, embedding FROM base WHERE vec_id < 10
+            ), live AS (
+              SELECT m.* FROM merged m
+              WHERE m.vec_id NOT IN (SELECT vec_id FROM base WHERE vec_id % 11 = 0)
+            ), q AS (
+              SELECT embedding FROM base WHERE vec_id = 21
+            ), top AS (
+              SELECT l.vec_id,
+                     round({_duck_dot("l.embedding", "(SELECT embedding FROM q)")}, 6) AS score
+              FROM live l
+              ORDER BY score DESC, l.vec_id LIMIT {KNN_K}
+            )
+            SELECT t.vec_id, t.score, n.index_name
+            FROM top t, (VALUES ('hnsw'), ('ivfsq')) AS n(index_name)
+            ORDER BY n.index_name, t.score DESC, t.vec_id
         """,
         # the advisor replays relationally: node/tombstone counts from the
         # same id rules, recommendation = ratio >= 0.2 (56/280 is exactly

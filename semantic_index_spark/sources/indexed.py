@@ -51,22 +51,28 @@ RENAME COLUMN work on any column except the index's embedding column
 (the one name the spec stores — detach/rebuild first), with
 column-mapped key names resolved physically on the DV serve path.
 
-Round 12 generalizes the mechanism across index KINDS: the manifest spec
-carries ``params.kind`` and every hook (merge/OPTIMIZE shard rebuild,
-CLONE consolidation, RESTORE carry-over, drop/rename guards, detach)
-dispatches on it. Shipped kinds: ``hnsw`` (graph shards,
-``__hnsw/shard=<b>``) and ``ivfsq`` (IVF-partitioned int8 codes under
-``__ivfsq/shard=<b>/_cell=<c>`` — the FAISS ``IVF,SQ8`` layout with the
-frozen centroids + quantizer stored IN the manifest params, so a
-time-travel serve decodes with exactly the artifacts its version was
-encoded under). The remaining boundary: ONE index per table, single
-integral key.
+Round 12 generalizes the mechanism across index KINDS and COUNT: the
+manifest carries ``indexes = {name: {params, shards}}`` — a table holds
+any number of NAMED indexes, each spec dispatching on ``params.kind``
+through every hook (merge/OPTIMIZE rebuild ALL of them in the one
+commit, CLONE consolidates all, RESTORE carries the map wholesale,
+drop/rename guards cover every index's embedding column, detach removes
+one by name). Shipped kinds: ``hnsw`` (graph shards) and ``ivfsq``
+(IVF-partitioned int8 codes with the frozen centroids + quantizer
+stored IN the manifest params, so a time-travel serve decodes with
+exactly the artifacts its version was encoded under). Artifacts live
+under ``__idx_<name>/shard=<b>`` (legacy single-index manifests keep
+their kind directory and read as name ``__legacy__``). Serves resolve
+by ``name=``, defaulting to the unique index of the requested kind —
+ambiguity errors rather than silently picking. The remaining boundary:
+a single integral key column.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -75,20 +81,34 @@ from semantic_index_spark.sources import versioned as VER
 
 _INTEGRAL = {"byte", "short", "integer", "long"}
 
-# index kind → artifact directory inside each version dir; partition
-# columns of the staged shard write (shard first: shard b ≡ bucket b)
+# index kind → LEGACY artifact directory (pre-multi-index manifests whose
+# single anonymous spec reads as name "__legacy__"); partition columns of
+# the staged shard write (shard first: shard b ≡ bucket b)
 _IDX_DIRS = {"hnsw": "__hnsw", "ivfsq": "__ivfsq"}
 _IDX_PARTS = {"hnsw": ["shard"], "ivfsq": ["shard", "_cell"]}
 
-
-def _index_dir(params: dict) -> str:
-    return _IDX_DIRS[params.get("kind", "hnsw")]
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
-def _check_attachable(man: dict, table: str, emb_col: str) -> str:
+def _idx_dir(name: str, params: dict) -> str:
+    """The index's artifact directory inside each version dir. Named
+    indexes (round 12, multi-index tables) get ``__idx_<name>`` so two
+    indexes of the same kind never collide; a pre-r12 manifest's
+    anonymous spec keeps its kind directory."""
+    if name == "__legacy__":
+        return _IDX_DIRS[params.get("kind", "hnsw")]
+    return f"__idx_{name}"
+
+
+def _check_attachable(man: dict, table: str, emb_col: str, name: str) -> str:
     """Shared attach-time guards; returns the single integral key column."""
-    if man.get("index"):
-        raise ValueError(f"table {table} already carries a co-committed index")
+    if not _NAME_RE.fullmatch(name):
+        raise ValueError(f"invalid index name {name!r}")
+    if name in VER._indexes(man):
+        raise ValueError(
+            f"table {table} already carries a co-committed index named "
+            f"{name!r} — detach it first or pick another name"
+        )
     keys = man["key_cols"]
     if len(keys) != 1:
         raise ValueError(
@@ -107,33 +127,71 @@ def _check_attachable(man: dict, table: str, emb_col: str) -> str:
     return key
 
 
-def _publish_index(table: str, man: dict, params: dict, idx: DataFrame) -> int:
+def _resolve_index(man: dict, name: "str | None", kind: str) -> tuple:
+    """(name, spec) of the index a serve should use: by ``name`` when
+    given (kind-checked), else the UNIQUE index of ``kind`` — ambiguity
+    is an error, never a silent pick."""
+    idxs = VER._indexes(man)
+    if name is not None:
+        spec = idxs.get(name)
+        if spec is None:
+            raise ValueError(f"no co-committed index named {name!r}")
+        if spec["params"].get("kind", "hnsw") != kind:
+            raise ValueError(
+                f"index {name!r} is kind "
+                f"{spec['params'].get('kind', 'hnsw')!r}, not {kind!r}"
+            )
+        return name, spec
+    of_kind = {
+        n: s for n, s in idxs.items()
+        if s["params"].get("kind", "hnsw") == kind
+    }
+    if not of_kind:
+        raise ValueError(
+            f"table has no co-committed {kind} index "
+            f"(attach_{kind}_index)"
+        )
+    if len(of_kind) > 1:
+        raise ValueError(
+            f"table carries {len(of_kind)} {kind} indexes "
+            f"({sorted(of_kind)}) — pass name="
+        )
+    return next(iter(of_kind.items()))
+
+
+def _publish_index(
+    table: str, man: dict, name: str, params: dict, idx: DataFrame
+) -> int:
     """Stage the shard artifact and publish the attach commit: shared by
     every index kind. Conditional on the pointer AND marked as touching
     every bucket, so a concurrent data commit conflicts (an index built
     from pre-commit rows must not publish over it); retryable via
-    ``retry_commit``."""
+    ``retry_commit``. Other indexes on the table are untouched — their
+    specs inherit through the manifest build."""
     staged = VER._staged_path(table)
     idx.write.mode("errorifexists").partitionBy(
         *_IDX_PARTS[params["kind"]]
-    ).parquet(os.path.join(staged, _index_dir(params)))
+    ).parquet(os.path.join(staged, _idx_dir(name, params)))
 
     def build(final: int, base_man: dict, dest: str) -> dict:
         manifest = {k: v for k, v in base_man.items() if k != "version"}
         manifest["version"] = final
-        hdir = os.path.join(dest, _index_dir(params))
+        hdir = os.path.join(dest, _idx_dir(name, params))
         written = {
             int(d.split("=", 1)[1])
             for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
             if d.startswith("shard=")
         }
-        manifest["index"] = {
+        indexes = {n: dict(s) for n, s in VER._indexes(base_man).items()}
+        indexes[name] = {
             "params": params,
             "shards": {
                 str(b): (final if b in written else None)
                 for b in range(int(man["n_buckets"]))
             },
         }
+        manifest.pop("index", None)  # legacy key re-keys under indexes
+        manifest["indexes"] = indexes
         return manifest
 
     final, _ = VER._publish_bucketed(
@@ -150,6 +208,7 @@ def attach_hnsw_index(
     m: int = 8,
     ef_construction: int = 64,
     seed: int = 7,
+    name: str = "hnsw",
 ) -> int:
     """Build a bucket-aligned HNSW index over the CURRENT table state and
     commit it as table metadata: the shard graphs stage under the commit's
@@ -163,7 +222,7 @@ def attach_hnsw_index(
     from semantic_index_spark.operators.hnsw import build_hnsw
 
     man = VER._read_manifest(table)
-    key = _check_attachable(man, table, emb_col)
+    key = _check_attachable(man, table, emb_col, name)
     rows = VER.read_bucketed(spark, table).select(
         F.col(key).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
@@ -183,10 +242,10 @@ def attach_hnsw_index(
         "ef_construction": int(ef_construction),
         "seed": int(seed),
     }
-    return _publish_index(table, man, params, idx)
+    return _publish_index(table, man, name, params, idx)
 
 
-def _ivfsq_index_df(man: dict, rows: DataFrame) -> DataFrame:
+def _ivfsq_index_df(man: dict, rows: DataFrame, params: dict) -> DataFrame:
     """The IVF-SQ8 shard artifact for a set of table rows: (vec_id, int8
     codes, _cell, shard) — cell assignment and encoding are pure
     functions of (embedding, frozen manifest artifacts), and shard IS the
@@ -194,7 +253,7 @@ def _ivfsq_index_df(man: dict, rows: DataFrame) -> DataFrame:
     merge's rewritten-bucket rows rebuild exactly their own shards."""
     from semantic_index_spark.operators.similarity import ivf_assign, sq_encode
 
-    p = man["index"]["params"]
+    p = params
     key = man["key_cols"][0]
     src = rows.select(
         F.col(key).alias("vec_id"),
@@ -212,6 +271,7 @@ def attach_ivfsq_index(
     emb_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 11,
+    name: str = "ivfsq",
 ) -> int:
     """Attach a co-committed IVF-SQ8 index (round 12 — the second index
     kind, FAISS ``IVF,SQ8`` on the table-artifact contract): the current
@@ -226,7 +286,7 @@ def attach_ivfsq_index(
     from semantic_index_spark.operators.similarity import make_centroids, sq_train
 
     man = VER._read_manifest(table)
-    key = _check_attachable(man, table, emb_col)
+    key = _check_attachable(man, table, emb_col, name)
     rows = VER.read_bucketed(spark, table).select(
         F.col(key).alias(key), F.col(emb_col).alias(emb_col)
     )
@@ -242,33 +302,49 @@ def attach_ivfsq_index(
         "model": model,
         "seed": int(seed),
     }
-    man_view = dict(man)
-    man_view["index"] = {"params": params}
-    idx = _ivfsq_index_df(man_view, rows)
-    return _publish_index(table, man, params, idx)
+    idx = _ivfsq_index_df(man, rows, params)
+    return _publish_index(table, man, name, params, idx)
 
 
-def detach_hnsw_index(table: str) -> int:
-    """Drop the co-committed index: a METADATA-ONLY commit whose manifest
-    simply omits the ``index`` spec — no shard file is touched (retained
-    manifests still reference them for time travel; ``expire_bucketed``
-    reclaims them once those manifests age out). After this, merges stop
-    maintaining shards and the embedding column drops/renames freely —
-    the verb the drop/rename guards point at. Conflicts with ANY
-    concurrent commit (all buckets marked affected + strict metadata):
-    a merge that planned index maintenance must not land after the spec
-    is gone."""
+def detach_index(table: str, name: "str | None" = None) -> int:
+    """Drop ONE co-committed index (by ``name``; optional while the table
+    carries exactly one): a METADATA-ONLY commit whose manifest omits
+    that spec — no shard file is touched (retained manifests still
+    reference them for time travel; ``expire_bucketed`` reclaims them
+    once those manifests age out). After the LAST index detaches, merges
+    stop maintaining shards and the embedding column drops/renames
+    freely — the verb the drop/rename guards point at. Conflicts with
+    ANY concurrent commit (all buckets marked affected + strict
+    metadata): a merge that planned index maintenance must not land
+    after the spec is gone."""
     man = VER._read_manifest(table)
-    if not man.get("index"):
+    idxs = VER._indexes(man)
+    if not idxs:
         raise ValueError(f"table {table} has no co-committed index to detach")
+    if name is None:
+        if len(idxs) > 1:
+            raise ValueError(
+                f"table {table} carries {len(idxs)} indexes "
+                f"({sorted(idxs)}) — pass name="
+            )
+        name = next(iter(idxs))
+    elif name not in idxs:
+        raise ValueError(f"table {table} has no co-committed index named {name!r}")
     staged = VER._staged_path(table)
     os.makedirs(staged)
 
     def build(final: int, base_man: dict, dest: str) -> dict:
         manifest = {
-            k: v for k, v in base_man.items() if k not in ("version", "index")
+            k: v
+            for k, v in base_man.items()
+            if k not in ("version", "index", "indexes")
         }
         manifest["version"] = final
+        keep = {
+            n: dict(s) for n, s in VER._indexes(base_man).items() if n != name
+        }
+        if keep:
+            manifest["indexes"] = keep
         return manifest
 
     final, _ = VER._publish_bucketed(
@@ -276,6 +352,10 @@ def detach_hnsw_index(table: str) -> int:
         strict_meta=True,
     )
     return final
+
+
+# kind-era alias (pre-r12 API): detaches by name like detach_index
+detach_hnsw_index = detach_index
 
 
 def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
@@ -287,45 +367,55 @@ def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
     advances ``index.shards`` for the affected buckets in the same
     manifest (inheriting every other shard's owner from the manifest the
     commit lands on, so a disjoint-bucket rebase keeps both writers'
-    shards exactly like it keeps both writers' buckets). Dispatches on
-    the spec's ``params.kind`` (round 12): hnsw rebuilds shard graphs,
-    ivfsq re-encodes against the manifest's frozen quantizer/centroids."""
-    spec = man["index"]
-    p = spec["params"]
+    shards exactly like it keeps both writers' buckets). Round 12:
+    EVERY index the manifest carries rebuilds in the same commit — one
+    shard-build per (index, affected bucket), dispatched on each spec's
+    ``params.kind`` (hnsw rebuilds shard graphs, ivfsq re-encodes against
+    that index's frozen quantizer/centroids)."""
     key = man["key_cols"][0]
-    if p.get("kind", "hnsw") == "hnsw":
-        from semantic_index_spark.operators.hnsw import build_hnsw
+    built: dict[str, DataFrame] = {}
+    for iname, spec in VER._indexes(man).items():
+        p = spec["params"]
+        if p.get("kind", "hnsw") == "hnsw":
+            from semantic_index_spark.operators.hnsw import build_hnsw
 
-        idx = build_hnsw(
-            result.select(
-                F.col(key).alias("vec_id"), F.col(p["emb_col"]).alias("embedding")
-            ),
-            n_shards=int(man["n_buckets"]),
-            m=p["m"],
-            ef_construction=p["ef_construction"],
-            seed=p["seed"],
-        )
-    else:
-        idx = _ivfsq_index_df(man, result)
-    idx_dir = _index_dir(p)
+            built[iname] = build_hnsw(
+                result.select(
+                    F.col(key).alias("vec_id"),
+                    F.col(p["emb_col"]).alias("embedding"),
+                ),
+                n_shards=int(man["n_buckets"]),
+                m=p["m"],
+                ef_construction=p["ef_construction"],
+                seed=p["seed"],
+            )
+        else:
+            built[iname] = _ivfsq_index_df(man, result, p)
 
     def stage(staged: str) -> None:
-        idx.write.mode("errorifexists").partitionBy(
-            *_IDX_PARTS[p.get("kind", "hnsw")]
-        ).parquet(os.path.join(staged, idx_dir))
+        for iname, idx in built.items():
+            p = VER._indexes(man)[iname]["params"]
+            idx.write.mode("errorifexists").partitionBy(
+                *_IDX_PARTS[p.get("kind", "hnsw")]
+            ).parquet(os.path.join(staged, _idx_dir(iname, p)))
 
     def finalize(manifest: dict, final: int, base_man, dest: str) -> dict:
-        hdir = os.path.join(dest, idx_dir)
-        written = {
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
-            if d.startswith("shard=")
-        }
-        base_idx = ((base_man or man).get("index") or spec)
-        shards = dict(base_idx["shards"])
-        for b in affected:
-            shards[str(b)] = final if b in written else None
-        manifest["index"] = {"params": dict(p), "shards": shards}
+        base_idxs = VER._indexes(base_man) or VER._indexes(man)
+        indexes = {}
+        for iname, spec in VER._indexes(man).items():
+            p = spec["params"]
+            hdir = os.path.join(dest, _idx_dir(iname, p))
+            written = {
+                int(d.split("=", 1)[1])
+                for d in (os.listdir(hdir) if os.path.isdir(hdir) else [])
+                if d.startswith("shard=")
+            }
+            shards = dict((base_idxs.get(iname) or spec)["shards"])
+            for b in affected:
+                shards[str(b)] = final if b in written else None
+            indexes[iname] = {"params": dict(p), "shards": shards}
+        manifest.pop("index", None)  # legacy key re-keys under indexes
+        manifest["indexes"] = indexes
         return manifest
 
     return stage, finalize
@@ -339,6 +429,7 @@ def indexed_hnsw_topk(
     ef: int | None = 64,
     version: int | None = None,
     max_blocked: int = 10_000_000,
+    name: str | None = None,
 ) -> DataFrame:
     """Serve top-k from the table's co-committed index AT a table version
     (default latest) — the whole point of the design: the manifest the
@@ -352,42 +443,13 @@ def indexed_hnsw_topk(
     from semantic_index_spark.operators.hnsw import hnsw_topk
 
     man = VER._read_manifest(table, version)
-    spec = man.get("index")
-    if spec is None:
+    if not VER._indexes(man):
         raise ValueError(
             f"table {table} has no co-committed index (attach_hnsw_index)"
         )
-    by_version: dict = {}
-    for b, v in spec["shards"].items():
-        if v is not None:
-            by_version.setdefault(int(v), []).append(int(b))
-    parts = []
-    # one read per OWNING VERSION (basePath recovers the shard partition
-    # column), unioned — the same grouping read_bucketed does for buckets
-    for v, bs in sorted(by_version.items()):
-        base = os.path.join(table, f"v={v}", "__hnsw")
-        parts.append(
-            spark.read.option("basePath", base).parquet(
-                *[os.path.join(base, f"shard={b}") for b in sorted(bs)]
-            )
-        )
-    if not parts:
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [StructField("vec_id", LongType()), StructField("score", DoubleType())]
-            ),
-        )
-    idx = parts[0]
-    for extra in parts[1:]:
-        idx = idx.unionByName(extra)
+    idx = _read_index_shards(spark, table, man, name=name, kind="hnsw")
+    if idx is None:
+        return _empty_serve(spark)
     blocked = None
     dv_paths = VER._dv_paths(table, man)
     if dv_paths:
@@ -408,18 +470,32 @@ def indexed_hnsw_topk(
     return hnsw_topk(idx, query, k=k, ef=ef, blocked=blocked)
 
 
-# generic alias: detach works for any index kind (it only removes the
-# manifest spec; shard files stay for time travel regardless of layout)
-detach_index = detach_hnsw_index
+def _empty_serve(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("vec_id", LongType()), StructField("score", DoubleType())]
+        ),
+    )
 
 
-def _read_index_shards(spark: SparkSession, table: str, man: dict):
-    """Union the index artifact's shard partitions ACROSS owning versions
-    — one read per owning version with basePath (recovering the partition
+def _read_index_shards(
+    spark: SparkSession, table: str, man: dict, name: "str | None" = None,
+    kind: str = "ivfsq",
+):
+    """Union ONE index's shard partitions ACROSS owning versions — one
+    read per owning version with basePath (recovering the partition
     columns), exactly the grouping ``read_bucketed`` does for buckets.
     Returns None when no shard has an owner (empty table)."""
-    spec = man["index"]
-    idx_dir = _index_dir(spec["params"])
+    iname, spec = _resolve_index(man, name, kind)
+    idx_dir = _idx_dir(iname, spec["params"])
     by_version: dict = {}
     for b, v in spec["shards"].items():
         if v is not None:
@@ -448,6 +524,7 @@ def indexed_ivfsq_topk(
     nprobe: int = 2,
     candidates: int = 50,
     version: int | None = None,
+    name: str | None = None,
 ) -> DataFrame:
     """Serve top-k from the table's co-committed IVF-SQ8 index AT a table
     version (default latest): the manifest names both the byte-code
@@ -469,29 +546,20 @@ def indexed_ivfsq_topk(
     )
 
     man = VER._read_manifest(table, version)
-    spec = man.get("index")
-    if spec is None or spec["params"].get("kind") != "ivfsq":
+    if not any(
+        s.get("params", {}).get("kind") == "ivfsq"
+        for s in VER._indexes(man).values()
+    ):
         raise ValueError(
             f"table {table} has no co-committed IVF-SQ8 index "
             "(attach_ivfsq_index)"
         )
+    _, spec = _resolve_index(man, name, "ivfsq")
     p = spec["params"]
     key = man["key_cols"][0]
-    idx = _read_index_shards(spark, table, man)
+    idx = _read_index_shards(spark, table, man, name=name, kind="ivfsq")
     if idx is None:
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [StructField("vec_id", LongType()), StructField("score", DoubleType())]
-            ),
-        )
+        return _empty_serve(spark)
     probe = _probe_cells(query, p["centroids"], nprobe)
     codes = idx.filter(F.col("_cell").isin(probe))
     vectors = VER.read_bucketed(spark, table, version=version).select(

@@ -434,23 +434,27 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
                     except OSError:
                         shutil.copy2(s, d)
         # co-committed index shards consolidate under v=0 exactly like
-        # buckets — the clone's serve path must be self-contained; the
-        # artifact directory is kind-specific (round 12)
-        if man.get("index"):
-            from semantic_index_spark.sources.indexed import _index_dir
+        # buckets — the clone's serve path must be self-contained; each
+        # index's artifact directory is name/kind-specific (round 12)
+        if _indexes(man):
+            from semantic_index_spark.sources.indexed import _idx_dir
 
-            idx_dir = _index_dir(man["index"]["params"])
-        for b, owner in (man.get("index", {}).get("shards") or {}).items():
-            if owner is None:
-                continue
-            ssrc = os.path.join(src_table, f"v={owner}", idx_dir, f"shard={b}")
-            _link_tree(ssrc, os.path.join(staged, idx_dir, f"shard={b}"))
-            if not os.path.isdir(ssrc):  # reclaimed mid-link
-                shutil.rmtree(staged, ignore_errors=True)
-                raise FileNotFoundError(
-                    f"index shard {b} of {src_table} v={owner} was reclaimed "
-                    "concurrently during the clone — nothing was published"
-                )
+            for iname, spec in _indexes(man).items():
+                idx_dir = _idx_dir(iname, spec["params"])
+                for b, owner in (spec.get("shards") or {}).items():
+                    if owner is None:
+                        continue
+                    ssrc = os.path.join(
+                        src_table, f"v={owner}", idx_dir, f"shard={b}"
+                    )
+                    _link_tree(ssrc, os.path.join(staged, idx_dir, f"shard={b}"))
+                    if not os.path.isdir(ssrc):  # reclaimed mid-link
+                        shutil.rmtree(staged, ignore_errors=True)
+                        raise FileNotFoundError(
+                            f"index {iname!r} shard {b} of {src_table} "
+                            f"v={owner} was reclaimed concurrently during "
+                            "the clone — nothing was published"
+                        )
         new_man = {
             k: v2 for k, v2 in man.items() if k not in ("version", "buckets", "dv")
         }
@@ -461,13 +465,17 @@ def clone_table(src_table: str, dst_table: str, version: int | None = None) -> i
         }
         if man.get("dv"):
             new_man["dv"] = {b: [0] for b in man["dv"]}
-        if man.get("index"):
-            new_man["index"] = {
-                "params": dict(man["index"]["params"]),
-                "shards": {
-                    b: (0 if o is not None else None)
-                    for b, o in man["index"]["shards"].items()
-                },
+        if _indexes(man):
+            new_man.pop("index", None)  # legacy spec re-keys under indexes
+            new_man["indexes"] = {
+                iname: {
+                    "params": dict(spec["params"]),
+                    "shards": {
+                        b: (0 if o is not None else None)
+                        for b, o in spec["shards"].items()
+                    },
+                }
+                for iname, spec in _indexes(man).items()
             }
     dst_v0 = os.path.join(dst_table, "v=0")
     with _pointer_lock(dst_table):
@@ -709,6 +717,22 @@ def _schema_union_json(a_json: str, b_json: str) -> str:
     return json.dumps(a)
 
 
+def _indexes(man: "dict | None") -> dict:
+    """The manifest's co-committed index specs as ``{name: {params,
+    shards}}`` (round 12 — multi-index tables). A pre-r12 manifest's
+    single anonymous ``index`` spec reads as ``{"__legacy__": spec}`` so
+    time travel into history written under the old format keeps serving
+    (its artifacts live under the kind directory, see
+    ``indexed._idx_dir``)."""
+    if not man:
+        return {}
+    if man.get("indexes"):
+        return man["indexes"]
+    if man.get("index"):
+        return {"__legacy__": man["index"]}
+    return {}
+
+
 def _colmap(man: dict) -> dict:
     """Logical→physical column-name mapping (Delta column mapping).
     Empty until the first ``rename_column`` — physical names are frozen
@@ -885,11 +909,12 @@ def _meta_diff(read_man: dict, cur_man: dict, strict: bool) -> list[str]:
     # planned index maintenance must not rebase over a concurrent
     # detach/attach/re-attach (its finalize would resurrect or fight the
     # winner's spec). The SHARD MAP is data-like and rebases per-bucket
-    # exactly like bucket ownership — only the params compare here.
-    if (read_man.get("index") or {}).get("params") != (
-        cur_man.get("index") or {}
-    ).get("params"):
-        diff.append("index")
+    # exactly like bucket ownership — only the NAME SET + each index's
+    # params compare here (round 12: multi-index manifests).
+    if {n: s.get("params") for n, s in _indexes(read_man).items()} != {
+        n: s.get("params") for n, s in _indexes(cur_man).items()
+    }:
+        diff.append("indexes")
     return diff
 
 
@@ -1032,7 +1057,7 @@ def _commit_staged_bucketed(
         # spec inherits too and is then ADVANCED by finalize_manifest
         # (merges on indexed tables always pass one — inheritance alone
         # would leave stale shards)
-        for meta_key in ("constraints", "generated", "colmap", "retired_cols", "index"):
+        for meta_key in ("constraints", "generated", "colmap", "retired_cols", "index", "indexes"):
             val = (base_man or {}).get(meta_key) or manifest.get(meta_key)
             if val:
                 manifest[meta_key] = dict(val) if isinstance(val, dict) else list(val)
@@ -1355,10 +1380,10 @@ def merge_into_bucketed(
         "meta": dict(meta) if meta else {},
     }
     stage_extra = finalize = None
-    if man.get("index"):
-        # co-committed index (sources/indexed.py): the affected buckets'
-        # replacement shard graphs ride THIS commit's staged directory
-        # and manifest — table and index can never publish separately.
+    if _indexes(man):
+        # co-committed indexes (sources/indexed.py): every index's affected
+        # shards' replacements ride THIS commit's staged directory and
+        # manifest — table and indexes can never publish separately.
         # Materialize `result` FIRST: it feeds two consumers (the staged
         # data write and the shard build), and a lazy plan evaluated
         # twice could publish index shards disagreeing with the bucket
@@ -1441,7 +1466,7 @@ def delete_bucketed(
         # table metadata rides every commit — without this a DV delete
         # would silently SHED the table's constraints/generated columns
         # (the index spec rides too: DVs apply to it as serve tombstones)
-        for meta_key in ("constraints", "generated", "colmap", "retired_cols", "index"):
+        for meta_key in ("constraints", "generated", "colmap", "retired_cols", "index", "indexes"):
             val = base_man.get(meta_key)
             if val:
                 out[meta_key] = dict(val) if isinstance(val, dict) else list(val)
@@ -1491,7 +1516,10 @@ def expire_bucketed(
         # references its DVs; likewise a co-committed index's shard graphs
         for versions in man.get("dv", {}).values():
             live.update(int(x) for x in versions)
-        for owner in man.get("index", {}).get("shards", {}).values():
+        for owner in [
+            o for spec in _indexes(man).values()
+            for o in spec.get("shards", {}).values()
+        ]:
             if owner is not None:
                 live.add(int(owner))
     reclaimed = []
@@ -1721,12 +1749,15 @@ def drop_column(table: str, col: str) -> int:
     columns and columns referenced by a CHECK constraint or generated-
     column expression cannot be dropped (drop the constraint first)."""
     read_man = _read_manifest(table, None)
-    idx_emb = (read_man.get("index") or {}).get("params", {}).get("emb_col")
-    if col == idx_emb:
+    idx_emb = {
+        spec.get("params", {}).get("emb_col")
+        for spec in _indexes(read_man).values()
+    }
+    if col in idx_emb:
         raise ValueError(
-            f"cannot drop {col!r}: it is the co-committed ANN index's "
+            f"cannot drop {col!r}: it is a co-committed ANN index's "
             "embedding column (sources/indexed.py) — detach or rebuild "
-            "the index first"
+            "that index first"
         )
     schema = json.loads(read_man["schema"])
     names = [f["name"] for f in schema["fields"]]
@@ -1790,12 +1821,15 @@ def rename_column(table: str, old: str, new: str) -> int:
     generated expression refuse to rename (drop that first — expressions
     are stored as text). Conflicts with any concurrent data commit."""
     read_man = _read_manifest(table, None)
-    idx_emb = (read_man.get("index") or {}).get("params", {}).get("emb_col")
-    if old == idx_emb:
+    idx_emb = {
+        spec.get("params", {}).get("emb_col")
+        for spec in _indexes(read_man).values()
+    }
+    if old in idx_emb:
         raise ValueError(
-            f"cannot rename {old!r}: it is the co-committed ANN index's "
+            f"cannot rename {old!r}: it is a co-committed ANN index's "
             "embedding column (sources/indexed.py) — detach or rebuild "
-            "the index first"
+            "that index first"
         )
     schema = json.loads(read_man["schema"])
     names = [f["name"] for f in schema["fields"]]
@@ -2046,8 +2080,8 @@ def optimize_bucketed(
             [], StructType.fromJson(json.loads(man["schema"]))
         ).withColumn("__bucket", F.lit(0).cast("bigint"))
     stage_extra = finalize = None
-    if man.get("index"):
-        # co-committed index: OPTIMIZE is the compaction half of the DV
+    if _indexes(man):
+        # co-committed indexes: OPTIMIZE is the compaction half of the DV
         # trade for the index too — the rewritten buckets' shard graphs
         # rebuild from the DV-FOLDED content in the SAME commit, so when
         # this manifest clears the DV lists the serve (which would stop

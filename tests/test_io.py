@@ -3197,7 +3197,7 @@ def test_detach_hnsw_index_and_race_guard(spark, tmp_path, monkeypatch):
     v_attach = IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
     man_pre = VER._read_manifest(t)
     v_det = IDX.detach_hnsw_index(t)
-    assert "index" not in VER._read_manifest(t)
+    assert not VER._indexes(VER._read_manifest(t))
     with pytest.raises(ValueError, match="no co-committed index"):
         IDX.detach_hnsw_index(t)
     # time travel still serves the attach version from its shards
@@ -3211,7 +3211,7 @@ def test_detach_hnsw_index_and_race_guard(spark, tmp_path, monkeypatch):
         spark, t,
         spark.createDataFrame([(100, _emb(100))], "id long, embedding array<double>"),
     )
-    assert "index" not in VER._read_manifest(t)
+    assert not VER._indexes(VER._read_manifest(t))
     VER.rename_column(t, "embedding", "vec")  # frees up post-detach
     # race: a merge planned BEFORE the detach must conflict, not rebase
     real_rm = VER._read_manifest
@@ -3613,7 +3613,7 @@ def test_r12_indexed_table_ivfsq_lifecycle_and_crash(spark, tmp_path, monkeypatc
     merged = VER.read_bucketed(spark, t)
     assert serve() == _brute_topk(spark, merged, q, 5)
     man = VER._read_manifest(t)
-    assert set(man["index"]["shards"].values()) > {v_attach}  # mixed owners
+    assert set(VER._indexes(man)["ivfsq"]["shards"].values()) > {v_attach}  # mixed owners
     # time travel: the attach version serves from its own shards/artifacts
     assert serve(version=v_attach) == before
     # DV delete: no rebuild; deleted candidates drop at the rescore join
@@ -3766,3 +3766,99 @@ def test_r12_widening_decimal_date_lanes(spark, tmp_path):
     assert {r["s"] for r in cur2.filter("id in (1, 9)").collect()} == {
         Decimal("3"), Decimal("9")
     }
+
+
+def test_r12_multi_index_table(spark, tmp_path):
+    """VERDICT r11 #4 (second half): a table carries SEVERAL named
+    co-committed indexes — an HNSW and an IVF-SQ8 over the same data —
+    and every hook maintains ALL of them: one merge rebuilds both
+    indexes' affected shards in its single commit, serves resolve by
+    name (ambiguity over kind is an error, not a silent pick), detach
+    removes one and keeps the other, the drop guard covers every index's
+    embedding column, and CLONE consolidates all shard artifacts."""
+    import pytest
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "multi")
+    rows = [(i, _emb(i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)  # name="hnsw"
+    IDX.attach_ivfsq_index(spark, t, n_cells=4)  # name="ivfsq"
+    man = VER._read_manifest(t)
+    assert set(VER._indexes(man)) == {"hnsw", "ivfsq"}
+    # duplicate names refuse; a third index under a new name attaches
+    with pytest.raises(ValueError, match="already carries"):
+        IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
+    IDX.attach_hnsw_index(spark, t, m=8, ef_construction=16, name="hnsw_hi")
+    q = _emb(7)
+
+    def hnsw_serve(name, version=None):
+        return [
+            (r["vec_id"], r["score"])
+            for r in IDX.indexed_hnsw_topk(
+                spark, t, q, k=5, ef=None, version=version, name=name
+            ).collect()
+        ]
+
+    def sq_serve(version=None):
+        return [
+            (r["vec_id"], r["score"])
+            for r in IDX.indexed_ivfsq_topk(
+                spark, t, q, k=5, nprobe=4, candidates=500, version=version
+            ).collect()
+        ]
+
+    want0 = _brute_topk(spark, df, q, 5)
+    assert hnsw_serve("hnsw") == want0 and hnsw_serve("hnsw_hi") == want0
+    assert sq_serve() == want0
+    # two hnsw indexes: kind-based resolution is ambiguous, name required
+    with pytest.raises(ValueError, match="pass name="):
+        IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None)
+    # ONE merge maintains all three indexes in its single commit
+    src = spark.createDataFrame(
+        [(7, _emb(700)), (200, _emb(200))], "id long, embedding array<double>"
+    )
+    v_merge = VER.merge_into_bucketed(spark, t, src)
+    merged = VER.read_bucketed(spark, t)
+    want1 = _brute_topk(spark, merged, q, 5)
+    assert hnsw_serve("hnsw") == want1 and hnsw_serve("hnsw_hi") == want1
+    assert sq_serve() == want1
+    man2 = VER._read_manifest(t)
+    for iname in ("hnsw", "hnsw_hi", "ivfsq"):
+        owners = set(VER._indexes(man2)[iname]["shards"].values())
+        assert v_merge in owners  # affected shards advanced for EVERY index
+    # time travel serves the pre-merge state from each index's own shards
+    assert sq_serve(version=v_merge - 1) == want0
+    # drop guard covers the (shared) embedding column of all indexes
+    with pytest.raises(ValueError, match="embedding column"):
+        VER.drop_column(t, "embedding")
+    # detach ONE by name; the others keep serving and merging
+    with pytest.raises(ValueError, match="pass name="):
+        IDX.detach_index(t)
+    IDX.detach_index(t, "hnsw_hi")
+    assert set(VER._indexes(VER._read_manifest(t))) == {"hnsw", "ivfsq"}
+    assert hnsw_serve(None) == want1  # kind-unique again: no name needed
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame([(201, _emb(201))], "id long, embedding array<double>"),
+    )
+    live = VER.read_bucketed(spark, t)
+    want2 = _brute_topk(spark, live, q, 5)
+    assert hnsw_serve("hnsw") == want2 and sq_serve() == want2
+    # clone consolidates BOTH remaining indexes' artifacts under v=0
+    t2 = str(tmp_path / "multi_clone")
+    VER.clone_table(t, t2)
+    got_c = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t2, q, k=5, ef=None).collect()
+    ]
+    got_c2 = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_ivfsq_topk(
+            spark, t2, q, k=5, nprobe=4, candidates=500
+        ).collect()
+    ]
+    assert got_c == want2 and got_c2 == want2

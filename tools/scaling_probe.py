@@ -99,6 +99,7 @@ PANEL = [
     "sql_insert_merge",       # SQL INSERT upsert lifecycle (fixed-size seed: ~flat)
     "indexed_table_ivfsq",    # co-committed IVF-SQ8 lifecycle (fixed-size seed: ~flat)
     "index_maintenance_advice",  # advisor lifecycle (fixed-size seed: ~flat)
+    "multi_index_table",      # two co-committed indexes, one merge (fixed-size seed: ~flat)
 ]
 
 # ---- scaling GATE ------------------------------------------------------
@@ -150,6 +151,7 @@ EXPLICIT_CEILINGS = {
     "sql_insert_merge": 1.35,     # fixed seed size: version churn, not corpus scale
     "indexed_table_ivfsq": 1.35,  # fixed seed size: encode+serve on <=350 rows
     "index_maintenance_advice": 1.35,  # fixed seed size: build+compact on <=280 rows
+    "multi_index_table": 1.35,    # fixed seed size: both indexes on <=310 rows
 }
 MIN_GATE_SECONDS = 0.8
 HEAVY_SECONDS = 2.0  # the explicit-ceiling coverage threshold
