@@ -6884,6 +6884,60 @@ def q_ivfsq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def q_ivf_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch consolidation for the batch_id-partitioned served layouts
+    (r12 — ``similarity.consolidate_ivf_epochs`` /
+    ``ivf_maintenance_status`` / ``recover_ivf_layout``, the IVF twin of
+    ``compact_hnsw_index``): build EXACTLY ivfsq_incremental's final
+    content — base (two thirds) + the remaining third as 2 direct epoch
+    appends — then FOLD the epochs into the base partition, REPLAY a
+    folded epoch (the ledger skips it: the dynamic-overwrite partition
+    it would idempotently replace no longer exists), and serve the same
+    query with the same params. Consolidation is a pure layout rewrite,
+    so the oracle IS ivfsq_incremental's composed probe+SQ replay,
+    shared verbatim — a dropped row, a duplicate from the replayed
+    epoch, or a re-encode drift breaks the identical hash."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = _sq_model(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    base = emb.filter(F.col("vec_id") % 3 != 2).select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="ivf_consolidate_")
+    try:
+        idx = os.path.join(tmp, "index")
+        S.write_ivfsq_index(base, CENTROIDS, model, idx)
+        for b in range(2):
+            S.append_ivfsq_index(
+                emb.filter(
+                    (F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == b)
+                ).select("vec_id", "embedding"),
+                CENTROIDS, model, idx, batch_id=b,
+            )
+        assert S.ivf_maintenance_status(idx, epoch_threshold=2)[
+            "recommend_consolidate"
+        ]
+        S.consolidate_ivf_epochs(spark, idx)
+        # exactly-once survives the fold: the replayed epoch is skipped
+        S.append_ivfsq_index(
+            emb.filter(
+                (F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == 1)
+            ).select("vec_id", "embedding"),
+            CENTROIDS, model, idx, batch_id=1,
+        )
+        final = S.ivfsq_topk_indexed(
+            spark, idx, emb, model, qv, CENTROIDS,
+            k=KNN_K, nprobe=IVF_NPROBE, candidates=SQ_CANDIDATES,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 WALK_LEN, WALK_MOD = 4, 17
 
 
@@ -6984,8 +7038,8 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
 _DRIVER_WINDOW_R12 = [
-    # round-12 window: the 6 never-checked r12 additions first, then the
-    # 44 stalest green driver rows (oldest CORRECTNESS round first) -
+    # round-12 window: the 7 never-checked r12 additions first, then the
+    # 43 stalest green driver rows (oldest CORRECTNESS round first) -
     # computed by tools/pin_window.py from CORRECTNESS_r01-r11
 
     "sql_hidden_prune",  # never-checked
@@ -6994,6 +7048,7 @@ _DRIVER_WINDOW_R12 = [
     "media_decode_features",  # never-checked
     "index_maintenance_advice",  # never-checked
     "multi_index_table",  # never-checked
+    "ivf_consolidate",  # never-checked
     "benford_audit",  # last r5
     "winsorized_stats",  # last r5
     "ab_test_zscore",  # last r5
@@ -7037,8 +7092,8 @@ _DRIVER_WINDOW_R12 = [
     "churn_labels",  # last r6
     "temperature_mix",  # last r6
     "user_burstiness",  # last r6
-    "cross_source_dup",  # last r6
 ]
+
 
 
 
@@ -7056,14 +7111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (310 queries / 50 per round).
+    driver row at most ~6 rounds stale (311 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 310 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 311 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7134,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_features": q_media_decode_features,
         "index_maintenance_advice": q_index_maintenance_advice,
         "multi_index_table": q_multi_index_table,
+        "ivf_consolidate": q_ivf_consolidate,
         "sq_rescore_topk": q_sq_rescore_topk,
         "filtered_ivf_topk": q_filtered_ivf_topk,
         "colbert_maxsim": q_colbert_maxsim,
@@ -7903,7 +7959,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, e.vec_id LIMIT {KNN_K}
         """
 
-    return {
+    d = {
         "knn_topk": f"""
             SELECT e.vec_id, round({dot_q0}, 6) AS score
             FROM embeddings e
@@ -13616,6 +13672,13 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed ORDER BY k DESC, doc_id LIMIT {WS_N}
         """,
     }
+    # epoch consolidation is a PURE LAYOUT rewrite — the served index is
+    # bit-identical to ivfsq_incremental's final state built the streamed
+    # way, so the consolidation row shares that oracle verbatim: any
+    # row the fold dropped, duplicated (replayed folded epoch), or
+    # re-encoded differently breaks the same hash (round 12)
+    d["ivf_consolidate"] = d["ivfsq_incremental"]
+    return d
 
 
 if __name__ == "__main__":

@@ -1094,6 +1094,13 @@ def write_ivfpq_index(
     from semantic_index_spark.locking import index_lock
 
     with index_lock(path):
+        # replay ledger (round 12): an epoch already FOLDED into the base
+        # by consolidate_ivf_epochs must be skipped — its own partition no
+        # longer exists for dynamic overwrite to idempotently replace
+        if batch_id >= 0 and _epoch_folded(path, batch_id):
+            return
+        if batch_id < 0:
+            _clear_ivf_meta(path)  # base rebuild resets epoch history
         (
             rows.repartition(max(1, len(centroids)), F.col("_cell"))
             .write.mode("overwrite")
@@ -1485,6 +1492,11 @@ def write_ivfsq_index(
     from semantic_index_spark.locking import index_lock
 
     with index_lock(path):
+        # replay ledger: folded epochs skip (see write_ivfpq_index)
+        if batch_id >= 0 and _epoch_folded(path, batch_id):
+            return
+        if batch_id < 0:
+            _clear_ivf_meta(path)  # base rebuild resets epoch history
         (
             codes.repartition(
                 max(1, files_per_cell) * max(1, len(centroids)), F.col("_cell"), salt
@@ -1560,3 +1572,191 @@ def ivfsq_topk_indexed(
         codes, vectors, model, query,
         k=k, candidates=candidates, id_col=id_col, emb_col=emb_col,
     )
+
+
+# ---- epoch consolidation for the batch_id layouts (round 12) ---------------
+# The IVF-PQ / IVF-SQ8 served layouts absorb streamed ingest as
+# ``(_cell, batch_id=<epoch>)`` partitions — exactly-once by dynamic
+# partition overwrite. After many epochs every probed cell fans out into
+# per-epoch directories/files; consolidation folds all epochs into the
+# base (batch_id=-1) — the OPTIMIZE half of the trade, the code-layout
+# twin of ``hnsw.compact_hnsw_index`` — and records the folded epochs in
+# a replay LEDGER (``_ivf_meta.json``) so a re-delivered epoch is SKIPPED
+# instead of re-appended as a duplicate partition (the dynamic-overwrite
+# idempotency it used to rely on no longer has its partition to land on).
+# Crash contract mirrors the HNSW compact: full write to a sibling temp
+# directory whose meta is written LAST (meta presence == complete), then
+# two renames; recover_ivf_layout repairs every crash state.
+
+
+def _ivf_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_ivf_meta.json")
+
+
+def _read_ivf_meta(path: str) -> dict:
+    import json
+    import os
+
+    if not os.path.exists(_ivf_meta_path(path)):
+        return {}
+    with open(_ivf_meta_path(path)) as f:
+        return json.load(f)
+
+
+def _epoch_folded(path: str, batch_id: int) -> bool:
+    return int(batch_id) in set(_read_ivf_meta(path).get("folded_epochs", []))
+
+
+def _clear_ivf_meta(path: str) -> None:
+    """A base rebuild (batch_id=-1, the re-train event) resets epoch
+    history: old epochs' content is replaced wholesale, so the ledger
+    must not keep skipping their ids if the stream restarts numbering."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_ivf_meta_path(path))
+
+
+def _ivf_layout_listing(path: str):
+    """(cells, live_epochs, n_files, max_files_per_cell) from the
+    directory tree — driver-side metadata walk, the same cost the
+    planner's partition discovery pays."""
+    import os
+
+    cells, epochs, n_files, max_fpc = [], set(), 0, 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("_cell="):
+            continue
+        cells.append(d)
+        c_files = 0
+        croot = os.path.join(path, d)
+        for root, _dirs, files in os.walk(croot):
+            rel = os.path.relpath(root, croot)
+            if rel.startswith("batch_id="):
+                e = int(rel.split("=", 1)[1].split(os.sep, 1)[0])
+                if e >= 0:
+                    epochs.add(e)
+            c_files += sum(
+                1 for fn in files if not fn.startswith((".", "_"))
+            )
+        n_files += c_files
+        max_fpc = max(max_fpc, c_files)
+    return cells, epochs, n_files, max_fpc
+
+
+def ivf_maintenance_status(path: str, epoch_threshold: int = 4) -> dict:
+    """Dry-run consolidation advisor for a batch_id-partitioned IVF
+    layout (PQ/SQ8) — the served-layout twin of
+    ``hnsw.hnsw_maintenance_status``: reports the live (un-folded) epoch
+    count, file fan-out per cell, the replay ledger, and a
+    ``recommend_consolidate`` verdict once live epochs reach the
+    threshold. Pure driver-side listing; mutates nothing, takes no
+    lock."""
+    cells, epochs, n_files, max_fpc = _ivf_layout_listing(path)
+    folded = sorted(_read_ivf_meta(path).get("folded_epochs", []))
+    return {
+        "n_cells": len(cells),
+        "live_epochs": sorted(epochs),
+        "folded_epochs": folded,
+        "n_files": n_files,
+        "max_files_per_cell": max_fpc,
+        "recommend_consolidate": len(epochs) >= epoch_threshold,
+    }
+
+
+def consolidate_ivf_epochs(spark, path: str, files_per_cell: int = 1) -> int:
+    """Fold every streamed epoch into the base partition (batch_id=-1):
+    the logical index is BIT-IDENTICAL before and after (cell assignment
+    and codes are already materialized — this is a pure layout rewrite,
+    pytest-asserted on the serve), but probes stop paying per-epoch
+    directory fan-out. The folded epoch ids land in the layout's replay
+    ledger so a re-delivered epoch is skipped, keeping the streaming
+    exactly-once contract that dynamic partition overwrite provided
+    pre-consolidation. Returns the number of epochs folded. Runs under
+    the layout commit lock; crash-safe via write-to-temp + two renames
+    (``recover_ivf_layout`` repairs the swap window)."""
+    import json
+    import os
+    import shutil
+
+    from semantic_index_spark.locking import index_lock
+
+    with index_lock(path):
+        cells, epochs, _nf, _mx = _ivf_layout_listing(path)
+        if not epochs:
+            return 0
+        df = spark.read.parquet(path)
+        if "batch_id" not in df.columns:
+            raise ValueError(
+                f"{path} is not an epoch-partitioned layout (no batch_id "
+                "partition column) — plain IVF layouts compact with "
+                "io.compact_parquet"
+            )
+        payload = [c for c in df.columns if c not in ("_cell", "batch_id")]
+        folded = sorted(
+            set(_read_ivf_meta(path).get("folded_epochs", [])) | epochs
+        )
+        tmp = path.rstrip("/") + ".__consolidate_tmp__"
+        old = path.rstrip("/") + ".__consolidate_old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        salt = F.pmod(
+            F.abs(F.hash(F.col(payload[0]))), F.lit(max(1, files_per_cell))
+        )
+        (
+            df.select(*payload, "_cell")
+            .withColumn("batch_id", F.lit(-1))
+            .repartition(
+                max(1, files_per_cell) * max(1, len(cells)), F.col("_cell"), salt
+            )
+            .write.mode("errorifexists")
+            .partitionBy("_cell", "batch_id")
+            .parquet(tmp)
+        )
+        # the ledger is tmp's LAST write: meta presence marks a COMPLETE
+        # consolidated layout (the recover verb's completeness test)
+        with open(_ivf_meta_path(tmp), "w") as f:
+            json.dump({"folded_epochs": folded}, f)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(epochs)
+
+
+def recover_ivf_layout(path: str) -> str:
+    """Repair a layout after a crash inside
+    :func:`consolidate_ivf_epochs`'s swap window — same protocol as
+    ``hnsw.recover_hnsw_layout``: ``path`` present → debris cleanup
+    ("ok"); ``path`` missing + complete temp (its meta exists, written
+    last) → finish the swap ("recovered-new"); ``path`` missing + the
+    old layout aside (complete by construction — it was live) → rename
+    back ("recovered-old"). Raises when no complete layout exists."""
+    import os
+    import shutil
+
+    from semantic_index_spark.locking import index_lock
+
+    tmp = path.rstrip("/") + ".__consolidate_tmp__"
+    old = path.rstrip("/") + ".__consolidate_old__"
+    with index_lock(path):
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return "ok"
+        if os.path.isdir(tmp) and os.path.exists(_ivf_meta_path(tmp)):
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+            return "recovered-new"
+        if os.path.isdir(old) and any(
+            d.startswith("_cell=") for d in os.listdir(old)
+        ):
+            os.rename(old, path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return "recovered-old"
+        raise FileNotFoundError(
+            f"no complete IVF layout found at {path} (nor in its "
+            "consolidation swap directories) — nothing to recover"
+        )

@@ -3296,3 +3296,105 @@ def test_r12_hnsw_maintenance_status_advisor(spark, tmp_path):
     st2 = H.hnsw_maintenance_status(spark, path)
     assert st2["n_nodes"] == 41 and st2["n_tombstones"] == 0
     assert st2["recommend_compact"] is False and st2["n_applied_epochs"] == 1
+
+
+def test_r12_ivf_epoch_consolidation(spark, tmp_path, monkeypatch):
+    """Round 12: consolidate_ivf_epochs folds streamed epochs into the
+    base partition — serve bit-identical, per-epoch fan-out gone, the
+    replay ledger keeps exactly-once (a folded epoch's re-delivery is
+    skipped), a base rebuild resets the ledger, and the swap window
+    recovers from every crash state."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from semantic_index_spark.operators import similarity as S
+
+    rows = [(int(i), [float((i * 37) % 11), float((i * 53) % 13)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.make_centroids(4, 2)
+    model = S.sq_train(df)
+    path = str(tmp_path / "sq_layout")
+    S.write_ivfsq_index(df.filter("vec_id < 60"), cents, model, path)
+
+    def epoch_df(lo, hi):
+        return spark.createDataFrame(
+            [(i, e) for i, e in rows if lo <= i < hi],
+            "vec_id long, embedding array<double>",
+        )
+
+    S.append_ivfsq_index(epoch_df(60, 70), cents, model, path, batch_id=1)
+    S.append_ivfsq_index(epoch_df(70, 80), cents, model, path, batch_id=2)
+    q = rows[11][1]
+
+    def serve():
+        return [
+            (r["vec_id"], r["score"])
+            for r in S.ivfsq_topk_indexed(
+                spark, path, df, model, q, cents, k=5, nprobe=4, candidates=200
+            ).collect()
+        ]
+
+    before = serve()
+    st = S.ivf_maintenance_status(path, epoch_threshold=2)
+    assert st["live_epochs"] == [1, 2] and st["recommend_consolidate"] is True
+    assert 1 <= st["n_cells"] <= 4 and st["folded_epochs"] == []
+    # consolidate: serve identical, epochs folded, ledger recorded
+    assert S.consolidate_ivf_epochs(spark, path) == 2
+    assert serve() == before
+    st2 = S.ivf_maintenance_status(path, epoch_threshold=2)
+    assert st2["live_epochs"] == [] and st2["folded_epochs"] == [1, 2]
+    assert st2["recommend_consolidate"] is False
+    # exactly-once after consolidation: replaying folded epoch 2 is a
+    # SKIP, not a duplicate partition
+    S.append_ivfsq_index(epoch_df(70, 80), cents, model, path, batch_id=2)
+    assert S.ivf_maintenance_status(path)["live_epochs"] == []
+    assert spark.read.parquet(path).count() == 80
+    assert serve() == before
+    # a NEW epoch still lands and a second consolidation folds it too
+    extra = spark.createDataFrame(
+        [(100, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    S.append_ivfsq_index(extra, cents, model, path, batch_id=3)
+    assert S.ivf_maintenance_status(path)["live_epochs"] == [3]
+    assert S.consolidate_ivf_epochs(spark, path) == 1
+    assert S.ivf_maintenance_status(path)["folded_epochs"] == [1, 2, 3]
+    assert spark.read.parquet(path).count() == 81
+    # crash between the two renames with tmp complete → recovered-new,
+    # ledger intact
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        if src.rstrip("/") == path.rstrip("/"):
+            raise OSError("simulated crash before the swap")
+        return real_rename(src, dst)
+
+    S.append_ivfsq_index(epoch_df(0, 5), cents, model, path, batch_id=4)
+    # (epoch 4 re-upserts ids 0..4 as duplicates? no — dynamic overwrite
+    # lands them as their own partition; dedup is the caller's contract.
+    # Use fresh ids instead to keep the serve comparable.)
+    with monkeypatch.context() as m:
+        m.setattr(os, "rename", crash_rename)
+        with pytest.raises(OSError, match="simulated crash"):
+            S.consolidate_ivf_epochs(spark, path)
+    tmp = path + ".__consolidate_tmp__"
+    with open(S._ivf_meta_path(tmp)) as f:
+        assert set(json.load(f)["folded_epochs"]) == {1, 2, 3, 4}
+    shutil.rmtree(path)
+    assert S.recover_ivf_layout(path) == "recovered-new"
+    assert S.ivf_maintenance_status(path)["folded_epochs"] == [1, 2, 3, 4]
+    # crash before anything moved → path intact, debris removed
+    os.makedirs(tmp + "/junk")
+    assert S.recover_ivf_layout(path) == "ok"
+    assert not os.path.exists(tmp)
+    # old-aside state → rename back
+    old = path + ".__consolidate_old__"
+    real_rename(path, old)
+    assert S.recover_ivf_layout(path) == "recovered-old"
+    # base rebuild resets the ledger: epoch ids are reusable again
+    S.write_ivfsq_index(df, cents, model, path)
+    assert S.ivf_maintenance_status(path)["folded_epochs"] == []
+    S.append_ivfsq_index(extra, cents, model, path, batch_id=1)
+    assert S.ivf_maintenance_status(path)["live_epochs"] == [1]

@@ -100,6 +100,7 @@ PANEL = [
     "indexed_table_ivfsq",    # co-committed IVF-SQ8 lifecycle (fixed-size seed: ~flat)
     "index_maintenance_advice",  # advisor lifecycle (fixed-size seed: ~flat)
     "multi_index_table",      # two co-committed indexes, one merge (fixed-size seed: ~flat)
+    "ivf_consolidate",        # epoch fold + ledger + serve (corpus-scaling encode)
 ]
 
 # ---- scaling GATE ------------------------------------------------------
@@ -152,6 +153,7 @@ EXPLICIT_CEILINGS = {
     "indexed_table_ivfsq": 1.35,  # fixed seed size: encode+serve on <=350 rows
     "index_maintenance_advice": 1.35,  # fixed seed size: build+compact on <=280 rows
     "multi_index_table": 1.35,    # fixed seed size: both indexes on <=310 rows
+    "ivf_consolidate": 1.35,      # pure-function encode + one layout rewrite pass
 }
 MIN_GATE_SECONDS = 0.8
 HEAVY_SECONDS = 2.0  # the explicit-ceiling coverage threshold
