@@ -799,14 +799,19 @@ class VersionedTableDataSource(DataSource):
             staged = _staged_path(self.table)
             os.makedirs(staged)
             return PlainAppendWriter(self.table, self.version, staged)
-        for blocker, verb in (
-            ("constraints", "merge_into_bucketed (CHECK constraints are SQL "
-             "expressions only Spark can evaluate)"),
-            ("generated", "merge_into_bucketed (generated columns need Spark)"),
-            ("index", "merge_into_bucketed (the co-committed index's shard "
-             "rebuild needs Spark)"),
+        from semantic_index_spark.sources.versioned import _indexes
+
+        for blocker, present, verb in (
+            ("constraints", man.get("constraints"),
+             "merge_into_bucketed (CHECK constraints are SQL expressions "
+             "only Spark can evaluate)"),
+            ("generated", man.get("generated"),
+             "merge_into_bucketed (generated columns need Spark)"),
+            ("indexes", _indexes(man),
+             "merge_into_bucketed (co-committed index shard rebuilds need "
+             "Spark)"),
         ):
-            if man.get(blocker):
+            if present:
                 raise ValueError(
                     f"INSERT INTO refuses tables with {blocker} — use {verb}"
                 )

@@ -3862,3 +3862,35 @@ def test_r12_multi_index_table(spark, tmp_path):
         ).collect()
     ]
     assert got_c == want2 and got_c2 == want2
+
+
+def test_r12_sql_insert_refuses_indexed_tables(spark, tmp_path):
+    """Regression (round 12 self-review): the SQL writer's indexed-table
+    guard must read the MULTI-index manifest key — an INSERT that slipped
+    past it would commit data without maintaining the co-committed
+    shards, silently drifting the index from the table."""
+    import pytest
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "ins_idx")
+    rows = [(i, _emb(i)) for i in range(40)]
+    VER.create_bucketed(
+        spark.createDataFrame(rows, "id long, embedding array<double>"),
+        t, ["id"], n_buckets=4,
+    )
+    IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
+    VB.sql_view(spark, "ins_idx_v", t)
+    with pytest.raises(Exception, match="indexes"):
+        spark.sql("INSERT INTO ins_idx_v VALUES (100, array(1.0D, 2.0D, 3.0D))")
+    # nothing committed; the index still matches the table
+    live = VER.read_bucketed(spark, t)
+    assert live.count() == 40
+    q = _emb(3)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
+    ]
+    assert got == _brute_topk(spark, live, q, 5)
