@@ -54,6 +54,15 @@ Round-over-round notes (real work vs box drift):
   cost). ``hnsw_incremental`` 2.51 -> 7.96 s in-suite is CONTENTION, not
   code: isolated A/B of r10 vs r11 code on a quiet box measures both at
   3.1-3.6 s (lock overhead <= 0.2 s, inside noise).
+- r12 idle-box run (committed BENCH_SUMMARY_r12.json, 310 queries at the
+  time of the run): like-for-like on the 304 r11-common queries = 296.8
+  -> 270.0 s (0.910x — FASTER; the SQL source's column-pruned reads and
+  the single-eval indexed commits are real wins, the rest is favorable
+  drift). The 7 new r12 rows (sql_hidden_prune/sql_insert_merge/
+  indexed_table_ivfsq/media_decode_features/index_maintenance_advice/
+  multi_index_table/ivf_consolidate) add ~22 s of lifecycle work;
+  ``ivf_consolidate`` landed after that run and first appears in the
+  driver's own BENCH_r12.
 """
 
 from __future__ import annotations
