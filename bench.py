@@ -63,6 +63,15 @@ Round-over-round notes (real work vs box drift):
   multi_index_table/ivf_consolidate) add ~22 s of lifecycle work;
   ``ivf_consolidate`` landed after that run and first appears in the
   driver's own BENCH_r12.
+- r13 OPENING idle A/B (the r12 verdict's task #2 — tools/bench_subset.py
+  at HEAD vs ``git worktree`` of 8d2e535 on a quiet box, sequential runs):
+  the six rows the driver's BENCH_r12 flagged as 2.5-3.5x inflated all
+  measure AT OR BELOW r11 on identical protocol — map_functions 0.74 vs
+  0.89 s (0.84x), kmeans_centroids 3.27 vs 3.63 (0.90x), lsh_multiprobe
+  0.89 vs 0.94 (0.94x), logreg_gd 0.94 vs 0.99 (0.95x), mutual_nn 1.22 vs
+  1.24 (0.99x), cms_join_size 1.31 vs 1.50 (0.87x). The driver-run 1.23x
+  like-for-like was box contention, same resolution as r10/r11; no row is
+  genuinely >1.35x, no fix needed.
 """
 
 from __future__ import annotations
