@@ -6254,6 +6254,66 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_string_key_indexed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-keyed co-committed index (r13 — the r12 verdict's #1
+    missing item, ``indexed.py`` ``_check_attachable(allow_string=)``):
+    a bucketed table keyed on a string doc id carries a co-committed
+    IVF-SQ8 index — shard hash = ``pmod(xxhash64(<string>), n_buckets)``,
+    codes carry ``vec_id`` as an opaque string payload, the serve joins
+    candidates back to rows by string id (no cast-to-long anywhere). One
+    MERGE (rescale every 5th, insert 10 ``new-`` keys) + one DV-delete
+    maintain the shards in their own commits; the exhaustive-exact serve
+    (nprobe = all cells, candidate slack) must equal brute force over
+    string ids. HNSW refuses string keys by design (graph node ids are
+    longs) — that boundary is pytest-locked, not registry-tested."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    base = emb.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 6, "0")
+        ).alias("k"),
+        "embedding",
+        F.col("vec_id").alias("num"),
+    )
+    q = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    tmp = tempfile.mkdtemp(prefix="strkey_idx_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base.drop("num"), t, ["k"], n_buckets=4)
+        IDX.attach_ivfsq_index(spark, t, n_cells=4)
+        src = (
+            base.filter(F.col("num") % 5 == 0)
+            .select(
+                "k",
+                F.transform(
+                    "embedding", lambda x: x * F.lit(2.0).cast("float")
+                ).alias("embedding"),
+            )
+            .unionByName(
+                base.filter(F.col("num") < 10).select(
+                    F.concat(F.lit("new-"), F.col("k")).alias("k"), "embedding"
+                )
+            )
+        )
+        VER.merge_into_bucketed(spark, t, src)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("num") % 11 == 0).select("k")
+        )
+        out = (
+            IDX.indexed_ivfsq_topk(spark, t, q, k=KNN_K, nprobe=4, candidates=500)
+            .orderBy(F.desc("score"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_multi_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-index tables (r12 — ``sources/indexed.py``, the manifest's
     ``indexes = {name: spec}`` map): ONE bucketed table carries BOTH a
@@ -6436,6 +6496,57 @@ def q_sql_insert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView("sql_insert_merge_v")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_sql_string_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-keyed (doc-id) SQL front door (r13 — the r12 verdict's #1
+    missing item: ``versioned_batch.py`` grows a bit-exact XXH64 string
+    lane, scalar for the pushed-filter prune and masked-numpy
+    ``_xxh64_bytes_np`` for the writer's batch routing, both
+    pytest-locked value-for-value against Spark's ``xxhash64(string)``).
+    Documents ≤ 250 seed an 8-bucket table keyed on the string doc id, a
+    deletion-vector DELETE removes every 7th key, then ONE pure-SQL
+    ``INSERT INTO <view>`` upserts 120 string keys through the identical
+    staged-commit + OCC publish as every Spark verb; the pushed
+    ``IN (<string>, ...)`` read prunes to the keys' buckets. The oracle
+    replays seed → delete → upsert relationally over the same derived
+    string keys."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 250).select(
+        F.concat(
+            F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+        ).alias("k"),
+        F.col("n_chars").alias("val"),
+        F.col("doc_id").alias("num"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sql_string_key_merge_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base.drop("num"), t, ["k"], n_buckets=8)
+        VER.delete_bucketed(
+            spark, t, base.filter(F.col("num") % 7 == 0).select("k")
+        )
+        VB.sql_view(spark, "sql_strkey_v", t)
+        spark.sql(
+            "INSERT INTO sql_strkey_v "
+            "SELECT concat('doc-', lpad(cast(id AS string), 8, '0')) AS k, "
+            "id * 37 % 7919 AS val FROM range(200, 320)"
+        )
+        # view reads pin at first resolution — rebind for the new version
+        VB.sql_view(spark, "sql_strkey_v", t)
+        out = spark.sql(
+            "SELECT k, val FROM sql_strkey_v ORDER BY k"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("sql_strkey_v")
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
@@ -7111,14 +7222,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (311 queries / 50 per round).
+    driver row at most ~6 rounds stale (313 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 311 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 313 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7185,7 +7296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_skipping_compose": q_hidden_skipping_compose,
         "sql_hidden_prune": q_sql_hidden_prune,
         "sql_insert_merge": q_sql_insert_merge,
+        "sql_string_key_merge": q_sql_string_key_merge,
         "indexed_table_ivfsq": q_indexed_table_ivfsq,
+        "string_key_indexed_table": q_string_key_indexed_table,
         "media_decode_features": q_media_decode_features,
         "index_maintenance_advice": q_index_maintenance_advice,
         "multi_index_table": q_multi_index_table,
@@ -8425,6 +8538,24 @@ def oracle_sql() -> dict[str, str]:
                        AS feat_mean
             FROM range(0, 40) s, grid
             GROUP BY s.range ORDER BY media_id
+        """,
+        # the STRING-key twin of sql_insert_merge (r13): same seed →
+        # DV-delete → SQL-upsert replay, over derived string doc ids
+        "sql_string_key_merge": """
+            WITH base AS (
+              SELECT concat('doc-', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS k,
+                     n_chars AS val, doc_id AS num
+              FROM documents WHERE doc_id < 250
+            ), ins AS (
+              SELECT concat('doc-', lpad(CAST(range AS VARCHAR), 8, '0')) AS k,
+                     range * 37 % 7919 AS val
+              FROM range(200, 320)
+            )
+            SELECT k, val FROM ins
+            UNION ALL
+            SELECT b.k, b.val FROM base b
+            WHERE b.num % 7 <> 0 AND b.k NOT IN (SELECT k FROM ins)
+            ORDER BY k
         """,
         # seed → DV-delete → SQL upsert, replayed relationally: the insert
         # wins per key, surviving base rows are those neither deleted nor
@@ -11338,6 +11469,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same relational replay shape as indexed_table_ann, second index
         # kind: the serve is exhaustive-exact (nprobe = all cells + slack)
+        # string-keyed co-committed ivfsq (r13): the exhaustive serve must
+        # equal brute force over the merged/DV'd table with STRING ids
+        "string_key_indexed_table": f"""
+            WITH base AS (
+              SELECT concat('doc-', lpad(CAST(vec_id AS VARCHAR), 6, '0')) AS k,
+                     embedding, vec_id AS num
+              FROM embeddings WHERE vec_id < 150
+            ), merged AS (
+              SELECT k, embedding FROM base WHERE num % 5 <> 0
+              UNION ALL
+              SELECT k, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+              FROM base WHERE num % 5 = 0
+              UNION ALL
+              SELECT concat('new-', k) AS k, embedding
+              FROM base WHERE num < 10
+            ), live AS (
+              SELECT m.* FROM merged m
+              WHERE m.k NOT IN (SELECT k FROM base WHERE num % 11 = 0)
+            ), q AS (
+              SELECT embedding FROM base WHERE num = 7
+            )
+            SELECT l.k AS vec_id,
+                   round({_duck_dot("l.embedding", "(SELECT embedding FROM q)")}, 6) AS score
+            FROM live l
+            ORDER BY score DESC, vec_id LIMIT {KNN_K}
+        """,
         "indexed_table_ivfsq": f"""
             WITH base AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350

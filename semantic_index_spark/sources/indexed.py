@@ -64,8 +64,14 @@ exactly the artifacts its version was encoded under). Artifacts live
 under ``__idx_<name>/shard=<b>`` (legacy single-index manifests keep
 their kind directory and read as name ``__legacy__``). Serves resolve
 by ``name=``, defaulting to the unique index of the requested kind —
-ambiguity errors rather than silently picking. The remaining boundary:
-a single integral key column.
+ambiguity errors rather than silently picking.
+
+Round 13 opens the STRING-key lane: ``ivfsq`` attaches to a single
+string (doc-id) key — its artifact carries ``vec_id`` as an opaque
+payload the serve joins back to rows, so the dtype is free — while
+``hnsw`` keeps the integral requirement (graph adjacency IS long node
+ids) with an error that points string-key users at ivfsq. The remaining
+boundary: a single key column (no composite keys).
 """
 
 from __future__ import annotations
@@ -100,8 +106,14 @@ def _idx_dir(name: str, params: dict) -> str:
     return f"__idx_{name}"
 
 
-def _check_attachable(man: dict, table: str, emb_col: str, name: str) -> str:
-    """Shared attach-time guards; returns the single integral key column."""
+def _check_attachable(
+    man: dict, table: str, emb_col: str, name: str, allow_string: bool = False
+) -> str:
+    """Shared attach-time guards; returns the single key column. Integral
+    keys work for every kind; ``allow_string`` adds the string-key lane
+    (round 13) for kinds whose artifact carries ``vec_id`` as an opaque
+    payload column (ivfsq — codes join back to rows by id, no arithmetic
+    on it). HNSW stays integral: its graph adjacency IS long node ids."""
     if not _NAME_RE.fullmatch(name):
         raise ValueError(f"invalid index name {name!r}")
     if name in VER._indexes(man):
@@ -119,10 +131,17 @@ def _check_attachable(man: dict, table: str, emb_col: str, name: str) -> str:
     fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
     if emb_col not in fields:
         raise ValueError(f"attach index: no column {emb_col!r} on {table}")
-    if fields[key].get("type") not in _INTEGRAL:
+    ktype = fields[key].get("type")
+    if ktype not in _INTEGRAL and not (allow_string and ktype == "string"):
+        hint = (
+            " (string doc-id keys: use attach_ivfsq_index — HNSW graph "
+            "node ids are longs)"
+            if ktype == "string"
+            else ""
+        )
         raise ValueError(
-            f"attach index: key {key!r} must be integral (shard ids are "
-            f"longs), got {fields[key].get('type')}"
+            f"attach index: key {key!r} must be integral"
+            f"{' or string' if allow_string else ''}, got {ktype}{hint}"
         )
     return key
 
@@ -286,7 +305,7 @@ def attach_ivfsq_index(
     from semantic_index_spark.operators.similarity import make_centroids, sq_train
 
     man = VER._read_manifest(table)
-    key = _check_attachable(man, table, emb_col, name)
+    key = _check_attachable(man, table, emb_col, name, allow_string=True)
     rows = VER.read_bucketed(spark, table).select(
         F.col(key).alias(key), F.col(emb_col).alias(emb_col)
     )
@@ -470,19 +489,11 @@ def indexed_hnsw_topk(
     return hnsw_topk(idx, query, k=k, ef=ef, blocked=blocked)
 
 
-def _empty_serve(spark: SparkSession) -> DataFrame:
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+def _empty_serve(spark: SparkSession, id_type: str = "long") -> DataFrame:
+    from pyspark.sql.types import StructType
 
     return spark.createDataFrame(
-        [],
-        StructType(
-            [StructField("vec_id", LongType()), StructField("score", DoubleType())]
-        ),
+        [], StructType.fromDDL(f"vec_id {id_type}, score double")
     )
 
 
@@ -557,13 +568,23 @@ def indexed_ivfsq_topk(
     _, spec = _resolve_index(man, name, "ivfsq")
     p = spec["params"]
     key = man["key_cols"][0]
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    ktype = fields[key].get("type")
     idx = _read_index_shards(spark, table, man, name=name, kind="ivfsq")
     if idx is None:
-        return _empty_serve(spark)
+        return _empty_serve(
+            spark, "string" if ktype == "string" else "long"
+        )
     probe = _probe_cells(query, p["centroids"], nprobe)
     codes = idx.filter(F.col("_cell").isin(probe))
+    # integral keys serve as longs (the historical vec_id contract);
+    # string keys ride through NATURALLY — the r13 string-key lane (a
+    # cast-to-long would null every string doc id)
+    kc = F.col(key)
+    if ktype in _INTEGRAL:
+        kc = kc.cast("long")
     vectors = VER.read_bucketed(spark, table, version=version).select(
-        F.col(key).cast("long").alias("vec_id"),
+        kc.alias("vec_id"),
         F.col(p["emb_col"]).alias("embedding"),
     )
     return sq_topk_rescore(

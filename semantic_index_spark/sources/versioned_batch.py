@@ -36,8 +36,8 @@ stay unread. ``pushFilters`` prunes at every level the Python API does
 (round 12 completes the set):
 
 - **bucketed tables** — manifest-level bucket pruning for point lookups:
-  an ``id = k`` / ``id IN (...)`` predicate on a single integral bucket
-  key computes the key's bucket with a pure-Python XXH64 that
+  an ``id = k`` / ``id IN (...)`` predicate on a single integral or
+  string bucket key computes the key's bucket with a pure-Python XXH64 that
   bit-matches Spark's ``xxhash64`` expression (seed 42; verified
   value-for-value in pytest — the prune MUST agree with the writer's
   placement or it would silently drop matching rows) and plans only that
@@ -131,12 +131,189 @@ def xxhash64_int(v: int, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-_KEY_HASH = {"integer": xxhash64_int, "long": xxhash64_long}
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark ``xxhash64`` of a byte sequence — the full XXH64 algorithm
+    (32-byte stripes, 8/4/1-byte tail), bit-exact with Spark's
+    ``XxHash64`` over ``UTF8String``/``BinaryType`` input (pytest-locked
+    value-for-value against ``F.xxhash64`` on a unicode/empty/long-string
+    panel). This is the string-key lane (round 13): with it, string
+    doc-id keys get the same bucket-placement agreement between the SQL
+    writer, pushed-filter pruning, and Spark's ``_bucket_expr`` that
+    integral keys have."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        lanes = [v1, v2, v3, v4]
+        while i <= n - 32:
+            for j in range(4):
+                k = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                lanes[j] = (
+                    _rotl((lanes[j] + k * _P2) & _M64, 31) * _P1
+                ) & _M64
+            i += 32
+        v1, v2, v3, v4 = lanes
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in lanes:
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h = _fmix(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def _bucket_of(value: int, dtype: str, n_buckets: int) -> int:
-    h = _KEY_HASH[dtype](int(value))
+def xxhash64_string(s: str, seed: int = 42) -> int:
+    """Spark ``xxhash64(<string col>)`` — XXH64 over the UTF-8 bytes."""
+    return xxhash64_bytes(s.encode("utf-8"), seed)
+
+
+_KEY_HASH = {
+    "integer": xxhash64_int,
+    "long": xxhash64_long,
+    "string": xxhash64_string,
+}
+# the Python literal type a pushed =/IN filter value must have for the
+# driver-side bucket computation to provably agree with Spark's own
+# evaluation of the same predicate (bool is an int subclass: excluded)
+_KEY_PYTYPES = {"integer": int, "long": int, "string": str}
+
+
+def _bucket_of(value, dtype: str, n_buckets: int) -> int:
+    h = _KEY_HASH[dtype](value if dtype == "string" else int(value))
     return ((h % n_buckets) + n_buckets) % n_buckets
+
+
+def _xxh64_bytes_np(bufs: "list[bytes]"):
+    """Vectorized XXH64 (seed 42) over a batch of VARIABLE-LENGTH byte
+    strings — every lane of the algorithm runs as masked numpy passes
+    over a zero-padded (n, width) byte matrix, so hashing a batch costs
+    a handful of array ops instead of n Python-level hashes. Bit-exact
+    with the scalar :func:`xxhash64_bytes` (pytest-locked on a
+    length-boundary panel: 0..33, 63..65, multi-stripe, unicode).
+
+    Shape notes: stripes/words/tail are selected per row by integer
+    arithmetic on the length vector (stripes = len//32; after them
+    rem = len - 32*stripes splits as rem//8 words + an optional 4-byte
+    word + rem%4 single bytes — exactly the scalar control flow). Rows
+    are processed in chunks so the padded matrix stays bounded even if
+    one key is pathologically long."""
+    import numpy as np
+
+    n = len(bufs)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    P1, P2, P3, P4, P5 = (
+        np.uint64(_P1), np.uint64(_P2), np.uint64(_P3),
+        np.uint64(_P4), np.uint64(_P5),
+    )
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    lens_all = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    # chunk rows so n_chunk * padded-width stays ~16 MB even with long keys
+    start = 0
+    with np.errstate(over="ignore"):
+        while start < n:
+            width = 32
+            stop = start
+            budget = 16 << 20
+            while stop < n:
+                w = max(32, (int(lens_all[stop]) + 39) // 32 * 32)
+                width = max(width, w)
+                if (stop - start + 1) * width > budget and stop > start:
+                    break
+                stop += 1
+            m = stop - start
+            lens = lens_all[start:stop]
+            # pad 8 extra zero bytes past each max-width so 8/4-byte word
+            # gathers at the tail never index out of bounds
+            mat = np.zeros((m, width + 8), dtype=np.uint8)
+            concat = np.frombuffer(
+                b"".join(bufs[start:stop]), dtype=np.uint8
+            )
+            if concat.size:
+                row_idx = np.repeat(np.arange(m), lens)
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                col_idx = np.arange(concat.size) - np.repeat(offs, lens)
+                mat[row_idx, col_idx] = concat
+            words = mat.view("<u8")  # (m, (width+8)/8) little-endian lanes
+            ulen = lens.astype(np.uint64)
+            stripes = (lens // 32).astype(np.int64)
+            h = np.full(m, np.uint64((42 + _P5) & _M64), dtype=np.uint64)
+            smask = stripes > 0
+            if smask.any():
+                v1 = np.full(m, np.uint64((42 + _P1 + _P2) & _M64))
+                v2 = np.full(m, np.uint64((42 + _P2) & _M64))
+                v3 = np.full(m, np.uint64(42))
+                v4 = np.full(m, np.uint64((42 - _P1) & _M64))
+                for t in range(int(stripes.max())):
+                    mm = stripes > t
+                    for j, lane in enumerate((v1, v2, v3, v4)):
+                        k = words[:, 4 * t + j]
+                        upd = rotl(lane + k * P2, 31) * P1
+                        np.copyto(lane, upd, where=mm)
+                hs = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+                for lane in (v1, v2, v3, v4):
+                    hs = (hs ^ (rotl(lane * P2, 31) * P1)) * P1 + P4
+                np.copyto(h, hs, where=smask)
+            h = h + ulen
+            base = stripes * 32
+            rem = lens - base
+            nw = rem // 8
+            rows = np.arange(m)
+            for j in range(4):  # rem <= 31 → at most 3 words, 4th never fires
+                mm = nw > j
+                if not mm.any():
+                    continue
+                k = words[rows, stripes * 4 + j]
+                upd = rotl(h ^ (rotl(k * P2, 31) * P1), 27) * P1 + P4
+                np.copyto(h, upd, where=mm)
+            pos = base + nw * 8
+            m4 = (rem - nw * 8) >= 4
+            if m4.any():
+                dwords = mat.view("<u4")
+                # pos is 8-aligned only per-row; gather the 4-byte word by
+                # its two possible dword slots (pos % 4 == 0 always here)
+                k4 = dwords[rows, pos // 4].astype(np.uint64)
+                upd = rotl(h ^ (k4 * P1), 23) * P2 + P3
+                np.copyto(h, upd, where=m4)
+                pos = pos + m4 * 4
+            nb = rem % 4
+            for j in range(3):
+                mm = nb > j
+                if not mm.any():
+                    continue
+                b = mat[rows, pos + j].astype(np.uint64)
+                upd = rotl(h ^ (b * P5), 11) * P1
+                np.copyto(h, upd, where=mm)
+            h ^= h >> np.uint64(33)
+            h *= P2
+            h ^= h >> np.uint64(29)
+            h *= P3
+            h ^= h >> np.uint64(32)
+            out[start:stop] = h
+            start = stop
+    return out
 
 
 def buckets_np(values, dtype: str, n_buckets: int):
@@ -145,9 +322,14 @@ def buckets_np(values, dtype: str, n_buckets: int):
     bit-identical to the scalar :func:`_bucket_of` (pytest-locked on a
     sign/width boundary panel). This is what lets the SQL writer's
     executor tasks route a batch to buckets in O(n) numpy instead of a
-    per-row Python loop."""
+    per-row Python loop. Round 13 adds the ``string`` lane (UTF-8 keys
+    through the masked-numpy :func:`_xxh64_bytes_np`), opening the SQL
+    door and bucket pruning to string doc-id corpora."""
     import numpy as np
 
+    if dtype == "string":
+        h = _xxh64_bytes_np([s.encode("utf-8") for s in values])
+        return (h.view(np.int64) % n_buckets + n_buckets) % n_buckets
     v = np.asarray(values, dtype=np.int64).view(np.uint64)
     with np.errstate(over="ignore"):
         P1, P2, P3 = np.uint64(_P1), np.uint64(_P2), np.uint64(_P3)
@@ -292,18 +474,19 @@ class VersionedTableReader(DataSourceReader):
             dtype = fields.get(key, {}).get("type")
             if dtype in _KEY_HASH:
                 n = int(man["n_buckets"])
+                pytype = _KEY_PYTYPES[dtype]
                 for f in filters:
                     vals = None
                     if (
                         isinstance(f, (EqualTo, EqualNullSafe))
                         and tuple(f.attribute) == (key,)
-                        and isinstance(f.value, int)
+                        and isinstance(f.value, pytype)
                         and not isinstance(f.value, bool)
                     ):
                         vals = [f.value]
                     elif isinstance(f, In) and tuple(f.attribute) == (key,):
                         if all(
-                            isinstance(v, int) and not isinstance(v, bool)
+                            isinstance(v, pytype) and not isinstance(v, bool)
                             for v in f.value
                         ):
                             vals = list(f.value)
@@ -496,7 +679,8 @@ def _project_logical(tbl, colmap: dict, fields):
 # REFUSED loudly, never silently mishandled: hidden/skipping layouts,
 # tables with CHECK constraints or generated columns (their SQL
 # expressions need Spark to evaluate), co-committed indexes (shard
-# rebuild needs Spark), multi-column or non-integral keys, and schema
+# rebuild needs Spark), multi-column or non-hashable-dtype keys (int,
+# long and string — round 13 — are the hashable lanes), and schema
 # evolution (INSERT sources must match the view schema) all point the
 # user at the Python API verb that handles them.
 #
@@ -550,7 +734,10 @@ class BucketedMergeWriter(DataSourceArrowWriter):
         kc = tbl.column(self.key)
         if kc.null_count:
             raise ValueError(f"INSERT row has NULL key {self.key!r}")
-        keys = kc.to_numpy(zero_copy_only=False).astype("int64")
+        if self.key_dtype == "string":
+            keys = kc.to_pylist()
+        else:
+            keys = kc.to_numpy(zero_copy_only=False).astype("int64")
         bk = buckets_np(keys, self.key_dtype, self.n_buckets)
         files = []
         for b in np.unique(bk):
@@ -819,8 +1006,8 @@ class VersionedTableDataSource(DataSource):
         fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
         if len(keys) != 1 or fields[keys[0]].get("type") not in _KEY_HASH:
             raise ValueError(
-                "INSERT INTO supports single integral-key bucketed tables "
-                f"(got keys {keys}) — use merge_into_bucketed"
+                "INSERT INTO supports single integral- or string-key "
+                f"bucketed tables (got keys {keys}) — use merge_into_bucketed"
             )
         logical = [f["name"] for f in json.loads(man["schema"])["fields"]]
         if [f.name for f in schema.fields] != logical:

@@ -3894,3 +3894,146 @@ def test_r12_sql_insert_refuses_indexed_tables(spark, tmp_path):
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
     ]
     assert got == _brute_topk(spark, live, q, 5)
+
+
+def test_r13_string_xxhash64_bit_exact(spark):
+    """Round 13 string-key lane, the load-bearing invariant: the
+    pure-Python AND the masked-numpy XXH64 over UTF-8 strings must
+    bit-match Spark's ``xxhash64(<string>)`` — the SQL writer's bucket
+    placement and the pushed-filter prune would otherwise disagree with
+    ``_bucket_expr`` and silently lose rows."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    panel = (
+        ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh"]
+        + ["x" * i for i in (9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 100)]
+        + ["héllo wörld", "日本語テキスト", "emoji 🙂🙃 mix", "doc-00017",
+           "https://example.com/path?q=1", "ñ" * 40, "\tws \n", "k" * 1000]
+    )
+    rows = spark.createDataFrame([(s,) for s in panel], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    expect = {r["s"]: r["h"] for r in rows}
+    # scalar (the pushFilters prune path)
+    for s in panel:
+        assert VB.xxhash64_string(s) == expect[s], s
+    # vectorized (the SQL writer's batch routing path)
+    got = VB._xxh64_bytes_np([s.encode("utf-8") for s in panel]).view(np.int64)
+    assert [int(x) for x in got] == [expect[s] for s in panel]
+    # bucket assignment agrees with Spark's _bucket_expr end-to-end
+    sp = spark.createDataFrame([(s,) for s in panel], "s string").selectExpr(
+        "s", "cast(pmod(xxhash64(s), 7) as int) AS b"
+    ).collect()
+    np_b = VB.buckets_np(panel, "string", 7)
+    by_s = dict(zip(panel, [int(b) for b in np_b]))
+    for r in sp:
+        assert by_s[r["s"]] == r["b"], r
+        assert VB._bucket_of(r["s"], "string", 7) == r["b"], r
+
+
+def test_r13_string_key_sql_lane(spark, tmp_path):
+    """Round 13: a STRING-keyed (doc-id) bucketed table gets the full SQL
+    front door — INSERT-as-MERGE through the shared OCC publish, pushed
+    =/IN filter bucket pruning, DV folding — previously integral-only."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import EqualTo, In
+
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "strkey")
+    base = spark.range(0, 60).selectExpr(
+        "concat('doc-', lpad(cast(id AS string), 5, '0')) AS doc_id",
+        "id * 2 AS val",
+    )
+    VER.create_bucketed(base, t, ["doc_id"], n_buckets=8)
+    VER.delete_bucketed(
+        spark, t, spark.createDataFrame([("doc-00003",)], "doc_id string")
+    )
+    VB.sql_view(spark, "strk", t)
+    # upsert: update doc-00010, insert doc-99999; DV-deleted key resurrects
+    spark.sql(
+        "INSERT INTO strk VALUES ('doc-00010', 111), ('doc-99999', 222), "
+        "('doc-00003', 333)"
+    )
+    cur = {r["doc_id"]: r["val"] for r in VER.read_bucketed(spark, t).collect()}
+    assert cur["doc-00010"] == 111 and cur["doc-99999"] == 222
+    assert cur["doc-00003"] == 333 and cur["doc-00011"] == 22
+    assert len(cur) == 61  # 60 - 1 deleted + re-insert + 1 new
+    # pushed-filter bucket pruning: = and IN plan a strict file subset
+    man = VER._read_manifest(t)
+    sch = spark.table("strk").schema
+    full = VB.VersionedTableReader(sch, t, man["version"]).partitions()
+    pruned = VB.VersionedTableReader(sch, t, man["version"])
+    pruned.pushFilters([EqualTo(("doc_id",), "doc-00010")])
+    assert 0 < len(pruned.partitions()) < len(full)
+    multi = VB.VersionedTableReader(sch, t, man["version"])
+    multi.pushFilters([In(("doc_id",), ("doc-00001", "doc-99999"))])
+    assert 0 < len(multi.partitions()) < len(full)
+    # and the pruned SQL read returns exactly the right rows (rebind:
+    # reads pin the version at first resolution — snapshot isolation)
+    VB.sql_view(spark, "strk", t)
+    got = spark.sql(
+        "SELECT doc_id, val FROM strk "
+        "WHERE doc_id IN ('doc-00001', 'doc-99999') ORDER BY doc_id"
+    ).collect()
+    assert [(r["doc_id"], r["val"]) for r in got] == [
+        ("doc-00001", 2), ("doc-99999", 222)
+    ]
+    # time travel intact across the SQL commit
+    assert VER.read_bucketed(spark, t, version=0).count() == 60
+
+
+def test_r13_string_key_ivfsq_index(spark, tmp_path):
+    """Round 13: the co-committed IVF-SQ8 index attaches to a STRING-keyed
+    table (codes carry vec_id as an opaque payload), merges maintain its
+    shards, and the exhaustive serve equals brute force over string ids;
+    HNSW keeps the integral boundary with an error naming the ivfsq
+    alternative."""
+    import pytest
+
+    from semantic_index_spark.operators import similarity as S
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "stridx")
+    rows = [(f"doc-{i:05d}", _emb(i)) for i in range(60)]
+    VER.create_bucketed(
+        spark.createDataFrame(rows, "doc_id string, embedding array<double>"),
+        t, ["doc_id"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="attach_ivfsq_index"):
+        IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
+    IDX.attach_ivfsq_index(spark, t, n_cells=4, seed=11)
+    # a merge rewrites buckets AND re-encodes their shards in one commit
+    VER.merge_into_bucketed(
+        spark, t,
+        spark.createDataFrame(
+            [("doc-00005", _emb(500)), ("doc-90000", _emb(900))],
+            "doc_id string, embedding array<double>",
+        ),
+    )
+    VER.delete_bucketed(
+        spark, t, spark.createDataFrame([("doc-00007",)], "doc_id string")
+    )
+    live = VER.read_bucketed(spark, t)
+    q = _emb(500)
+    got = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_ivfsq_topk(
+            spark, t, q, k=5, nprobe=4, candidates=70
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["score"])
+        for r in S.topk(
+            live.selectExpr("doc_id AS vec_id", "embedding"), q, k=5
+        ).collect()
+    ]
+    assert got == brute
+    assert all(isinstance(v, str) for v, _ in got)
+    # DV-deleted id never ranks (tombstone contract via rescore join)
+    assert "doc-00007" not in {v for v, _ in got}
