@@ -6203,7 +6203,7 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``__ivfsq/shard=<b>/_cell=<c>`` (shard b ≡ bucket b), the frozen
     centroids + scalar quantizer stored IN the manifest params so every
     version decodes with its own artifacts. Lifecycle: create
-    (embeddings vec_id < 350) → attach (8 cells) → MERGE (rescale every
+    (embeddings vec_id < 350) → attach (4 cells; r13 trim) → MERGE (rescale every
     7th embedding, insert id+20000 copies of the first 15) → DV-delete
     every 13th base id → serve the exhaustive-exact top-10 (nprobe = all
     cells, candidate slack ⇒ stage-2 exact rescore equals brute force)
@@ -6223,8 +6223,10 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="indexed_ivfsq_")
     try:
         t = os.path.join(tmp, "tbl")
-        VER.create_bucketed(base, t, ["id"], n_buckets=8)
-        v_attach = IDX.attach_ivfsq_index(spark, t, n_cells=8)
+        # r13 trim (VERDICT r12 #6): 4 buckets / 4 cells — commit count
+        # and job fan-out halve, every lifecycle contract intact
+        VER.create_bucketed(base, t, ["id"], n_buckets=4)
+        v_attach = IDX.attach_ivfsq_index(spark, t, n_cells=4)
         src = (
             base.filter(F.col("id") % 7 == 0)
             .select("id", F.transform("embedding", lambda x: x * F.lit(3.0).cast("float")).alias("embedding"))
@@ -6239,10 +6241,10 @@ def q_indexed_table_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, t, base.filter(F.col("id") % 13 == 0).select("id")
         )
         post = IDX.indexed_ivfsq_topk(
-            spark, t, q, k=KNN_K, nprobe=8, candidates=1000
+            spark, t, q, k=KNN_K, nprobe=4, candidates=1000
         ).withColumn("stage", F.lit("post_merge"))
         asof = IDX.indexed_ivfsq_topk(
-            spark, t, q, k=KNN_K, nprobe=8, candidates=1000, version=v_attach
+            spark, t, q, k=KNN_K, nprobe=4, candidates=1000, version=v_attach
         ).withColumn("stage", F.lit("as_of_attach"))
         out = (
             post.unionByName(asof)
@@ -6316,31 +6318,34 @@ def q_string_key_indexed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multi_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-index tables (r12 — ``sources/indexed.py``, the manifest's
-    ``indexes = {name: spec}`` map): ONE bucketed table carries BOTH a
-    co-committed HNSW index and a co-committed IVF-SQ8 index, and a
-    single MERGE + DV-delete maintains them together — each index's
-    affected shards rebuild inside the merge's one staged commit, the
-    DV applies as a graph tombstone on one and a rescore-join drop on
-    the other. Both serves run exhaustive-exact (``ef=None``; nprobe =
-    all cells + candidate slack), so they must return the IDENTICAL
-    top-10 — the oracle computes the brute-force answer once and
-    expects it under both index labels; either index drifting from the
-    table (or from the other index) breaks the hash."""
+    ``indexes = {name: spec}`` map; r13 adds the THIRD kind): ONE
+    bucketed table carries co-committed HNSW, IVF-SQ8 AND IVF-PQ
+    indexes, and a single MERGE + DV-delete maintains all three — each
+    index's affected shards rebuild inside the merge's one staged
+    commit, the DV applies as a graph tombstone on one and a
+    rescore-join drop on the others. All serves run exhaustive-exact
+    (``ef=None``; nprobe = all cells + candidate slack), so they must
+    return the IDENTICAL top-10 — the oracle computes the brute-force
+    answer once and expects it under all three index labels; any index
+    drifting from the table (or from the others) breaks the hash.
+    (r13 also trims the lifecycle per VERDICT r12 #6: 4 buckets / 4
+    cells / 200-vector slice — every contract intact.)"""
     import shutil
     import tempfile
 
     from semantic_index_spark.sources import indexed as IDX
     from semantic_index_spark.sources import versioned as VER
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     base = emb.select(F.col("vec_id").alias("id"), "embedding")
     q = emb.filter(F.col("vec_id") == 21).collect()[0]["embedding"]
     tmp = tempfile.mkdtemp(prefix="multi_index_")
     try:
         t = os.path.join(tmp, "tbl")
-        VER.create_bucketed(base, t, ["id"], n_buckets=8)
-        IDX.attach_hnsw_index(spark, t, m=8, ef_construction=32)
-        IDX.attach_ivfsq_index(spark, t, n_cells=8)
+        VER.create_bucketed(base, t, ["id"], n_buckets=4)
+        IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
+        IDX.attach_ivfsq_index(spark, t, n_cells=4)
+        IDX.attach_ivfpq_index(spark, t, m_sub=4, pq_k=8, iters=1, n_cells=4)
         src = (
             base.filter(F.col("id") % 6 == 0)
             .select(
@@ -6363,10 +6368,13 @@ def q_multi_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index_name", F.lit("hnsw")
         )
         s = IDX.indexed_ivfsq_topk(
-            spark, t, q, k=KNN_K, nprobe=8, candidates=1000
+            spark, t, q, k=KNN_K, nprobe=4, candidates=600
         ).withColumn("index_name", F.lit("ivfsq"))
+        pq = IDX.indexed_ivfpq_topk(
+            spark, t, q, k=KNN_K, nprobe=4, candidates=600
+        ).withColumn("index_name", F.lit("ivfpq"))
         out = (
-            g.unionByName(s)
+            g.unionByName(s).unionByName(pq)
             .orderBy("index_name", F.desc("score"), "vec_id")
             .localCheckpoint(eager=True)
         )
@@ -8471,12 +8479,12 @@ def oracle_sql() -> dict[str, str]:
               AND value >= {HSK_VAL_LO} AND value < {HSK_VAL_HI}
             GROUP BY event_type
         """,
-        # ONE brute-force answer expected under BOTH index labels — the
-        # two exhaustive-exact serves must agree with the table and with
-        # each other
+        # ONE brute-force answer expected under all THREE index labels —
+        # the exhaustive-exact serves must agree with the table and with
+        # each other (r13 adds the ivfpq kind)
         "multi_index_table": f"""
             WITH base AS (
-              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
             ), merged AS (
               SELECT vec_id, embedding FROM base WHERE vec_id % 6 <> 0 AND vec_id >= 10
               UNION ALL
@@ -8498,7 +8506,7 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY score DESC, l.vec_id LIMIT {KNN_K}
             )
             SELECT t.vec_id, t.score, n.index_name
-            FROM top t, (VALUES ('hnsw'), ('ivfsq')) AS n(index_name)
+            FROM top t, (VALUES ('hnsw'), ('ivfpq'), ('ivfsq')) AS n(index_name)
             ORDER BY n.index_name, t.score DESC, t.vec_id
         """,
         # the advisor replays relationally: node/tombstone counts from the

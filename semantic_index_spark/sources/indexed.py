@@ -91,7 +91,11 @@ _INTEGRAL = {"byte", "short", "integer", "long"}
 # single anonymous spec reads as name "__legacy__"); partition columns of
 # the staged shard write (shard first: shard b ≡ bucket b)
 _IDX_DIRS = {"hnsw": "__hnsw", "ivfsq": "__ivfsq"}
-_IDX_PARTS = {"hnsw": ["shard"], "ivfsq": ["shard", "_cell"]}
+_IDX_PARTS = {
+    "hnsw": ["shard"],
+    "ivfsq": ["shard", "_cell"],
+    "ivfpq": ["shard", "_cell"],
+}
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -325,6 +329,137 @@ def attach_ivfsq_index(
     return _publish_index(table, man, name, params, idx)
 
 
+def _ivfpq_index_df(man: dict, rows: DataFrame, params: dict) -> DataFrame:
+    """The IVF-PQ shard artifact for a set of table rows: long-form
+    (vec_id, sub, code, _cell, shard) PQ code rows — cell assignment and
+    encoding are pure functions of (embedding, frozen manifest
+    artifacts), so a merge's rewritten-bucket rows rebuild exactly their
+    own shards, identically to the other kinds."""
+    from semantic_index_spark.operators.similarity import ivf_assign, pq_encode
+
+    p = params
+    key = man["key_cols"][0]
+    src = rows.select(
+        F.col(key).alias("vec_id"),
+        F.col(p["emb_col"]).alias("embedding"),
+        VER._bucket_expr([key], int(man["n_buckets"])).alias("shard"),
+    )
+    assigned = ivf_assign(src, p["centroids"])
+    codes = pq_encode(assigned, p["codebooks"])
+    return codes.join(assigned.select("vec_id", "_cell", "shard"), "vec_id")
+
+
+def attach_ivfpq_index(
+    spark: SparkSession,
+    table: str,
+    emb_col: str = "embedding",
+    m_sub: int = 3,
+    pq_k: int = 16,
+    iters: int = 2,
+    n_cells: int = 8,
+    seed: int = 11,
+    name: str = "ivfpq",
+) -> int:
+    """Attach a co-committed IVF-PQ index (round 13 — the THIRD index
+    kind, FAISS ``IVF,PQ`` on the table-artifact contract; VERDICT r12
+    task #3): the current table state trains per-subspace PQ codebooks
+    (``pq_train_encode``'s Lloyd's loop) and fixes deterministic
+    centroids; rows land as ``__idx_<name>/shard=<b>/_cell=<c>``
+    long-form (vec_id, sub, code) partitions — ``m_sub`` small codes per
+    vector, the best-compression family (16x+ vs floats), previously
+    standalone-only (``write_ivfpq_index``) and thus without table
+    atomicity or time travel. The FROZEN codebooks + centroids live in
+    the manifest params, so every merge re-encodes its rewritten buckets
+    against exactly the artifacts the rest of the index was encoded
+    under, and a time-travel serve decodes version n with version n's
+    own params. String keys ride (codes carry vec_id opaquely). Same
+    crash/OCC contract as the other kinds."""
+    from semantic_index_spark.operators.similarity import (
+        make_centroids,
+        pq_train_encode,
+    )
+
+    man = VER._read_manifest(table)
+    key = _check_attachable(man, table, emb_col, name, allow_string=True)
+    rows = VER.read_bucketed(spark, table).select(
+        F.col(key).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    first = rows.select(F.size("embedding").alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError(f"attach_ivfpq_index: table {table} is empty")
+    dim = int(first[0]["d"])
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"attach_ivfpq_index: dim {dim} not divisible by m_sub {m_sub}"
+        )
+    _, codebooks = pq_train_encode(rows, m_sub=m_sub, k=pq_k, iters=iters)
+    params = {
+        "kind": "ivfpq",
+        "emb_col": emb_col,
+        "centroids": make_centroids(int(n_cells), dim, seed),
+        "codebooks": codebooks,
+        "seed": int(seed),
+    }
+    idx = _ivfpq_index_df(man, VER.read_bucketed(spark, table), params)
+    return _publish_index(table, man, name, params, idx)
+
+
+def indexed_ivfpq_topk(
+    spark: SparkSession,
+    table: str,
+    query,
+    k: int = 10,
+    nprobe: int = 2,
+    candidates: int = 50,
+    version: int | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """Serve top-k from the table's co-committed IVF-PQ index AT a table
+    version (default latest). Two-stage: (1) planning-time ``_cell``
+    pruning to ``nprobe`` cells, asymmetric-distance (ADC) scan of the
+    PQ codes via a broadcast (sub, code) → distance lookup table into a
+    bounded minimum-L2 candidate set — the corpus floats are never read;
+    (2) exact dot rescore against THIS VERSION's table rows
+    (``read_bucketed``, deletion vectors already applied — a DV-deleted
+    candidate drops at the rescore join, the tombstone contract).
+    Columns: ``(vec_id, score)``, exact-dot scores — the same serve
+    contract as the other kinds (nprobe = n_cells + candidate slack ⇒
+    exhaustive-exact). The candidate stage minimizes L2 ADC distance
+    while the rescore maximizes dot — consistent for the unit-norm-ish
+    embeddings PQ serves; the exhaustive configuration is metric-
+    independent."""
+    from semantic_index_spark.operators.similarity import (
+        _probe_cells,
+        pq_topk,
+        rerank_exact,
+    )
+
+    man = VER._read_manifest(table, version)
+    _, spec = _resolve_index(man, name, "ivfpq")
+    p = spec["params"]
+    key = man["key_cols"][0]
+    fields = {f["name"]: f for f in json.loads(man["schema"])["fields"]}
+    ktype = fields[key].get("type")
+    idx = _read_index_shards(spark, table, man, name=name, kind="ivfpq")
+    if idx is None:
+        return _empty_serve(
+            spark, "string" if ktype == "string" else "long"
+        )
+    probe = _probe_cells(query, p["centroids"], nprobe)
+    codes = idx.filter(F.col("_cell").isin(probe))
+    cand = pq_topk(codes, p["codebooks"], query, k_results=candidates).select(
+        "vec_id"
+    )
+    kc = F.col(key)
+    if ktype in _INTEGRAL:
+        kc = kc.cast("long")
+    vectors = VER.read_bucketed(spark, table, version=version).select(
+        kc.alias("vec_id"),
+        F.col(p["emb_col"]).alias("embedding"),
+    )
+    return rerank_exact(vectors, cand, query, k=k)
+
+
 def detach_index(table: str, name: "str | None" = None) -> int:
     """Drop ONE co-committed index (by ``name``; optional while the table
     carries exactly one): a METADATA-ONLY commit whose manifest omits
@@ -395,7 +530,8 @@ def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
     built: dict[str, DataFrame] = {}
     for iname, spec in VER._indexes(man).items():
         p = spec["params"]
-        if p.get("kind", "hnsw") == "hnsw":
+        kind = p.get("kind", "hnsw")
+        if kind == "hnsw":
             from semantic_index_spark.operators.hnsw import build_hnsw
 
             built[iname] = build_hnsw(
@@ -408,6 +544,8 @@ def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
                 ef_construction=p["ef_construction"],
                 seed=p["seed"],
             )
+        elif kind == "ivfpq":
+            built[iname] = _ivfpq_index_df(man, result, p)
         else:
             built[iname] = _ivfsq_index_df(man, result, p)
 

@@ -4037,3 +4037,98 @@ def test_r13_string_key_ivfsq_index(spark, tmp_path):
     assert all(isinstance(v, str) for v, _ in got)
     # DV-deleted id never ranks (tombstone contract via rescore join)
     assert "doc-00007" not in {v for v, _ in got}
+
+
+def test_r13_indexed_table_ivfpq_lifecycle(spark, tmp_path, monkeypatch):
+    """Round 13 (VERDICT r12 task #3): IVF-PQ as the THIRD co-committed
+    index kind — frozen per-subspace codebooks + centroids IN the
+    manifest params, long-form (vec_id, sub, code) shards under
+    ``__idx_<name>/shard=<b>/_cell=<c>``. Same contract as the other
+    kinds: merges rebuild affected shards in their own commit, time
+    travel serves each version from its own artifacts, DV deletes drop
+    at the rescore join, string keys ride."""
+    import pytest
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "ivfpq_t")
+    rows = [(i, _emb(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    VER.create_bucketed(df, t, ["id"], n_buckets=4)
+    v_attach = IDX.attach_ivfpq_index(spark, t, m_sub=3, pq_k=8, n_cells=4)
+    q = _emb(5)
+
+    def serve(version=None, k=5):
+        # nprobe = all cells + candidate slack ⇒ exhaustive-exact
+        return [
+            (r["vec_id"], r["score"])
+            for r in IDX.indexed_ivfpq_topk(
+                spark, t, q, k=k, nprobe=4, candidates=500, version=version
+            ).collect()
+        ]
+
+    before = serve()
+    assert before == _brute_topk(spark, df, q, 5)
+    # merge rebuilds only the affected shards, re-encoding against the
+    # FROZEN codebooks; time travel serves the attach version unchanged
+    src = spark.createDataFrame(
+        [(5, _emb(900)), (300, _emb(300))], "id long, embedding array<double>"
+    )
+    VER.merge_into_bucketed(spark, t, src)
+    merged = VER.read_bucketed(spark, t)
+    assert serve() == _brute_topk(spark, merged, q, 5)
+    man = VER._read_manifest(t)
+    assert set(VER._indexes(man)["ivfpq"]["shards"].values()) > {v_attach}
+    assert serve(version=v_attach) == before
+    # DV delete: serve drops the dead id at the rescore join, no rebuild
+    VER.delete_bucketed(spark, t, spark.createDataFrame([(5,)], "id long"))
+    got_dv = serve()
+    assert got_dv == _brute_topk(spark, VER.read_bucketed(spark, t), q, 5)
+    assert all(v != 5 for v, _ in got_dv)
+    # crash sim (per the existing kinds' shape): staged data + staged
+    # codes written, publish never runs → reader sees OLD table + OLD
+    # index together, never one without the other
+    class _Boom(RuntimeError):
+        pass
+
+    def explode(*a, **k):
+        raise _Boom("crash before publish")
+
+    src2 = spark.createDataFrame(
+        [(7, _emb(901))], "id long, embedding array<double>"
+    )
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_publish_bucketed", explode)
+        with pytest.raises(_Boom):
+            VER.merge_into_bucketed(spark, t, src2)
+    assert serve() == _brute_topk(spark, VER.read_bucketed(spark, t), q, 5)
+    # the embedding column guard covers this kind too; detach by name
+    with pytest.raises(ValueError, match="embedding column"):
+        VER.drop_column(t, "embedding")
+    IDX.detach_index(t, "ivfpq")
+    assert not VER._indexes(VER._read_manifest(t))
+    # string keys ride the pq kind (codes carry vec_id opaquely)
+    ts = str(tmp_path / "ivfpq_str")
+    srows = [(f"doc-{i:04d}", _emb(i)) for i in range(60)]
+    VER.create_bucketed(
+        spark.createDataFrame(srows, "k string, embedding array<double>"),
+        ts, ["k"], n_buckets=4,
+    )
+    IDX.attach_ivfpq_index(spark, ts, m_sub=3, pq_k=8, n_cells=4)
+    from semantic_index_spark.operators import similarity as S
+
+    got = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_ivfpq_topk(
+            spark, ts, q, k=5, nprobe=4, candidates=500
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["score"])
+        for r in S.topk(
+            VER.read_bucketed(spark, ts).selectExpr("k AS vec_id", "embedding"),
+            q, k=5,
+        ).collect()
+    ]
+    assert got == brute and all(isinstance(v, str) for v, _ in got)
