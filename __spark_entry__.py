@@ -6559,6 +6559,54 @@ def q_sql_string_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_sql_insert_indexed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO`` an INDEXED table (r13 — the r12 verdict's missing
+    #2/task #4, ``sources/indexed_np.py``): the Spark-free commit worker
+    rebuilds the co-committed IVF-SQ8 index's affected shards itself —
+    numpy encoders that are bit-exact twins of the Spark expressions
+    (sequential-fold dots for cell assignment, the identical clamped
+    ``floor((v-lo)/step+0.5)`` quantizer), pytest-locked shard-file-
+    identical to a Spark-side merge of the same upsert. Lifecycle:
+    embeddings < 120 seed a 4-bucket table, attach IVF-SQ8, ONE pure-SQL
+    ``INSERT INTO <view>`` upserts 12 vectors (4 updates rescale, 8 new
+    ids), then the exhaustive-exact serve must equal brute force over
+    the post-insert table — a stale or drifted shard breaks the hash."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    base = emb.select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("vec_id") == 9).collect()[0]["embedding"]
+    tmp = tempfile.mkdtemp(prefix="sql_ins_idx_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=4)
+        IDX.attach_ivfsq_index(spark, t, n_cells=4)
+        VB.sql_view(spark, "sql_ins_idx_v", t)
+        spark.sql(
+            "INSERT INTO sql_ins_idx_v "
+            "SELECT id, transform(embedding, x -> cast(x * 0.5 AS float)) "
+            "FROM sql_ins_idx_v WHERE id % 30 = 0 "
+            "UNION ALL "
+            "SELECT id + 5000 AS id, embedding "
+            "FROM sql_ins_idx_v WHERE id < 8"
+        )
+        out = (
+            IDX.indexed_ivfsq_topk(spark, t, q, k=KNN_K, nprobe=4,
+                                   candidates=600)
+            .orderBy(F.desc("score"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.catalog.dropTempView("sql_ins_idx_v")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_sql_hidden_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden-partition + zone-map pruning through the SQL front door
     (r12 — ``sources/versioned_batch.py``, VERDICT r11 #1): the SAME
@@ -7230,14 +7278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (313 queries / 50 per round).
+    driver row at most ~6 rounds stale (314 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 313 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 314 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7305,6 +7353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hidden_prune": q_sql_hidden_prune,
         "sql_insert_merge": q_sql_insert_merge,
         "sql_string_key_merge": q_sql_string_key_merge,
+        "sql_insert_indexed_table": q_sql_insert_indexed_table,
         "indexed_table_ivfsq": q_indexed_table_ivfsq,
         "string_key_indexed_table": q_string_key_indexed_table,
         "media_decode_features": q_media_decode_features,
@@ -8546,6 +8595,28 @@ def oracle_sql() -> dict[str, str]:
                        AS feat_mean
             FROM range(0, 40) s, grid
             GROUP BY s.range ORDER BY media_id
+        """,
+        # SQL INSERT on an indexed table (r13): the worker-rebuilt shard
+        # must serve the exact brute-force answer over the upserted state
+        "sql_insert_indexed_table": f"""
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120
+            ), live AS (
+              SELECT vec_id, embedding FROM base WHERE vec_id % 30 <> 0
+              UNION ALL
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+              FROM base WHERE vec_id % 30 = 0
+              UNION ALL
+              SELECT vec_id + 5000 AS vec_id, embedding
+              FROM base WHERE vec_id < 8
+            ), q AS (
+              SELECT embedding FROM base WHERE vec_id = 9
+            )
+            SELECT l.vec_id,
+                   round({_duck_dot("l.embedding", "(SELECT embedding FROM q)")}, 6) AS score
+            FROM live l
+            ORDER BY score DESC, vec_id LIMIT {KNN_K}
         """,
         # the STRING-key twin of sql_insert_merge (r13): same seed →
         # DV-delete → SQL-upsert replay, over derived string doc ids

@@ -678,11 +678,22 @@ def _project_logical(tbl, colmap: dict, fields):
 # version + the new files, conditional pointer swap). Boundaries are
 # REFUSED loudly, never silently mishandled: hidden/skipping layouts,
 # tables with CHECK constraints or generated columns (their SQL
-# expressions need Spark to evaluate), co-committed indexes (shard
-# rebuild needs Spark), multi-column or non-hashable-dtype keys (int,
-# long and string — round 13 — are the hashable lanes), and schema
-# evolution (INSERT sources must match the view schema) all point the
-# user at the Python API verb that handles them.
+# expressions need Spark to evaluate), multi-column or
+# non-hashable-dtype keys (int, long and string — round 13 — are the
+# hashable lanes), and schema evolution (INSERT sources must match the
+# view schema) all point the user at the Python API verb that handles
+# them. Co-committed indexes are MAINTAINED, not refused (round 13):
+# the commit worker rebuilds each index's affected shards Spark-free
+# through ``indexed_np``'s bit-exact numpy/pure-Python builders —
+# pytest-locked shard-file-identical to a Spark-side merge's rebuild.
+#
+# Driver-side cost note: commit() merges affected buckets (and now
+# rebuilds their shards) single-threaded in one Python worker — the
+# right trade for the SQL door's intended shape (modest upsert batches
+# touching few buckets). A wide upsert touching most buckets of a large
+# table serializes that work through one process: use
+# ``merge_into_bucketed`` for those (the Spark verb parallelizes both
+# the merge and the shard rebuilds).
 #
 # Scale shape: each executor task buckets its own rows with the
 # vectorized ``buckets_np`` (O(n) numpy, bit-exact with the writer-side
@@ -772,6 +783,7 @@ class BucketedMergeWriter(DataSourceArrowWriter):
         colmap = man.get("colmap") or {}
         phys_key = colmap.get(self.key, self.key)
         affected = sorted(by_bucket)
+        logical_by_bucket: dict[int, "pa.Table"] = {}
         for b in affected:
             inc = pa.concat_tables(
                 _project_logical(pq.read_table(p), {}, fields) for p in by_bucket[b]
@@ -814,13 +826,60 @@ class BucketedMergeWriter(DataSourceArrowWriter):
                 )
                 parts.append(kept)
             parts.append(inc)
-            merged = pa.concat_tables(parts).rename_columns(
+            logical = pa.concat_tables(parts)
+            logical_by_bucket[b] = logical
+            merged = logical.rename_columns(
                 [colmap.get(f.name, f.name) for f in fields]
             )
             outd = os.path.join(self.staged, f"__bucket={b}")
             os.makedirs(outd, exist_ok=True)
             pq.write_table(merged, os.path.join(outd, "part-00000.parquet"))
         shutil.rmtree(os.path.join(self.staged, "__incoming"), ignore_errors=True)
+        # co-committed indexes (round 13): rebuild every index's affected
+        # shards from the SAME merged bucket content, Spark-free — the
+        # numpy encoders are bit-exact twins of the Spark expressions and
+        # the HNSW builder is the identical pure-Python function the
+        # applyInPandas task runs. Shards land in the one staged commit;
+        # the finalize advances each index's shard map exactly like the
+        # merge path's _stage_merge_index finalize (disjoint-bucket
+        # rebases keep both writers' shards).
+        idxs = VER._indexes(man)
+        finalize = None
+        if idxs:
+            from semantic_index_spark.sources.indexed import _idx_dir
+            from semantic_index_spark.sources.indexed_np import (
+                write_index_shard_np,
+            )
+
+            for iname, spec in idxs.items():
+                p = spec["params"]
+                for b in affected:
+                    write_index_shard_np(
+                        self.staged, _idx_dir(iname, p), b, p,
+                        logical_by_bucket[b], self.key,
+                    )
+
+            def finalize(manifest, final, base_man, dest):
+                base_idxs = VER._indexes(base_man) or idxs
+                indexes = {}
+                for iname, spec in idxs.items():
+                    p = spec["params"]
+                    hdir = os.path.join(dest, _idx_dir(iname, p))
+                    written = {
+                        int(d.split("=", 1)[1])
+                        for d in (
+                            os.listdir(hdir) if os.path.isdir(hdir) else []
+                        )
+                        if d.startswith("shard=")
+                    }
+                    shards = dict((base_idxs.get(iname) or spec)["shards"])
+                    for b in affected:
+                        shards[str(b)] = final if b in written else None
+                    indexes[iname] = {"params": dict(p), "shards": shards}
+                manifest.pop("index", None)  # legacy key re-keys
+                manifest["indexes"] = indexes
+                return manifest
+
         base = {
             "key_cols": man["key_cols"],
             "n_buckets": self.n_buckets,
@@ -829,7 +888,8 @@ class BucketedMergeWriter(DataSourceArrowWriter):
             "meta": {},
         }
         VER._commit_staged_bucketed(
-            self.table, self.staged, base, man, dv_clear=affected
+            self.table, self.staged, base, man, dv_clear=affected,
+            finalize_manifest=finalize,
         )
 
     def abort(self, messages):
@@ -986,17 +1046,15 @@ class VersionedTableDataSource(DataSource):
             staged = _staged_path(self.table)
             os.makedirs(staged)
             return PlainAppendWriter(self.table, self.version, staged)
-        from semantic_index_spark.sources.versioned import _indexes
-
+        # co-committed indexes no longer block (round 13): the commit
+        # worker rebuilds the affected shards Spark-free via indexed_np's
+        # bit-exact numpy encoders / the shared pure-Python HNSW builder
         for blocker, present, verb in (
             ("constraints", man.get("constraints"),
              "merge_into_bucketed (CHECK constraints are SQL expressions "
              "only Spark can evaluate)"),
             ("generated", man.get("generated"),
              "merge_into_bucketed (generated columns need Spark)"),
-            ("indexes", _indexes(man),
-             "merge_into_bucketed (co-committed index shard rebuilds need "
-             "Spark)"),
         ):
             if present:
                 raise ValueError(

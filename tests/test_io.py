@@ -3864,13 +3864,13 @@ def test_r12_multi_index_table(spark, tmp_path):
     assert got_c == want2 and got_c2 == want2
 
 
-def test_r12_sql_insert_refuses_indexed_tables(spark, tmp_path):
-    """Regression (round 12 self-review): the SQL writer's indexed-table
-    guard must read the MULTI-index manifest key — an INSERT that slipped
-    past it would commit data without maintaining the co-committed
-    shards, silently drifting the index from the table."""
-    import pytest
-
+def test_r12_sql_insert_maintains_index(spark, tmp_path):
+    """History: round 12 REFUSED SQL INSERT on indexed tables (the
+    commit worker has no SparkSession to rebuild shards); round 13
+    lifts it — the worker rebuilds shards Spark-free (indexed_np). What
+    the r12 regression actually protected — an insert must NEVER commit
+    data without maintaining the co-committed shards — now locks the
+    positive path: post-insert, the index matches the table."""
     from semantic_index_spark.sources import indexed as IDX
     from semantic_index_spark.sources import versioned as VER
     from semantic_index_spark.sources import versioned_batch as VB
@@ -3883,17 +3883,19 @@ def test_r12_sql_insert_refuses_indexed_tables(spark, tmp_path):
     )
     IDX.attach_hnsw_index(spark, t, m=4, ef_construction=16)
     VB.sql_view(spark, "ins_idx_v", t)
-    with pytest.raises(Exception, match="indexes"):
-        spark.sql("INSERT INTO ins_idx_v VALUES (100, array(1.0D, 2.0D, 3.0D))")
-    # nothing committed; the index still matches the table
+    spark.sql("INSERT INTO ins_idx_v VALUES (100, array(1.0D, 2.0D, 3.0D))")
     live = VER.read_bucketed(spark, t)
-    assert live.count() == 40
+    assert live.count() == 41
     q = _emb(3)
     got = [
         (r["vec_id"], r["score"])
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=5, ef=None).collect()
     ]
     assert got == _brute_topk(spark, live, q, 5)
+    # the shard map advanced for exactly the inserted key's bucket
+    man = VER._read_manifest(t)
+    owners = set(VER._indexes(man)["hnsw"]["shards"].values())
+    assert man["version"] in owners and len(owners) > 1
 
 
 def test_r13_string_xxhash64_bit_exact(spark):
@@ -4132,3 +4134,116 @@ def test_r13_indexed_table_ivfpq_lifecycle(spark, tmp_path, monkeypatch):
         ).collect()
     ]
     assert got == brute and all(isinstance(v, str) for v, _ in got)
+
+
+def test_r13_sql_insert_indexed_tables(spark, tmp_path, monkeypatch):
+    """Round 13 (VERDICT r12 task #4): ``INSERT INTO`` works on tables
+    with co-committed indexes — the commit worker rebuilds every index's
+    affected shards Spark-free (``indexed_np``: bit-exact numpy twins of
+    the Spark encoders + the shared pure-Python HNSW builder). Locked
+    here: (1) all three kinds' exhaustive serves equal brute force after
+    a pure-SQL upsert; (2) the worker-built shard FILES are row-identical
+    to a Spark-side merge's rebuild of the same upsert (twin-table
+    comparison — the bit-exactness claim, not just serve agreement);
+    (3) the crash window: a commit that dies before publish leaves
+    table + indexes at the old version together."""
+    import os
+
+    import pytest
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    def mk(path):
+        rows = [(i, _emb(i)) for i in range(60)]
+        VER.create_bucketed(
+            spark.createDataFrame(rows, "id long, embedding array<double>"),
+            path, ["id"], n_buckets=4,
+        )
+        IDX.attach_hnsw_index(spark, path, m=4, ef_construction=16)
+        IDX.attach_ivfsq_index(spark, path, n_cells=4)
+        IDX.attach_ivfpq_index(spark, path, m_sub=3, pq_k=8, n_cells=4)
+        # an outstanding DV in a bucket the insert will rewrite: the
+        # worker-side merge must fold it exactly like merge_into_bucketed
+        VER.delete_bucketed(
+            spark, path, spark.createDataFrame([(3,)], "id long")
+        )
+
+    t = str(tmp_path / "sqlidx")
+    mk(t)
+    VB.sql_view(spark, "sqlidx_v", t)
+    ins = "(5, array(9.0D, 9.0D, 9.0D)), (300, array(1.0D, 0.5D, 2.0D)), " \
+          "(3, array(4.0D, 4.0D, 4.0D))"
+    spark.sql(f"INSERT INTO sqlidx_v VALUES {ins}")
+    live = VER.read_bucketed(spark, t)
+    assert {r["id"] for r in live.select("id").collect()} >= {5, 300, 3}
+    q = _emb(5)
+    brute = _brute_topk(spark, live, q, 6)
+    got_h = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=6, ef=None).collect()
+    ]
+    got_s = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_ivfsq_topk(
+            spark, t, q, k=6, nprobe=4, candidates=500
+        ).collect()
+    ]
+    got_p = [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_ivfpq_topk(
+            spark, t, q, k=6, nprobe=4, candidates=500
+        ).collect()
+    ]
+    assert got_h == brute and got_s == brute and got_p == brute
+    # --- bit-exactness: twin table, same upsert via the SPARK verb ---
+    t2 = str(tmp_path / "sqlidx_twin")
+    mk(t2)
+    VER.merge_into_bucketed(
+        spark, t2,
+        spark.createDataFrame(
+            [(5, [9.0, 9.0, 9.0]), (300, [1.0, 0.5, 2.0]),
+             (3, [4.0, 4.0, 4.0])],
+            "id long, embedding array<double>",
+        ),
+    )
+    man_a, man_b = VER._read_manifest(t), VER._read_manifest(t2)
+    for kind, cols in (
+        ("hnsw", ["shard", "id", "embedding", "max_level", "neighbors"]),
+        ("ivfsq", ["shard", "_cell", "vec_id", "codes"]),
+        ("ivfpq", ["shard", "_cell", "vec_id", "sub", "code"]),
+    ):
+        a = IDX._read_index_shards(spark, t, man_a, kind=kind)
+        b = IDX._read_index_shards(spark, t2, man_b, kind=kind)
+        ra = sorted(tuple(r) for r in a.select(*cols).collect())
+        rb = sorted(tuple(r) for r in b.select(*cols).collect())
+        assert ra == rb, f"{kind} shards differ between SQL and Spark builds"
+    # --- crash window: die before publish, nothing moves ---
+    ver_before = VER.current_version(t)
+    man = VER._read_manifest(t)
+    writer = VB.BucketedMergeWriter(t, man, VER._staged_path(t))
+    os.makedirs(writer.staged)
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"id": pa.array([7], pa.int64()),
+         "embedding": pa.array([[8.0, 8.0, 8.0]], pa.list_(pa.float64()))}
+    ).to_batches()
+    msgs = [writer.write(iter(batch))]
+
+    class _Boom(RuntimeError):
+        pass
+
+    def explode(*a, **k):
+        raise _Boom("crash before publish")
+
+    with monkeypatch.context() as m:
+        m.setattr(VER, "_publish_bucketed", explode)
+        with pytest.raises(_Boom):
+            writer.commit(msgs)
+    assert VER.current_version(t) == ver_before
+    assert [
+        (r["vec_id"], r["score"])
+        for r in IDX.indexed_hnsw_topk(spark, t, q, k=6, ef=None).collect()
+    ] == brute
