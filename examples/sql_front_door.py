@@ -93,6 +93,32 @@ try:
     IDX.indexed_hnsw_topk(spark, vtbl, q, k=3, ef=None).show()
     print("IVF-SQ8 serve (same answer from the byte-code shards):")
     IDX.indexed_ivfsq_topk(spark, vtbl, q, k=3, nprobe=8, candidates=100).show()
+
+    # SQL INSERT works on the indexed table too (round 13): the commit
+    # worker rebuilds the affected shards Spark-free, bit-identically
+    VB.sql_view(spark, "vectors", vtbl)
+    spark.sql(
+        "INSERT INTO vectors SELECT 90000 + id, embedding "
+        "FROM vectors WHERE id < 3"
+    )
+    print("post-INSERT serve still matches the table:")
+    IDX.indexed_hnsw_topk(spark, vtbl, q, k=3, ef=None).show()
+
+    # ---- joining a versioned view: broadcast needs a hint -------------------
+    # the Python DataSource API exposes no statistics hook, so a
+    # versioned view reports UNKNOWN size and is never auto-broadcast
+    # (the safe default — an unknown-size view can't OOM a broadcast).
+    # When you know the dim view is small, say so:
+    spark.range(0, 100_000).selectExpr(
+        "id % 100 AS fk", "id AS meas"
+    ).createOrReplaceTempView("fact")
+    spark.sql(
+        """
+        SELECT /*+ BROADCAST(d) */ d.name, sum(f.meas) AS total
+        FROM fact f JOIN accounts d ON f.fk = d.id
+        GROUP BY d.name ORDER BY total DESC LIMIT 5
+        """
+    ).show()
 finally:
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

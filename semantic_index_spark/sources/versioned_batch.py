@@ -1096,7 +1096,31 @@ def sql_view(
     versioned_table`` — after this, the table is pure-SQL territory
     (point lookups get manifest-level bucket pruning via pushFilters).
     ``version``/``as_of_ts`` pin a snapshot (``VERSION AS OF`` /
-    ``TIMESTAMP AS OF`` equivalents); default = latest at bind time."""
+    ``TIMESTAMP AS OF`` equivalents); default = latest at bind time.
+
+    **Join-statistics caveat (round 13, plan-audited):** Spark's Python
+    DataSource API exposes no statistics hook, so a versioned view
+    reports ``sizeInBytes = Long.MaxValue`` (unknown) and the static
+    planner will NEVER auto-broadcast it — the safe default at 100 TB
+    (an unknown-size view can't OOM a broadcast), but it means a small
+    versioned dim joined to a big fact sort-merges where a broadcast
+    fits. When you KNOW the view is small, say so with a hint::
+
+        SELECT /*+ BROADCAST(d) */ f.fk, sum(f.meas)
+        FROM fact f JOIN dim_view d ON f.fk = d.id
+        GROUP BY f.fk
+
+    (pytest-locked: the unhinted plan is a SortMergeJoin, the hinted
+    plan a BroadcastHashJoin — ``test_r13_sql_view_broadcast_hint``.
+    AQE can also upgrade the join at runtime once the true size is
+    known; the hint guarantees it at planning time.)
+
+    **Row-level SQL text (UPDATE/DELETE/MERGE) is out of scope by
+    decision of record** — see ARCHITECTURE.md "What we deliberately did
+    NOT do": Spark's Python DataSource has no row-level hooks, so those
+    remain the Python verbs ``merge_into_bucketed`` /
+    ``delete_bucketed`` / ``optimize_bucketed``; ``INSERT INTO`` covers
+    the upsert case."""
     register_versioned_table(spark)
     # option VALUES are interpolated into DDL text: a single quote in the
     # path or timestamp would break the statement or inject SQL (round 12)

@@ -4247,3 +4247,55 @@ def test_r13_sql_insert_indexed_tables(spark, tmp_path, monkeypatch):
         (r["vec_id"], r["score"])
         for r in IDX.indexed_hnsw_topk(spark, t, q, k=6, ef=None).collect()
     ] == brute
+
+
+def test_r13_sql_view_broadcast_hint(spark, tmp_path):
+    """Round 13 (VERDICT r12 missing #4): the Python DataSource API has
+    no statistics hook, so a versioned view reports unknown size
+    (Long.MaxValue) and the static planner never auto-broadcasts it —
+    locked here in BOTH directions: (a) a small versioned dim joined to
+    a big fact plans a SortMergeJoin (no silent broadcast of an
+    unknown-size relation — the safe scale default), and (b) the
+    documented ``/*+ BROADCAST(v) */`` recipe flips it to a
+    BroadcastHashJoin."""
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.sources import versioned_batch as VB
+
+    t = str(tmp_path / "dim")
+    VER.create_bucketed(
+        spark.range(0, 200).selectExpr("id", "id % 7 AS grp"),
+        t, ["id"], n_buckets=4,
+    )
+    VB.sql_view(spark, "bh_dim", t)
+    # the view's reported size is "unknown" — the no-stats-hook reality
+    assert (
+        spark.table("bh_dim")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+        == (1 << 63) - 1
+    )
+    spark.range(0, 2_000_000).selectExpr(
+        "id % 1000 AS fk", "repeat('y', 40) AS pad"
+    ).createOrReplaceTempView("bh_fact")
+    q = "SELECT f.fk, count(*) AS c FROM bh_fact f JOIN bh_dim d ON f.fk = d.id GROUP BY f.fk"
+    unhinted = (
+        spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in unhinted and "BroadcastHashJoin" not in unhinted
+    hinted = (
+        spark.sql(q.replace("SELECT f.fk", "SELECT /*+ BROADCAST(d) */ f.fk"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in hinted and "SortMergeJoin" not in hinted
+    # and the hinted join is CORRECT (hint changes strategy, not rows)
+    got = {
+        (r["fk"], r["c"])
+        for r in spark.sql(
+            q.replace("SELECT f.fk", "SELECT /*+ BROADCAST(d) */ f.fk")
+        ).collect()
+    }
+    assert got == {(fk, 2000) for fk in range(200)}
