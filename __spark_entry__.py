@@ -6559,6 +6559,64 @@ def q_sql_string_key_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_vacuum_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run VACUUM advisor for the versioned store (r13 —
+    ``sources/versioned.py`` ``vacuum_report``, VERDICT r12 #9: advisor
+    symmetry with ``maintenance_status``/``hnsw_maintenance_status``/
+    ``ivf_maintenance_status``). Documents < 150 seed a 4-bucket table;
+    two FULL-rewrite merges advance every bucket's ownership (the first
+    also inserts 20 new keys), so under ``keep_manifests=2`` version 0
+    becomes fully unreferenced. The advisor reports kept [1, 2] /
+    reclaimable [0] WITHOUT mutating anything; the row for each version
+    carries its time-travel row count — a reclaimable version that lost
+    files, a kept version wrongly listed, or a mutation by the "dry
+    run" all break the hash. The oracle replays statuses and counts
+    relationally."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import versioned as VER
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 150).select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("val")
+    )
+    tmp = tempfile.mkdtemp(prefix="vacuum_advice_")
+    try:
+        t = os.path.join(tmp, "tbl")
+        VER.create_bucketed(base, t, ["id"], n_buckets=4)
+        VER.merge_into_bucketed(
+            spark, t,
+            base.select("id", (F.col("val") + 1).alias("val")).unionByName(
+                base.filter(F.col("id") < 20).select(
+                    (F.col("id") + 1000).alias("id"), "val"
+                )
+            ),
+        )
+        VER.merge_into_bucketed(
+            spark, t,
+            VER.read_bucketed(spark, t).select(
+                "id", (F.col("val") + 1).alias("val")
+            ),
+        )
+        rep = VER.vacuum_report(t, keep_manifests=2)
+        rows = [
+            ("kept", int(v), VER.read_bucketed(spark, t, version=v).count())
+            for v in rep["kept"]
+        ] + [
+            ("reclaimable", int(v),
+             VER.read_bucketed(spark, t, version=v).count())
+            for v in rep["reclaimable"]
+        ]
+        assert rep["reclaimable_bytes"] > 0 and not rep["staged_orphans"]
+        out = spark.createDataFrame(
+            rows, "status string, version int, n_rows bigint"
+        ).orderBy("status", "version").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_sql_insert_indexed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO`` an INDEXED table (r13 — the r12 verdict's missing
     #2/task #4, ``sources/indexed_np.py``): the Spark-free commit worker
@@ -7278,14 +7336,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (314 queries / 50 per round).
+    driver row at most ~6 rounds stale (315 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 314 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 315 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7354,6 +7412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_insert_merge": q_sql_insert_merge,
         "sql_string_key_merge": q_sql_string_key_merge,
         "sql_insert_indexed_table": q_sql_insert_indexed_table,
+        "vacuum_advice": q_vacuum_advice,
         "indexed_table_ivfsq": q_indexed_table_ivfsq,
         "string_key_indexed_table": q_string_key_indexed_table,
         "media_decode_features": q_media_decode_features,
@@ -8595,6 +8654,24 @@ def oracle_sql() -> dict[str, str]:
                        AS feat_mean
             FROM range(0, 40) s, grid
             GROUP BY s.range ORDER BY media_id
+        """,
+        # dry-run VACUUM advisor (r13): statuses + per-version time-travel
+        # counts replayed relationally (two full rewrites under keep=2
+        # leave exactly v0 reclaimable; the first merge inserts 20 keys)
+        "vacuum_advice": """
+            WITH n0 AS (
+              SELECT count(*) AS n FROM documents WHERE doc_id < 150
+            ), n1 AS (
+              SELECT (SELECT n FROM n0)
+                     + (SELECT count(*) FROM documents WHERE doc_id < 20) AS n
+            )
+            SELECT * FROM (
+              SELECT 'kept' AS status, 1 AS version, (SELECT n FROM n1) AS n_rows
+              UNION ALL
+              SELECT 'kept', 2, (SELECT n FROM n1)
+              UNION ALL
+              SELECT 'reclaimable', 0, (SELECT n FROM n0)
+            ) ORDER BY status, version
         """,
         # SQL INSERT on an indexed table (r13): the worker-rebuilt shard
         # must serve the exact brute-force answer over the upserted state

@@ -1494,9 +1494,29 @@ def expire_bucketed(
     if keep_manifests < 1:
         raise ValueError(f"keep_manifests must be >= 1, got {keep_manifests}")
     _reclaim_staged(table, orphan_ttl_seconds)
+    kept_versions, _, reclaimable = _retention_plan(table, keep_manifests)
+    if kept_versions is None:
+        return []
+    reclaimed = []
+    for v in reclaimable:
+        shutil.rmtree(os.path.join(table, f"v={v}"), ignore_errors=True)
+        mp = _manifest_path(table, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+        reclaimed.append(v)
+    return reclaimed
+
+
+def _retention_plan(table: str, keep_manifests: int):
+    """The retention walk shared by :func:`expire_bucketed` (which acts
+    on it) and :func:`vacuum_report` (which only REPORTS it): keep the
+    newest ``keep_manifests`` manifests; a version directory is live iff
+    a kept manifest references any of its buckets, DV files, or index
+    shards. Returns ``(kept_versions, live, reclaimable)``;
+    ``(None, None, [])`` for an empty table."""
     cur = current_version(table)
     if cur is None:
-        return []
+        return None, None, []
     kept_versions = [
         v for v in range(cur + 1) if os.path.exists(_manifest_path(table, v))
     ][-keep_manifests:]
@@ -1522,18 +1542,74 @@ def expire_bucketed(
         ]:
             if owner is not None:
                 live.add(int(owner))
-    reclaimed = []
-    for v in list_versions(table):
-        if v in live or v in kept_versions:
+    reclaimable = [
+        v
+        for v in list_versions(table)
+        if v not in live
+        and v not in kept_versions
+        # in-flight concurrent commit — same age rule as expire_versions
+        and v <= cur
+    ]
+    return kept_versions, live, reclaimable
+
+
+def vacuum_report(
+    table: str,
+    keep_manifests: int = 2,
+    orphan_ttl_seconds: float = 24 * 3600.0,
+) -> dict:
+    """Dry-run VACUUM advisor (round 13 — advisor symmetry with
+    ``maintenance_status`` / ``hnsw_maintenance_status`` /
+    ``ivf_maintenance_status``): report exactly what
+    :func:`expire_bucketed` WOULD reclaim, mutating nothing — the
+    numbers a retention daemon alerts on before acting. Returns::
+
+        {"kept": [versions whose manifests retention keeps],
+         "live": [version dirs a kept manifest references],
+         "reclaimable": [version dirs expire_bucketed would delete],
+         "reclaimable_bytes": total file bytes in those dirs,
+         "staged_orphans": [{"dir", "age_seconds"}]  # crashed writers'
+             _staged_* dirs past the TTL (younger ones are in-flight
+             commits, not orphans — never listed)}
+
+    Driver-side listing only — the same manifest walk a maintenance
+    daemon already does; no data is read. Pytest-locked: the report is
+    side-effect-free (serves unchanged), agrees with what a subsequent
+    ``expire_bucketed`` actually reclaims, and an expired table reports
+    clean."""
+    kept_versions, live, reclaimable = _retention_plan(table, keep_manifests)
+    if kept_versions is None:
+        return {
+            "kept": [], "live": [], "reclaimable": [],
+            "reclaimable_bytes": 0, "staged_orphans": [],
+        }
+    nbytes = 0
+    for v in reclaimable:
+        vdir = os.path.join(table, f"v={v}")
+        for root, _dirs, files in os.walk(vdir):
+            for f in files:
+                try:
+                    nbytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    orphans = []
+    now = time.time()
+    for d in sorted(os.listdir(table)):
+        if not d.startswith(_STAGED_PREFIX):
             continue
-        if v > cur:  # in-flight concurrent commit — same age rule as expire_versions
-            continue
-        shutil.rmtree(os.path.join(table, f"v={v}"), ignore_errors=True)
-        mp = _manifest_path(table, v)
-        if os.path.exists(mp):
-            os.remove(mp)
-        reclaimed.append(v)
-    return reclaimed
+        try:
+            age = now - os.path.getmtime(os.path.join(table, d))
+        except OSError:
+            continue  # vanished underneath us — its writer finished
+        if age >= orphan_ttl_seconds:
+            orphans.append({"dir": d, "age_seconds": round(age, 1)})
+    return {
+        "kept": list(kept_versions),
+        "live": sorted(live),
+        "reclaimable": list(reclaimable),
+        "reclaimable_bytes": int(nbytes),
+        "staged_orphans": orphans,
+    }
 
 
 def diff_bucketed(

@@ -4299,3 +4299,51 @@ def test_r13_sql_view_broadcast_hint(spark, tmp_path):
         ).collect()
     }
     assert got == {(fk, 2000) for fk in range(200)}
+
+
+def test_r13_vacuum_report_dry_run(spark, tmp_path):
+    """Round 13 (VERDICT r12 #9): ``vacuum_report`` is the dry-run twin
+    of ``expire_bucketed`` — it reports kept/live/reclaimable versions,
+    reclaimable bytes, and aged staged orphans WITHOUT mutating
+    anything, and must agree with what expire_bucketed then actually
+    reclaims."""
+    import os
+    import time
+
+    from semantic_index_spark.sources import versioned as VER
+
+    t = str(tmp_path / "vac")
+    VER.create_bucketed(
+        spark.range(0, 40).selectExpr("id", "id AS v"), t, ["id"], n_buckets=4
+    )
+    # two full-rewrite merges: every bucket's ownership advances, so v0
+    # and v1 become fully unreferenced under keep_manifests=2
+    for bump in (100, 200):
+        VER.merge_into_bucketed(
+            spark, t,
+            spark.range(0, 40).selectExpr("id", f"id + {bump} AS v"),
+        )
+    # a crashed writer's staged dir, aged past the TTL
+    orphan = VER._staged_path(t)
+    os.makedirs(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    rep = VER.vacuum_report(t, keep_manifests=2, orphan_ttl_seconds=3600)
+    assert rep["kept"] == [1, 2] and rep["reclaimable"] == [0]
+    assert rep["live"] == [1, 2] and rep["reclaimable_bytes"] > 0
+    assert len(rep["staged_orphans"]) == 1
+    assert rep["staged_orphans"][0]["age_seconds"] >= 3600
+    # a YOUNG staged dir is an in-flight commit, never an orphan
+    assert VER.vacuum_report(t, orphan_ttl_seconds=86400)["staged_orphans"] == []
+    # dry run: nothing moved, reads unaffected
+    assert os.path.isdir(os.path.join(t, "v=0")) and os.path.isdir(orphan)
+    assert VER.read_bucketed(spark, t, version=0).count() == 40
+    got = {r["id"]: r["v"] for r in VER.read_bucketed(spark, t).collect()}
+    assert got[0] == 200
+    # the report agrees with what expire_bucketed actually reclaims
+    reclaimed = VER.expire_bucketed(t, keep_manifests=2, orphan_ttl_seconds=3600)
+    assert reclaimed == rep["reclaimable"]
+    assert not os.path.isdir(orphan)
+    after = VER.vacuum_report(t, keep_manifests=2, orphan_ttl_seconds=3600)
+    assert after["reclaimable"] == [] and after["staged_orphans"] == []
+    assert after["kept"] == [1, 2]
