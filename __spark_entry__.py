@@ -7335,61 +7335,60 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # rotation — never-checked new queries first, then the queries whose most
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
-_DRIVER_WINDOW_R12 = [
-    # round-12 window: the 7 never-checked r12 additions first, then the
-    # 43 stalest green driver rows (oldest CORRECTNESS round first) -
-    # computed by tools/pin_window.py from CORRECTNESS_r01-r11
-
-    "sql_hidden_prune",  # never-checked
-    "sql_insert_merge",  # never-checked
-    "indexed_table_ivfsq",  # never-checked
-    "media_decode_features",  # never-checked
-    "index_maintenance_advice",  # never-checked
-    "multi_index_table",  # never-checked
-    "ivf_consolidate",  # never-checked
-    "benford_audit",  # last r5
-    "winsorized_stats",  # last r5
-    "ab_test_zscore",  # last r5
-    "source_concentration",  # last r5
-    "corpus_prep_pipeline",  # last r5
-    "streaming_upsert_replay",  # last r5
-    "stateful_totals_replay",  # last r6
-    "segment_dedup",  # last r6
-    "rrf_fusion",  # last r6
-    "zipf_fit",  # last r6
-    "filtered_knn",  # last r6
-    "hybrid_search",  # last r6
-    "observed_metrics",  # last r6
-    "stream_dedup_replay",  # last r6
-    "stream_join_replay",  # last r6
-    "khop_frontier",  # last r6
-    "window_distinct_users",  # last r6
-    "quality_calibration",  # last r6
-    "media_shared_frames",  # last r6
-    "cusum_alerts",  # last r6
-    "pit_join",  # last r6
-    "ab_mann_whitney",  # last r6
-    "dedup_rate_by_source",  # last r6
-    "wow_growth",  # last r6
-    "leakage_safe_split",  # last r6
-    "dsir_weights",  # last r6
-    "source_similarity",  # last r6
-    "training_order",  # last r6
-    "corpus_checksum",  # last r6
-    "quality_model",  # last r6
-    "l_diversity",  # last r6
-    "attribution",  # last r6
-    "fk_integrity",  # last r6
-    "model_calibration",  # last r6
-    "event_transitions",  # last r6
-    "time_to_conversion",  # last r6
-    "stratified_split",  # last r6
-    "vocab_drift",  # last r6
-    "lsh_dedup_quality",  # last r6
-    "vocab_growth",  # last r6
-    "churn_labels",  # last r6
-    "temperature_mix",  # last r6
-    "user_burstiness",  # last r6
+_DRIVER_WINDOW_R13 = [
+    # round-13 window: the 5 never-checked r13 additions first, then the
+    # 45 stalest green driver rows (oldest CORRECTNESS round first) -
+    # computed by tools/pin_window.py from CORRECTNESS_r01-r12
+    "stream_indexed_merge",  # never-checked
+    "sql_string_key_merge",  # never-checked
+    "sql_insert_indexed_table",  # never-checked
+    "vacuum_advice",  # never-checked
+    "string_key_indexed_table",  # never-checked
+    "cross_source_dup",  # last r6
+    "rolling_active_users",  # last r6
+    "growth_accounting",  # last r6
+    "source_embedding_sim",  # last r6
+    "pareto_curve",  # last r6
+    "rfm_segments",  # last r6
+    "cohort_ltv",  # last r6
+    "cuped_adjustment",  # last r6
+    "dup_degree",  # last r6
+    "q8_market_share",  # last r6
+    "q6_forecast_revenue",  # last r6
+    "q13_customer_distribution",  # last r6
+    "q14_promo_effect",  # last r6
+    "q15_top_supplier",  # last r7
+    "q17_small_quantity_revenue",  # last r7
+    "q18_large_volume_customers",  # last r7
+    "q19_disjunctive_revenue",  # last r7
+    "q22_global_sales_opportunity",  # last r7
+    "q2_min_cost_supplier",  # last r7
+    "q4_order_priority",  # last r7
+    "q9_product_profit",  # last r7
+    "q11_important_stock",  # last r7
+    "q16_supplier_counts",  # last r7
+    "q20_promotion_candidates",  # last r7
+    "q21_waiting_suppliers",  # last r7
+    "cdc_apply",  # last r7
+    "skyline_frontier",  # last r7
+    "stream_static_enrich_replay",  # last r7
+    "stream_session_replay",  # last r7
+    "naive_bayes_lang",  # last r7
+    "quantile_normalize",  # last r7
+    "throttle_dedup",  # last r7
+    "holt_winters",  # last r7
+    "ivf_silhouette",  # last r7
+    "trimmed_mean_udaf",  # last r7
+    "merge_versioned",  # last r7
+    "label_propagation",  # last r7
+    "ols_closed_form",  # last r7
+    "position_attribution",  # last r7
+    "audience_overlap",  # last r7
+    "shortest_paths",  # last r7
+    "table_changes",  # last r7
+    "stream_merge_replay",  # last r7
+    "modularity",  # last r7
+    "range_join_bucketed",  # last r7
 ]
 
 
@@ -7400,7 +7399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round.  The canonical dict below stays in stable
     historical order; the returned dict is reordered so the pinned
-    ``_DRIVER_WINDOW_R12`` names come first (see the comment on that list for
+    ``_DRIVER_WINDOW_R13`` names come first (see the comment on that list for
     the round-12 composition), followed by every other query in canonical
     order.
 
@@ -7412,7 +7411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row at most ~6 rounds stale (316 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
-    ``_DRIVER_WINDOW_R12``.  EVERY new query added mid-round must be
+    ``_DRIVER_WINDOW_R13``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
@@ -7741,13 +7740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_streaming": q_hnsw_streaming,
         "hnsw_delete": q_hnsw_delete,
     }
-    missing = [n for n in _DRIVER_WINDOW_R12 if n not in reg]
-    if missing or len(_DRIVER_WINDOW_R12) != 50:
+    missing = [n for n in _DRIVER_WINDOW_R13 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R13) != 50:
         raise RuntimeError(
-            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R12)}, "
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R13)}, "
             f"missing={missing}"
         )
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R12}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R13}
     ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
     return ordered
 
