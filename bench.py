@@ -63,6 +63,23 @@ Round-over-round notes (real work vs box drift):
   multi_index_table/ivf_consolidate) add ~22 s of lifecycle work;
   ``ivf_consolidate`` landed after that run and first appears in the
   driver's own BENCH_r12.
+- r13 CLOSING run (BENCH_SUMMARY_r13.json, 316 queries, 385.9 s suite):
+  like-for-like vs the r12 committed idle run reads 1.27x, but the
+  isolated A/B protocol attributes ALL of it to CURRENT box load, not
+  code: the six most-inflated rows (cuped_adjustment 5.8x in-suite,
+  hybrid_search 4.7x, dedup_components 3.3x, stream_session_replay,
+  colbert_maxsim, contamination_check — none touched since r12) measure
+  0.90-1.10x at HEAD vs a 422326e worktree on the SAME box back-to-back
+  (tools/bench_subset.py), i.e. identical-code parity; both sides sit
+  well above their r12-era absolute numbers, so the box itself is
+  slower this session (sustained background load), uniformly. The five
+  NEW r13 rows cost 17.2 s total (stream_indexed_merge 4.7,
+  string_key_indexed_table 4.6, sql_insert_indexed_table 3.0,
+  sql_string_key_merge 2.5, vacuum_advice 2.4 — all full-lifecycle
+  rows); the r12-verdict #6 trims are real and visible through the
+  load: multi_index_table 12.1 -> 10.6 s WHILE growing a third index
+  kind + third serve, indexed_table_ivfsq 6.8 -> 4.3 s,
+  ivf_consolidate 5.3 -> 4.4 s.
 - r13 OPENING idle A/B (the r12 verdict's task #2 — tools/bench_subset.py
   at HEAD vs ``git worktree`` of 8d2e535 on a quiet box, sequential runs):
   the six rows the driver's BENCH_r12 flagged as 2.5-3.5x inflated all
