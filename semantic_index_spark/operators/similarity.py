@@ -864,22 +864,6 @@ def pq_train_encode(
         raise ValueError(f"pq_train_encode: dim {dim} not divisible by {m_sub}")
     subdim = dim // m_sub
 
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("int").alias("sub"),
-                F.slice(F.col(emb_col), s * subdim + 1, subdim)
-                .cast("array<double>")
-                .alias("sv"),
-            )
-            for s in range(m_sub)
-        ]
-    )
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(parts).alias("p")).select(
-        "_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
-    )
-    ex.cache()
-
     init = collect_bounded(
         df.select(id_col, emb_col).orderBy(id_col).limit(k), k, "pq init"
     )
@@ -892,31 +876,29 @@ def pq_train_encode(
     ]
     k = min(k, len(init))
 
-    spark = df.sparkSession
-
-    def _cb_df():
-        rows = [
-            (s, c, codebooks[s][c])
-            for s in range(m_sub)
-            for c in range(k)
-        ]
-        return spark.createDataFrame(rows, "sub int, code int, cvec array<double>")
-
-    def _assign():
-        j = ex.join(F.broadcast(_cb_df()), "sub").withColumn(
-            "_d", _sq_dist(F.col("sv"), F.col("cvec"))
-        )
-        return j.groupBy("_id", "sub").agg(
-            F.min_by(
-                "code", F.struct(F.col("_d").alias("a"), F.col("code").alias("b"))
-            ).alias("code")
-        )
-
     for _ in range(iters):
-        asg = _assign()
+        # Each round's assignment is the SAME projection expression the
+        # frozen-codebook encoder uses (pq_codes_array over the round's
+        # current codebooks) — one narrow pass over the corpus and ONE
+        # shuffle (the (sub, code, dim) mean), where the former shape
+        # cached the ×m_sub exploded corpus and paid a broadcast join +
+        # two shuffles per round (r13, guide §2.3/§2.4). Argmin formula
+        # and smallest-code tie-break unchanged, so every round's means —
+        # and therefore the trained codebooks — are bit-identical.
+        parts = F.array(
+            *[
+                F.struct(
+                    _pq_sub_code(codebooks, s, subdim, emb_col).alias("code"),
+                    F.slice(F.col(emb_col), s * subdim + 1, subdim)
+                    .cast("array<double>")
+                    .alias("sv"),
+                )
+                for s in range(m_sub)
+            ]
+        )
         means = (
-            asg.join(ex, ["_id", "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("dim0", "v"))
+            df.select(F.posexplode(parts).alias("sub", "p"))
+            .select("sub", F.col("p.code").alias("code"), F.posexplode("p.sv").alias("dim0", "v"))
             .groupBy("sub", "code", "dim0")
             .agg(F.round(F.avg("v"), 6).alias("m"))
         )
@@ -935,6 +917,39 @@ def pq_train_encode(
     return codes, codebooks
 
 
+def pq_codes_array(codebooks, emb_col: str = "embedding"):
+    """The m_sub PQ codes of one vector as a single ARRAY<INT> projection
+    expression — zero joins, zero shuffles, zero Python (r13 optimization;
+    guide §2.4 "remove shuffles outright"). Per subspace s the k candidate
+    distances are a ``transform`` over the LITERAL codebook (the identical
+    ``_sq_dist`` double fold, element order unchanged, so the distances are
+    bit-identical to the former broadcast-join shape) and the code is
+    ``array_position(dists, array_min(dists)) - 1`` — the FIRST index
+    holding the minimum, i.e. exactly the smallest-code tie-break the
+    former ``min_by(code, struct(d, code))`` aggregate implemented. At
+    100 TB this turns encoding from [explode ×m_sub → broadcast join ×k →
+    full shuffle of m_sub·N rows] into a map-only pass over N rows."""
+    m_sub = len(codebooks)
+    subdim = len(codebooks[0][0])
+    return F.array(
+        *[_pq_sub_code(codebooks, s, subdim, emb_col) for s in range(m_sub)]
+    )
+
+
+def _pq_sub_code(codebooks, s: int, subdim: int, emb_col: str):
+    """Argmin code of subspace ``s`` as one expression — see
+    :func:`pq_codes_array` for the equivalence argument."""
+    sv = F.slice(F.col(emb_col), s * subdim + 1, subdim).cast("array<double>")
+    cb_s = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cvec]).cast("array<double>")
+            for cvec in codebooks[s]
+        ]
+    )
+    dists = F.transform(cb_s, lambda c: _sq_dist(sv, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def pq_encode(
     df: DataFrame,
     codebooks,
@@ -948,39 +963,17 @@ def pq_encode(
     from-scratch encode of the union). Same argmin formula and
     smallest-code tie-break as :func:`pq_train_encode`'s training loop —
     that function's final assignment IS this function. Returns
-    (id, sub, code) long-form code rows."""
-    m_sub = len(codebooks)
-    k = len(codebooks[0])
-    subdim = len(codebooks[0][0])
-    spark = df.sparkSession
-    cb = spark.createDataFrame(
-        [(s, c, codebooks[s][c]) for s in range(m_sub) for c in range(k)],
-        "sub int, code int, cvec array<double>",
-    )
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(s).cast("int").alias("sub"),
-                F.slice(F.col(emb_col), s * subdim + 1, subdim)
-                .cast("array<double>")
-                .alias("sv"),
-            )
-            for s in range(m_sub)
-        ]
-    )
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(parts).alias("p")).select(
-        "_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv")
-    )
-    return (
-        ex.join(F.broadcast(cb), "sub")
-        .withColumn("_d", _sq_dist(F.col("sv"), F.col("cvec")))
-        .groupBy("_id", "sub")
-        .agg(
-            F.min_by(
-                "code", F.struct(F.col("_d").alias("a"), F.col("code").alias("b"))
-            ).alias("code")
-        )
-        .select(F.col("_id").alias(id_col), "sub", "code")
+    (id, sub, code) long-form code rows.
+
+    Physical shape (r13): ONE narrow projection — the per-subspace argmin
+    runs inside :func:`pq_codes_array`'s expression tree and ``posexplode``
+    emits the long form. The former shape exploded the corpus ×m_sub,
+    broadcast-joined the codebook and re-aggregated with a full shuffle of
+    m_sub·N rows; values and tie-breaks are unchanged (pytest-locked
+    against the training loop's assignment)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(pq_codes_array(codebooks, emb_col)).alias("sub", "code"),
     )
 
 
@@ -1072,12 +1065,17 @@ def write_ivfpq_index(
     vector are stored — the corpus floats never enter the serving path.
     ``batch_id`` is the ingest epoch (-1 = the base build); see
     :func:`append_ivfpq_index` for why it is a partition column."""
-    cells = ivf_assign(df, centroids, emb_col).select(
-        F.col(id_col), F.col("_cell")
-    )
+    # ONE narrow projection computes cell AND codes per row (r13: the former
+    # pq_encode ⋈ cells join re-shuffled the corpus by id just to reunite two
+    # pure functions of the same row — guide §2.4). Column order matches the
+    # former join output: (id, sub, code, _cell, batch_id).
     rows = (
-        pq_encode(df, codebooks, emb_col=emb_col, id_col=id_col)
-        .join(cells, id_col)
+        ivf_assign(df, centroids, emb_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(pq_codes_array(codebooks, emb_col)).alias("sub", "code"),
+            F.col("_cell"),
+        )
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
     # batch_id=-1 is a BASE build (the re-train rebuild event): it must
@@ -1291,6 +1289,18 @@ def sq_encode(
     point. The half-up rounding is written as floor(x+0.5) so Spark and
     the DuckDB oracle run the identical double expression; constant
     dimensions (step=0) encode to 0. Keeps (id, codes)."""
+    return df.select(
+        F.col(id_col),
+        sq_codes_column(model, emb_col).alias(out_col),
+    )
+
+
+def sq_codes_column(model: dict, emb_col: str = "embedding"):
+    """The int8 code array of one vector as a single projection expression
+    (the body of :func:`sq_encode`, exposed so callers that already carry
+    other per-row columns — cell assignment, bucket/shard — can compute the
+    codes in the SAME narrow projection instead of re-joining two
+    derivations of one row on the id; r13, guide §2.4)."""
     lo = F.lit(model["lo"]).cast("array<double>")
     step = F.lit(model["step"]).cast("array<double>")
     idx = F.sequence(F.lit(0), F.lit(len(model["lo"]) - 1))
@@ -1311,10 +1321,7 @@ def sq_encode(
             )
         ),
     )
-    return df.select(
-        F.col(id_col),
-        F.transform(code, lambda c: (c - 128).cast("tinyint")).alias(out_col),
-    )
+    return F.transform(code, lambda c: (c - 128).cast("tinyint"))
 
 
 def sq_topk_rescore(
@@ -1476,10 +1483,17 @@ def write_ivfsq_index(
     (-1 = the base build); see :func:`append_ivfsq_index` for why it is a
     partition column — the same exactly-once recipe as
     :func:`write_ivfpq_index`."""
-    assigned = ivf_assign(df, centroids, emb_col)
+    # ONE narrow projection computes cell AND codes per row (r13: the former
+    # sq_encode ⋈ assigned join re-shuffled the batch by id just to reunite
+    # two pure functions of the same row — guide §2.4). Column order matches
+    # the former join output: (id, codes, _cell, batch_id).
     codes = (
-        sq_encode(assigned, model, emb_col=emb_col, id_col=id_col, out_col="codes")
-        .join(assigned.select(id_col, "_cell"), id_col)
+        ivf_assign(df, centroids, emb_col)
+        .select(
+            F.col(id_col),
+            sq_codes_column(model, emb_col).alias("codes"),
+            F.col("_cell"),
+        )
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
     salt = F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(max(1, files_per_cell)))

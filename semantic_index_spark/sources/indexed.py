@@ -274,7 +274,7 @@ def _ivfsq_index_df(man: dict, rows: DataFrame, params: dict) -> DataFrame:
     functions of (embedding, frozen manifest artifacts), and shard IS the
     row's bucket (``_bucket_expr`` on the key's manifest dtype), so a
     merge's rewritten-bucket rows rebuild exactly their own shards."""
-    from semantic_index_spark.operators.similarity import ivf_assign, sq_encode
+    from semantic_index_spark.operators.similarity import ivf_assign, sq_codes_column
 
     p = params
     key = man["key_cols"][0]
@@ -283,9 +283,15 @@ def _ivfsq_index_df(man: dict, rows: DataFrame, params: dict) -> DataFrame:
         F.col(p["emb_col"]).alias("embedding"),
         VER._bucket_expr([key], int(man["n_buckets"])).alias("shard"),
     )
-    assigned = ivf_assign(src, p["centroids"])
-    codes = sq_encode(assigned, p["model"])
-    return codes.join(assigned.select("vec_id", "_cell", "shard"), "vec_id")
+    # cell, codes and shard are all pure functions of the row — ONE narrow
+    # projection (r13; the former sq_encode ⋈ assigned join re-shuffled the
+    # rows by id to reunite them, guide §2.4)
+    return ivf_assign(src, p["centroids"]).select(
+        "vec_id",
+        sq_codes_column(p["model"]).alias("codes"),
+        "_cell",
+        "shard",
+    )
 
 
 def attach_ivfsq_index(
@@ -335,7 +341,7 @@ def _ivfpq_index_df(man: dict, rows: DataFrame, params: dict) -> DataFrame:
     encoding are pure functions of (embedding, frozen manifest
     artifacts), so a merge's rewritten-bucket rows rebuild exactly their
     own shards, identically to the other kinds."""
-    from semantic_index_spark.operators.similarity import ivf_assign, pq_encode
+    from semantic_index_spark.operators.similarity import ivf_assign, pq_codes_array
 
     p = params
     key = man["key_cols"][0]
@@ -344,9 +350,15 @@ def _ivfpq_index_df(man: dict, rows: DataFrame, params: dict) -> DataFrame:
         F.col(p["emb_col"]).alias("embedding"),
         VER._bucket_expr([key], int(man["n_buckets"])).alias("shard"),
     )
-    assigned = ivf_assign(src, p["centroids"])
-    codes = pq_encode(assigned, p["codebooks"])
-    return codes.join(assigned.select("vec_id", "_cell", "shard"), "vec_id")
+    # cell, codes and shard are all pure functions of the row — ONE narrow
+    # projection + posexplode to the long form (r13; the former
+    # pq_encode ⋈ assigned join re-shuffled the rows by id, guide §2.4)
+    return ivf_assign(src, p["centroids"]).select(
+        "vec_id",
+        F.posexplode(pq_codes_array(p["codebooks"])).alias("sub", "code"),
+        "_cell",
+        "shard",
+    )
 
 
 def attach_ivfpq_index(
