@@ -868,8 +868,12 @@ def blocked_linkage(
     second column, a name prefix, a soundex) until blocks are bounded.
     """
     cols = [F.col(c) for c in block_cols]
-    a = df.select(
-        *cols, F.col(id_col).alias("id_a"), F.col(name_col).alias("_na")
+    # the probe side of the (broadcast) block join pays Σ|block|²
+    # levenshteins — compute per PAIR, not per input byte; spread it to
+    # cluster width so a small scan split cannot serialize the verify
+    # stage (r13, guide §2.6; no-op when the scan already splits ≥ cores)
+    a = ensure_parallelism(
+        df.select(*cols, F.col(id_col).alias("id_a"), F.col(name_col).alias("_na"))
     )
     b = df.select(
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],

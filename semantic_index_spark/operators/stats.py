@@ -273,8 +273,16 @@ def poisson_bootstrap_ci(
     for k in range(1, len(_POIS1_CDF)):
         mult = mult.when(u <= _POIS1_CDF[k], k)
     mult = mult.otherwise(len(_POIS1_CDF))
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    # rows × B hash draws is compute per ROW, not per byte: spread the
+    # narrow (key, value) projection to cluster width BEFORE the replica
+    # explode so one small scan split cannot serialize B·N md5 evals
+    # (r13, guide §2.6; no-op when the scan already splits ≥ cores)
     per_rep = (
-        df.select(F.col(key_col), F.col(value_col).cast("double").alias("_v"))
+        ensure_parallelism(
+            df.select(F.col(key_col), F.col(value_col).cast("double").alias("_v"))
+        )
         .withColumn("_b", F.explode(reps))
         .withColumn("_m", mult)
         .groupBy("_b")

@@ -453,7 +453,13 @@ def interval_overlap_join(
             ),
         )
 
-    ab = _buckets(a, lo_a, hi_a)
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    # the probe side enumerates every bucket-pair candidate against the
+    # built side — per-PAIR compute; spread it to cluster width so a
+    # small scan split cannot serialize the overlap verify (r13, guide
+    # §2.6; no-op when the scan already splits ≥ cores)
+    ab = _buckets(ensure_parallelism(a), lo_a, hi_a)
     bb = _buckets(b, lo_b, hi_b)
     start_bucket = F.floor(F.greatest(F.col(lo_a), F.col(lo_b)) / F.lit(w)).cast("long")
     return (

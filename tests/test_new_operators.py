@@ -2014,6 +2014,24 @@ def test_collect_bounded_guard(spark):
     assert collect_bounded(df.filter("id < 0"), 0) == []
 
 
+def test_ensure_parallelism_compute_gaps(spark):
+    # r13: poisson_bootstrap_ci, blocked_linkage and interval_overlap_join
+    # route their compute-bound stages through ensure_parallelism — the
+    # under-split input spreads up to cluster width with the row SET
+    # unchanged, and an already-wide input passes through untouched
+    from semantic_index_spark.operators.dedup import ensure_parallelism
+
+    n = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).coalesce(1)
+    spread = ensure_parallelism(small)
+    assert spread.rdd.getNumPartitions() == n
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+    # an input already at/above cluster width is returned AS-IS — the
+    # at-scale no-op contract (no repartition of a well-split big input)
+    wide = spark.range(1000).repartition(n + 4)
+    assert ensure_parallelism(wide) is wide
+
+
 def test_collect_bounded_operators_still_exact(spark, sf_dir):
     # the routed call sites must be behavior-preserving: k-means init and
     # MMR pool ride limits <= cap, gradient/inertia are 1-row aggregates
