@@ -1269,12 +1269,6 @@ def merge_into_bucketed(
     man = _read_manifest(table)
     keys, n_buckets = man["key_cols"], man["n_buckets"]
     source = _apply_generated(source, man.get("generated"), "merge_into_bucketed")
-    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
-    if dup:
-        raise ValueError(
-            f"merge_into_bucketed: source has multiple rows for key "
-            f"{tuple(dup[0][k] for k in keys)}; MERGE requires unique source keys"
-        )
     tgt_fields = _manifest_schema(man).fields
     data_cols = [f.name for f in tgt_fields]
     added, widened = _evolve_cols(
@@ -1336,12 +1330,29 @@ def merge_into_bucketed(
     else:
         src = source.withColumnRenamed(op_col, "__op")
     src = src.withColumn("__bucket", _bucket_expr(keys, n_buckets)).localCheckpoint(eager=True)
-    affected = sorted(
-        r["__bucket"]
-        for r in collect_bounded(
-            src.select("__bucket").distinct(), n_buckets, "merge_into_bucketed affected buckets"
-        )
+    # ONE bounded aggregation over the checkpointed source yields BOTH the
+    # affected-bucket list and the unique-source-key validation (r13: the
+    # dup check was previously a SEPARATE action over the raw source
+    # lineage — i.e. the whole source plan ran twice per merge). NULL-safe:
+    # count_distinct skips NULL keys, so a count mismatch only FLAGS a
+    # possible dup — the groupBy recheck (failure path only) decides, with
+    # the same key-tuple error as before.
+    stats = collect_bounded(
+        src.groupBy("__bucket").agg(
+            F.count("*").alias("_n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("_nd"),
+        ),
+        n_buckets,
+        "merge_into_bucketed bucket stats",
     )
+    affected = sorted(r["__bucket"] for r in stats)
+    if any(r["_n"] != r["_nd"] for r in stats):
+        dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"merge_into_bucketed: source has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)}; MERGE requires unique source keys"
+            )
     tgt_paths = [
         os.path.join(table, f"v={man['buckets'][str(b)]}", f"__bucket={b}")
         for b in affected
@@ -1418,8 +1429,6 @@ def delete_bucketed(
     version."""
     import pyspark.sql.functions as F
 
-    from semantic_index_spark.session import collect_bounded
-
     man = _read_manifest(table)
     kc, n_buckets = man["key_cols"], man["n_buckets"]
     kt = {f.name: f.dataType for f in _manifest_schema(man).fields}
@@ -1430,18 +1439,22 @@ def delete_bucketed(
         keys.select(*[F.col(k).cast(kt[k]).alias(k) for k in kc])
         .distinct()
         .withColumn("__bucket", _bucket_expr(kc, n_buckets))
-        .localCheckpoint(eager=True)
-    )
-    affected = sorted(
-        r["__bucket"]
-        for r in collect_bounded(
-            keyed.select("__bucket").distinct(), n_buckets, "delete_bucketed affected"
-        )
     )
     staged = _staged_path(table)
     _to_physical(keyed, man).write.mode("errorifexists").partitionBy(
         "__bucket"
     ).parquet(os.path.join(staged, "__dv"))
+    # the affected-bucket set IS the set of staged __bucket= dirs the write
+    # just produced — read it from the filesystem instead of paying a
+    # localCheckpoint + distinct-collect action pair over the key lineage
+    # (r13: a DV delete is now ONE Spark action; same derivation build()
+    # uses post-publish)
+    dv_root = os.path.join(staged, "__dv")
+    affected = sorted(
+        int(d.split("=", 1)[1])
+        for d in (os.listdir(dv_root) if os.path.isdir(dv_root) else [])
+        if d.startswith("__bucket=")
+    )
 
     def build(final: int, base_man: dict, dest: str) -> dict:
         dv_dir = os.path.join(dest, "__dv")
