@@ -63,14 +63,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# Resolved-relation cache: the unexecuted DataFrame handle per
+# (session, sf_dir, table). A path-based ``spark.read.parquet`` builds a
+# fresh InMemoryFileIndex and re-reads the parquet footer on EVERY call
+# (~100 ms of driver-side metadata work here; a namenode/object-store
+# listing round-trip at scale) even though the inputs are immutable.
+# Catalog tables get exactly this cache from Spark's own
+# ``filesourceTableRelationCache`` — path reads don't, so we hold the
+# analyzed handle ourselves. METADATA only: no ``.cache()``, no data or
+# result is pinned, every action still scans the parquet files.
+_TABLE_RELATION_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md): parquet scan with schema from
     the footer. Filters/projections applied downstream reach this scan via
     Catalyst pushdown — callers should NOT cache or materialize here.
+    The resolved relation (file listing + schema, NOT data) is reused per
+    session — the testdata tables are immutable (read-only mounts).
 
     The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; we read nanos as long (runtime conf) and rebuild a proper
     timestamp at microsecond precision (Spark's native resolution)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_RELATION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_RELATION_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         from pyspark.sql import functions as F
 
