@@ -3385,19 +3385,37 @@ import contextlib
 
 @contextlib.contextmanager
 def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
-    """Temporarily lower shuffle partitions for a stateful streaming replay:
-    the state store pays a per-partition-per-epoch checkpoint cost (files +
-    fsync), so 32 state partitions for a few thousand rows is almost pure
-    overhead. Each replay starts a FRESH checkpoint, so the partition count
-    is free to differ per query; the session value is restored after. At
-    real scale you size this to state volume, exactly like a batch shuffle."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    """Temporarily tune the session for a stateful streaming replay; the
+    session values are restored after. Two knobs:
+
+    * shuffle partitions lowered to ``n``: the state store pays a
+      per-partition-per-epoch checkpoint cost (files + fsync), so 32 state
+      partitions for a few thousand rows is almost pure overhead. Each
+      replay starts a FRESH checkpoint, so the partition count is free to
+      differ per query. At real scale you size this to state volume,
+      exactly like a batch shuffle.
+    * no-data micro-batches OFF: after the sources drain, availableNow
+      schedules one extra EMPTY batch purely to advance the watermark —
+      a full state-store-commit round (measured ~1.2 s on the
+      stream-stream join replay; one wasted cluster-wide barrier at real
+      scale). None of the replay rows emit on watermark advance (their
+      sinks are foreachBatch ledgers, update/complete modes, or
+      watermark-free append), so the flush batch produces nothing —
+      every replay's emitted rows are oracle-locked identical. A
+      pipeline whose final results ARE watermark-gated (append-mode
+      windowed aggregation) must keep the default instead."""
+    keys = {
+        "spark.sql.shuffle.partitions": str(n),
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def _write_one_file_parquet(df: DataFrame, scratch: str, dest: str) -> None:
