@@ -46,11 +46,53 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def lit_double_array(vals: Sequence) -> Column:
+    """A constant ``array<double>`` (or ``array<array<double>>`` for nested
+    input) built from ONE parsed SQL expression. ``F.lit(list)`` expands to
+    one py4j round-trip per ELEMENT (measured ~1.8 s to build four 16×8
+    codebook literals; the driver-side planning tax the r13 profile showed
+    dominating the PQ/SQ projection builders), where a single
+    ``F.expr("array(...)")`` is one round-trip + one parse (~7 ms for the
+    same codebooks). Values are bit-identical: ``repr`` emits the shortest
+    round-trip decimal and the ``D`` suffix makes Spark parse it with
+    ``Double.parseDouble`` — the same IEEE double ``F.lit(float)`` carries.
+    Falls back to the element-wise shape for non-finite values (no SQL
+    literal form)."""
+    import math
+
+    def flat(xs) -> "str | None":
+        out = []
+        for x in xs:
+            v = float(x)
+            if not math.isfinite(v):
+                return None
+            out.append(repr(v) + "D")
+        return "array(" + ",".join(out) + ")"
+
+    if vals and isinstance(vals[0], (list, tuple)) or (
+        vals and hasattr(vals[0], "__len__") and not isinstance(vals[0], str)
+    ):
+        inner = [flat(v) for v in vals]
+        if all(s is not None for s in inner):
+            # cast pins the type when a nested array is empty (bare SQL
+            # ``array()`` would type as array<string>)
+            return F.expr("array(" + ",".join(inner) + ")").cast(
+                "array<array<double>>"
+            )
+        return F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]).cast("array<double>") for v in vals]
+        )
+    s = flat(vals)
+    if s is not None:
+        return F.expr(s).cast("array<double>")
+    return F.array(*[F.lit(float(x)) for x in vals]).cast("array<double>")
+
+
 def dot_literal(a: Column | str, q: Sequence[float]) -> Column:
     """Dot product against a constant query vector (broadcast as a literal
     into the expression tree — no join, no shuffle; the flagship search path
     `SemanticDatabase.cs:268-308` is scan → project(score) → top-k)."""
-    return dot(a, F.lit(list(float(x) for x in q)).cast("array<double>"))
+    return dot(a, lit_double_array(list(q)))
 
 
 def l2_norm(a: Column | str) -> Column:

@@ -54,7 +54,7 @@ def topk(
     score = (
         V.dot_literal(F.col(emb_col), query)
         if metric == "dot"
-        else V.cosine(F.col(emb_col), F.lit([float(x) for x in query]).cast("array<double>"))
+        else V.cosine(F.col(emb_col), V.lit_double_array(list(query)))
     )
     return (
         df.select(F.col(id_col), F.round(score, 6).alias("score"))
@@ -723,7 +723,7 @@ def mmr_rerank(
             F.col(emb_col),
             V.cosine(
                 F.col(emb_col),
-                F.lit([float(x) for x in query_vec]).cast("array<double>"),
+                V.lit_double_array(list(query_vec)),
             ).alias("_rel"),
         )
         .orderBy(F.desc("_rel"), F.col(id_col))
@@ -940,12 +940,9 @@ def _pq_sub_code(codebooks, s: int, subdim: int, emb_col: str):
     """Argmin code of subspace ``s`` as one expression — see
     :func:`pq_codes_array` for the equivalence argument."""
     sv = F.slice(F.col(emb_col), s * subdim + 1, subdim).cast("array<double>")
-    cb_s = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in cvec]).cast("array<double>")
-            for cvec in codebooks[s]
-        ]
-    )
+    # one parsed literal, not k·subdim py4j lit() calls (V.lit_double_array;
+    # same IEEE doubles, so distances and codes are bit-identical)
+    cb_s = V.lit_double_array([list(cvec) for cvec in codebooks[s]])
     dists = F.transform(cb_s, lambda c: _sq_dist(sv, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -1301,8 +1298,8 @@ def sq_codes_column(model: dict, emb_col: str = "embedding"):
     other per-row columns — cell assignment, bucket/shard — can compute the
     codes in the SAME narrow projection instead of re-joining two
     derivations of one row on the id; r13, guide §2.4)."""
-    lo = F.lit(model["lo"]).cast("array<double>")
-    step = F.lit(model["step"]).cast("array<double>")
+    lo = V.lit_double_array(model["lo"])
+    step = V.lit_double_array(model["step"])
     idx = F.sequence(F.lit(0), F.lit(len(model["lo"]) - 1))
     v = F.col(emb_col)
     code = F.transform(
@@ -1345,9 +1342,9 @@ def sq_topk_rescore(
     candidate set is k-bounded driver-side knowledge, never the corpus).
     Deterministic: both stages order by (rounded score DESC, id).
     Returns (id, score) with the EXACT dot score."""
-    lo = F.lit(model["lo"]).cast("array<double>")
-    step = F.lit(model["step"]).cast("array<double>")
-    q = F.lit([float(x) for x in query]).cast("array<double>")
+    lo = V.lit_double_array(model["lo"])
+    step = V.lit_double_array(model["step"])
+    q = V.lit_double_array(list(query))
     c = F.col(codes_col)
     idx = F.sequence(F.lit(0), F.lit(len(model["lo"]) - 1))
     adc = F.aggregate(

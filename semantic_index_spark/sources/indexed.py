@@ -393,7 +393,11 @@ def attach_ivfpq_index(
 
     man = VER._read_manifest(table)
     key = _check_attachable(man, table, emb_col, name, allow_string=True)
-    rows = VER.read_bucketed(spark, table).select(
+    # ONE table read feeds both the trainer and the shard-artifact build
+    # (r13: the artifact build re-called read_bucketed — a second manifest
+    # walk + file listing + DV anti-join lineage for the same snapshot)
+    tbl = VER.read_bucketed(spark, table)
+    rows = tbl.select(
         F.col(key).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
     first = rows.select(F.size("embedding").alias("d")).limit(1).collect()
@@ -412,7 +416,7 @@ def attach_ivfpq_index(
         "codebooks": codebooks,
         "seed": int(seed),
     }
-    idx = _ivfpq_index_df(man, VER.read_bucketed(spark, table), params)
+    idx = _ivfpq_index_df(man, tbl, params)
     return _publish_index(table, man, name, params, idx)
 
 

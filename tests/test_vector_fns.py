@@ -248,3 +248,38 @@ def test_similarity_join_rejects_unbroadcastable_right_side(spark):
     # within the cap the join still works end-to-end
     out = S.similarity_join(small, big, threshold=0.5, max_broadcast_rows=100)
     assert out.count() == 200  # identical unit vectors: all pairs pass
+
+
+def test_lit_double_array_matches_elementwise_lit(spark):
+    """lit_double_array builds its constant via ONE parsed SQL expression
+    (r13 — the element-wise F.lit shape cost one py4j round-trip per
+    element); the values must be bit-identical to the element-wise build
+    for flat, nested, empty, and awkward-repr inputs, and non-finite
+    values must fall back rather than emit unparseable SQL."""
+    import math
+
+    from semantic_index_spark.functions import vector as V
+
+    flat = [0.1, -0.0, 3.0, 1e-07, 5e-324, 123456.789012345, -2.5e300]
+    nested = [[0.1, 2.0], [1e-16, -7.25], []]
+    df = spark.range(1).select(
+        V.lit_double_array(flat).alias("fast_flat"),
+        F.array(*[F.lit(float(x)) for x in flat]).cast("array<double>").alias("ref_flat"),
+        V.lit_double_array(nested).alias("fast_nested"),
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]).cast("array<double>") for v in nested]
+        ).alias("ref_nested"),
+        V.lit_double_array([]).alias("fast_empty"),
+    )
+    r = df.collect()[0]
+    assert r["fast_flat"] == r["ref_flat"]
+    assert r["fast_nested"] == r["ref_nested"]
+    assert r["fast_empty"] == []
+    assert dict(df.dtypes)["fast_empty"] == "array<double>"
+    # non-finite: falls back to the element-wise build, same semantics
+    nf = spark.range(1).select(
+        V.lit_double_array([1.0, float("inf")]).alias("a"),
+        V.lit_double_array([[float("nan")], [1.0]]).alias("b"),
+    ).collect()[0]
+    assert nf["a"][0] == 1.0 and math.isinf(nf["a"][1])
+    assert math.isnan(nf["b"][0][0]) and nf["b"][1] == [1.0]
