@@ -1346,17 +1346,19 @@ def sq_topk_rescore(
     step = V.lit_double_array(model["step"])
     q = V.lit_double_array(list(query))
     c = F.col(codes_col)
-    idx = F.sequence(F.lit(0), F.lit(len(model["lo"]) - 1))
+    # zip_with chain so the codes array is referenced ONCE (r13): the former
+    # transform-over-indices referenced c[i] per dimension, and when the
+    # caller composes encode+rescore in one plan Catalyst inlines the whole
+    # sq_encode expression into EVERY c[i] — a d-fold evaluation blowup in
+    # the interpreted HOF path (measured 4.6 s -> the candidate stage was
+    # ~d× the work it needed). Per-element term keeps the identical double
+    # op order q[i]*(lo[i]+step[i]*(code[i]+128.0)) and the fold keeps
+    # ascending-index order, so the ADC score is bit-identical.
+    inner = F.zip_with(
+        step, c, lambda s, ci: s * (ci.cast("double") + F.lit(128.0))
+    )
     adc = F.aggregate(
-        F.transform(
-            idx,
-            lambda i: F.element_at(q, i + 1)
-            * (
-                F.element_at(lo, i + 1)
-                + F.element_at(step, i + 1)
-                * (c[i].cast("double") + F.lit(128.0))
-            ),
-        ),
+        F.zip_with(q, F.zip_with(lo, inner, lambda l, x: l + x), lambda qi, x: qi * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
