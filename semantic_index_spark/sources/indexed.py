@@ -566,11 +566,28 @@ def _stage_merge_index(spark, man: dict, result: DataFrame, affected):
             built[iname] = _ivfsq_index_df(man, result, p)
 
     def stage(staged: str) -> None:
-        for iname, idx in built.items():
+        # the per-index shard writes are independent jobs over the SAME
+        # checkpointed merge result into DISJOINT staged subdirectories —
+        # submit them concurrently (Spark contexts accept multi-threaded
+        # job submission) so a 3-index table pays max(write) not Σ(write)
+        # per merge; any failure propagates before the commit publishes
+        # (r13, guide §1.2). Sequential fallback for a single index.
+        def _write(item):
+            iname, idx = item
             p = VER._indexes(man)[iname]["params"]
             idx.write.mode("errorifexists").partitionBy(
                 *_IDX_PARTS[p.get("kind", "hnsw")]
             ).parquet(os.path.join(staged, _idx_dir(iname, p)))
+
+        items = list(built.items())
+        if len(items) == 1:
+            _write(items[0])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(items)) as pool:
+                for _ in pool.map(_write, items):
+                    pass
 
     def finalize(manifest: dict, final: int, base_man, dest: str) -> dict:
         base_idxs = VER._indexes(base_man) or VER._indexes(man)
