@@ -4661,11 +4661,13 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the distinct symmetric edge list ONCE: LP's rounds, the
     # modularity joins, and the 2m count all read this checkpoint instead
-    # of re-running the co-purchase join + distinct three times
+    # of re-running the co-purchase join + distinct three times. LAZY
+    # (r14): modularity()'s own 2m count is the action that materializes
+    # it — no separate checkpoint job up front
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = G.label_propagation(edges, iters=LP_ITERS, assume_distinct=True)
     return G.modularity(edges, labels)

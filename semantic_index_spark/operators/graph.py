@@ -90,12 +90,17 @@ def pagerank(
     ranks = base.withColumn("rank", F.lit(1.0 / n_nodes))
 
     for it in range(iterations):
-        # materialize the rank vector ONCE per iteration: three consumers
-        # (the dangling agg, the contribution join, the next select) would
+        # pin the rank vector ONCE per iteration: three consumers (the
+        # dangling agg, the contribution join, the next select) would
         # otherwise each re-derive the whole prior-iteration lineage —
-        # ~3× redundant work per step. |N| rows, so the checkpoint is
-        # cheap, and it bounds lineage/AQE replanning depth at O(1).
-        ranks = ranks.localCheckpoint(eager=True)
+        # ~3× redundant work per step. LAZY checkpoint (r14): the plan is
+        # truncated to a LogicalRDD at build time and the RDD persists on
+        # first compute, so consumers still share one materialization and
+        # lineage stays O(1) — but the whole recurrence now runs inside
+        # the CALLER'S single action instead of paying one driver-blocking
+        # job round-trip per iteration (guide §1.2; at 100 TB each eager
+        # checkpoint was a full cluster barrier).
+        ranks = ranks.localCheckpoint(eager=False)
         # mass that dangling nodes spread uniformly this step: 1-row agg,
         # broadcast into the closure of the next plan via crossJoin
         dangling = ranks.filter(F.col("_deg") == 0).agg(
@@ -351,9 +356,13 @@ def label_propagation(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not assume_distinct:
         e = e.distinct()
-    e.cache()
+    # lazy pin (r14): one materialization shared by every round's join +
+    # the node derivation, released by the ContextCleaner when the RDD is
+    # GC'd (the old cache()+unpersist() pair freed nothing once the rounds
+    # went lazy — unpersist ran before the caller's action populated it)
+    e = e.localCheckpoint(eager=False)
     nodes = e.select(F.col("_s").alias("node")).union(e.select("_d")).distinct()
-    lbl = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    lbl = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=False)
     for _ in range(iters):
         nb = e.join(lbl, e["_s"] == lbl["node"]).select(
             F.col("_d").alias("node"), "label"
@@ -375,9 +384,11 @@ def label_propagation(
         lbl = (
             lbl.join(new, "node", "left")
             .select("node", F.coalesce("_new", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the two consumers (next round's join + the final
+            # result) share one materialization inside the caller's single
+            # action — no per-round driver barrier (guide §1.2)
+            .localCheckpoint(eager=False)
         )
-    e.unpersist()
     return lbl
 
 
@@ -406,13 +417,17 @@ def shortest_paths(
     e = (
         edges.groupBy(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .agg(F.min(F.col(weight)).cast("bigint").alias("_w"))
+        # lazy pin (r14): every round's relaxation join reads ONE
+        # materialization of the min-collapsed edge list; storage is
+        # released when the RDD is GC'd (the old cache()+unpersist()
+        # freed nothing once the rounds went lazy)
+        .localCheckpoint(eager=False)
     )
-    e.cache()
     dist = (
         sources.select(F.col(node_col).alias(node_col))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         relaxed = e.join(dist, e["_s"] == dist[node_col]).select(
@@ -422,9 +437,10 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy(node_col)
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            # lazy: next round + final result share one materialization
+            # inside the caller's single action — no per-round barrier
+            .localCheckpoint(eager=False)
         )
-    e.unpersist()
     return dist
 
 
@@ -687,7 +703,11 @@ def k_core(
     )
     if not assume_canonical:
         e = e.filter(F.col("_a") != F.col("_b")).distinct()
-    e = e.localCheckpoint(eager=True)
+    # lazy (r14): the whole peeling cascade folds into the CALLER'S single
+    # action — each round's frame still materializes exactly once (its two
+    # degree reads + two semi-joins share the persisted RDD) but the
+    # driver no longer pays one blocking job round-trip per round
+    e = e.localCheckpoint(eager=False)
 
     def _deg(ed):
         return (
@@ -702,7 +722,7 @@ def k_core(
         e = (
             e.join(keep.withColumnRenamed("node", "_a"), "_a", "left_semi")
             .join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return _deg(e)
 
@@ -766,7 +786,9 @@ def personalized_pagerank(
     ranks = base.withColumn("rank", F.col("_p"))
 
     for _ in range(iterations):
-        ranks = ranks.localCheckpoint(eager=True)
+        # lazy per-iteration pin — same single-materialization sharing as
+        # :func:`pagerank`, without one driver round-trip per iteration
+        ranks = ranks.localCheckpoint(eager=False)
         dangling = ranks.filter(F.col("_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
@@ -836,7 +858,11 @@ def deterministic_walks(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if both_directions:
         e = e.unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-    e = e.filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint(eager=True)
+    # lazy (r14): the walk recurrence folds into the caller's single
+    # action — the symmetrized edge list still materializes once and every
+    # step's join reads the persisted RDD, but the driver no longer pays
+    # one blocking job per step (guide §1.2)
+    e = e.filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint(eager=False)
     if starts is None:
         # every vertex gets a walk — a sink's walk is just its step-0 row
         starts = (
@@ -846,7 +872,7 @@ def deterministic_walks(
         )
     cur = starts.select(
         F.col("node").alias("walk_id"), F.col("node").alias("node")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = cur.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
     for t in range(1, length + 1):
         ranked = cur.join(e, cur["node"] == e["_s"]).select(
@@ -873,7 +899,9 @@ def deterministic_walks(
         cur = (
             ranked.groupBy("walk_id")
             .agg(F.min_by("_d", "_h").alias("node"))
-            .localCheckpoint(eager=True)
+            # lazy: the two consumers (next step's join + the emitted
+            # step rows) share one materialization — no per-step barrier
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(
             cur.select("walk_id", F.lit(t).cast("int").alias("step"), "node")

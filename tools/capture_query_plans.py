@@ -1,4 +1,7 @@
-"""Dump .explain('formatted') for named registry queries into plans/r13/.
+"""Dump .explain('formatted') for named registry queries into plans/<round>/.
+
+The round directory defaults to r14 and can be overridden with
+``$SPARK_GRAFT_PLAN_DIR`` (e.g. r15 next optimization round).
 
 Usage:
     python tools/capture_query_plans.py <repo_root> <suffix> name [name ...]
@@ -28,7 +31,8 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     spark = get_spark(app_name="plan-capture", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", plan_dir)
     os.makedirs(out_dir, exist_ok=True)
     registry = entrymod.queries()
     for name in names:

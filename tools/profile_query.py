@@ -68,8 +68,9 @@ def main() -> int:
         if dump_plans:
             from semantic_index_spark.plans.explain import formatted_plan
 
-            os.makedirs("plans/r13", exist_ok=True)
-            with open(f"plans/r13/{name}_profile.txt", "w") as f:
+            plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14")
+            os.makedirs(f"plans/{plan_dir}", exist_ok=True)
+            with open(f"plans/{plan_dir}/{name}_profile.txt", "w") as f:
                 f.write(formatted_plan(fn(spark, sf_dir)))
     print(json.dumps(out))
     return 0
