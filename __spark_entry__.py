@@ -7039,10 +7039,13 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _cnt(df, name):
         return df.agg(F.count("*").cast("bigint").alias(name))
 
-    toks = clean.select(F.size(T.tokens("text")).alias("_nt")).agg(
-        F.sum("_nt").cast("bigint").alias("tok_clean")
-    )
+    # tok_clean rides the SAME aggregate as the packing summary (r14,
+    # guide §1.2): pack_sequences already computed n_tokens =
+    # size(tokens(text)) per clean doc, so summing its column is
+    # value-identical to re-tokenizing `clean` — one full tokenization
+    # pass over the clean corpus removed, one aggregate branch fewer.
     pk = packed.agg(
+        F.sum("n_tokens").cast("bigint").alias("tok_clean"),
         F.count_distinct("seq_id").cast("bigint").alias("n_seqs"),
         F.sum(F.col("spans_boundary").cast("bigint")).alias("n_spanning"),
         F.sum(
@@ -7054,8 +7057,11 @@ def q_training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(_cnt(quality, "n_quality"))
         .crossJoin(_cnt(deduped, "n_dedup"))
         .crossJoin(_cnt(clean, "n_clean"))
-        .crossJoin(toks)
         .crossJoin(pk)
+        .select(
+            "n_train", "n_quality", "n_dedup", "n_clean",
+            "tok_clean", "n_seqs", "n_spanning", "pack_checksum",
+        )
     )
 
 
