@@ -1115,9 +1115,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-global-threshold property is visible per domain.
     from semantic_index_spark.operators import pipeline as P
 
+    # lazy pin (r14, guide §1.2): five subtrees of the final plan read
+    # (source, quality) — the filter's internal histogram, the kept join
+    # side, the threshold readout, and the two per-source counts — and
+    # quality_score is the regex/token-heavy part. Pinning makes them
+    # share ONE evaluation of the scoring pass instead of five.
     d = load_table(spark, sf_dir, "documents").select(
         "source", T.quality_score("text").alias("quality")
-    )
+    ).localCheckpoint(eager=False)
     kept = P.quantile_threshold_filter(d, "quality", "source", QUAL_Q, 0.0, 1.0, QUAL_BINS)
     thr = SKT.histogram_quantiles_by(d, "quality", "source", 0.0, 1.0, [QUAL_Q], QUAL_BINS).select(
         "source", F.col("approx_value").alias("threshold")
