@@ -392,8 +392,12 @@ def q_hnsw_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantic_index_spark.streaming.ingest import incremental_hnsw_sink
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cut = emb.agg(F.expr("percentile(vec_id, 0.5)").alias("c")).collect()[0]["c"]
-    hi = emb.agg(F.expr("percentile(vec_id, 0.75)").alias("c")).collect()[0]["c"]
+    # both epoch cut points ride one aggregate action (r14, guide §1.2)
+    cuts = emb.agg(
+        F.expr("percentile(vec_id, 0.5)").alias("c"),
+        F.expr("percentile(vec_id, 0.75)").alias("h"),
+    ).collect()[0]
+    cut, hi = cuts["c"], cuts["h"]
     q = emb.filter(F.col("vec_id") == 11).select("embedding").collect()[0][0]
     import shutil
 

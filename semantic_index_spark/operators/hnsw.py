@@ -657,22 +657,29 @@ def compact_hnsw_index(spark: SparkSession, path: str) -> int:
         tomb = _tombstone_dir(path)
         if not os.path.isdir(tomb):
             return 0
+        # lazy pin + count (r14): count() materializes every partition of
+        # the pinned distinct-tombstone set in the SAME job, so the fold
+        # count and the anti-join below still read one frozen set — one
+        # action instead of checkpoint-then-count
         dead = (
             spark.read.parquet(tomb)
             .select("id")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_dead = dead.count()
         if not n_dead:
             return 0
         with open(_meta_path(path)) as f:
             meta = json.load(f)
+        # lazy: the rebuild's write is the only consumer — the pin still
+        # freezes the live set (it reads the pinned `dead`), it just
+        # materializes inside the write action instead of its own job
         live = (
             spark.read.parquet(path)
             .join(dead, "id", "left_anti")
             .select(F.col("id").alias("vec_id"), "embedding")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rebuilt = build_hnsw(
             live,
@@ -911,13 +918,19 @@ def hnsw_maintenance_status(
 
     with open(_meta_path(path)) as f:
         meta = json.load(f)
-    n_nodes = spark.read.parquet(path).count()
+    # both counts ride ONE action (r14, guide §1.2): a crossJoin of the
+    # two 1-row aggregates collects (n_nodes, n_tombstones) in a single
+    # job instead of two sequential cluster round-trips per status probe
+    nodes_agg = spark.read.parquet(path).agg(F.count("*").alias("_n"))
     tomb = _tombstone_dir(path)
-    n_tomb = (
-        spark.read.parquet(tomb).select("id").distinct().count()
-        if os.path.isdir(tomb)
-        else 0
-    )
+    if os.path.isdir(tomb):
+        tomb_agg = (
+            spark.read.parquet(tomb).agg(F.count_distinct("id").alias("_t"))
+        )
+        row = nodes_agg.crossJoin(tomb_agg).collect()[0]
+        n_nodes, n_tomb = int(row["_n"]), int(row["_t"])
+    else:
+        n_nodes, n_tomb = int(nodes_agg.collect()[0]["_n"]), 0
     ratio = n_tomb / max(n_nodes, 1)
     return {
         "n_nodes": int(n_nodes),
