@@ -423,10 +423,13 @@ def connected_components(
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    # materialize the edge list ONCE — without this every iteration would
-    # re-derive the (possibly expensive) pair-generation lineage.
-    edges = fwd.unionByName(rev).cache()
-    edges.count()
+    # pin the edge list ONCE — without this every iteration would
+    # re-derive the (possibly expensive) pair-generation lineage. LAZY
+    # pin (r14): materializes inside the first round's convergence job
+    # instead of an up-front count action, and the storage is released by
+    # the ContextCleaner when the RDD is GC'd (the old cache()+count()+
+    # unpersist() needed the explicit pair).
+    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
     # localCheckpoint truncates the logical plan each round: the iterative
     # lineage would otherwise grow linearly and re-analyze quadratically.
     # (On a cluster with fault-tolerance needs, use checkpoint() to durable
@@ -434,7 +437,7 @@ def connected_components(
     labels = (
         vertices.select(F.col(id_col).alias("id"))
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # min label among (self, neighbors' labels)
@@ -454,16 +457,23 @@ def connected_components(
         # from O(diameter) to O(log diameter) rounds, the difference
         # between 20+ and ~6 rounds on chain-heavy duplicate clusters.
         lut = stepped.select(F.col("id").alias("_cid"), F.col("comp").alias("_ccomp"))
+        # LAZY pin + convergence probe as ONE action per round (r14, guide
+        # §1.2): the limit(1) count is the job that materializes the pin —
+        # a non-final round short-circuits after finding one changed row
+        # (remaining partitions materialize on demand in the next round's
+        # joins), and the CONVERGED round's full no-changed-rows scan
+        # materializes every partition, so the returned labels frame is
+        # complete before edges' pin can be released. Replaces the
+        # eager-checkpoint-then-count pair (two driver barriers per round).
         merged = (
             stepped.join(lut, stepped.comp == lut._cid)
             .select("id", F.col("_ccomp").alias("comp"), "_old")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("comp") != F.col("_old")).limit(1).count()
         labels = merged.select("id", "comp")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
