@@ -7370,60 +7370,60 @@ def _duck_k_core_sql(k: int, iters: int) -> str:
 # rotation — never-checked new queries first, then the queries whose most
 # recent driver row is OLDEST, oldest round first, ties broken by original
 # registry order.
-_DRIVER_WINDOW_R13 = [
-    # round-13 window: the 5 never-checked r13 additions first, then the
-    # 45 stalest green driver rows (oldest CORRECTNESS round first) -
-    # computed by tools/pin_window.py from CORRECTNESS_r01-r12
-    "stream_indexed_merge",  # never-checked
-    "sql_string_key_merge",  # never-checked
-    "sql_insert_indexed_table",  # never-checked
-    "vacuum_advice",  # never-checked
-    "string_key_indexed_table",  # never-checked
-    "cross_source_dup",  # last r6
-    "rolling_active_users",  # last r6
-    "growth_accounting",  # last r6
-    "source_embedding_sim",  # last r6
-    "pareto_curve",  # last r6
-    "rfm_segments",  # last r6
-    "cohort_ltv",  # last r6
-    "cuped_adjustment",  # last r6
-    "dup_degree",  # last r6
-    "q8_market_share",  # last r6
-    "q6_forecast_revenue",  # last r6
-    "q13_customer_distribution",  # last r6
-    "q14_promo_effect",  # last r6
-    "q15_top_supplier",  # last r7
-    "q17_small_quantity_revenue",  # last r7
-    "q18_large_volume_customers",  # last r7
-    "q19_disjunctive_revenue",  # last r7
-    "q22_global_sales_opportunity",  # last r7
-    "q2_min_cost_supplier",  # last r7
-    "q4_order_priority",  # last r7
-    "q9_product_profit",  # last r7
-    "q11_important_stock",  # last r7
-    "q16_supplier_counts",  # last r7
-    "q20_promotion_candidates",  # last r7
-    "q21_waiting_suppliers",  # last r7
-    "cdc_apply",  # last r7
-    "skyline_frontier",  # last r7
-    "stream_static_enrich_replay",  # last r7
-    "stream_session_replay",  # last r7
-    "naive_bayes_lang",  # last r7
-    "quantile_normalize",  # last r7
-    "throttle_dedup",  # last r7
-    "holt_winters",  # last r7
-    "ivf_silhouette",  # last r7
-    "trimmed_mean_udaf",  # last r7
-    "merge_versioned",  # last r7
-    "label_propagation",  # last r7
-    "ols_closed_form",  # last r7
-    "position_attribution",  # last r7
-    "audience_overlap",  # last r7
-    "shortest_paths",  # last r7
-    "table_changes",  # last r7
-    "stream_merge_replay",  # last r7
-    "modularity",  # last r7
-    "range_join_bucketed",  # last r7
+_DRIVER_WINDOW_R14 = [
+    # round-14 window: no never-checked and no failed rows remain, so
+    # the 50 stalest green driver rows (oldest CORRECTNESS round first)
+    # - computed by tools/pin_window.py from CORRECTNESS_r01-r13
+    "ngram_jaccard_maxdf",  # last r7
+    "stream_hll_replay",  # last r7
+    "index_compact_demo",  # last r7
+    "jsonl_quarantine",  # last r7
+    "schema_evolution",  # last r7
+    "adamic_adar",  # last r7
+    "activity_streaks",  # last r7
+    "autocorrelation",  # last r7
+    "stratified_ate",  # last r7
+    "phrase_search",  # last r7
+    "resample_locf",  # last r7
+    "geo_neighbors",  # last r7
+    "golden_records",  # last r7
+    "dp_topk",  # last r7
+    "kmv_distinct",  # last r7
+    "kmv_overlap",  # last r7
+    "orc_roundtrip",  # last r8
+    "best_split",  # last r8
+    "sequence_support",  # last r8
+    "pq_topk",  # last r8
+    "ivfpq_topk",  # last r8
+    "mutual_nn",  # last r8
+    "ivfpq_incremental",  # last r8
+    "hidden_partition_prune",  # last r8
+    "motif_triangles",  # last r8
+    "motif_open_wedges",  # last r8
+    "motif_capped_wedges",  # last r8
+    "hidden_skipping_compose",  # last r8
+    "sq_rescore_topk",  # last r8
+    "filtered_ivf_topk",  # last r8
+    "colbert_maxsim",  # last r8
+    "zorder_skipping",  # last r8
+    "training_pipeline_e2e",  # last r8
+    "k_core",  # last r8
+    "ivfsq_topk",  # last r8
+    "personalized_pagerank",  # last r8
+    "zonemap_skipping",  # last r8
+    "ivm_agg",  # last r8
+    "sampled_quantiles",  # last r8
+    "bloom_skipping",  # last r8
+    "delete_vectors",  # last r8
+    "optimize_demo",  # last r8
+    "mrl_topk",  # last r8
+    "append_skipping",  # last r8
+    "mg_heavy_hitters",  # last r8
+    "grouped_sample_quantiles",  # last r8
+    "knn_topk",  # last r8
+    "knn_cosine",  # last r8
+    "count_records",  # last r8
+    "q1_pricing_summary",  # last r8
 ]
 
 
@@ -7434,7 +7434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification contract: the driver hash-checks the
     FIRST 50 entries each round.  The canonical dict below stays in stable
     historical order; the returned dict is reordered so the pinned
-    ``_DRIVER_WINDOW_R13`` names come first (see the comment on that list for
+    ``_DRIVER_WINDOW_R14`` names come first (see the comment on that list for
     the round-12 composition), followed by every other query in canonical
     order.
 
@@ -7446,7 +7446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row at most ~6 rounds stale (316 queries / 50 per round).
     ``tools/pin_window.py`` computes the next window from the
     CORRECTNESS_r{N}.json history; paste its output over
-    ``_DRIVER_WINDOW_R13``.  EVERY new query added mid-round must be
+    ``_DRIVER_WINDOW_R14``.  EVERY new query added mid-round must be
     appended to the canonical dict AND will be picked up by pin_window as
     never-checked.
 
@@ -7775,13 +7775,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_streaming": q_hnsw_streaming,
         "hnsw_delete": q_hnsw_delete,
     }
-    missing = [n for n in _DRIVER_WINDOW_R13 if n not in reg]
-    if missing or len(_DRIVER_WINDOW_R13) != 50:
+    missing = [n for n in _DRIVER_WINDOW_R14 if n not in reg]
+    if missing or len(_DRIVER_WINDOW_R14) != 50:
         raise RuntimeError(
-            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R13)}, "
+            f"driver window pin is broken: len={len(_DRIVER_WINDOW_R14)}, "
             f"missing={missing}"
         )
-    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R13}
+    ordered = {n: reg[n] for n in _DRIVER_WINDOW_R14}
     ordered.update((n, fn) for n, fn in reg.items() if n not in ordered)
     return ordered
 
