@@ -47,7 +47,7 @@ def test_oracle_sql_dict_literal_has_no_duplicate_keys():
 
 
 def test_driver_window_is_pinned_and_leads_registry():
-    window = entrymod._DRIVER_WINDOW_R13
+    window = entrymod._DRIVER_WINDOW_R14
     assert len(window) == 50
     assert len(set(window)) == 50
     names = list(entrymod.queries().keys())
